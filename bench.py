@@ -1,0 +1,70 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing excludes session startup; each query is executed to
+completion via a count-style action on its final plan (results are
+small aggregates, so the action cost is the query cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_frame_spark.session import get_spark
+from data_frame_spark import queries as Q
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: queries the bench reports; grows as operators land. Keep this to
+#: the representative/heavy ones, not every micro-query.
+HEADLINE: list[str] = []
+
+
+def bench_names() -> list[str]:
+    if HEADLINE:
+        return [n for n in HEADLINE if n in Q.QUERIES]
+    return list(Q.QUERIES)
+
+
+def main() -> None:
+    spark = get_spark("data_frame_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/session on a trivial action so q1 isn't charged startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in bench_names():
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

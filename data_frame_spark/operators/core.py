@@ -1,0 +1,123 @@
+"""Core frame operators: projection, filtering, NA helpers, describe.
+
+Reference surface covered here (SURVEY.md §2.1-2.2, §2.4):
+  df-select / df-select*        (df.rkt:811-818, 873-884)  -> select_series
+  #:filter / valid-only         (df.rkt:546-552)           -> where / drop_na
+  df-count-na / df-has-na?      (df.rkt:284-299)           -> count_na / has_na
+  df-describe                   (private/describe.rkt:29-83) -> describe
+
+All formulations are single-pass, shuffle-free (describe is one
+global agg), and push filters/projections into the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def select_series(
+    df: DataFrame,
+    cols: Sequence[str],
+    where: Column | None = None,
+    valid_only: bool = False,
+) -> DataFrame:
+    """``df-select*``: project columns, optionally filter.
+
+    ``valid_only`` reproduces the reference's canned NA-dropping
+    filter (row kept iff every selected value is non-NA,
+    df.rkt:546-552).
+    """
+    out = df
+    if where is not None:
+        out = out.where(where)
+    out = out.select(*cols)
+    if valid_only:
+        out = out.na.drop(how="any")
+    return out
+
+
+def count_na(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """``df-count-na`` per series: one row, one count column per series.
+
+    Single global aggregate — a map-side-combinable plan with one
+    tiny shuffle regardless of input size.
+    """
+    cols = list(cols or df.columns)
+    aggs = [
+        F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"na_{c}") for c in cols
+    ]
+    return df.agg(*aggs)
+
+
+def has_na(df: DataFrame, col: str) -> bool:
+    """``df-has-na?``: any NULL in the series (early-exit via limit)."""
+    return df.where(F.col(col).isNull()).limit(1).count() > 0
+
+
+def has_non_na(df: DataFrame, col: str) -> bool:
+    """``df-has-non-na?`` (df.rkt:294-299)."""
+    return df.where(F.col(col).isNotNull()).limit(1).count() > 0
+
+
+def drop_na(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """valid-only projection (df.rkt:546-552)."""
+    return df.na.drop(how="any", subset=list(cols) if cols else None)
+
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+
+
+def describe(df: DataFrame, round_digits: int = 6) -> DataFrame:
+    """``df-describe``: per-series NA count + min/max/mean/stddev.
+
+    Returns a tall frame (series, count, na_count, min, max, mean,
+    stddev); non-numeric series get NULL stats but keep counts.
+    One aggregate pass over the data, then a tiny driver-side pivot
+    of the single result row (constant-size — scale-safe).
+    """
+    numeric = {f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC)}
+    aggs = []
+    for c in df.columns:
+        aggs.append(F.count(F.col(c)).alias(f"cnt__{c}"))
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"na__{c}"))
+        if c in numeric:
+            aggs += [
+                F.min(F.col(c)).cast("double").alias(f"min__{c}"),
+                F.max(F.col(c)).cast("double").alias(f"max__{c}"),
+                F.round(F.avg(F.col(c)), round_digits).alias(f"mean__{c}"),
+                F.round(F.stddev(F.col(c)), round_digits).alias(f"std__{c}"),
+            ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    spark = df.sparkSession
+    out_rows = []
+    for c in df.columns:
+        out_rows.append(
+            (
+                c,
+                row[f"cnt__{c}"],
+                row[f"na__{c}"],
+                row.get(f"min__{c}"),
+                row.get(f"max__{c}"),
+                row.get(f"mean__{c}"),
+                row.get(f"std__{c}"),
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("count", T.LongType()),
+            T.StructField("na_count", T.LongType()),
+            T.StructField("min", T.DoubleType()),
+            T.StructField("max", T.DoubleType()),
+            T.StructField("mean", T.DoubleType()),
+            T.StructField("stddev", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)

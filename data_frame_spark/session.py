@@ -1,0 +1,83 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The session is configured for correctness-stable, large-scale
+execution: AQE on (runtime coalescing + skew-join splitting), UTC
+session timezone (oracle comparability), Arrow enabled for the
+Pandas-UDF paths. ``spark.sql.shuffle.partitions`` defaults to the
+local core count; on a real cluster it should be ~2-3x total cores
+(AQE coalesces the excess, so erring high is safe).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data_frame_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the singleton SparkSession.
+
+    Local test/bench runs use ``local[$SPARK_GRAFT_CPUS]``; on a
+    cluster the master comes from the environment (spark-submit), so
+    ``master`` is only applied when nothing is configured yet.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, register: bool = True):
+    """Load the driver-provisioned parquet tables from ``sf_dir``.
+
+    Returns a dict name -> DataFrame; also registers each as a temp
+    view so ``spark.sql`` queries run against them.
+    """
+    out = {}
+    for name in TPCH_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            if register:
+                df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

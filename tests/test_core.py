@@ -1,0 +1,55 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_frame_spark.frame import Frame
+from data_frame_spark.operators import core
+from data_frame_spark.queries import QUERIES, ORACLE, t
+
+
+def test_flagship_runs(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    total = sum(r["count_order"] for r in rows)
+    li_count = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).count()
+    assert total == li_count
+
+
+def test_every_query_has_callable_and_runs_registered():
+    for name, fn in QUERIES.items():
+        assert callable(fn)
+    # every oracle key must have a query
+    assert set(ORACLE) <= set(QUERIES)
+
+
+def test_frame_wrapper(spark):
+    fr = Frame.from_dict(
+        spark, {"c0": [1, 2, 3, 4], "c1": [3, 2, 1, 0]}
+    ).set_sorted("c0")
+    fr = fr.add_derived("csum", lambda a, b: a + b, "c0", "c1")
+    assert fr.series_names == ["c0", "c1", "csum"]
+    vals = [r["csum"] for r in fr.df.orderBy("c0").collect()]
+    assert vals == [4, 4, 4, 4]
+    fr2 = fr.rename_series("csum", "total").put_property("name", "demo")
+    assert "total" in fr2.series_names and fr2.get_property("name") == "demo"
+    assert fr.contains("c0", "c1") and not fr.contains("zz")
+
+
+def test_count_na_and_drop_na(spark):
+    fr = Frame.from_dict(spark, {"a": [1, None, 3, None], "b": [1, 2, None, 4]})
+    row = core.count_na(fr.df).collect()[0]
+    assert row["na_a"] == 2 and row["na_b"] == 1
+    assert core.drop_na(fr.df).count() == 1
+    assert core.has_na(fr.df, "a") and core.has_non_na(fr.df, "a")
+
+
+def test_describe(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_quantity", "l_returnflag")
+    d = core.describe(li)
+    rows = {r["series"]: r for r in d.collect()}
+    assert rows["l_quantity"]["na_count"] == 0
+    assert rows["l_quantity"]["min"] >= 0
+    assert rows["l_returnflag"]["mean"] is None
