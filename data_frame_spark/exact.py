@@ -1,20 +1,27 @@
-"""Exact (order-insensitive) floating aggregation helpers.
+"""Exact (order-insensitive, cross-engine-deterministic) float sums.
 
-Summing doubles is order-dependent at the last few ulps; a
-distributed sum and a single-threaded oracle sum can therefore
-hash-differently. These helpers route sums through DECIMAL
-arithmetic — exact and associative — and cast the result back to
-DOUBLE, so a Spark plan and a DuckDB oracle produce bit-identical
-doubles regardless of partitioning or evaluation order.
+Summing doubles is order-dependent at the last few ulps, so a
+distributed Spark sum and a single-threaded DuckDB oracle sum can
+hash-differently. Fractional DECIMAL is not a fix: the two engines'
+double<->decimal conversions are not both correctly rounded at all
+scales (observed: DuckDB decimal(38,12)->double off by 1 ulp,
+double->decimal(38,18) off in the last digits).
 
-Recipe (mirrored in oracle SQL):
-  sum:  CAST(SUM(CAST(expr AS DECIMAL(38, s)) ) AS DOUBLE)
-  avg:  CAST(SUM(...decimal...) AS DOUBLE) / COUNT(expr)
+The scheme that IS bit-deterministic in both engines:
 
-The per-row ``expr`` must itself be deterministic double arithmetic
-(same literal ops both sides); double->decimal conversion can't tie
-(binary doubles are never exactly at a decimal half-boundary), so
-both engines round it identically.
+  1. quantize each per-row value: FLOOR(x * 10^s + 0.5)
+     — x is the same double in both engines (IEEE per-row arithmetic
+     is deterministic), so multiply/add/floor give the same double;
+     floor has no rounding-mode ambiguity (unlike ROUND/CAST).
+  2. sum the quantized integers as DECIMAL(38,0) — exact integer
+     arithmetic, fully associative, immune to partitioning.
+  3. cast the integer sum to double and divide by 10^s — integer ->
+     double is correctly rounded in both engines, and the final
+     division is one identical IEEE op.
+
+The result is the sum of x quantized at 10^-s — a *defined* value
+that both engines compute bit-identically. Choose ``scale`` so that
+|x|*10^s stays below ~9e18 (Spark's FLOOR yields BIGINT).
 """
 
 from __future__ import annotations
@@ -22,34 +29,40 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: default decimal scale — 18 fractional digits keeps 20 integral
-#: digits of headroom in DECIMAL(38,18), enough for any per-row
-#: value this engine aggregates.
-SCALE = 18
-_DEC = f"decimal(38,{SCALE})"
+#: default quantization: 6 fractional digits. Fine for money-ish
+#: magnitudes (|x| < ~9e12 at scale 6).
+SCALE = 6
+
+
+def _q(c: Column, scale: int) -> Column:
+    return F.floor(c * F.lit(float(10**scale)) + F.lit(0.5)).cast("decimal(38,0)")
 
 
 def dsum(col: Column | str, scale: int = SCALE) -> Column:
-    """Order-insensitive SUM of a double expression -> double."""
+    """Order-insensitive, cross-engine-exact SUM of a double
+    expression, quantized at 10^-scale. Returns double."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+    return F.sum(_q(c, scale)).cast("double") / F.lit(float(10**scale))
 
 
 def davg(col: Column | str, scale: int = SCALE) -> Column:
-    """Order-insensitive AVG: exact decimal sum / count, divided in
-    double (both engines divide the same two numbers)."""
+    """Order-insensitive AVG: exact quantized sum / count (the final
+    division is one identical IEEE op in both engines)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double") / F.count(c)
+    return (
+        F.sum(_q(c, scale)).cast("double") / F.lit(float(10**scale))
+    ) / F.count(c)
 
 
 def sql_dsum(expr: str, scale: int = SCALE) -> str:
     """DuckDB oracle twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
+    m = float(10**scale)
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {m!r} + 0.5) AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / {m!r}"
+    )
 
 
 def sql_davg(expr: str, scale: int = SCALE) -> str:
     """DuckDB oracle twin of :func:`davg`."""
-    return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
-        f" / COUNT({expr})"
-    )
+    return f"({sql_dsum(expr, scale)}) / COUNT({expr})"

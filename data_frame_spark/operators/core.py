@@ -74,25 +74,36 @@ _NUMERIC = (
 )
 
 
-def describe(df: DataFrame, round_digits: int = 6) -> DataFrame:
+def describe(df: DataFrame) -> DataFrame:
     """``df-describe``: per-series NA count + min/max/mean/stddev.
 
     Returns a tall frame (series, count, na_count, min, max, mean,
     stddev); non-numeric series get NULL stats but keep counts.
     One aggregate pass over the data, then a tiny driver-side pivot
     of the single result row (constant-size — scale-safe).
+
+    Mean/stddev are derived from order-insensitive quantized Σx and
+    Σx² (sample stddev = sqrt((Σx² − (Σx)²/n)/(n−1))) so the result
+    is independent of partitioning/aggregation order.
     """
+    from data_frame_spark.exact import dsum
+
     numeric = {f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC)}
     aggs = []
     for c in df.columns:
         aggs.append(F.count(F.col(c)).alias(f"cnt__{c}"))
         aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"na__{c}"))
         if c in numeric:
+            x = F.col(c).cast("double")
+            n = F.count(x)
+            sx = dsum(x, scale=6)
+            sxx = dsum(x * x, scale=4)
+            var = (sxx - sx * sx / n) / (n - F.lit(1))
             aggs += [
-                F.min(F.col(c)).cast("double").alias(f"min__{c}"),
-                F.max(F.col(c)).cast("double").alias(f"max__{c}"),
-                F.round(F.avg(F.col(c)), round_digits).alias(f"mean__{c}"),
-                F.round(F.stddev(F.col(c)), round_digits).alias(f"std__{c}"),
+                F.min(x).alias(f"min__{c}"),
+                F.max(x).alias(f"max__{c}"),
+                (sx / n).alias(f"mean__{c}"),
+                F.when(n > 1, F.sqrt(var)).alias(f"std__{c}"),
             ]
     row = df.agg(*aggs).collect()[0].asDict()
     spark = df.sparkSession

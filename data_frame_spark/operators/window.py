@@ -1,0 +1,115 @@
+"""Ordered-iteration operators: prev-aware map, deltas, cumulative.
+
+The reference's map/fold family optionally passes the *previous* row
+to the user function — its idiom for derivatives/deltas over the
+frame's natural order (``df-map`` arity-2, df.rkt:946-998;
+``df-fold`` arity-3, df.rkt:1056-1100). In Spark that 1-row
+look-back is a ``lag`` window over the declared order.
+
+Scale note: a window over a global ORDER BY is a single-partition
+sort. Every helper therefore takes ``partition_by``; at 100 TB the
+natural key (user, device, trajectory id) keeps the sort distributed.
+A truly global ordered delta is only safe on already-small frames —
+callers opt in by passing ``partition_by=()``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def ordered_window(
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str | Column] = (),
+) -> WindowSpec:
+    w = Window.orderBy(*order_by)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return w
+
+
+def with_prev(
+    df: DataFrame,
+    cols: Sequence[str],
+    order_by: Sequence[str],
+    partition_by: Sequence[str] = (),
+    prefix: str = "prev_",
+) -> DataFrame:
+    """Attach ``prev_<col>`` columns (``lag`` of each requested col).
+
+    This is the reference's arity-2 ``df-map`` contract: the first
+    row of each partition sees NULL previous values (the reference
+    passes ``#f`` — same NA semantics, df.rkt:990-998).
+    """
+    w = ordered_window(order_by, partition_by)
+    out = df
+    for c in cols:
+        out = out.withColumn(prefix + c, F.lag(F.col(c)).over(w))
+    return out
+
+
+def map_with_prev(
+    df: DataFrame,
+    name: str,
+    fn: Callable[..., Column],
+    cols: Sequence[str],
+    order_by: Sequence[str],
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """``df-add-derived!`` of an arity-2 mapfn: ``fn`` receives
+    (prev_c1..prev_cn, c1..cn) Columns and returns the new column."""
+    tagged = with_prev(df, cols, order_by, partition_by)
+    args = [F.col(f"prev_{c}") for c in cols] + [F.col(c) for c in cols]
+    return tagged.withColumn(name, fn(*args)).drop(*[f"prev_{c}" for c in cols])
+
+
+def delta(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] = (),
+    name: str | None = None,
+) -> DataFrame:
+    """value - lag(value): the derivative idiom (df-test.rkt uses this
+    shape for grade/speed computations)."""
+    w = ordered_window(order_by, partition_by)
+    return df.withColumn(name or f"delta_{col}", F.col(col) - F.lag(F.col(col)).over(w))
+
+
+def cumulative(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] = (),
+    name: str | None = None,
+) -> DataFrame:
+    """Running sum over the declared order (the reference models
+    cumulative series — dst, elapsed, timer — as stored columns; we
+    derive them with an expanding window)."""
+    w = ordered_window(order_by, partition_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(name or f"cum_{col}", F.sum(F.col(col)).over(w))
+
+
+def row_range(
+    df: DataFrame,
+    order_by: Sequence[str],
+    start: int = 0,
+    stop: int | None = None,
+) -> DataFrame:
+    """The reference's pervasive ``#:start/#:stop`` row-range over an
+    ordered frame (df.rkt:811-818). Positions only exist relative to
+    an order, so this numbers rows over ``order_by`` and filters —
+    a global sort, appropriate for the small/ordered frames where
+    the reference uses positions; large-scale paths should slice by
+    key predicates instead (df-select/by-index analog)."""
+    w = Window.orderBy(*order_by)
+    out = df.withColumn("__pos", F.row_number().over(w) - 1)
+    cond = F.col("__pos") >= F.lit(start)
+    if stop is not None:
+        cond = cond & (F.col("__pos") < F.lit(stop))
+    return out.where(cond).drop("__pos")

@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_frame_spark.exact import dsum, davg, sql_dsum, sql_davg
+from data_frame_spark.operators import core as OpCore
+from data_frame_spark.operators import lookup as OpLookup
+from data_frame_spark.operators import window as OpWindow
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -39,8 +42,26 @@ def query(name: str, oracle: str | None = None):
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table (columnar parquet scan; filters and
-    projections applied by callers push down into this scan)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    projections applied by callers push down into this scan).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; it is read as a raw nanosecond long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and exposed as:
+    ``ts_ns`` (exact nanos), ``ts_us`` (exact micros), and ``ts``
+    (micro-precision TimestampType for streaming/window use). Oracle
+    SQL uses the exact integer forms (``epoch_ns(ts)//1000``) so both
+    engines do identical integer arithmetic.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.read.parquet(path)
+            .withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+    return spark.read.parquet(path)
 
 
 # ---------------------------------------------------------------------------
@@ -85,3 +106,276 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / NA surface (SURVEY §2.1-2.2, §2.4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "select_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag = 'N'
+    """,
+)
+def select_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-select* analog: project + filter + computed column
+    (reference df.rkt:873-884 with #:filter)."""
+    li = t(spark, sf_dir, "lineitem")
+    return OpCore.select_series(
+        li.withColumn("revenue", F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+        ["l_orderkey", "l_linenumber", "l_quantity", "revenue"],
+        where=(F.col("l_quantity") > 45) & (F.col("l_returnflag") == "N"),
+    )
+
+
+@query(
+    "count_na",
+    oracle="""
+    SELECT COUNT(CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 END) AS na_etype,
+           COUNT(CASE WHEN NULLIF(value, 0.0) IS NULL THEN 1 END)          AS na_value
+    FROM events
+    """,
+)
+def count_na_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-count-na (df.rkt:284-299). The driver tables have no NULLs,
+    so NULLs are synthesized with nullif — the operator under test is
+    the NA counter itself."""
+    ev = t(spark, sf_dir, "events").select(
+        F.nullif(F.col("event_type"), F.lit("error")).alias("etype"),
+        F.nullif(F.col("value"), F.lit(0.0)).alias("value"),
+    )
+    return OpCore.count_na(ev, ["etype", "value"])
+
+
+@query(
+    "valid_only_drop_na",
+    oracle="""
+    SELECT event_id, NULLIF(value, 0.0) AS value
+    FROM events
+    WHERE NULLIF(value, 0.0) IS NOT NULL AND NULLIF(props, '{"k": 1}') IS NOT NULL
+    """,
+)
+def valid_only_drop_na(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """valid-only filter (df.rkt:546-552): keep rows where all
+    selected series are non-NA."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.nullif(F.col("value"), F.lit(0.0)).alias("value"),
+        F.nullif(F.col("props"), F.lit('{"k": 1}')).alias("props"),
+    )
+    return OpCore.drop_na(ev).select("event_id", "value")
+
+
+@query(
+    "describe_lineitem",
+    oracle="""
+    WITH s AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+                      CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem)
+    SELECT 'l_quantity' AS series, COUNT(q) AS count,
+           COUNT(CASE WHEN q IS NULL THEN 1 END) AS na_count,
+           MIN(q) AS min, MAX(q) AS max,
+           (CAST(SUM(CAST(FLOOR(q * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / COUNT(q) AS mean,
+           SQRT(((CAST(SUM(CAST(FLOOR(q*q * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) - (CAST(SUM(CAST(FLOOR(q * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) * (CAST(SUM(CAST(FLOOR(q * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / COUNT(q)) / (COUNT(q) - 1)) AS stddev
+    FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(p),
+           COUNT(CASE WHEN p IS NULL THEN 1 END),
+           MIN(p), MAX(p),
+           (CAST(SUM(CAST(FLOOR(p * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / COUNT(p),
+           SQRT(((CAST(SUM(CAST(FLOOR(p*p * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) - (CAST(SUM(CAST(FLOOR(p * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) * (CAST(SUM(CAST(FLOOR(p * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / COUNT(p)) / (COUNT(p) - 1))
+    FROM s
+    """,
+)
+def describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-describe (private/describe.rkt:29-83) over two numeric series."""
+    li = t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    return OpCore.describe(li)
+
+
+# ---------------------------------------------------------------------------
+# Ordered semantics: prev-aware map / deltas / row ranges (SURVEY §2.5-2.6)
+# ---------------------------------------------------------------------------
+
+@query(
+    "event_value_delta",
+    oracle="""
+    SELECT event_id, user_id, value,
+           value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS value_delta
+    FROM events
+    """,
+)
+def event_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arity-2 df-map / delta idiom (df.rkt:946-998) as a lag window,
+    partitioned by user so the sort is distributed."""
+    ev = t(spark, sf_dir, "events")
+    return OpWindow.delta(
+        ev, "value", order_by=["ts_ns", "event_id"], partition_by=["user_id"],
+        name="value_delta",
+    ).select("event_id", "user_id", "value", "value_delta")
+
+
+@query(
+    "event_gap_seconds",
+    oracle="""
+    SELECT event_id, user_id,
+           (epoch_ns(ts)//1000 - LAG(epoch_ns(ts)//1000)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0
+             AS gap_sec
+    FROM events
+    """,
+)
+def event_gap_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta over a timestamp series -> inter-event gaps (exact
+    integer micros, divided to seconds in double on both sides)."""
+    ev = t(spark, sf_dir, "events")
+    out = OpWindow.delta(
+        ev, "ts_us", order_by=["ts_ns", "event_id"], partition_by=["user_id"],
+        name="gap_us",
+    )
+    return out.select(
+        "event_id", "user_id", (F.col("gap_us") / 1000000.0).alias("gap_sec")
+    )
+
+
+@query(
+    "cumulative_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,12)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_value
+    FROM events
+    """,
+)
+def cumulative_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative/running series (the reference's dst/elapsed/timer
+    columns are cumulative; we derive with an expanding window)."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(38,12)")).over(w).cast("double").alias("cum_value"),
+    )
+
+
+@query(
+    "row_range_slice",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS pos
+      FROM lineitem)
+    WHERE pos >= 100 AND pos < 120
+    """,
+)
+def row_range_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """#:start/#:stop row-range semantics (df.rkt:811-818) over the
+    frame's declared order."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    return OpWindow.row_range(li, ["l_orderkey", "l_linenumber"], 100, 120)
+
+
+# ---------------------------------------------------------------------------
+# Lookup / as-of family (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_click_view",
+    oracle="""
+    WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'click'),
+         views  AS (SELECT user_id, ts, value AS view_value FROM events
+                    WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, c.value, v.view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-lookup as as-of join (df.rkt:474-507): for every click, the
+    most recent prior view's value for the same user."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ns", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts_ns", F.col("value").alias("view_value")
+    )
+    return OpLookup.asof_join(
+        clicks, views, on="ts_ns", value_cols=["view_value"], partition_by=["user_id"]
+    ).select("event_id", "user_id", "value", "view_value")
+
+
+@query(
+    "time_delay_value",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.value, v.value AS value_delayed
+    FROM events e ASOF LEFT JOIN events v
+      ON e.user_id = v.user_id AND v.ts >= e.ts + INTERVAL 60 SECOND
+    """,
+)
+def time_delay_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time-delay-series (private/scatter.rkt:35-57): value at
+    ts + 60s via forward as-of self-join."""
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "ts_ns", "value")
+    out = OpLookup.time_delay_series(
+        ev, "value", "ts_ns", 60 * 1_000_000_000, partition_by=["user_id"],
+        name="value_delayed",
+    )
+    return out.select("event_id", "user_id", "value", "value_delayed")
+
+
+@query(
+    "interpolated_lookup_value",
+    oracle="""
+    WITH b AS (SELECT user_id, (epoch_ns(ts)//1000)/1000000.0 AS k, value
+               FROM events),
+         probes AS (
+           SELECT user_id, epoch(TIMESTAMP '2024-01-15 00:00:00') + u.off AS k
+           FROM (SELECT DISTINCT user_id FROM events)
+           CROSS JOIN (SELECT UNNEST([0.0, 86400.0, 2592000.0]) AS off) u),
+         back AS (
+           SELECT p.user_id, p.k, b.k AS k0, b.value AS y0
+           FROM probes p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.k >= b.k),
+         fwd AS (
+           SELECT p.user_id, p.k, b.k AS k1, b.value AS y1
+           FROM probes p ASOF LEFT JOIN b ON p.user_id = b.user_id AND p.k < b.k)
+    SELECT back.user_id, back.k AS probe_k,
+           CASE WHEN back.k0 IS NULL THEN fwd.y1
+                WHEN fwd.k1 IS NULL THEN back.y0
+                ELSE back.y0 + (back.k - back.k0) / (fwd.k1 - back.k0) * (fwd.y1 - back.y0)
+           END AS value
+    FROM back JOIN fwd ON back.user_id = fwd.user_id AND back.k = fwd.k
+    """,
+)
+def interpolated_lookup_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-lookup/interpolated (df.rkt:514-538): per-user linear
+    interpolation of `value` at three probe times, clamped at the
+    series ends."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", (F.col("ts_us") / 1000000.0).alias("k"), "value"
+    )
+    t0 = 1705276800.0  # 2024-01-15 UTC
+    offs = [0.0, 86400.0, 2592000.0]
+    probes = (
+        ev.select("user_id").distinct()
+        .crossJoin(spark.createDataFrame([(o,) for o in offs], ["off"]))
+        .select("user_id", (F.lit(t0) + F.col("off")).alias("k"))
+    )
+    out = OpLookup.interpolated_lookup(
+        probes, base, on="k", value_cols=["value"], partition_by=["user_id"]
+    )
+    return out.select("user_id", F.col("k").alias("probe_k"), "value")
