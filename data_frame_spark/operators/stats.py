@@ -1,0 +1,178 @@
+"""Statistics operators: weighted/unweighted moments and quantiles.
+
+Reference semantics (private/statistics.rkt):
+
+* ``df-statistics`` with a weight series (statistics.rkt:43-54):
+  the weight column is *cumulative* (e.g. a timer); each consecutive
+  row pair contributes a sample ``dy = (prev_v + v)/2`` (midpoint)
+  with weight ``dx = w - prev_w``; pairs with any non-real value or
+  ``dx <= 0`` are skipped (timer stop points). This is a trapezoidal
+  time-weighted mean.
+* ``df-quantile`` (statistics.rkt:84-118): weights are the deltas of
+  the cumulative weight series, except the FIRST row which keeps its
+  raw weight value; rows with NA values or weight <= 0 are dropped.
+  The quantile itself is the empirical inverse CDF: the smallest
+  sample whose cumulative weight fraction reaches p (unweighted:
+  the sorted element at index max(ceil(p*n)-1, 0)).
+
+Scale notes: the weighted moment is a lag-window + one aggregate
+(map-side combinable); quantiles need a total order on the value
+column — Spark's distributed range-partitioned sort — then a
+row_number filter; no driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_frame_spark.exact import dsum
+
+
+def weighted_stats(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] = (),
+    scale: int = 6,
+) -> DataFrame:
+    """Trapezoidal weighted mean/stddev over a cumulative weight
+    series (statistics.rkt:43-54). Returns one row (or one per
+    partition key) with weighted_mean, weighted_stddev, total_weight.
+
+    Weighted stddev is the biased (population-style) sqrt of
+    Σw(x-μ)²/Σw, computed from exact quantized Σw, Σwx, Σwx².
+    """
+    w = Window.orderBy(*order_by)
+    if partition_by:
+        w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    d = (
+        df.withColumn("__pw", F.lag(F.col(weight_col)).over(w))
+        .withColumn("__pv", F.lag(F.col(value_col)).over(w))
+        .withColumn("__dx", F.col(weight_col) - F.col("__pw"))
+        .withColumn("__dy", (F.col("__pv") + F.col(value_col)) / 2)
+        .where(
+            F.col("__dx").isNotNull()
+            & F.col("__dy").isNotNull()
+            & (F.col("__dx") > 0)
+        )
+    )
+    keys = [F.col(c) for c in partition_by]
+    sw = dsum(F.col("__dx"), scale)
+    swx = dsum(F.col("__dx") * F.col("__dy"), scale)
+    swxx = dsum(F.col("__dx") * F.col("__dy") * F.col("__dy"), scale)
+    mean = swx / sw
+    var = swxx / sw - mean * mean
+    agg = d.groupBy(*keys) if keys else d.groupBy()
+    return agg.agg(
+        mean.alias("weighted_mean"),
+        F.sqrt(var).alias("weighted_stddev"),
+        sw.alias("total_weight"),
+    )
+
+
+def unweighted_stats(
+    df: DataFrame,
+    value_col: str,
+    partition_by: Sequence[str] = (),
+    scale: int = 6,
+) -> DataFrame:
+    """``df-statistics`` without a weight series: plain moments over
+    non-NA values (statistics.rkt:57-61)."""
+    x = F.col(value_col).cast("double")
+    d = df.where(x.isNotNull())
+    n = F.count(x)
+    sx = dsum(x, scale)
+    sxx = dsum(x * x, max(scale - 2, 0))
+    mean = sx / n
+    var = (sxx - sx * sx / n) / (n - F.lit(1))
+    agg = d.groupBy(*[F.col(c) for c in partition_by]) if partition_by else d.groupBy()
+    return agg.agg(
+        n.alias("count"),
+        F.min(x).alias("min"),
+        F.max(x).alias("max"),
+        mean.alias("mean"),
+        F.when(n > 1, F.sqrt(var)).alias("stddev"),
+    )
+
+
+def quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float] = (0.0, 0.25, 0.5, 0.75, 1.0),
+) -> DataFrame:
+    """Unweighted ``df-quantile``: for each p, the sorted element at
+    index max(ceil(p*n)-1, 0) — the empirical inverse CDF. NA values
+    dropped. Returns (p, quantile) rows.
+
+    Plan shape: one distributed sort + row_number, then a broadcast
+    join against the tiny probs table — no collect.
+    """
+    spark = df.sparkSession
+    x = F.col(value_col).cast("double")
+    d = df.where(x.isNotNull()).select(x.alias("__x"))
+    ranked = d.withColumn(
+        "__rn", F.row_number().over(Window.orderBy(F.col("__x"))) - 1
+    )
+    pdf = spark.createDataFrame([(float(p),) for p in probs], ["p"])
+    n = d.count()
+    targets = pdf.withColumn(
+        "__target",
+        F.greatest(F.ceil(F.col("p") * F.lit(n)) - 1, F.lit(0)).cast("long"),
+    )
+    return (
+        F.broadcast(targets)
+        .join(ranked, F.col("__target") == F.col("__rn"))
+        .select("p", F.col("__x").alias("quantile"))
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    order_by: Sequence[str],
+    probs: Sequence[float] = (0.0, 0.25, 0.5, 0.75, 1.0),
+) -> DataFrame:
+    """Weighted ``df-quantile`` (statistics.rkt:84-118): weights are
+    deltas of the cumulative ``weight_col`` over ``order_by`` (first
+    row keeps its raw weight); rows with NA value or weight <= 0
+    drop; result for p is the smallest value whose cumulative weight
+    reaches p * total_weight.
+    """
+    spark = df.sparkSession
+    wspec = Window.orderBy(*order_by)
+    # weights are quantized to integers (micro-units) so cumulative
+    # sums are associative — tie order among equal values can't
+    # perturb the threshold comparison, and the oracle computes the
+    # identical integers.
+    d = (
+        df.withColumn("__pw", F.lag(F.col(weight_col)).over(wspec))
+        .withColumn(
+            "__w",
+            F.when(
+                F.col("__pw").isNotNull(), F.col(weight_col) - F.col("__pw")
+            ).otherwise(F.col(weight_col)),
+        )
+        .where(F.col(value_col).isNotNull() & (F.col("__w") > 0))
+        .select(
+            F.col(value_col).cast("double").alias("__x"),
+            F.floor(F.col("__w") * F.lit(1e6) + F.lit(0.5)).alias("__wq"),
+        )
+        .where(F.col("__wq") > 0)
+    )
+    cum = d.withColumn(
+        "__cw",
+        F.sum("__wq").over(
+            Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    total = d.agg(F.sum("__wq").alias("__W"))
+    pdf = spark.createDataFrame([(float(p),) for p in probs], ["p"])
+    probs_w = F.broadcast(pdf.crossJoin(total))
+    # first row (in value order) whose cumulative weight >= p*W
+    joined = probs_w.join(cum, F.col("__cw") >= F.col("p") * F.col("__W"))
+    return joined.groupBy("p").agg(F.min("__x").alias("quantile"))

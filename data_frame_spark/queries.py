@@ -379,3 +379,196 @@ def interpolated_lookup_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes, base, on="k", value_cols=["value"], partition_by=["user_id"]
     )
     return out.select("user_id", F.col("k").alias("probe_k"), "value")
+
+
+# ---------------------------------------------------------------------------
+# Statistics family (SURVEY §2.4, private/statistics.rkt, histogram.rkt)
+# ---------------------------------------------------------------------------
+
+from data_frame_spark.operators import stats as OpStats
+from data_frame_spark.operators import histogram as OpHist
+
+# floor-quantized sum builder for oracle SQL (twin of exact.dsum)
+def _fsum(expr: str, scale: int = 6) -> str:
+    m = float(10**scale)
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {m!r} + 0.5) AS DECIMAL(38,0))) AS DOUBLE)"
+        f" / {m!r}"
+    )
+
+
+_W_EVENTS = """
+    WITH o AS (SELECT (epoch_ns(ts)//1000)/1000000.0 AS w, value AS v,
+                      ts, event_id FROM events),
+         d AS (SELECT w - LAG(w) OVER (ORDER BY ts, event_id) AS dx,
+                      (LAG(v) OVER (ORDER BY ts, event_id) + v)/2 AS dy
+               FROM o)
+"""
+
+
+@query(
+    "weighted_stats_value",
+    oracle=_W_EVENTS
+    + f"""
+    SELECT ({_fsum('dx*dy')}) / ({_fsum('dx')}) AS weighted_mean,
+           SQRT(({_fsum('dx*dy*dy')}) / ({_fsum('dx')})
+                - (({_fsum('dx*dy')}) / ({_fsum('dx')}))
+                  * (({_fsum('dx*dy')}) / ({_fsum('dx')}))) AS weighted_stddev,
+           ({_fsum('dx')}) AS total_weight
+    FROM d WHERE dx IS NOT NULL AND dy IS NOT NULL AND dx > 0
+    """,
+)
+def weighted_stats_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-statistics with a cumulative weight series
+    (statistics.rkt:43-54): trapezoidal time-weighted mean/stddev of
+    event value, weight = elapsed seconds."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "w", F.col("ts_us") / F.lit(1000000.0)
+    )
+    return OpStats.weighted_stats(ev, "value", "w", order_by=["ts_ns", "event_id"])
+
+
+@query(
+    "quantiles_extendedprice",
+    oracle="""
+    WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
+         r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) - 1 AS rn FROM s),
+         n AS (SELECT COUNT(*) AS c FROM s),
+         p AS (SELECT CAST(UNNEST([0.0, 0.25, 0.5, 0.75, 1.0]) AS DOUBLE) AS p)
+    SELECT p.p, r.x AS quantile
+    FROM p CROSS JOIN n JOIN r
+      ON r.rn = GREATEST(CAST(CEIL(p.p * n.c) AS BIGINT) - 1, 0)
+    """,
+)
+def quantiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-quantile, unweighted (statistics.rkt:84-118): empirical
+    inverse CDF at the default 0/.25/.5/.75/1 fractions."""
+    li = t(spark, sf_dir, "lineitem")
+    return OpStats.quantiles(li, "l_extendedprice")
+
+
+@query(
+    "weighted_quantiles_value",
+    oracle="""
+    WITH o AS (SELECT (epoch_ns(ts)//1000)/1000000.0 AS w, value AS v,
+                      ts, event_id FROM events),
+         dw AS (SELECT v,
+                       COALESCE(w - LAG(w) OVER (ORDER BY ts, event_id), w) AS wd
+                FROM o),
+         d AS (SELECT CAST(v AS DOUBLE) AS x,
+                      CAST(FLOOR(wd * 1000000.0 + 0.5) AS BIGINT) AS wq
+               FROM dw WHERE v IS NOT NULL AND wd > 0),
+         d2 AS (SELECT x, wq FROM d WHERE wq > 0),
+         cum AS (SELECT x, SUM(wq) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cw
+                 FROM d2),
+         tot AS (SELECT SUM(wq) AS W FROM d2),
+         p AS (SELECT CAST(UNNEST([0.0, 0.25, 0.5, 0.75, 1.0]) AS DOUBLE) AS p)
+    SELECT p.p, MIN(cum.x) AS quantile
+    FROM p CROSS JOIN tot JOIN cum ON cum.cw >= p.p * tot.W
+    GROUP BY p.p
+    """,
+)
+def weighted_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-quantile with weight series (statistics.rkt:84-118): weights
+    are deltas of cumulative elapsed time (first row keeps its raw
+    weight)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "w", F.col("ts_us") / F.lit(1000000.0)
+    )
+    return OpStats.weighted_quantiles(ev, "value", "w", order_by=["ts_ns", "event_id"])
+
+
+_TRUNC_Q5 = """CASE WHEN l_quantity/5.0 < 0
+                    THEN CAST(-FLOOR(-(l_quantity/5.0)) AS BIGINT)
+                    ELSE CAST(FLOOR(l_quantity/5.0) AS BIGINT) END"""
+
+
+@query(
+    "histogram_quantity",
+    oracle=f"""
+    WITH b AS (SELECT {_TRUNC_Q5} AS bucket, COUNT(*) AS count
+               FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+         rng AS (SELECT UNNEST(generate_series((SELECT MIN(bucket) FROM b),
+                                               (SELECT MAX(bucket) FROM b))) AS bucket)
+    SELECT rng.bucket, rng.bucket * 5.0 AS bucket_start,
+           COALESCE(b.count, 0) AS count
+    FROM rng LEFT JOIN b ON rng.bucket = b.bucket
+    """,
+)
+def histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-histogram, unweighted, bucket=trunc(v/width), gap-filled
+    (histogram.rkt:37-204)."""
+    li = t(spark, sf_dir, "lineitem")
+    return OpHist.histogram(li, "l_quantity", width=5.0)
+
+
+@query(
+    "weighted_histogram_value",
+    oracle=_W_EVENTS
+    + f"""
+    , f AS (SELECT dx, dy FROM d
+            WHERE dx IS NOT NULL AND dy IS NOT NULL AND dx > 0),
+    b AS (SELECT CASE WHEN dy/10.0 < 0 THEN CAST(-FLOOR(-(dy/10.0)) AS BIGINT)
+                      ELSE CAST(FLOOR(dy/10.0) AS BIGINT) END AS bucket,
+                 {_fsum('dx')} AS count
+          FROM f GROUP BY 1),
+    rng AS (SELECT UNNEST(generate_series((SELECT MIN(bucket) FROM b),
+                                          (SELECT MAX(bucket) FROM b))) AS bucket)
+    SELECT rng.bucket, rng.bucket * 10.0 AS bucket_start,
+           COALESCE(b.count, 0.0) AS count
+    FROM rng LEFT JOIN b ON rng.bucket = b.bucket
+    """,
+)
+def weighted_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-histogram weighted: (Δw, midpoint) samples binned by
+    midpoint, counts are Δw sums (histogram.rkt:53-66)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "w", F.col("ts_us") / F.lit(1000000.0)
+    )
+    return OpHist.weighted_histogram(
+        ev, "value", "w", order_by=["ts_ns", "event_id"], width=10.0
+    )
+
+
+@query(
+    "string_histogram_event_type",
+    oracle="""
+    SELECT event_type AS bucket, COUNT(*) AS count
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    """,
+)
+def string_histogram_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-histogram on string samples: bucket = value
+    (histogram.rkt:49-51)."""
+    ev = t(spark, sf_dir, "events")
+    return OpHist.string_histogram(ev, "event_type")
+
+
+@query(
+    "combine_histograms_returnflag",
+    oracle=f"""
+    WITH hr AS (SELECT {_TRUNC_Q5} AS bucket, COUNT(*) AS count
+                FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+         hn AS (SELECT {_TRUNC_Q5} AS bucket, COUNT(*) AS count
+                FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1)
+    SELECT COALESCE(hr.bucket, hn.bucket) AS bucket,
+           COALESCE(hr.bucket, hn.bucket) * 5.0 AS bucket_start,
+           COALESCE(hr.count, 0) AS count_1,
+           COALESCE(hn.count, 0) AS count_2
+    FROM hr FULL OUTER JOIN hn ON hr.bucket = hn.bucket
+    """,
+)
+def combine_histograms_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combine-histograms (histogram.rkt:302-334): align two
+    histograms on the merged bucket set, zero-filled."""
+    li = t(spark, sf_dir, "lineitem")
+    h1 = OpHist.histogram(
+        li.where(F.col("l_returnflag") == "R"), "l_quantity", width=5.0,
+        include_zeroes=False,
+    )
+    h2 = OpHist.histogram(
+        li.where(F.col("l_returnflag") == "N"), "l_quantity", width=5.0,
+        include_zeroes=False,
+    )
+    return OpHist.combine_histograms(h1, h2)

@@ -1,0 +1,98 @@
+from __future__ import annotations
+
+import math
+
+from data_frame_spark.frame import Frame
+from data_frame_spark.operators import stats as S
+from data_frame_spark.operators import histogram as H
+
+
+def test_weighted_mean_trapezoidal(spark):
+    # reference shape (statistics.rkt:43-54): cumulative timer weight,
+    # midpoint samples. timer pauses (dx=0 rows) are skipped.
+    fr = Frame.from_dict(
+        spark,
+        {
+            "timer": [0.0, 10.0, 20.0, 20.0, 40.0],
+            "spd": [1.0, 2.0, 3.0, 9.0, 9.0],
+        },
+    )
+    out = S.weighted_stats(fr.df, "spd", "timer", order_by=["timer", "spd"]).collect()[0]
+    # pairs: (10,1.5) (10,2.5) [skip dx=0 pair] (20,9.0)
+    expect = (10 * 1.5 + 10 * 2.5 + 20 * 9.0) / 40.0
+    assert abs(out["weighted_mean"] - expect) < 1e-9
+    assert abs(out["total_weight"] - 40.0) < 1e-9
+
+
+def test_unweighted_stats(spark):
+    fr = Frame.from_dict(spark, {"v": [1.0, 2.0, 3.0, 4.0, None]})
+    out = S.unweighted_stats(fr.df, "v").collect()[0]
+    assert out["count"] == 4 and out["mean"] == 2.5
+    assert abs(out["stddev"] - math.sqrt(5 / 3)) < 1e-6
+
+
+def test_quantiles_empirical_inverse_cdf(spark):
+    fr = Frame.from_dict(spark, {"v": [float(i) for i in range(1, 11)]})
+    out = {r["p"]: r["quantile"] for r in S.quantiles(fr.df, "v").collect()}
+    # index = max(ceil(p*10)-1, 0)
+    assert out[0.0] == 1.0
+    assert out[0.25] == 3.0
+    assert out[0.5] == 5.0
+    assert out[0.75] == 8.0
+    assert out[1.0] == 10.0
+
+
+def test_weighted_quantiles(spark):
+    # cumulative weights 1,2,3,4 -> per-row weight 1 each (first row raw)
+    fr = Frame.from_dict(
+        spark, {"cw": [1.0, 2.0, 3.0, 4.0], "v": [10.0, 20.0, 30.0, 40.0]}
+    )
+    out = {
+        r["p"]: r["quantile"]
+        for r in S.weighted_quantiles(
+            fr.df, "v", "cw", order_by=["cw"], probs=[0.0, 0.5, 1.0]
+        ).collect()
+    }
+    assert out[0.0] == 10.0  # cw>=0: first value
+    assert out[0.5] == 20.0  # cum 2 of 4 reaches 0.5
+    assert out[1.0] == 40.0
+
+
+def test_histogram_buckets_and_gap_fill(spark):
+    fr = Frame.from_dict(spark, {"v": [0.5, 1.5, 1.6, 5.2, -1.2]})
+    rows = {r["bucket"]: r["count"] for r in H.histogram(fr.df, "v", width=1.0).collect()}
+    # trunc toward zero: -1.2 -> -1, 0.5 -> 0, 1.5/1.6 -> 1, 5.2 -> 5
+    assert rows[-1] == 1 and rows[0] == 1 and rows[1] == 2 and rows[5] == 1
+    assert rows[2] == 0 and rows[3] == 0 and rows[4] == 0  # gap-filled
+    no_zero = {
+        r["bucket"]: r["count"]
+        for r in H.histogram(fr.df, "v", width=1.0, include_zeroes=False).collect()
+    }
+    assert 2 not in no_zero and len(no_zero) == 4
+    # mass conservation (df-test.rkt:1390-1418): total == row count
+    assert sum(rows.values()) == 5
+
+
+def test_histogram_percentage_and_trim(spark):
+    fr = Frame.from_dict(spark, {"v": [0.0] * 1 + [1.0] * 97 + [2.0] * 1 + [3.0] * 1})
+    pct = {r["bucket"]: r["count"] for r in H.histogram(fr.df, "v", as_percentage=True).collect()}
+    assert abs(sum(pct.values()) - 100.0) < 1e-9
+    trimmed = H.histogram(fr.df, "v", trim_outliers=0.02).collect()
+    assert [r["bucket"] for r in trimmed] == [1]
+
+
+def test_string_histogram(spark):
+    fr = Frame.from_dict(spark, {"s": ["a", "b", "a", "c", "a"]})
+    rows = {r["bucket"]: r["count"] for r in H.string_histogram(fr.df, "s").collect()}
+    assert rows == {"a": 3, "b": 1, "c": 1}
+
+
+def test_combine_and_normalize(spark):
+    f1 = Frame.from_dict(spark, {"v": [0.5, 1.5]})
+    f2 = Frame.from_dict(spark, {"v": [1.5, 2.5]})
+    h1 = H.histogram(f1.df, "v", include_zeroes=False)
+    h2 = H.histogram(f2.df, "v", include_zeroes=False)
+    c = {r["bucket"]: (r["count_1"], r["count_2"]) for r in H.combine_histograms(h1, h2).collect()}
+    assert c == {0: (1, 0), 1: (1, 1), 2: (0, 1)}
+    n = {r["bucket"]: r["count"] for r in H.normalize_histogram(h1).collect()}
+    assert abs(sum(n.values()) - 1.0) < 1e-12
