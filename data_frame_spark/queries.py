@@ -572,3 +572,143 @@ def combine_histograms_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame
         include_zeroes=False,
     )
     return OpHist.combine_histograms(h1, h2)
+
+
+# ---------------------------------------------------------------------------
+# Join / set-op surface (SURVEY §2.3, §2.7 — absent in reference,
+# Catalyst built-ins exposed by our engine)
+# ---------------------------------------------------------------------------
+
+from data_frame_spark.operators import joins as OpJoins
+
+
+@query(
+    "regional_revenue",
+    oracle=f"""
+    SELECT r_name AS region, n_name AS nation,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS line_count
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY r_name, n_name
+    """,
+)
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: fact joined through three broadcast
+    dimensions — the lineitem side never shuffles for the dims."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    dim = (
+        OpJoins.join_small_dim(
+            OpJoins.join_small_dim(cust, nation, on=[cust.c_nationkey == nation.n_nationkey]),
+            region,
+            on=[F.col("n_regionkey") == F.col("r_regionkey")],
+        )
+    ).select("c_custkey", "n_name", "r_name")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+@query(
+    "semi_join_customers_with_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-semi join (set membership)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return OpJoins.semi_join(
+        cust, orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_parts_never_ordered",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 48)
+    """,
+)
+def anti_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-anti join (set difference by key)."""
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 48)
+    return OpJoins.anti_join(
+        part, li.select(F.col("l_partkey").alias("p_partkey")), on="p_partkey"
+    ).select("p_partkey", "p_name")
+
+
+@query(
+    "set_ops_order_priorities",
+    oracle="""
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def set_ops_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect (distinct set semantics, as in SQL INTERSECT)."""
+    orders = t(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return f.intersect(o)
+
+
+@query(
+    "exact_dedup_documents",
+    oracle="""
+    SELECT SUBSTR(text, 1, 40) AS text_prefix, COUNT(*) AS dup_count,
+           MIN(doc_id) AS keep_id
+    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    """,
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups on the documents table (keyed on a
+    40-char prefix so the synthetic corpus actually collides): the
+    content hash-groupBy underlying exact dedup; keep_id = canonical
+    row, the rest are drop candidates."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.substring("text", 1, 40).alias("text_prefix"))
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+@query(
+    "top_revenue_orders",
+    oracle=f"""
+    SELECT o_orderkey, revenue FROM (
+      SELECT l_orderkey AS o_orderkey,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+      FROM lineitem GROUP BY l_orderkey)
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-k = orderBy + limit (SURVEY §2.6): Spark plans this as
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+    return per_order.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
