@@ -712,3 +712,87 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
     )
     return per_order.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Least-squares fits / SLR (SURVEY §2.9, least-squares-fit.rkt, slr.rkt)
+# ---------------------------------------------------------------------------
+
+from data_frame_spark.operators import fit as OpFit
+
+_MOM = f"""
+    WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                      CAST(l_extendedprice AS DOUBLE) AS y
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                      {_fsum('x')} AS sx, {_fsum('x*x')} AS sx2,
+                      {_fsum('y')} AS sy, {_fsum('x*y')} AS sxy,
+                      {_fsum('y*y')} AS sy2
+               FROM d)
+"""
+
+
+@query(
+    "linear_fit_price_qty",
+    oracle=_MOM
+    + """
+    SELECT (sy * sx2 - sx * sxy) / (n * sx2 - sx * sx) AS a0,
+           (n * sxy - sx * sy) / (n * sx2 - sx * sx) AS a1
+    FROM m
+    """,
+)
+def linear_fit_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-least-squares-fit mode='linear (least-squares-fit.rkt:34-41
+    via Cramer's rule): extendedprice ~ a0 + a1*quantity."""
+    li = t(spark, sf_dir, "lineitem")
+    return OpFit.linear_fit_df(li, "l_quantity", "l_extendedprice")
+
+
+@query(
+    "slr_price_qty",
+    oracle=_MOM
+    + """
+    SELECT (sy / n) - ((sxy - sx * sy / n) / SQRT((sx2 - sx * sx / n) * (sy2 - sy * sy / n)))
+                      * SQRT((sy2 - sy * sy / n) / (sx2 - sx * sx / n)) * (sx / n) AS alpha,
+           ((sxy - sx * sy / n) / SQRT((sx2 - sx * sx / n) * (sy2 - sy * sy / n)))
+             * SQRT((sy2 - sy * sy / n) / (sx2 - sx * sx / n)) AS beta,
+           (sxy - sx * sy / n) / SQRT((sx2 - sx * sx / n) * (sy2 - sy * sy / n)) AS r
+    FROM m
+    """,
+)
+def slr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simple-linear-regression (slr.rkt:32-39): alpha, beta, r."""
+    li = t(spark, sf_dir, "lineitem")
+    return OpFit.slr_df(li, "l_quantity", "l_extendedprice")
+
+
+_LOGMOM = f"""
+    WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                      CAST(l_extendedprice AS DOUBLE) AS y
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                      {_fsum('y*LN(x)')} AS sylnx, {_fsum('y')} AS sy,
+                      {_fsum('LN(x)')} AS slnx, {_fsum('LN(x)*LN(x)')} AS slnx2
+               FROM d)
+"""
+
+
+@query(
+    "log_fit_price_qty",
+    oracle=_LOGMOM
+    + """
+    SELECT ROUND((sy - ((n * sylnx - sy * slnx) / (n * slnx2 - slnx * slnx)) * slnx) / n, 6) AS a,
+           ROUND((n * sylnx - sy * slnx) / (n * slnx2 - slnx * slnx), 6) AS b
+    FROM m
+    """,
+)
+def log_fit_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-least-squares-fit mode='log (least-squares-fit.rkt:156-168):
+    y = a + b*ln(x). Outputs rounded to 6 decimals — per-row LN() may
+    differ by 1 ulp between engines."""
+    li = t(spark, sf_dir, "lineitem")
+    fit = OpFit.least_squares_fit(li, "l_quantity", "l_extendedprice", mode="log")
+    a, b = fit.coefficients
+    return spark.createDataFrame([(round(a, 6), round(b, 6))], ["a", "b"])
