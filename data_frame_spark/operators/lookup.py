@@ -114,19 +114,21 @@ def interpolated_lookup(
     wb = Window.partitionBy(*pcols).orderBy("__k", "__tag").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    # forward pass: first base key/value at or after the probe
-    wf = Window.partitionBy(*pcols).orderBy("__k", "__tag").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
-    )
+    # forward pass: first base key/value strictly after the probe,
+    # expressed as a DESC-ordered running frame (Spark's UNBOUNDED
+    # FOLLOWING frame is O(n^2); a running frame is O(n))
+    wf = Window.partitionBy(*pcols).orderBy(
+        F.col("__k").desc(), F.col("__tag").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base_key = F.when(F.col("__tag") == 0, F.col("__k"))
     out = (
         u.withColumn("__k0", F.last(base_key, ignorenulls=True).over(wb))
-        .withColumn("__k1", F.first(base_key, ignorenulls=True).over(wf))
+        .withColumn("__k1", F.last(base_key, ignorenulls=True).over(wf))
     )
     for c in value_cols:
         bv = F.when(F.col("__tag") == 0, F.col(f"__v_{c}"))
         out = out.withColumn(f"__y0_{c}", F.last(bv, ignorenulls=True).over(wb))
-        out = out.withColumn(f"__y1_{c}", F.first(bv, ignorenulls=True).over(wf))
+        out = out.withColumn(f"__y1_{c}", F.last(bv, ignorenulls=True).over(wf))
     out = out.where(F.col("__tag") == 1)
 
     t_frac = (F.col("__k") - F.col("__k0")) / (F.col("__k1") - F.col("__k0"))

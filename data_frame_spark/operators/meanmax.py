@@ -1,0 +1,322 @@
+"""Mean-maximal ("critical power") curve — the reference's flagship
+custom operator (private/meanmax.rkt).
+
+Semantics (meanmax.rkt:141-189): build the delta series of adjacent
+samples — dt = x2-x1, slice = dt*(y1+y2)/2 (trapezoid area), pos =
+x1 — then for each duration d slide a window over slices starting at
+every sample position x_i; the last slice is prorated *linearly*
+(partial_y = slice * partial_dt/dt). Windows that run past the last
+sample are excluded. Best = max (min when ``inverted``, e.g. pace)
+of window_total/d; ties keep the earliest position (strict
+comparison in maybe-update).
+
+Spark-first formulation: the window total is exactly
+``A(x_i + d) - A(x_i)`` where A is the piecewise-LINEAR
+interpolation of cumulative slice areas at sample points (linear
+proration == linear interpolation of A). So:
+
+  1. lag-window -> slices; running sum -> A_i per sample.   [1 sort]
+  2. probes = (sample starts × durations), k = x_i + d,
+     filtered to k <= x_max.
+  3. union probes into the (x, A) point set; one ordered window
+     pass carries the bracketing (x0,A0)/(x1,A1) for every probe
+     -> interpolated A(x_i+d).                              [1 sort]
+  4. groupBy duration -> best mean + earliest achieving position.
+
+Two sorts + one small aggregate, all distributed; the duration
+ladder (meanmax.rkt:44-82) keeps the probe fan-out at
+O(n·|durations|), |durations| ≈ 80 — the reference's own
+sparsification, kept verbatim.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: meanmax.rkt:35-39 — durations always included in the ladder.
+IMPORTANT_DURATIONS = [
+    10, 15, 30, 45, 60, 75, 90, 120, 180, 300, 600, 900,
+    1200, 1800, 2700, 3600, 5400, 7200, 10800,
+]
+
+
+def generate_durations(
+    start: int = 10,
+    limit: int = 300 * 60,
+    growth_factor: float = 1.2,
+    max_growth: int = 300,
+) -> list[int]:
+    """meanmax.rkt:44-57: geometric ladder with min +5 (bumped to
+    +20) and max +300 s growth per step."""
+    series = [start]
+    current = start
+    while True:
+        nval = round(current * growth_factor)
+        if nval < current + 5:
+            nval = current + 20
+        if nval > current + max_growth:
+            nval = current + max_growth
+        if nval >= limit:
+            break
+        series.append(nval)
+        current = nval
+    return series
+
+
+def default_durations() -> list[int]:
+    """meanmax.rkt:59-82: generated ladder merged with the important
+    durations (sorted union)."""
+    return sorted(set(generate_durations()) | set(IMPORTANT_DURATIONS))
+
+
+def mean_max(
+    df: DataFrame,
+    value_col: str,
+    x_col: str,
+    durations: Sequence[int] | None = None,
+    inverted: bool = False,
+    partition_by: Sequence[str] = (),
+    slice_scale: int | None = None,
+) -> DataFrame:
+    """``df-mean-max`` (meanmax.rkt:262-269). Returns
+    (duration, best_mean, start_pos) per duration with at least one
+    full window; ``x_col`` is the cumulative extent axis (elapsed
+    seconds, distance, ...).
+
+    ``slice_scale``: when set, slice areas are quantized to
+    10^-scale before the cumulative sum, making the running sum
+    associative — required for bit-identical results across engines
+    (window SUM uses a segment tree in some engines, sequential
+    accumulation in others, which reorders float additions).
+    """
+    durations = list(durations or default_durations())
+    spark = df.sparkSession
+    pcols = list(partition_by)
+
+    ow = Window.partitionBy(*pcols).orderBy(x_col) if pcols else Window.orderBy(x_col)
+    x = F.col(x_col).cast("double")
+    y = F.col(value_col).cast("double")
+    pts = (
+        df.where(x.isNotNull() & y.isNotNull())
+        .select(*pcols, x.alias("__x"), y.alias("__y"))
+    )
+    ow = (
+        Window.partitionBy(*pcols).orderBy("__x")
+        if pcols
+        else Window.orderBy("__x")
+    )
+    # slice ENDING at this sample; A = cumulative area at this sample
+    # (sum of slices up to here). First sample: slice NULL -> A = 0.
+    sliced = (
+        pts.withColumn("__px", F.lag("__x").over(ow))
+        .withColumn("__py", F.lag("__y").over(ow))
+        .withColumn(
+            "__slice",
+            (F.col("__x") - F.col("__px"))
+            * (F.col("__py") + F.col("__y")) / 2,
+        )
+        .withColumn("__A", _cum_area(ow, slice_scale))
+        .withColumn("__xmax", F.max("__x").over(
+            Window.partitionBy(*pcols) if pcols else Window.partitionBy()
+        ))
+        .withColumn("__nx", F.lead("__x").over(ow))
+    )
+
+    ddf = F.broadcast(
+        spark.createDataFrame([(float(d),) for d in durations], ["duration"])
+    )
+    # probes: every sample that STARTS a slice (has a next sample)
+    probes = (
+        sliced.where(F.col("__nx").isNotNull())
+        .crossJoin(ddf)
+        .withColumn("__k", F.col("__x") + F.col("duration"))
+        .where(F.col("__k") <= F.col("__xmax"))
+        .select(
+            *pcols,
+            "__k",
+            F.lit(1).alias("__tag"),
+            "duration",
+            F.col("__x").alias("pos"),
+            F.col("__A").alias("__A_start"),
+            F.lit(None).cast("double").alias("__bx"),
+            F.lit(None).cast("double").alias("__bA"),
+        )
+    )
+    base = sliced.select(
+        *pcols,
+        F.col("__x").alias("__k"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast("double").alias("duration"),
+        F.lit(None).cast("double").alias("pos"),
+        F.lit(None).cast("double").alias("__A_start"),
+        F.col("__x").alias("__bx"),
+        F.col("__A").alias("__bA"),
+    )
+    u = probes.unionByName(base)
+
+    wb = (
+        Window.partitionBy(*pcols).orderBy("__k", "__tag")
+        if pcols
+        else Window.orderBy("__k", "__tag")
+    )
+    back = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # forward pass as a DESC-ordered running frame: Spark's
+    # UNBOUNDED FOLLOWING frame is O(n^2) (re-aggregated per row);
+    # a running UNBOUNDED PRECEDING frame is O(n).
+    wf = (
+        Window.partitionBy(*pcols).orderBy(F.col("__k").desc(), F.col("__tag").desc())
+        if pcols
+        else Window.orderBy(F.col("__k").desc(), F.col("__tag").desc())
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bk = F.when(F.col("__tag") == 0, F.col("__bx"))
+    bA = F.when(F.col("__tag") == 0, F.col("__bA"))
+    interp = (
+        u.withColumn("__x0", F.last(bk, ignorenulls=True).over(back))
+        .withColumn("__A0", F.last(bA, ignorenulls=True).over(back))
+        .withColumn("__x1", F.last(bk, ignorenulls=True).over(wf))
+        .withColumn("__A1", F.last(bA, ignorenulls=True).over(wf))
+        .where(F.col("__tag") == 1)
+    )
+    a_end = F.when(
+        F.col("__x1").isNull() | (F.col("__x1") == F.col("__x0")),
+        F.col("__A0"),
+    ).otherwise(
+        F.col("__A0")
+        + (F.col("__k") - F.col("__x0"))
+        / (F.col("__x1") - F.col("__x0"))
+        * (F.col("__A1") - F.col("__A0"))
+    )
+    means = interp.select(
+        *pcols,
+        "duration",
+        "pos",
+        ((a_end - F.col("__A_start")) / F.col("duration")).alias("__mean"),
+    )
+    order = (
+        [F.col("__mean").asc(), F.col("pos").asc()]
+        if inverted
+        else [F.col("__mean").desc(), F.col("pos").asc()]
+    )
+    rw = Window.partitionBy(*pcols, "duration").orderBy(*order)
+    return (
+        means.withColumn("__rk", F.row_number().over(rw))
+        .where(F.col("__rk") == 1)
+        .select(*pcols, "duration", F.col("__mean").alias("best_mean"), "pos")
+    )
+
+
+def _cum_area(ow, slice_scale):
+    """Cumulative slice area at each sample (0 at the first)."""
+    frame = ow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if slice_scale is None:
+        return F.coalesce(F.sum("__slice").over(frame), F.lit(0.0))
+    m = F.lit(float(10**slice_scale))
+    q = F.floor(F.col("__slice") * m + F.lit(0.5))
+    return F.coalesce(F.sum(q).over(frame), F.lit(0)).cast("double") / m
+
+
+def mean_max_aux(
+    df: DataFrame,
+    mm: DataFrame,
+    aux_col: str,
+    x_col: str,
+    partition_by: Sequence[str] = (),
+    slice_scale: int | None = None,
+) -> DataFrame:
+    """``df-mean-max-aux`` (meanmax.rkt:310-314): for each mean-max
+    (duration, pos), the mean of a *second* series over the same
+    window — same A-curve trick on the aux column, probing at
+    (pos, pos+duration)."""
+    return mean_max_probe(df, aux_col, x_col, mm, partition_by, slice_scale)
+
+
+def mean_max_probe(df, value_col, x_col, mm, partition_by=(), slice_scale=None):
+    pcols = list(partition_by)
+    ow = (
+        Window.partitionBy(*pcols).orderBy("__x")
+        if pcols
+        else Window.orderBy("__x")
+    )
+    x = F.col(x_col).cast("double")
+    y = F.col(value_col).cast("double")
+    pts = df.where(x.isNotNull() & y.isNotNull()).select(
+        *pcols, x.alias("__x"), y.alias("__y")
+    )
+    sliced = (
+        pts.withColumn("__px", F.lag("__x").over(ow))
+        .withColumn("__py", F.lag("__y").over(ow))
+        .withColumn(
+            "__slice",
+            (F.col("__x") - F.col("__px")) * (F.col("__py") + F.col("__y")) / 2,
+        )
+        .withColumn("__A", _cum_area(ow, slice_scale))
+    )
+    # probes at both window ends for every (duration, pos)
+    p_start = mm.select(*pcols, "duration", "pos", F.col("pos").alias("__k"))
+    p_end = mm.select(
+        *pcols, "duration", "pos", (F.col("pos") + F.col("duration")).alias("__k")
+    )
+    probes = p_start.withColumn("__end", F.lit(0)).unionByName(
+        p_end.withColumn("__end", F.lit(1))
+    )
+    base = sliced.select(
+        *pcols,
+        F.col("__x").alias("__k"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast("double").alias("duration"),
+        F.lit(None).cast("double").alias("pos"),
+        F.lit(None).cast("int").alias("__end"),
+        F.col("__x").alias("__bx"),
+        F.col("__A").alias("__bA"),
+    )
+    u = probes.withColumn("__tag", F.lit(1)).withColumn(
+        "__bx", F.lit(None).cast("double")
+    ).withColumn("__bA", F.lit(None).cast("double")).unionByName(base)
+    wb = (
+        Window.partitionBy(*pcols).orderBy("__k", "__tag")
+        if pcols
+        else Window.orderBy("__k", "__tag")
+    )
+    back = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # forward pass as a DESC-ordered running frame: Spark's
+    # UNBOUNDED FOLLOWING frame is O(n^2) (re-aggregated per row);
+    # a running UNBOUNDED PRECEDING frame is O(n).
+    wf = (
+        Window.partitionBy(*pcols).orderBy(F.col("__k").desc(), F.col("__tag").desc())
+        if pcols
+        else Window.orderBy(F.col("__k").desc(), F.col("__tag").desc())
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bk = F.when(F.col("__tag") == 0, F.col("__bx"))
+    bA = F.when(F.col("__tag") == 0, F.col("__bA"))
+    interp = (
+        u.withColumn("__x0", F.last(bk, ignorenulls=True).over(back))
+        .withColumn("__A0", F.last(bA, ignorenulls=True).over(back))
+        .withColumn("__x1", F.last(bk, ignorenulls=True).over(wf))
+        .withColumn("__A1", F.last(bA, ignorenulls=True).over(wf))
+        .where(F.col("__tag") == 1)
+    )
+    a_at = F.when(
+        F.col("__x1").isNull() | (F.col("__x1") == F.col("__x0")), F.col("__A0")
+    ).otherwise(
+        F.col("__A0")
+        + (F.col("__k") - F.col("__x0"))
+        / (F.col("__x1") - F.col("__x0"))
+        * (F.col("__A1") - F.col("__A0"))
+    )
+    ends = interp.select(*pcols, "duration", "pos", "__end", a_at.alias("__Aat"))
+    piv = (
+        ends.groupBy(*pcols, "duration", "pos")
+        .agg(
+            F.max(F.when(F.col("__end") == 0, F.col("__Aat"))).alias("__As"),
+            F.max(F.when(F.col("__end") == 1, F.col("__Aat"))).alias("__Ae"),
+        )
+    )
+    return piv.select(
+        *pcols,
+        "duration",
+        "pos",
+        ((F.col("__Ae") - F.col("__As")) / F.col("duration")).alias("aux_mean"),
+    )

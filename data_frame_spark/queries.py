@@ -796,3 +796,59 @@ def log_fit_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = OpFit.least_squares_fit(li, "l_quantity", "l_extendedprice", mode="log")
     a, b = fit.coefficients
     return spark.createDataFrame([(round(a, 6), round(b, 6))], ["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# Mean-max curve (SURVEY §2.4, private/meanmax.rkt — flagship custom op)
+# ---------------------------------------------------------------------------
+
+from data_frame_spark.operators import meanmax as OpMM
+
+_MM_DURS = [60, 300, 900, 3600, 14400, 86400]
+
+
+@query(
+    "mean_max_value",
+    oracle=f"""
+    WITH pts AS (SELECT (epoch_ns(ts)//1000)/1000000.0 AS x, value AS y
+                 FROM events WHERE value IS NOT NULL),
+         s AS (SELECT x, y,
+                      (x - LAG(x) OVER w) * (LAG(y) OVER w + y)/2 AS slice,
+                      LEAD(x) OVER w AS nx
+               FROM pts WINDOW w AS (ORDER BY x)),
+         a AS (SELECT x, nx,
+                      COALESCE(SUM(CAST(FLOOR(slice * 1000000.0 + 0.5) AS BIGINT))
+                               OVER (ORDER BY x ROWS UNBOUNDED PRECEDING), 0) / 1000000.0 AS A,
+                      MAX(x) OVER () AS xmax
+               FROM s),
+         d AS (SELECT CAST(UNNEST({_MM_DURS}) AS DOUBLE) AS duration),
+         probes AS (SELECT a.x AS pos, d.duration, a.A AS A_start,
+                           a.x + d.duration AS k
+                    FROM a CROSS JOIN d
+                    WHERE a.nx IS NOT NULL AND a.x + d.duration <= a.xmax),
+         back AS (SELECT p.pos, p.duration, p.A_start, p.k, b.x AS x0, b.A AS A0
+                  FROM probes p ASOF LEFT JOIN a b ON p.k >= b.x),
+         fwd AS (SELECT p.pos, p.duration, b.x AS x1, b.A AS A1
+                 FROM probes p ASOF LEFT JOIN a b ON p.k < b.x),
+         m AS (SELECT back.duration, back.pos,
+                      (CASE WHEN fwd.x1 IS NULL OR fwd.x1 = back.x0 THEN back.A0
+                            ELSE back.A0 + (back.k - back.x0)/(fwd.x1 - back.x0)
+                                           *(fwd.A1 - back.A0) END
+                       - back.A_start) / back.duration AS mean
+               FROM back JOIN fwd
+                 ON back.pos = fwd.pos AND back.duration = fwd.duration),
+         r AS (SELECT duration, pos, mean,
+                      ROW_NUMBER() OVER (PARTITION BY duration
+                                         ORDER BY mean DESC, pos ASC) AS rk
+               FROM m)
+    SELECT duration, mean AS best_mean, pos FROM r WHERE rk = 1
+    """,
+)
+def mean_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-mean-max (meanmax.rkt:262-269): best windowed average of
+    event value over durations from 1 min to 1 day, window extent
+    measured on the elapsed-seconds axis."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "x", F.col("ts_us") / F.lit(1000000.0)
+    )
+    return OpMM.mean_max(ev, "value", "x", durations=_MM_DURS, slice_scale=6)
