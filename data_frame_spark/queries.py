@@ -852,3 +852,59 @@ def mean_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x", F.col("ts_us") / F.lit(1000000.0)
     )
     return OpMM.mean_max(ev, "value", "x", durations=_MM_DURS, slice_scale=6)
+
+
+# ---------------------------------------------------------------------------
+# Scatter prep / RDP / spline (SURVEY §2.9, scatter.rkt, rdp-simplify.rkt)
+# ---------------------------------------------------------------------------
+
+from data_frame_spark.operators import scatter as OpScatter
+from data_frame_spark.operators import rdp as OpRdp
+from data_frame_spark.operators import spline as OpSpline
+
+
+@query(
+    "group_samples_value_user",
+    oracle="""
+    SELECT round_even(CAST(value AS DOUBLE), 0) AS x,
+           round_even(CAST(user_id AS DOUBLE), 0) AS y,
+           COUNT(*) AS rank
+    FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def group_samples_value_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group-samples (scatter.rkt:66-94): rounded (x,y) pairs with
+    duplicate counts (plot density ranks)."""
+    ev = t(spark, sf_dir, "events")
+    return OpScatter.group_samples(ev, "value", "user_id", 0, 0)
+
+
+@query("rdp_simplify_user_series")  # not SQL-expressible -> rows-only check
+def rdp_simplify_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rdp-simplify (rdp-simplify.rkt:70-116): per-user trajectory
+    (elapsed_sec, value) simplified at epsilon=5, applyInPandas per
+    group. Deterministic but recursive — no SQL oracle."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        (F.col("ts_us") / 1000000.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return OpRdp.rdp_simplify(ev, "x", "y", epsilon=5.0, group_by=["user_id"])
+
+
+@query("spline_mean_max_curve")  # driver-side solve -> rows-only check
+def spline_mean_max_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spline (spline.rkt:163-192) over the mean-max table: fit the
+    (duration, best_mean) curve, evaluate distributed at probe
+    durations via the Column expression."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "x", F.col("ts_us") / F.lit(1000000.0)
+    )
+    mm = OpMM.mean_max(ev, "value", "x", durations=[60, 300, 900, 3600, 14400])
+    sp = OpSpline.fit_spline(mm, "duration", "best_mean")
+    probes = spark.createDataFrame(
+        [(float(s),) for s in (90, 450, 1800, 7200)], ["duration"]
+    )
+    return probes.withColumn("interpolated_mean", sp.predict(F.col("duration")))

@@ -1,0 +1,98 @@
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from data_frame_spark.operators import rdp as R
+from data_frame_spark.operators import scatter as SC
+from data_frame_spark.operators.spline import Spline, fit_spline
+
+
+def test_rdp_straight_line_collapses(spark):
+    rows = [(float(i), 2.0 * i + 1, "a") for i in range(100)]
+    df = spark.createDataFrame(rows, ["x", "y", "g"])
+    out = R.rdp_simplify(df, "x", "y", epsilon=0.01).collect()
+    assert len(out) == 2  # endpoints only
+    xs = sorted(r["x"] for r in out)
+    assert xs == [0.0, 99.0]
+
+
+def test_rdp_monotone_in_epsilon(spark):
+    # df-test.rkt:1423-1479: larger epsilon -> fewer points
+    rng = random.Random(3)
+    rows = [(float(i), math.sin(i / 5) * 10 + rng.uniform(-1, 1)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    sizes = [
+        R.rdp_simplify(df, "x", "y", epsilon=e).count() for e in (0.5, 1.0, 2.0, 5.0)
+    ]
+    assert all(a >= b for a, b in zip(sizes, sizes[1:]))
+    assert sizes[0] < 200
+
+
+def test_rdp_keep_positions():
+    x = np.arange(50, dtype=float)
+    y = np.zeros(50)
+    mask = R.rdp_simplify_arrays(x, y, epsilon=0.1, keep_positions=[20])
+    assert mask[20] and mask[21]  # kept point and its successor
+    assert mask[0] is not None and mask[49]
+    assert mask.sum() <= 6
+
+
+def test_rdp_groups_independent(spark):
+    rows = [(float(i), 0.0, "flat") for i in range(50)] + [
+        (float(i), float((-1) ** i), "zigzag") for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["x", "y", "g"])
+    out = R.rdp_simplify(df, "x", "y", epsilon=0.5, group_by=["g"])
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    assert counts["flat"] == 2
+    assert counts["zigzag"] == 50  # every zigzag vertex is essential
+
+
+def test_group_samples(spark):
+    rows = [(1.04, 2.04), (1.04, 2.04), (0.96, 1.96), (3.0, 4.0)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = {(r["x"], r["y"]): r["rank"] for r in SC.group_samples(df, "a", "b").collect()}
+    assert out[(1.0, 2.0)] == 3  # 1.04 and 0.96 both round to 1.0
+    assert out[(3.0, 4.0)] == 1
+
+
+def test_spline_interpolates_knots_and_extrapolates():
+    xs = [0.0, 1.0, 2.0, 3.0, 4.0]
+    ys = [0.0, 1.0, 0.0, 1.0, 0.0]
+    sp = Spline(xs, ys)
+    for x, y in zip(xs, ys):
+        assert sp(x) == pytest.approx(y, abs=1e-9)
+    # natural spline: zero second derivative at ends
+    assert sp.m[0] == 0 and sp.m[-1] == 0
+    # linear extrapolation: equal slope steps outside the range
+    d1 = sp(-1.0) - sp(-2.0)
+    d2 = sp(0.0) - sp(-1.0)
+    assert d1 == pytest.approx(d2, abs=1e-9)
+
+
+def test_spline_predict_column_matches_scalar(spark):
+    xs = [0.0, 1.0, 2.5, 4.0]
+    ys = [1.0, 3.0, -1.0, 2.0]
+    sp = Spline(xs, ys)
+    probes = [-0.5, 0.0, 0.7, 1.0, 2.0, 3.9, 4.0, 5.5]
+    df = spark.createDataFrame([(p,) for p in probes], ["x"])
+    from pyspark.sql import functions as F
+
+    got = {
+        r["x"]: r["y"]
+        for r in df.withColumn("y", sp.predict(F.col("x"))).collect()
+    }
+    for p in probes:
+        assert got[p] == pytest.approx(sp(p), abs=1e-9)
+
+
+def test_fit_spline_from_df(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(5)], ["x", "y"]
+    )
+    sp = fit_spline(df, "x", "y")
+    assert sp(2.0) == pytest.approx(4.0, abs=1e-9)
