@@ -1,0 +1,200 @@
+"""Deduplication family for large-scale corpus pipelines.
+
+North-star operators (SURVEY §7 Phase 6), all shuffle-architected
+for 100 TB:
+
+* exact: md5(normalized text) groupBy — one map-combinable shuffle.
+* MinHash+LSH: per-doc signature of K lexicographic-min md5 shingle
+  hashes (explode -> groupBy min, ONE shuffle keyed by doc);
+  signatures banded into B keys; candidate pairs join only within
+  band buckets — the classic shingle->minhash->band->bucket-join
+  pipeline; no O(n²) comparisons.
+* SimHash: 60-bit signed bit-vote over token hashes; near-dups share
+  the signature (or a band of it).
+* n-gram Jaccard verification: exact |A∩B|/|A∪B| on candidate pairs
+  only (explode + join on shingle hash).
+* embedding cosine near-dup: see :mod:`similarity`.
+
+All hashing is md5-based (:mod:`functions.texthash`) so a DuckDB
+oracle reproduces every stage bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_frame_spark.operators.text import normalize, word_shingles, tokens
+from data_frame_spark.functions.texthash import hash60
+
+
+def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(fingerprint, keep_id, dup_count): canonical row per exact
+    (normalized) content group."""
+    return (
+        df.withColumn("__fp", F.md5(normalize(F.col(text_col))))
+        .groupBy(F.col("__fp").alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature: for seed s, the minimum of
+    md5('s<seed>:' || shingle) over the document's shingles — a
+    lexicographic minhash (uniform over the md5 space, totally
+    ordered, engine-identical). Output: (id, mh_0..mh_{K-1}).
+
+    Plan: explode shingles -> ONE groupBy(id) computing all K mins
+    (map-side combine does most of the work before the shuffle).
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias(
+            "__shingle"
+        ),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{k}:"), F.col("__shingle")))).alias(f"mh_{k}")
+        for k in range(num_hashes)
+    ]
+    return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the K minhashes into ``bands`` groups of K/bands rows;
+    documents sharing ANY band key are candidate near-duplicates.
+    Output: (id_a, id_b) distinct pairs, id_a < id_b.
+
+    Shuffle profile: explode to (band, band_key, id) — groupBy-join
+    on the band key only; bucket sizes are the LSH collision groups,
+    so total pair fan-out is the candidate count, not n².
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows_per_band + i}") for i in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *parts)).alias("key"))
+        )
+    exploded = signatures.select(
+        F.col(id_col).alias("__id"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs:
+    (id_a, id_b, jaccard). Explode each side's distinct shingles,
+    count intersections via join, |A∪B| = |A|+|B|-|A∩B|."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("__s"),
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("id_a") == F.col("sa.__id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col("sb.__id")) & (F.col("sa.__s") == F.col("sb.__s")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.alias("na"), F.col("id_a") == F.col("na.__id"))
+        .join(sizes.alias("nb"), F.col("id_b") == F.col("nb.__id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.coalesce(F.col("__inter"), F.lit(0))
+                / (F.col("na.__n") + F.col("nb.__n") - F.coalesce(F.col("__inter"), F.lit(0)))
+            ).cast("double").alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    jaccard_threshold: float | None = None,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> band -> bucket
+    join [-> exact Jaccard verify]. Returns (id_a, id_b[, jaccard])."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    if jaccard_threshold is None:
+        return pairs
+    j = ngram_jaccard(df, pairs, text_col, id_col, shingle_n)
+    return j.where(F.col("jaccard") >= F.lit(jaccard_threshold))
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFrame:
+    """SimHash signature: per token, a 60-bit md5-derived hash votes
+    +1/-1 on each bit position weighted by the token's count; the
+    signature's bit b is 1 iff the vote sum is positive.
+    Output: (id, simhash BIGINT).
+
+    Plan: explode tokens -> (id, token_hash, weight) -> explode bit
+    positions via a 60-element sequence -> groupBy(id, bit) vote ->
+    groupBy(id) assemble. Two shuffles keyed by id — no pairwise
+    work. Near-dup detection joins on the signature or its bands.
+    """
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t")
+    ).groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__w"))
+    tok = tok.withColumn("__h", hash60(F.col("__t")))
+    bitsdf = tok.select(
+        "__id",
+        "__w",
+        "__h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("__b"),
+    ).select(
+        "__id",
+        "__b",
+        F.when(
+            F.expr("(__h >> __b) & 1") == 1,
+            F.col("__w"),
+        ).otherwise(-F.col("__w")).alias("__vote"),
+    )
+    votes = bitsdf.groupBy("__id", "__b").agg(F.sum("__vote").alias("__v"))
+    sig = votes.groupBy("__id").agg(
+        F.sum(
+            F.when(F.col("__v") > 0, F.expr("CAST(1 AS BIGINT) << __b")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )
+    return sig.withColumnRenamed("__id", id_col)

@@ -1,0 +1,180 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star operators (SURVEY §7 Phase 6):
+
+* ``cosine_topk`` — brute-force exact top-k neighbours. The
+  baseline: a blocked cross join (queries are broadcast) with a
+  JVM-side fused dot/norm expression; per-partition heaps via
+  window row_number. Exact, O(n·q) — right answer for modest query
+  counts at any corpus size.
+* ``lsh_ann_topk`` — random-hyperplane (sign) LSH: embeddings
+  bucket by the sign pattern of H fixed pseudo-random hyperplanes
+  (md5-derived, so engine-reproducible); queries probe only their
+  bucket. The scale path: candidate set ∝ bucket size, not corpus.
+* ``embedding_near_dup`` — vector pairs with cosine >= threshold
+  via LSH buckets (near-dup over embeddings).
+
+Dot products are computed with ``F.zip_with``/``F.aggregate`` —
+sequential left-fold over array elements, the exact order a SQL
+UNNEST-and-sum oracle uses, so doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+#: quantization scale for dot products: products are summed as
+#: floor(x*y*10^9 + 0.5) integers — associative, so the result is
+#: independent of fold/aggregation order AND identical in a SQL
+#: oracle. Embedding components are O(1), so 9 fractional digits
+#: keeps int64 headroom up to ~10^9-element vectors.
+DOT_SCALE = 1e9
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i via quantized integer accumulation (order-proof)."""
+    return (
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: F.floor(
+                    x.cast("double") * y.cast("double") * F.lit(DOT_SCALE) + F.lit(0.5)
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.lit(DOT_SCALE)
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def cosine_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector. Queries broadcast
+    against the (arbitrarily large) base; ties broken by id so the
+    result is total-order deterministic."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    joined = base.select(
+        F.col(id_col), F.col(vec_col).alias("__bv")
+    ).crossJoin(F.broadcast(q))
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        cosine(F.col("__bv"), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rk").alias("rank"))
+    )
+
+
+def _hyperplane(dim: int, h: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component i is an
+    md5-derived value in [-1, 1] — reproducible in SQL (the oracle
+    computes the same md5 hex digits)."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        hx = hashlib.md5(f"hp{h}:{i}".encode()).hexdigest()[:15]
+        out.append(int(hx, 16) / float(16**15) * 2 - 1)
+    return out
+
+
+def lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: bit h = 1 iff vec · hyperplane_h > 0."""
+    acc = F.lit(0).cast("long")
+    for h in range(num_planes):
+        plane = F.array([F.lit(v) for v in _hyperplane(dim, h)])
+        bit = F.when(dot(vec, plane) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        acc = acc + F.shiftleft(bit, h)
+    return acc
+
+
+def lsh_ann_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket.
+    Recall improves with fewer planes (bigger buckets); cost is
+    bucket size × queries. Same scoring/ranking as the exact path."""
+    b = base.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, num_planes))
+    q = queries.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, num_planes))
+    joined = b.select(
+        id_col, F.col(vec_col).alias("__bv"), "__bucket"
+    ).join(
+        F.broadcast(q.select(query_id_col, F.col(vec_col).alias("__qv"), "__bucket")),
+        "__bucket",
+    )
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        cosine(F.col("__bv"), F.col("__qv")).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rk").alias("rank"))
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from shared
+    sign-LSH buckets, verified by exact cosine >= threshold.
+    Output: (id_a, id_b, cosine), id_a < id_b."""
+    b = df.select(
+        F.col(id_col), F.col(vec_col).alias("__v")
+    ).withColumn("__bucket", lsh_bucket(F.col("__v"), dim, num_planes))
+    a = b.alias("a")
+    c = b.alias("c")
+    pairs = (
+        a.join(c, F.col("a.__bucket") == F.col("c.__bucket"))
+        .where(F.col(f"a.{id_col}") < F.col(f"c.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+            cosine(F.col("a.__v"), F.col("c.__v")).alias("cosine"),
+        )
+    )
+    return pairs.where(F.col("cosine") >= F.lit(threshold))

@@ -1,0 +1,187 @@
+"""Text analysis operators for large-scale corpus pipelines.
+
+North-star extensions (no reference analog — SURVEY §7 Phase 6):
+language ID, quality scoring, token counting, document
+fingerprinting. All pure Column expressions (JVM-side, codegen) —
+no Python in the hot path — and every one has a SQL twin for the
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_frame_spark.functions.texthash import md5_hash
+
+# ---------------------------------------------------------------------------
+# tokenization / shingles
+# ---------------------------------------------------------------------------
+
+#: BPE-ish word/punct splitter: words, numbers, or single punctuation
+TOKEN_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def normalize(col: Column) -> Column:
+    """lower + whitespace collapse — the canonical form used by all
+    hashing/dedup operators."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    return F.split(normalize(col), " ")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (array<string>); documents shorter than
+    n tokens yield their full token string as a single shingle."""
+    toks = tokens(col)
+    k = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        k <= 0, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count: words/numbers/punct via the BPE-ish
+    regex, plus a length penalty (long words split ~every 6 chars —
+    a cheap proxy for BPE fragment counts)."""
+    words = F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.lit(1) + F.floor(F.length(w) / F.lit(7.0)).cast("long"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that with as "
+    "for on at by from not but"
+).split()
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals (ratios in [0,1] unless noted):
+    n_chars, n_tokens, mean_token_len, punct_ratio, digit_ratio,
+    stopword_ratio, unique_token_ratio — the standard cheap filters
+    a pretraining pipeline applies before expensive scoring."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    punct = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    stop_arr = F.array([F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_uniq = F.size(F.array_distinct(toks))
+    return df.withColumns(
+        {
+            "n_chars_q": n_chars.cast("long"),
+            "n_tokens": n_tok.cast("long"),
+            "mean_token_len": (
+                (n_chars - (n_tok - 1)) / n_tok
+            ).cast("double"),
+            "punct_ratio": (punct / n_chars).cast("double"),
+            "digit_ratio": (digits / n_chars).cast("double"),
+            "stopword_ratio": (n_stop / n_tok).cast("double"),
+            "unique_token_ratio": (n_uniq / n_tok).cast("double"),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Single [0,1] score: penalties for extreme length, high punct/
+    digit share, low stopword share, low vocabulary diversity."""
+    feat = quality_features(df, text_col)
+    score = (
+        F.lit(1.0)
+        - F.least(F.lit(0.3), F.col("punct_ratio") * 2)
+        - F.least(F.lit(0.2), F.col("digit_ratio"))
+        - F.when(F.col("stopword_ratio") < 0.01, F.lit(0.2)).otherwise(F.lit(0.0))
+        - F.when(F.col("unique_token_ratio") < 0.1, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return feat.withColumn("quality_score", F.greatest(F.lit(0.0), score))
+
+
+# ---------------------------------------------------------------------------
+# language identification (n-gram/stopword heuristic)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": "the and of to in is you that it for".split(),
+    "de": "der die und das ist nicht ein ich mit sich".split(),
+    "fr": "le la les et des une est que pour dans".split(),
+    "es": "el la los las que de y en un por".split(),
+}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language ID: the language whose marker set
+    hits the most tokens wins; ties and zero hits -> 'und'
+    (undetermined). Pure Column arithmetic — the scores are token
+    intersections computed per language."""
+    toks = tokens(F.col(text_col))
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array([F.lit(m) for m in markers])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max by (hits, lang) — deterministic tie-break on language code;
+    # zero hits -> undetermined
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col,
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+
+def fingerprint(col: Column) -> Column:
+    """Canonical content fingerprint: md5 of the normalized text —
+    the exact-dedup key (whitespace/case-insensitive)."""
+    return md5_hash(normalize(col))
+
+
+def winnowed_fingerprints(col: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing-style robust fingerprints: hash every k-token
+    shingle, then keep the minimum hash of each sliding window of
+    ``window`` consecutive shingle hashes (array<string>, distinct).
+    Local-change-tolerant fingerprints for plagiarism/near-dup
+    detection — standard winnowing, expressed with array ops."""
+    sh = word_shingles(col, k)
+    hashes = F.transform(sh, lambda s: F.md5(s))
+    nwin = F.size(hashes) - F.lit(window - 1)
+    return F.when(nwin <= 0, F.array(F.array_min(hashes))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nwin),
+                lambda i: F.array_min(F.slice(hashes, i, window)),
+            )
+        )
+    )

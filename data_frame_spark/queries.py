@@ -908,3 +908,261 @@ def spline_mean_max_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(float(s),) for s in (90, 450, 1800, 7200)], ["duration"]
     )
     return probes.withColumn("interpolated_mean", sp.predict(F.col("duration")))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / text analysis / similarity
+# (north-star extensions, SURVEY §7 Phase 6)
+# ---------------------------------------------------------------------------
+
+from data_frame_spark.operators import text as OpText
+from data_frame_spark.operators import dedup as OpDedup
+from data_frame_spark.operators import similarity as OpSim
+
+# shared CTE: normalized text, tokens, distinct 3-gram shingles
+_SHINGLES = r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+         toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+         sh AS (SELECT doc_id,
+                       CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                            ELSE list_transform(generate_series(1, len(tk)-2),
+                                                i -> array_to_string(tk[i:i+2], ' '))
+                       END AS shingles
+                FROM toks),
+         ex AS (SELECT doc_id, UNNEST(list_distinct(shingles)) AS s FROM sh)
+"""
+
+_NHASH, _BANDS = 8, 4
+_MH_MIN = ", ".join(
+    f"MIN(md5('s{k}:' || s)) AS mh_{k}" for k in range(_NHASH)
+)
+
+
+@query(
+    "minhash_signatures_docs",
+    oracle=_SHINGLES + f"""
+    SELECT doc_id, {_MH_MIN} FROM ex GROUP BY doc_id
+    """,
+)
+def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures: K lexicographic-min md5 shingle hashes per
+    document (one explode + one groupBy shuffle)."""
+    docs = t(spark, sf_dir, "documents")
+    return OpDedup.minhash_signatures(docs, "text", "doc_id", num_hashes=_NHASH)
+
+
+_BAND_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, md5(CONCAT_WS('|', "
+    + ", ".join(f"mh_{b * (_NHASH // _BANDS) + i}" for i in range(_NHASH // _BANDS))
+    + ")) AS key FROM sigs"
+    for b in range(_BANDS)
+)
+
+
+@query(
+    "lsh_near_dup_pairs",
+    oracle=_SHINGLES + f"""
+    , sigs AS (SELECT doc_id, {_MH_MIN} FROM ex GROUP BY doc_id),
+    bands AS ({_BAND_UNION})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: shingle -> minhash -> band ->
+    bucket join (the scalable near-dup pipeline; no n^2 stage)."""
+    docs = t(spark, sf_dir, "documents")
+    return OpDedup.minhash_dedup(
+        docs, "text", "doc_id", num_hashes=_NHASH, bands=_BANDS
+    )
+
+
+@query(
+    "ngram_jaccard_verified",
+    oracle=_SHINGLES + f"""
+    , sigs AS (SELECT doc_id, {_MH_MIN} FROM ex GROUP BY doc_id),
+    bands AS ({_BAND_UNION}),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+              WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (SELECT p.id_a, p.id_b, COUNT(*) AS i
+              FROM pairs p
+              JOIN ex ea ON p.id_a = ea.doc_id
+              JOIN ex eb ON p.id_b = eb.doc_id AND ea.s = eb.s
+              GROUP BY p.id_a, p.id_b)
+    SELECT p.id_a, p.id_b,
+           CAST(COALESCE(inter.i, 0) AS DOUBLE)
+             / (na.n + nb.n - COALESCE(inter.i, 0)) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter ON p.id_a = inter.id_a AND p.id_b = inter.id_b
+    JOIN sizes na ON p.id_a = na.doc_id
+    JOIN sizes nb ON p.id_b = nb.doc_id
+    """,
+)
+def ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard verification of the LSH candidates —
+    the verify stage of near-dedup (runs only on candidate pairs)."""
+    docs = t(spark, sf_dir, "documents")
+    sigs = OpDedup.minhash_signatures(docs, "text", "doc_id", num_hashes=_NHASH)
+    pairs = OpDedup.lsh_candidate_pairs(sigs, "doc_id", _NHASH, _BANDS)
+    return OpDedup.ngram_jaccard(docs, pairs, "text", "doc_id")
+
+
+@query(
+    "lang_id_docs",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id,
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                  FROM documents),
+         hits AS (SELECT doc_id,
+                         len(list_filter(tk, x -> list_contains(['the','and','of','to','in','is','you','that','it','for'], x))) AS h_en,
+                         len(list_filter(tk, x -> list_contains(['der','die','und','das','ist','nicht','ein','ich','mit','sich'], x))) AS h_de,
+                         len(list_filter(tk, x -> list_contains(['le','la','les','et','des','une','est','que','pour','dans'], x))) AS h_fr,
+                         len(list_filter(tk, x -> list_contains(['el','la','los','las','que','de','y','en','un','por'], x))) AS h_es
+                  FROM toks)
+    SELECT doc_id,
+           CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es) THEN 'fr'
+                WHEN h_es = GREATEST(h_en, h_de, h_fr, h_es) THEN 'es'
+                WHEN h_en = GREATEST(h_en, h_de, h_fr, h_es) THEN 'en'
+                ELSE 'de' END AS lang_pred
+    FROM hits
+    """,
+)
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID per document (ties break to the
+    lexicographically largest language code, zero hits -> 'und')."""
+    docs = t(spark, sf_dir, "documents")
+    return OpText.lang_id(docs, "text").select("doc_id", "lang_pred")
+
+
+@query(
+    "quality_features_docs",
+    oracle=r"""
+    WITH base AS (SELECT doc_id, text,
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk,
+                         CAST(length(text) AS BIGINT) AS nc
+                  FROM documents)
+    SELECT doc_id,
+           nc AS n_chars_q,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(nc - (len(tk) - 1) AS DOUBLE) / len(tk) AS mean_token_len,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / nc AS punct_ratio,
+           CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / nc AS digit_ratio,
+           CAST(len(list_filter(tk, x -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','as','for','on','at','by','from','not','but'], x)))
+                AS DOUBLE) / len(tk) AS stopword_ratio,
+           CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS unique_token_ratio
+    FROM base
+    """,
+)
+def quality_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (length/punct/digit/stopword/
+    vocabulary-diversity ratios)."""
+    docs = t(spark, sf_dir, "documents")
+    return OpText.quality_features(docs, "text").select(
+        "doc_id", "n_chars_q", "n_tokens", "mean_token_len", "punct_ratio",
+        "digit_ratio", "stopword_ratio", "unique_token_ratio",
+    )
+
+
+@query(
+    "token_counts_docs",
+    oracle=r"""
+    WITH base AS (SELECT doc_id,
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk,
+                         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS bw
+                  FROM documents)
+    SELECT doc_id,
+           CAST(len(tk) AS INT) AS ws_tokens,
+           CAST(len(bw) + list_sum(list_transform(bw, x -> CAST(FLOOR(length(x)/7.0) AS BIGINT)))
+                AS BIGINT) AS bpe_ish_tokens
+    FROM base
+    """,
+)
+def token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish sub-word estimate
+    (regex word/punct split with a length penalty)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        OpText.token_count(F.col("text")).alias("ws_tokens"),
+        OpText.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "fingerprint_docs",
+    oracle=r"""
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprint (md5 of normalized text) — the
+    exact-dedup key."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", OpText.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+_DOTQ = "SUM(CAST(FLOOR(CAST({a} AS DOUBLE)*CAST({b} AS DOUBLE)*1000000000.0 + 0.5) AS BIGINT))"
+
+
+@query(
+    "cosine_topk_embeddings",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < 3),
+         pairs AS (SELECT q.query_id, e.vec_id, e.embedding AS be, q.qe
+                   FROM embeddings e CROSS JOIN q),
+         flat AS (SELECT query_id, vec_id, UNNEST(be) AS bv, UNNEST(qe) AS qv
+                  FROM pairs),
+         dots AS (SELECT query_id, vec_id,
+                         {_DOTQ.format(a='bv', b='qv')} AS dq,
+                         {_DOTQ.format(a='bv', b='bv')} AS nb,
+                         {_DOTQ.format(a='qv', b='qv')} AS nq
+                  FROM flat GROUP BY 1, 2),
+         scored AS (SELECT query_id, vec_id,
+                           (dq/1000000000.0)
+                             / (SQRT(nb/1000000000.0) * SQRT(nq/1000000000.0)) AS cosine
+                    FROM dots),
+         r AS (SELECT query_id, vec_id, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, vec_id ASC) AS rank
+               FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k: 3 query vectors against the
+    full embedding table (broadcast queries, quantized integer dot
+    products, deterministic tie-break by id)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return OpSim.cosine_topk(emb, queries, k=5)
+
+
+@query("embedding_near_dup_pairs")  # LSH-bucketed; hyperplane literals -> rows-only
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH buckets +
+    exact verify (cosine >= 0.4 — the synthetic embeddings are near-
+    uniform, so 0.4 marks the unusually-close pairs). The scale path
+    for embedding dedup; recall traded via num_planes."""
+    emb = t(spark, sf_dir, "embeddings")
+    return OpSim.embedding_near_dup(emb, dim=64, threshold=0.4, num_planes=2)
+
+
+@query("lsh_ann_topk_embeddings")  # approximate by construction -> rows-only
+def lsh_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via sign-LSH buckets: queries probe only their
+    bucket (candidate set ∝ bucket size, not corpus size)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return OpSim.lsh_ann_topk(emb, queries, dim=64, k=5, num_planes=4)

@@ -1,0 +1,132 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_frame_spark.operators import text as T
+from data_frame_spark.operators import dedup as D
+from data_frame_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "The quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the  QUICK  brown fox jumps over the lazy dog"),  # exact after norm
+        (4, "completely different content about spark engines"),
+        (5, "der hund und die katze sind nicht da ich bin hier mit sich"),
+        (6, "le chat et les chiens est une belle chose pour dans la maison"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_normalize_and_tokens(spark, docs):
+    out = docs.select(T.normalize(F.col("text")).alias("n")).collect()
+    assert out[2]["n"] == "the quick brown fox jumps over the lazy dog"
+    cnt = docs.select(T.token_count(F.col("text")).alias("c")).collect()
+    assert cnt[0]["c"] == 9
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    rows = df.select(T.word_shingles(F.col("text"), 3).alias("s")).collect()
+    assert rows[0]["s"] == ["a b c", "b c d"]
+    assert rows[1]["s"] == ["a b"]  # shorter than n -> whole text
+
+
+def test_exact_dedup_normalized(spark, docs):
+    groups = D.exact_dedup_keys(docs, "text", "doc_id")
+    dups = groups.where(F.col("dup_count") > 1).collect()
+    assert len(dups) == 1 and dups[0]["keep_id"] == 1  # docs 1 and 3
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = D.minhash_dedup(docs, "text", "doc_id", num_hashes=16, bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 3) in got  # exact dup always collides
+    assert (1, 2) in got or (2, 3) in got  # near-dup should collide in >=1 band
+    assert (1, 4) not in got and (4, 5) not in got
+
+
+def test_ngram_jaccard_values(spark, docs):
+    pairs = spark.createDataFrame([(1, 3), (1, 4)], ["id_a", "id_b"])
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard(docs, pairs, "text", "doc_id").collect()}
+    assert j[(1, 3)] == pytest.approx(1.0)
+    assert j[(1, 4)] == 0.0
+
+
+def test_simhash_similarity(spark, docs):
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, "text", "doc_id").collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(sig[1], sig[3]) == 0  # identical after normalization
+    assert hamming(sig[1], sig[2]) < hamming(sig[1], sig[5])
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in T.lang_id(docs, "text").collect()}
+    assert out[1] == "en" and out[5] == "de" and out[6] == "fr"
+
+
+def test_quality_score_ranges(spark, docs):
+    out = T.quality_score(docs, "text")
+    rows = out.collect()
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+
+
+def test_fingerprint_stability(spark, docs):
+    fp = docs.select(T.fingerprint(F.col("text")).alias("fp"), "doc_id").collect()
+    by_id = {r["doc_id"]: r["fp"] for r in fp}
+    assert by_id[1] == by_id[3]
+    assert by_id[1] != by_id[2]
+
+
+def test_winnowed_fingerprints(spark, docs):
+    out = docs.select("doc_id", T.winnowed_fingerprints(F.col("text"), 3, 2).alias("w")).collect()
+    by_id = {r["doc_id"]: set(r["w"]) for r in out}
+    # near-dups share most fingerprints; unrelated docs share none
+    assert by_id[1] & by_id[2]
+    assert not (by_id[1] & by_id[4])
+
+
+def test_cosine_topk_exact(spark):
+    base = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.1, 0.0, 0.0])], ["query_id", "embedding"]
+    )
+    out = SIM.cosine_topk(base, queries, k=2).collect()
+    assert out[0]["vec_id"] == 0 and out[0]["rank"] == 1
+    assert out[0]["cosine"] == pytest.approx(1 / (1.01**0.5) * 1.0, rel=1e-6)
+
+
+def test_lsh_ann_recall_on_exact_match(spark):
+    import random
+
+    rng = random.Random(5)
+    base_rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    base = spark.createDataFrame(base_rows, ["vec_id", "embedding"])
+    # query = an existing vector: must find itself in its own bucket
+    queries = spark.createDataFrame(
+        [(0, base_rows[17][1])], ["query_id", "embedding"]
+    )
+    out = SIM.lsh_ann_topk(base, queries, dim=16, k=3, num_planes=6).collect()
+    assert out and out[0]["vec_id"] == 17
+    assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_embedding_near_dup(spark):
+    base = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(base, ["vec_id", "embedding"])
+    out = SIM.embedding_near_dup(df, dim=4, threshold=0.99, num_planes=4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in got and (1, 3) not in got
