@@ -1166,3 +1166,131 @@ def lsh_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return OpSim.lsh_ann_topk(emb, queries, dim=64, k=5, num_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (streaming-capable aggregations, batch-checked;
+# the identical DataFrame code runs under Structured Streaming —
+# see data_frame_spark/streaming/ and tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+from data_frame_spark.streaming import windows as OpWin
+
+
+@query(
+    "tumbling_hourly_by_type",
+    oracle=f"""
+    SELECT ((epoch_ns(ts)//1000) // 3600000000) * 3600 AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {sql_dsum('value')} AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows per event_type (streaming-
+    capable: same code under readStream + watermark)."""
+    ev = t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("value_sum"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type", "n", "value_sum",
+        )
+    )
+    return out
+
+
+@query(
+    "sliding_hourly_counts",
+    oracle="""
+    WITH offs AS (SELECT UNNEST([0, 1, 2, 3]) AS k)
+    SELECT ((epoch_ns(ts)//1000) // 900000000) * 900 - k * 900 AS window_start,
+           COUNT(*) AS n
+    FROM events CROSS JOIN offs
+    GROUP BY 1
+    """,
+)
+def sliding_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 15min: each event lands in 4 windows."""
+    ev = t(spark, sf_dir, "events")
+    return OpWin.sliding_counts(ev)
+
+
+@query(
+    "session_windows_30m",
+    oracle=f"""
+    WITH o AS (SELECT user_id, value, epoch_ns(ts)//1000 AS tus, ts, event_id
+               FROM events),
+         g AS (SELECT user_id, value, tus,
+                      CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                > 1800000000 OR
+                                LAG(tus) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                           THEN 1 ELSE 0 END AS new_s
+               FROM o),
+         s AS (SELECT user_id, value, tus,
+                      SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g)
+    SELECT user_id, MIN(tus) // 1000000 AS session_start,
+           COUNT(*) AS n, {sql_dsum('value')} AS value_sum
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30min gap) per user — Spark session_window;
+    the oracle reproduces gap-based sessionization with a cumulative
+    new-session flag."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("value_sum"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n",
+            "value_sum",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payload + typed metadata; SURVEY §7 Phase 6)
+# ---------------------------------------------------------------------------
+
+from data_frame_spark.operators import multimodal as OpMulti
+
+
+@query(
+    "binary_metadata_docs",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def binary_metadata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata plumbing on a binary column (documents'
+    text encoded as the payload — the driver tables carry no real
+    media): size + content hash, pure Column ops."""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    out = OpMulti.attach_metadata(docs, "payload")
+    return out.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_md5").alias("content_md5"),
+    )
+
+
+@query("byte_features_docs")  # Arrow/pandas path -> rows-only check
+def byte_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched byte-histogram + entropy features over binary
+    payloads (the codec-free decode-stage plumbing, mapInPandas)."""
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    return OpMulti.byte_features(docs, "payload")
