@@ -1,0 +1,143 @@
+"""CSV reader/writer with the reference's ingestion semantics
+(private/csv.rkt).
+
+Reproduced (csv.rkt:93-280):
+* optional header row; headerless synthesizes ``col0..colN``
+* duplicate headers deduped as ``name (1)``, ``name (2)``...
+* configurable NA string (default "") and NA *predicate*
+* short rows NULL-padded (Spark PERMISSIVE mode), long rows truncated
+* number inference with a post-cast pass
+
+Intentional semantic delta (SURVEY §7): the reference types cells
+*individually* (a column can mix numbers and strings) and
+distinguishes quoted from unquoted numerals (#:quoted-numbers?).
+A distributed scan types columns uniformly, so: a column becomes
+numeric iff EVERY non-NA cell parses as a number; ``quoted_numbers``
+therefore only documents intent. Mixed-type columns stay strings.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dedup_headers(names: list[str]) -> list[str]:
+    seen: dict[str, int] = {}
+    out = []
+    for n in names:
+        if n in seen:
+            seen[n] += 1
+            out.append(f"{n} ({seen[n]})")
+        else:
+            seen[n] = 0
+            out.append(n)
+    return out
+
+
+def _read_header_line(path: str) -> list[str] | None:
+    """First line of the (first) CSV file — a driver-side metadata
+    peek, not a data read."""
+    import csv as _csv
+    import glob
+    import os
+
+    target = path
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.csv"))) or sorted(
+            glob.glob(os.path.join(path, "part-*"))
+        )
+        if not parts:
+            return None
+        target = parts[0]
+    try:
+        with open(target, newline="") as fh:
+            return next(_csv.reader(fh))
+    except (OSError, StopIteration):
+        return None
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    headers: bool = True,
+    na: str = "",
+    na_predicate: Callable[[Column], Column] | None = None,
+    infer_numbers: bool = True,
+) -> DataFrame:
+    """``df-read/csv`` (csv.rkt:275-280). Distributed scan; header
+    dedup and numeric post-cast happen on the schema, not the data."""
+    df = (
+        spark.read.option("header", str(headers).lower())
+        .option("nullValue", na)
+        .option("mode", "PERMISSIVE")
+        .option("escape", '"')  # RFC doubled quotes (csv.rkt:163-171)
+        .csv(path)
+    )
+    if headers:
+        # Spark mangles duplicate headers with index suffixes; recover
+        # the original names from the header line and apply the
+        # reference's "name (k)" dedup convention (csv.rkt:228-236)
+        original = _read_header_line(path)
+        if original is not None and len(original) == len(df.columns):
+            df = df.toDF(*_dedup_headers(original))
+    else:
+        df = df.toDF(*[f"col{i}" for i in range(len(df.columns))])
+
+    if na_predicate is not None:
+        df = df.select(
+            *[
+                F.when(na_predicate(F.col(f"`{c}`")), F.lit(None))
+                .otherwise(F.col(f"`{c}`"))
+                .alias(c)
+                for c in df.columns
+            ]
+        )
+
+    if infer_numbers:
+        # a column is numeric iff every non-NULL cell casts; one
+        # aggregate decides, then one projection casts
+        checks = df.agg(
+            *[
+                (
+                    F.count(F.when(F.col(f"`{c}`").isNotNull(), 1))
+                    == F.count(F.col(f"`{c}`").try_cast("double"))
+                ).alias(c)
+                for c in df.columns
+            ]
+        ).collect()[0]
+        casts = []
+        for c in df.columns:
+            if checks[c]:
+                casts.append(F.col(f"`{c}`").try_cast("double").alias(c))
+            else:
+                casts.append(F.col(f"`{c}`").alias(c))
+        df = df.select(*casts)
+    return df
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    columns: Sequence[str] | None = None,
+    na_rep: str = "",
+    header: bool = True,
+    single_file: bool = False,
+) -> None:
+    """``df-write/csv`` (csv.rkt:40-87): selected series, NA -> empty
+    cell, quotes doubled (Spark default). ``single_file`` coalesces
+    to one part (small frames only — the distributed writer is the
+    scale path)."""
+    out = df.select(*columns) if columns else df
+    if single_file:
+        out = out.coalesce(1)
+    (
+        out.write.option("header", str(header).lower())
+        .option("nullValue", na_rep)
+        .option("emptyValue", na_rep)
+        .option("escape", '"')  # write doubled quotes, as the reference does
+        .mode("overwrite")
+        .csv(path)
+    )

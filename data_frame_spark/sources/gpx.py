@@ -1,0 +1,209 @@
+"""GPX track reader/writer (reference private/gpx.rkt).
+
+``read_gpx`` parses a GPX XML document into a Frame with series
+``lat lon alt timestamp`` (+ ``hr cad pwr spd temp dst`` when
+present), concatenating all track segments (gpx.rkt:352-503), and
+sets the frame properties ``name``, ``waypoints``, ``laps``.
+A missing ``dst`` series is derived as cumulative haversine distance
+(gpx.rkt:434-446) — as a Column expression, not driver math.
+
+Scale stance: one GPX file is one activity (small); parsing happens
+driver-side with xml.etree, then the rows become a distributed
+DataFrame. For bulk ingest of millions of files the same parser runs
+inside ``mapInPandas`` over (path, xml_bytes) rows — ``parse_many``
+wires that.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from datetime import datetime, timezone
+from typing import Iterator
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_frame_spark.frame import Frame
+from data_frame_spark.functions.geo import cumulative_distance
+
+_NS = {"g": "http://www.topografix.com/GPX/1/1"}
+
+GPX_SCHEMA = T.StructType(
+    [
+        T.StructField("timestamp", T.DoubleType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("alt", T.DoubleType()),
+        T.StructField("hr", T.DoubleType()),
+        T.StructField("cad", T.DoubleType()),
+        T.StructField("pwr", T.DoubleType()),
+        T.StructField("spd", T.DoubleType()),
+        T.StructField("temp", T.DoubleType()),
+        T.StructField("dst", T.DoubleType()),
+    ]
+)
+
+
+def iso_to_seconds(s: str) -> float:
+    """xml-timestamp->seconds (xml-common.rkt:57-78): ISO-8601 UTC
+    with optional fractional seconds -> epoch seconds (fraction
+    preserved)."""
+    s = s.strip().replace("Z", "+00:00")
+    dt = datetime.fromisoformat(s)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp()
+
+
+def seconds_to_iso(sec: float) -> str:
+    """seconds->gpx-timestamp (gpx.rkt:51-60)."""
+    dt = datetime.fromtimestamp(sec, tz=timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _float(el) -> float | None:
+    try:
+        return float(el.text) if el is not None and el.text else None
+    except ValueError:
+        return None
+
+
+def _parse_trkpt(pt) -> dict:
+    row = {
+        "lat": float(pt.get("lat")) if pt.get("lat") else None,
+        "lon": float(pt.get("lon")) if pt.get("lon") else None,
+        "alt": _float(pt.find("g:ele", _NS)),
+        "timestamp": None,
+        "hr": None, "cad": None, "pwr": None, "spd": None, "temp": None,
+        "dst": None,
+    }
+    t_el = pt.find("g:time", _NS)
+    if t_el is not None and t_el.text:
+        row["timestamp"] = iso_to_seconds(t_el.text)
+    ext = pt.find("g:extensions", _NS)
+    if ext is not None:
+        for el in ext.iter():
+            tag = el.tag.rsplit("}", 1)[-1].lower()
+            if tag in ("hr", "heartrate"):
+                row["hr"] = _float(el)
+            elif tag in ("cad", "cadence"):
+                row["cad"] = _float(el)
+            elif tag in ("power", "pwr"):
+                row["pwr"] = _float(el)
+            elif tag in ("speed", "spd"):
+                row["spd"] = _float(el)
+            elif tag in ("temp", "atemp"):
+                row["temp"] = _float(el)
+            elif tag in ("distance", "dst"):
+                row["dst"] = _float(el)
+    return row
+
+
+def parse_gpx_rows(xml_text: str) -> tuple[list[dict], dict]:
+    """(rows, properties) from one GPX document — all <trkseg>
+    concatenated (gpx.rkt:352-427)."""
+    root = ET.fromstring(xml_text)
+    rows = []
+    for seg in root.findall(".//g:trkseg", _NS):
+        for pt in seg.findall("g:trkpt", _NS):
+            rows.append(_parse_trkpt(pt))
+    props: dict = {}
+    name = root.find(".//g:trk/g:name", _NS)
+    if name is not None and name.text:
+        props["name"] = name.text
+    waypoints = []
+    for wpt in root.findall("g:wpt", _NS):
+        t_el = wpt.find("g:time", _NS)
+        n_el = wpt.find("g:name", _NS)
+        waypoints.append(
+            (
+                iso_to_seconds(t_el.text) if t_el is not None and t_el.text else None,
+                float(wpt.get("lat")) if wpt.get("lat") else None,
+                float(wpt.get("lon")) if wpt.get("lon") else None,
+                _float(wpt.find("g:ele", _NS)),
+                n_el.text if n_el is not None else None,
+            )
+        )
+    if waypoints:
+        props["waypoints"] = waypoints
+        # laps property: waypoint timestamps (gpx.rkt:464-475)
+        props["laps"] = [w[0] for w in waypoints if w[0] is not None]
+    return rows, props
+
+
+def read_gpx(spark: SparkSession, path_or_text: str) -> Frame:
+    """``df-read/gpx``: GPX -> Frame ordered by timestamp, with the
+    ``dst`` series derived when absent."""
+    if path_or_text.lstrip().startswith("<"):
+        text = path_or_text
+    else:
+        with open(path_or_text) as fh:
+            text = fh.read()
+    rows, props = parse_gpx_rows(text)
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in GPX_SCHEMA.fields) for r in rows], GPX_SCHEMA
+    )
+    # drop never-present optional series (mirrors the reference,
+    # which only adds series it saw)
+    present = {
+        c
+        for c in df.columns
+        if df.where(F.col(c).isNotNull()).limit(1).count() > 0
+    }
+    df = df.select(*[c for c in df.columns if c in present])
+    if "dst" not in df.columns and {"lat", "lon", "timestamp"} <= present:
+        df = df.withColumn(
+            "dst", cumulative_distance("lat", "lon", order_by=["timestamp"])
+        )
+    return Frame(df, properties=props, order_by=["timestamp"])
+
+
+def write_gpx(frame: Frame, name: str | None = None) -> str:
+    """``df-write/gpx`` (gpx.rkt:161-231): Frame -> GPX XML string
+    (lat/lon required; alt and timestamp written when present).
+    Small-frame sink, as in the reference (collect is intentional)."""
+    df = frame.df
+    cols = df.columns
+    rows = df.orderBy(*(frame.order_by or ["timestamp"])).collect()
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1" creator="data_frame_spark">',
+        f"  <trk><name>{name or frame.get_property('name') or 'track'}</name><trkseg>",
+    ]
+    for r in rows:
+        lat, lon = r["lat"], r["lon"]
+        if lat is None or lon is None:
+            continue
+        out.append(f'    <trkpt lat="{lat!r}" lon="{lon!r}">')
+        if "alt" in cols and r["alt"] is not None:
+            out.append(f"      <ele>{r['alt']!r}</ele>")
+        if "timestamp" in cols and r["timestamp"] is not None:
+            out.append(f"      <time>{seconds_to_iso(r['timestamp'])}</time>")
+        out.append("    </trkpt>")
+    out.append("  </trkseg></trk>")
+    out.append("</gpx>")
+    return "\n".join(out)
+
+
+def parse_many(df, xml_col: str):
+    """Bulk ingest: (id, xml_text) rows -> exploded track points via
+    mapInPandas (millions of files, one parser instance per batch)."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [T.StructField("source_id", T.LongType())] + list(GPX_SCHEMA.fields)
+    )
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for sid, xml_text in zip(pdf.iloc[:, 0], pdf[xml_col]):
+                rows, _ = parse_gpx_rows(xml_text)
+                for r in rows:
+                    out.append(
+                        {"source_id": int(sid), **{f.name: r[f.name] for f in GPX_SCHEMA.fields}}
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(parse, schema=schema)

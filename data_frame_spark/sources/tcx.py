@@ -1,0 +1,105 @@
+"""TCX activity reader (reference private/tcx.rkt).
+
+``read_tcx`` parses a TCX document into one Frame per activity with
+the GPX-family series (tcx.rkt:199-281) and the properties
+``laps`` (lap start timestamps), ``tcx-sport``, ``unit-id``,
+``product-id``. ``read_tcx_multiple`` returns every activity.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from data_frame_spark.frame import Frame
+from data_frame_spark.sources.gpx import iso_to_seconds, GPX_SCHEMA
+
+_NS = {"t": "http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2"}
+
+
+def _float(el):
+    try:
+        return float(el.text) if el is not None and el.text else None
+    except ValueError:
+        return None
+
+
+def _parse_trackpoint(tp) -> dict:
+    row = {f.name: None for f in GPX_SCHEMA.fields}
+    t_el = tp.find("t:Time", _NS)
+    if t_el is not None and t_el.text:
+        row["timestamp"] = iso_to_seconds(t_el.text)
+    pos = tp.find("t:Position", _NS)
+    if pos is not None:
+        row["lat"] = _float(pos.find("t:LatitudeDegrees", _NS))
+        row["lon"] = _float(pos.find("t:LongitudeDegrees", _NS))
+    row["alt"] = _float(tp.find("t:AltitudeMeters", _NS))
+    row["dst"] = _float(tp.find("t:DistanceMeters", _NS))
+    hr = tp.find("t:HeartRateBpm/t:Value", _NS)
+    row["hr"] = _float(hr)
+    row["cad"] = _float(tp.find("t:Cadence", _NS))
+    for el in tp.iter():
+        tag = el.tag.rsplit("}", 1)[-1].lower()
+        if tag == "watts":
+            row["pwr"] = _float(el)
+        elif tag == "speed":
+            row["spd"] = _float(el)
+    return row
+
+
+def _parse_activity(act) -> tuple[list[dict], dict]:
+    rows, laps = [], []
+    for lap in act.findall("t:Lap", _NS):
+        st = lap.get("StartTime")
+        if st:
+            laps.append(iso_to_seconds(st))
+        for tp in lap.findall(".//t:Trackpoint", _NS):
+            rows.append(_parse_trackpoint(tp))
+    props: dict = {"laps": laps}
+    if act.get("Sport"):
+        props["tcx-sport"] = act.get("Sport")
+    creator = act.find("t:Creator", _NS)
+    if creator is not None:
+        unit = creator.find("t:UnitId", _NS)
+        prod = creator.find("t:ProductID", _NS)
+        if unit is not None and unit.text:
+            props["unit-id"] = int(unit.text)
+        if prod is not None and prod.text:
+            props["product-id"] = int(prod.text)
+    return rows, props
+
+
+def read_tcx_multiple(spark: SparkSession, path_or_text: str) -> list[Frame]:
+    """``df-read/tcx/multiple`` (tcx.rkt:249-281): one Frame per
+    activity."""
+    if path_or_text.lstrip().startswith("<"):
+        text = path_or_text
+    else:
+        with open(path_or_text) as fh:
+            text = fh.read()
+    root = ET.fromstring(text)
+    frames = []
+    for act in root.findall(".//t:Activity", _NS):
+        rows, props = _parse_activity(act)
+        df = spark.createDataFrame(
+            [tuple(r[f.name] for f in GPX_SCHEMA.fields) for r in rows], GPX_SCHEMA
+        )
+        from pyspark.sql import functions as F
+
+        present = {
+            c for c in df.columns
+            if df.where(F.col(c).isNotNull()).limit(1).count() > 0
+        }
+        df = df.select(*[c for c in df.columns if c in present])
+        frames.append(Frame(df, properties=props, order_by=["timestamp"]))
+    return frames
+
+
+def read_tcx(spark: SparkSession, path_or_text: str) -> Frame:
+    """``df-read/tcx``: the first activity."""
+    frames = read_tcx_multiple(spark, path_or_text)
+    if not frames:
+        raise ValueError("no activities in TCX document")
+    return frames[0]

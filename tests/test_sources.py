@@ -1,0 +1,146 @@
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_frame_spark.sources import csv as CSV
+from data_frame_spark.sources import gpx as GPX
+from data_frame_spark.sources import tcx as TCX
+from data_frame_spark.functions.geo import haversine
+
+
+def test_read_csv_messy(spark, tmp_path):
+    # messy_csv torture shapes (FIXTURES.md §3)
+    p = str(tmp_path / "messy.csv")
+    with open(p, "w") as fh:
+        fh.write('one,two,one,four\n')
+        fh.write('1,2,3,"def,gh"\n')
+        fh.write('4,,6,"a,bc 123 d""ef"\n')
+        fh.write('7,8\n')  # short row -> NULL-padded
+    df = CSV.read_csv(spark, p)
+    assert df.columns == ["one", "two", "one (1)", "four"]
+    rows = sorted(df.collect(), key=lambda r: r["one"])
+    assert rows[0]["four"] == "def,gh"
+    assert rows[1]["four"] == 'a,bc 123 d"ef'
+    assert rows[1]["two"] is None  # empty cell = NA
+    assert rows[2]["two"] == 8.0 and rows[2]["four"] is None  # padded
+    # numeric inference: 'one' fully numeric -> double
+    assert dict(df.dtypes)["one"] == "double"
+    assert dict(df.dtypes)["four"] == "string"
+
+
+def test_read_csv_headerless_and_custom_na(spark, tmp_path):
+    p = str(tmp_path / "na.csv")
+    with open(p, "w") as fh:
+        fh.write("1,-,x\n2,5,y\n")
+    df = CSV.read_csv(spark, p, headers=False, na="-")
+    assert df.columns == ["col0", "col1", "col2"]
+    rows = sorted(df.collect(), key=lambda r: r["col0"])
+    assert rows[0]["col1"] is None and rows[1]["col1"] == 5.0
+
+
+def test_read_csv_na_predicate(spark, tmp_path):
+    # FIXTURES.md §3: custom predicate (even numbers as NA)
+    p = str(tmp_path / "pred.csv")
+    with open(p, "w") as fh:
+        fh.write("a\n1\n2\n3\n4\n")
+    df = CSV.read_csv(
+        spark, p, na_predicate=lambda c: c.try_cast("double") % 2 == 0
+    )
+    vals = sorted(r["a"] for r in df.collect() if r["a"] is not None)
+    assert vals == [1.0, 3.0]
+
+
+def test_csv_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1.5, "x", None), (2.5, 'quote"d', 7.0)], ["a", "b", "c"]
+    )
+    out = str(tmp_path / "out")
+    CSV.write_csv(df, out, single_file=True)
+    back = CSV.read_csv(spark, out)
+    rows = sorted(back.collect(), key=lambda r: r["a"])
+    assert rows[0]["a"] == 1.5 and rows[0]["c"] is None
+    assert rows[1]["b"] == 'quote"d'
+
+
+GPX_SAMPLE = """<?xml version="1.0" encoding="UTF-8"?>
+<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1" creator="t">
+  <wpt lat="45.0" lon="25.0"><time>2020-01-01T00:01:00Z</time><name>L1</name></wpt>
+  <trk><name>Morning Run</name><trkseg>
+    <trkpt lat="45.0" lon="25.0"><ele>100.0</ele><time>2020-01-01T00:00:00Z</time></trkpt>
+    <trkpt lat="45.001" lon="25.0"><ele>101.0</ele><time>2020-01-01T00:00:30Z</time></trkpt>
+    <trkpt lat="45.002" lon="25.0"><ele>102.5</ele><time>2020-01-01T00:01:00.5Z</time></trkpt>
+  </trkseg></trk>
+</gpx>"""
+
+
+def test_read_gpx(spark):
+    fr = GPX.read_gpx(spark, GPX_SAMPLE)
+    assert fr.get_property("name") == "Morning Run"
+    assert fr.get_property("laps") == [GPX.iso_to_seconds("2020-01-01T00:01:00Z")]
+    rows = fr.df.orderBy("timestamp").collect()
+    assert len(rows) == 3
+    assert rows[0]["lat"] == 45.0 and rows[0]["alt"] == 100.0
+    # fractional seconds preserved (xml-common.rkt:63-78)
+    assert rows[2]["timestamp"] % 1 == pytest.approx(0.5)
+    # derived dst: cumulative haversine, ~111m per 0.001 deg lat
+    assert rows[0]["dst"] == 0.0
+    assert rows[1]["dst"] == pytest.approx(111.2, rel=0.01)
+    assert rows[2]["dst"] == pytest.approx(222.4, rel=0.01)
+
+
+def test_gpx_round_trip_tolerance(spark):
+    # df-test.rkt:1291-1316: write-read round-trip with 1e-5 tolerance
+    fr = GPX.read_gpx(spark, GPX_SAMPLE)
+    xml2 = GPX.write_gpx(fr)
+    fr2 = GPX.read_gpx(spark, xml2)
+    a = fr.df.orderBy("timestamp").collect()
+    b = fr2.df.orderBy("timestamp").collect()
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert rb["lat"] == pytest.approx(ra["lat"], abs=1e-5)
+        assert rb["lon"] == pytest.approx(ra["lon"], abs=1e-5)
+        assert rb["alt"] == pytest.approx(ra["alt"], abs=1e-5)
+
+
+TCX_SAMPLE = """<?xml version="1.0"?>
+<TrainingCenterDatabase xmlns="http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2">
+ <Activities><Activity Sport="Biking">
+  <Lap StartTime="2020-01-01T00:00:00Z"><Track>
+    <Trackpoint><Time>2020-01-01T00:00:00Z</Time>
+      <Position><LatitudeDegrees>45.0</LatitudeDegrees><LongitudeDegrees>25.0</LongitudeDegrees></Position>
+      <AltitudeMeters>10.0</AltitudeMeters><DistanceMeters>0.0</DistanceMeters>
+      <HeartRateBpm><Value>120</Value></HeartRateBpm><Cadence>80</Cadence></Trackpoint>
+    <Trackpoint><Time>2020-01-01T00:00:10Z</Time>
+      <Position><LatitudeDegrees>45.0005</LatitudeDegrees><LongitudeDegrees>25.0</LongitudeDegrees></Position>
+      <AltitudeMeters>11.0</AltitudeMeters><DistanceMeters>55.0</DistanceMeters>
+      <HeartRateBpm><Value>125</Value></HeartRateBpm><Cadence>82</Cadence></Trackpoint>
+  </Track></Lap>
+  <Creator xsi:type="Device_t" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
+    <Name>Dev</Name><UnitId>123</UnitId><ProductID>456</ProductID>
+  </Creator>
+ </Activity></Activities>
+</TrainingCenterDatabase>"""
+
+
+def test_read_tcx(spark):
+    fr = TCX.read_tcx(spark, TCX_SAMPLE)
+    assert fr.get_property("tcx-sport") == "Biking"
+    assert fr.get_property("unit-id") == 123
+    assert fr.get_property("product-id") == 456
+    assert fr.get_property("laps") == [GPX.iso_to_seconds("2020-01-01T00:00:00Z")]
+    rows = fr.df.orderBy("timestamp").collect()
+    assert rows[0]["hr"] == 120.0 and rows[1]["cad"] == 82.0
+    assert rows[1]["dst"] == 55.0
+
+
+def test_haversine_known_distance(spark):
+    # 1 degree of latitude ~ 111.19 km on the R=6371 km sphere
+    df = spark.createDataFrame([(0.0, 0.0, 1.0, 0.0)], ["lat1", "lon1", "lat2", "lon2"])
+    d = df.select(
+        haversine(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d")
+    ).collect()[0]["d"]
+    assert d == pytest.approx(111194.9, rel=1e-4)
