@@ -51,9 +51,9 @@ def sql_hash60(expr: str, seed: int | None = None) -> str:
     h = f"substr({sql_md5(expr, seed)}, 1, 15)"
     # Σ hexdigit(substr(h,i,1)) * 16^(15-i) — pure integer arithmetic
     digit = (
-        "CASE WHEN ascii(substr({h},{i},1)) >= 97 "
+        "CAST(CASE WHEN ascii(substr({h},{i},1)) >= 97 "
         "THEN ascii(substr({h},{i},1)) - 87 "
-        "ELSE ascii(substr({h},{i},1)) - 48 END"
+        "ELSE ascii(substr({h},{i},1)) - 48 END AS BIGINT)"
     )
     terms = " + ".join(
         f"({digit.format(h=h, i=i)}) * {16 ** (15 - i)}" for i in range(1, 16)

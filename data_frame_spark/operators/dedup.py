@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from data_frame_spark.operators.text import normalize, word_shingles, tokens
+from data_frame_spark.operators.text import normalize, word_shingles, shingle_rows, tokens
 from data_frame_spark.functions.texthash import hash60
 
 
@@ -41,6 +41,20 @@ def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: prime modulus for the affine minhash family (< 2^30 so the
+#: a*h multiply stays inside int64 in every engine)
+MINHASH_P = 1073741789
+
+
+def minhash_params(k: int) -> tuple[int, int]:
+    """Deterministic affine-rehash constants (md5-derived, public)."""
+    import hashlib
+
+    a = int(hashlib.md5(f"a{k}".encode()).hexdigest()[:7], 16) % MINHASH_P | 1
+    b = int(hashlib.md5(f"b{k}".encode()).hexdigest()[:7], 16) % MINHASH_P
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -48,24 +62,27 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-document MinHash signature: for seed s, the minimum of
-    md5('s<seed>:' || shingle) over the document's shingles — a
-    lexicographic minhash (uniform over the md5 space, totally
-    ordered, engine-identical). Output: (id, mh_0..mh_{K-1}).
+    """Per-document MinHash signature: ONE md5 per shingle -> 60-bit
+    integer -> K affine rehashes (a_k·h + b_k) mod P; signature k is
+    the min over shingles. Integer arithmetic end-to-end, so a SQL
+    oracle reproduces it exactly, and the md5 cost is paid once per
+    shingle, not once per (shingle, seed).
+    Output: (id, mh_0..mh_{K-1} BIGINT).
 
     Plan: explode shingles -> ONE groupBy(id) computing all K mins
     (map-side combine does most of the work before the shuffle).
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias(
-            "__shingle"
-        ),
+    # MIN over duplicate shingles equals MIN over the distinct set,
+    # so no dedup stage is needed before the aggregation
+    sh = shingle_rows(df, text_col, id_col, shingle_n).withColumn(
+        "__h", hash60(F.col("__shingle")) % F.lit(MINHASH_P)
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{k}:"), F.col("__shingle")))).alias(f"mh_{k}")
-        for k in range(num_hashes)
-    ]
+    aggs = []
+    for k in range(num_hashes):
+        a, b = minhash_params(k)
+        aggs.append(
+            F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{k}")
+        )
     return sh.groupBy("__id").agg(*aggs).withColumnRenamed("__id", id_col)
 
 
@@ -113,10 +130,9 @@ def ngram_jaccard(
     """Exact shingle-set Jaccard for candidate pairs:
     (id_a, id_b, jaccard). Explode each side's distinct shingles,
     count intersections via join, |A∪B| = |A|+|B|-|A∩B|."""
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_n))).alias("__s"),
-    )
+    sh = shingle_rows(df, text_col, id_col, shingle_n).withColumnRenamed(
+        "__shingle", "__s"
+    ).distinct()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     inter = (
         pairs.join(sh.alias("sa"), F.col("id_a") == F.col("sa.__id"))

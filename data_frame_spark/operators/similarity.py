@@ -70,16 +70,22 @@ def cosine_topk(
     """Exact top-k by cosine for each query vector. Queries broadcast
     against the (arbitrarily large) base; ties broken by id so the
     result is total-order deterministic."""
+    # norms precomputed per side: one dot per pair instead of three
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qv")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        norm2(F.col(vec_col)).alias("__qn"),
     )
-    joined = base.select(
-        F.col(id_col), F.col(vec_col).alias("__bv")
-    ).crossJoin(F.broadcast(q))
+    b = base.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__bv"),
+        norm2(F.col(vec_col)).alias("__bn"),
+    )
+    joined = b.crossJoin(F.broadcast(q))
     scored = joined.select(
         query_id_col,
         id_col,
-        cosine(F.col("__bv"), F.col("__qv")).alias("cosine"),
+        (dot(F.col("__bv"), F.col("__qv")) / (F.col("__bn") * F.col("__qn"))).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -132,15 +138,20 @@ def lsh_ann_topk(
     b = base.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, num_planes))
     q = queries.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, num_planes))
     joined = b.select(
-        id_col, F.col(vec_col).alias("__bv"), "__bucket"
+        id_col, F.col(vec_col).alias("__bv"), norm2(F.col(vec_col)).alias("__bn"), "__bucket"
     ).join(
-        F.broadcast(q.select(query_id_col, F.col(vec_col).alias("__qv"), "__bucket")),
+        F.broadcast(
+            q.select(
+                query_id_col, F.col(vec_col).alias("__qv"),
+                norm2(F.col(vec_col)).alias("__qn"), "__bucket",
+            )
+        ),
         "__bucket",
     )
     scored = joined.select(
         query_id_col,
         id_col,
-        cosine(F.col("__bv"), F.col("__qv")).alias("cosine"),
+        (dot(F.col("__bv"), F.col("__qv")) / (F.col("__bn") * F.col("__qn"))).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -163,9 +174,11 @@ def embedding_near_dup(
     """Embedding-cosine near-duplicate pairs: candidates from shared
     sign-LSH buckets, verified by exact cosine >= threshold.
     Output: (id_a, id_b, cosine), id_a < id_b."""
-    b = df.select(
-        F.col(id_col), F.col(vec_col).alias("__v")
-    ).withColumn("__bucket", lsh_bucket(F.col("__v"), dim, num_planes))
+    b = (
+        df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+        .withColumn("__bucket", lsh_bucket(F.col("__v"), dim, num_planes))
+        .withColumn("__n", norm2(F.col("__v")))
+    )
     a = b.alias("a")
     c = b.alias("c")
     pairs = (
@@ -174,7 +187,7 @@ def embedding_near_dup(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"c.{id_col}").alias("id_b"),
-            cosine(F.col("a.__v"), F.col("c.__v")).alias("cosine"),
+            (dot(F.col("a.__v"), F.col("c.__v")) / (F.col("a.__n") * F.col("c.__n"))).alias("cosine"),
         )
     )
     return pairs.where(F.col("cosine") >= F.lit(threshold))

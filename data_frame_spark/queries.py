@@ -934,20 +934,37 @@ _SHINGLES = r"""
 """
 
 _NHASH, _BANDS = 8, 4
-_MH_MIN = ", ".join(
-    f"MIN(md5('s{k}:' || s)) AS mh_{k}" for k in range(_NHASH)
+
+# DuckDB twin of texthash.hash60: 15-hex-digit positional sum of md5
+_H60 = " + ".join(
+    "CAST(CASE WHEN ascii(substr(md5(s), {i}, 1)) >= 97 "
+    "THEN ascii(substr(md5(s), {i}, 1)) - 87 "
+    "ELSE ascii(substr(md5(s), {i}, 1)) - 48 END AS BIGINT) * {w}".format(i=i, w=16 ** (15 - i))
+    for i in range(1, 16)
 )
+from data_frame_spark.operators.dedup import MINHASH_P, minhash_params
+
+_MH_MIN = ", ".join(
+    "MIN(({a} * hq + {b}) % {p}) AS mh_{k}".format(
+        a=minhash_params(k)[0], b=minhash_params(k)[1], p=MINHASH_P, k=k
+    )
+    for k in range(_NHASH)
+)
+# extend the shingle CTE with the integer hash
+_SHINGLES = _SHINGLES + f"""
+    , exh AS (SELECT doc_id, ({_H60}) % {MINHASH_P} AS hq FROM ex)
+"""
 
 
 @query(
     "minhash_signatures_docs",
     oracle=_SHINGLES + f"""
-    SELECT doc_id, {_MH_MIN} FROM ex GROUP BY doc_id
+    SELECT doc_id, {_MH_MIN} FROM exh GROUP BY doc_id
     """,
 )
 def minhash_signatures_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures: K lexicographic-min md5 shingle hashes per
-    document (one explode + one groupBy shuffle)."""
+    """MinHash signatures: one md5 per shingle -> K affine integer
+    rehashes, min per document (one explode + one groupBy shuffle)."""
     docs = t(spark, sf_dir, "documents")
     return OpDedup.minhash_signatures(docs, "text", "doc_id", num_hashes=_NHASH)
 
@@ -963,7 +980,7 @@ _BAND_UNION = " UNION ALL ".join(
 @query(
     "lsh_near_dup_pairs",
     oracle=_SHINGLES + f"""
-    , sigs AS (SELECT doc_id, {_MH_MIN} FROM ex GROUP BY doc_id),
+    , sigs AS (SELECT doc_id, {_MH_MIN} FROM exh GROUP BY doc_id),
     bands AS ({_BAND_UNION})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
@@ -982,7 +999,7 @@ def lsh_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ngram_jaccard_verified",
     oracle=_SHINGLES + f"""
-    , sigs AS (SELECT doc_id, {_MH_MIN} FROM ex GROUP BY doc_id),
+    , sigs AS (SELECT doc_id, {_MH_MIN} FROM exh GROUP BY doc_id),
     bands AS ({_BAND_UNION}),
     pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
               FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
