@@ -1,0 +1,56 @@
+"""Plan-shape tests: the 100 TB design contract.
+
+These assert the *physical* properties that make the operators scale
+— pushdown, pruning, broadcast, bounded shuffles — so regressions
+show up in CI rather than on a cluster.
+"""
+
+from __future__ import annotations
+
+from data_frame_spark.plans import checks as C
+from data_frame_spark.queries import QUERIES
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["select_filter_project"](spark, sf_dir)
+    assert C.has_pushed_filter(df, "GreaterThan(l_quantity")
+    assert C.has_pushed_filter(df, "EqualTo(l_returnflag,N)")
+
+
+def test_column_pruning(spark, sf_dir):
+    df = QUERIES["select_filter_project"](spark, sf_dir)
+    cols = set(C.read_schema_columns(df))
+    # only the 5 referenced columns are read, not all 11
+    assert "l_orderkey" in cols and "l_quantity" in cols
+    assert "l_shipdate" not in cols and "l_tax" not in cols
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = QUERIES["regional_revenue"](spark, sf_dir)
+    assert C.uses_broadcast_join(df)
+
+
+def test_flagship_is_single_shuffle_with_partial_agg(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    # one exchange for the groupBy, preceded by map-side combine
+    assert C.count_shuffles(df) == 1
+    assert "partial_sum" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = QUERIES["top_revenue_orders"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in C.simple_plan(df)
+
+
+def test_asof_join_is_single_sort_no_join(spark, sf_dir):
+    # the as-of union+window formulation must not contain a join
+    df = QUERIES["asof_click_view"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    assert "Join" not in plan
+    assert plan.count("Sort") >= 1
+
+
+def test_quantile_probe_join_is_broadcast(spark, sf_dir):
+    df = QUERIES["quantiles_extendedprice"](spark, sf_dir)
+    assert C.uses_broadcast_join(df)
