@@ -320,3 +320,40 @@ def mean_max_probe(df, value_col, x_col, mm, partition_by=(), slice_scale=None):
         "pos",
         ((F.col("__Ae") - F.col("__As")) / F.col("duration")).alias("aux_mean"),
     )
+
+
+def lap_swim_expand(
+    df: DataFrame,
+    value_col: str,
+    x_col: str,
+    partition_by: Sequence[str] = (),
+) -> DataFrame:
+    """``df-mean-max/lap-swim`` pre-transform (meanmax.rkt:270-304):
+    discretely-sampled data (one sample per pool length, recorded at
+    the END of the length) is expanded so each sample becomes two
+    points — (prev_x, value) and (x, value) — turning each length
+    into a constant-value segment; NA values become 0 instead of
+    being dropped (pauses must count). Feed the result to
+    :func:`mean_max`.
+    """
+    pcols = list(partition_by)
+    x = F.col(x_col).cast("double")
+    y = F.coalesce(F.col(value_col).cast("double"), F.lit(0.0))
+    base = df.where(x.isNotNull()).select(
+        *pcols, x.alias("__x"), y.alias("__y")
+    )
+    ow = (
+        Window.partitionBy(*pcols).orderBy("__x")
+        if pcols
+        else Window.orderBy("__x")
+    )
+    tagged = base.withColumn(
+        "__px", F.coalesce(F.lag("__x").over(ow), F.lit(0.0))
+    )
+    start_pts = tagged.select(
+        *pcols, F.col("__px").alias(x_col), F.col("__y").alias(value_col)
+    )
+    end_pts = tagged.select(
+        *pcols, F.col("__x").alias(x_col), F.col("__y").alias(value_col)
+    )
+    return start_pts.unionByName(end_pts)

@@ -1,0 +1,37 @@
+"""Skew-mitigation helpers for 100 TB joins.
+
+AQE's skew-join handling (enabled in the session defaults) splits
+oversized partitions automatically; ``salted_join`` is the explicit
+fallback for pathologically hot keys or non-AQE paths: the build
+side replicates R times, the probe side salts uniformly, and the
+join key becomes (key, salt) — hot keys spread over R reducers.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    replication: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join with a salted key: ``large`` rows get a random salt in
+    [0, R); ``small`` rows are replicated for every salt value. The
+    shuffle key (on, salt) splits each hot key across R partitions.
+    """
+    salted_large = large.withColumn(
+        "__salt", (F.rand(seed=42) * replication).cast("int")
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(replication - 1))
+    ).alias("__salt")
+    salted_small = small.select("*", salts)
+    out = salted_large.join(salted_small, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

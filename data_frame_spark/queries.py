@@ -52,16 +52,9 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SQL uses the exact integer forms (``epoch_ns(ts)//1000``) so both
     engines do identical integer arithmetic.
     """
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(path)
-            .withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts_us", F.expr("ts_ns div 1000"))
-            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-        )
-    return spark.read.parquet(path)
+    from data_frame_spark.session import load_table
+
+    return load_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

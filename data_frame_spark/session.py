@@ -69,6 +69,28 @@ TPCH_TABLES = (
 )
 
 
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Load one driver table.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's scan
+    rejects; it is read as a raw nanosecond long and exposed as
+    ``ts_ns`` (exact nanos), ``ts_us`` (exact micros) and ``ts``
+    (micro-precision TimestampType).
+    """
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.read.parquet(path)
+            .withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+    return spark.read.parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, register: bool = True):
     """Load the driver-provisioned parquet tables from ``sf_dir``.
 
@@ -77,9 +99,8 @@ def load_tables(spark: SparkSession, sf_dir: str, register: bool = True):
     """
     out = {}
     for name in TPCH_TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            df = spark.read.parquet(path)
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            df = load_table(spark, sf_dir, name)
             if register:
                 df.createOrReplaceTempView(name)
             out[name] = df

@@ -1,0 +1,80 @@
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_frame_spark.operators import meanmax as MM
+from data_frame_spark.operators.annealing import annealing
+from data_frame_spark.operators.skew import salted_join
+from data_frame_spark.sources.sql import read_sql
+
+
+def test_lap_swim_expand_doubles_points(spark):
+    df = spark.createDataFrame(
+        [(30.0, 2.0), (60.0, None), (90.0, 4.0)], ["elapsed", "spd"]
+    )
+    out = MM.lap_swim_expand(df, "spd", "elapsed")
+    rows = sorted((r["elapsed"], r["spd"]) for r in out.collect())
+    # each length -> (prev_x, v) and (x, v); NA -> 0
+    assert rows == [
+        (0.0, 2.0), (30.0, 0.0), (30.0, 2.0), (60.0, 0.0), (60.0, 4.0), (90.0, 4.0),
+    ]
+
+
+def test_lap_swim_mean_max_step_function(spark):
+    # constant-speed lengths: mean-max of any duration == the speed
+    df = spark.createDataFrame(
+        [(float(30 * i), 2.0) for i in range(1, 11)], ["elapsed", "spd"]
+    )
+    expanded = MM.lap_swim_expand(df, "spd", "elapsed")
+    out = MM.mean_max(expanded, "spd", "elapsed", durations=[60, 120])
+    for r in out.collect():
+        assert r["best_mean"] == pytest.approx(2.0, abs=1e-9)
+
+
+def test_annealing_minimizes_quadratic():
+    rng = random.Random(11)
+    best = annealing(
+        initial=10.0,
+        goal=lambda x: (x - 3.0) ** 2,
+        neighbour=lambda x, t: x + rng.uniform(-1, 1) * t * 5,
+        iterations=2000,
+        rng=rng,
+    )
+    assert abs(best - 3.0) < 0.1
+
+
+def test_annealing_restart():
+    rng = random.Random(2)
+    best = annealing(
+        initial=0.0,
+        goal=lambda x: abs(x - 1.0),
+        neighbour=lambda x, t: x + rng.uniform(-0.5, 0.5),
+        iterations=500,
+        restart_after=25,
+        rng=rng,
+    )
+    assert abs(best - 1.0) < 0.2
+
+
+def test_salted_join_matches_plain_join(spark):
+    large = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(300)], ["k", "v"]
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], ["k", "name"])
+    plain = large.join(small, "k").groupBy("name").count()
+    salted = salted_join(large, small, "k").groupBy("name").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_read_sql_surface(spark, sf_dir):
+    from data_frame_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+    out = read_sql(
+        spark,
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
+    )
+    assert out.count() == 3
