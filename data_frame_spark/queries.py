@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_frame_spark.exact import dsum, davg, sql_dsum, sql_davg
+from data_frame_spark.frame import Frame
 from data_frame_spark.operators import core as OpCore
 from data_frame_spark.operators import lookup as OpLookup
 from data_frame_spark.operators import window as OpWindow
@@ -1304,3 +1305,225 @@ def byte_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload", F.encode(F.col("text"), "UTF-8")
     )
     return OpMulti.byte_features(docs, "payload")
+
+
+# ---------------------------------------------------------------------------
+# Additional reference-surface + engine-breadth queries
+# ---------------------------------------------------------------------------
+
+@query(
+    "forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05 AND l_quantity < 24
+    """,
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+agg — the fully-pushed-down
+    path (no shuffle beyond the final 1-row combine)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue_delta"))
+    )
+
+
+@query(
+    "shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast through a
+    two-level join, grouped revenue."""
+    cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@query(
+    "index_range_select",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice >= 100000 AND o_totalprice < 150000
+    """,
+)
+def index_range_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-select/by-index #:from/#:to (df.rkt:822-936): a secondary
+    index is an iteration order + key range; in Spark the range
+    predicate IS the index lookup (min/max pruning at the scan)."""
+    orders = t(spark, sf_dir, "orders")
+    fr = Frame(orders).add_index("by_price", "o_totalprice")
+    lo, hi = 100000, 150000
+    return (
+        fr.df.where(
+            (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi)
+        ).select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "equal_range_count",
+    oracle="""
+    SELECT l_quantity, COUNT(*) AS n, MIN(l_orderkey) AS first_key
+    FROM lineitem WHERE l_quantity IN (1.0, 25.0, 50.0)
+    GROUP BY l_quantity
+    """,
+)
+def equal_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-equal-range / df-all-indices-of (df.rkt:450-465): the
+    duplicate-run of a key value, as a filter+group."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity").isin(1.0, 25.0, 50.0))
+        .groupBy("l_quantity")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("l_orderkey").alias("first_key"))
+    )
+
+
+@query(
+    "cartesian_region_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def cartesian_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """for*/data-frame (private/for-df.rkt:27-62): nested-product
+    construction == crossJoin."""
+    region = t(spark, sf_dir, "region").select("r_name")
+    nation = t(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(nation)
+
+
+@query(
+    "mean_max_inverted",
+    oracle=f"""
+    WITH pts AS (SELECT (epoch_ns(ts)//1000)/1000000.0 AS x, value AS y
+                 FROM events WHERE value IS NOT NULL),
+         s AS (SELECT x, y,
+                      (x - LAG(x) OVER w) * (LAG(y) OVER w + y)/2 AS slice,
+                      LEAD(x) OVER w AS nx
+               FROM pts WINDOW w AS (ORDER BY x)),
+         a AS (SELECT x, nx,
+                      COALESCE(SUM(CAST(FLOOR(slice * 1000000.0 + 0.5) AS BIGINT))
+                               OVER (ORDER BY x ROWS UNBOUNDED PRECEDING), 0) / 1000000.0 AS A,
+                      MAX(x) OVER () AS xmax
+               FROM s),
+         d AS (SELECT CAST(UNNEST([3600, 86400]) AS DOUBLE) AS duration),
+         probes AS (SELECT a.x AS pos, d.duration, a.A AS A_start,
+                           a.x + d.duration AS k
+                    FROM a CROSS JOIN d
+                    WHERE a.nx IS NOT NULL AND a.x + d.duration <= a.xmax),
+         back AS (SELECT p.pos, p.duration, p.A_start, p.k, b.x AS x0, b.A AS A0
+                  FROM probes p ASOF LEFT JOIN a b ON p.k >= b.x),
+         fwd AS (SELECT p.pos, p.duration, b.x AS x1, b.A AS A1
+                 FROM probes p ASOF LEFT JOIN a b ON p.k < b.x),
+         m AS (SELECT back.duration, back.pos,
+                      (CASE WHEN fwd.x1 IS NULL OR fwd.x1 = back.x0 THEN back.A0
+                            ELSE back.A0 + (back.k - back.x0)/(fwd.x1 - back.x0)
+                                           *(fwd.A1 - back.A0) END
+                       - back.A_start) / back.duration AS mean
+               FROM back JOIN fwd
+                 ON back.pos = fwd.pos AND back.duration = fwd.duration),
+         r AS (SELECT duration, pos, mean,
+                      ROW_NUMBER() OVER (PARTITION BY duration
+                                         ORDER BY mean ASC, pos ASC) AS rk
+               FROM m)
+    SELECT duration, mean AS best_mean, pos FROM r WHERE rk = 1
+    """,
+)
+def mean_max_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-mean-max #:inverted? (meanmax.rkt:145): smallest windowed
+    average is best (pace/vertical-oscillation semantics)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "x", F.col("ts_us") / F.lit(1000000.0)
+    )
+    return OpMM.mean_max(
+        ev, "value", "x", durations=[3600, 86400], inverted=True, slice_scale=6
+    )
+
+
+@query(
+    "histogram_percentage_trimmed",
+    oracle=f"""
+    WITH b AS (SELECT {_TRUNC_Q5} AS bucket, COUNT(*) AS count
+               FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+         rng AS (SELECT UNNEST(generate_series((SELECT MIN(bucket) FROM b),
+                                               (SELECT MAX(bucket) FROM b))) AS bucket),
+         f AS (SELECT rng.bucket, rng.bucket * 5.0 AS bucket_start,
+                      COALESCE(b.count, 0) AS count
+               FROM rng LEFT JOIN b ON rng.bucket = b.bucket),
+         keep AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM f
+                  WHERE CAST(count AS DOUBLE) / (SELECT SUM(count) FROM f) >= 0.05)
+    SELECT f.bucket, f.bucket_start,
+           f.count * 100.0 / (SELECT SUM(count) FROM f WHERE bucket BETWEEN keep.lo AND keep.hi) AS count
+    FROM f CROSS JOIN keep WHERE f.bucket BETWEEN keep.lo AND keep.hi
+    """,
+)
+def histogram_percentage_trimmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-histogram #:as-percentage? + trim-histogram-outliers
+    (histogram.rkt:98-155): drop edge buckets under 5% share, scale
+    the rest to percentages."""
+    li = t(spark, sf_dir, "lineitem")
+    return OpHist.histogram(
+        li, "l_quantity", width=5.0, as_percentage=True, trim_outliers=0.05
+    )
+
+
+@query(
+    "quality_score_docs",
+    oracle=r"""
+    WITH base AS (SELECT doc_id, text,
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk,
+                         CAST(length(text) AS BIGINT) AS nc
+                  FROM documents),
+         feat AS (SELECT doc_id,
+                         CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / nc AS punct_ratio,
+                         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / nc AS digit_ratio,
+                         CAST(len(list_filter(tk, x -> list_contains(
+                              ['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','as','for','on','at','by','from','not','but'], x)))
+                              AS DOUBLE) / len(tk) AS stopword_ratio,
+                         CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS unique_token_ratio
+                  FROM base)
+    SELECT doc_id,
+           GREATEST(0.0,
+             1.0 - LEAST(0.3, punct_ratio * 2) - LEAST(0.2, digit_ratio)
+                 - (CASE WHEN stopword_ratio < 0.01 THEN 0.2 ELSE 0.0 END)
+                 - (CASE WHEN unique_token_ratio < 0.1 THEN 0.3 ELSE 0.0 END)
+           ) AS quality_score
+    FROM feat
+    """,
+)
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score in [0,1] (cheap pretraining
+    filter: punct/digit/stopword/diversity penalties)."""
+    docs = t(spark, sf_dir, "documents")
+    return OpText.quality_score(docs, "text").select("doc_id", "quality_score")
