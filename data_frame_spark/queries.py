@@ -1527,3 +1527,27 @@ def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter: punct/digit/stopword/diversity penalties)."""
     docs = t(spark, sf_dir, "documents")
     return OpText.quality_score(docs, "text").select("doc_id", "quality_score")
+
+
+@query(
+    "simhash_docs",
+    oracle=r"""
+    WITH toks AS (SELECT doc_id,
+                         UNNEST(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS s
+                  FROM documents),
+         wtok AS (SELECT doc_id, s, COUNT(*) AS w FROM toks GROUP BY 1, 2),
+         h AS (SELECT doc_id, w, ({H60}) AS hv FROM wtok),
+         bits AS (SELECT doc_id, w, hv, UNNEST(generate_series(0, 59)) AS b FROM h),
+         votes AS (SELECT doc_id, b,
+                          SUM(CASE WHEN (hv >> b) & 1 = 1 THEN w ELSE -w END) AS v
+                   FROM bits GROUP BY 1, 2)
+    SELECT doc_id,
+           SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+    FROM votes GROUP BY doc_id
+    """.replace("{H60}", _H60),
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (60-bit weighted bit votes over token
+    hashes) — near-dup detection via signature bands at scale."""
+    docs = t(spark, sf_dir, "documents")
+    return OpDedup.simhash(docs, "text", "doc_id")
