@@ -1551,3 +1551,36 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes) — near-dup detection via signature bands at scale."""
     docs = t(spark, sf_dir, "documents")
     return OpDedup.simhash(docs, "text", "doc_id")
+
+
+@query(
+    "winnowed_fingerprints_docs",
+    oracle=r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+         toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+         sh AS (SELECT doc_id,
+                       CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                            ELSE list_transform(generate_series(1, len(tk)-4),
+                                                i -> array_to_string(tk[i:i+4], ' '))
+                       END AS shingles
+                FROM toks),
+         hs AS (SELECT doc_id, list_transform(shingles, s -> md5(s)) AS hashes FROM sh),
+         win AS (SELECT doc_id,
+                        CASE WHEN len(hashes) < 4 THEN [list_aggregate(hashes, 'min')]
+                             ELSE list_distinct(list_transform(
+                                    generate_series(1, len(hashes)-3),
+                                    i -> list_aggregate(hashes[i:i+3], 'min')))
+                        END AS fps
+                 FROM hs)
+    SELECT doc_id, UNNEST(fps) AS fp FROM win
+    """,
+)
+def winnowed_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (robust local near-dup/plagiarism
+    marks): min-hash of each sliding window of 4 consecutive 5-gram
+    shingle hashes, distinct per document."""
+    docs = t(spark, sf_dir, "documents")
+    return OpText.winnowed_fingerprint_rows(docs, "text", "doc_id", k=5, window=4).select(
+        F.col("__id").alias("doc_id"), F.col("__fp").alias("fp")
+    )

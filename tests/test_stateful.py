@@ -1,0 +1,37 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_frame_spark.queries import t
+from data_frame_spark.streaming import windows as W
+from data_frame_spark.streaming.stateful import running_user_stats
+
+
+def test_stateful_running_user_stats(spark, sf_dir):
+    stream = W.stream_events(spark, sf_dir, watermark="1 hour")
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_stateful")
+    # last update per user reflects the full history
+    latest = {
+        r["user_id"]: (r["n"], round(r["value_sum"], 6))
+        for r in got.collect()
+    }
+    batch = t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("s")
+    )
+    expect = {r["user_id"]: (r["n"], r["s"]) for r in batch.collect()}
+    assert set(latest) == set(expect)
+    for u in expect:
+        assert latest[u][0] == expect[u][0]
+        assert abs(latest[u][1] - expect[u][1]) < 1e-4
+    # EMA exists and is bounded by observed values per user
+    emas = {r["user_id"]: r["ema"] for r in got.collect()}
+    assert all(e is not None for e in emas.values())
