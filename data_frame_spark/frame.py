@@ -126,6 +126,38 @@ class Frame:
     def get_default_weight_series(self) -> str | None:
         return self.properties.get("weight-series")
 
+    # -- reference-parity shims ----------------------------------------
+    def shallow_copy(self) -> "Frame":
+        """``df-shallow-copy`` (df.rkt:71-82): plans are immutable, so
+        a copy shares the DataFrame and clones the metadata."""
+        return Frame(self.df, dict(self.properties), list(self.order_by), dict(self.indexes))
+
+    def duplicate_series(self, name: str, new_name: str) -> "Frame":
+        """``df-duplicate-series`` (df.rkt:87-89)."""
+        return self._with(self.df.withColumn(new_name, F.col(name)))
+
+    def ref(self, i: int, *cols: str):
+        """``df-ref``/``df-ref*`` (df.rkt:168-178): point read at row
+        position ``i`` of the declared order. Positional access is a
+        test/debug shim in a distributed engine (the reference's
+        binary-search machinery dissolves into predicates) — this
+        sorts and skips, never collecting more than one row."""
+        if not self.order_by:
+            raise ValueError("ref requires a declared order (set_sorted)")
+        row = self.df.orderBy(*self.order_by).offset(i).limit(1).collect()
+        if not row:
+            raise IndexError(i)
+        return tuple(row[0][c] for c in cols) if cols else tuple(row[0])
+
+    def iter_rows(self, reverse: bool = False):
+        """``in-data-frame`` (df.rkt:589-632) incl. reverse iteration:
+        a driver-side ordered iterator (``toLocalIterator`` — one
+        partition in memory at a time)."""
+        order = self.order_by or self.df.columns[:1]
+        cols = [F.col(c) for c in order]
+        df = self.df.orderBy(*[c.desc() for c in cols] if reverse else cols)
+        return df.toLocalIterator()
+
     # -- misc ----------------------------------------------------------
     def row_count(self) -> int:
         return self.df.count()

@@ -53,3 +53,21 @@ def test_describe(spark, sf_dir):
     assert rows["l_quantity"]["na_count"] == 0
     assert rows["l_quantity"]["min"] >= 0
     assert rows["l_returnflag"]["mean"] is None
+
+
+def test_frame_parity_shims(spark):
+    fr = Frame.from_dict(
+        spark, {"c0": [1, 2, 3, 4], "c1": [30, 20, 10, 0]}
+    ).set_sorted("c0")
+    # shallow copy shares the plan, clones metadata
+    cp = fr.shallow_copy().put_property("x", 1)
+    assert fr.get_property("x") is None and cp.get_property("x") == 1
+    # duplicate series
+    assert "c0_bis" in fr.duplicate_series("c0", "c0_bis").series_names
+    # point ref over the declared order
+    assert fr.ref(2) == (3, 10)
+    assert fr.ref(0, "c1") == (30,)
+    # iteration incl. reverse (df-test.rkt:1074-1077)
+    fwd = [r["c0"] for r in fr.iter_rows()]
+    rev = [r["c0"] for r in fr.iter_rows(reverse=True)]
+    assert fwd == [1, 2, 3, 4] and rev == [4, 3, 2, 1]
