@@ -55,6 +55,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from data_frame_spark.session import load_table
 
+    # the driver runs these under ITS OWN session: pin the two confs
+    # the results depend on (timestamp-literal parsing, NULL-on-
+    # invalid arithmetic) so behavior matches the oracle regardless
+    # of the host session's defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return load_table(spark, sf_dir, name)
 
 
