@@ -1590,3 +1590,96 @@ def winnowed_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OpText.winnowed_fingerprint_rows(docs, "text", "doc_id", k=5, window=4).select(
         F.col("__id").alias("doc_id"), F.col("__fp").alias("fp")
     )
+
+
+_Q4 = lambda e: _fsum(e, 4)  # noqa: E731
+
+_MOM2 = f"""
+    WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                      CAST(l_extendedprice AS DOUBLE) AS y
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                      {_Q4('x')} AS sx, {_Q4('x*x')} AS sx2,
+                      {_Q4('x*x*x')} AS sx3, {_Q4('x*x*x*x')} AS sx4,
+                      {_Q4('y')} AS sy, {_Q4('x*y')} AS sxy,
+                      {_Q4('x*x*y')} AS sx2y
+               FROM d)
+"""
+_DET3 = "({a}*(({e})*({i}) - ({f})*({h})) - ({b})*(({d})*({i}) - ({f})*({g})) + ({c})*(({d})*({h}) - ({e})*({g})))"
+
+
+def _det3(a, b, c, d, e, f, g, h, i):
+    return _DET3.format(a=a, b=b, c=c, d=d, e=e, f=f, g=g, h=h, i=i)
+
+
+@query(
+    "poly2_fit_price_qty",
+    oracle=_MOM2 + f"""
+    SELECT {_det3('sy','sx','sx2','sxy','sx2','sx3','sx2y','sx3','sx4')}
+             / {_det3('n','sx','sx2','sx','sx2','sx3','sx2','sx3','sx4')} AS a0,
+           {_det3('n','sy','sx2','sx','sxy','sx3','sx2','sx2y','sx4')}
+             / {_det3('n','sx','sx2','sx','sx2','sx3','sx2','sx3','sx4')} AS a1,
+           {_det3('n','sx','sy','sx','sx2','sxy','sx2','sx3','sx2y')}
+             / {_det3('n','sx','sx2','sx','sx2','sx3','sx2','sx3','sx4')} AS a2
+    FROM m
+    """,
+)
+def poly2_fit_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-least-squares-fit mode='polynomial degree 2
+    (least-squares-fit.rkt:34-41): Cramer's rule on the Vandermonde
+    normal equations, pure distributed aggregates."""
+    li = t(spark, sf_dir, "lineitem")
+    return OpFit.poly2_fit_df(li, "l_quantity", "l_extendedprice")
+
+
+_PWRMOM = f"""
+    WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                      CAST(l_extendedprice AS DOUBLE) AS y
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                      {_fsum('LN(x)*LN(y)')} AS slxly, {_fsum('LN(x)')} AS slx,
+                      {_fsum('LN(y)')} AS sly, {_fsum('LN(x)*LN(x)')} AS slx2
+               FROM d)
+"""
+
+
+@query(
+    "power_fit_price_qty",
+    oracle=_PWRMOM + """
+    SELECT ROUND(EXP((sly - ((n * slxly - slx * sly) / (n * slx2 - slx * slx)) * slx) / n), 6) AS a,
+           ROUND((n * slxly - slx * sly) / (n * slx2 - slx * slx), 6) AS b
+    FROM m
+    """,
+)
+def power_fit_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-least-squares-fit mode='power (least-squares-fit.rkt:183-196):
+    y = a*x^b via log-log closed form; rounded to 6 decimals (LN/EXP
+    last-ulp differences between engines)."""
+    li = t(spark, sf_dir, "lineitem")
+    fit = OpFit.least_squares_fit(li, "l_quantity", "l_extendedprice", mode="power")
+    a, b = fit.coefficients
+    return spark.createDataFrame([(round(a, 6), round(b, 6))], ["a", "b"])
+
+
+@query(
+    "normalized_histogram_quantity",
+    oracle=f"""
+    WITH b AS (SELECT {_TRUNC_Q5} AS bucket, COUNT(*) AS count
+               FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+         rng AS (SELECT UNNEST(generate_series((SELECT MIN(bucket) FROM b),
+                                               (SELECT MAX(bucket) FROM b))) AS bucket),
+         f AS (SELECT rng.bucket, rng.bucket * 5.0 AS bucket_start,
+                      COALESCE(b.count, 0) AS count
+               FROM rng LEFT JOIN b ON rng.bucket = b.bucket)
+    SELECT bucket, bucket_start,
+           CAST(count AS DOUBLE) / (SELECT SUM(count) FROM f) AS count
+    FROM f
+    """,
+)
+def normalized_histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize-histogram (histogram.rkt:302-311): counts scaled to
+    fractions summing to 1."""
+    li = t(spark, sf_dir, "lineitem")
+    return OpHist.normalize_histogram(OpHist.histogram(li, "l_quantity", width=5.0))
