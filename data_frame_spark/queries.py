@@ -1683,3 +1683,70 @@ def normalized_histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame
     fractions summing to 1."""
     li = t(spark, sf_dir, "lineitem")
     return OpHist.normalize_histogram(OpHist.histogram(li, "l_quantity", width=5.0))
+
+
+@query(
+    "exp_fit_value_hour",
+    oracle=f"""
+    WITH d AS (SELECT (epoch_ns(ts)//1000)/1000000.0/86400.0 AS x,
+                      CAST(value AS DOUBLE) AS y
+               FROM events WHERE value IS NOT NULL),
+         mn AS (SELECT MIN(y) AS miny FROM d),
+         s AS (SELECT x,
+                      y + (CASE WHEN mn.miny < 0.1 THEN -mn.miny + 0.1 ELSE 0.0 END) AS y1
+               FROM d CROSS JOIN mn),
+         m AS (SELECT {_fsum('x*x*y1')} AS sxxy, {_fsum('x*y1')} AS sxy,
+                      {_fsum('y1*LN(y1)')} AS sylny, {_fsum('x*y1*LN(y1)')} AS sxylny,
+                      {_fsum('y1')} AS sy
+               FROM s)
+    SELECT ROUND(EXP((sxxy * sylny - sxy * sxylny) / (sy * sxxy - sxy * sxy)), 6) AS a,
+           ROUND((sy * sxylny - sxy * sylny) / (sy * sxxy - sxy * sxy), 6) AS b,
+           ROUND((SELECT CASE WHEN miny < 0.1 THEN miny - 0.1 ELSE 0.0 END FROM mn), 6) AS c
+    FROM m
+    """,
+)
+def exp_fit_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-least-squares-fit mode='exp (least-squares-fit.rkt:96-121,
+    the equal-weight variant): value ~ a*e^(b*day) + c with the
+    reference's miny<0.1 shift; outputs rounded to 6 decimals."""
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("ts_us") / F.lit(1000000.0) / F.lit(86400.0)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    fit = OpFit.least_squares_fit(ev, "x", "y", mode="exp")
+    a, b, c = fit.coefficients
+    return spark.createDataFrame(
+        [(round(a, 6), round(b, 6), round(float(c), 6))], ["a", "b", "c"]
+    )
+
+
+@query(
+    "asof_multi_value_lookup",
+    oracle="""
+    WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'click'),
+         views  AS (SELECT event_id AS view_event_id, user_id, ts,
+                           value AS view_value
+                    FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, v.view_event_id, v.view_value
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def asof_multi_value_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-lookup* with multiple result series (df.rkt:489-507): one
+    as-of pass carries every requested column of the matched row."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ns", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts_ns",
+        F.col("event_id").alias("view_event_id"),
+        F.col("value").alias("view_value"),
+    )
+    return OpLookup.asof_join(
+        clicks, views, on="ts_ns",
+        value_cols=["view_event_id", "view_value"],
+        partition_by=["user_id"],
+    ).select("event_id", "user_id", "view_event_id", "view_value")
