@@ -6,12 +6,17 @@ Reference semantics:
   the returned table maps bucket*width -> count (we expose both).
 * string samples: the bucket IS the value (histogram.rkt:49-51).
 * weighted: consecutive-pair (Δw, midpoint) samples, like weighted
-  statistics (histogram.rkt:53-66); unweighted: count 1 per sample.
-* numeric gaps between min and max bucket are zero-filled
-  (histogram.rkt:119-128); ``include_zeroes=False`` drops them.
+  statistics (histogram.rkt:53-66) — NO Δw>0 guard: backwards/zero
+  deltas contribute their (possibly negative) weight, unlike
+  weighted-statistics; unweighted: count 1 per sample.
+* ``include_zeroes=False`` discards samples whose *bucket* is 0 at
+  binning time (histogram.rkt:60-77); numeric gaps between min and
+  max bucket are then zero-filled unconditionally
+  (histogram.rkt:119-128) — so bucket 0 can reappear with count 0.
 * ``as_percentage``: counts scaled to 100*c/Σc (histogram.rkt:98-112).
-* ``trim_outliers``: drop edge buckets while their share < p,
-  scanning in from both ends (histogram.rkt:142-155).
+* ``trim_outliers``: keep the span between the first and last bucket
+  whose share is strictly > p; if no bucket qualifies the histogram
+  is returned unchanged (histogram.rkt:142-155).
 
 Plan shape: groupBy(bucket) — one map-side-combinable shuffle on the
 bucket key; gap-fill joins against a generated ``sequence()`` range
@@ -50,17 +55,13 @@ def histogram(
     """
     x = F.col(col).cast("double")
     d = df.where(x.isNotNull())
-    buckets = d.groupBy(_trunc_div(x, width).alias("bucket")).agg(
+    bucket = _trunc_div(x, width)
+    if not include_zeroes:
+        d = d.where(bucket != 0)
+    buckets = d.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("count")
     )
-    if include_zeroes:
-        rng = buckets.agg(
-            F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
-        ).select(F.explode(F.sequence("lo", "hi")).alias("bucket"))
-        buckets = (
-            rng.join(buckets, "bucket", "left")
-            .select("bucket", F.coalesce("count", F.lit(0)).alias("count"))
-        )
+    buckets = _gap_fill(buckets, F.lit(0))
     return _postprocess(buckets, width, as_percentage, trim_outliers)
 
 
@@ -84,21 +85,18 @@ def weighted_histogram(
         .withColumn("__pv", F.lag(F.col(col)).over(w))
         .withColumn("__dx", F.col(weight_col) - F.col("__pw"))
         .withColumn("__dy", (F.col("__pv") + F.col(col)) / 2)
-        .where(
-            F.col("__dx").isNotNull() & F.col("__dy").isNotNull() & (F.col("__dx") > 0)
-        )
+        # the reference's weighted-binning (histogram.rkt:53-66) has no
+        # dx>0 guard (unlike weighted-statistics): zero/backwards pairs
+        # contribute their delta
+        .where(F.col("__dx").isNotNull() & F.col("__dy").isNotNull())
     )
-    buckets = d.groupBy(_trunc_div(F.col("__dy"), width).alias("bucket")).agg(
+    bucket = _trunc_div(F.col("__dy"), width)
+    if not include_zeroes:
+        d = d.where(bucket != 0)
+    buckets = d.groupBy(bucket.alias("bucket")).agg(
         dsum(F.col("__dx"), scale).alias("count")
     )
-    if include_zeroes:
-        rng = buckets.agg(
-            F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
-        ).select(F.explode(F.sequence("lo", "hi")).alias("bucket"))
-        buckets = (
-            rng.join(buckets, "bucket", "left")
-            .select("bucket", F.coalesce("count", F.lit(0.0)).alias("count"))
-        )
+    buckets = _gap_fill(buckets, F.lit(0.0))
     return _postprocess(buckets, width, as_percentage, trim_outliers)
 
 
@@ -115,24 +113,24 @@ def string_histogram(df: DataFrame, col: str, as_percentage: bool = False) -> Da
     return out
 
 
+def _gap_fill(buckets: DataFrame, zero) -> DataFrame:
+    """Zero-fill integer bucket gaps between min and max bucket —
+    unconditional for numeric histograms (histogram.rkt:119-128)."""
+    rng = buckets.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    ).select(F.explode(F.sequence("lo", "hi")).alias("bucket"))
+    return rng.join(buckets, "bucket", "left").select(
+        "bucket", F.coalesce("count", zero).alias("count")
+    )
+
+
 def _postprocess(buckets: DataFrame, width, as_percentage, trim_outliers) -> DataFrame:
     out = buckets.withColumn(
         "bucket_start", F.col("bucket") * F.lit(float(width))
     )
-    if trim_outliers is not None:
-        # drop contiguous edge buckets whose share < p (histogram.rkt:142-155)
-        total = Window.partitionBy()
-        share = F.col("count") / F.sum("count").over(total)
-        keep = share >= F.lit(trim_outliers)
-        # positions of first/last bucket meeting the threshold
-        w_all = Window.partitionBy()
-        out = (
-            out.withColumn("__keep_b", F.when(keep, F.col("bucket")))
-            .withColumn("__lo", F.min("__keep_b").over(w_all))
-            .withColumn("__hi", F.max("__keep_b").over(w_all))
-            .where(F.col("bucket").between(F.col("__lo"), F.col("__hi")))
-            .drop("__keep_b", "__lo", "__hi")
-        )
+    # Reference order (histogram.rkt:198-203): percentages are computed
+    # over the FULL total first, then trimming drops edge buckets WITHOUT
+    # rescaling — a trimmed percentage histogram does not re-sum to 100.
     if as_percentage:
         total = Window.partitionBy()
         out = out.select(
@@ -140,9 +138,21 @@ def _postprocess(buckets: DataFrame, width, as_percentage, trim_outliers) -> Dat
             "bucket_start",
             (F.col("count") * 100.0 / F.sum("count").over(total)).alias("count"),
         )
-    else:
-        out = out.select("bucket", "bucket_start", "count")
-    return out
+    if trim_outliers is not None:
+        # keep the span between the first and last bucket whose share is
+        # STRICTLY > percent; if none qualifies, the histogram is
+        # returned unchanged (histogram.rkt:142-155)
+        w_all = Window.partitionBy()
+        share = F.col("count") / F.sum("count").over(w_all)
+        keep = share > F.lit(trim_outliers)
+        out = (
+            out.withColumn("__keep_b", F.when(keep, F.col("bucket")))
+            .withColumn("__lo", F.coalesce(F.min("__keep_b").over(w_all), F.min("bucket").over(w_all)))
+            .withColumn("__hi", F.coalesce(F.max("__keep_b").over(w_all), F.max("bucket").over(w_all)))
+            .where(F.col("bucket").between(F.col("__lo"), F.col("__hi")))
+            .drop("__keep_b", "__lo", "__hi")
+        )
+    return out.select("bucket", "bucket_start", "count")
 
 
 def combine_histograms(h1: DataFrame, h2: DataFrame) -> DataFrame:

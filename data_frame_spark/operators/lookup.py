@@ -38,10 +38,15 @@ def asof_join(
     returns NA out-of-range, df.rkt:481-485).
 
     Implementation: tag and union both sides, sort within
-    (partition_by, on, tag) and carry the last non-null base value
-    forward (or backward). Cost: one shuffle of probes+base on the
-    partition keys — no joins, no N×M comparisons; skew follows the
-    partition keys, not probe fan-out.
+    (partition_by, on, tag) and carry the last non-null base ROW
+    (one struct holding every value column) forward (or backward).
+    Carrying a single struct — not each column independently —
+    guarantees all returned columns come from the *same* matched base
+    row and that a NULL stored in that row survives (the reference
+    returns the found row including its NAs, df.rkt:474-507).
+    Cost: one shuffle of probes+base on the partition keys — no
+    joins, no N×M comparisons; skew follows the partition keys, not
+    probe fan-out.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
@@ -52,13 +57,13 @@ def asof_join(
         *pcols,
         F.col(on).alias("__k"),
         F.lit(base_tag).alias("__tag"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__row"),
     )
-    p = probes.withColumn("__k", F.col(on).cast(b.schema["__k"].dataType)).withColumn(
-        "__tag", F.lit(probe_tag)
+    p = (
+        probes.withColumn("__k", F.col(on).cast(b.schema["__k"].dataType))
+        .withColumn("__tag", F.lit(probe_tag))
+        .withColumn("__row", F.lit(None).cast(b.schema["__row"].dataType))
     )
-    for c in value_cols:
-        p = p.withColumn(f"__v_{c}", F.lit(None).cast(b.schema[f"__v_{c}"].dataType))
     u = p.unionByName(b, allowMissingColumns=True)
 
     if direction == "backward":
@@ -72,12 +77,10 @@ def asof_join(
             F.col("__k").desc(), F.col("__tag").asc()
         ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    out = u
-    for c in value_cols:
-        out = out.withColumn(f"__v_{c}", F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w))
+    out = u.withColumn("__row", F.last(F.col("__row"), ignorenulls=True).over(w))
     out = out.where(F.col("__tag") == probe_tag)
     keep = [c for c in probes.columns] + [
-        F.col(f"__v_{c}").alias(c) for c in value_cols
+        F.col(f"__row.{c}").alias(c) for c in value_cols
     ]
     return out.select(*keep)
 
@@ -96,18 +99,25 @@ def interpolated_lookup(
     hit (k0==k1==v) returns the stored value.
 
     Same union+window trick as :func:`asof_join`, carrying both the
-    previous base (key,value) and the next base (key,value).
+    previous base row and the next base row as single structs
+    (key + every value column) so the bracketing rows are never torn
+    across columns and stored NULLs survive.
     """
     pcols = list(partition_by)
     b = base.select(
         *pcols,
         F.col(on).cast("double").alias("__k"),
         F.lit(0).alias("__tag"),
-        *[F.col(c).cast("double").alias(f"__v_{c}") for c in value_cols],
+        F.struct(
+            F.col(on).cast("double").alias("__bk"),
+            *[F.col(c).cast("double").alias(c) for c in value_cols],
+        ).alias("__row"),
     )
-    p = probes.withColumn("__k", F.col(on).cast("double")).withColumn("__tag", F.lit(1))
-    for c in value_cols:
-        p = p.withColumn(f"__v_{c}", F.lit(None).cast("double"))
+    p = (
+        probes.withColumn("__k", F.col(on).cast("double"))
+        .withColumn("__tag", F.lit(1))
+        .withColumn("__row", F.lit(None).cast(b.schema["__row"].dataType))
+    )
     u = p.unionByName(b, allowMissingColumns=True)
 
     # backward pass: last base key/value at or before the probe
@@ -120,21 +130,18 @@ def interpolated_lookup(
     wf = Window.partitionBy(*pcols).orderBy(
         F.col("__k").desc(), F.col("__tag").desc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base_key = F.when(F.col("__tag") == 0, F.col("__k"))
     out = (
-        u.withColumn("__k0", F.last(base_key, ignorenulls=True).over(wb))
-        .withColumn("__k1", F.last(base_key, ignorenulls=True).over(wf))
+        u.withColumn("__s0", F.last(F.col("__row"), ignorenulls=True).over(wb))
+        .withColumn("__s1", F.last(F.col("__row"), ignorenulls=True).over(wf))
+        .where(F.col("__tag") == 1)
+        .withColumn("__k0", F.col("__s0.__bk"))
+        .withColumn("__k1", F.col("__s1.__bk"))
     )
-    for c in value_cols:
-        bv = F.when(F.col("__tag") == 0, F.col(f"__v_{c}"))
-        out = out.withColumn(f"__y0_{c}", F.last(bv, ignorenulls=True).over(wb))
-        out = out.withColumn(f"__y1_{c}", F.last(bv, ignorenulls=True).over(wf))
-    out = out.where(F.col("__tag") == 1)
 
     t_frac = (F.col("__k") - F.col("__k0")) / (F.col("__k1") - F.col("__k0"))
     exprs = [F.col(c) for c in probes.columns]
     for c in value_cols:
-        y0, y1 = F.col(f"__y0_{c}"), F.col(f"__y1_{c}")
+        y0, y1 = F.col(f"__s0.{c}"), F.col(f"__s1.{c}")
         interp = (
             # clamp below range -> first value; above -> last value
             F.when(F.col("__k0").isNull(), y1)

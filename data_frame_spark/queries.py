@@ -508,7 +508,7 @@ def histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_W_EVENTS
     + f"""
     , f AS (SELECT dx, dy FROM d
-            WHERE dx IS NOT NULL AND dy IS NOT NULL AND dx > 0),
+            WHERE dx IS NOT NULL AND dy IS NOT NULL),
     b AS (SELECT CASE WHEN dy/10.0 < 0 THEN CAST(-FLOOR(-(dy/10.0)) AS BIGINT)
                       ELSE CAST(FLOOR(dy/10.0) AS BIGINT) END AS bucket,
                  {_fsum('dx')} AS count
@@ -548,10 +548,20 @@ def string_histogram_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "combine_histograms_returnflag",
     oracle=f"""
-    WITH hr AS (SELECT {_TRUNC_Q5} AS bucket, COUNT(*) AS count
-                FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
-         hn AS (SELECT {_TRUNC_Q5} AS bucket, COUNT(*) AS count
-                FROM lineitem WHERE l_returnflag = 'N' GROUP BY 1)
+    WITH hr0 AS (SELECT {_TRUNC_Q5} AS bucket, COUNT(*) AS count
+                 FROM lineitem WHERE l_returnflag = 'R' AND {_TRUNC_Q5} != 0
+                 GROUP BY 1),
+         hn0 AS (SELECT {_TRUNC_Q5} AS bucket, COUNT(*) AS count
+                 FROM lineitem WHERE l_returnflag = 'N' AND {_TRUNC_Q5} != 0
+                 GROUP BY 1),
+         rr AS (SELECT UNNEST(generate_series((SELECT MIN(bucket) FROM hr0),
+                                              (SELECT MAX(bucket) FROM hr0))) AS bucket),
+         rn AS (SELECT UNNEST(generate_series((SELECT MIN(bucket) FROM hn0),
+                                              (SELECT MAX(bucket) FROM hn0))) AS bucket),
+         hr AS (SELECT rr.bucket, COALESCE(hr0.count, 0) AS count
+                FROM rr LEFT JOIN hr0 ON rr.bucket = hr0.bucket),
+         hn AS (SELECT rn.bucket, COALESCE(hn0.count, 0) AS count
+                FROM rn LEFT JOIN hn0 ON rn.bucket = hn0.bucket)
     SELECT COALESCE(hr.bucket, hn.bucket) AS bucket,
            COALESCE(hr.bucket, hn.bucket) * 5.0 AS bucket_start,
            COALESCE(hr.count, 0) AS count_1,
@@ -1241,8 +1251,10 @@ def sliding_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (SELECT user_id, value, epoch_ns(ts)//1000 AS tus, ts, event_id
                FROM events),
          g AS (SELECT user_id, value, tus,
+                      -- >= : Spark's session_window is half-open [start, start+gap),
+                      -- so an event at exactly prev_ts+gap starts a NEW session
                       CASE WHEN tus - LAG(tus) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                                > 1800000000 OR
+                                >= 1800000000 OR
                                 LAG(tus) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                            THEN 1 ELSE 0 END AS new_s
                FROM o),
@@ -1487,10 +1499,15 @@ def mean_max_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
          f AS (SELECT rng.bucket, rng.bucket * 5.0 AS bucket_start,
                       COALESCE(b.count, 0) AS count
                FROM rng LEFT JOIN b ON rng.bucket = b.bucket),
-         keep AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM f
-                  WHERE CAST(count AS DOUBLE) / (SELECT SUM(count) FROM f) >= 0.05)
+         k AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM f
+               WHERE CAST(count AS DOUBLE) / (SELECT SUM(count) FROM f) > 0.05),
+         keep AS (SELECT COALESCE(k.lo, (SELECT MIN(bucket) FROM f)) AS lo,
+                         COALESCE(k.hi, (SELECT MAX(bucket) FROM f)) AS hi
+                  FROM k)
+    -- percentage over the FULL total, then trim without rescaling
+    -- (histogram.rkt:198-203); strict > keep predicate
     SELECT f.bucket, f.bucket_start,
-           f.count * 100.0 / (SELECT SUM(count) FROM f WHERE bucket BETWEEN keep.lo AND keep.hi) AS count
+           f.count * 100.0 / (SELECT SUM(count) FROM f) AS count
     FROM f CROSS JOIN keep WHERE f.bucket BETWEEN keep.lo AND keep.hi
     """,
 )

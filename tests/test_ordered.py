@@ -95,3 +95,31 @@ def test_time_delay_series(spark):
     out2 = L.time_delay_series(df, "y", "ts", -5)
     got2 = {r["x"]: r["y_delayed"] for r in out2.collect()}
     assert got2[50] == 45.0 and got2[0] == 0.0
+
+
+def test_asof_null_survival_no_tearing(spark):
+    # The matched base row's columns must come from the SAME row, and a
+    # NULL stored in that row must survive (df.rkt:474-507 returns the
+    # found row including its NAs) — regression for the torn-row bug
+    # where per-column last(ignorenulls) pulled v from an older row.
+    base = spark.createDataFrame(
+        [(10.0, 100.0, "A"), (20.0, None, "B")], ["k", "v", "tag"]
+    )
+    probes = spark.createDataFrame([(25.0,), (15.0,)], ["k"])
+    out = L.asof_join(probes, base, on="k", value_cols=["v", "tag"])
+    got = {r["k"]: (r["v"], r["tag"]) for r in out.collect()}
+    assert got[25.0] == (None, "B")  # NULL survives, no tear to (100, B)
+    assert got[15.0] == (100.0, "A")
+
+
+def test_interpolated_lookup_null_bracket(spark):
+    # a NULL value in a bracketing row propagates (no substitution of
+    # an older row's value)
+    base = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (3.0, 30.0)], ["ts", "y"]
+    )
+    probes = spark.createDataFrame([(1.5,), (2.5,)], ["ts"])
+    out = L.interpolated_lookup(probes, base, on="ts", value_cols=["y"])
+    got = {r["ts"]: r["y"] for r in out.collect()}
+    assert got[1.5] is None  # y1 is NULL -> interpolation is NULL
+    assert got[2.5] is None  # y0 is NULL -> interpolation is NULL

@@ -64,11 +64,15 @@ def test_histogram_buckets_and_gap_fill(spark):
     # trunc toward zero: -1.2 -> -1, 0.5 -> 0, 1.5/1.6 -> 1, 5.2 -> 5
     assert rows[-1] == 1 and rows[0] == 1 and rows[1] == 2 and rows[5] == 1
     assert rows[2] == 0 and rows[3] == 0 and rows[4] == 0  # gap-filled
+    # include_zeroes=False drops samples whose BUCKET is 0 at binning
+    # (histogram.rkt:60-77); gap-fill is unconditional, so bucket 0
+    # reappears with count 0
     no_zero = {
         r["bucket"]: r["count"]
         for r in H.histogram(fr.df, "v", width=1.0, include_zeroes=False).collect()
     }
-    assert 2 not in no_zero and len(no_zero) == 4
+    assert no_zero[0] == 0 and no_zero[2] == 0 and len(no_zero) == 7
+    assert sum(no_zero.values()) == 4  # the 0.5 sample is gone
     # mass conservation (df-test.rkt:1390-1418): total == row count
     assert sum(rows.values()) == 5
 
@@ -92,7 +96,28 @@ def test_combine_and_normalize(spark):
     f2 = Frame.from_dict(spark, {"v": [1.5, 2.5]})
     h1 = H.histogram(f1.df, "v", include_zeroes=False)
     h2 = H.histogram(f2.df, "v", include_zeroes=False)
+    # include_zeroes=False discards the 0.5 sample (bucket 0) from f1
     c = {r["bucket"]: (r["count_1"], r["count_2"]) for r in H.combine_histograms(h1, h2).collect()}
-    assert c == {0: (1, 0), 1: (1, 1), 2: (0, 1)}
+    assert c == {1: (1, 1), 2: (0, 1)}
     n = {r["bucket"]: r["count"] for r in H.normalize_histogram(h1).collect()}
     assert abs(sum(n.values()) - 1.0) < 1e-12
+
+
+def test_trim_no_bucket_qualifies_returns_unchanged(spark):
+    # trim-histogram-outliers: strict >, and when NO bucket exceeds the
+    # threshold the histogram is returned unchanged (histogram.rkt:142-155)
+    fr = Frame.from_dict(spark, {"v": [0.0, 1.0, 2.0, 3.0]})
+    out = H.histogram(fr.df, "v", trim_outliers=0.5).collect()
+    assert sorted(r["bucket"] for r in out) == [0, 1, 2, 3]
+    # exactly-at-threshold share (0.25) is NOT kept under strict >
+    out2 = H.histogram(fr.df, "v", trim_outliers=0.25).collect()
+    assert sorted(r["bucket"] for r in out2) == [0, 1, 2, 3]
+
+
+def test_trim_percentage_not_rescaled(spark):
+    # percentage is computed over the FULL total before trimming and is
+    # not rescaled afterwards (histogram.rkt:198-203)
+    fr = Frame.from_dict(spark, {"v": [0.0] * 1 + [1.0] * 97 + [2.0] * 1 + [3.0] * 1})
+    out = {r["bucket"]: r["count"] for r in H.histogram(
+        fr.df, "v", as_percentage=True, trim_outliers=0.02).collect()}
+    assert list(out) == [1] and abs(out[1] - 97.0) < 1e-9
