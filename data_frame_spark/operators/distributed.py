@@ -1,0 +1,182 @@
+"""Distributed building blocks for globally-ordered operators.
+
+A partitionless Spark window (``Window.orderBy(...)`` with no
+``partitionBy``) moves the entire input through ONE partition — an
+executor-OOM scale-killer at 100 TB. These helpers re-express the
+three globally-ordered primitives the engine needs — global rank,
+global running sum, previous-row lag — as range-bucketed two-level
+computations:
+
+1. **Bucket boundaries** from one ``percentile_approx`` aggregate
+   (map-side combinable; the collected boundary list is
+   aggregate-sized, ~``n_buckets`` doubles).
+2. **Bucket assignment** as a pure monotonic Column expression
+   (count of boundaries <= x) — stays in whole-stage codegen.
+3. **Per-bucket offsets** from a tiny groupBy(bucket) aggregate
+   (one map-combinable shuffle of |buckets| rows), cumulated with a
+   window over the bucket table (bounded by bucket count, not data).
+4. **Within-bucket windows** partitioned by bucket — the only
+   data-sized shuffle, hash-partitioned on the bucket key.
+
+Correctness does not depend on boundary placement: ANY deterministic
+monotonic bucketing yields the same global order (rows with equal
+bucket keys land in the same bucket, so cross-bucket order is
+strict). Skewed boundaries only affect balance. Ties on the bucket
+key that are broken by later order columns stay inside one bucket,
+so within-bucket windows see every tie group whole.
+
+The reference computes these with in-memory vector scans
+(df.rkt:590-660 fold/running paths); this module is the 1000-executor
+re-expression.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEFAULT_ACCURACY = 10_000
+
+
+def _n_buckets(df: DataFrame) -> int:
+    try:
+        return max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), 1)
+    except Exception:
+        return 32
+
+
+def bucket_expr(col: Column, boundaries: Sequence[float]) -> Column:
+    """Monotonic bucket id: number of boundaries <= x (0..len(bs)).
+    A pure Column expression — O(|boundaries|) comparisons inside
+    whole-stage codegen, no UDF."""
+    bs = F.array(*[F.lit(float(b)) for b in boundaries])
+    x = col.cast("double")
+    return F.aggregate(
+        bs,
+        F.lit(0),
+        lambda acc, b: acc + F.when(x >= b, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def compute_boundaries(df: DataFrame, col: str | Column, n_buckets: int) -> list[float]:
+    """~Equi-depth split points via one percentile_approx aggregate.
+    Returns a deduplicated ascending list (possibly shorter than
+    n_buckets-1 under heavy ties)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if n_buckets <= 1:
+        return []
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.agg(
+        F.percentile_approx(c.cast("double"), probs, F.lit(_DEFAULT_ACCURACY)).alias("bs")
+    ).collect()[0]
+    bs = row["bs"] or []
+    out: list[float] = []
+    for b in bs:
+        if b is not None and (not out or b > out[-1]):
+            out.append(float(b))
+    return out
+
+
+def _bucketed(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    n_buckets: int | None,
+    boundaries: Sequence[float] | None = None,
+):
+    """Attach __bucket (monotonic in the first order column) and return
+    (bucketed_df, within-bucket window ordered by the full key)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if boundaries is None:
+        boundaries = compute_boundaries(df, cols[0], n_buckets or _n_buckets(df))
+    b = df.withColumn("__bucket", bucket_expr(cols[0], boundaries))
+    w = Window.partitionBy("__bucket").orderBy(*cols)
+    return b, w
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    out: str = "__rn",
+    n_buckets: int | None = None,
+    boundaries: Sequence[float] | None = None,
+) -> DataFrame:
+    """Global 1-based row_number over ``order_by`` without a
+    partitionless window: within-bucket row_number + per-bucket count
+    offsets. One data shuffle (hash by bucket) + one tiny aggregate."""
+    b, w = _bucketed(df, order_by, n_buckets, boundaries)
+    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    # cumulative offset over the tiny bucket table (|buckets| rows)
+    off_w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bucket", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off")
+    )
+    return (
+        b.withColumn("__lrn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "__bucket")
+        .withColumn(out, F.col("__off") + F.col("__lrn"))
+        .drop("__bucket", "__lrn", "__off")
+    )
+
+
+def with_running_sum(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    value_col: str | Column,
+    out: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Inclusive global running sum of ``value_col`` over ``order_by``:
+    within-bucket running sum + per-bucket total offsets."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    b, w = _bucketed(df, order_by, n_buckets)
+    b = b.withColumn("__rsv", v)
+    totals = b.groupBy("__bucket").agg(F.sum("__rsv").alias("__t"))
+    off_w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bucket", F.coalesce(F.sum("__t").over(off_w), F.lit(0)).alias("__off")
+    )
+    run = F.sum("__rsv").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        b.withColumn("__lrs", run)
+        .join(F.broadcast(offsets), "__bucket")
+        .withColumn(out, F.col("__off") + F.col("__lrs"))
+        .drop("__bucket", "__lrs", "__off", "__rsv")
+    )
+
+
+def with_lag(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    cols: Sequence[str],
+    prefix: str = "__lag_",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Previous-row values of ``cols`` in global ``order_by`` order.
+    Within-bucket lag; each bucket's first row is patched from the
+    previous nonempty bucket's last row (carried through a tiny
+    max_by aggregate + lead over the bucket table)."""
+    b, w = _bucketed(df, order_by, n_buckets)
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    out = b.withColumn("__lrn1", F.row_number().over(w))
+    for c in cols:
+        out = out.withColumn(prefix + c, F.lag(F.col(c)).over(w))
+    # last row per bucket, map-side combinable; lead() maps it to the
+    # NEXT nonempty bucket (robust to empty buckets in between)
+    last = b.groupBy("__bucket").agg(
+        F.max_by(F.struct(*[F.col(c) for c in cols]), F.struct(*ocols)).alias("__last")
+    )
+    nxt_w = Window.orderBy("__bucket")
+    carry = last.select(
+        F.lead("__bucket").over(nxt_w).alias("__bucket"), "__last"
+    ).where(F.col("__bucket").isNotNull())
+    out = out.join(F.broadcast(carry), "__bucket", "left")
+    for c in cols:
+        out = out.withColumn(
+            prefix + c,
+            F.when(F.col("__lrn1") == 1, F.col(f"__last.{c}")).otherwise(
+                F.col(prefix + c)
+            ),
+        )
+    return out.drop("__bucket", "__lrn1", "__last")

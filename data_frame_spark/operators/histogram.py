@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_frame_spark.exact import dsum
+from data_frame_spark.operators.distributed import with_lag
 
 
 def _trunc_div(col, width: float):
@@ -79,10 +80,10 @@ def weighted_histogram(
     """Weighted histogram: consecutive-pair samples (Δw, midpoint)
     binned by the midpoint, counts are Δw sums (histogram.rkt:53-66).
     """
-    w = Window.orderBy(*order_by)
     d = (
-        df.withColumn("__pw", F.lag(F.col(weight_col)).over(w))
-        .withColumn("__pv", F.lag(F.col(col)).over(w))
+        with_lag(df, order_by, [weight_col, col])
+        .withColumn("__pw", F.col(f"__lag_{weight_col}"))
+        .withColumn("__pv", F.col(f"__lag_{col}"))
         .withColumn("__dx", F.col(weight_col) - F.col("__pw"))
         .withColumn("__dy", (F.col("__pv") + F.col(col)) / 2)
         # the reference's weighted-binning (histogram.rkt:53-66) has no

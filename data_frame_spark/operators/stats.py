@@ -15,10 +15,13 @@ Reference semantics (private/statistics.rkt):
   sample whose cumulative weight fraction reaches p (unweighted:
   the sorted element at index max(ceil(p*n)-1, 0)).
 
-Scale notes: the weighted moment is a lag-window + one aggregate
-(map-side combinable); quantiles need a total order on the value
-column — Spark's distributed range-partitioned sort — then a
-row_number filter; no driver-side collection anywhere.
+Scale notes: the weighted moment is a distributed lag + one
+aggregate (map-side combinable); quantiles use the range-bucketed
+global-rank / running-sum primitives from ``operators.distributed``
+— within-bucket windows plus tiny per-bucket offset aggregates, so
+NO partitionless window appears anywhere (a ``Window.orderBy``
+without ``partitionBy`` funnels the whole column through one
+executor — the thing that OOMs at 100 TB).
 """
 
 from __future__ import annotations
@@ -29,6 +32,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_frame_spark.exact import dsum
+from data_frame_spark.operators.distributed import (
+    with_global_rank,
+    with_lag,
+    with_running_sum,
+)
 
 
 def weighted_stats(
@@ -46,13 +54,21 @@ def weighted_stats(
     Weighted stddev is the biased (population-style) sqrt of
     Σw(x-μ)²/Σw, computed from exact quantized Σw, Σwx, Σwx².
     """
-    w = Window.orderBy(*order_by)
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(*order_by)
+        d = df.withColumn("__pw", F.lag(F.col(weight_col)).over(w)).withColumn(
+            "__pv", F.lag(F.col(value_col)).over(w)
+        )
+    else:
+        # no partition keys -> distributed lag (range-bucketed), not a
+        # partitionless window
+        d = with_lag(df, order_by, [weight_col, value_col]).select(
+            "*",
+            F.col(f"__lag_{weight_col}").alias("__pw"),
+            F.col(f"__lag_{value_col}").alias("__pv"),
+        )
     d = (
-        df.withColumn("__pw", F.lag(F.col(weight_col)).over(w))
-        .withColumn("__pv", F.lag(F.col(value_col)).over(w))
-        .withColumn("__dx", F.col(weight_col) - F.col("__pw"))
+        d.withColumn("__dx", F.col(weight_col) - F.col("__pw"))
         .withColumn("__dy", (F.col("__pv") + F.col(value_col)) / 2)
         .where(
             F.col("__dx").isNotNull()
@@ -108,20 +124,33 @@ def quantiles(
     index max(ceil(p*n)-1, 0) — the empirical inverse CDF. NA values
     dropped. Returns (p, quantile) rows.
 
-    Plan shape: one distributed sort + row_number, then a broadcast
-    join against the tiny probs table — no collect.
+    Plan shape: range-bucketed global rank (within-bucket row_number +
+    per-bucket count offsets — one data shuffle, no partitionless
+    window), then a broadcast join against the tiny probs table.
     """
     spark = df.sparkSession
     x = F.col(value_col).cast("double")
     d = df.where(x.isNotNull()).select(x.alias("__x"))
-    ranked = d.withColumn(
-        "__rn", F.row_number().over(Window.orderBy(F.col("__x"))) - 1
-    )
+    # one fused scan for row count + bucket boundaries
+    from data_frame_spark.operators.distributed import _n_buckets
+
+    nb = _n_buckets(d)
+    stats_row = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            F.col("__x"), [i / nb for i in range(1, nb)], F.lit(10_000)
+        ).alias("bs"),
+    ).collect()[0]
+    n = stats_row["n"]
+    bs: list[float] = []
+    for bv in stats_row["bs"] or []:
+        if bv is not None and (not bs or bv > bs[-1]):
+            bs.append(float(bv))
+    ranked = with_global_rank(d, ["__x"], out="__rn", boundaries=bs)  # 1-based
     pdf = spark.createDataFrame([(float(p),) for p in probs], ["p"])
-    n = d.count()
     targets = pdf.withColumn(
         "__target",
-        F.greatest(F.ceil(F.col("p") * F.lit(n)) - 1, F.lit(0)).cast("long"),
+        (F.greatest(F.ceil(F.col("p") * F.lit(n)) - 1, F.lit(0)) + 1).cast("long"),
     )
     return (
         F.broadcast(targets)
@@ -144,13 +173,13 @@ def weighted_quantiles(
     reaches p * total_weight.
     """
     spark = df.sparkSession
-    wspec = Window.orderBy(*order_by)
     # weights are quantized to integers (micro-units) so cumulative
     # sums are associative — tie order among equal values can't
     # perturb the threshold comparison, and the oracle computes the
     # identical integers.
     d = (
-        df.withColumn("__pw", F.lag(F.col(weight_col)).over(wspec))
+        with_lag(df, order_by, [weight_col])
+        .withColumn("__pw", F.col(f"__lag_{weight_col}"))
         .withColumn(
             "__w",
             F.when(
@@ -164,15 +193,19 @@ def weighted_quantiles(
         )
         .where(F.col("__wq") > 0)
     )
-    cum = d.withColumn(
-        "__cw",
-        F.sum("__wq").over(
-            Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    # distributed inclusive running weight in value order
+    cum = with_running_sum(d, ["__x"], "__wq", out="__cw")
     total = d.agg(F.sum("__wq").alias("__W"))
     pdf = spark.createDataFrame([(float(p),) for p in probs], ["p"])
     probs_w = F.broadcast(pdf.crossJoin(total))
-    # first row (in value order) whose cumulative weight >= p*W
-    joined = probs_w.join(cum, F.col("__cw") >= F.col("p") * F.col("__W"))
+    # exactly the FIRST row (in value order) whose cumulative weight
+    # reaches p*W: its predecessor was still below the target. This
+    # keeps the join output at one row per prob instead of fanning out
+    # to every row past the threshold.
+    t = F.col("p") * F.col("__W")
+    prev_cw = F.col("__cw") - F.col("__wq")
+    crossing = (F.col("__cw") >= t) & (
+        (prev_cw < t) | ((t <= 0) & (prev_cw <= 0))
+    )
+    joined = probs_w.join(cum, crossing)
     return joined.groupBy("p").agg(F.min("__x").alias("quantile"))

@@ -67,3 +67,34 @@ def count_shuffles(df: DataFrame) -> int:
 
 def codegen_stage_count(df: DataFrame) -> int:
     return formatted_plan(df).count("WholeStageCodegen")
+
+
+def data_sized_partitionless_windows(df: DataFrame) -> list[str]:
+    """Partitionless WindowExec nodes whose input is NOT aggregate-sized.
+
+    A ``Window.orderBy`` with no partition keys funnels its whole input
+    through one partition. That is acceptable only when the input is
+    already aggregate-sized (e.g. the per-bucket offset tables in
+    ``operators.distributed`` — a HashAggregate sits below). Any other
+    occurrence is a scale bug; tests assert this returns [].
+    """
+    jplan = df._jdf.queryExecution().executedPlan()
+    if jplan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        jplan = jplan.initialPlan()
+    bad: list[str] = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() in ("WindowExec", "WindowGroupLimitExec"):
+            if node.partitionSpec().isEmpty():
+                sub = node.toString()
+                if not any(
+                    a in sub
+                    for a in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+                ):
+                    bad.append(sub.splitlines()[0])
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(jplan)
+    return bad

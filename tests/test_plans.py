@@ -54,3 +54,19 @@ def test_asof_join_is_single_sort_no_join(spark, sf_dir):
 def test_quantile_probe_join_is_broadcast(spark, sf_dir):
     df = QUERIES["quantiles_extendedprice"](spark, sf_dir)
     assert C.uses_broadcast_join(df)
+
+
+def test_no_data_sized_partitionless_windows(spark, sf_dir):
+    # distributed-exact-quantile contract: global order is computed via
+    # range-bucketed two-level windows; a partitionless window may only
+    # appear above an aggregate (bucket-offset tables), never on raw data
+    for name in (
+        "quantiles_extendedprice",
+        "weighted_quantiles_value",
+        "weighted_stats_value",
+        "weighted_histogram_value",
+        "histogram_percentage_trimmed",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        bad = C.data_sized_partitionless_windows(df)
+        assert not bad, f"{name}: {bad}"
