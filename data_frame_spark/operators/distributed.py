@@ -37,7 +37,24 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_DEFAULT_ACCURACY = 10_000
+# Boundary placement only affects load BALANCE, never correctness
+# (any monotonic bucketing preserves global order), so a coarse
+# sketch is enough — accuracy 1000 keeps the boundary job cheap.
+_DEFAULT_ACCURACY = 1_000
+
+
+def _ACCURACY_LIT() -> Column:
+    return F.lit(_DEFAULT_ACCURACY)
+
+
+def sketch_col(col: Column, one_in: int = 10) -> Column:
+    """Subsampled copy of ``col`` for boundary sketching: NULL for
+    ~(one_in-1)/one_in of rows (percentile_approx skips NULLs), so
+    the sketch does ~1/one_in of the work in the same single scan.
+    Hash-based (deterministic — rand() is rejected inside aggregate
+    args). Boundary placement only affects bucket balance, never
+    results, so sampling is free."""
+    return F.when(F.pmod(F.hash(col, F.lit(0x9E3779B9)), F.lit(one_in)) == 0, col)
 
 
 def _n_buckets(df: DataFrame) -> int:
@@ -49,15 +66,18 @@ def _n_buckets(df: DataFrame) -> int:
 
 def bucket_expr(col: Column, boundaries: Sequence[float]) -> Column:
     """Monotonic bucket id: number of boundaries <= x (0..len(bs)).
-    A pure Column expression — O(|boundaries|) comparisons inside
-    whole-stage codegen, no UDF."""
-    bs = F.array(*[F.lit(float(b)) for b in boundaries])
+
+    A short-circuiting CASE WHEN chain — stays inside whole-stage
+    codegen (a higher-order ``F.aggregate`` lambda would not) and
+    costs ~|bs|/2 compiled comparisons per row. NULLs sort first in
+    Spark ASC order, so they are pinned to bucket 0."""
     x = col.cast("double")
-    return F.aggregate(
-        bs,
-        F.lit(0),
-        lambda acc, b: acc + F.when(x >= b, F.lit(1)).otherwise(F.lit(0)),
-    )
+    if not boundaries:
+        return F.lit(0)
+    expr = F.when(x.isNull() | (x < F.lit(float(boundaries[0]))), F.lit(0))
+    for i, b in enumerate(boundaries[1:], start=1):
+        expr = expr.when(x < F.lit(float(b)), F.lit(i))
+    return expr.otherwise(F.lit(len(boundaries)))
 
 
 def compute_boundaries(df: DataFrame, col: str | Column, n_buckets: int) -> list[float]:
@@ -69,7 +89,9 @@ def compute_boundaries(df: DataFrame, col: str | Column, n_buckets: int) -> list
         return []
     probs = [i / n_buckets for i in range(1, n_buckets)]
     row = df.agg(
-        F.percentile_approx(c.cast("double"), probs, F.lit(_DEFAULT_ACCURACY)).alias("bs")
+        F.percentile_approx(
+            sketch_col(c.cast("double")), probs, F.lit(_DEFAULT_ACCURACY)
+        ).alias("bs")
     ).collect()[0]
     bs = row["bs"] or []
     out: list[float] = []
@@ -104,19 +126,24 @@ def with_global_rank(
 ) -> DataFrame:
     """Global 1-based row_number over ``order_by`` without a
     partitionless window: within-bucket row_number + per-bucket count
-    offsets. One data shuffle (hash by bucket) + one tiny aggregate."""
+    offsets. One data shuffle (hash by bucket) + one tiny counts job
+    whose |buckets|-long result is inlined as a literal lookup — the
+    main job is then a single scan+window with no second branch."""
     b, w = _bucketed(df, order_by, n_buckets, boundaries)
-    counts = b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))
-    # cumulative offset over the tiny bucket table (|buckets| rows)
-    off_w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__bucket", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off")
-    )
+    counts = {
+        r["__bucket"]: r["__n"]
+        for r in b.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n")).collect()
+    }
+    nmax = max(counts, default=-1)
+    offs, acc = [], 0
+    for i in range(nmax + 1):
+        offs.append(acc)
+        acc += counts.get(i, 0)
+    offs = offs or [0]
+    off = F.element_at(F.array(*[F.lit(o) for o in offs]), F.col("__bucket") + 1)
     return (
-        b.withColumn("__lrn", F.row_number().over(w))
-        .join(F.broadcast(offsets), "__bucket")
-        .withColumn(out, F.col("__off") + F.col("__lrn"))
-        .drop("__bucket", "__lrn", "__off")
+        b.withColumn(out, off + F.row_number().over(w))
+        .drop("__bucket")
     )
 
 
@@ -126,24 +153,29 @@ def with_running_sum(
     value_col: str | Column,
     out: str,
     n_buckets: int | None = None,
+    boundaries: Sequence[float] | None = None,
 ) -> DataFrame:
     """Inclusive global running sum of ``value_col`` over ``order_by``:
-    within-bucket running sum + per-bucket total offsets."""
+    within-bucket running sum + per-bucket total offsets (collected
+    driver-side — |buckets| values — and inlined as a literal lookup).
+    Offsets are exact only when the per-bucket totals are; callers
+    pass integer-quantized values (see stats.weighted_quantiles)."""
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    b, w = _bucketed(df, order_by, n_buckets)
+    b, w = _bucketed(df, order_by, n_buckets, boundaries)
     b = b.withColumn("__rsv", v)
-    totals = b.groupBy("__bucket").agg(F.sum("__rsv").alias("__t"))
-    off_w = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__bucket", F.coalesce(F.sum("__t").over(off_w), F.lit(0)).alias("__off")
-    )
+    totals = {
+        r["__bucket"]: r["__t"]
+        for r in b.groupBy("__bucket").agg(F.sum("__rsv").alias("__t")).collect()
+    }
+    nmax = max(totals, default=-1)
+    offs, acc = [], 0
+    for i in range(nmax + 1):
+        offs.append(acc)
+        acc += totals.get(i) or 0
+    offs = offs or [0]
+    off = F.element_at(F.array(*[F.lit(o) for o in offs]), F.col("__bucket") + 1)
     run = F.sum("__rsv").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    return (
-        b.withColumn("__lrs", run)
-        .join(F.broadcast(offsets), "__bucket")
-        .withColumn(out, F.col("__off") + F.col("__lrs"))
-        .drop("__bucket", "__lrs", "__off", "__rsv")
-    )
+    return b.withColumn(out, off + run).drop("__bucket", "__rsv")
 
 
 def with_lag(
@@ -152,12 +184,13 @@ def with_lag(
     cols: Sequence[str],
     prefix: str = "__lag_",
     n_buckets: int | None = None,
+    boundaries: Sequence[float] | None = None,
 ) -> DataFrame:
     """Previous-row values of ``cols`` in global ``order_by`` order.
     Within-bucket lag; each bucket's first row is patched from the
     previous nonempty bucket's last row (carried through a tiny
     max_by aggregate + lead over the bucket table)."""
-    b, w = _bucketed(df, order_by, n_buckets)
+    b, w = _bucketed(df, order_by, n_buckets, boundaries)
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     out = b.withColumn("__lrn1", F.row_number().over(w))
     for c in cols:

@@ -132,13 +132,17 @@ def quantiles(
     x = F.col(value_col).cast("double")
     d = df.where(x.isNotNull()).select(x.alias("__x"))
     # one fused scan for row count + bucket boundaries
-    from data_frame_spark.operators.distributed import _n_buckets
+    from data_frame_spark.operators.distributed import (
+        _ACCURACY_LIT,
+        _n_buckets,
+        sketch_col,
+    )
 
     nb = _n_buckets(d)
     stats_row = d.agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx(
-            F.col("__x"), [i / nb for i in range(1, nb)], F.lit(10_000)
+            sketch_col(F.col("__x")), [i / nb for i in range(1, nb)], _ACCURACY_LIT()
         ).alias("bs"),
     ).collect()[0]
     n = stats_row["n"]
@@ -193,11 +197,30 @@ def weighted_quantiles(
         )
         .where(F.col("__wq") > 0)
     )
+    # one fused scan: total weight + value-order bucket boundaries
+    from data_frame_spark.operators.distributed import (
+        _ACCURACY_LIT,
+        _n_buckets,
+        sketch_col,
+    )
+
+    nb = _n_buckets(d)
+    stats_row = d.agg(
+        F.sum("__wq").alias("W"),
+        F.percentile_approx(
+            sketch_col(F.col("__x")), [i / nb for i in range(1, nb)], _ACCURACY_LIT()
+        ).alias("bs"),
+    ).collect()[0]
+    bs: list[float] = []
+    for bv in stats_row["bs"] or []:
+        if bv is not None and (not bs or bv > bs[-1]):
+            bs.append(float(bv))
     # distributed inclusive running weight in value order
-    cum = with_running_sum(d, ["__x"], "__wq", out="__cw")
-    total = d.agg(F.sum("__wq").alias("__W"))
-    pdf = spark.createDataFrame([(float(p),) for p in probs], ["p"])
-    probs_w = F.broadcast(pdf.crossJoin(total))
+    cum = with_running_sum(d, ["__x"], "__wq", out="__cw", boundaries=bs)
+    pdf = spark.createDataFrame(
+        [(float(p),) for p in probs], ["p"]
+    ).withColumn("__W", F.lit(int(stats_row["W"] or 0)))
+    probs_w = F.broadcast(pdf)
     # exactly the FIRST row (in value order) whose cumulative weight
     # reaches p*W: its predecessor was still below the target. This
     # keeps the join output at one row per prob instead of fanning out
