@@ -45,7 +45,7 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 
 def test_asof_join_is_single_sort_no_join(spark, sf_dir):
     # the as-of union+window formulation must not contain a join
-    df = QUERIES["asof_click_view"](spark, sf_dir)
+    df = QUERIES["asof_multi_value_lookup"](spark, sf_dir)
     plan = C.simple_plan(df)
     assert "Join" not in plan
     assert plan.count("Sort") >= 1
@@ -65,7 +65,7 @@ def test_no_data_sized_partitionless_windows(spark, sf_dir):
         "weighted_quantiles_value",
         "weighted_stats_value",
         "weighted_histogram_value",
-        "histogram_percentage_trimmed",
+        "histogram_quantity",
     ):
         df = QUERIES[name](spark, sf_dir)
         bad = C.data_sized_partitionless_windows(df)
