@@ -80,6 +80,7 @@ def mean_max(
     inverted: bool = False,
     partition_by: Sequence[str] = (),
     slice_scale: int | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """``df-mean-max`` (meanmax.rkt:262-269). Returns
     (duration, best_mean, start_pos) per duration with at least one
@@ -91,22 +92,27 @@ def mean_max(
     associative — required for bit-identical results across engines
     (window SUM uses a segment tree in some engines, sequential
     accumulation in others, which reorders float additions).
+
+    ``tiebreak_col``: secondary sort key for inputs with duplicate x
+    values (lap-swim expansion emits coincident segment end/start
+    points whose A-curve order matters — end must cumulate first).
     """
     durations = list(durations or default_durations())
     spark = df.sparkSession
     pcols = list(partition_by)
 
-    ow = Window.partitionBy(*pcols).orderBy(x_col) if pcols else Window.orderBy(x_col)
     x = F.col(x_col).cast("double")
     y = F.col(value_col).cast("double")
+    tb = [F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []
     pts = (
         df.where(x.isNotNull() & y.isNotNull())
-        .select(*pcols, x.alias("__x"), y.alias("__y"))
+        .select(*pcols, x.alias("__x"), *tb, y.alias("__y"))
     )
+    okeys = ["__x", "__tb"] if tiebreak_col else ["__x"]
     ow = (
-        Window.partitionBy(*pcols).orderBy("__x")
+        Window.partitionBy(*pcols).orderBy(*okeys)
         if pcols
-        else Window.orderBy("__x")
+        else Window.orderBy(*okeys)
     )
     # slice ENDING at this sample; A = cumulative area at this sample
     # (sum of slices up to here). First sample: slice NULL -> A = 0.
@@ -334,7 +340,13 @@ def lap_swim_expand(
     points — (prev_x, value) and (x, value) — turning each length
     into a constant-value segment; NA values become 0 instead of
     being dropped (pauses must count). Feed the result to
-    :func:`mean_max`.
+    :func:`mean_max` with ``tiebreak_col="lap_tb"``: expanded points
+    can share an x coordinate (segment boundaries; the first sample
+    of a relative axis collides with the synthetic x=0 start), and
+    the A-curve cumulation must visit them in the reference's
+    sequence order. ``lap_tb`` = 2k-1 for segment k's start point,
+    2k for its end — since x is nondecreasing in sequence order,
+    sorting by (x, lap_tb) IS the sequence order, whatever collides.
     """
     pcols = list(partition_by)
     x = F.col(x_col).cast("double")
@@ -349,11 +361,13 @@ def lap_swim_expand(
     )
     tagged = base.withColumn(
         "__px", F.coalesce(F.lag("__x").over(ow), F.lit(0.0))
-    )
+    ).withColumn("__k", F.row_number().over(ow))
     start_pts = tagged.select(
-        *pcols, F.col("__px").alias(x_col), F.col("__y").alias(value_col)
+        *pcols, F.col("__px").alias(x_col), F.col("__y").alias(value_col),
+        (2 * F.col("__k") - 1).alias("lap_tb"),
     )
     end_pts = tagged.select(
-        *pcols, F.col("__x").alias(x_col), F.col("__y").alias(value_col)
+        *pcols, F.col("__x").alias(x_col), F.col("__y").alias(value_col),
+        (2 * F.col("__k")).alias("lap_tb"),
     )
     return start_pts.unionByName(end_pts)

@@ -103,13 +103,15 @@ def row_range(
 ) -> DataFrame:
     """The reference's pervasive ``#:start/#:stop`` row-range over an
     ordered frame (df.rkt:811-818). Positions only exist relative to
-    an order, so this numbers rows over ``order_by`` and filters —
-    a global sort, appropriate for the small/ordered frames where
-    the reference uses positions; large-scale paths should slice by
-    key predicates instead (df-select/by-index analog)."""
-    w = Window.orderBy(*order_by)
-    out = df.withColumn("__pos", F.row_number().over(w) - 1)
-    cond = F.col("__pos") >= F.lit(start)
+    an order, so this numbers rows over ``order_by`` and filters.
+    Global positions come from the range-bucketed two-level rank in
+    ``operators.distributed`` — no partitionless window, so the sort
+    stays distributed at any scale."""
+    from data_frame_spark.operators.distributed import with_global_rank
+
+    out = with_global_rank(df, list(order_by), out="__pos1")
+    pos = F.col("__pos1") - 1
+    cond = pos >= F.lit(start)
     if stop is not None:
-        cond = cond & (F.col("__pos") < F.lit(stop))
-    return out.where(cond).drop("__pos")
+        cond = cond & (pos < F.lit(stop))
+    return out.where(cond).drop("__pos1")

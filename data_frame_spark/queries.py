@@ -1660,6 +1660,197 @@ def asof_multi_value_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "view_event_id", "view_value")
 
 # ---------------------------------------------------------------------------
+# Partitioned ordered paths, driver-proven (VERDICT r1 #4/#7): the
+# same mean-max machinery with partition_by — every window carries
+# PARTITION BY user_id, so the plan has NO single-partition sort.
+# tests/test_plans.py pins that property.
+# ---------------------------------------------------------------------------
+
+_MM_USER_BASE = """
+    WITH pts AS (SELECT user_id, (epoch_ns(ts)//1000)/1000000.0 AS x, value AS y,
+                        value * value AS y2
+                 FROM events WHERE value IS NOT NULL),
+         s AS (SELECT user_id, x, y,
+                      (x - LAG(x) OVER w) * (LAG(y) OVER w + y)/2 AS slice,
+                      (x - LAG(x) OVER w) * (LAG(y2) OVER w + y2)/2 AS slice2,
+                      LEAD(x) OVER w AS nx
+               FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY x)),
+         a AS (SELECT user_id, x, nx,
+                      COALESCE(SUM(CAST(FLOOR(slice * 1000000.0 + 0.5) AS BIGINT))
+                               OVER wc, 0) / 1000000.0 AS A,
+                      COALESCE(SUM(CAST(FLOOR(slice2 * 1000000.0 + 0.5) AS BIGINT))
+                               OVER wc, 0) / 1000000.0 AS A2,
+                      MAX(x) OVER (PARTITION BY user_id) AS xmax
+               FROM s WINDOW wc AS (PARTITION BY user_id ORDER BY x
+                                    ROWS UNBOUNDED PRECEDING)),
+         d AS (SELECT CAST(UNNEST([86400, 604800]) AS DOUBLE) AS duration),
+         probes AS (SELECT a.user_id, a.x AS pos, d.duration, a.A AS A_start,
+                           a.x + d.duration AS k
+                    FROM a CROSS JOIN d
+                    WHERE a.nx IS NOT NULL AND a.x + d.duration <= a.xmax),
+         back AS (SELECT p.user_id, p.pos, p.duration, p.A_start, p.k,
+                         b.x AS x0, b.A AS A0
+                  FROM probes p ASOF LEFT JOIN a b
+                    ON p.user_id = b.user_id AND p.k >= b.x),
+         fwd AS (SELECT p.user_id, p.pos, p.duration, b.x AS x1, b.A AS A1
+                 FROM probes p ASOF LEFT JOIN a b
+                   ON p.user_id = b.user_id AND p.k < b.x),
+         m AS (SELECT back.user_id, back.duration, back.pos,
+                      (CASE WHEN fwd.x1 IS NULL OR fwd.x1 = back.x0 THEN back.A0
+                            ELSE back.A0 + (back.k - back.x0)/(fwd.x1 - back.x0)
+                                           *(fwd.A1 - back.A0) END
+                       - back.A_start) / back.duration AS mean
+               FROM back JOIN fwd
+                 ON back.user_id = fwd.user_id AND back.pos = fwd.pos
+                AND back.duration = fwd.duration),
+         r AS (SELECT user_id, duration, pos, mean,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, duration
+                                         ORDER BY mean DESC, pos ASC) AS rk
+               FROM m)
+"""
+
+
+@query(
+    "mean_max_by_user",
+    oracle=_MM_USER_BASE
+    + """
+    SELECT user_id, duration, mean AS best_mean, pos FROM r WHERE rk = 1
+    """,
+)
+def mean_max_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-mean-max per entity (meanmax.rkt:262-269 with
+    partition_by): every sort/window/rank is PARTITION BY user_id —
+    the 100 TB shape (the global-order variant in mean_max_value is
+    the single-series case)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "x", F.col("ts_us") / F.lit(1000000.0)
+    )
+    return OpMM.mean_max(
+        ev, "value", "x", durations=[86400, 604800],
+        partition_by=["user_id"], slice_scale=6,
+    )
+
+
+@query(
+    "mean_max_aux_by_user",
+    oracle=_MM_USER_BASE
+    + """
+    , win AS (SELECT user_id, duration, pos FROM r WHERE rk = 1),
+    pe AS (SELECT user_id, duration, pos, pos AS k, 0 AS e FROM win
+           UNION ALL
+           SELECT user_id, duration, pos, pos + duration AS k, 1 AS e FROM win),
+    b2 AS (SELECT p.user_id, p.duration, p.pos, p.e, p.k, b.x AS x0, b.A2 AS A0
+           FROM pe p ASOF LEFT JOIN a b ON p.user_id = b.user_id AND p.k >= b.x),
+    f2 AS (SELECT p.user_id, p.duration, p.pos, p.e, b.x AS x1, b.A2 AS A1
+           FROM pe p ASOF LEFT JOIN a b ON p.user_id = b.user_id AND p.k < b.x),
+    at2 AS (SELECT b2.user_id, b2.duration, b2.pos, b2.e,
+                   CASE WHEN f2.x1 IS NULL OR f2.x1 = b2.x0 THEN b2.A0
+                        ELSE b2.A0 + (b2.k - b2.x0)/(f2.x1 - b2.x0)*(f2.A1 - b2.A0)
+                   END AS Aat
+            FROM b2 JOIN f2
+              ON b2.user_id = f2.user_id AND b2.duration = f2.duration
+             AND b2.pos = f2.pos AND b2.e = f2.e)
+    SELECT user_id, duration, pos,
+           (MAX(CASE WHEN e = 1 THEN Aat END) - MAX(CASE WHEN e = 0 THEN Aat END))
+             / duration AS aux_mean
+    FROM at2 GROUP BY user_id, duration, pos
+    """,
+)
+def mean_max_aux_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-mean-max-aux (meanmax.rkt:310-314): the mean of a SECOND
+    series (value², e.g. power-at-best-speed) over each winning
+    mean-max window, per user — same interpolated-A formulation on
+    the aux column, probed at (pos, pos+duration)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "x", F.col("ts_us") / F.lit(1000000.0)
+    ).withColumn("value2", F.col("value") * F.col("value"))
+    mm = OpMM.mean_max(
+        ev, "value", "x", durations=[86400, 604800],
+        partition_by=["user_id"], slice_scale=6,
+    )
+    return OpMM.mean_max_aux(
+        ev, mm, "value2", "x", partition_by=["user_id"], slice_scale=6
+    )
+
+
+@query(
+    "lap_swim_mean_max_by_user",
+    oracle="""
+    WITH raw AS (SELECT user_id,
+                        ((epoch_ns(ts)//1000)
+                          - MIN(epoch_ns(ts)//1000) OVER (PARTITION BY user_id))
+                          / 1000000.0 AS x,
+                        COALESCE(value, 0.0) AS y
+                 FROM events),
+         tagged AS (SELECT user_id, x, y,
+                           COALESCE(LAG(x) OVER (PARTITION BY user_id ORDER BY x),
+                                    0.0) AS px,
+                           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY x) AS k
+                    FROM raw),
+         pts AS (SELECT user_id, px AS x, y, 2*k - 1 AS tb FROM tagged
+                 UNION ALL SELECT user_id, x, y, 2*k AS tb FROM tagged),
+         -- tb encodes sequence order (start_k=2k-1, end_k=2k): with
+         -- x nondecreasing in sequence, ORDER BY x, tb IS the
+         -- reference's point order even when coordinates collide
+         s AS (SELECT user_id, x, tb, y,
+                      (x - LAG(x) OVER w) * (LAG(y) OVER w + y)/2 AS slice,
+                      LEAD(x) OVER w AS nx
+               FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY x, tb)),
+         a AS (SELECT user_id, x, nx,
+                      COALESCE(SUM(CAST(FLOOR(slice * 1000000.0 + 0.5) AS BIGINT))
+                               OVER (PARTITION BY user_id ORDER BY x, tb
+                                     ROWS UNBOUNDED PRECEDING), 0) / 1000000.0 AS A,
+                      MAX(x) OVER (PARTITION BY user_id) AS xmax
+               FROM s),
+         d AS (SELECT CAST(UNNEST([86400, 604800]) AS DOUBLE) AS duration),
+         probes AS (SELECT a.user_id, a.x AS pos, d.duration, a.A AS A_start,
+                           a.x + d.duration AS k
+                    FROM a CROSS JOIN d
+                    WHERE a.nx IS NOT NULL AND a.x + d.duration <= a.xmax),
+         back AS (SELECT p.user_id, p.pos, p.duration, p.A_start, p.k,
+                         b.x AS x0, b.A AS A0
+                  FROM probes p ASOF LEFT JOIN a b
+                    ON p.user_id = b.user_id AND p.k >= b.x),
+         fwd AS (SELECT p.user_id, p.pos, p.duration, b.x AS x1, b.A AS A1
+                 FROM probes p ASOF LEFT JOIN a b
+                   ON p.user_id = b.user_id AND p.k < b.x),
+         m AS (SELECT back.user_id, back.duration, back.pos,
+                      (CASE WHEN fwd.x1 IS NULL OR fwd.x1 = back.x0 THEN back.A0
+                            ELSE back.A0 + (back.k - back.x0)/(fwd.x1 - back.x0)
+                                           *(fwd.A1 - back.A0) END
+                       - back.A_start) / back.duration AS mean
+               FROM back JOIN fwd
+                 ON back.user_id = fwd.user_id AND back.pos = fwd.pos
+                AND back.duration = fwd.duration),
+         r AS (SELECT user_id, duration, pos, mean,
+                      ROW_NUMBER() OVER (PARTITION BY user_id, duration
+                                         ORDER BY mean DESC, pos ASC) AS rk
+               FROM m)
+    SELECT user_id, duration, mean AS best_mean, pos FROM r WHERE rk = 1
+    """,
+)
+def lap_swim_mean_max_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-mean-max/lap-swim (meanmax.rkt:270-304): each discrete
+    sample becomes a constant-value segment [(prev_x, v), (x, v)]
+    with NA->0 (pauses count), per user on an activity-relative
+    x-axis, then the standard mean-max. Duplicate-x tie points carry
+    zero-width slices, so tie order cannot perturb the A-curve."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    ev = ev.withColumn(
+        "x",
+        (F.col("ts_us") - F.min("ts_us").over(W.partitionBy("user_id")))
+        / F.lit(1000000.0),
+    )
+    expanded = OpMM.lap_swim_expand(ev, "value", "x", partition_by=["user_id"])
+    return OpMM.mean_max(
+        expanded, "value", "x", durations=[86400, 604800],
+        partition_by=["user_id"], slice_scale=6, tiebreak_col="lap_tb",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry order: the driver's correctness gate walks the registry in
 # iteration order (round-1 evidence: exactly the first 50 entries got
 # CORRECTNESS rows). Queries that have never had a green driver row —
@@ -1668,6 +1859,9 @@ def asof_multi_value_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FIRST = [
+    "mean_max_by_user",
+    "mean_max_aux_by_user",
+    "lap_swim_mean_max_by_user",
     "fits_price_qty",
     "event_derived_series",
     "text_features_docs",

@@ -61,6 +61,17 @@ def test_poly2_fit(spark, lsq_frames):
     _perturbation_increases_residual(Fit._xy(lsq_frames, "base", "second"), fit)
 
 
+def test_poly3_fit(spark, lsq_frames):
+    """Arbitrary-degree path (least-squares-fit.rkt:34-41 solves any
+    degree; property test shape from df-test.rkt:1528-1625): fitting
+    a cubic to quadratic data recovers ~0 for the cubic term, and
+    the residual sits at a local minimum in every coefficient."""
+    fit = Fit.least_squares_fit(lsq_frames, "base", "second", mode="polynomial", degree=3)
+    a0, a1, a2, a3 = fit.coefficients
+    assert abs(a2 - 1.5) < 0.05 and abs(a3) < 0.01
+    _perturbation_increases_residual(Fit._xy(lsq_frames, "base", "second"), fit)
+
+
 def test_log_fit(spark, lsq_frames):
     fit = Fit.least_squares_fit(lsq_frames, "base2", "log", mode="log")
     a, b = fit.coefficients

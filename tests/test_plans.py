@@ -66,6 +66,21 @@ def test_no_data_sized_partitionless_windows(spark, sf_dir):
         "weighted_stats_value",
         "weighted_histogram_value",
         "histogram_quantity",
+        "row_range_slice",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        bad = C.data_sized_partitionless_windows(df)
+        assert not bad, f"{name}: {bad}"
+
+
+def test_partitioned_meanmax_has_no_global_sort(spark, sf_dir):
+    # the per-user mean-max family is the 100 TB path: every window
+    # must carry PARTITION BY user_id — no partitionless window at all
+    for name in (
+        "mean_max_by_user",
+        "mean_max_aux_by_user",
+        "lap_swim_mean_max_by_user",
+        "event_derived_series",
     ):
         df = QUERIES[name](spark, sf_dir)
         bad = C.data_sized_partitionless_windows(df)
