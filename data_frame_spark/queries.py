@@ -978,11 +978,53 @@ def group_samples_value_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OpScatter.group_samples(ev, "value", "user_id", 0, 0)
 
 
-@query("rdp_simplify_user_series")  # not SQL-expressible -> rows-only check
+@query(
+    "rdp_simplify_user_series",
+    oracle="""
+    WITH RECURSIVE
+    pts AS (SELECT user_id, event_id,
+                   (epoch_ns(ts)//1000)/1000000.0 AS x, value AS y,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY (epoch_ns(ts)//1000)) - 1 AS idx
+            FROM events),
+    nseg AS (SELECT user_id, MAX(idx) AS last FROM pts GROUP BY user_id),
+    -- each level splits a segment at its max-perpendicular-distance
+    -- point (ties -> first index, mirroring np.argmax) when the
+    -- distance exceeds epsilon=5 strictly
+    seg(user_id, lo, hi) AS (
+        SELECT user_id, 0, last FROM nseg
+        UNION ALL
+        SELECT s.user_id, u.lo2, u.hi2
+        FROM seg s
+        JOIN pts a ON a.user_id = s.user_id AND a.idx = s.lo
+        JOIN pts b ON b.user_id = s.user_id AND b.idx = s.hi
+        CROSS JOIN LATERAL (
+            SELECT p.idx AS m,
+                   ABS((b.y - a.y) * p.x - (b.x - a.x) * p.y
+                       + (b.x * a.y - b.y * a.x))
+                     / SQRT((b.x - a.x) * (b.x - a.x)
+                            + (b.y - a.y) * (b.y - a.y)) AS dist
+            FROM pts p
+            WHERE p.user_id = s.user_id AND p.idx > s.lo AND p.idx < s.hi
+            ORDER BY dist DESC, p.idx ASC LIMIT 1
+        ) mx
+        CROSS JOIN LATERAL (VALUES (s.lo, mx.m), (mx.m, s.hi)) AS u(lo2, hi2)
+        WHERE s.hi - s.lo > 1 AND mx.dist > 5.0
+    ),
+    kept AS (SELECT DISTINCT user_id, i FROM (
+        SELECT user_id, lo AS i FROM seg
+        UNION ALL SELECT user_id, hi FROM seg))
+    SELECT p.user_id, p.event_id, p.x, p.y
+    FROM kept k JOIN pts p ON p.user_id = k.user_id AND p.idx = k.i
+    """,
+)
 def rdp_simplify_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rdp-simplify (rdp-simplify.rkt:70-116): per-user trajectory
     (elapsed_sec, value) simplified at epsilon=5, applyInPandas per
-    group. Deterministic but recursive — no SQL oracle."""
+    group. The oracle replays the recursion as a recursive CTE with
+    the identical distance expression; numpy's hypot denominator is a
+    common positive factor per segment, so comparisons agree unless
+    two distances tie within an ulp (never on real-valued data)."""
     ev = t(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -992,20 +1034,116 @@ def rdp_simplify_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OpRdp.rdp_simplify(ev, "x", "y", epsilon=5.0, group_by=["user_id"])
 
 
-@query("spline_mean_max_curve")  # driver-side solve -> rows-only check
+_SPLINE_KNOTS = [60.0, 300.0, 900.0, 3600.0, 14400.0]
+_SPLINE_PROBES = [90.0, 450.0, 1800.0, 7200.0]
+
+
+def _spline_oracle() -> str:
+    """Natural-cubic-spline oracle over the 5-knot mean-max curve.
+
+    The knot x's are literal durations, so the tridiagonal second-
+    derivative system has a CONSTANT matrix; its inverse is embedded
+    as literals and m1..m3 become linear combinations of the data-
+    dependent rhs. Probe positions are literals too, so each probe's
+    segment weights (a, b, a³-a, b³-b, h²/6) are constants. Outputs
+    ROUND(...,6): the driver solves the same system via numpy LU,
+    which agrees with this closed form to ~1e-12."""
+    xs = _SPLINE_KNOTS
+    h = [xs[i + 1] - xs[i] for i in range(4)]
+    A = [
+        [2 * (h[0] + h[1]), h[1], 0.0],
+        [h[1], 2 * (h[1] + h[2]), h[2]],
+        [0.0, h[2], 2 * (h[2] + h[3])],
+    ]
+    det = _det(A)
+    inv = [
+        [_det([[A[r][c] for c in range(3) if c != j] for r in range(3) if r != i])
+         * ((-1) ** (i + j)) / det
+         for i in range(3)]
+        for j in range(3)
+    ]  # inv[j][i] = cofactor transpose -> A^{-1}[j][i]... built as adjugate/det
+    # rhs_j in terms of knot columns y0..y4 (j = 1..3)
+    rhs = [
+        f"(6.0 * (((y{j + 1} - y{j}) / {h[j]!r}) - ((y{j} - y{j - 1}) / {h[j - 1]!r})))"
+        for j in range(1, 4)
+    ]
+    m = ["0.0"]
+    for i in range(3):
+        terms = " + ".join(f"({inv[i][j]!r} * {rhs[j]})" for j in range(3))
+        m.append(f"({terms})")
+    m.append("0.0")
+    probes_sql = []
+    for xv in _SPLINE_PROBES:
+        i = max(0, min(3, next(k for k in range(4) if xv < xs[k + 1])))
+        a = (xs[i + 1] - xv) / h[i]
+        b = (xv - xs[i]) / h[i]
+        seg = (
+            f"(({a!r} * y{i}) + ({b!r} * y{i + 1}) + "
+            f"((({(a ** 3 - a)!r} * {m[i]}) + ({(b ** 3 - b)!r} * {m[i + 1]}))"
+            f" * {(h[i] * h[i] / 6.0)!r}))"
+        )
+        probes_sql.append(
+            f"SELECT {xv!r} AS duration, ROUND({seg}, 6) AS interpolated_mean FROM knots"
+        )
+    durs = "[" + ", ".join(str(int(x)) for x in xs) + "]"
+    mm_cte = f"""
+    WITH pts AS (SELECT (epoch_ns(ts)//1000)/1000000.0 AS x, value AS y
+                 FROM events WHERE value IS NOT NULL),
+         s AS (SELECT x, y,
+                      (x - LAG(x) OVER w) * (LAG(y) OVER w + y)/2 AS slice,
+                      LEAD(x) OVER w AS nx
+               FROM pts WINDOW w AS (ORDER BY x)),
+         a AS (SELECT x, nx,
+                      COALESCE(SUM(CAST(FLOOR(slice * 1000000.0 + 0.5) AS BIGINT))
+                               OVER (ORDER BY x ROWS UNBOUNDED PRECEDING), 0) / 1000000.0 AS A,
+                      MAX(x) OVER () AS xmax
+               FROM s),
+         d AS (SELECT CAST(UNNEST({durs}) AS DOUBLE) AS duration),
+         probes AS (SELECT a.x AS pos, d.duration, a.A AS A_start,
+                           a.x + d.duration AS k
+                    FROM a CROSS JOIN d
+                    WHERE a.nx IS NOT NULL AND a.x + d.duration <= a.xmax),
+         back AS (SELECT p.pos, p.duration, p.A_start, p.k, b.x AS x0, b.A AS A0
+                  FROM probes p ASOF LEFT JOIN a b ON p.k >= b.x),
+         fwd AS (SELECT p.pos, p.duration, b.x AS x1, b.A AS A1
+                 FROM probes p ASOF LEFT JOIN a b ON p.k < b.x),
+         mm AS (SELECT back.duration, back.pos,
+                      (CASE WHEN fwd.x1 IS NULL OR fwd.x1 = back.x0 THEN back.A0
+                            ELSE back.A0 + (back.k - back.x0)/(fwd.x1 - back.x0)
+                                           *(fwd.A1 - back.A0) END
+                       - back.A_start) / back.duration AS mean
+               FROM back JOIN fwd
+                 ON back.pos = fwd.pos AND back.duration = fwd.duration),
+         best AS (SELECT duration, mean,
+                      ROW_NUMBER() OVER (PARTITION BY duration
+                                         ORDER BY mean DESC, pos ASC) AS rk
+               FROM mm),
+         knots AS (SELECT
+            {", ".join(f"MAX(CASE WHEN duration = {x!r} THEN mean END) AS y{i}" for i, x in enumerate(xs))}
+            FROM best WHERE rk = 1)
+    """
+    return mm_cte + " UNION ALL ".join(probes_sql)
+
+
+@query("spline_mean_max_curve", oracle=_spline_oracle())
 def spline_mean_max_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """spline (spline.rkt:163-192) over the mean-max table: fit the
-    (duration, best_mean) curve, evaluate distributed at probe
-    durations via the Column expression."""
+    (duration, best_mean) curve (5 knots collected — aggregate-sized,
+    the same judgement the reference makes), evaluate distributed at
+    probe durations via the Column expression. ROUND(...,6) — the
+    oracle solves the constant tridiagonal system in closed form,
+    numpy uses LU; they agree to ~1e-12."""
     ev = t(spark, sf_dir, "events").withColumn(
         "x", F.col("ts_us") / F.lit(1000000.0)
     )
-    mm = OpMM.mean_max(ev, "value", "x", durations=[60, 300, 900, 3600, 14400])
-    sp = OpSpline.fit_spline(mm, "duration", "best_mean")
-    probes = spark.createDataFrame(
-        [(float(s),) for s in (90, 450, 1800, 7200)], ["duration"]
+    mm = OpMM.mean_max(
+        ev, "value", "x", durations=[int(x) for x in _SPLINE_KNOTS], slice_scale=6
     )
-    return probes.withColumn("interpolated_mean", sp.predict(F.col("duration")))
+    sp = OpSpline.fit_spline(mm, "duration", "best_mean")
+    probes = spark.createDataFrame([(s,) for s in _SPLINE_PROBES], ["duration"])
+    return probes.withColumn(
+        "interpolated_mean", F.round(sp.predict(F.col("duration")), 6)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1356,18 +1494,44 @@ def binary_metadata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("byte_features_docs")  # Arrow/pandas path -> rows-only check
+@query(
+    "byte_features_docs",
+    oracle="""
+    WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+               FROM documents),
+         pos AS (SELECT doc_id, text, n,
+                        UNNEST(generate_series(1, CAST(n AS BIGINT))) AS i
+                 FROM b),
+         ch AS (SELECT doc_id, n,
+                       ascii(substr(text, CAST(i AS INT), 1)) // 16 AS nib
+                FROM pos),
+         hist AS (SELECT doc_id, MIN(n) AS n, nib, COUNT(*) AS c
+                  FROM ch GROUP BY doc_id, nib),
+         feat AS (SELECT doc_id,
+                         ROUND(-SUM((CAST(c AS DOUBLE) / n)
+                                    * log2(CAST(c AS DOUBLE) / n)), 9)
+                           + 0.0 AS entropy
+                  FROM hist GROUP BY doc_id, n)
+    SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_bytes,
+           COALESCE(feat.entropy, 0.0) AS entropy
+    FROM b LEFT JOIN feat ON b.doc_id = feat.doc_id
+    """,
+)
 def byte_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched byte-histogram + entropy features over binary
-    payloads (the codec-free decode-stage plumbing, mapInPandas).
-    The histogram array is emitted as its JSON string — the driver's
-    pandas canonicalizer can't factorize list-valued cells."""
+    payloads (the codec-free decode-stage plumbing, mapInPandas; the
+    16-bin histogram array itself is pytest-covered — the driver's
+    pandas canonicalizer can't factorize list cells, so the query
+    emits the scalar features). Entropy ROUND(...,9) + 0.0: numpy
+    sums bins in index order, SQL in group order — identical to well
+    under 1e-9; +0.0 normalizes a potential -0.0."""
     docs = t(spark, sf_dir, "documents").withColumn(
         "payload", F.encode(F.col("text"), "UTF-8")
     )
     out = OpMulti.byte_features(docs, "payload")
     return out.select(
-        "doc_id", "n_bytes", "entropy", F.to_json("byte_hist").alias("byte_hist_json")
+        "doc_id", "n_bytes",
+        (F.round("entropy", 9) + F.lit(0.0)).alias("entropy"),
     )
 
 
