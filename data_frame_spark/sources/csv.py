@@ -118,6 +118,54 @@ def read_csv(
     return df
 
 
+def _golden_cell(v) -> str:
+    """One cell in the reference writer's exact byte format
+    (csv.rkt:40-72): NA -> empty, strings quoted with doubled quotes,
+    exact integers bare, other reals via number->string. Our engine
+    is double-typed, so integral doubles render as the reference's
+    exact integers (1.0 -> "1") — the inverse of its read-side
+    number parse."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return '"' + str(v) + '"'
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    s = str(v)
+    return '"' + s.replace('"', '""') + '"'
+
+
+def csv_string(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    start: int = 0,
+    stop: int | None = None,
+    order_by: Sequence[str] | None = None,
+) -> str:
+    """``df-write/csv`` to a string, byte-compatible with the
+    reference's writer (csv.rkt:40-87, golden test
+    df-test.rkt:1241-1264): headers always quoted, #:start/#:stop row
+    range over the declared order. A driver-side single-file sink —
+    the same judgement as the reference's output-port writer; use
+    :func:`write_csv` for the distributed path."""
+    cols = list(columns) if columns else df.columns
+    out = df.select(*[f"`{c}`" for c in cols])
+    if order_by:
+        out = out.orderBy(*order_by)
+    lines = [",".join('"' + c.replace('"', '""') + '"' for c in cols)]
+    for i, row in enumerate(out.toLocalIterator()):
+        if i < start:
+            continue
+        if stop is not None and i >= stop:
+            break
+        lines.append(",".join(_golden_cell(row[c]) for c in cols))
+    return "\n".join(lines) + "\n"
+
+
 def write_csv(
     df: DataFrame,
     path: str,

@@ -161,23 +161,26 @@ def read_gpx(spark: SparkSession, path_or_text: str) -> Frame:
 
 def write_gpx(frame: Frame, name: str | None = None) -> str:
     """``df-write/gpx`` (gpx.rkt:161-231): Frame -> GPX XML string
-    (lat/lon required; alt and timestamp written when present).
-    Small-frame sink, as in the reference (collect is intentional)."""
+    (lat/lon required; the altitude series is "calt" — corrected
+    altitude — when present, else "alt", per gpx.rkt:174-182; the
+    timestamp is written when present). Single-file sink streamed via
+    toLocalIterator, as in the reference's output-port writer."""
     df = frame.df
     cols = df.columns
-    rows = df.orderBy(*(frame.order_by or ["timestamp"])).collect()
+    alt_col = "calt" if "calt" in cols else ("alt" if "alt" in cols else None)
+    it = df.orderBy(*(frame.order_by or ["timestamp"])).toLocalIterator()
     out = [
         '<?xml version="1.0" encoding="UTF-8"?>',
         '<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1" creator="data_frame_spark">',
         f"  <trk><name>{name or frame.get_property('name') or 'track'}</name><trkseg>",
     ]
-    for r in rows:
+    for r in it:
         lat, lon = r["lat"], r["lon"]
         if lat is None or lon is None:
             continue
         out.append(f'    <trkpt lat="{lat!r}" lon="{lon!r}">')
-        if "alt" in cols and r["alt"] is not None:
-            out.append(f"      <ele>{r['alt']!r}</ele>")
+        if alt_col is not None and r[alt_col] is not None:
+            out.append(f"      <ele>{r[alt_col]!r}</ele>")
         if "timestamp" in cols and r["timestamp"] is not None:
             out.append(f"      <time>{seconds_to_iso(r['timestamp'])}</time>")
         out.append("    </trkpt>")
