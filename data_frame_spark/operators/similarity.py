@@ -122,21 +122,58 @@ def lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
     return acc
 
 
+def probe_buckets(
+    vec: Column, dim: int, num_planes: int = 8, num_probes: int = 1
+) -> Column:
+    """Multi-probe bucket list: the home bucket plus the
+    ``num_probes - 1`` single-bit-flip buckets whose hyperplane
+    margin |vec·plane| is smallest — the classic multi-probe LSH
+    ordering (flip the least-certain signs first). Pure Column
+    arithmetic; probes are distinct by construction."""
+    dots = [dot(vec, F.array([F.lit(v) for v in _hyperplane(dim, h)]))
+            for h in range(num_planes)]
+    home = F.lit(0).cast("long")
+    for h, d in enumerate(dots):
+        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        home = home + F.shiftleft(bit, h)
+    if num_probes <= 1:
+        return F.array(home)
+    # flipped bucket precomputed per plane (shift count must be a
+    # literal), then ranked by margin and sliced
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct(
+                F.abs(d).alias("m"),
+                home.bitwiseXOR(F.lit(1 << h).cast("long")).alias("fb"),
+            )
+            for h, d in enumerate(dots)
+        ])
+    )
+    flips = F.transform(F.slice(ranked, 1, num_probes - 1), lambda s: s["fb"])
+    return F.concat(F.array(home), flips)
+
+
 def lsh_ann_topk(
     base: DataFrame,
     queries: DataFrame,
     dim: int,
     k: int = 10,
     num_planes: int = 8,
+    num_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's LSH bucket.
-    Recall improves with fewer planes (bigger buckets); cost is
-    bucket size × queries. Same scoring/ranking as the exact path."""
+    """Approximate top-k: compare only within the query's LSH
+    bucket(s). ``num_probes > 1`` adds bit-flip probe buckets in
+    margin order (multi-probe LSH), lifting recall without growing
+    the base-side fan-out — the query side explodes, the base stays
+    one row per vector. Same scoring/ranking as the exact path."""
     b = base.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, num_planes))
-    q = queries.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, num_planes))
+    q = queries.withColumn(
+        "__bucket",
+        F.explode(probe_buckets(F.col(vec_col), dim, num_planes, num_probes)),
+    )
     joined = b.select(
         id_col, F.col(vec_col).alias("__bv"), norm2(F.col(vec_col)).alias("__bn"), "__bucket"
     ).join(
@@ -168,21 +205,30 @@ def embedding_near_dup(
     dim: int,
     threshold: float = 0.95,
     num_planes: int = 8,
+    num_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from shared
     sign-LSH buckets, verified by exact cosine >= threshold.
-    Output: (id_a, id_b, cosine), id_a < id_b."""
+    ``num_probes > 1`` also joins each vector's bit-flip probe
+    buckets against home buckets (candidates at Hamming distance
+    <= 1), lifting recall; a pair at Hamming 1 is produced exactly
+    once from the lower-id side's probe list, so no dedup stage is
+    needed. Output: (id_a, id_b, cosine), id_a < id_b."""
     b = (
         df.select(F.col(id_col), F.col(vec_col).alias("__v"))
-        .withColumn("__bucket", lsh_bucket(F.col("__v"), dim, num_planes))
         .withColumn("__n", norm2(F.col("__v")))
+        .withColumn("__home", lsh_bucket(F.col("__v"), dim, num_planes))
     )
-    a = b.alias("a")
+    probed = b.withColumn(
+        "__bucket",
+        F.explode(probe_buckets(F.col("__v"), dim, num_planes, num_probes)),
+    )
+    a = probed.alias("a")
     c = b.alias("c")
     pairs = (
-        a.join(c, F.col("a.__bucket") == F.col("c.__bucket"))
+        a.join(c, F.col("a.__bucket") == F.col("c.__home"))
         .where(F.col(f"a.{id_col}") < F.col(f"c.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

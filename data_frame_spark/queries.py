@@ -1353,20 +1353,26 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH buckets +
     exact verify (cosine >= 0.4 — the synthetic embeddings are near-
     uniform, so 0.4 marks the unusually-close pairs). The scale path
-    for embedding dedup; recall traded via num_planes."""
+    for embedding dedup; multi-probe (Hamming<=1 candidates) lifts
+    recall without an all-pairs stage."""
     emb = t(spark, sf_dir, "embeddings")
-    return OpSim.embedding_near_dup(emb, dim=64, threshold=0.4, num_planes=2)
+    return OpSim.embedding_near_dup(
+        emb, dim=64, threshold=0.4, num_planes=2, num_probes=3
+    )
 
 
 @query("lsh_ann_topk_embeddings")  # approximate by construction -> rows-only
 def lsh_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k via sign-LSH buckets: queries probe only their
-    bucket (candidate set ∝ bucket size, not corpus size)."""
+    """ANN top-k via sign-LSH buckets with multi-probe (home bucket +
+    two smallest-margin bit-flip buckets): candidate set ∝ probed
+    bucket sizes, not corpus size."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return OpSim.lsh_ann_topk(emb, queries, dim=64, k=5, num_planes=4)
+    return OpSim.lsh_ann_topk(
+        emb, queries, dim=64, k=5, num_planes=4, num_probes=3
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -130,3 +130,59 @@ def test_embedding_near_dup(spark):
     out = SIM.embedding_near_dup(df, dim=4, threshold=0.99, num_planes=4).collect()
     got = {(r["id_a"], r["id_b"]) for r in out}
     assert (1, 2) in got and (1, 3) not in got
+
+
+def test_multi_probe_recall_at_k(spark):
+    """Multi-probe LSH recall@k vs exact cosine top-k: probing the
+    smallest-margin bit-flip buckets must dominate single-probe
+    recall and reach a usable absolute level."""
+    import random
+
+    rng = random.Random(11)
+    dim, n, k = 16, 300, 5
+    base_rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    base = spark.createDataFrame(base_rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(q, base_rows[q * 29][1]) for q in range(8)], ["query_id", "embedding"]
+    )
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    exact = topsets(SIM.cosine_topk(base, queries, k=k))
+    single = topsets(SIM.lsh_ann_topk(base, queries, dim=dim, k=k, num_planes=6))
+    multi = topsets(
+        SIM.lsh_ann_topk(base, queries, dim=dim, k=k, num_planes=6, num_probes=5)
+    )
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & exact[q]) for q in exact)
+        return hits / (len(exact) * k)
+
+    r1, r5 = recall(single), recall(multi)
+    assert r5 >= r1, f"multi-probe recall {r5} < single-probe {r1}"
+    assert r5 >= 0.5, f"multi-probe recall too low: {r5}"
+
+
+def test_multi_probe_near_dup_superset(spark):
+    """Multi-probe near-dup candidates are a superset of single-probe
+    pairs (Hamming<=1 includes Hamming 0)."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, [x + rng.uniform(-0.01, 0.01) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    p1 = {(r["id_a"], r["id_b"]) for r in
+          SIM.embedding_near_dup(df, dim=8, threshold=0.95, num_planes=5).collect()}
+    p3 = {(r["id_a"], r["id_b"]) for r in
+          SIM.embedding_near_dup(df, dim=8, threshold=0.95, num_planes=5,
+                                 num_probes=4).collect()}
+    assert p1 <= p3
+    assert len(p3) > len(p1)  # the planted twins straddling one plane get found
