@@ -183,34 +183,28 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     signature's bit b is 1 iff the vote sum is positive.
     Output: (id, simhash BIGINT).
 
-    Plan: explode tokens -> (id, token_hash, weight) -> explode bit
-    positions via a 60-element sequence -> groupBy(id, bit) vote ->
-    groupBy(id) assemble. Two shuffles keyed by id — no pairwise
-    work. Near-dup detection joins on the signature or its bands.
+    Plan: explode token OCCURRENCES and aggregate 60 map-side-
+    combinable ±1 sums in ONE groupBy(id) — votes are linear in the
+    token count, so occurrence-level ±1 sums equal count-weighted
+    votes over distinct tokens, with no 60x bit explode and no
+    token-count pre-shuffle. One data shuffle of 60 longs per doc;
+    the signature assembles from the vote columns as a pure
+    expression. Near-dup detection joins on the signature or bands.
     """
-    tok = df.select(
+    occ = df.select(
         F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("__t")
-    ).groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__w"))
-    tok = tok.withColumn("__h", hash60(F.col("__t")))
-    bitsdf = tok.select(
-        "__id",
-        "__w",
-        "__h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("__b"),
-    ).select(
-        "__id",
-        "__b",
-        F.when(
-            F.expr("(__h >> __b) & 1") == 1,
-            F.col("__w"),
-        ).otherwise(-F.col("__w")).alias("__vote"),
+    ).withColumn("__h", hash60(F.col("__t")))
+    votes = occ.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(__h >> {b}) & 1") == 1, F.lit(1)).otherwise(F.lit(-1))
+            ).alias(f"__v{b}")
+            for b in range(bits)
+        ]
     )
-    votes = bitsdf.groupBy("__id", "__b").agg(F.sum("__vote").alias("__v"))
-    sig = votes.groupBy("__id").agg(
-        F.sum(
-            F.when(F.col("__v") > 0, F.expr("CAST(1 AS BIGINT) << __b")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
-    return sig.withColumnRenamed("__id", id_col)
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.col(f"__v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col("__id").alias(id_col), sig.alias("simhash"))
