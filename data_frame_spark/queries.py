@@ -1356,8 +1356,10 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for embedding dedup; multi-probe (Hamming<=1 candidates) lifts
     recall without an all-pairs stage."""
     emb = t(spark, sf_dir, "embeddings")
+    # planes=4 + 3 probes ≈ 3/16 of all pairs as candidates — higher
+    # recall per candidate than the old planes=2 single-probe (1/4)
     return OpSim.embedding_near_dup(
-        emb, dim=64, threshold=0.4, num_planes=2, num_probes=3
+        emb, dim=64, threshold=0.4, num_planes=4, num_probes=3
     )
 
 
