@@ -125,11 +125,18 @@ def mean_max(
             * (F.col("__py") + F.col("__y")) / 2,
         )
         .withColumn("__A", _cum_area(ow, slice_scale))
-        .withColumn("__xmax", F.max("__x").over(
-            Window.partitionBy(*pcols) if pcols else Window.partitionBy()
-        ))
         .withColumn("__nx", F.lead("__x").over(ow))
     )
+    if pcols:
+        sliced = sliced.withColumn(
+            "__xmax", F.max("__x").over(Window.partitionBy(*pcols))
+        )
+    else:
+        # single-series path: the global max is a broadcast scalar,
+        # not an all-rows-to-one-partition window
+        sliced = sliced.crossJoin(
+            F.broadcast(pts.agg(F.max("__x").alias("__xmax")))
+        )
 
     ddf = F.broadcast(
         spark.createDataFrame([(float(d),) for d in durations], ["duration"])
