@@ -54,7 +54,9 @@ def _read_header_line(path: str) -> list[str] | None:
         target = parts[0]
     try:
         with open(target, newline="") as fh:
-            return next(_csv.reader(fh))
+            # skipinitialspace: the reference's lexer allows
+            # whitespace before a quoted header token
+            return [h.strip() for h in next(_csv.reader(fh, skipinitialspace=True))]
     except (OSError, StopIteration):
         return None
 
@@ -68,12 +70,20 @@ def read_csv(
     infer_numbers: bool = True,
 ) -> DataFrame:
     """``df-read/csv`` (csv.rkt:275-280). Distributed scan; header
-    dedup and numeric post-cast happen on the schema, not the data."""
+    dedup and numeric post-cast happen on the schema, not the data.
+
+    The reference's lexer skips whitespace before a quoted token
+    (csv.rkt:139-161); a whitespace-then-quote cell reaches Spark's
+    parser as literal text, so cells that are entirely one quoted
+    token after trimming are unwrapped (and their doubled quotes
+    unescaped) before NA/number handling."""
     df = (
         spark.read.option("header", str(headers).lower())
         .option("nullValue", na)
         .option("mode", "PERMISSIVE")
         .option("escape", '"')  # RFC doubled quotes (csv.rkt:163-171)
+        .option("ignoreLeadingWhiteSpace", "true")
+        .option("ignoreTrailingWhiteSpace", "true")
         .csv(path)
     )
     if headers:
@@ -85,6 +95,27 @@ def read_csv(
             df = df.toDF(*_dedup_headers(original))
     else:
         df = df.toDF(*[f"col{i}" for i in range(len(df.columns))])
+
+    # unwrap whitespace-prefixed quoted cells ('"x""y"' -> 'x"y');
+    # cells still quote-wrapped after that (mixed quoted/unquoted
+    # pieces like '"a,bc" 123 "d""ef"') get the lexer's
+    # token-concatenation: doubled quotes escape, single quotes drop
+    quoted = r'^"((?:[^"]|"")*)"$'
+
+    def _unwrap(col):
+        clean = F.regexp_replace(F.regexp_extract(col, quoted, 1), '""', '"')
+        mixed = F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(col, '""', "\x00"), '"', ""),
+            "\x00",
+            '"',
+        )
+        return (
+            F.when(col.rlike(quoted), clean)
+            .when(col.rlike(r'^".*"$'), mixed)
+            .otherwise(col)
+        )
+
+    df = df.select(*[_unwrap(F.col(f"`{c}`")).alias(c) for c in df.columns])
 
     if na_predicate is not None:
         df = df.select(

@@ -1,0 +1,99 @@
+"""Property tests for the range-bucketed global-order primitives.
+
+These pin the core claim of operators/distributed.py: bucketed
+two-level computation reproduces the sequential global-order result
+for ANY data distribution and ANY bucket boundaries (boundaries only
+affect balance). Hypothesis drives adversarial shapes: ties, empty
+buckets, skew, negatives, single rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from data_frame_spark.operators.distributed import (
+    bucket_expr,
+    with_global_rank,
+    with_lag,
+    with_running_sum,
+)
+
+_vals = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    min_size=1,
+    max_size=60,
+)
+_bounds = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+    max_size=5,
+)
+
+_slow = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, xs):
+    return spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], ["i", "x"]
+    )
+
+
+@given(xs=_vals, bs=_bounds)
+@_slow
+def test_global_rank_matches_sequential(spark, xs, bs):
+    bs = sorted(set(bs))
+    out = with_global_rank(_df(spark, xs), ["x", "i"], boundaries=bs).collect()
+    got = {r["i"]: r["__rn"] for r in out}
+    expect = {
+        i: rank + 1
+        for rank, (x, i) in enumerate(sorted((x, i) for i, x in enumerate(xs)))
+    }
+    assert got == expect
+
+
+@given(xs=_vals)
+@_slow
+def test_running_sum_matches_sequential(spark, xs):
+    ints = [int(x) % 1000 for x in xs]
+    df = spark.createDataFrame(
+        [(i, float(x), v) for i, (x, v) in enumerate(zip(xs, ints))],
+        ["i", "x", "v"],
+    )
+    out = with_running_sum(df, ["x", "i"], "v", out="__cw", n_buckets=4).collect()
+    got = {r["i"]: r["__cw"] for r in out}
+    acc, expect = 0, {}
+    for x, i in sorted((x, i) for i, x in enumerate(xs)):
+        acc += ints[i]
+        expect[i] = acc
+    assert got == expect
+
+
+@given(xs=_vals)
+@_slow
+def test_lag_matches_sequential(spark, xs):
+    out = with_lag(_df(spark, xs), ["x", "i"], ["x"], n_buckets=3).collect()
+    got = {r["i"]: r["__lag_x"] for r in out}
+    order = sorted((x, i) for i, x in enumerate(xs))
+    expect = {i: (order[k - 1][0] if k else None) for k, (x, i) in enumerate(order)}
+    for i in expect:
+        if expect[i] is None:
+            assert got[i] is None
+        else:
+            assert got[i] is not None and math.isclose(got[i], expect[i])
+
+
+def test_bucket_expr_is_monotonic(spark):
+    bs = [-5.0, 0.0, 0.0 + 1e-9, 7.5]
+    df = spark.createDataFrame(
+        [(float(x),) for x in (-10, -5, -1, 0, 1, 7.5, 99)], ["x"]
+    ).withColumn("b", bucket_expr(F.col("x"), bs))
+    rows = sorted((r["x"], r["b"]) for r in df.collect())
+    buckets = [b for _, b in rows]
+    assert buckets == sorted(buckets)  # monotone in x
+    assert buckets[0] == 0 and buckets[-1] == len(bs)

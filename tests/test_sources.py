@@ -228,3 +228,42 @@ def test_read_real_tcx_activity(spark):
     assert fr.get_property("tcx-sport") is not None
     multi = TCX.read_tcx_multiple(spark, os.path.join(REF_DATA, "activity_790564009.tcx"))
     assert len(multi) == 1
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DATA), reason="reference not present")
+def test_read_real_sample_csv(spark):
+    # df-test.rkt:1178-1196 on the real torture fixture: whitespace
+    # before quoted tokens, long-row truncation, mixed quoted/unquoted
+    # cell pieces, per-cell typing (here: uniform column typing, so the
+    # mixed 'one'/'two' columns stay strings — documented delta)
+    df = CSV.read_csv(spark, os.path.join(REF_DATA, "sample.csv"))
+    assert df.columns == ["one", "two", "three", "four"]
+    assert df.count() == 13
+    rows = df.collect()
+    vals = [tuple(r) for r in rows]
+    assert ("1", "2", 3.0, "4") in vals  # long row truncated to 4 cols
+    assert ("7", "8", 9.0, "def,gh") in vals
+    # lexer token concatenation: '"a,bc" 123 "d""ef"' -> 'a,bc 123 d"ef'
+    assert any(r[3] == 'a,bc 123 d"ef' for r in vals)
+    # quoted cell preserves inner whitespace after unwrap
+    assert any(r[1] == " -1e-2+3.5i " for r in vals)
+    assert dict(df.dtypes)["three"] == "double"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DATA), reason="reference not present")
+def test_read_real_sample2_custom_na(spark):
+    # df-test.rkt sample2: '-' as the NA marker (with stray whitespace)
+    df = CSV.read_csv(spark, os.path.join(REF_DATA, "sample2.csv"), na="-")
+    assert df.columns == ["one", "two", "three", "four"]
+    two = [r["two"] for r in df.collect()]
+    assert two.count(None) >= 2  # '-' and ' -' cells are NA
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DATA), reason="reference not present")
+def test_read_real_sample3_trailing_comma(spark):
+    # df-test.rkt sample3: trailing comma -> an unnamed empty column
+    df = CSV.read_csv(spark, os.path.join(REF_DATA, "sample3.csv"))
+    assert df.columns[:2] == ["one", "two"]
+    assert df.count() > 0
+    d = dict(df.dtypes)
+    assert d["one"] == "double" and d["two"] == "double"
