@@ -55,11 +55,17 @@ def davg(col: Column | str, scale: int = SCALE) -> Column:
 
 
 def sql_dsum(expr: str, scale: int = SCALE) -> str:
-    """DuckDB oracle twin of :func:`dsum`."""
+    """DuckDB oracle twin of :func:`dsum`.
+
+    The integer->double conversion goes through VARCHAR: DuckDB's
+    direct DECIMAL(38,0)->DOUBLE cast is NOT correctly rounded for
+    sums above 2^53 (off by 1 ulp, observed at sf0.1), while its
+    string->double parse is — matching Spark's BigDecimal.doubleValue
+    exactly."""
     m = float(10**scale)
     return (
-        f"CAST(SUM(CAST(FLOOR(({expr}) * {m!r} + 0.5) AS DECIMAL(38,0))) AS DOUBLE)"
-        f" / {m!r}"
+        f"CAST(CAST(SUM(CAST(FLOOR(({expr}) * {m!r} + 0.5) AS DECIMAL(38,0)))"
+        f" AS VARCHAR) AS DOUBLE) / {m!r}"
     )
 
 

@@ -172,21 +172,23 @@ def valid_only_drop_na(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "describe_lineitem",
-    oracle="""
+    oracle=f"""
     WITH s AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
                       CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem)
     SELECT 'l_quantity' AS series, COUNT(q) AS count,
            COUNT(CASE WHEN q IS NULL THEN 1 END) AS na_count,
            MIN(q) AS min, MAX(q) AS max,
-           (CAST(SUM(CAST(FLOOR(q * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / COUNT(q) AS mean,
-           SQRT(((CAST(SUM(CAST(FLOOR(q*q * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) - (CAST(SUM(CAST(FLOOR(q * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) * (CAST(SUM(CAST(FLOOR(q * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / COUNT(q)) / (COUNT(q) - 1)) AS stddev
+           ({sql_dsum('q')}) / COUNT(q) AS mean,
+           SQRT((({sql_dsum('q*q', 4)}) - ({sql_dsum('q')}) * ({sql_dsum('q')})
+                 / COUNT(q)) / (COUNT(q) - 1)) AS stddev
     FROM s
     UNION ALL
     SELECT 'l_extendedprice', COUNT(p),
            COUNT(CASE WHEN p IS NULL THEN 1 END),
            MIN(p), MAX(p),
-           (CAST(SUM(CAST(FLOOR(p * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / COUNT(p),
-           SQRT(((CAST(SUM(CAST(FLOOR(p*p * 10000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) - (CAST(SUM(CAST(FLOOR(p * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) * (CAST(SUM(CAST(FLOOR(p * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0) / COUNT(p)) / (COUNT(p) - 1))
+           ({sql_dsum('p')}) / COUNT(p),
+           SQRT((({sql_dsum('p*p', 4)}) - ({sql_dsum('p')}) * ({sql_dsum('p')})
+                 / COUNT(p)) / (COUNT(p) - 1))
     FROM s
     """,
 )
@@ -329,13 +331,12 @@ def interpolated_lookup_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 from data_frame_spark.operators import stats as OpStats
 from data_frame_spark.operators import histogram as OpHist
 
-# floor-quantized sum builder for oracle SQL (twin of exact.dsum)
+# floor-quantized sum builder for oracle SQL (twin of exact.dsum);
+# delegates so the VARCHAR-mediated integer->double conversion (see
+# exact.sql_dsum — DuckDB's direct DECIMAL->DOUBLE cast mis-rounds
+# above 2^53) lives in exactly one place
 def _fsum(expr: str, scale: int = 6) -> str:
-    m = float(10**scale)
-    return (
-        f"CAST(SUM(CAST(FLOOR(({expr}) * {m!r} + 0.5) AS DECIMAL(38,0))) AS DOUBLE)"
-        f" / {m!r}"
-    )
+    return sql_dsum(expr, scale)
 
 
 _W_EVENTS = """
