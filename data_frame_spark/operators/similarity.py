@@ -200,6 +200,119 @@ def lsh_ann_topk(
     )
 
 
+def _argmin_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id by maximum dot product (vectors and
+    centroids are used unnormalized — IVF cells for cosine assume
+    roughly unit-norm data; callers can pre-normalize). Pure Column
+    expression: an array of (−dot, cid) structs sorted ascending."""
+    scored = F.array(*[
+        F.struct(
+            (-dot(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
+            F.lit(i).cast("int").alias("cid"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    return F.array_sort(scored)[0]["cid"]
+
+
+def ivf_fit_centroids(
+    base: DataFrame,
+    dim: int,
+    k: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """IVF coarse quantizer: k centroids, deterministically seeded
+    (the k vectors with smallest md5(vec_id) — reproducible without
+    rand()), refined by ``iterations`` Lloyd steps. Each step is one
+    distributed assign + groupBy-mean; only k×dim floats ever reach
+    the driver, so fitting scales to any corpus."""
+    seed_rows = (
+        base.select(id_col, vec_col)
+        .orderBy(md5_order(F.col(id_col)))
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in seed_rows]
+    for _ in range(iterations):
+        assigned = base.select(
+            _argmin_centroid(F.col(vec_col), centroids).alias("__cid"),
+            F.col(vec_col).alias("__v"),
+        )
+        means = (
+            assigned.groupBy("__cid")
+            .agg(*[
+                F.avg(F.col("__v")[i]).alias(f"c{i}") for i in range(dim)
+            ])
+            .collect()
+        )
+        for r in means:
+            centroids[r["__cid"]] = [float(r[f"c{i}"]) for i in range(dim)]
+    return centroids
+
+
+def md5_order(id_col: Column) -> Column:
+    return F.md5(id_col.cast("string"))
+
+
+def ivf_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: base vectors partition into ``n_cells``
+    coarse cells; each query scans only its ``n_probe`` nearest
+    cells. The inverted-file counterpart of :func:`lsh_ann_topk` —
+    candidate count ∝ probed cell sizes, not corpus size. Same
+    exact-cosine scoring and deterministic tie-broken ranking."""
+    centroids = ivf_fit_centroids(base, dim, n_cells, iterations, id_col, vec_col)
+    b = base.select(
+        id_col,
+        F.col(vec_col).alias("__bv"),
+        norm2(F.col(vec_col)).alias("__bn"),
+        _argmin_centroid(F.col(vec_col), centroids).alias("__cell"),
+    )
+    # a query probes its n_probe nearest cells
+    scored = F.array(*[
+        F.struct(
+            (-dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
+            F.lit(i).cast("int").alias("cid"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    probes = F.transform(
+        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cid"]
+    )
+    q = queries.select(
+        query_id_col,
+        F.col(vec_col).alias("__qv"),
+        norm2(F.col(vec_col)).alias("__qn"),
+        F.explode(probes).alias("__cell"),
+    )
+    joined = b.join(F.broadcast(q), "__cell")
+    out = joined.select(
+        query_id_col,
+        id_col,
+        (dot(F.col("__bv"), F.col("__qv")) / (F.col("__bn") * F.col("__qn"))).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        out.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rk").alias("rank"))
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     dim: int,

@@ -186,3 +186,38 @@ def test_multi_probe_near_dup_superset(spark):
                                  num_probes=4).collect()}
     assert p1 <= p3
     assert len(p3) > len(p1)  # the planted twins straddling one plane get found
+
+
+def test_ivf_topk_recall(spark):
+    """IVF coarse quantizer + n_probe cell scan: finds the exact
+    vector for a known query and reaches usable recall@k vs the
+    exact scan."""
+    import random
+
+    rng = random.Random(7)
+    dim, n, k = 12, 240, 5
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(q, rows[q * 31][1]) for q in range(6)], ["query_id", "embedding"]
+    )
+    exact = {}
+    for r in SIM.cosine_topk(base, queries, k=k).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got = {}
+    out = SIM.ivf_topk(base, queries, dim=dim, k=k, n_cells=8, n_probe=3)
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # self-match: the query IS a base vector and must appear at rank 1
+    for q in range(6):
+        assert q * 31 in got[q]
+    hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+    assert hits / (len(exact) * k) >= 0.5
+
+
+def test_ivf_centroids_deterministic(spark):
+    rows = [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(40)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    c1 = SIM.ivf_fit_centroids(base, dim=3, k=4, iterations=1)
+    c2 = SIM.ivf_fit_centroids(base, dim=3, k=4, iterations=1)
+    assert c1 == c2  # md5-seeded, no rand() anywhere
