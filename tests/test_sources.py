@@ -267,3 +267,45 @@ def test_read_real_sample3_trailing_comma(spark):
     assert df.count() > 0
     d = dict(df.dtypes)
     assert d["one"] == "double" and d["two"] == "double"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_DATA), reason="reference not present")
+def test_real_1136_statistics_and_histograms(spark):
+    # df-test.rkt stats+mmax-tests / histogram-tests on the real
+    # track: unweighted spd mean ~0.88, timer-weighted ~0.81 (the
+    # irregular-sampling correction the reference documents), 5
+    # quantiles, and histogram bucket counts that sum to row count
+    from data_frame_spark.operators import stats as ST
+    from data_frame_spark.operators import histogram as HI
+
+    df = CSV.read_csv(spark, os.path.join(REF_DATA, "track-data-1136.csv"))
+    n_rows = df.count()
+
+    s = ST.unweighted_stats(df, "spd").collect()[0]
+    assert abs(s["mean"] - 0.88) < 1e-2
+
+    w = ST.weighted_stats(
+        df, "spd", "timer", order_by=["timestamp"]
+    ).collect()[0]
+    assert abs(w["weighted_mean"] - 0.81) < 1e-2
+
+    q = ST.quantiles(df, "spd").collect()
+    assert len(q) == 5
+
+    h1 = HI.histogram(df, "spd", width=1.0).collect()
+    assert len(h1) == 3
+    assert sum(r["count"] for r in h1) == n_rows
+
+    h2 = HI.histogram(df, "spd", width=0.01).collect()
+    assert len(h2) > 1
+    assert sum(r["count"] for r in h2) == n_rows
+
+    tagged = df.withColumn(
+        "spd_tag",
+        F.when(F.col("spd") < 1.0, "low")
+        .when(F.col("spd") > 1.1, "high")
+        .otherwise("med"),
+    )
+    h3 = HI.string_histogram(tagged, "spd_tag").collect()
+    assert len(h3) == 3
+    assert sum(r["count"] for r in h3) == n_rows
