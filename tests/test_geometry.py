@@ -96,3 +96,46 @@ def test_fit_spline_from_df(spark):
     )
     sp = fit_spline(df, "x", "y")
     assert sp(2.0) == pytest.approx(4.0, abs=1e-9)
+
+
+def test_rdp_degenerate_sizes():
+    # df-test.rkt:1429-1446: 0/1/2-point inputs pass through unchanged
+    import numpy as np
+
+    assert R.rdp_mask(np.array([]), np.array([]), 1.0).tolist() == []
+    assert R.rdp_mask(np.array([0.0]), np.array([1.0]), 1.0).tolist() == [True]
+    assert R.rdp_mask(
+        np.array([0.0, 0.0]), np.array([1.0, 2.0]), 1.0
+    ).tolist() == [True, True]
+
+
+def test_rdp_real_1136_epsilon_and_keep_positions(spark):
+    # df-test.rkt:1447-1478 on the real (timer, spd) trajectory:
+    # larger epsilon keeps fewer points; keep-positions forces the
+    # midway point AND its successor to survive; out-of-range keep
+    # positions are ignored
+    import os
+    import numpy as np
+    from data_frame_spark.sources import csv as CSV
+
+    ref = "/root/reference/private/test/test-data/track-data-1136.csv"
+    if not os.path.exists(ref):
+        import pytest as _pytest
+
+        _pytest.skip("reference not present")
+    df = CSV.read_csv(spark, ref)
+    rows = sorted(
+        ((r["timer"], r["spd"]) for r in df.select("timer", "spd").collect()
+         if r["spd"] is not None)
+    )
+    x = np.array([r[0] for r in rows], dtype=float)
+    y = np.array([r[1] for r in rows], dtype=float)
+    n1 = R.rdp_mask(x, y, 0.01).sum()
+    n2 = R.rdp_mask(x, y, 0.02).sum()
+    n3 = R.rdp_mask(x, y, 0.03).sum()
+    assert n2 < n1 and n3 < n2
+    mid = len(x) // 2
+    mask = R.rdp_simplify_arrays(
+        x, y, 0.03, keep_positions=[mid, len(x) - 1, len(x) + 5]
+    )
+    assert mask[mid] and mask[mid + 1]
