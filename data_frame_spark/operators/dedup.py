@@ -212,3 +212,40 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     return votes.select(
         F.col("__id").alias(id_col), F.expr(sig).alias("simhash")
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Train/test decontamination by n-gram collision (the standard
+    public recipe: a training document is contaminated if it shares
+    any length-n token span with an evaluation document; n=13 is the
+    published default).
+
+    Plan: both sides explode to DISTINCT md5-hashed n-gram rows (one
+    doc-keyed shuffle each), equi-join on the hash — candidate work
+    ∝ colliding n-grams, never |corpus|×|benchmark| — then a
+    pair-keyed count. Output: (doc_id, bench_id, shared_ngrams) for
+    pairs with at least ``min_overlap`` shared n-grams.
+    """
+    c = (
+        shingle_rows(corpus, text_col, id_col, n=n)
+        .select(F.col("__id").alias("doc_id"), F.md5(F.col("__shingle")).alias("__h"))
+        .distinct()
+    )
+    b = (
+        shingle_rows(benchmark, text_col, id_col, n=n)
+        .select(F.col("__id").alias("bench_id"), F.md5(F.col("__shingle")).alias("__h"))
+        .distinct()
+    )
+    return (
+        c.join(b, "__h")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .where(F.col("shared_ngrams") >= F.lit(min_overlap))
+    )

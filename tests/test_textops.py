@@ -221,3 +221,28 @@ def test_ivf_centroids_deterministic(spark):
     c1 = SIM.ivf_fit_centroids(base, dim=3, k=4, iterations=1)
     c2 = SIM.ivf_fit_centroids(base, dim=3, k=4, iterations=1)
     assert c1 == c2  # md5-seeded, no rand() anywhere
+
+
+def test_ngram_contamination(spark):
+    """Decontamination by 13-gram collision: a training doc sharing a
+    verbatim 13-token span with a benchmark doc is flagged; disjoint
+    docs are not; short docs fall back to whole-text match."""
+    span = " ".join(f"w{i}" for i in range(13))
+    corpus = spark.createDataFrame(
+        [
+            (1, f"prefix text {span} suffix text here"),
+            (2, "totally unrelated content with no overlap at all " * 3),
+            (3, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, f"the benchmark asks about {span} in context"),
+         (101, "short doc")],
+        ["doc_id", "text"],
+    )
+    out = D.ngram_contamination(corpus, bench, n=13)
+    got = {(r["doc_id"], r["bench_id"]): r["shared_ngrams"] for r in out.collect()}
+    assert (1, 100) in got
+    assert not any(d == 2 for d, _ in got)
+    assert (3, 101) in got  # whole-text fallback for sub-n docs
