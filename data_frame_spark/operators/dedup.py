@@ -126,13 +126,22 @@ def ngram_jaccard(
     text_col: str,
     id_col: str,
     shingle_n: int = 3,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs:
     (id_a, id_b, jaccard). Explode each side's distinct shingles,
-    count intersections via join, |A∪B| = |A|+|B|-|A∩B|."""
+    count intersections via join, |A∪B| = |A|+|B|-|A∩B|.
+
+    The shingle table feeds three plan branches (sizes + both join
+    sides); ``persist_shingles`` materializes it once instead of
+    recomputing per branch — the standard stage-checkpoint practice
+    for production dedup pipelines (at 100 TB you would write the
+    signature/shingle tables to parquet between stages)."""
     sh = shingle_rows(df, text_col, id_col, shingle_n).withColumnRenamed(
         "__shingle", "__s"
     ).distinct()
+    if persist_shingles:
+        sh = sh.persist()
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     inter = (
         pairs.join(sh.alias("sa"), F.col("id_a") == F.col("sa.__id"))

@@ -1243,7 +1243,9 @@ def ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sigs = OpDedup.minhash_signatures(docs, "text", "doc_id", num_hashes=_NHASH)
     pairs = OpDedup.lsh_candidate_pairs(sigs, "doc_id", _NHASH, _BANDS)
-    return OpDedup.ngram_jaccard(docs, pairs, "text", "doc_id")
+    return OpDedup.ngram_jaccard(
+        docs, pairs, "text", "doc_id", persist_shingles=True
+    )
 
 
 @query(

@@ -1,0 +1,75 @@
+"""Generate docs/SCALE_LEDGER.md: per-query physical-plan accounting.
+
+For every registered query (at sf0.001 so plan generation is fast):
+data shuffles (Exchange nodes), data-sized partitionless windows
+(the single-partition scale hazard — must be 0 outside the two
+documented single-series mean-max queries), and broadcast usage.
+
+    python tools/scale_ledger.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_frame_spark.session import get_spark
+from data_frame_spark.queries import QUERIES
+from data_frame_spark.plans import checks as C
+
+SF_DIR = "/root/testdata/sf0.001"
+
+HEADER = """# Scale ledger
+
+Auto-generated (`python tools/scale_ledger.py`) physical-plan
+accounting for every registered query at sf0.001. Columns:
+
+- **shuffles** — `Exchange` nodes in the executed plan (each is a
+  full data repartition at scale; lower is better, and none of these
+  grow with data size beyond the shuffle itself).
+- **partitionless** — data-sized partitionless `WindowExec` nodes
+  (everything funnels through ONE partition: the 100 TB hazard).
+  Only the two documented single-series global mean-max queries may
+  be non-zero; their per-entity twins (`mean_max_by_user`, ...)
+  prove the partitioned path.
+- **broadcast** — the plan broadcasts a small side instead of
+  shuffling the big one.
+
+| query | shuffles | partitionless | broadcast |
+|---|---|---|---|
+"""
+
+
+def main() -> None:
+    spark = get_spark("scale-ledger")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, SF_DIR)
+            plan = C.formatted_plan(df)
+            # data shuffles only: Exchange nodes net of reuse and of
+            # broadcast exchanges (broadcasts are not data shuffles)
+            # formatted plans name each node twice (tree + details)
+            sh = (
+                plan.count("Exchange")
+                - plan.count("ReusedExchange")
+                - plan.count("BroadcastExchange")
+            ) // 2
+            pw = len(C.data_sized_partitionless_windows(df))
+            bc = "yes" if C.uses_broadcast_join(df) else ""
+            rows.append(f"| `{name}` | {max(sh, 0)} | {pw} | {bc} |")
+        except Exception as e:  # pragma: no cover
+            rows.append(f"| `{name}` | ERROR | {str(e)[:40]} | |")
+    out = HEADER + "\n".join(rows) + "\n"
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "docs", "SCALE_LEDGER.md")
+    with open(path, "w") as fh:
+        fh.write(out)
+    print(f"wrote {path} ({len(rows)} queries)")
+
+
+if __name__ == "__main__":
+    main()
