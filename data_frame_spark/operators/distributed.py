@@ -80,13 +80,35 @@ def bucket_expr(col: Column, boundaries: Sequence[float]) -> Column:
     return expr.otherwise(F.lit(len(boundaries)))
 
 
-def compute_boundaries(df: DataFrame, col: str | Column, n_buckets: int) -> list[float]:
-    """~Equi-depth split points via one percentile_approx aggregate.
-    Returns a deduplicated ascending list (possibly shorter than
-    n_buckets-1 under heavy ties)."""
+def compute_boundaries(
+    df: DataFrame,
+    col: str | Column,
+    n_buckets: int,
+    mode: str = "depth",
+) -> list[float]:
+    """Split points for the range bucketing. ``mode="depth"``:
+    ~equi-depth via one percentile_approx aggregate (any
+    distribution). ``mode="width"``: equal-width between min and max
+    — a much cheaper min/max aggregate, right for near-uniform axes
+    (timestamps, sequence numbers); skew only affects balance, never
+    correctness. Returns a deduplicated ascending list."""
     c = F.col(col) if isinstance(col, str) else col
     if n_buckets <= 1:
         return []
+    if mode == "width":
+        row = df.agg(
+            F.min(c.cast("double")).alias("lo"), F.max(c.cast("double")).alias("hi")
+        ).collect()[0]
+        lo, hi = row["lo"], row["hi"]
+        if lo is None or hi is None or not (hi > lo):
+            return []
+        step = (hi - lo) / n_buckets
+        out = []
+        for i in range(1, n_buckets):
+            b = lo + step * i
+            if not out or b > out[-1]:
+                out.append(float(b))
+        return out
     probs = [i / n_buckets for i in range(1, n_buckets)]
     row = df.agg(
         F.percentile_approx(
@@ -106,12 +128,15 @@ def _bucketed(
     order_by: Sequence[str | Column],
     n_buckets: int | None,
     boundaries: Sequence[float] | None = None,
+    mode: str = "depth",
 ):
     """Attach __bucket (monotonic in the first order column) and return
     (bucketed_df, within-bucket window ordered by the full key)."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if boundaries is None:
-        boundaries = compute_boundaries(df, cols[0], n_buckets or _n_buckets(df))
+        boundaries = compute_boundaries(
+            df, cols[0], n_buckets or _n_buckets(df), mode
+        )
     b = df.withColumn("__bucket", bucket_expr(cols[0], boundaries))
     w = Window.partitionBy("__bucket").orderBy(*cols)
     return b, w
@@ -185,12 +210,15 @@ def with_lag(
     prefix: str = "__lag_",
     n_buckets: int | None = None,
     boundaries: Sequence[float] | None = None,
+    boundary_mode: str = "depth",
 ) -> DataFrame:
     """Previous-row values of ``cols`` in global ``order_by`` order.
     Within-bucket lag; each bucket's first row is patched from the
     previous nonempty bucket's last row (carried through a tiny
-    max_by aggregate + lead over the bucket table)."""
-    b, w = _bucketed(df, order_by, n_buckets, boundaries)
+    max_by aggregate + lead over the bucket table).
+    ``boundary_mode="width"`` uses the cheap min/max boundary job —
+    right when the order axis is near-uniform (timestamps)."""
+    b, w = _bucketed(df, order_by, n_buckets, boundaries, boundary_mode)
     ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     out = b.withColumn("__lrn1", F.row_number().over(w))
     for c in cols:

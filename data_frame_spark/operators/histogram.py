@@ -81,7 +81,7 @@ def weighted_histogram(
     binned by the midpoint, counts are Δw sums (histogram.rkt:53-66).
     """
     d = (
-        with_lag(df, order_by, [weight_col, col])
+        with_lag(df, order_by, [weight_col, col], boundary_mode="width")
         .withColumn("__pw", F.col(f"__lag_{weight_col}"))
         .withColumn("__pv", F.col(f"__lag_{col}"))
         .withColumn("__dx", F.col(weight_col) - F.col("__pw"))

@@ -62,7 +62,9 @@ def weighted_stats(
     else:
         # no partition keys -> distributed lag (range-bucketed), not a
         # partitionless window
-        d = with_lag(df, order_by, [weight_col, value_col]).select(
+        d = with_lag(
+            df, order_by, [weight_col, value_col], boundary_mode="width"
+        ).select(
             "*",
             F.col(f"__lag_{weight_col}").alias("__pw"),
             F.col(f"__lag_{value_col}").alias("__pv"),
@@ -182,7 +184,7 @@ def weighted_quantiles(
     # perturb the threshold comparison, and the oracle computes the
     # identical integers.
     d = (
-        with_lag(df, order_by, [weight_col])
+        with_lag(df, order_by, [weight_col], boundary_mode="width")
         .withColumn("__pw", F.col(f"__lag_{weight_col}"))
         .withColumn(
             "__w",
