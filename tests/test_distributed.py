@@ -97,3 +97,21 @@ def test_bucket_expr_is_monotonic(spark):
     buckets = [b for _, b in rows]
     assert buckets == sorted(buckets)  # monotone in x
     assert buckets[0] == 0 and buckets[-1] == len(bs)
+
+
+@given(xs=_vals)
+@_slow
+def test_quantiles_match_inverse_cdf(spark, xs):
+    """df-quantile property (statistics.rkt:84-118): for each p the
+    result is the sorted element at max(ceil(p*n)-1, 0), for ANY
+    input distribution."""
+    from data_frame_spark.operators.stats import quantiles
+
+    df = spark.createDataFrame([(float(v),) for v in xs], ["v"])
+    probs = (0.0, 0.25, 0.5, 0.75, 1.0)
+    got = {r["p"]: r["quantile"] for r in quantiles(df, "v", probs).collect()}
+    s = sorted(float(v) for v in xs)
+    n = len(s)
+    for p in probs:
+        idx = max(math.ceil(p * n) - 1, 0)
+        assert got[p] == s[idx], (p, got[p], s[idx])
