@@ -242,18 +242,22 @@ def ngram_contamination(
     pair-keyed count. Output: (doc_id, bench_id, shared_ngrams) for
     pairs with at least ``min_overlap`` shared n-grams.
     """
-    c = (
-        shingle_rows(corpus, text_col, id_col, n=n)
-        .select(F.col("__id").alias("doc_id"), F.md5(F.col("__shingle")).alias("__h"))
-        .distinct()
+    c = shingle_rows(corpus, text_col, id_col, n=n).select(
+        F.col("__id").alias("doc_id"), F.md5(F.col("__shingle")).alias("__h")
     )
     b = (
         shingle_rows(benchmark, text_col, id_col, n=n)
         .select(F.col("__id").alias("bench_id"), F.md5(F.col("__shingle")).alias("__h"))
         .distinct()
     )
+    # benchmark suites are tiny next to a training corpus: broadcast
+    # the benchmark hash set so non-colliding corpus n-grams are
+    # dropped MAP-SIDE — the corpus never shuffles its shingles; only
+    # the (rare) collisions reach the distinct + pair count
     return (
-        c.join(b, "__h")
+        c.join(F.broadcast(b), "__h")
+        .select("doc_id", "bench_id", "__h")
+        .distinct()
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .where(F.col("shared_ngrams") >= F.lit(min_overlap))

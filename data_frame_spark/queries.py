@@ -2051,7 +2051,10 @@ def ngram_decontamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     document sharing any verbatim 13-token span with a benchmark
     document is flagged with its overlap count. Hashed n-gram
     equi-join — work ∝ colliding n-grams, never corpus × benchmark."""
-    docs = t(spark, sf_dir, "documents")
+    # the fixture parquet has ~3 row groups; spread the md5-heavy
+    # shingle work across all cores (a real corpus arrives with
+    # thousands of partitions and skips this)
+    docs = t(spark, sf_dir, "documents").repartition(32)
     bench = docs.where(F.col("doc_id") % 50 == 0)
     return OpDedup.ngram_contamination(docs, bench, "text", "doc_id", n=13)
 
