@@ -133,15 +133,19 @@ def ngram_jaccard(
     count intersections via join, |A∪B| = |A|+|B|-|A∩B|.
 
     The shingle table feeds three plan branches (sizes + both join
-    sides); ``persist_shingles`` materializes it once instead of
-    recomputing per branch — the standard stage-checkpoint practice
-    for production dedup pipelines (at 100 TB you would write the
-    signature/shingle tables to parquet between stages)."""
+    sides); ``persist_shingles`` materializes it once (eager
+    localCheckpoint: lineage is cut so every branch reads the stored
+    partitions, and the blocks are reclaimed by the ContextCleaner
+    when the plan is garbage-collected — no session-lifetime cache
+    leak) instead of recomputing the tokenize+md5 pipeline per
+    branch — the standard stage-checkpoint practice for production
+    dedup pipelines (at 100 TB you would write the signature/shingle
+    tables to parquet between stages)."""
     sh = shingle_rows(df, text_col, id_col, shingle_n).withColumnRenamed(
         "__shingle", "__s"
     ).distinct()
     if persist_shingles:
-        sh = sh.persist()
+        sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     inter = (
         pairs.join(sh.alias("sa"), F.col("id_a") == F.col("sa.__id"))

@@ -1243,6 +1243,12 @@ def ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sigs = OpDedup.minhash_signatures(docs, "text", "doc_id", num_hashes=_NHASH)
     pairs = OpDedup.lsh_candidate_pairs(sigs, "doc_id", _NHASH, _BANDS)
+    # the candidate-pair table feeds two plan branches (the intersect
+    # join and the final pair join) and itself carries the whole
+    # minhash+banding pipeline — materialize it once, like the
+    # shingle table inside ngram_jaccard (eager localCheckpoint is
+    # ContextCleaner-reclaimed, so no session-lifetime cache leak)
+    pairs = pairs.localCheckpoint(eager=True)
     return OpDedup.ngram_jaccard(
         docs, pairs, "text", "doc_id", persist_shingles=True
     )
@@ -1508,13 +1514,15 @@ def binary_metadata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "byte_features_docs",
     oracle="""
-    WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
                FROM documents),
-         pos AS (SELECT doc_id, text, n,
+         pos AS (SELECT doc_id, hx, n,
                         UNNEST(generate_series(1, CAST(n AS BIGINT))) AS i
                  FROM b),
          ch AS (SELECT doc_id, n,
-                       ascii(substr(text, CAST(i AS INT), 1)) // 16 AS nib
+                       strpos('0123456789ABCDEF',
+                              substr(hx, CAST(2*i-1 AS INT), 1)) - 1 AS nib
                 FROM pos),
          hist AS (SELECT doc_id, MIN(n) AS n, nib, COUNT(*) AS c
                   FROM ch GROUP BY doc_id, nib),
@@ -1535,7 +1543,10 @@ def byte_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas canonicalizer can't factorize list cells, so the query
     emits the scalar features). Entropy ROUND(...,9) + 0.0: numpy
     sums bins in index order, SQL in group order — identical to well
-    under 1e-9; +0.0 normalizes a potential -0.0."""
+    under 1e-9; +0.0 normalizes a potential -0.0. The oracle indexes
+    UTF-8 BYTES (high nibble of byte i = hex digit 2i-1 of the
+    hex-encoded payload), so non-ASCII documents match the numpy
+    byte histogram exactly."""
     docs = t(spark, sf_dir, "documents").withColumn(
         "payload", F.encode(F.col("text"), "UTF-8")
     )
@@ -1723,7 +1734,8 @@ def mean_max_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
                           SUM(CASE WHEN (hv >> b) & 1 = 1 THEN w ELSE -w END) AS v
                    FROM bits GROUP BY 1, 2)
     SELECT doc_id,
-           SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+                AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """.replace("{H60}", _H60),
 )

@@ -73,6 +73,15 @@ def test_no_data_sized_partitionless_windows(spark, sf_dir):
         assert not bad, f"{name}: {bad}"
 
 
+def test_jaccard_verify_shuffle_budget(spark, sf_dir):
+    # the shingle table and the candidate-pair table are each
+    # materialized once (localCheckpoint); without that the plan
+    # rebuilds the tokenize+md5 pipeline per branch (17 Exchanges in
+    # round 2). Budget pinned so a refactor can't silently regress.
+    df = QUERIES["ngram_jaccard_verified"](spark, sf_dir)
+    assert C.count_shuffles(df) <= 8
+
+
 def test_partitioned_meanmax_has_no_global_sort(spark, sf_dir):
     # the per-user mean-max family is the 100 TB path: every window
     # must carry PARTITION BY user_id — no partitionless window at all
