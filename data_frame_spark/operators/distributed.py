@@ -203,6 +203,119 @@ def with_running_sum(
     return b.withColumn(out, off + run).drop("__bucket", "__rsv")
 
 
+def with_event_brackets(
+    df: DataFrame,
+    order_by: Sequence[str],
+    value_cols: Sequence[str],
+    mark: Column,
+    boundaries: Sequence[float],
+    prefix_back: str = "__bk_",
+    prefix_fwd: str = "__fw_",
+) -> DataFrame:
+    """Bracketing primitive for interpolation probes: for every row,
+    the ``value_cols`` (DOUBLE) of the LAST row satisfying ``mark``
+    at-or-before it, and of the FIRST marked row strictly ordered
+    after it, in global ``order_by`` order — without a partitionless
+    window.
+
+    Two within-bucket running passes (ASC and DESC — Spark's
+    UNBOUNDED FOLLOWING frame re-aggregates per row, a DESC running
+    frame is O(n)) resolve rows whose bracket lies inside their own
+    bucket; the missing sides are patched from a per-bucket marked
+    summary (one map-combinable groupBy collected driver-side —
+    <= |buckets| rows — and broadcast back). Rows with equal first
+    order key share a bucket, so cross-bucket order is strict and
+    the patch is exact.
+    """
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    ocols = [F.col(c) for c in order_by]
+    b = df.withColumn("__bucket", bucket_expr(ocols[0], boundaries))
+    asc_w = Window.partitionBy("__bucket").orderBy(*ocols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    desc_w = Window.partitionBy("__bucket").orderBy(
+        *[c.desc() for c in ocols]
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    out = b
+    for c in value_cols:
+        mc = F.when(mark, F.col(c))
+        out = out.withColumn(prefix_back + c, F.last(mc, ignorenulls=True).over(asc_w))
+        out = out.withColumn(prefix_fwd + c, F.last(mc, ignorenulls=True).over(desc_w))
+    vstruct = F.struct(*[F.col(c) for c in value_cols])
+    okey = F.struct(*ocols)
+    summ = (
+        b.where(mark)
+        .groupBy("__bucket")
+        .agg(
+            F.max_by(vstruct, okey).alias("__l"),
+            F.min_by(vstruct, okey).alias("__f"),
+        )
+        .collect()
+    )
+    nb = max(
+        [len(boundaries) + 1] + [int(r["__bucket"]) + 1 for r in summ]
+    )
+    last_by = {int(r["__bucket"]): r["__l"] for r in summ}
+    first_by = {int(r["__bucket"]): r["__f"] for r in summ}
+    backs: list = []
+    run = None
+    for i in range(nb):
+        backs.append(run)
+        if i in last_by:
+            run = last_by[i]
+    fwds: list = [None] * nb
+    run = None
+    for i in range(nb - 1, -1, -1):
+        fwds[i] = run
+        if i in first_by:
+            run = first_by[i]
+    schema = T.StructType(
+        [T.StructField("__bucket", T.IntegerType())]
+        + [T.StructField("__cb_" + c, T.DoubleType()) for c in value_cols]
+        + [T.StructField("__cf_" + c, T.DoubleType()) for c in value_cols]
+    )
+    rows = [
+        tuple(
+            [i]
+            + [None if backs[i] is None else backs[i][c] for c in value_cols]
+            + [None if fwds[i] is None else fwds[i][c] for c in value_cols]
+        )
+        for i in range(nb)
+    ]
+    carry = spark.createDataFrame(rows, schema)
+    out = out.join(F.broadcast(carry), "__bucket", "left")
+    for c in value_cols:
+        out = (
+            out.withColumn(
+                prefix_back + c,
+                F.coalesce(F.col(prefix_back + c), F.col("__cb_" + c)),
+            )
+            .withColumn(
+                prefix_fwd + c,
+                F.coalesce(F.col(prefix_fwd + c), F.col("__cf_" + c)),
+            )
+            .drop("__cb_" + c, "__cf_" + c)
+        )
+    return out.drop("__bucket")
+
+
+def width_boundaries(lo: float, hi: float, n_buckets: int) -> list[float]:
+    """Equal-width split points from known min/max — lets a caller
+    that already collected (min, max) in another aggregate reuse it
+    instead of paying a second boundary job."""
+    if lo is None or hi is None or not (hi > lo) or n_buckets <= 1:
+        return []
+    step = (hi - lo) / n_buckets
+    out: list[float] = []
+    for i in range(1, n_buckets):
+        bv = lo + step * i
+        if not out or bv > out[-1]:
+            out.append(float(bv))
+    return out
+
+
 def with_lag(
     df: DataFrame,
     order_by: Sequence[str | Column],

@@ -36,6 +36,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_frame_spark.operators import distributed as D
+
 #: meanmax.rkt:35-39 — durations always included in the ladder.
 IMPORTANT_DURATIONS = [
     10, 15, 30, 45, 60, 75, 90, 120, 180, 300, 600, 900,
@@ -109,11 +111,11 @@ def mean_max(
         .select(*pcols, x.alias("__x"), *tb, y.alias("__y"))
     )
     okeys = ["__x", "__tb"] if tiebreak_col else ["__x"]
-    ow = (
-        Window.partitionBy(*pcols).orderBy(*okeys)
-        if pcols
-        else Window.orderBy(*okeys)
-    )
+    if not pcols:
+        return _mean_max_global(
+            spark, pts, okeys, durations, inverted, slice_scale
+        )
+    ow = Window.partitionBy(*pcols).orderBy(*okeys)
     # slice ENDING at this sample; A = cumulative area at this sample
     # (sum of slices up to here). First sample: slice NULL -> A = 0.
     sliced = (
@@ -126,17 +128,8 @@ def mean_max(
         )
         .withColumn("__A", _cum_area(ow, slice_scale))
         .withColumn("__nx", F.lead("__x").over(ow))
+        .withColumn("__xmax", F.max("__x").over(Window.partitionBy(*pcols)))
     )
-    if pcols:
-        sliced = sliced.withColumn(
-            "__xmax", F.max("__x").over(Window.partitionBy(*pcols))
-        )
-    else:
-        # single-series path: the global max is a broadcast scalar,
-        # not an all-rows-to-one-partition window
-        sliced = sliced.crossJoin(
-            F.broadcast(pts.agg(F.max("__x").alias("__xmax")))
-        )
 
     ddf = F.broadcast(
         spark.createDataFrame([(float(d),) for d in durations], ["duration"])
@@ -170,20 +163,19 @@ def mean_max(
     )
     u = probes.unionByName(base)
 
-    wb = (
-        Window.partitionBy(*pcols).orderBy("__k", "__tag")
-        if pcols
-        else Window.orderBy("__k", "__tag")
+    back = (
+        Window.partitionBy(*pcols)
+        .orderBy("__k", "__tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    back = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     # forward pass as a DESC-ordered running frame: Spark's
     # UNBOUNDED FOLLOWING frame is O(n^2) (re-aggregated per row);
     # a running UNBOUNDED PRECEDING frame is O(n).
     wf = (
-        Window.partitionBy(*pcols).orderBy(F.col("__k").desc(), F.col("__tag").desc())
-        if pcols
-        else Window.orderBy(F.col("__k").desc(), F.col("__tag").desc())
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Window.partitionBy(*pcols)
+        .orderBy(F.col("__k").desc(), F.col("__tag").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     bk = F.when(F.col("__tag") == 0, F.col("__bx"))
     bA = F.when(F.col("__tag") == 0, F.col("__bA"))
     interp = (
@@ -193,14 +185,8 @@ def mean_max(
         .withColumn("__A1", F.last(bA, ignorenulls=True).over(wf))
         .where(F.col("__tag") == 1)
     )
-    a_end = F.when(
-        F.col("__x1").isNull() | (F.col("__x1") == F.col("__x0")),
-        F.col("__A0"),
-    ).otherwise(
-        F.col("__A0")
-        + (F.col("__k") - F.col("__x0"))
-        / (F.col("__x1") - F.col("__x0"))
-        * (F.col("__A1") - F.col("__A0"))
+    a_end = _interp_a(
+        F.col("__k"), F.col("__x0"), F.col("__A0"), F.col("__x1"), F.col("__A1")
     )
     means = interp.select(
         *pcols,
@@ -208,17 +194,141 @@ def mean_max(
         "pos",
         ((a_end - F.col("__A_start")) / F.col("duration")).alias("__mean"),
     )
-    order = (
-        [F.col("__mean").asc(), F.col("pos").asc()]
-        if inverted
-        else [F.col("__mean").desc(), F.col("pos").asc()]
+    return _best_by_duration(means, pcols, inverted)
+
+
+def _interp_a(k, x0, A0, x1, A1):
+    """A(k) by linear interpolation between the bracketing samples."""
+    return F.when(x1.isNull() | (x1 == x0), A0).otherwise(
+        A0 + (k - x0) / (x1 - x0) * (A1 - A0)
     )
-    rw = Window.partitionBy(*pcols, "duration").orderBy(*order)
+
+
+def _best_by_duration(means, pcols, inverted: bool) -> DataFrame:
+    """Best mean per duration, ties keeping the earliest position
+    (meanmax.rkt maybe-update strict comparison) — as ONE map-side
+    combinable aggregate: lexicographic max/min over
+    struct(mean, -/+pos). No window, no sort, any scale."""
+    if inverted:
+        pick = F.min(
+            F.struct(F.col("__mean").alias("m"), F.col("pos").alias("p"))
+        ).alias("__b")
+        pos = F.col("__b.p")
+    else:
+        pick = F.max(
+            F.struct(F.col("__mean").alias("m"), (-F.col("pos")).alias("p"))
+        ).alias("__b")
+        pos = -F.col("__b.p")
     return (
-        means.withColumn("__rk", F.row_number().over(rw))
-        .where(F.col("__rk") == 1)
-        .select(*pcols, "duration", F.col("__mean").alias("best_mean"), "pos")
+        means.groupBy(*pcols, "duration")
+        .agg(pick)
+        .select(*pcols, "duration", F.col("__b.m").alias("best_mean"), pos.alias("pos"))
     )
+
+
+def _mean_max_global(
+    spark, pts, okeys, durations, inverted, slice_scale
+) -> DataFrame:
+    """Single-series (``partition_by=()``) path with ZERO
+    partitionless windows: every globally-ordered pass is a
+    range-bucketed two-level computation from
+    :mod:`operators.distributed`. One tiny (min, max) aggregate
+    yields both the equal-width bucket boundaries (the x axis is an
+    elapsed-time/distance axis — near-uniform; boundary placement
+    only affects balance, never results) and the xmax literal; the
+    SAME boundaries serve the slice-lag pass, the A-cumulation, and
+    the probe-bracketing pass, since probe positions k = x + d stay
+    inside [xmin, xmax] by the window-fits filter."""
+    row = pts.agg(F.min("__x").alias("lo"), F.max("__x").alias("hi")).collect()[0]
+    if row["hi"] is None:
+        return spark.createDataFrame(
+            [], "duration double, best_mean double, pos double"
+        )
+    lo, xmax = float(row["lo"]), float(row["hi"])
+    boundaries = D.width_boundaries(lo, xmax, D._n_buckets(pts))
+    lagged = D.with_lag(pts, okeys, ["__x", "__y"], prefix="__p", boundaries=boundaries)
+    sliced = lagged.withColumn(
+        "__slice",
+        (F.col("__x") - F.col("__p__x")) * (F.col("__p__y") + F.col("__y")) / 2,
+    )
+    # stage checkpoints (eager localCheckpoint, ContextCleaner-
+    # reclaimed): the slice table feeds the offset aggregate AND the
+    # A window; the A table feeds probes, base, and the bracket
+    # summary — materialize each once instead of recomputing the
+    # upstream sort per branch (at 100 TB: write these stage tables
+    # to parquet between jobs).
+    sliced = sliced.localCheckpoint(eager=True)
+    if slice_scale is not None:
+        m = float(10**slice_scale)
+        qv = F.floor(F.col("__slice") * F.lit(m) + F.lit(0.5))
+        sliced = D.with_running_sum(sliced, okeys, qv, "__Ar", boundaries=boundaries)
+        sliced = sliced.withColumn(
+            "__A", F.coalesce(F.col("__Ar"), F.lit(0)).cast("double") / F.lit(m)
+        )
+    else:
+        sliced = D.with_running_sum(
+            sliced, okeys, F.col("__slice"), "__Ar", boundaries=boundaries
+        )
+        sliced = sliced.withColumn(
+            "__A", F.coalesce(F.col("__Ar").cast("double"), F.lit(0.0))
+        )
+    sliced = sliced.drop("__Ar", "__p__x", "__p__y", "__slice").localCheckpoint(
+        eager=True
+    )
+
+    ddf = F.broadcast(
+        spark.createDataFrame([(float(d),) for d in durations], ["duration"])
+    )
+    # "starts a slice" == "is not the last sample": any row with
+    # __x < xmax has a successor; rows AT xmax generate no in-range
+    # probe anyway (k = xmax + d > xmax), so the broadcast-scalar
+    # test replaces the lead() pass exactly.
+    probes = (
+        sliced.where(F.col("__x") < F.lit(xmax))
+        .crossJoin(ddf)
+        .withColumn("__k", F.col("__x") + F.col("duration"))
+        .where(F.col("__k") <= F.lit(xmax))
+        .select(
+            "__k",
+            F.lit(1).alias("__tag"),
+            "duration",
+            F.col("__x").alias("pos"),
+            F.col("__A").alias("__A_start"),
+            F.lit(None).cast("double").alias("__bx"),
+            F.lit(None).cast("double").alias("__bA"),
+        )
+    )
+    base = sliced.select(
+        F.col("__x").alias("__k"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast("double").alias("duration"),
+        F.lit(None).cast("double").alias("pos"),
+        F.lit(None).cast("double").alias("__A_start"),
+        F.col("__x").alias("__bx"),
+        F.col("__A").alias("__bA"),
+    )
+    u = probes.unionByName(base)
+    br = D.with_event_brackets(
+        u,
+        ["__k", "__tag"],
+        ["__bx", "__bA"],
+        mark=F.col("__tag") == 0,
+        boundaries=boundaries,
+    )
+    interp = br.where(F.col("__tag") == 1)
+    a_end = _interp_a(
+        F.col("__k"),
+        F.col("__bk___bx"),
+        F.col("__bk___bA"),
+        F.col("__fw___bx"),
+        F.col("__fw___bA"),
+    )
+    means = interp.select(
+        "duration",
+        "pos",
+        ((a_end - F.col("__A_start")) / F.col("duration")).alias("__mean"),
+    )
+    return _best_by_duration(means, [], inverted)
 
 
 def _cum_area(ow, slice_scale):
@@ -248,25 +358,62 @@ def mean_max_aux(
 
 def mean_max_probe(df, value_col, x_col, mm, partition_by=(), slice_scale=None):
     pcols = list(partition_by)
-    ow = (
-        Window.partitionBy(*pcols).orderBy("__x")
-        if pcols
-        else Window.orderBy("__x")
-    )
     x = F.col(x_col).cast("double")
     y = F.col(value_col).cast("double")
     pts = df.where(x.isNotNull() & y.isNotNull()).select(
         *pcols, x.alias("__x"), y.alias("__y")
     )
-    sliced = (
-        pts.withColumn("__px", F.lag("__x").over(ow))
-        .withColumn("__py", F.lag("__y").over(ow))
-        .withColumn(
-            "__slice",
-            (F.col("__x") - F.col("__px")) * (F.col("__py") + F.col("__y")) / 2,
+    boundaries: list[float] | None = None
+    if pcols:
+        ow = Window.partitionBy(*pcols).orderBy("__x")
+        sliced = (
+            pts.withColumn("__px", F.lag("__x").over(ow))
+            .withColumn("__py", F.lag("__y").over(ow))
+            .withColumn(
+                "__slice",
+                (F.col("__x") - F.col("__px")) * (F.col("__py") + F.col("__y")) / 2,
+            )
+            .withColumn("__A", _cum_area(ow, slice_scale))
         )
-        .withColumn("__A", _cum_area(ow, slice_scale))
-    )
+    else:
+        # single-series path: range-bucketed lag + running sum, zero
+        # partitionless windows (same plan shape as _mean_max_global)
+        row = pts.agg(F.min("__x").alias("lo"), F.max("__x").alias("hi")).collect()[0]
+        if row["hi"] is None:
+            return mm.select(
+                *pcols, "duration", "pos", F.lit(None).cast("double").alias("aux_mean")
+            ).where(F.lit(False))
+        boundaries = D.width_boundaries(
+            float(row["lo"]), float(row["hi"]), D._n_buckets(pts)
+        )
+        lagged = D.with_lag(
+            pts, ["__x"], ["__x", "__y"], prefix="__p", boundaries=boundaries
+        )
+        sliced = lagged.withColumn(
+            "__slice",
+            (F.col("__x") - F.col("__p__x")) * (F.col("__p__y") + F.col("__y")) / 2,
+        )
+        # stage checkpoint — see _mean_max_global
+        sliced = sliced.localCheckpoint(eager=True)
+        if slice_scale is not None:
+            m = float(10**slice_scale)
+            qv = F.floor(F.col("__slice") * F.lit(m) + F.lit(0.5))
+            sliced = D.with_running_sum(
+                sliced, ["__x"], qv, "__Ar", boundaries=boundaries
+            )
+            sliced = sliced.withColumn(
+                "__A", F.coalesce(F.col("__Ar"), F.lit(0)).cast("double") / F.lit(m)
+            )
+        else:
+            sliced = D.with_running_sum(
+                sliced, ["__x"], F.col("__slice"), "__Ar", boundaries=boundaries
+            )
+            sliced = sliced.withColumn(
+                "__A", F.coalesce(F.col("__Ar").cast("double"), F.lit(0.0))
+            )
+        sliced = sliced.drop("__Ar", "__p__x", "__p__y", "__slice").localCheckpoint(
+            eager=True
+        )
     # probes at both window ends for every (duration, pos)
     p_start = mm.select(*pcols, "duration", "pos", F.col("pos").alias("__k"))
     p_end = mm.select(
@@ -288,37 +435,48 @@ def mean_max_probe(df, value_col, x_col, mm, partition_by=(), slice_scale=None):
     u = probes.withColumn("__tag", F.lit(1)).withColumn(
         "__bx", F.lit(None).cast("double")
     ).withColumn("__bA", F.lit(None).cast("double")).unionByName(base)
-    wb = (
-        Window.partitionBy(*pcols).orderBy("__k", "__tag")
-        if pcols
-        else Window.orderBy("__k", "__tag")
-    )
-    back = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # forward pass as a DESC-ordered running frame: Spark's
-    # UNBOUNDED FOLLOWING frame is O(n^2) (re-aggregated per row);
-    # a running UNBOUNDED PRECEDING frame is O(n).
-    wf = (
-        Window.partitionBy(*pcols).orderBy(F.col("__k").desc(), F.col("__tag").desc())
-        if pcols
-        else Window.orderBy(F.col("__k").desc(), F.col("__tag").desc())
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bk = F.when(F.col("__tag") == 0, F.col("__bx"))
-    bA = F.when(F.col("__tag") == 0, F.col("__bA"))
-    interp = (
-        u.withColumn("__x0", F.last(bk, ignorenulls=True).over(back))
-        .withColumn("__A0", F.last(bA, ignorenulls=True).over(back))
-        .withColumn("__x1", F.last(bk, ignorenulls=True).over(wf))
-        .withColumn("__A1", F.last(bA, ignorenulls=True).over(wf))
-        .where(F.col("__tag") == 1)
-    )
-    a_at = F.when(
-        F.col("__x1").isNull() | (F.col("__x1") == F.col("__x0")), F.col("__A0")
-    ).otherwise(
-        F.col("__A0")
-        + (F.col("__k") - F.col("__x0"))
-        / (F.col("__x1") - F.col("__x0"))
-        * (F.col("__A1") - F.col("__A0"))
-    )
+    if pcols:
+        back = (
+            Window.partitionBy(*pcols)
+            .orderBy("__k", "__tag")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        # forward pass as a DESC-ordered running frame: Spark's
+        # UNBOUNDED FOLLOWING frame is O(n^2) (re-aggregated per row);
+        # a running UNBOUNDED PRECEDING frame is O(n).
+        wf = (
+            Window.partitionBy(*pcols)
+            .orderBy(F.col("__k").desc(), F.col("__tag").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        bk = F.when(F.col("__tag") == 0, F.col("__bx"))
+        bA = F.when(F.col("__tag") == 0, F.col("__bA"))
+        interp = (
+            u.withColumn("__x0", F.last(bk, ignorenulls=True).over(back))
+            .withColumn("__A0", F.last(bA, ignorenulls=True).over(back))
+            .withColumn("__x1", F.last(bk, ignorenulls=True).over(wf))
+            .withColumn("__A1", F.last(bA, ignorenulls=True).over(wf))
+            .where(F.col("__tag") == 1)
+        )
+        a_at = _interp_a(
+            F.col("__k"), F.col("__x0"), F.col("__A0"), F.col("__x1"), F.col("__A1")
+        )
+    else:
+        br = D.with_event_brackets(
+            u,
+            ["__k", "__tag"],
+            ["__bx", "__bA"],
+            mark=F.col("__tag") == 0,
+            boundaries=boundaries or [],
+        )
+        interp = br.where(F.col("__tag") == 1)
+        a_at = _interp_a(
+            F.col("__k"),
+            F.col("__bk___bx"),
+            F.col("__bk___bA"),
+            F.col("__fw___bx"),
+            F.col("__fw___bA"),
+        )
     ends = interp.select(*pcols, "duration", "pos", "__end", a_at.alias("__Aat"))
     piv = (
         ends.groupBy(*pcols, "duration", "pos")

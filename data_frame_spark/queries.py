@@ -1357,13 +1357,82 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OpSim.cosine_topk(emb, queries, k=5)
 
 
-@query("embedding_near_dup_pairs")  # LSH-bucketed; hyperplane literals -> rows-only
+def _lsh_cte(num_planes: int = 4, dim: int = 64, n_flips: int = 2) -> str:
+    """Shared DuckDB CTE reproducing the sign-LSH pipeline of
+    :mod:`operators.similarity` bit-for-bit: the md5-derived
+    hyperplanes are inlined as DOUBLE[] literals (repr() round-trips
+    the exact doubles), plane dots and norms use the same quantized
+    integer accumulation as :func:`OpSim.dot`, and multi-probe picks
+    the ``n_flips`` smallest-|margin| bit flips with the same
+    (margin, flipped-bucket) tie-break as ``probe_buckets``. Margins
+    compare as integers — same order as Spark's /1e9 doubles."""
+    rows = []
+    for h in range(num_planes):
+        vals = ", ".join(repr(v) for v in OpSim._hyperplane(dim, h))
+        rows.append(f"({h}, CAST([{vals}] AS DOUBLE[]))")
+    values = ",\n                 ".join(rows)
+    return f"""
+    WITH pl(h, p) AS (VALUES {values}),
+         vecs AS (SELECT vec_id, embedding AS e FROM embeddings),
+         pdots AS (SELECT vec_id, h,
+                          SUM(CAST(FLOOR(CAST(e[i] AS DOUBLE) * p[i]
+                                         * 1000000000.0 + 0.5) AS BIGINT)) AS d
+                   FROM vecs, pl, UNNEST(generate_series(1, {dim})) t(i)
+                   GROUP BY 1, 2),
+         homes AS (SELECT vec_id,
+                          CAST(SUM(CASE WHEN d > 0 THEN (1 << h) ELSE 0 END)
+                               AS BIGINT) AS home
+                   FROM pdots GROUP BY 1),
+         norms AS (SELECT vec_id,
+                          sqrt(SUM(CAST(FLOOR(CAST(e[i] AS DOUBLE)
+                                              * CAST(e[i] AS DOUBLE)
+                                              * 1000000000.0 + 0.5) AS BIGINT))
+                               / 1000000000.0) AS nn
+                   FROM vecs, UNNEST(generate_series(1, {dim})) t(i)
+                   GROUP BY 1),
+         flips AS (SELECT p.vec_id, abs(p.d) AS m,
+                          xor(h.home, CAST((1 << p.h) AS BIGINT)) AS fb
+                   FROM pdots p JOIN homes h USING (vec_id)),
+         rflips AS (SELECT vec_id, fb,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY m ASC, fb ASC) AS rk
+                    FROM flips),
+         probes AS (SELECT vec_id, home AS bucket FROM homes
+                    UNION ALL
+                    SELECT vec_id, fb AS bucket FROM rflips WHERE rk <= {n_flips})
+    """
+
+
+@query(
+    "embedding_near_dup_pairs",
+    oracle=_lsh_cte() + """
+    , cand AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+               FROM probes a JOIN homes c ON a.bucket = c.home
+               WHERE a.vec_id < c.vec_id),
+      pd AS (SELECT cd.id_a, cd.id_b,
+                    SUM(CAST(FLOOR(CAST(ea.e[i] AS DOUBLE)
+                                   * CAST(ec.e[i] AS DOUBLE)
+                                   * 1000000000.0 + 0.5) AS BIGINT)) AS dq
+             FROM cand cd, vecs ea, vecs ec,
+                  UNNEST(generate_series(1, 64)) t(i)
+             WHERE ea.vec_id = cd.id_a AND ec.vec_id = cd.id_b
+             GROUP BY 1, 2),
+      scored AS (SELECT p.id_a, p.id_b,
+                        (p.dq / 1000000000.0) / (na.nn * nb.nn) AS cosine
+                 FROM pd p
+                 JOIN norms na ON na.vec_id = p.id_a
+                 JOIN norms nb ON nb.vec_id = p.id_b)
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+    """,
+)
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via sign-LSH buckets +
     exact verify (cosine >= 0.4 — the synthetic embeddings are near-
     uniform, so 0.4 marks the unusually-close pairs). The scale path
     for embedding dedup; multi-probe (Hamming<=1 candidates) lifts
-    recall without an all-pairs stage."""
+    recall without an all-pairs stage. Everything is md5-derived and
+    integer-quantized, so the DuckDB oracle reproduces buckets AND
+    cosines exactly — no rows-only concession."""
     emb = t(spark, sf_dir, "embeddings")
     # planes=4 + 3 probes ≈ 3/16 of all pairs as candidates — higher
     # recall per candidate than the old planes=2 single-probe (1/4)
@@ -1372,11 +1441,39 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("lsh_ann_topk_embeddings")  # approximate by construction -> rows-only
+@query(
+    "lsh_ann_topk_embeddings",
+    oracle=_lsh_cte() + """
+    , cand AS (SELECT q.vec_id AS query_id, b.vec_id AS vec_id
+               FROM probes q JOIN homes b ON q.bucket = b.home
+               WHERE q.vec_id < 3),
+      pd AS (SELECT c.query_id, c.vec_id,
+                    SUM(CAST(FLOOR(CAST(eb.e[i] AS DOUBLE)
+                                   * CAST(eq.e[i] AS DOUBLE)
+                                   * 1000000000.0 + 0.5) AS BIGINT)) AS dq
+             FROM cand c, vecs eb, vecs eq,
+                  UNNEST(generate_series(1, 64)) t(i)
+             WHERE eb.vec_id = c.vec_id AND eq.vec_id = c.query_id
+             GROUP BY 1, 2),
+      scored AS (SELECT p.query_id, p.vec_id,
+                        (p.dq / 1000000000.0) / (nb.nn * nq.nn) AS cosine
+                 FROM pd p
+                 JOIN norms nb ON nb.vec_id = p.vec_id
+                 JOIN norms nq ON nq.vec_id = p.query_id),
+      r AS (SELECT query_id, vec_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, vec_id ASC) AS rk
+            FROM scored)
+    SELECT query_id, vec_id, cosine, CAST(rk AS INT) AS rank
+    FROM r WHERE rk <= 5
+    """,
+)
 def lsh_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via sign-LSH buckets with multi-probe (home bucket +
     two smallest-margin bit-flip buckets): candidate set ∝ probed
-    bucket sizes, not corpus size."""
+    bucket sizes, not corpus size. md5 hyperplanes + quantized dots
+    make the approximate result deterministic, so the oracle twin
+    reproduces it exactly."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"

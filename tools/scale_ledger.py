@@ -31,9 +31,10 @@ accounting for every registered query at sf0.001. Columns:
   grow with data size beyond the shuffle itself).
 - **partitionless** — data-sized partitionless `WindowExec` nodes
   (everything funnels through ONE partition: the 100 TB hazard).
-  Only the two documented single-series global mean-max queries may
-  be non-zero; their per-entity twins (`mean_max_by_user`, ...)
-  prove the partitioned path.
+  This column must be 0 for EVERY query: the single-series mean-max
+  family routes its slice-lag, A-cumulation, and probe-bracketing
+  passes through the range-bucketed two-level primitives in
+  `operators/distributed.py` (pinned by `tests/test_plans.py`).
 - **broadcast** — the plan broadcasts a small side instead of
   shuffling the big one.
 
