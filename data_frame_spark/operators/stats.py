@@ -179,12 +179,42 @@ def weighted_quantiles(
     reaches p * total_weight.
     """
     spark = df.sparkSession
+    from data_frame_spark.operators.distributed import (
+        _ACCURACY_LIT,
+        _n_buckets,
+        bucket_expr,
+        sketch_col,
+        width_boundaries,
+    )
+
+    nb = _n_buckets(df)
+    # ONE fused scan over the raw table yields BOTH bucketings: the
+    # order-axis min/max (equal-width lag buckets — the axis is a
+    # cumulative timer, near-uniform) and the value-axis percentile
+    # sketch. Boundary placement never affects results (any monotonic
+    # bucketing preserves global order), so sketching the raw values
+    # instead of the post-filter deltas is free.
+    ocol = F.col(order_by[0]).cast("double")
+    row = df.agg(
+        F.min(ocol).alias("lo"),
+        F.max(ocol).alias("hi"),
+        F.percentile_approx(
+            sketch_col(F.col(value_col).cast("double")),
+            [i / nb for i in range(1, nb)],
+            _ACCURACY_LIT(),
+        ).alias("bs"),
+    ).collect()[0]
+    lag_bs = width_boundaries(row["lo"], row["hi"], nb)
+    bs: list[float] = []
+    for bv in row["bs"] or []:
+        if bv is not None and (not bs or bv > bs[-1]):
+            bs.append(float(bv))
     # weights are quantized to integers (micro-units) so cumulative
     # sums are associative — tie order among equal values can't
     # perturb the threshold comparison, and the oracle computes the
     # identical integers.
     d = (
-        with_lag(df, order_by, [weight_col], boundary_mode="width")
+        with_lag(df, order_by, [weight_col], boundaries=lag_bs)
         .withColumn("__pw", F.col(f"__lag_{weight_col}"))
         .withColumn(
             "__w",
@@ -198,30 +228,29 @@ def weighted_quantiles(
             F.floor(F.col("__w") * F.lit(1e6) + F.lit(0.5)).alias("__wq"),
         )
         .where(F.col("__wq") > 0)
+        # materialize the lag+quantize pipeline ONCE (eager
+        # localCheckpoint, ContextCleaner-reclaimed): the offsets
+        # aggregate and the final window read the stored partitions —
+        # round 2 ran the whole lag pipeline once per collect job
+        .localCheckpoint(eager=True)
     )
-    # one fused scan: total weight + value-order bucket boundaries
-    from data_frame_spark.operators.distributed import (
-        _ACCURACY_LIT,
-        _n_buckets,
-        sketch_col,
-    )
-
-    nb = _n_buckets(d)
-    stats_row = d.agg(
-        F.sum("__wq").alias("W"),
-        F.percentile_approx(
-            sketch_col(F.col("__x")), [i / nb for i in range(1, nb)], _ACCURACY_LIT()
-        ).alias("bs"),
-    ).collect()[0]
-    bs: list[float] = []
-    for bv in stats_row["bs"] or []:
-        if bv is not None and (not bs or bv > bs[-1]):
-            bs.append(float(bv))
+    # ONE collect gives the per-bucket running-sum offsets AND the
+    # exact total weight (W = sum of the integer bucket totals)
+    totals = {
+        r["__bucket"]: r["__t"]
+        for r in d.withColumn("__bucket", bucket_expr(F.col("__x"), bs))
+        .groupBy("__bucket")
+        .agg(F.sum("__wq").alias("__t"))
+        .collect()
+    }
+    W = int(sum(totals.values()))
     # distributed inclusive running weight in value order
-    cum = with_running_sum(d, ["__x"], "__wq", out="__cw", boundaries=bs)
+    cum = with_running_sum(
+        d, ["__x"], "__wq", out="__cw", boundaries=bs, totals=totals
+    )
     pdf = spark.createDataFrame(
         [(float(p),) for p in probs], ["p"]
-    ).withColumn("__W", F.lit(int(stats_row["W"] or 0)))
+    ).withColumn("__W", F.lit(W))
     probs_w = F.broadcast(pdf)
     # exactly the FIRST row (in value order) whose cumulative weight
     # reaches p*W: its predecessor was still below the target. This

@@ -9,6 +9,25 @@ Column names are aliased identically on both sides (the driver's
 compare sorts columns by name before hashing). Float aggregates go
 through :mod:`data_frame_spark.exact` so distributed and
 single-threaded sums hash identically.
+
+Oracle-authoring pitfalls (learned the hard way):
+
+* **DuckDB SUM over integers returns HUGEINT (int128).** The
+  driver's pandas canonicalizer coerces HUGEINT to float64, which
+  shreds the low bits of values >= 2^53 (the round-2 simhash red
+  row: ~2^60 signatures). ANY oracle output column produced by
+  SUM/aggregation of integers must end in ``CAST(... AS BIGINT)``
+  (or route through VARCHAR, ``exact.sql_dsum`` style). Local
+  ``tools/check_oracle.py`` fetches native Python ints and CANNOT
+  catch this — check the dtype pandas would see, not just local
+  hash equality.
+* **String positions are character-based in DuckDB** (substr/ascii
+  work on code points); byte-level oracles must index bytes
+  explicitly (hex-encode the payload: high nibble of byte i = hex
+  digit 2i-1 — see byte_features_docs).
+* **Bare decimal literals type as DECIMAL, not DOUBLE** — wrap
+  literal arrays in ``CAST([...] AS DOUBLE[])`` when the Spark side
+  computes in doubles (see the LSH hyperplanes).
 """
 
 from __future__ import annotations
@@ -22,6 +41,7 @@ from pyspark.sql import functions as F
 from data_frame_spark.exact import dsum, davg, sql_dsum, sql_davg
 from data_frame_spark.frame import Frame
 from data_frame_spark.operators import core as OpCore
+from data_frame_spark.sources import csv as CSVSrc
 from data_frame_spark.operators import lookup as OpLookup
 from data_frame_spark.operators import window as OpWindow
 
@@ -133,25 +153,6 @@ def select_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "count_na",
-    oracle="""
-    SELECT COUNT(CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 1 END) AS na_etype,
-           COUNT(CASE WHEN NULLIF(value, 0.0) IS NULL THEN 1 END)          AS na_value
-    FROM events
-    """,
-)
-def count_na_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-count-na (df.rkt:284-299). The driver tables have no NULLs,
-    so NULLs are synthesized with nullif — the operator under test is
-    the NA counter itself."""
-    ev = t(spark, sf_dir, "events").select(
-        F.nullif(F.col("event_type"), F.lit("error")).alias("etype"),
-        F.nullif(F.col("value"), F.lit(0.0)).alias("value"),
-    )
-    return OpCore.count_na(ev, ["etype", "value"])
-
-
-@query(
     "valid_only_drop_na",
     oracle="""
     SELECT event_id, NULLIF(value, 0.0) AS value
@@ -173,7 +174,7 @@ def valid_only_drop_na(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "describe_lineitem",
     oracle=f"""
-    WITH s AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+    WITH s AS (SELECT NULLIF(CAST(l_quantity AS DOUBLE), 25.0) AS q,
                       CAST(l_extendedprice AS DOUBLE) AS p FROM lineitem)
     SELECT 'l_quantity' AS series, COUNT(q) AS count,
            COUNT(CASE WHEN q IS NULL THEN 1 END) AS na_count,
@@ -193,9 +194,45 @@ def valid_only_drop_na(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-describe (private/describe.rkt:29-83) over two numeric series."""
-    li = t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    """df-describe (private/describe.rkt:29-83) over two numeric
+    series. l_quantity is NULL-synthesized (nullif at 25) so the
+    na_count column drives the df-count-na semantics (df.rkt:284-299)
+    through the driver gate too — the dedicated count_na operator
+    stays pytest-covered (tests/test_core.py)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.nullif(F.col("l_quantity").cast("double"), F.lit(25.0)).alias("l_quantity"),
+        "l_extendedprice",
+    )
     return OpCore.describe(li)
+
+
+_CSV_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "data", "torture.csv",
+)
+
+
+@query(
+    "csv_read_fixture",
+    oracle=f"""
+    SELECT CAST(id AS DOUBLE) AS id,
+           CAST(val AS DOUBLE) AS val,
+           val2 AS "val (1)",
+           note
+    FROM read_csv('{_CSV_FIXTURE}', header=true,
+                  names=['id','val','val2','note'],
+                  all_varchar=true, null_padding=true)
+    """,
+)
+def csv_read_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-read/csv (csv.rkt:93-280) driver-verified against DuckDB's
+    own CSV reader: duplicate-header dedup ("val" -> "val (1)"),
+    empty-cell NA, short-row NULL padding, quoted cells with embedded
+    commas and doubled quotes, and uniform numeric inference. The
+    whitespace-lexer semantics (whitespace-then-quote cells, mixed
+    quoted/unquoted token concatenation) are pytest-proven on the
+    reference's sample.csv torture fixture (tests/test_sources.py)."""
+    return CSVSrc.read_csv(spark, _CSV_FIXTURE)
 
 
 # ---------------------------------------------------------------------------
@@ -846,12 +883,16 @@ def fits_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = F.col("l_extendedprice").cast("double")
     d = li.where(x.isNotNull() & y.isNotNull()).select(x.alias("x"), y.alias("y"))
     X, Y = F.col("x"), F.col("y")
+    # x^k by left-associated repeated multiplication — the IDENTICAL
+    # expression tree the oracle's 'x*x*...*x' parses to. Math.pow is
+    # only 1-ulp accurate, and a 1-ulp difference near a .5 quantize
+    # boundary would break bit-equality (round-2 advisory).
+    xpow = {1: X}
+    for k in range(2, 7):
+        xpow[k] = xpow[k - 1] * X
     sparkexpr = {
         "n": F.count(F.lit(1)).cast("double"),
-        **{
-            f"sx{k}": dsum(X if k == 1 else F.pow(X, F.lit(float(k))), 4)
-            for k in range(1, 7)
-        },
+        **{f"sx{k}": dsum(xpow[k], 4) for k in range(1, 7)},
         "sy": dsum(Y, 4),
         "sy2": dsum(Y * Y, 4),
         "sxy1": dsum(X * Y, 4),

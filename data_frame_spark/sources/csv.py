@@ -96,22 +96,27 @@ def read_csv(
     else:
         df = df.toDF(*[f"col{i}" for i in range(len(df.columns))])
 
-    # unwrap whitespace-prefixed quoted cells ('"x""y"' -> 'x"y');
-    # cells still quote-wrapped after that (mixed quoted/unquoted
-    # pieces like '"a,bc" 123 "d""ef"') get the lexer's
-    # token-concatenation: doubled quotes escape, single quotes drop
+    # Spark's parser (univocity) already consumes well-formed quoting,
+    # including whitespace-then-quote cells (ignoreLeadingWhiteSpace
+    # skips the blanks OUTSIDE quotes, then parses the field as
+    # quoted). A post-parser value that is still STRICTLY
+    # quote-wrapped (`^"((?:[^"]|"")*)"$`) is therefore unescaped
+    # CONTENT — e.g. file cell '"""hi"""' -> value '"hi"' — and must
+    # be left alone (stripping it again was the write->read
+    # round-trip bug). Only cells the parser returned RAW (an
+    # unescaped quote after the closing quote: mixed quoted/unquoted
+    # pieces like '"a,bc" 123 "d""ef"') need the reference lexer's
+    # token-concatenation: doubled quotes escape, single quotes drop.
     quoted = r'^"((?:[^"]|"")*)"$'
 
     def _unwrap(col):
-        clean = F.regexp_replace(F.regexp_extract(col, quoted, 1), '""', '"')
         mixed = F.regexp_replace(
             F.regexp_replace(F.regexp_replace(col, '""', "\x00"), '"', ""),
             "\x00",
             '"',
         )
         return (
-            F.when(col.rlike(quoted), clean)
-            .when(col.rlike(r'^".*"$'), mixed)
+            F.when(~col.rlike(quoted) & col.rlike(r'^".*"$'), mixed)
             .otherwise(col)
         )
 

@@ -49,9 +49,17 @@ def test_count_na_and_drop_na(spark):
 def test_describe(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").select("l_quantity", "l_returnflag")
     d = core.describe(li)
+    # output shape pinned to the reference's per-series summary
+    # (describe.rkt:29-83): one row per series, in column order, with
+    # NA count and the min/max/mean/stddev block
+    assert d.columns == [
+        "series", "count", "na_count", "min", "max", "mean", "stddev",
+    ]
     rows = {r["series"]: r for r in d.collect()}
+    assert [r["series"] for r in d.collect()] == ["l_quantity", "l_returnflag"]
     assert rows["l_quantity"]["na_count"] == 0
     assert rows["l_quantity"]["min"] >= 0
+    assert rows["l_quantity"]["stddev"] > 0
     assert rows["l_returnflag"]["mean"] is None
 
 
