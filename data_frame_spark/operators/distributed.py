@@ -64,6 +64,20 @@ def _n_buckets(df: DataFrame) -> int:
         return 32
 
 
+def ensure_parallelism(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the plan currently has fewer
+    partitions than the target — the small-file/local case where a
+    compute-heavy downstream (e.g. a candidate-pair verify fan-out)
+    would otherwise run on one task. Naturally-split big inputs pass
+    through untouched, so no shuffle is added at scale. An explicit
+    numPartitions is exempt from AQE coalescing, which would fold a
+    small shuffle back to one task."""
+    n = n or _n_buckets(df)
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def bucket_expr(col: Column, boundaries: Sequence[float]) -> Column:
     """Monotonic bucket id: number of boundaries <= x (0..len(bs)).
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_frame_spark.operators.distributed import ensure_parallelism
+
 
 #: quantization scale for dot products: products are summed as
 #: floor(x*y*10^9 + 0.5) integers — associative, so the result is
@@ -110,47 +112,87 @@ def _hyperplane(dim: int, h: int) -> list[float]:
     return out
 
 
-def lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
-    """Sign-LSH bucket id: bit h = 1 iff vec · hyperplane_h > 0."""
+def _planes_expr(dim: int, num_planes: int) -> Column:
+    """The hyperplane matrix as ONE SQL literal (array<array<double>>).
+    Building it element-wise with F.lit costs thousands of py4j round
+    trips per query plan; a single F.expr string is one. repr() emits
+    the shortest round-trip decimal, and the D suffix pins the SQL
+    literal to DOUBLE, so the JVM parses back the exact bits."""
+    rows = []
+    for h in range(num_planes):
+        vals = ", ".join(f"{v!r}D" for v in _hyperplane(dim, h))
+        rows.append(f"array({vals})")
+    return F.expr("array(" + ", ".join(rows) + ")")
+
+
+def plane_dots(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """Per-plane quantized integer dot products (array<long>) — the
+    shared input for home bucket, multi-probe margins, and sign bits.
+    Callers attach this ONCE as a column so the dot products are
+    evaluated once per row instead of once per derived expression."""
+    return F.transform(
+        _planes_expr(dim, num_planes),
+        lambda p: F.aggregate(
+            F.zip_with(
+                vec,
+                p,
+                lambda x, y: F.floor(
+                    x.cast("double") * y * F.lit(DOT_SCALE) + F.lit(0.5)
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def home_from_dots(pd: Column, num_planes: int) -> Column:
+    """Sign-LSH bucket id from precomputed plane dots: bit h = 1 iff
+    dot_h > 0 (sign of the quantized integer == sign of the double)."""
     acc = F.lit(0).cast("long")
     for h in range(num_planes):
-        plane = F.array([F.lit(v) for v in _hyperplane(dim, h)])
-        bit = F.when(dot(vec, plane) > 0, F.lit(1).cast("long")).otherwise(
+        bit = F.when(pd[h] > 0, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         acc = acc + F.shiftleft(bit, h)
     return acc
 
 
-def probe_buckets(
-    vec: Column, dim: int, num_planes: int = 8, num_probes: int = 1
-) -> Column:
-    """Multi-probe bucket list: the home bucket plus the
-    ``num_probes - 1`` single-bit-flip buckets whose hyperplane
-    margin |vec·plane| is smallest — the classic multi-probe LSH
-    ordering (flip the least-certain signs first). Pure Column
-    arithmetic; probes are distinct by construction."""
-    dots = [dot(vec, F.array([F.lit(v) for v in _hyperplane(dim, h)]))
-            for h in range(num_planes)]
-    home = F.lit(0).cast("long")
-    for h, d in enumerate(dots):
-        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        home = home + F.shiftleft(bit, h)
+def probes_from_dots(pd: Column, num_planes: int, num_probes: int) -> Column:
+    """Multi-probe bucket list from precomputed plane dots: the home
+    bucket plus the ``num_probes - 1`` single-bit-flip buckets whose
+    margin |dot| is smallest — the classic multi-probe LSH ordering
+    (flip the least-certain signs first). Integer margins order
+    exactly like the /1e9 doubles (both < 2^53), so the probe order
+    is unchanged. Probes are distinct by construction."""
+    home = home_from_dots(pd, num_planes)
     if num_probes <= 1:
         return F.array(home)
     # flipped bucket precomputed per plane (shift count must be a
-    # literal), then ranked by margin and sliced
+    # literal), then ranked by (margin, flipped-bucket) and sliced
     ranked = F.array_sort(
         F.array(*[
             F.struct(
-                F.abs(d).alias("m"),
+                F.abs(pd[h]).alias("m"),
                 home.bitwiseXOR(F.lit(1 << h).cast("long")).alias("fb"),
             )
-            for h, d in enumerate(dots)
+            for h in range(num_planes)
         ])
     )
     flips = F.transform(F.slice(ranked, 1, num_probes - 1), lambda s: s["fb"])
     return F.concat(F.array(home), flips)
+
+
+def lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: bit h = 1 iff vec · hyperplane_h > 0."""
+    return home_from_dots(plane_dots(vec, dim, num_planes), num_planes)
+
+
+def probe_buckets(
+    vec: Column, dim: int, num_planes: int = 8, num_probes: int = 1
+) -> Column:
+    """Multi-probe bucket list (see :func:`probes_from_dots`)."""
+    return probes_from_dots(plane_dots(vec, dim, num_planes), num_planes, num_probes)
 
 
 def lsh_ann_topk(
@@ -169,13 +211,25 @@ def lsh_ann_topk(
     margin order (multi-probe LSH), lifting recall without growing
     the base-side fan-out — the query side explodes, the base stays
     one row per vector. Same scoring/ranking as the exact path."""
-    b = base.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, num_planes))
+    # plane dots attached as a column: evaluated once per row, shared
+    # by the bucket/probe expressions (Catalyst keeps non-cheap
+    # aliased expressions materialized across projections)
+    b = base.withColumn(
+        "__pd", plane_dots(F.col(vec_col), dim, num_planes)
+    ).withColumn("__bucket", home_from_dots(F.col("__pd"), num_planes))
     q = queries.withColumn(
+        "__pd", plane_dots(F.col(vec_col), dim, num_planes)
+    ).withColumn(
         "__bucket",
-        F.explode(probe_buckets(F.col(vec_col), dim, num_planes, num_probes)),
+        F.explode(probes_from_dots(F.col("__pd"), num_planes, num_probes)),
     )
-    joined = b.select(
-        id_col, F.col(vec_col).alias("__bv"), norm2(F.col(vec_col)).alias("__bn"), "__bucket"
+    joined = ensure_parallelism(
+        b.select(
+            id_col,
+            F.col(vec_col).alias("__bv"),
+            norm2(F.col(vec_col)).alias("__bn"),
+            "__bucket",
+        )
     ).join(
         F.broadcast(
             q.select(
@@ -331,12 +385,19 @@ def embedding_near_dup(
     needed. Output: (id_a, id_b, cosine), id_a < id_b."""
     b = (
         df.select(F.col(id_col), F.col(vec_col).alias("__v"))
+        .withColumn("__pd", plane_dots(F.col("__v"), dim, num_planes))
         .withColumn("__n", norm2(F.col("__v")))
-        .withColumn("__home", lsh_bucket(F.col("__v"), dim, num_planes))
+        .withColumn("__home", home_from_dots(F.col("__pd"), num_planes))
     )
-    probed = b.withColumn(
-        "__bucket",
-        F.explode(probe_buckets(F.col("__v"), dim, num_planes, num_probes)),
+    # the verify-dot fan-out (candidate pairs x dim multiply-adds)
+    # must parallelize even when the vector table arrives as a
+    # handful of input splits; naturally-split inputs skip the
+    # repartition entirely
+    probed = ensure_parallelism(
+        b.withColumn(
+            "__bucket",
+            F.explode(probes_from_dots(F.col("__pd"), num_planes, num_probes)),
+        )
     )
     a = probed.alias("a")
     c = b.alias("c")

@@ -165,6 +165,69 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# repetition signals (the published large-corpus quality filters:
+# repetitive documents — boilerplate, scraped menus, generation
+# loops — are removed by thresholding these fractions)
+# ---------------------------------------------------------------------------
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals, pure Column expressions:
+
+    * ``dup_line_fraction`` — fraction of newline-split lines that
+      are duplicates of an earlier line (1 - distinct/total).
+    * ``top_bigram_fraction`` — share of word-bigram occurrences
+      taken by the single most frequent bigram (0 when < 2 tokens).
+
+    The top-bigram count is a sorted-run scan over the in-row bigram
+    array (array_sort + one aggregate lambda) — O(n log n) per
+    document with NO shuffle, so the whole feature set stays a
+    map-only pass. A SQL twin reproduces the same integers via
+    UNNEST + GROUP BY."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    nl = F.size(lines)
+    dup_lines = (
+        (nl - F.size(F.array_distinct(lines))).cast("double") / nl
+    )
+    toks = tokens(c)
+    n = F.size(toks)
+    bgs = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+    )
+
+    def step(acc, w):
+        run = (
+            F.when(w == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+        return F.struct(
+            w.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(bgs, acc0, step, lambda a: a["best"])
+    top_bigram = F.when(
+        n >= 2, best.cast("double") / (n - 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.withColumns(
+        {
+            "dup_line_fraction": dup_lines.cast("double"),
+            "top_bigram_fraction": top_bigram,
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # language identification (n-gram/stopword heuristic)
 # ---------------------------------------------------------------------------
 

@@ -1314,8 +1314,17 @@ def ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ['the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','with','as','for','on','at','by','from','not','but'], x)))
                               AS DOUBLE) / len(tk) AS stopword_ratio,
                          CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS unique_token_ratio,
+                         CAST(len(string_split(text, chr(10)))
+                              - len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+                           / len(string_split(text, chr(10))) AS dup_line_fraction,
                          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
-                  FROM base)
+                  FROM base),
+         bg AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b
+                FROM base, UNNEST(generate_series(1, len(tk)-1)) t(i)
+                WHERE len(tk) >= 2),
+         bgc AS (SELECT doc_id, MAX(c) AS bestc
+                 FROM (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+                 GROUP BY 1)
     SELECT doc_id,
            CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
                 WHEN h_fr = GREATEST(h_en, h_de, h_fr, h_es) THEN 'fr'
@@ -1334,8 +1343,10 @@ def ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(tk) AS INT) AS ws_tokens,
            CAST(len(bw) + list_sum(list_transform(bw, x -> CAST(FLOOR(length(x)/7.0) AS BIGINT)))
                 AS BIGINT) AS bpe_ish_tokens,
+           dup_line_fraction,
+           COALESCE(CAST(bgc.bestc AS DOUBLE) / (len(tk) - 1), 0.0) AS top_bigram_fraction,
            fingerprint
-    FROM feat
+    FROM feat LEFT JOIN bgc USING (doc_id)
     """,
 )
 def text_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1344,17 +1355,21 @@ def text_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     language ID ('und' on zero hits, ties to the lexicographically
     larger code), quality features (length/punct/digit/stopword/
     diversity ratios), the composite quality score in [0,1],
-    whitespace + BPE-ish token counts, and the md5 content
-    fingerprint (the exact-dedup key)."""
+    whitespace + BPE-ish token counts, repetition signals (duplicate-
+    line fraction and top-bigram occupancy — the published
+    large-corpus repetition filters), and the md5 content fingerprint
+    (the exact-dedup key)."""
     docs = t(spark, sf_dir, "documents")
     out = OpText.quality_score(docs, "text")
     out = OpText.lang_id(out, "text")
+    out = OpText.repetition_features(out, "text")
     return out.select(
         "doc_id", "lang_pred", "n_chars_q", "n_tokens", "mean_token_len",
         "punct_ratio", "digit_ratio", "stopword_ratio", "unique_token_ratio",
         "quality_score",
         OpText.token_count(F.col("text")).alias("ws_tokens"),
         OpText.bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+        "dup_line_fraction", "top_bigram_fraction",
         OpText.fingerprint(F.col("text")).alias("fingerprint"),
     )
 

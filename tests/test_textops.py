@@ -246,3 +246,29 @@ def test_ngram_contamination(spark):
     assert (1, 100) in got
     assert not any(d == 2 for d, _ in got)
     assert (3, 101) in got  # whole-text fallback for sub-n docs
+
+
+def test_repetition_features(spark):
+    rows = [
+        # 4 lines, 'same' repeated 3x -> 2 duplicate lines -> 0.5;
+        # tokens: same same same other -> bigram 'same same' 2/3
+        (1, "same\nsame\nsame\nother"),
+        # no repetition at all
+        (2, "alpha beta gamma\ndelta"),
+        # generation loop: 'go go go go go' -> top bigram 'go go' 4/4
+        (3, "go go go go go"),
+        # single token / single line -> both 0
+        (4, "one"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in T.repetition_features(df).collect()
+    }
+    assert out[1]["dup_line_fraction"] == pytest.approx(0.5)
+    assert out[1]["top_bigram_fraction"] == pytest.approx(2 / 3)
+    assert out[2]["dup_line_fraction"] == 0.0
+    assert out[2]["top_bigram_fraction"] == pytest.approx(1 / 3)
+    assert out[3]["top_bigram_fraction"] == pytest.approx(1.0)
+    assert out[4]["dup_line_fraction"] == 0.0
+    assert out[4]["top_bigram_fraction"] == 0.0
