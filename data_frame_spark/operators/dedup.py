@@ -91,6 +91,7 @@ def lsh_candidate_pairs(
     id_col: str,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the K minhashes into ``bands`` groups of K/bands rows;
     documents sharing ANY band key are candidate near-duplicates.
@@ -99,7 +100,18 @@ def lsh_candidate_pairs(
     Shuffle profile: explode to (band, band_key, id) — groupBy-join
     on the band key only; bucket sizes are the LSH collision groups,
     so total pair fan-out is the candidate count, not n².
-    """
+
+    ``max_bucket_size`` is the production skew guard: at corpus
+    scale a single hot band bucket (boilerplate pages, templated
+    documents, empty strings) grows pair fan-out QUADRATICALLY —
+    one 10M-document bucket alone is 5·10^13 pairs. Capping drops
+    buckets larger than the threshold from pair generation (their
+    members are overwhelmingly mutual near-duplicates of one
+    template; production pipelines handle those by exact-dedup or a
+    per-bucket sample instead of all-pairs). The cap is computed
+    with one map-combinable count over the band table — no extra
+    scan of the documents. Default None keeps exact reference
+    semantics (every colliding pair is produced)."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -110,6 +122,11 @@ def lsh_candidate_pairs(
     exploded = signatures.select(
         F.col(id_col).alias("__id"), F.explode(F.array(*band_cols)).alias("bk")
     ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    if max_bucket_size is not None:
+        sizes = exploded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("__bn")
+        ).where(F.col("__bn") <= F.lit(max_bucket_size))
+        exploded = exploded.join(sizes.select("band", "key"), ["band", "key"])
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

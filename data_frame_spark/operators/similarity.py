@@ -254,19 +254,32 @@ def lsh_ann_topk(
     )
 
 
+def _centroid_matrix(centroids: list[list[float]]) -> Column:
+    """Centroids as ONE SQL literal (array<array<double>>) — same
+    py4j-economy trick as :func:`_planes_expr`."""
+    rows = ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")" for c in centroids
+    )
+    return F.expr(f"array({rows})")
+
+
+def _centroid_scores(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of (−dot, cid) structs — ascending sort puts the
+    nearest centroid first."""
+    m = _centroid_matrix(centroids)
+    idx = F.expr(f"sequence(0, {len(centroids) - 1})")
+    return F.zip_with(
+        m,
+        idx,
+        lambda c, i: F.struct((-dot(vec, c)).alias("d"), i.cast("int").alias("cid")),
+    )
+
+
 def _argmin_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     """Nearest-centroid id by maximum dot product (vectors and
     centroids are used unnormalized — IVF cells for cosine assume
-    roughly unit-norm data; callers can pre-normalize). Pure Column
-    expression: an array of (−dot, cid) structs sorted ascending."""
-    scored = F.array(*[
-        F.struct(
-            (-dot(vec, F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
-            F.lit(i).cast("int").alias("cid"),
-        )
-        for i, c in enumerate(centroids)
-    ])
-    return F.array_sort(scored)[0]["cid"]
+    roughly unit-norm data; callers can pre-normalize)."""
+    return F.array_sort(_centroid_scores(vec, centroids))[0]["cid"]
 
 
 def ivf_fit_centroids(
@@ -335,15 +348,9 @@ def ivf_topk(
         _argmin_centroid(F.col(vec_col), centroids).alias("__cell"),
     )
     # a query probes its n_probe nearest cells
-    scored = F.array(*[
-        F.struct(
-            (-dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))).alias("d"),
-            F.lit(i).cast("int").alias("cid"),
-        )
-        for i, c in enumerate(centroids)
-    ])
     probes = F.transform(
-        F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cid"]
+        F.slice(F.array_sort(_centroid_scores(F.col(vec_col), centroids)), 1, n_probe),
+        lambda s: s["cid"],
     )
     q = queries.select(
         query_id_col,

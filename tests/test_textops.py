@@ -272,3 +272,22 @@ def test_repetition_features(spark):
     assert out[3]["top_bigram_fraction"] == pytest.approx(1.0)
     assert out[4]["dup_line_fraction"] == 0.0
     assert out[4]["top_bigram_fraction"] == 0.0
+
+
+def test_lsh_bucket_size_cap(spark):
+    # production skew guard: a hot band bucket (here: many copies of
+    # one template) is dropped from pair generation when it exceeds
+    # max_bucket_size; distinct documents keep their pairs
+    rows = [(i, "common boilerplate template text repeated everywhere") for i in range(20)]
+    rows += [(100, "a unique document about spark physical plans and shuffles"),
+             (101, "a unique document about spark physical plans and shuffles")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = D.minhash_signatures(df, "text", "doc_id", num_hashes=8)
+    uncapped = D.lsh_candidate_pairs(sigs, "doc_id", 8, 4).count()
+    capped = D.lsh_candidate_pairs(sigs, "doc_id", 8, 4, max_bucket_size=5)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the 20-document template bucket (190 pairs x bands) is dropped...
+    assert uncapped >= 190
+    # ...but the small distinct-pair bucket survives
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got)
