@@ -41,3 +41,34 @@ def test_streaming_session_matches_batch(spark, sf_dir, batch_events):
     assert g == e and len(g) > 0
     # mass conservation
     assert sum(g.values()) == batch_events.count()
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, batch_events):
+    from data_frame_spark.streaming import dedup as SD
+
+    stream = W.stream_events(spark, sf_dir)
+    got = W.run_to_memory(
+        SD.exact_dedup_stream(stream.select("user_id", "ts"), ["user_id"]),
+        "t_dedup",
+        mode="append",
+    )
+    # one surviving row per user, same user set as batch distinct
+    expect = {r["user_id"] for r in batch_events.select("user_id").distinct().collect()}
+    rows = got.collect()
+    assert {r["user_id"] for r in rows} == expect
+    assert len(rows) == len(expect)
+
+
+def test_streaming_content_dedup(spark):
+    from data_frame_spark.streaming import dedup as SD
+
+    rows = [
+        (1, "The quick brown fox"),
+        (2, "the  QUICK  brown fox"),  # same content after normalize
+        (3, "something else entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = SD.content_dedup_stream(df).collect()
+    assert len(out) == 2
+    assert {r["text"] for r in out} != set()  # fp column dropped
+    assert "__fp" not in SD.content_dedup_stream(df).columns
