@@ -222,102 +222,63 @@ def with_running_sum(
     return b.withColumn(out, off + run).drop("__bucket", "__rsv")
 
 
-def with_event_brackets(
+def with_prev_marked(
     df: DataFrame,
     order_by: Sequence[str],
     value_cols: Sequence[str],
     mark: Column,
     boundaries: Sequence[float],
-    prefix_back: str = "__bk_",
-    prefix_fwd: str = "__fw_",
+    marked_src: DataFrame | None = None,
+    out: str = "__pm",
 ) -> DataFrame:
-    """Bracketing primitive for interpolation probes: for every row,
-    the ``value_cols`` (DOUBLE) of the LAST row satisfying ``mark``
-    at-or-before it, and of the FIRST marked row strictly ordered
-    after it, in global ``order_by`` order — without a partitionless
-    window.
+    """For every row, ONE struct column ``out`` holding the
+    ``value_cols`` of the LAST row satisfying ``mark`` at-or-before it
+    in global ``order_by`` order — the backward half of an
+    interpolation bracket — without a partitionless window. The
+    forward half is free when marked rows carry next-pointers (see
+    ``meanmax._global_A_table``), so no forward/DESC variant exists:
+    a second full sort pass is never needed.
 
-    Two within-bucket running passes (ASC and DESC — Spark's
-    UNBOUNDED FOLLOWING frame re-aggregates per row, a DESC running
-    frame is O(n)) resolve rows whose bracket lies inside their own
-    bucket; the missing sides are patched from a per-bucket marked
-    summary (one map-combinable groupBy collected driver-side —
-    <= |buckets| rows — and broadcast back). Rows with equal first
-    order key share a bucket, so cross-bucket order is strict and
-    the patch is exact.
+    One within-bucket ASC running pass (a single ``last`` over the
+    packed struct, not one window function per column) resolves rows
+    whose previous marked row is in their own bucket; bucket-first
+    gaps are patched from a per-bucket marked summary cumulated over
+    the bucket spine (aggregate-sized — allowed partitionless, with
+    an EXCLUSIVE -1 frame so a bucket never patches itself) and
+    broadcast back. Rows with equal first order key share a bucket,
+    so cross-bucket order is strict and the patch is exact.
+
+    ``marked_src``: optional pre-projection equal to
+    ``df.where(mark)`` restricted to ``order_by + value_cols`` — lets
+    a caller whose marked rows are a cheap projection of an upstream
+    table keep the summary branch from re-deriving ``df`` (e.g. skip
+    re-running an explode).
     """
-    from pyspark.sql import types as T
-
     spark = df.sparkSession
     ocols = [F.col(c) for c in order_by]
+    okey = F.struct(*ocols)
+    vstruct = F.struct(*[F.col(c) for c in value_cols])
     b = df.withColumn("__bucket", bucket_expr(ocols[0], boundaries))
     asc_w = Window.partitionBy("__bucket").orderBy(*ocols).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    desc_w = Window.partitionBy("__bucket").orderBy(
-        *[c.desc() for c in ocols]
-    ).rowsBetween(Window.unboundedPreceding, 0)
-    out = b
-    for c in value_cols:
-        mc = F.when(mark, F.col(c))
-        out = out.withColumn(prefix_back + c, F.last(mc, ignorenulls=True).over(asc_w))
-        out = out.withColumn(prefix_fwd + c, F.last(mc, ignorenulls=True).over(desc_w))
-    vstruct = F.struct(*[F.col(c) for c in value_cols])
-    okey = F.struct(*ocols)
-    summ = (
-        b.where(mark)
-        .groupBy("__bucket")
-        .agg(
-            F.max_by(vstruct, okey).alias("__l"),
-            F.min_by(vstruct, okey).alias("__f"),
-        )
-        .collect()
+    o = b.withColumn(
+        out, F.last(F.when(mark, vstruct), ignorenulls=True).over(asc_w)
     )
-    nb = max(
-        [len(boundaries) + 1] + [int(r["__bucket"]) + 1 for r in summ]
+    src = marked_src if marked_src is not None else df.where(mark)
+    sb = src.withColumn("__bucket", bucket_expr(ocols[0], boundaries))
+    summ = sb.groupBy("__bucket").agg(F.max_by(vstruct, okey).alias("__l"))
+    spine = spark.range(len(boundaries) + 1).select(
+        F.col("id").cast("int").alias("__bucket")
     )
-    last_by = {int(r["__bucket"]): r["__l"] for r in summ}
-    first_by = {int(r["__bucket"]): r["__f"] for r in summ}
-    backs: list = []
-    run = None
-    for i in range(nb):
-        backs.append(run)
-        if i in last_by:
-            run = last_by[i]
-    fwds: list = [None] * nb
-    run = None
-    for i in range(nb - 1, -1, -1):
-        fwds[i] = run
-        if i in first_by:
-            run = first_by[i]
-    schema = T.StructType(
-        [T.StructField("__bucket", T.IntegerType())]
-        + [T.StructField("__cb_" + c, T.DoubleType()) for c in value_cols]
-        + [T.StructField("__cf_" + c, T.DoubleType()) for c in value_cols]
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = spine.join(F.broadcast(summ), "__bucket", "left").select(
+        "__bucket", F.last("__l", ignorenulls=True).over(wb).alias("__cl")
     )
-    rows = [
-        tuple(
-            [i]
-            + [None if backs[i] is None else backs[i][c] for c in value_cols]
-            + [None if fwds[i] is None else fwds[i][c] for c in value_cols]
-        )
-        for i in range(nb)
-    ]
-    carry = spark.createDataFrame(rows, schema)
-    out = out.join(F.broadcast(carry), "__bucket", "left")
-    for c in value_cols:
-        out = (
-            out.withColumn(
-                prefix_back + c,
-                F.coalesce(F.col(prefix_back + c), F.col("__cb_" + c)),
-            )
-            .withColumn(
-                prefix_fwd + c,
-                F.coalesce(F.col(prefix_fwd + c), F.col("__cf_" + c)),
-            )
-            .drop("__cb_" + c, "__cf_" + c)
-        )
-    return out.drop("__bucket")
+    o = o.join(F.broadcast(carry), "__bucket", "left")
+    return o.withColumn(out, F.coalesce(F.col(out), F.col("__cl"))).drop(
+        "__bucket", "__cl"
+    )
 
 
 def width_boundaries(lo: float, hi: float, n_buckets: int) -> list[float]:

@@ -128,65 +128,46 @@ def mean_max(
         )
         .withColumn("__A", _cum_area(ow, slice_scale))
         .withColumn("__nx", F.lead("__x").over(ow))
+        .withColumn("__nA", F.lead("__A").over(ow))
         .withColumn("__xmax", F.max("__x").over(Window.partitionBy(*pcols)))
     )
 
-    ddf = F.broadcast(
-        spark.createDataFrame([(float(d),) for d in durations], ["duration"])
+    # ONE pass over sliced emits the base point AND every in-range
+    # probe as an exploded struct array — the union-of-two-selects
+    # formulation duplicates the whole upstream window chain in the
+    # plan (no exchange reuse across the branches), doubling the
+    # scan+sort work; explode keeps a single branch.
+    u = _explode_probes_and_base(
+        sliced,
+        pcols,
+        durations,
+        started=F.col("__nx").isNotNull(),
+        in_range=lambda k: k <= F.col("__xmax"),
+        aux=["__xmax"],
     )
-    # probes: every sample that STARTS a slice (has a next sample)
-    probes = (
-        sliced.where(F.col("__nx").isNotNull())
-        .crossJoin(ddf)
-        .withColumn("__k", F.col("__x") + F.col("duration"))
-        .where(F.col("__k") <= F.col("__xmax"))
-        .select(
-            *pcols,
-            "__k",
-            F.lit(1).alias("__tag"),
-            "duration",
-            F.col("__x").alias("pos"),
-            F.col("__A").alias("__A_start"),
-            F.lit(None).cast("double").alias("__bx"),
-            F.lit(None).cast("double").alias("__bA"),
-        )
-    )
-    base = sliced.select(
-        *pcols,
-        F.col("__x").alias("__k"),
-        F.lit(0).alias("__tag"),
-        F.lit(None).cast("double").alias("duration"),
-        F.lit(None).cast("double").alias("pos"),
-        F.lit(None).cast("double").alias("__A_start"),
-        F.col("__x").alias("__bx"),
-        F.col("__A").alias("__bA"),
-    )
-    u = probes.unionByName(base)
 
+    # ONE ASC running pass: base rows carry next-pointers, so the
+    # forward bracket is the backward bracket's (next x, next A) —
+    # no DESC-sorted second window pass needed; the bracket values
+    # travel as a single packed struct (one window function).
     back = (
         Window.partitionBy(*pcols)
         .orderBy("__k", "__tag")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    # forward pass as a DESC-ordered running frame: Spark's
-    # UNBOUNDED FOLLOWING frame is O(n^2) (re-aggregated per row);
-    # a running UNBOUNDED PRECEDING frame is O(n).
-    wf = (
-        Window.partitionBy(*pcols)
-        .orderBy(F.col("__k").desc(), F.col("__tag").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ms = F.when(
+        F.col("__tag") == 0,
+        F.struct("__bx", "__bA", "__bnx", "__bnA"),
     )
-    bk = F.when(F.col("__tag") == 0, F.col("__bx"))
-    bA = F.when(F.col("__tag") == 0, F.col("__bA"))
-    interp = (
-        u.withColumn("__x0", F.last(bk, ignorenulls=True).over(back))
-        .withColumn("__A0", F.last(bA, ignorenulls=True).over(back))
-        .withColumn("__x1", F.last(bk, ignorenulls=True).over(wf))
-        .withColumn("__A1", F.last(bA, ignorenulls=True).over(wf))
-        .where(F.col("__tag") == 1)
-    )
+    interp = u.withColumn(
+        "__pm", F.last(ms, ignorenulls=True).over(back)
+    ).where(F.col("__tag") == 1)
     a_end = _interp_a(
-        F.col("__k"), F.col("__x0"), F.col("__A0"), F.col("__x1"), F.col("__A1")
+        F.col("__k"),
+        F.col("__pm.__bx"),
+        F.col("__pm.__bA"),
+        F.col("__pm.__bnx"),
+        F.col("__pm.__bnA"),
     )
     means = interp.select(
         *pcols,
@@ -195,6 +176,176 @@ def mean_max(
         ((a_end - F.col("__A_start")) / F.col("duration")).alias("__mean"),
     )
     return _best_by_duration(means, pcols, inverted)
+
+
+def _global_A_table(pts, okeys, slice_scale, boundaries):
+    """The (x, A) cumulative-area table for a single (unpartitioned)
+    series, built in ONE shuffled+sorted stage and ONE eager
+    localCheckpoint:
+
+    - within-bucket ``lag`` (row frame) patched across buckets by a
+      tiny last-row-per-bucket broadcast carry,
+    - trapezoid slice + (optionally quantized) within-bucket running
+      sum (running frame) and per-bucket total (full frame) — all
+      three window passes share the bucket shuffle and sort,
+    - the checkpoint materializes (bucket, x, rel, btot) once; the
+      cross-bucket offsets are a |buckets|-sized running sum over the
+      distinct (bucket, btot) table broadcast-joined back — no driver
+      barrier (at 100 TB: the checkpoint is a parquet stage table).
+
+    Replaces the two-checkpoint with_lag→with_running_sum chain: one
+    materialization and zero offset collects instead of two + two.
+    """
+    okey_cols = [F.col(c) for c in okeys]
+    b = pts.withColumn("__bucket", D.bucket_expr(F.col("__x"), boundaries))
+    w = Window.partitionBy("__bucket").orderBy(*okeys)
+    lagged = (
+        b.withColumn("__lrn1", F.row_number().over(w))
+        .withColumn("__p__x", F.lag("__x").over(w))
+        .withColumn("__p__y", F.lag("__y").over(w))
+    )
+    last = b.groupBy("__bucket").agg(
+        F.max_by(F.struct("__x", "__y"), F.struct(*okey_cols)).alias("__last")
+    )
+    nxt_w = Window.orderBy("__bucket")
+    carry = last.select(
+        F.lead("__bucket").over(nxt_w).alias("__bucket"), "__last"
+    ).where(F.col("__bucket").isNotNull())
+    lagged = lagged.join(F.broadcast(carry), "__bucket", "left")
+    px = F.when(F.col("__lrn1") == 1, F.col("__last.__x")).otherwise(F.col("__p__x"))
+    py = F.when(F.col("__lrn1") == 1, F.col("__last.__y")).otherwise(F.col("__p__y"))
+    sl = (F.col("__x") - px) * (py + F.col("__y")) / 2
+    if slice_scale is not None:
+        m = float(10**slice_scale)
+        qv = F.floor(sl * F.lit(m) + F.lit(0.5))
+    else:
+        m = None
+        qv = sl
+    # broadcast join preserves the stream side's partitioning AND
+    # ordering, so these two window passes reuse the lag stage's
+    # exchange+sort (prefix-compatible sort keys) — no new shuffle
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    wtot = Window.partitionBy("__bucket")
+    extra = [c for c in okeys if c != "__x"]
+    staged = (
+        lagged.withColumn("__rel", F.sum(qv).over(wrun))
+        .withColumn("__btot", F.sum(qv).over(wtot))
+        # next-pointers (same sorted stage): the forward bracket of
+        # any probe is its backward bracket's next sample, so carrying
+        # (next x, next rel) here saves the probe pass a whole
+        # DESC-sorted window later
+        .withColumn("__nx0", F.lead("__x").over(w))
+        .withColumn("__nrel", F.lead("__rel").over(w))
+        .select("__bucket", "__x", *extra, "__rel", "__btot", "__nx0", "__nrel")
+    )
+    ck = staged.localCheckpoint(eager=True)
+    tiny = ck.select("__bucket", "__btot").distinct()
+    woff = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tiny.select(
+        "__bucket",
+        F.coalesce(F.sum("__btot").over(woff), F.lit(0)).alias("__off"),
+    )
+    # bucket-last rows' next sample lives in the NEXT nonempty bucket:
+    # its first row (x, rel), keyed back to the previous bucket via a
+    # lag over the |buckets|-sized summary; A_next there is
+    # off(bucket) + btot(bucket) + rel_first(next bucket)
+    firsts = ck.groupBy("__bucket").agg(
+        F.min_by(F.struct("__x", "__rel"), F.struct(*okey_cols)).alias("__f")
+    )
+    nxt2 = Window.orderBy("__bucket")
+    carryf = firsts.select(
+        F.lag("__bucket").over(nxt2).alias("__bucket"), "__f"
+    ).where(F.col("__bucket").isNotNull())
+    out = ck.join(F.broadcast(offs), "__bucket", "left").join(
+        F.broadcast(carryf), "__bucket", "left"
+    )
+    a = (F.col("__off") + F.coalesce(F.col("__rel"), F.lit(0))).cast("double")
+    na = (
+        F.when(
+            F.col("__nx0").isNotNull(), F.col("__off") + F.col("__nrel")
+        )
+        .when(
+            F.col("__f").isNotNull(),
+            F.col("__off")
+            + F.coalesce(F.col("__btot"), F.lit(0))
+            + F.col("__f.__rel"),
+        )
+        .cast("double")
+    )
+    if m is not None:
+        a = a / F.lit(m)
+        na = na / F.lit(m)
+    return (
+        out.withColumn("__A", a)
+        .withColumn("__nx", F.coalesce(F.col("__nx0"), F.col("__f.__x")))
+        .withColumn("__nA", na)
+        .drop("__bucket", "__rel", "__btot", "__off", "__nx0", "__nrel", "__f")
+    )
+
+
+def _marked_base(sliced):
+    """The tag-0 rows of the probe union, as a direct projection of
+    the A table — the bracket summary branch reads this instead of
+    re-running the explode (marked rows ARE the samples)."""
+    return sliced.select(
+        F.col("__x").alias("__k"),
+        F.lit(0).alias("__tag"),
+        F.col("__x").alias("__bx"),
+        F.col("__A").alias("__bA"),
+        F.col("__nx").cast("double").alias("__bnx"),
+        F.col("__nA").cast("double").alias("__bnA"),
+    )
+
+
+def _explode_probes_and_base(sliced, pcols, durations, started, in_range, aux=()):
+    """Emit, from ONE scan of ``sliced``, the union the bracketing
+    pass needs: a tag-0 base point per sample plus a tag-1 probe per
+    (sample, duration) whose window fits. The struct array is a plain
+    ``F.array`` of literal-duration structs (no higher-order lambda —
+    those drop out of whole-stage codegen); ``explode`` then expands
+    1+|durations| rows per sample, and the filter keeps base rows and
+    in-range probes. Replaces probes-UNION-base, which planned the
+    upstream window chain twice."""
+    nd = F.lit(None).cast("double")
+    parts = [
+        F.struct(
+            F.col("__x").alias("__k"),
+            F.lit(0).alias("__tag"),
+            nd.alias("duration"),
+            nd.alias("pos"),
+            nd.alias("__A_start"),
+            F.col("__x").alias("__bx"),
+            F.col("__A").alias("__bA"),
+            F.col("__nx").cast("double").alias("__bnx"),
+            F.col("__nA").cast("double").alias("__bnA"),
+        )
+    ]
+    for d in durations:
+        dl = F.lit(float(d))
+        parts.append(
+            F.struct(
+                (F.col("__x") + dl).alias("__k"),
+                F.lit(1).alias("__tag"),
+                dl.alias("duration"),
+                F.col("__x").alias("pos"),
+                F.col("__A").alias("__A_start"),
+                nd.alias("__bx"),
+                nd.alias("__bA"),
+                nd.alias("__bnx"),
+                nd.alias("__bnA"),
+            )
+        )
+    pre = sliced.withColumn("__started", started)
+    keep = (F.col("__e.__tag") == 0) | (
+        F.col("__started") & in_range(F.col("__e.__k"))
+    )
+    return (
+        pre.select(
+            *pcols, "__started", *aux, F.explode(F.array(*parts)).alias("__e")
+        )
+        .where(keep)
+        .select(*pcols, "__e.*")
+    )
 
 
 def _interp_a(k, x0, A0, x1, A1):
@@ -246,82 +397,35 @@ def _mean_max_global(
         )
     lo, xmax = float(row["lo"]), float(row["hi"])
     boundaries = D.width_boundaries(lo, xmax, D._n_buckets(pts))
-    lagged = D.with_lag(pts, okeys, ["__x", "__y"], prefix="__p", boundaries=boundaries)
-    sliced = lagged.withColumn(
-        "__slice",
-        (F.col("__x") - F.col("__p__x")) * (F.col("__p__y") + F.col("__y")) / 2,
-    )
-    # stage checkpoints (eager localCheckpoint, ContextCleaner-
-    # reclaimed): the slice table feeds the offset aggregate AND the
-    # A window; the A table feeds probes, base, and the bracket
-    # summary — materialize each once instead of recomputing the
-    # upstream sort per branch (at 100 TB: write these stage tables
-    # to parquet between jobs).
-    sliced = sliced.localCheckpoint(eager=True)
-    if slice_scale is not None:
-        m = float(10**slice_scale)
-        qv = F.floor(F.col("__slice") * F.lit(m) + F.lit(0.5))
-        sliced = D.with_running_sum(sliced, okeys, qv, "__Ar", boundaries=boundaries)
-        sliced = sliced.withColumn(
-            "__A", F.coalesce(F.col("__Ar"), F.lit(0)).cast("double") / F.lit(m)
-        )
-    else:
-        sliced = D.with_running_sum(
-            sliced, okeys, F.col("__slice"), "__Ar", boundaries=boundaries
-        )
-        sliced = sliced.withColumn(
-            "__A", F.coalesce(F.col("__Ar").cast("double"), F.lit(0.0))
-        )
-    sliced = sliced.drop("__Ar", "__p__x", "__p__y", "__slice").localCheckpoint(
-        eager=True
-    )
+    sliced = _global_A_table(pts, okeys, slice_scale, boundaries)
 
-    ddf = F.broadcast(
-        spark.createDataFrame([(float(d),) for d in durations], ["duration"])
-    )
     # "starts a slice" == "is not the last sample": any row with
     # __x < xmax has a successor; rows AT xmax generate no in-range
     # probe anyway (k = xmax + d > xmax), so the broadcast-scalar
-    # test replaces the lead() pass exactly.
-    probes = (
-        sliced.where(F.col("__x") < F.lit(xmax))
-        .crossJoin(ddf)
-        .withColumn("__k", F.col("__x") + F.col("duration"))
-        .where(F.col("__k") <= F.lit(xmax))
-        .select(
-            "__k",
-            F.lit(1).alias("__tag"),
-            "duration",
-            F.col("__x").alias("pos"),
-            F.col("__A").alias("__A_start"),
-            F.lit(None).cast("double").alias("__bx"),
-            F.lit(None).cast("double").alias("__bA"),
-        )
+    # test replaces the lead() pass exactly. One exploded pass emits
+    # base point + probes (see _explode_probes_and_base).
+    u = _explode_probes_and_base(
+        sliced,
+        [],
+        durations,
+        started=F.col("__x") < F.lit(xmax),
+        in_range=lambda k: k <= F.lit(xmax),
     )
-    base = sliced.select(
-        F.col("__x").alias("__k"),
-        F.lit(0).alias("__tag"),
-        F.lit(None).cast("double").alias("duration"),
-        F.lit(None).cast("double").alias("pos"),
-        F.lit(None).cast("double").alias("__A_start"),
-        F.col("__x").alias("__bx"),
-        F.col("__A").alias("__bA"),
-    )
-    u = probes.unionByName(base)
-    br = D.with_event_brackets(
+    br = D.with_prev_marked(
         u,
         ["__k", "__tag"],
-        ["__bx", "__bA"],
+        ["__bx", "__bA", "__bnx", "__bnA"],
         mark=F.col("__tag") == 0,
         boundaries=boundaries,
+        marked_src=_marked_base(sliced),
     )
     interp = br.where(F.col("__tag") == 1)
     a_end = _interp_a(
         F.col("__k"),
-        F.col("__bk___bx"),
-        F.col("__bk___bA"),
-        F.col("__fw___bx"),
-        F.col("__fw___bA"),
+        F.col("__pm.__bx"),
+        F.col("__pm.__bA"),
+        F.col("__pm.__bnx"),
+        F.col("__pm.__bnA"),
     )
     means = interp.select(
         "duration",
@@ -374,6 +478,8 @@ def mean_max_probe(df, value_col, x_col, mm, partition_by=(), slice_scale=None):
                 (F.col("__x") - F.col("__px")) * (F.col("__py") + F.col("__y")) / 2,
             )
             .withColumn("__A", _cum_area(ow, slice_scale))
+            .withColumn("__nx", F.lead("__x").over(ow))
+            .withColumn("__nA", F.lead("__A").over(ow))
         )
     else:
         # single-series path: range-bucketed lag + running sum, zero
@@ -386,97 +492,83 @@ def mean_max_probe(df, value_col, x_col, mm, partition_by=(), slice_scale=None):
         boundaries = D.width_boundaries(
             float(row["lo"]), float(row["hi"]), D._n_buckets(pts)
         )
-        lagged = D.with_lag(
-            pts, ["__x"], ["__x", "__y"], prefix="__p", boundaries=boundaries
-        )
-        sliced = lagged.withColumn(
-            "__slice",
-            (F.col("__x") - F.col("__p__x")) * (F.col("__p__y") + F.col("__y")) / 2,
-        )
-        # stage checkpoint — see _mean_max_global
-        sliced = sliced.localCheckpoint(eager=True)
-        if slice_scale is not None:
-            m = float(10**slice_scale)
-            qv = F.floor(F.col("__slice") * F.lit(m) + F.lit(0.5))
-            sliced = D.with_running_sum(
-                sliced, ["__x"], qv, "__Ar", boundaries=boundaries
+        # one fused stage + checkpoint — see _global_A_table
+        sliced = _global_A_table(pts, ["__x"], slice_scale, boundaries)
+    # probes at both window ends for every (duration, pos) — exploded
+    # from ONE scan of mm (a union of two selects would plan the whole
+    # mean-max subtree twice; no exchange reuse across the branches)
+    probes = mm.select(
+        *pcols,
+        "duration",
+        "pos",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pos").cast("double").alias("__k"),
+                    F.lit(0).alias("__end"),
+                ),
+                F.struct(
+                    (F.col("pos") + F.col("duration")).cast("double").alias("__k"),
+                    F.lit(1).alias("__end"),
+                ),
             )
-            sliced = sliced.withColumn(
-                "__A", F.coalesce(F.col("__Ar"), F.lit(0)).cast("double") / F.lit(m)
-            )
-        else:
-            sliced = D.with_running_sum(
-                sliced, ["__x"], F.col("__slice"), "__Ar", boundaries=boundaries
-            )
-            sliced = sliced.withColumn(
-                "__A", F.coalesce(F.col("__Ar").cast("double"), F.lit(0.0))
-            )
-        sliced = sliced.drop("__Ar", "__p__x", "__p__y", "__slice").localCheckpoint(
-            eager=True
-        )
-    # probes at both window ends for every (duration, pos)
-    p_start = mm.select(*pcols, "duration", "pos", F.col("pos").alias("__k"))
-    p_end = mm.select(
-        *pcols, "duration", "pos", (F.col("pos") + F.col("duration")).alias("__k")
+        ).alias("__e"),
+    ).select(
+        *pcols, "duration", "pos", F.col("__e.__k").alias("__k"), F.col("__e.__end").alias("__end")
     )
-    probes = p_start.withColumn("__end", F.lit(0)).unionByName(
-        p_end.withColumn("__end", F.lit(1))
-    )
+    nd = F.lit(None).cast("double")
     base = sliced.select(
         *pcols,
         F.col("__x").alias("__k"),
         F.lit(0).alias("__tag"),
-        F.lit(None).cast("double").alias("duration"),
-        F.lit(None).cast("double").alias("pos"),
+        nd.alias("duration"),
+        nd.alias("pos"),
         F.lit(None).cast("int").alias("__end"),
         F.col("__x").alias("__bx"),
         F.col("__A").alias("__bA"),
+        F.col("__nx").cast("double").alias("__bnx"),
+        F.col("__nA").cast("double").alias("__bnA"),
     )
-    u = probes.withColumn("__tag", F.lit(1)).withColumn(
-        "__bx", F.lit(None).cast("double")
-    ).withColumn("__bA", F.lit(None).cast("double")).unionByName(base)
+    u = (
+        probes.withColumn("__tag", F.lit(1))
+        .withColumn("__bx", nd)
+        .withColumn("__bA", nd)
+        .withColumn("__bnx", nd)
+        .withColumn("__bnA", nd)
+        .unionByName(base)
+    )
+    # base rows carry next-pointers: the forward bracket is the
+    # backward bracket's next sample — one ASC running pass with a
+    # packed struct, no DESC second sort (see mean_max)
     if pcols:
         back = (
             Window.partitionBy(*pcols)
             .orderBy("__k", "__tag")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        # forward pass as a DESC-ordered running frame: Spark's
-        # UNBOUNDED FOLLOWING frame is O(n^2) (re-aggregated per row);
-        # a running UNBOUNDED PRECEDING frame is O(n).
-        wf = (
-            Window.partitionBy(*pcols)
-            .orderBy(F.col("__k").desc(), F.col("__tag").desc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ms = F.when(
+            F.col("__tag") == 0,
+            F.struct("__bx", "__bA", "__bnx", "__bnA"),
         )
-        bk = F.when(F.col("__tag") == 0, F.col("__bx"))
-        bA = F.when(F.col("__tag") == 0, F.col("__bA"))
-        interp = (
-            u.withColumn("__x0", F.last(bk, ignorenulls=True).over(back))
-            .withColumn("__A0", F.last(bA, ignorenulls=True).over(back))
-            .withColumn("__x1", F.last(bk, ignorenulls=True).over(wf))
-            .withColumn("__A1", F.last(bA, ignorenulls=True).over(wf))
-            .where(F.col("__tag") == 1)
-        )
-        a_at = _interp_a(
-            F.col("__k"), F.col("__x0"), F.col("__A0"), F.col("__x1"), F.col("__A1")
-        )
+        interp = u.withColumn(
+            "__pm", F.last(ms, ignorenulls=True).over(back)
+        ).where(F.col("__tag") == 1)
     else:
-        br = D.with_event_brackets(
+        interp = D.with_prev_marked(
             u,
             ["__k", "__tag"],
-            ["__bx", "__bA"],
+            ["__bx", "__bA", "__bnx", "__bnA"],
             mark=F.col("__tag") == 0,
             boundaries=boundaries or [],
-        )
-        interp = br.where(F.col("__tag") == 1)
-        a_at = _interp_a(
-            F.col("__k"),
-            F.col("__bk___bx"),
-            F.col("__bk___bA"),
-            F.col("__fw___bx"),
-            F.col("__fw___bA"),
-        )
+            marked_src=_marked_base(sliced),
+        ).where(F.col("__tag") == 1)
+    a_at = _interp_a(
+        F.col("__k"),
+        F.col("__pm.__bx"),
+        F.col("__pm.__bA"),
+        F.col("__pm.__bnx"),
+        F.col("__pm.__bnA"),
+    )
     ends = interp.select(*pcols, "duration", "pos", "__end", a_at.alias("__Aat"))
     piv = (
         ends.groupBy(*pcols, "duration", "pos")

@@ -69,6 +69,54 @@ def codegen_stage_count(df: DataFrame) -> int:
     return formatted_plan(df).count("WholeStageCodegen")
 
 
+def shuffle_census(df: DataFrame) -> tuple[int, int]:
+    """(data_sized, bucket_bounded) shuffle-Exchange counts.
+
+    The driver-free range-bucketed primitives (`operators.distributed`)
+    replace driver collects with tiny in-plan branches: per-bucket
+    aggregates (grouping key ``__bucket`` — at most |buckets|+1 rows by
+    construction) cumulated over the bucket spine (SinglePartition
+    exchanges over aggregate output). Those exchanges move bytes
+    proportional to the BUCKET COUNT, not the data, so the ledger
+    reports them separately from real data repartitions.
+    """
+    jplan = df._jdf.queryExecution().executedPlan()
+    if jplan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        jplan = jplan.initialPlan()
+    data = tiny = 0
+
+    def walk(node):
+        nonlocal data, tiny
+        if node.getClass().getSimpleName() == "ShuffleExchangeExec":
+            part = node.outputPartitioning().toString()
+            sub = node.child().toString()
+            # SortAggregate prints "key=[", HashAggregate "keys=["
+            bucket_keyed_agg = "keys=[__bucket" in sub or "key=[__bucket" in sub
+            first_agg = min(
+                (sub.find(a) for a in ("HashAggregate", "SortAggregate", "ObjectHashAggregate") if a in sub),
+                default=-1,
+            )
+            if "SinglePartition" in part and ("__bucket" in sub or "Range (" in sub):
+                tiny += 1
+            elif (
+                "__bucket" in part
+                and bucket_keyed_agg
+                and first_agg >= 0
+                and sub[:first_agg].count("Exchange") == 0
+            ):
+                # the aggregate bounding this exchange's input sits
+                # below it with no other exchange in between
+                tiny += 1
+            else:
+                data += 1
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(jplan)
+    return data, tiny
+
+
 def data_sized_partitionless_windows(df: DataFrame) -> list[str]:
     """Partitionless WindowExec nodes whose input is NOT aggregate-sized.
 

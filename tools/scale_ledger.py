@@ -26,9 +26,14 @@ HEADER = """# Scale ledger
 Auto-generated (`python tools/scale_ledger.py`) physical-plan
 accounting for every registered query at sf0.001. Columns:
 
-- **shuffles** — `Exchange` nodes in the executed plan (each is a
-  full data repartition at scale; lower is better, and none of these
-  grow with data size beyond the shuffle itself).
+- **shuffles** — data-sized shuffle `Exchange` nodes in the executed
+  plan (each is a full data repartition at scale; lower is better,
+  and none of these grow with data size beyond the shuffle itself).
+- **tiny** — bucket-bounded exchanges: per-`__bucket` aggregates
+  (≤ |buckets|+1 rows by construction) and their spine cumulations,
+  introduced where the distributed primitives replaced driver
+  collects with in-plan broadcast branches. These move bytes
+  proportional to the bucket count, never the data.
 - **partitionless** — data-sized partitionless `WindowExec` nodes
   (everything funnels through ONE partition: the 100 TB hazard).
   This column must be 0 for EVERY query: the single-series mean-max
@@ -38,8 +43,8 @@ accounting for every registered query at sf0.001. Columns:
 - **broadcast** — the plan broadcasts a small side instead of
   shuffling the big one.
 
-| query | shuffles | partitionless | broadcast |
-|---|---|---|---|
+| query | shuffles | tiny | partitionless | broadcast |
+|---|---|---|---|---|
 """
 
 
@@ -50,20 +55,12 @@ def main() -> None:
     for name, fn in QUERIES.items():
         try:
             df = fn(spark, SF_DIR)
-            plan = C.formatted_plan(df)
-            # data shuffles only: Exchange nodes net of reuse and of
-            # broadcast exchanges (broadcasts are not data shuffles)
-            # formatted plans name each node twice (tree + details)
-            sh = (
-                plan.count("Exchange")
-                - plan.count("ReusedExchange")
-                - plan.count("BroadcastExchange")
-            ) // 2
+            sh, tiny = C.shuffle_census(df)
             pw = len(C.data_sized_partitionless_windows(df))
             bc = "yes" if C.uses_broadcast_join(df) else ""
-            rows.append(f"| `{name}` | {max(sh, 0)} | {pw} | {bc} |")
+            rows.append(f"| `{name}` | {sh} | {tiny} | {pw} | {bc} |")
         except Exception as e:  # pragma: no cover
-            rows.append(f"| `{name}` | ERROR | {str(e)[:40]} | |")
+            rows.append(f"| `{name}` | ERROR | | {str(e)[:40]} | |")
     out = HEADER + "\n".join(rows) + "\n"
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "docs", "SCALE_LEDGER.md")
