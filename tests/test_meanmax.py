@@ -95,3 +95,97 @@ def test_mean_max_aux(spark, series):
     best = {r["duration"]: r["best_mean"] for r in mm.collect()}
     for d in best:
         assert got[d] == pytest.approx(best[d], abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Property: distributed single-series mean-max == brute-force reference
+# semantics (meanmax.rkt:141-189) on arbitrary series. This pins the
+# range-bucketed machinery — bucket-edge lag/running-sum carries,
+# next-pointer forward brackets, spine offset cumulation — against a
+# driver-side reimplementation with identical arithmetic.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings as hyp_settings, strategies as st
+
+
+def _brute_mean_max(pts, durations, scale=6, inverted=False):
+    pts = sorted(set(pts))
+    if len(pts) < 2:
+        return {}
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    m = float(10**scale)
+    acc, A = 0, [0.0]
+    for i in range(1, len(xs)):
+        sl = (xs[i] - xs[i - 1]) * (ys[i - 1] + ys[i]) / 2
+        import math
+
+        acc += int(math.floor(sl * m + 0.5))
+        A.append(acc / m)
+    xmax = xs[-1]
+
+    def A_at(k):
+        # identical interpolation expression to meanmax._interp_a
+        import bisect
+
+        j = bisect.bisect_right(xs, k) - 1
+        x0, A0 = xs[j], A[j]
+        if j + 1 >= len(xs):
+            return A0
+        x1, A1 = xs[j + 1], A[j + 1]
+        if x1 == x0:
+            return A0
+        return A0 + (k - x0) / (x1 - x0) * (A1 - A0)
+
+    out = {}
+    for d in durations:
+        best = None
+        for i in range(len(xs) - 1):
+            k = xs[i] + d
+            if k > xmax:
+                continue
+            mean = (A_at(k) - A[i]) / d
+            if best is None:
+                best = (mean, xs[i])
+            elif (mean < best[0]) if inverted else (mean > best[0]):
+                best = (mean, xs[i])
+        if best is not None:
+            out[float(d)] = best
+    return out
+
+
+_series = st.lists(
+    st.tuples(
+        st.floats(min_value=0.0, max_value=500.0, allow_nan=False).map(
+            lambda v: round(v, 3)
+        ),
+        st.floats(min_value=-50.0, max_value=50.0, allow_nan=False).map(
+            lambda v: round(v, 3)
+        ),
+    ),
+    min_size=2,
+    max_size=60,
+    unique_by=lambda p: p[0],
+)
+
+
+@given(_series, st.booleans())
+@hyp_settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_global_mean_max_matches_bruteforce(spark, pts, inverted):
+    durations = [7, 31, 110]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    got = {
+        r["duration"]: (r["best_mean"], r["pos"])
+        for r in MM.mean_max(
+            df, "y", "x", durations, inverted=inverted, slice_scale=6
+        ).collect()
+    }
+    want = _brute_mean_max(pts, durations, inverted=inverted)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == pytest.approx(want[d][0], rel=1e-9, abs=1e-9)
+        assert got[d][1] == pytest.approx(want[d][1], abs=1e-12)
