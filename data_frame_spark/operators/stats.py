@@ -228,29 +228,36 @@ def weighted_quantiles(
             F.floor(F.col("__w") * F.lit(1e6) + F.lit(0.5)).alias("__wq"),
         )
         .where(F.col("__wq") > 0)
-        # materialize the lag+quantize pipeline ONCE (eager
-        # localCheckpoint, ContextCleaner-reclaimed): the offsets
-        # aggregate and the final window read the stored partitions —
-        # round 2 ran the whole lag pipeline once per collect job
+    )
+    # ONE fused stage carries the value-bucket shuffle: within-bucket
+    # running weight + per-bucket totals share the sort; the eager
+    # localCheckpoint materializes the lag pipeline AND the cumulation
+    # once. Cross-bucket offsets and the exact total weight W are
+    # |buckets|-sized in-plan branches over the checkpoint (distinct →
+    # spine running sum / one-row sum, broadcast back) — no driver
+    # collect anywhere (same shape as meanmax._global_A_table).
+    b = d.withColumn("__bucket", bucket_expr(F.col("__x"), bs))
+    vw = Window.partitionBy("__bucket").orderBy("__x")
+    ck = (
+        b.withColumn(
+            "__rel", F.sum("__wq").over(vw.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("__btot", F.sum("__wq").over(Window.partitionBy("__bucket")))
         .localCheckpoint(eager=True)
     )
-    # ONE collect gives the per-bucket running-sum offsets AND the
-    # exact total weight (W = sum of the integer bucket totals)
-    totals = {
-        r["__bucket"]: r["__t"]
-        for r in d.withColumn("__bucket", bucket_expr(F.col("__x"), bs))
-        .groupBy("__bucket")
-        .agg(F.sum("__wq").alias("__t"))
-        .collect()
-    }
-    W = int(sum(totals.values()))
-    # distributed inclusive running weight in value order
-    cum = with_running_sum(
-        d, ["__x"], "__wq", out="__cw", boundaries=bs, totals=totals
+    tiny = ck.select("__bucket", "__btot").distinct()
+    woff = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tiny.select(
+        "__bucket",
+        F.coalesce(F.sum("__btot").over(woff), F.lit(0)).alias("__off"),
     )
-    pdf = spark.createDataFrame(
-        [(float(p),) for p in probs], ["p"]
-    ).withColumn("__W", F.lit(W))
+    wtot = tiny.agg(F.sum("__btot").alias("__W"))
+    cum = ck.join(F.broadcast(offs), "__bucket").withColumn(
+        "__cw", F.col("__off") + F.col("__rel")
+    )
+    pdf = spark.createDataFrame([(float(p),) for p in probs], ["p"]).crossJoin(
+        F.broadcast(wtot)
+    )
     probs_w = F.broadcast(pdf)
     # exactly the FIRST row (in value order) whose cumulative weight
     # reaches p*W: its predecessor was still below the target. This
