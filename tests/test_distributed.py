@@ -115,3 +115,96 @@ def test_quantiles_match_inverse_cdf(spark, xs):
     for p in probs:
         idx = max(math.ceil(p * n) - 1, 0)
         assert got[p] == s[idx], (p, got[p], s[idx])
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=-1e3, max_value=1e3, allow_nan=False, width=32),
+            st.booleans(),
+            st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    bs=_bounds,
+)
+@_slow
+def test_prev_marked_matches_sequential(spark, rows, bs):
+    # last marked value at-or-before each row in (k, tag) order, for
+    # ANY boundaries — exercises within-bucket resolution, the spine
+    # carry, and buckets with no marked rows
+    from data_frame_spark.operators.distributed import with_prev_marked
+
+    data = [
+        (float(k), 0 if m else 1, float(v), i)
+        for i, (k, m, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, ["k", "tag", "v", "i"])
+    bs_sorted = sorted(set(float(b) for b in bs))
+    out = with_prev_marked(
+        df, ["k", "tag", "i"], ["v"], mark=F.col("tag") == 0,
+        boundaries=bs_sorted,
+    )
+    got = {r["i"]: (None if r["__pm"] is None else r["__pm"]["v"]) for r in out.collect()}
+    seq = sorted(data, key=lambda t: (t[0], t[1], t[3]))
+    run, want = None, {}
+    for k, tag, v, i in seq:
+        if tag == 0:
+            run = v
+        want[i] = run
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+            st.floats(min_value=0.0078125, max_value=10.0, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@_slow
+def test_weighted_quantiles_match_bruteforce(spark, rows):
+    # cumulative-weight axis: w_i = delta of running weight; the
+    # distributed result must equal the sequential inverse-CDF walk
+    # with identical integer quantization
+    from data_frame_spark.operators.stats import weighted_quantiles
+
+    cum = 0.0
+    data = []
+    for j, (v, dw) in enumerate(rows):
+        cum += dw
+        data.append((j, float(v), cum))
+    df = spark.createDataFrame(data, ["idx", "val", "wcum"])
+    probs = [0.0, 0.3, 0.5, 0.9, 1.0]
+    got = {
+        r["p"]: r["quantile"]
+        for r in weighted_quantiles(df, "val", "wcum", ["idx"], probs).collect()
+    }
+    # brute force, same quantization
+    ws = []
+    prev = None
+    for j, v, wc in data:
+        w = wc if prev is None else wc - prev
+        prev = wc
+        wq = math.floor(w * 1e6 + 0.5)
+        if w > 0 and wq > 0:
+            ws.append((v, wq))
+    ws.sort()
+    W = sum(w for _, w in ws)
+    want = {}
+    for p in probs:
+        t = p * W
+        acc = 0
+        for v, w in ws:
+            pa = acc
+            acc += w
+            if acc >= t and (pa < t or (t <= 0 and pa <= 0)):
+                want[p] = v
+                break
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p] == want[p]
