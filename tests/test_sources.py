@@ -385,3 +385,41 @@ def test_csv_roundtrip_property(spark, tmp_path_factory, cells):
     got = [r["s"] for r in back.orderBy(F.col("i").cast("double")).collect()]
     want = [None if c is None else str(c) for _, c in rows]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# JSONL corpus source (net-new training-pipeline format)
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_round_trip_documents(spark, sf_dir, tmp_path):
+    from data_frame_spark.sources import jsonl as J
+
+    from data_frame_spark.queries import t
+
+    docs = t(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    J.write_jsonl(docs, out)
+    back = J.read_jsonl(spark, out, schema=J.DOCUMENTS_SCHEMA)
+    clean, bad = J.quarantine_split(back)
+    assert bad.count() == 0
+    a = {r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"]) for r in docs.collect()}
+    b = {r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"]) for r in clean.collect()}
+    assert a == b
+
+
+def test_jsonl_corrupt_quarantine(spark, tmp_path):
+    from data_frame_spark.sources import jsonl as J
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good line", "lang": "en", "source": "s", "n_chars": 9}\n'
+        "{not json at all\n"
+        '{"doc_id": 2, "text": null, "lang": "en", "source": "s", "n_chars": 0}\n'
+    )
+    df = J.read_jsonl(spark, str(p))
+    clean, bad = J.quarantine_split(df)
+    assert bad.count() == 1
+    assert "{not json" in bad.collect()[0][J.CORRUPT_COL]
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert rows == {1: "good line", 2: None}
