@@ -72,20 +72,33 @@ TPCH_TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Load one driver table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's scan
-    rejects; it is read as a raw nanosecond long and exposed as
-    ``ts_ns`` (exact nanos), ``ts_us`` (exact micros) and ``ts``
-    (micro-precision TimestampType).
+    ``events.ts`` has shipped as either parquet TIMESTAMP(NANOS)
+    (scanned as a raw long via ``nanosAsLong``) or plain
+    ``timestamp[us]``; both are normalized to the same three columns:
+    ``ts_ns`` (exact nanos, BIGINT), ``ts_us`` (exact micros, BIGINT)
+    and ``ts`` (micro-precision TimestampType). Oracle SQL uses
+    DuckDB ``epoch_ns(ts)``, which equals ``ts_ns`` either way.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # epoch extraction below must not depend on the caller's
+        # session timezone (TIMESTAMP_NTZ -> epoch goes through a
+        # wall-clock interpretation; the stored values are UTC).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(path)
+        if isinstance(df.schema["ts"].dataType, LongType):
+            return (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts_us", F.expr("ts_ns div 1000"))
+                .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+            )
         return (
-            spark.read.parquet(path)
-            .withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            df.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+            .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
             .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
         )
     return spark.read.parquet(path)

@@ -21,36 +21,40 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # raw nanos (parquet TIMESTAMP_NS)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str, watermark: str = "1 hour") -> DataFrame:
     """Streaming source over the events parquet (file stream; in
     production the same code points at Kafka/queue sources).
-    Normalizes the nanosecond timestamp like the batch loader and
-    applies the event-time watermark."""
+    Normalizes the timestamp like the batch loader (both the
+    TIMESTAMP(NANOS)-as-long and timestamp[us] forms) and applies the
+    event-time watermark."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # a file stream needs an explicit schema: take it from the batch
+    # footer so the same code handles either shipped ts encoding
+    schema = (
+        spark.read.option("pathGlobFilter", "events.parquet").parquet(sf_dir).schema
+    )
     # the file stream source wants a directory; glob-filter to the
     # events file (in production this is the landing directory)
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        raw = (
+            raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        )
+    else:
+        raw = (
+            raw.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+            .drop("ts")
+            .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
+        )
     return (
-        raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", F.expr("ts_ns div 1000"))
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        raw.withColumn("ts", F.timestamp_micros(F.col("ts_us")))
         .withWatermark("ts", watermark)
     )
 
