@@ -1,0 +1,124 @@
+"""Distributed connected components for near-duplicate clustering.
+
+A corpus-dedup pipeline ends by collapsing verified near-dup PAIRS
+into CLUSTERS (one kept representative per component). The reference
+has no graph operator (its dedup story stops at pairwise filtering);
+this is a net-new scale component, following the public alternating
+large-star / small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14):
+
+* **large-star**: every node points its LARGER neighbors at the
+  minimum of its neighborhood (including itself).
+* **small-star**: every node points its smaller-or-equal neighbors
+  at the minimum of its neighborhood.
+
+Alternating the two converges in O(log n) rounds to a star per
+component centered on the component's minimum vertex — crucially
+NOT O(diameter) like naive min-label propagation, so a pathological
+chain of overlapping near-dups (sliding-window shingles of one
+template family) cannot force thousands of rounds.
+
+Each round is two vertex-keyed shuffles (the groupBys); edges are
+``localCheckpoint``-ed per round so the iterative lineage never
+re-executes upstream rounds, and the convergence test is a single
+count (a star graph is the fixpoint of both stars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star(edges: DataFrame, large: bool) -> DataFrame:
+    """One star round over an undirected edge list (u, v).
+
+    Neighborhoods come from both orientations; with
+    m(n) = min(N(n) + {n}), large-star links {w in N(n) : w > n} -> m,
+    small-star links {w in N(n) : w <= n} + {n} -> m, dropping
+    self-loops. Output is again an undirected edge list.
+
+    Deliberately NOT a collect_set formulation: a component root's
+    neighborhood is the whole component, and materializing it as one
+    array is the skew that kills web-scale dedup graphs. m(n) is a
+    map-combinable MIN aggregate; members then pick up m via an
+    equi-join on n (AQE splits any hot vertex).
+    """
+    both = edges.select(
+        F.col("u").alias("n"), F.col("v").alias("w")
+    ).unionAll(edges.select(F.col("v").alias("n"), F.col("u").alias("w")))
+    mins = (
+        both.groupBy("n")
+        .agg(F.min("w").alias("mn"))
+        .select("n", F.least(F.col("mn"), F.col("n")).alias("m"))
+    )
+    j = both.join(mins, "n")
+    if large:
+        out = j.where(F.col("w") > F.col("n")).select(
+            F.col("w").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        out = j.where(F.col("w") <= F.col("n")).select(
+            F.col("w").alias("u"), F.col("m").alias("v")
+        ).unionAll(mins.select(F.col("n").alias("u"), F.col("m").alias("v")))
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Collapse an undirected edge list into components.
+
+    Returns (id, component) for every vertex that appears in an
+    edge, where ``component`` is the minimum vertex id reachable
+    from ``id`` (the canonical cluster representative).
+
+    Per alternating round: two shuffles keyed by vertex, edge count
+    monotonically bounded by the input edge count, O(log n) rounds.
+    Convergence: after small-star the edge set is a star forest iff
+    every remaining edge already points at its component minimum,
+    which large-star then leaves unchanged — detected by an
+    edge-set-equality count, one aggregate per round.
+    """
+    edges = (
+        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        stepped = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
+        # star fixpoint test: identical edge sets (both are distinct)
+        n_old = edges.count()
+        n_new = stepped.count()
+        unchanged = (
+            n_old == n_new
+            and stepped.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
+        )
+        edges = stepped
+        if unchanged:
+            break
+    # star forest: every edge is (member, root); roots also belong to
+    # their own component
+    return edges.select(F.col("u").alias("id"), F.col("v").alias("component")).unionAll(
+        edges.select(F.col("v").alias("id"), F.col("v").alias("component"))
+    ).groupBy("id").agg(F.min("component").alias("component"))
+
+
+def cluster_documents(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup clusters from verified pairs: (id, cluster_id,
+    cluster_size), cluster_id = min doc id of the component. A
+    dedup pipeline keeps ``id == cluster_id`` rows and drops the
+    rest (cluster_size - 1 removals per cluster)."""
+    cc = connected_components(pairs, src, dst)
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("id"), F.col("component").alias("cluster_id"), "cluster_size"
+    )

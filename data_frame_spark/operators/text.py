@@ -326,3 +326,106 @@ def winnowed_fingerprint_rows(
         .agg(F.min("__h").alias("__fp"))
     )
     return full.unionByName(shorts).distinct()
+
+
+# ---------------------------------------------------------------------------
+# chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+
+def chunk_rows(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> "DataFrame":
+    """Split documents into fixed-size overlapping token windows —
+    the standard context-window preparation step (embedding indexes,
+    pretraining packing). Output: (id, chunk_idx, chunk_text,
+    chunk_n_tokens); chunk i covers tokens [i*step, i*step+chunk)
+    with step = chunk - overlap; the last chunk may be short, and a
+    document never yields a chunk that is a pure suffix-overlap of
+    the previous one (starts past the end produce nothing).
+
+    A narrow per-row transform: tokenize -> sequence(0, n_chunks-1)
+    -> explode -> slice. ZERO shuffles at any corpus size; fan-out
+    is ~1/step rows per token, linear in input bytes.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # ceil((n - overlap) / step) chunks, minimum 1 (short/empty docs
+    # produce one chunk = the whole document)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int")
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("__id"),
+            toks.alias("__tk"),
+            F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx"),
+        )
+        .select(
+            F.col("__id"),
+            "chunk_idx",
+            F.concat_ws(
+                " ", F.slice(F.col("__tk"), F.col("chunk_idx") * F.lit(step) + F.lit(1), chunk_tokens)
+            ).alias("chunk_text"),
+        )
+        .withColumn(
+            "chunk_n_tokens", F.size(F.split(F.col("chunk_text"), " "))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (top characteristic terms per document)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    top_k: int = 3,
+) -> "DataFrame":
+    """Top-k characteristic terms per document by raw-count TF ×
+    ln(N/df) IDF (ties: higher tf first, then lexicographic term).
+    Output: (id, term, tf BIGINT, df BIGINT, idf DOUBLE,
+    tfidf DOUBLE, rank).
+
+    Shuffle profile: one (id, term) count aggregate (map-side
+    combined), one vocabulary-sized df aggregate, a term-keyed join
+    of the two (the df table is vocabulary-sized — tiny next to the
+    corpus' token stream and broadcastable for natural-language
+    vocabularies), and a per-document window for the top-k (bounded
+    per-doc partitions; WindowGroupLimit prunes to k before the
+    shuffle). The corpus itself is scanned once.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("__nd"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", "df", F.log(F.col("__nd") / F.col("df")).alias("idf"))
+    )
+    scored = tf.join(dfreq, "term").withColumn(
+        "tfidf", F.col("tf") * F.col("idf")
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("tfidf").desc(), F.col("tf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.lit(top_k))
+        .select(F.col("__id").alias(id_col), "term", "tf", "df", "idf", "tfidf", "rank")
+    )

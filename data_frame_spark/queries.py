@@ -65,9 +65,8 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table (columnar parquet scan; filters and
     projections applied by callers push down into this scan).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; it is read as a raw nanosecond long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and exposed as:
+    ``events.ts`` (shipped either as TIMESTAMP(NANOS) or
+    timestamp[us]; see :func:`session.load_table`) is normalized to
     ``ts_ns`` (exact nanos), ``ts_us`` (exact micros), and ``ts``
     (micro-precision TimestampType for streaming/window use). Oracle
     SQL uses the exact integer forms (``epoch_ns(ts)//1000``) so both
@@ -1195,6 +1194,8 @@ def spline_mean_max_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from data_frame_spark.operators import text as OpText
 from data_frame_spark.operators import dedup as OpDedup
+from data_frame_spark.operators import graph as OpGraph
+from data_frame_spark.operators import sampling as OpSample
 from data_frame_spark.operators import similarity as OpSim
 
 # shared CTE: normalized text, tokens, distinct 3-gram shingles
@@ -1292,6 +1293,177 @@ def ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = pairs.localCheckpoint(eager=True)
     return OpDedup.ngram_jaccard(
         docs, pairs, "text", "doc_id", persist_shingles=True
+    )
+
+
+# the Jaccard chain as a reusable CTE tail (same SQL as the verified
+# query, minus the top-level SELECT) for oracles that consume pairs
+_JACCARD_CTES = f"""
+    , sigs AS (SELECT doc_id, {_MH_MIN} FROM exh GROUP BY doc_id),
+    bands AS ({_BAND_UNION}),
+    pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+              WHERE a.doc_id < b.doc_id),
+    psizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    pinter AS (SELECT p.id_a, p.id_b, COUNT(*) AS i
+               FROM pairs p
+               JOIN ex ea ON p.id_a = ea.doc_id
+               JOIN ex eb ON p.id_b = eb.doc_id AND ea.s = eb.s
+               GROUP BY p.id_a, p.id_b),
+    jac AS (SELECT p.id_a, p.id_b,
+                   CAST(COALESCE(pinter.i, 0) AS DOUBLE)
+                     / (na.n + nb.n - COALESCE(pinter.i, 0)) AS jaccard
+            FROM pairs p
+            LEFT JOIN pinter ON p.id_a = pinter.id_a AND p.id_b = pinter.id_b
+            JOIN psizes na ON p.id_a = na.doc_id
+            JOIN psizes nb ON p.id_b = nb.doc_id)
+"""
+
+
+@query(
+    "near_dup_clusters_docs",
+    oracle=_SHINGLES.replace("WITH ", "WITH RECURSIVE ", 1) + _JACCARD_CTES + """
+    , edges AS (SELECT id_a AS u, id_b AS v FROM jac WHERE jaccard >= 0.8
+                UNION ALL
+                SELECT id_b AS u, id_a AS v FROM jac WHERE jaccard >= 0.8),
+    reach(id, r) AS (SELECT u, u FROM edges
+                     UNION
+                     SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT comp.id AS doc_id, comp.cluster_id, csize.cluster_size
+    FROM comp JOIN csize USING (cluster_id)
+    """,
+)
+def near_dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The terminal stage of corpus dedup: collapse Jaccard-verified
+    near-dup pairs into clusters via distributed connected components
+    (alternating large/small-star, O(log n) rounds — net-new vs the
+    reference, whose dedup surface stops at pairwise set operations).
+    Output: (doc_id, cluster_id = min doc id of the component,
+    cluster_size); a dedup keeps rows where doc_id == cluster_id.
+    The DuckDB twin closes the same edge set with a recursive
+    min-reachability CTE."""
+    docs = t(spark, sf_dir, "documents")
+    sigs = OpDedup.minhash_signatures(docs, "text", "doc_id", num_hashes=_NHASH)
+    pairs = OpDedup.lsh_candidate_pairs(sigs, "doc_id", _NHASH, _BANDS)
+    pairs = pairs.localCheckpoint(eager=True)
+    verified = OpDedup.ngram_jaccard(
+        docs, pairs, "text", "doc_id", persist_shingles=True
+    ).where(F.col("jaccard") >= F.lit(0.8))
+    return OpGraph.cluster_documents(verified).withColumnRenamed("id", "doc_id")
+
+
+@query(
+    "stratified_sample_docs",
+    oracle="""
+    WITH strat AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '|'), doc_id
+             ) AS sample_rank
+      FROM documents),
+    uni AS (
+      SELECT doc_id, lang
+      FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|u'), doc_id
+      LIMIT 10)
+    SELECT 'stratified' AS mode, doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM strat WHERE sample_rank <= 5
+    UNION ALL
+    SELECT 'uniform' AS mode, doc_id, lang, CAST(NULL AS BIGINT) AS sample_rank
+    FROM uni
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus sampling, both flavors in one result:
+    exactly 5 docs per language by md5-hash rank (reproducible
+    regardless of partitioning/cluster layout — never rand()), plus
+    a 10-doc global uniform sample drawn with an independent salt
+    (plans as TakeOrderedAndProject: per-partition top-k, no global
+    sort)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    strat = OpSample.stratified_sample(docs, "lang", "doc_id", 5).select(
+        F.lit("stratified").alias("mode"),
+        "doc_id",
+        "lang",
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+    uni = OpSample.uniform_sample(docs, "doc_id", 10, salt="u").select(
+        F.lit("uniform").alias("mode"),
+        "doc_id",
+        "lang",
+        F.lit(None).cast("long").alias("sample_rank"),
+    )
+    return strat.unionByName(uni)
+
+
+@query(
+    "chunk_documents",
+    oracle=r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+    nch AS (SELECT doc_id, tk,
+                   GREATEST(1, CAST(CEIL((len(tk) - 16) / 48.0) AS INT)) AS nc
+            FROM toks),
+    ch AS (SELECT doc_id, i AS chunk_idx,
+                  array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
+           FROM nch, UNNEST(generate_series(0, nc - 1)) u(i))
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
+           CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS chunk_n_tokens
+    FROM ch
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows with 16-token
+    overlap (stride 48) — the standard embedding-index / pretraining
+    packing step. A narrow tokenize→sequence→explode→slice transform:
+    ZERO shuffles at any corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    return OpText.chunk_rows(docs, "text", "doc_id", chunk_tokens=64, overlap=16).select(
+        F.col("__id").alias("doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk_text",
+        F.col("chunk_n_tokens").cast("long").alias("chunk_n_tokens"),
+    )
+
+
+@query(
+    "tfidf_top_terms_docs",
+    oracle=r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+    tok AS (SELECT doc_id, UNNEST(tk) AS term FROM toks),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> ''
+           GROUP BY doc_id, term),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (SELECT t.doc_id, t.term, t.tf, d.df, t.tf * ln(nd.nd / d.df) AS s
+               FROM tf t JOIN dfq d USING (term) CROSS JOIN nd),
+    r AS (SELECT doc_id, term, tf, df,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY s DESC, tf DESC, term) AS term_rank
+          FROM scored)
+    SELECT doc_id, term, tf, df, CAST(term_rank AS BIGINT) AS term_rank
+    FROM r WHERE term_rank <= 3
+    """,
+)
+def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF×IDF. The
+    hash-compared columns are the INTEGER facts (tf, df, rank): the
+    ln() in the score is engine-ulp-sensitive (verified: JVM and
+    DuckDB ln disagree in the last bit for ~8% of this domain), so
+    the ordering uses it but the output does not — ordering is only
+    ulp-sensitive if two DISTINCT (tf, df) pairs collide within one
+    ulp, which integer inputs keep far apart; exact ties carry
+    integer tie-breaks."""
+    docs = t(spark, sf_dir, "documents")
+    top = OpText.tfidf_top_terms(docs, "text", "doc_id", top_k=3)
+    return top.select(
+        "doc_id", "term", "tf", "df", F.col("rank").cast("long").alias("term_rank")
     )
 
 
@@ -2233,6 +2405,10 @@ def ngram_decontamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FIRST = [
+    "near_dup_clusters_docs",
+    "stratified_sample_docs",
+    "chunk_documents",
+    "tfidf_top_terms_docs",
     "ngram_decontamination_docs",
     "mean_max_by_user",
     "mean_max_aux_by_user",

@@ -1,0 +1,104 @@
+"""Sampling, chunking, TF-IDF: determinism + brute-force parity."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from data_frame_spark.operators.sampling import stratified_sample, uniform_sample
+from data_frame_spark.operators.text import chunk_rows, tfidf_top_terms
+
+
+def _docs(spark, n=60):
+    rows = [(i, f"lang{i % 4}", " ".join(f"w{(i * 7 + j) % 13}" for j in range(5 + i % 9)))
+            for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_stratified_exact_counts_and_rank(spark):
+    df = _docs(spark)
+    got = stratified_sample(df.select("doc_id", "lang"), "lang", "doc_id", 7).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert set(by_lang) == {"lang0", "lang1", "lang2", "lang3"}
+    for ranks in by_lang.values():
+        assert sorted(ranks) == list(range(1, 8))
+
+
+def test_stratified_partitioning_invariant(spark):
+    df = _docs(spark).select("doc_id", "lang")
+    a = {(r["doc_id"], r["sample_rank"])
+         for r in stratified_sample(df, "lang", "doc_id", 5).collect()}
+    b = {(r["doc_id"], r["sample_rank"])
+         for r in stratified_sample(df.repartition(13), "lang", "doc_id", 5).collect()}
+    assert a == b
+
+
+def test_stratified_small_stratum_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y")], "doc_id long, lang string"
+    )
+    got = stratified_sample(df, "lang", "doc_id", 5).collect()
+    assert len(got) == 3
+
+
+def test_uniform_sample_deterministic_and_salted(spark):
+    df = _docs(spark).select("doc_id", "lang")
+    a = [r["doc_id"] for r in uniform_sample(df, "doc_id", 10).collect()]
+    b = [r["doc_id"] for r in uniform_sample(df.repartition(7), "doc_id", 10).collect()]
+    c = [r["doc_id"] for r in uniform_sample(df, "doc_id", 10, salt="other").collect()]
+    assert a == b and len(a) == 10
+    assert set(a) != set(c)  # independent draw
+
+
+def test_chunks_reconstruct_document(spark):
+    text = " ".join(f"t{i}" for i in range(200))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_rows(df, "text", "doc_id", chunk_tokens=64, overlap=16).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    step = 48
+    assert len(rows) == math.ceil((200 - 16) / step)
+    toks = text.split(" ")
+    for r in rows:
+        start = r["chunk_idx"] * step
+        expect = " ".join(toks[start:start + 64])
+        assert r["chunk_text"] == expect
+        assert r["chunk_n_tokens"] == len(expect.split(" "))
+    # consecutive chunks overlap by exactly 16 tokens
+    for a, b in zip(rows, rows[1:]):
+        assert a["chunk_text"].split(" ")[-16:] == b["chunk_text"].split(" ")[:16]
+
+
+def test_chunks_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "only three tokens")], "doc_id long, text string")
+    rows = chunk_rows(df, "text", "doc_id").collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "only three tokens"
+
+
+def test_tfidf_matches_brute_force(spark):
+    df = _docs(spark, n=20)
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+        for r in tfidf_top_terms(df, "text", "doc_id", top_k=2).collect()
+    }
+    # brute force
+    texts = {r["doc_id"]: r["text"].split(" ") for r in df.collect()}
+    n = len(texts)
+    from collections import Counter
+    dfreq = Counter()
+    tfs = {}
+    for d, tk in texts.items():
+        tfs[d] = Counter(tk)
+        dfreq.update(set(tk))
+    for d, tf in tfs.items():
+        scored = sorted(
+            ((t, c, dfreq[t]) for t, c in tf.items()),
+            key=lambda x: (-x[1] * math.log(n / x[2]), -x[1], x[0]),
+        )
+        for rk, (term, c, dfc) in enumerate(scored[:2], start=1):
+            assert got[(d, rk)] == (term, c, dfc)
