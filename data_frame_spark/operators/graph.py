@@ -83,22 +83,30 @@ def connected_components(
     which large-star then leaves unchanged — detected by an
     edge-set-equality count, one aggregate per round.
     """
+    # canonicalize to (larger, smaller): star rounds always emit
+    # member -> root with member > root, so an input that is already
+    # a star forest is recognized as the fixpoint on the FIRST
+    # comparison (pair-only graphs — the common near-dup shape —
+    # converge in one round instead of two)
+    a, b = F.col(src).cast("long"), F.col(dst).cast("long")
     edges = (
-        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        pairs.select(F.greatest(a, b).alias("u"), F.least(a, b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_old = edges.count()
     for _ in range(max_rounds):
         stepped = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
-        # star fixpoint test: identical edge sets (both are distinct)
-        n_old = edges.count()
+        # star fixpoint test: identical edge sets (both are distinct,
+        # so equal counts + empty difference <=> equality; the
+        # anti-join only runs on rounds where counts already agree)
         n_new = stepped.count()
         unchanged = (
             n_old == n_new
             and stepped.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
         )
-        edges = stepped
+        edges, n_old = stepped, n_new
         if unchanged:
             break
     # star forest: every edge is (member, root); roots also belong to
