@@ -411,7 +411,9 @@ def tfidf_top_terms(
         F.col(id_col).alias("__id"), F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
     tf = tok.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(F.countDistinct(id_col).alias("__nd"))
+    # id_col is a primary key (one row per document), so a plain
+    # count avoids the extra distinct exchange
+    n_docs = df.select(F.count(F.lit(1)).alias("__nd"))
     dfreq = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -99,3 +99,34 @@ def test_partitioned_meanmax_has_no_global_sort(spark, sf_dir):
         df = QUERIES[name](spark, sf_dir)
         bad = C.data_sized_partitionless_windows(df)
         assert not bad, f"{name}: {bad}"
+
+
+def test_chunking_is_narrow(spark, sf_dir):
+    # chunking must stay a zero-shuffle narrow transform: tokenize ->
+    # sequence -> explode -> slice, linear in input bytes at any scale
+    df = QUERIES["chunk_documents"](spark, sf_dir)
+    assert C.count_shuffles(df) == 0
+    assert not C.data_sized_partitionless_windows(df)
+
+
+def test_sampling_has_no_global_sort(spark, sf_dir):
+    # the stratified rank shuffles by stratum; the uniform sample must
+    # plan as TakeOrderedAndProject (per-partition top-k), never a
+    # data-sized global Sort/Window
+    df = QUERIES["stratified_sample_docs"](spark, sf_dir)
+    assert "TakeOrderedAndProject" in C.simple_plan(df)
+    assert not C.data_sized_partitionless_windows(df)
+    assert C.count_shuffles(df) <= 2
+
+
+def test_tfidf_shuffle_budget(spark, sf_dir):
+    # three data-sized shuffles (tf agg, df agg over the tf table,
+    # per-doc top-k window) + broadcast/aggregate-sized exchanges;
+    # the tf stream must JOIN the df table via broadcast (no shuffle
+    # of the corpus for the join) and the top-k must group-limit
+    # before its exchange
+    df = QUERIES["tfidf_top_terms_docs"](spark, sf_dir)
+    assert C.count_shuffles(df) <= 7
+    assert C.uses_broadcast_join(df)
+    assert "WindowGroupLimit" in C.simple_plan(df)
+    assert not C.data_sized_partitionless_windows(df)

@@ -2,6 +2,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 
 import pytest
 from pyspark.sql import functions as F
@@ -423,3 +424,60 @@ def test_jsonl_corrupt_quarantine(spark, tmp_path):
     assert "{not json" in bad.collect()[0][J.CORRUPT_COL]
     rows = {r["doc_id"]: r["text"] for r in clean.collect()}
     assert rows == {1: "good line", 2: None}
+
+
+# ---------------------------------------------------------------------------
+# partitioned parquet layout (sources/parquet.py)
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_parquet_round_trip_and_pruning(spark, sf_dir, tmp_path):
+    from data_frame_spark.sources.parquet import write_partitioned, read_partitioned
+    from data_frame_spark.plans import checks as C
+    from data_frame_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, ["lang"])
+
+    back = read_partitioned(spark, out)
+    # content round-trips (partition column moves to the end, values intact)
+    a = {(r["doc_id"], r["lang"], r["text"]) for r in docs.collect()}
+    b = {(r["doc_id"], r["lang"], r["text"]) for r in back.collect()}
+    assert a == b
+
+    # a partition-key predicate prunes directories at PLANNING time
+    q = back.where(F.col("lang") == "en").select("doc_id")
+    plan = C.formatted_plan(q)
+    frag = plan.split("PartitionFilters", 1)
+    assert len(frag) == 2
+    # the equality predicate is a partition filter, NOT a data filter
+    # (data filters would mean every directory is still scanned)
+    assert re.search(r"lang#\d+ = en", frag[1][:200]), frag[1][:200]
+
+
+def test_partitioned_write_one_file_per_partition(spark, sf_dir, tmp_path):
+    from data_frame_spark.sources.parquet import write_partitioned
+    from data_frame_spark.session import load_table
+    import glob
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_files")
+    write_partitioned(docs, out, ["lang"])
+    for d in glob.glob(out + "/lang=*"):
+        # repartition-by-partition-cols => a handful of files per
+        # partition, not tasks x partitions
+        assert len(glob.glob(d + "/*.parquet")) <= 2, d
+
+
+def test_partitioned_write_salted_hot_partition(spark, sf_dir, tmp_path):
+    from data_frame_spark.sources.parquet import write_partitioned
+    from data_frame_spark.session import load_table
+    import glob
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_salted")
+    write_partitioned(docs, out, ["lang"], salt_files=4)
+    sizes = {d: len(glob.glob(d + "/*.parquet")) for d in glob.glob(out + "/lang=*")}
+    # the salt spreads each partition over multiple write tasks
+    assert max(sizes.values()) >= 2, sizes
