@@ -21,6 +21,9 @@ UNNEST-and-sum oracle uses, so doubles match bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -51,6 +54,31 @@ def dot(a: Column, b: Column) -> Column:
         ).cast("double")
         / F.lit(DOT_SCALE)
     )
+
+
+def qdot_batched(a: Column, b: Column) -> Column:
+    """The same quantized dot as :func:`dot` (before the /SCALE), as
+    an Arrow-batched numpy kernel. Bit-identical to the expression
+    form — float32 -> float64 widening is exact in both, the per-
+    element FLOOR(x*y*1e9 + 0.5) products are identical IEEE ops,
+    and the int64 sum is associative — but ~an order of magnitude
+    faster on wide candidate fan-outs, because Catalyst evaluates
+    higher-order array lambdas interpreted per element while numpy
+    multiplies the whole Arrow batch at once. Used on PAIR-sized
+    inputs (candidate verification); per-vector work stays in
+    expressions."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _qdot(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.stack(xs.to_numpy()).astype(np.float64)
+        B = np.stack(ys.to_numpy()).astype(np.float64)
+        P = np.floor(A * B * DOT_SCALE + 0.5).astype(np.int64)
+        return pd.Series(P.sum(axis=1))
+
+    return _qdot(a, b)
 
 
 def norm2(a: Column) -> Column:
@@ -414,7 +442,11 @@ def embedding_near_dup(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"c.{id_col}").alias("id_b"),
-            (dot(F.col("a.__v"), F.col("c.__v")) / (F.col("a.__n") * F.col("c.__n"))).alias("cosine"),
+            (
+                qdot_batched(F.col("a.__v"), F.col("c.__v")).cast("double")
+                / F.lit(DOT_SCALE)
+                / (F.col("a.__n") * F.col("c.__n"))
+            ).alias("cosine"),
         )
     )
     return pairs.where(F.col("cosine") >= F.lit(threshold))
