@@ -1,0 +1,67 @@
+"""Deterministic cardinality sketches.
+
+Spark ships HyperLogLog (``approx_count_distinct``) but its register
+layout is engine-private: a correctness gate can't cross-check it,
+and two engines never agree. The KMV (k-minimum-values) sketch —
+Bar-Yossef et al., "Counting distinct elements in a data stream",
+RANDOM'02 — estimates distinct counts from the k smallest hash
+values: with u_k = (k-th smallest hash)/2^60 on a uniform 60-bit
+hash, D ≈ (k-1)/u_k, with relative error ~1/sqrt(k-2). Because this
+repo's hashing routes through md5 (:mod:`functions.texthash`), the
+sketch is REPRODUCIBLE: same inputs -> same k-mins -> same estimate,
+in Spark and in a SQL oracle, bit for bit.
+
+Scale shape: the distinct-hash stage is a partial (map-side) dedup —
+only distinct hashes per partition reach the shuffle — and the
+per-group k-mins use a row_number window that Spark prunes with
+WindowGroupLimit BEFORE the exchange, so ~k rows per group move.
+KMV sketches merge by "union the min-sets, keep the k smallest" —
+the same monoid TakeOrderedAndProject implements — so partial
+sketches from independent corpus shards combine without rescanning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_frame_spark.functions.texthash import hash60
+
+#: 2^60 as an exact double: hash60 values normalize to [0, 1)
+_HASH_SPACE = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct estimate of ``value_col``.
+
+    Output: (scope, kmv_k, exact_distinct, estimate) — ``scope`` is
+    the group value (or 'ALL'), ``kmv_k`` = |min-set| = min(k, D).
+    Groups with D <= k are exact by the KMV rule (the sketch holds
+    every hash). ``exact_distinct`` is carried for demonstration /
+    verification; a production pipeline reads only the estimate and
+    never pays the full distinct count.
+    """
+    h = hash60(F.col(value_col).cast("string"))
+    scope = (
+        F.lit("ALL") if group_col is None else F.col(group_col).cast("string")
+    )
+    base = df.select(scope.alias("scope"), h.alias("__h")).distinct()
+    w = Window.partitionBy("scope").orderBy("__h")
+    kept = base.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
+    counts = base.groupBy("scope").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    kmins = kept.groupBy("scope").agg(
+        F.max("__h").alias("__hk"), F.count(F.lit(1)).alias("kmv_k")
+    )
+    est = F.when(
+        F.col("exact_distinct") <= F.lit(k), F.col("exact_distinct").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) / (F.col("__hk").cast("double") / F.lit(_HASH_SPACE))
+    )
+    return kmins.join(counts, "scope").select(
+        "scope", "kmv_k", "exact_distinct", est.alias("estimate")
+    )

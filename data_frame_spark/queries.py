@@ -1196,6 +1196,7 @@ from data_frame_spark.operators import text as OpText
 from data_frame_spark.operators import dedup as OpDedup
 from data_frame_spark.operators import graph as OpGraph
 from data_frame_spark.operators import sampling as OpSample
+from data_frame_spark.operators import sketch as OpSketch
 from data_frame_spark.operators import similarity as OpSim
 
 # shared CTE: normalized text, tokens, distinct 3-gram shingles
@@ -1465,6 +1466,44 @@ def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "doc_id", "term", "tf", "df", F.col("rank").cast("long").alias("term_rank")
     )
+
+
+from data_frame_spark.functions.texthash import sql_hash60 as _sql_h60
+
+_KMV_HASH = _sql_h60("user_id")
+
+
+@query(
+    "kmv_distinct_users",
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT CAST(event_type AS VARCHAR) AS scope,
+                               {_KMV_HASH} AS hh
+               FROM events
+               UNION
+               SELECT DISTINCT 'ALL' AS scope, {_KMV_HASH} AS hh FROM events),
+    r AS (SELECT scope, hh,
+                 ROW_NUMBER() OVER (PARTITION BY scope ORDER BY hh) AS rn
+          FROM h),
+    c AS (SELECT scope, COUNT(*) AS exact_distinct FROM h GROUP BY scope),
+    kk AS (SELECT scope, MAX(hh) AS hk, COUNT(*) AS kmv_k
+           FROM r WHERE rn <= 64 GROUP BY scope)
+    SELECT kk.scope, kk.kmv_k, c.exact_distinct,
+           CASE WHEN c.exact_distinct <= 64 THEN CAST(c.exact_distinct AS DOUBLE)
+                ELSE 63.0 / (CAST(kk.hk AS DOUBLE) / 1152921504606846976.0)
+           END AS estimate
+    FROM kk JOIN c USING (scope)
+    """,
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event_type plus an ALL row —
+    a cardinality estimator the gate can actually verify (md5-
+    deterministic k-mins), unlike engine-private HLL registers. The
+    exact_distinct column is the demonstration baseline; the sketch
+    path alone is the production read."""
+    ev = t(spark, sf_dir, "events")
+    per_type = OpSketch.kmv_distinct(ev, "user_id", group_col="event_type", k=64)
+    overall = OpSketch.kmv_distinct(ev, "user_id", k=64)
+    return per_type.unionByName(overall)
 
 
 @query(
@@ -2409,6 +2448,7 @@ _FIRST = [
     "stratified_sample_docs",
     "chunk_documents",
     "tfidf_top_terms_docs",
+    "kmv_distinct_users",
     "ngram_decontamination_docs",
     "mean_max_by_user",
     "mean_max_aux_by_user",
