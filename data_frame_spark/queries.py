@@ -1468,6 +1468,47 @@ def tfidf_top_terms_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "json_props_rollup",
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(k) AS n_valid,
+           SUM(k) :: BIGINT AS k_sum,
+           MIN(k) AS k_min,
+           MAX(k) AS k_max,
+           CAST(SUM(k) :: BIGINT AS DOUBLE) / COUNT(k) AS k_avg
+    FROM e GROUP BY event_type
+    """,
+)
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the semi-structured props column:
+    from_json with an explicit schema, then a single map-side-
+    combinable rollup keyed by event_type. Integer sum + one exact
+    double division keep the oracle hash bit-stable (the BIGINT cast
+    in the oracle avoids DuckDB's HUGEINT sum type — see the module
+    notes). At scale this is one shuffle of partial aggregates;
+    JSON parsing is JVM-side (Jackson), no Python."""
+    from pyspark.sql.types import StructType, StructField, LongType
+
+    ev = t(spark, sf_dir, "events")
+    schema = StructType([StructField("k", LongType())])
+    e = ev.select(
+        "event_type", F.from_json(F.col("props"), schema).getField("k").alias("k")
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("k").alias("n_valid"),
+        F.sum("k").alias("k_sum"),
+        F.min("k").alias("k_min"),
+        F.max("k").alias("k_max"),
+        (F.sum("k").cast("double") / F.count("k")).alias("k_avg"),
+    )
+
+
 from data_frame_spark.functions.texthash import sql_hash60 as _sql_h60
 
 _KMV_HASH = _sql_h60("user_id")
@@ -2449,6 +2490,7 @@ _FIRST = [
     "chunk_documents",
     "tfidf_top_terms_docs",
     "kmv_distinct_users",
+    "json_props_rollup",
     "ngram_decontamination_docs",
     "mean_max_by_user",
     "mean_max_aux_by_user",
