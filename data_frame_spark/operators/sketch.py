@@ -36,6 +36,7 @@ def kmv_distinct(
     value_col: str,
     group_col: str | None = None,
     k: int = 64,
+    include_overall: bool = False,
 ) -> DataFrame:
     """Per-group KMV distinct estimate of ``value_col``.
 
@@ -45,12 +46,19 @@ def kmv_distinct(
     every hash). ``exact_distinct`` is carried for demonstration /
     verification; a production pipeline reads only the estimate and
     never pays the full distinct count.
+
+    ``include_overall`` adds the 'ALL' scope in the SAME pipeline
+    (union before the distinct), so grouped + overall sketches cost
+    one shuffle chain instead of two.
     """
     h = hash60(F.col(value_col).cast("string"))
     scope = (
         F.lit("ALL") if group_col is None else F.col(group_col).cast("string")
     )
-    base = df.select(scope.alias("scope"), h.alias("__h")).distinct()
+    sel = df.select(scope.alias("scope"), h.alias("__h"))
+    if include_overall and group_col is not None:
+        sel = sel.unionAll(df.select(F.lit("ALL").alias("scope"), h.alias("__h")))
+    base = sel.distinct()
     w = Window.partitionBy("scope").orderBy("__h")
     kept = base.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k)
     counts = base.groupBy("scope").agg(F.count(F.lit(1)).alias("exact_distinct"))

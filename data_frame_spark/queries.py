@@ -1542,9 +1542,9 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_distinct column is the demonstration baseline; the sketch
     path alone is the production read."""
     ev = t(spark, sf_dir, "events")
-    per_type = OpSketch.kmv_distinct(ev, "user_id", group_col="event_type", k=64)
-    overall = OpSketch.kmv_distinct(ev, "user_id", k=64)
-    return per_type.unionByName(overall)
+    return OpSketch.kmv_distinct(
+        ev, "user_id", group_col="event_type", k=64, include_overall=True
+    )
 
 
 @query(

@@ -481,3 +481,23 @@ def test_partitioned_write_salted_hot_partition(spark, sf_dir, tmp_path):
     sizes = {d: len(glob.glob(d + "/*.parquet")) for d in glob.glob(out + "/lang=*")}
     # the salt spreads each partition over multiple write tasks
     assert max(sizes.values()) >= 2, sizes
+
+
+def test_partitioned_parquet_schema_evolution(spark, tmp_path):
+    # appending a shard with a NEW column must coexist with old
+    # files: mergeSchema unions the schemas, old rows read NULL
+    from data_frame_spark.sources.parquet import write_partitioned
+
+    out = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "en", "a"), (2, "de", "b")],
+                               "id long, lang string, text string")
+    write_partitioned(v1, out, ["lang"])
+    v2 = spark.createDataFrame([(3, "en", "c", 0.9)],
+                               "id long, lang string, text string, quality double")
+    write_partitioned(v2, out, ["lang"], mode="append")
+
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(back.columns) == {"id", "lang", "text", "quality"}
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["quality"] is None and rows[3]["quality"] == 0.9
+    assert len(rows) == 3
