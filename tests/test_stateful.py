@@ -35,3 +35,31 @@ def test_stateful_running_user_stats(spark, sf_dir):
     # EMA exists and is bounded by observed values per user
     emas = {r["user_id"]: r["ema"] for r in got.collect()}
     assert all(e is not None for e in emas.values())
+
+
+def test_streaming_kmv_matches_batch_sketch(spark, sf_dir):
+    from data_frame_spark.streaming.sketch import streaming_kmv
+    from data_frame_spark.operators.sketch import kmv_distinct
+
+    stream = W.stream_events(spark, sf_dir, watermark="1 hour")
+    out = streaming_kmv(stream, "user_id", "event_type", k=32)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_kmv")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("t_kmv").collect()
+    # last emitted row per scope = sketch over the whole stream
+    latest = {}
+    for r in got:
+        latest[r["scope"]] = (r["kmv_k"], r["estimate"])
+    batch = {
+        r["scope"]: (r["kmv_k"], r["estimate"])
+        for r in kmv_distinct(
+            t(spark, sf_dir, "events"), "user_id", group_col="event_type", k=32
+        ).collect()
+    }
+    assert latest == batch
