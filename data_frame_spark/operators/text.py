@@ -369,7 +369,7 @@ def chunk_rows(
             F.explode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias("chunk_idx"),
         )
         .select(
-            F.col("__id"),
+            F.col("__id").alias(id_col),
             "chunk_idx",
             F.concat_ws(
                 " ", F.slice(F.col("__tk"), F.col("chunk_idx") * F.lit(step) + F.lit(1), chunk_tokens)

@@ -1424,7 +1424,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZERO shuffles at any corpus size."""
     docs = t(spark, sf_dir, "documents")
     return OpText.chunk_rows(docs, "text", "doc_id", chunk_tokens=64, overlap=16).select(
-        F.col("__id").alias("doc_id"),
+        "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         "chunk_text",
         F.col("chunk_n_tokens").cast("long").alias("chunk_n_tokens"),

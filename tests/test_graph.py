@@ -91,3 +91,9 @@ def test_cluster_documents_sizes(spark):
         (8, 8, 2), (9, 8, 2),
         (4, 4, 2), (5, 4, 2),
     }
+
+
+def test_cc_empty_edge_list(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(df).collect() == []
+    assert cluster_documents(df).collect() == []

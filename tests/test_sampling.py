@@ -102,3 +102,34 @@ def test_tfidf_matches_brute_force(spark):
         )
         for rk, (term, c, dfc) in enumerate(scored[:2], start=1):
             assert got[(d, rk)] == (term, c, dfc)
+
+
+def test_stratified_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, lang string")
+    assert stratified_sample(df, "lang", "doc_id", 5).collect() == []
+    assert uniform_sample(df, "doc_id", 5).collect() == []
+
+
+def test_chunks_empty_text(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   ")], "doc_id long, text string")
+    rows = sorted(chunk_rows(df, "text", "doc_id").collect(), key=lambda r: r["doc_id"])
+    # normalize collapses to "", one chunk each, never zero or negative
+    assert [r["chunk_idx"] for r in rows] == [0, 0]
+    assert all(r["chunk_text"] == "" for r in rows)
+
+
+def test_chunk_overlap_must_be_smaller(spark):
+    import pytest
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_rows(df, "text", "doc_id", chunk_tokens=16, overlap=16)
+
+
+def test_tfidf_single_doc_idf_zero(spark):
+    # with one document every term has df=N=1 -> idf=0 -> tfidf=0;
+    # ranking falls back to tf desc then term asc
+    df = spark.createDataFrame([(1, "b b a c c c")], "doc_id long, text string")
+    rows = sorted(tfidf_top_terms(df, "text", "doc_id", top_k=3).collect(),
+                  key=lambda r: r["rank"])
+    assert [r["term"] for r in rows] == ["c", "b", "a"]
+    assert all(r["tfidf"] == 0.0 for r in rows)

