@@ -1750,6 +1750,49 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_dup_clusters",
+    oracle=_lsh_cte().replace("WITH ", "WITH RECURSIVE ", 1) + """
+    , cand AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
+               FROM probes a JOIN homes c ON a.bucket = c.home
+               WHERE a.vec_id < c.vec_id),
+      pd AS (SELECT cd.id_a, cd.id_b,
+                    SUM(CAST(FLOOR(CAST(ea.e[i] AS DOUBLE)
+                                   * CAST(ec.e[i] AS DOUBLE)
+                                   * 1000000000.0 + 0.5) AS BIGINT)) AS dq
+             FROM cand cd, vecs ea, vecs ec,
+                  UNNEST(generate_series(1, 64)) t(i)
+             WHERE ea.vec_id = cd.id_a AND ec.vec_id = cd.id_b
+             GROUP BY 1, 2),
+      scored AS (SELECT p.id_a, p.id_b,
+                        (p.dq / 1000000000.0) / (na.nn * nb.nn) AS cosine
+                 FROM pd p
+                 JOIN norms na ON na.vec_id = p.id_a
+                 JOIN norms nb ON nb.vec_id = p.id_b),
+      edges AS (SELECT id_a AS u, id_b AS v FROM scored WHERE cosine >= 0.4
+                UNION ALL
+                SELECT id_b AS u, id_a AS v FROM scored WHERE cosine >= 0.4),
+      reach(id, r) AS (SELECT u, u FROM edges
+                       UNION
+                       SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+      comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT comp.id AS vec_id, comp.cluster_id, csize.cluster_size
+    FROM comp JOIN csize USING (cluster_id)
+    """,
+)
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same cluster-collapse terminal stage as
+    near_dup_clusters_docs, over the EMBEDDING near-dup pair source —
+    the connected-components operator composes over any verified pair
+    stream (text Jaccard or embedding cosine)."""
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = OpSim.embedding_near_dup(
+        emb, dim=64, threshold=0.4, num_planes=4, num_probes=3
+    ).localCheckpoint(eager=True)
+    return OpGraph.cluster_documents(pairs).withColumnRenamed("id", "vec_id")
+
+
+@query(
     "lsh_ann_topk_embeddings",
     oracle=_lsh_cte() + """
     , cand AS (SELECT q.vec_id AS query_id, b.vec_id AS vec_id
@@ -2491,6 +2534,7 @@ _FIRST = [
     "tfidf_top_terms_docs",
     "kmv_distinct_users",
     "json_props_rollup",
+    "embedding_dup_clusters",
     "ngram_decontamination_docs",
     "mean_max_by_user",
     "mean_max_aux_by_user",
