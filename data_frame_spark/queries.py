@@ -1626,6 +1626,51 @@ def text_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_filter_oracle() -> str:
+    # the features CTE is the (already driver-green) text_features
+    # oracle verbatim; the filter adds only the decision CASE, so
+    # both engines branch on bit-identical inputs
+    return (
+        "WITH feats AS (" + ORACLE["text_features_docs"] + ")\n"
+        + """
+    SELECT doc_id,
+           CASE WHEN n_tokens < 10 THEN 'too_short'
+                WHEN lang_pred = 'und' THEN 'und_lang'
+                WHEN dup_line_fraction > 0.3 OR top_bigram_fraction > 0.2
+                     THEN 'repetitive'
+                WHEN quality_score < 0.5 THEN 'low_quality'
+                ELSE 'kept' END AS decision,
+           quality_score, n_tokens
+    FROM feats
+    """
+    )
+
+
+@query("quality_filter_docs", oracle=_quality_filter_oracle())
+def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-curation decision step: every document gets a
+    keep/drop verdict with an auditable reason code (first failing
+    rule wins: too_short -> und_lang -> repetitive -> low_quality ->
+    kept) — the published filter recipe over the same one-scan
+    feature expressions as text_features_docs. Pure Column CASE, no
+    extra shuffle; at 100 TB this is the map-side gate in front of
+    every downstream stage."""
+    feats = text_features_docs(spark, sf_dir)
+    decision = (
+        F.when(F.col("n_tokens") < 10, F.lit("too_short"))
+        .when(F.col("lang_pred") == "und", F.lit("und_lang"))
+        .when(
+            (F.col("dup_line_fraction") > 0.3) | (F.col("top_bigram_fraction") > 0.2),
+            F.lit("repetitive"),
+        )
+        .when(F.col("quality_score") < 0.5, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return feats.select(
+        "doc_id", decision.alias("decision"), "quality_score", "n_tokens"
+    )
+
+
 _DOTQ = "SUM(CAST(FLOOR(CAST({a} AS DOUBLE)*CAST({b} AS DOUBLE)*1000000000.0 + 0.5) AS BIGINT))"
 
 
@@ -2535,6 +2580,7 @@ _FIRST = [
     "kmv_distinct_users",
     "json_props_rollup",
     "embedding_dup_clusters",
+    "quality_filter_docs",
     "ngram_decontamination_docs",
     "mean_max_by_user",
     "mean_max_aux_by_user",
