@@ -95,18 +95,31 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_old = edges.count()
+    def _sig(df):
+        # (count, order-insensitive XOR of per-edge hashes): one tiny
+        # aggregate job; both sets are distinct, so differing sets
+        # with equal signatures require an engineered xxhash64 XOR
+        # collision — and equality is still CONFIRMED exactly below
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+        ).collect()[0]
+        return r["n"], r["x"]
+
+    sig_old = _sig(edges)
     for _ in range(max_rounds):
         stepped = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
-        # star fixpoint test: identical edge sets (both are distinct,
-        # so equal counts + empty difference <=> equality; the
-        # anti-join only runs on rounds where counts already agree)
-        n_new = stepped.count()
+        # star fixpoint test: identical edge sets. The signature gate
+        # skips the exact anti-join on every round where the sets
+        # visibly differ; when signatures match, the anti-join
+        # certifies true equality (exactness does not rest on the
+        # checksum).
+        sig_new = _sig(stepped)
         unchanged = (
-            n_old == n_new
+            sig_old == sig_new
             and stepped.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
         )
-        edges, n_old = stepped, n_new
+        edges, sig_old = stepped, sig_new
         if unchanged:
             break
     # star forest: every edge is (member, root); roots also belong to
