@@ -19,9 +19,11 @@ chain of overlapping near-dups (sliding-window shingles of one
 template family) cannot force thousands of rounds.
 
 Each round is two vertex-keyed shuffles (the groupBys); edges are
-``localCheckpoint``-ed per round so the iterative lineage never
-re-executes upstream rounds, and the convergence test is a single
-count (a star graph is the fixpoint of both stars).
+lazily ``localCheckpoint``-ed per round so the iterative lineage
+never re-executes upstream rounds, and the convergence signature
+aggregate doubles as the job that materializes the checkpoint — one
+Spark job per round of driver latency, plus one exact anti-join when
+the signature reports a fixpoint.
 """
 
 from __future__ import annotations
@@ -89,17 +91,31 @@ def connected_components(
     # comparison (pair-only graphs — the common near-dup shape —
     # converge in one round instead of two)
     a, b = F.col(src).cast("long"), F.col(dst).cast("long")
+    # a non-castable id silently becomes NULL and would be dropped by
+    # the u != v filter, returning partial clusters — surface misuse
+    # as an error instead (limit(1) short-circuits the scan)
+    bad = pairs.where(
+        (F.col(src).isNotNull() & a.isNull()) | (F.col(dst).isNotNull() & b.isNull())
+    )
+    if bad.limit(1).count() > 0:
+        raise ValueError(
+            f"connected_components: {src}/{dst} contain ids that do not "
+            "cast to long; use orderable numeric ids or pre-map them"
+        )
     edges = (
         pairs.select(F.greatest(a, b).alias("u"), F.least(a, b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     def _sig(df):
         # (count, order-insensitive XOR of per-edge hashes): one tiny
-        # aggregate job; both sets are distinct, so differing sets
-        # with equal signatures require an engineered xxhash64 XOR
-        # collision — and equality is still CONFIRMED exactly below
+        # aggregate; both sets are distinct, so differing sets with
+        # equal signatures require an engineered xxhash64 XOR
+        # collision — and equality is still CONFIRMED exactly below.
+        # The checkpoint above is LAZY, so this aggregate is the job
+        # that materializes it: signature + checkpoint cost ONE Spark
+        # job per round, not two.
         r = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("x"),
@@ -107,8 +123,9 @@ def connected_components(
         return r["n"], r["x"]
 
     sig_old = _sig(edges)
+    converged = False
     for _ in range(max_rounds):
-        stepped = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
+        stepped = _star(_star(edges, large=True), large=False).localCheckpoint(eager=False)
         # star fixpoint test: identical edge sets. The signature gate
         # skips the exact anti-join on every round where the sets
         # visibly differ; when signatures match, the anti-join
@@ -121,7 +138,15 @@ def connected_components(
         )
         edges, sig_old = stepped, sig_new
         if unchanged:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not reach the star-forest fixpoint "
+            f"within max_rounds={max_rounds} alternating rounds; the "
+            f"component labels would be wrong — raise max_rounds "
+            f"(O(log n) rounds suffice for n vertices)"
+        )
     # star forest: every edge is (member, root); roots also belong to
     # their own component
     return edges.select(F.col("u").alias("id"), F.col("v").alias("component")).unionAll(

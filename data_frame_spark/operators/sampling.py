@@ -9,16 +9,19 @@ operators therefore order by a content-derived md5 hash, never by
 public "hash-order sampling" recipe used for stable train/eval
 splits, and exactly reproducible by a SQL oracle.
 
-* :func:`stratified_sample` — exact N per stratum via a per-stratum
-  hash-rank window. The window shuffles by stratum; strata are
-  assumed numerous relative to executors (languages, sources,
-  buckets). For a FEW huge strata the two-phase variant applies: a
-  map-side filter on ``hash < adaptive threshold`` (from a
-  per-stratum count + quantile sketch) cuts each stratum to ~N
-  survivors before the exact rank — the window then runs on a
-  vanishingly small remnant. That refinement drops in behind the
-  same signature; the rank formulation here IS the exactness
-  contract.
+* :func:`stratified_sample` — exact N per stratum, TWO-PHASE: a
+  per-stratum count sets a hash threshold ≈ cushion(N)/|stratum|; a
+  broadcast join + map-side ``hash_long <= threshold`` filter cuts
+  each stratum to ~N survivors; the exact hash-rank window then runs
+  on that vanishingly small remnant, so no stratum ever funnels its
+  full row count through one task — a 100 TB corpus stratified by
+  language (a few dozen huge strata) stays parallel. Exactness does
+  NOT rest on the threshold: a per-stratum survivor-count check
+  certifies the remnant holds ≥ min(N, |stratum|) rows (the filter
+  keeps a hash-order PREFIX, so ≥N survivors ⇒ the true top-N is
+  inside); the rare deficient stratum (cushion is a >6-sigma bound)
+  is re-admitted whole, reproducing the one-phase behavior for that
+  stratum only.
 * :func:`uniform_sample` — global top-k by hash:
   ``TakeOrderedAndProject`` computes per-partition top-k then
   merges k·partitions rows — no global sort, no single-partition
@@ -26,6 +29,8 @@ splits, and exactly reproducible by a SQL oracle.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -35,6 +40,18 @@ def sample_key(id_col, salt: str = "") -> F.Column:
     """Deterministic per-row ordering key: md5 of the row id plus a
     salt (vary the salt to draw independent samples)."""
     return F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
+
+
+#: 16^15 == 2^60: the key prefix below normalizes to [0, 2^60)
+_KEY_SPACE = 1 << 60
+
+
+def _key_long(id_col, salt: str) -> F.Column:
+    """First 15 hex chars of :func:`sample_key` as a long in
+    [0, 2^60) — monotone with the full hex string's lexicographic
+    order, so ``key_long <= t`` selects a prefix of the hash order
+    (plus boundary ties, which only ever ADD rows)."""
+    return F.conv(F.substring(sample_key(id_col, salt), 1, 15), 16, 10).cast("long")
 
 
 def stratified_sample(
@@ -47,11 +64,66 @@ def stratified_sample(
     """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by
     md5-hash order — reproducible regardless of partitioning, input
     order, or cluster size. Adds ``sample_rank`` (1-based within the
-    stratum)."""
-    w = Window.partitionBy(stratum_col).orderBy(sample_key(id_col, salt), F.col(id_col))
+    stratum).
+
+    Two-phase plan (see module docstring): count → broadcast
+    threshold → map-side prefilter → verify → exact window on the
+    remnant. Output is row-for-row identical to the direct
+    one-phase window; the verification count makes that a certainty,
+    not a probability.
+    """
+    n = n_per_stratum
+    key = sample_key(id_col, salt)
+    klong = _key_long(id_col, salt)
+    # cushion: expected survivors if the threshold were exact is N;
+    # Binomial spread ~sqrt(N), so N + 6*sqrt(N) + 64 makes a
+    # deficient stratum a >6-sigma event (and small strata skip the
+    # filter entirely)
+    cushion = float(n + 6.0 * math.sqrt(n) + 64.0)
+    strat = F.col(stratum_col)
+
+    counts = df.groupBy(strat.alias("__s")).agg(F.count(F.lit(1)).alias("__m"))
+    thr = counts.select(
+        "__s",
+        "__m",
+        F.when(F.col("__m") <= F.lit(cushion), F.lit(_KEY_SPACE))
+        .otherwise(F.ceil(F.lit(cushion) / F.col("__m") * F.lit(float(_KEY_SPACE))))
+        .alias("__t"),
+    ).localCheckpoint(eager=True)  # O(strata) rows; one corpus scan, reused below
+
+    def survivors(threshold_table: DataFrame) -> DataFrame:
+        # broadcast equi-join (null-safe: a NULL stratum is a group,
+        # same as Window.partitionBy) + map-side prefix filter; NULL
+        # keys sort first in the window order, so they always survive
+        return (
+            df.join(F.broadcast(threshold_table), strat.eqNullSafe(F.col("__s")))
+            .where((klong <= F.col("__t")) | klong.isNull())
+        )
+
+    # certify: ≥ min(N, |stratum|) survivors per stratum, else the
+    # true top-N might cross the threshold — re-admit those strata
+    # whole (one tiny driver-side list; probabilistically empty)
+    got = survivors(thr).groupBy("__s", "__m", "__t").agg(
+        F.count(F.lit(1)).alias("__got")
+    )
+    deficient = [
+        r["__s"]
+        for r in got.where(F.col("__got") < F.least(F.lit(n), F.col("__m"))).collect()
+    ]
+    if deficient:
+        hit = F.col("__s").isin([d for d in deficient if d is not None])
+        if any(d is None for d in deficient):
+            hit = hit | F.col("__s").isNull()
+        thr = thr.withColumn(
+            "__t", F.when(hit, F.lit(_KEY_SPACE)).otherwise(F.col("__t"))
+        )
+
+    w = Window.partitionBy(stratum_col).orderBy(key, F.col(id_col))
     return (
-        df.withColumn("sample_rank", F.row_number().over(w))
-        .where(F.col("sample_rank") <= F.lit(n_per_stratum))
+        survivors(thr)
+        .drop("__s", "__m", "__t")
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= F.lit(n))
     )
 
 

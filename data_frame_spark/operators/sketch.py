@@ -42,10 +42,15 @@ def kmv_distinct(
 
     Output: (scope, kmv_k, exact_distinct, estimate) — ``scope`` is
     the group value (or 'ALL'), ``kmv_k`` = |min-set| = min(k, D).
-    Groups with D <= k are exact by the KMV rule (the sketch holds
-    every hash). ``exact_distinct`` is carried for demonstration /
-    verification; a production pipeline reads only the estimate and
-    never pays the full distinct count.
+    The exact path is gated on the SKETCH state alone (``kmv_k < k``
+    — the min-set holds every hash, so |min-set| IS the distinct
+    count), never on ``exact_distinct``: the estimate is computable
+    from k longs per group, and it matches the streaming sketch
+    (:mod:`streaming.sketch`) bit for bit, including the D == k
+    boundary where both sides emit (k-1)/u_k. ``exact_distinct`` is
+    carried for demonstration / verification only; a production
+    pipeline drops that column and never pays the full distinct
+    count.
 
     ``include_overall`` adds the 'ALL' scope in the SAME pipeline
     (union before the distinct), so grouped + overall sketches cost
@@ -66,7 +71,7 @@ def kmv_distinct(
         F.max("__h").alias("__hk"), F.count(F.lit(1)).alias("kmv_k")
     )
     est = F.when(
-        F.col("exact_distinct") <= F.lit(k), F.col("exact_distinct").cast("double")
+        F.col("kmv_k") < F.lit(k), F.col("kmv_k").cast("double")
     ).otherwise(
         F.lit(float(k - 1)) / (F.col("__hk").cast("double") / F.lit(_HASH_SPACE))
     )

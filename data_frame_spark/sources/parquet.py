@@ -46,7 +46,13 @@ def write_partitioned(
         keys = [F.col(c) for c in partition_cols] + [
             F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(salt_files))
         ]
-        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        # the conf is non-numeric on platforms that set it to "auto"
+        # for adaptive coalescing — fall back to the cluster's default
+        # parallelism rather than failing the write
+        try:
+            n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n = df.sparkSession.sparkContext.defaultParallelism
         out = df.repartition(max(n, salt_files), *keys)
     else:
         out = df.repartition(*[F.col(c) for c in partition_cols])

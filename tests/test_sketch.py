@@ -15,6 +15,25 @@ def test_kmv_exact_when_small(spark):
     assert row["estimate"] == 17.0  # D <= k: sketch holds every hash
 
 
+def test_kmv_boundary_d_equals_k_uses_sketch_estimator(spark):
+    # D == k: the min-set is full, so the gate (kmv_k < k) routes to
+    # the (k-1)/u_k estimator — the rule the streaming sketch applies
+    # (streaming/sketch.py), keeping stream==batch parity exact at the
+    # boundary. The estimate must come from the sketch alone, never
+    # from exact_distinct.
+    from data_frame_spark.functions.texthash import hash60
+    from data_frame_spark.operators.sketch import _HASH_SPACE
+
+    k = 16
+    df = spark.createDataFrame([(i,) for i in range(k)], "v long")
+    row = kmv_distinct(df, "v", k=k).collect()[0]
+    assert row["kmv_k"] == k and row["exact_distinct"] == k
+    hk = max(
+        r["h"] for r in df.select(hash60(F.col("v").cast("string")).alias("h")).collect()
+    )
+    assert row["estimate"] == (k - 1) / (hk / _HASH_SPACE)
+
+
 def test_kmv_estimate_within_error_bound(spark):
     # D = 5000 distinct values, k = 256: rel error ~1/sqrt(k-2) ≈ 6.3%;
     # assert a generous 4-sigma band (deterministic: md5 is fixed)
