@@ -125,7 +125,13 @@ def connected_components(
     sig_old = _sig(edges)
     converged = False
     for _ in range(max_rounds):
-        stepped = _star(_star(edges, large=True), large=False).localCheckpoint(eager=False)
+        # the mid-round checkpoint is load-bearing: a star's output
+        # feeds THREE branches of the next star (both orientations +
+        # the mins union), and without a persist boundary the physical
+        # plan replicates the whole first-star pipeline per branch
+        # (measured: 38 exchanges/round collapse to 10)
+        mid = _star(edges, large=True).localCheckpoint(eager=False)
+        stepped = _star(mid, large=False).localCheckpoint(eager=False)
         # star fixpoint test: identical edge sets. The signature gate
         # skips the exact anti-join on every round where the sets
         # visibly differ; when signatures match, the anti-join
@@ -136,6 +142,11 @@ def connected_components(
             sig_old == sig_new
             and stepped.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
         )
+        # drop per-round state no longer referenced: without this the
+        # persisted edge sets of every round pile up in executor
+        # memory for the life of the query
+        mid.unpersist()
+        edges.unpersist()
         edges, sig_old = stepped, sig_new
         if unchanged:
             converged = True

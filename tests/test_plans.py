@@ -119,6 +119,74 @@ def test_sampling_has_no_global_sort(spark, sf_dir):
     assert C.count_shuffles(df) <= 2
 
 
+def test_stratified_prefilter_sits_below_window(spark, sf_dir):
+    # two-phase contract: the per-stratum hash threshold must arrive
+    # via a BROADCAST join and the conv(md5-prefix) filter must run
+    # map-side, so the stratum window only ever sees the ~N-row
+    # remnant — never the corpus
+    df = QUERIES["stratified_sample_docs"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    assert C.uses_broadcast_join(df)
+    assert "conv(" in plan
+    win = plan.find("Window")
+    flt = plan.rfind("conv(")
+    # simple-plan prints top-down: the filter text appears BELOW the
+    # window node it feeds
+    assert win != -1 and flt > win
+
+
+def test_cc_star_round_shuffle_budget(spark):
+    # one alternating CC round (large-star then small-star) must stay
+    # within a fixed physical-exchange budget: the mid-round persist
+    # boundary stops the first star's pipeline from being replicated
+    # into each of the second star's three branches (38 exchanges
+    # without it), and no collect_set may appear anywhere — the
+    # neighborhood min is a map-combinable aggregate, never an array
+    from data_frame_spark.operators.graph import _star
+
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(500)], "u long, v long"
+    ).localCheckpoint(eager=True)
+    mid = _star(edges, large=True).localCheckpoint(eager=False)
+    stepped = _star(mid, large=False)
+    plan = C.simple_plan(stepped)
+    assert "collect_set" not in plan
+    # small-star over a checkpointed mid: groupBy exchange + join
+    # exchanges + distinct — bounded regardless of graph size
+    assert C.count_shuffles(stepped) <= 10
+    assert C.count_shuffles(_star(edges, large=True)) <= 6
+
+
+def test_decontamination_broadcasts_benchmark(spark, sf_dir):
+    # the benchmark n-gram set must reach the corpus via broadcast —
+    # the corpus is never shuffled for the contamination join
+    df = QUERIES["ngram_decontamination_docs"](spark, sf_dir)
+    assert C.uses_broadcast_join(df)
+
+
+def test_ensure_parallelism_is_identity_on_wide_input(spark):
+    # the small-file guard must NOT add a shuffle once the input is
+    # already as parallel as the session target — at scale the corpus
+    # arrives with thousands of partitions and passes through untouched
+    from data_frame_spark.operators.distributed import ensure_parallelism
+
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = spark.range(10_000).repartition(n)
+    assert ensure_parallelism(wide) is wide
+    narrow = spark.range(10_000).coalesce(1)
+    out = ensure_parallelism(narrow)
+    assert out.rdd.getNumPartitions() == n
+
+
+def test_kmv_group_limits_before_exchange(spark, sf_dir):
+    # the per-scope k-mins must prune with WindowGroupLimit below the
+    # exchange so ~k rows per group move, not every distinct hash
+    df = QUERIES["kmv_distinct_users"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert C.count_shuffles(df) <= 6
+
+
 def test_tfidf_shuffle_budget(spark, sf_dir):
     # three data-sized shuffles (tf agg, df agg over the tf table,
     # per-doc top-k window) + broadcast/aggregate-sized exchanges;

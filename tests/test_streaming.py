@@ -43,6 +43,39 @@ def test_streaming_session_matches_batch(spark, sf_dir, batch_events):
     assert sum(g.values()) == batch_events.count()
 
 
+def test_streaming_session_exact_gap_edge(spark, tmp_path):
+    # boundary semantics, pinned: session_window treats an event at
+    # exactly last_ts + gap as STILL IN the session (candidate
+    # windows [ts, ts+gap] merge when touching: 1800 <= 0+1800), one
+    # past it starts a new session — and stream == batch on both
+    # sides of the edge. u1: events at 0s and 1800s -> ONE session;
+    # u2: 0s and 1801s -> two sessions; u3: a chain stepping exactly
+    # gap each time -> one session spanning the whole chain.
+    rows = [
+        ("u1", 0, 1.0), ("u1", 1800, 1.0),
+        ("u2", 0, 1.0), ("u2", 1801, 1.0),
+        ("u3", 0, 1.0), ("u3", 1800, 1.0), ("u3", 3600, 1.0),
+    ]
+    batch = spark.createDataFrame(rows, "user_id string, sec long, value double").select(
+        "user_id", F.timestamp_seconds("sec").alias("ts"), "value"
+    )
+    p = str(tmp_path / "edge_events")
+    batch.write.parquet(p)
+    stream = (
+        spark.readStream.schema(batch.schema).parquet(p).withWatermark("ts", "1 hour")
+    )
+    got = W.run_to_memory(W.session_counts(stream), "t_session_edge")
+    expect = W.session_counts(batch)
+    g = {(r["session_start"], r["user_id"]): r["n"] for r in got.collect()}
+    e = {(r["session_start"], r["user_id"]): r["n"] for r in expect.collect()}
+    assert g == e
+    assert e == {
+        (0, "u1"): 2,
+        (0, "u2"): 1, (1801, "u2"): 1,
+        (0, "u3"): 3,
+    }
+
+
 def test_streaming_dedup_matches_batch(spark, sf_dir, batch_events):
     from data_frame_spark.streaming import dedup as SD
 
