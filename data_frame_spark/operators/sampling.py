@@ -132,3 +132,96 @@ def uniform_sample(df: DataFrame, id_col: str, k: int, salt: str = "") -> DataFr
     ties broken by id. Plans as TakeOrderedAndProject (partial
     per-partition top-k, driver merge of k rows per partition)."""
     return df.orderBy(sample_key(id_col, salt), F.col(id_col)).limit(k)
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    targets: dict,
+    salt: str = "",
+) -> DataFrame:
+    """Dataset-mixture sampling: a DIFFERENT deterministic quota per
+    stratum — the training-data "mixing" step (e.g. 50k docs of en,
+    20k of de, 5k of code) expressed as one pass. Strata absent from
+    ``targets`` are dropped; listed strata yield exactly
+    ``min(targets[s], |s|)`` rows, chosen by the same layout-
+    independent md5-hash order as :func:`stratified_sample` and
+    reproducible by a SQL oracle. Adds ``sample_rank``.
+
+    Same two-phase 100 TB plan as :func:`stratified_sample`, with the
+    cushion/threshold computed PER STRATUM from its own quota: count →
+    broadcast per-stratum threshold → map-side hash-prefix filter →
+    survivor-count certificate (deficient strata re-admitted whole) →
+    exact rank on the ~N_s-sized remnant. No stratum ever funnels its
+    full row count through one task, and a giant stratum with a small
+    quota is cut map-side to ~quota rows before any shuffle.
+
+    ``targets`` keys must be non-NULL stratum values; rows with a NULL
+    stratum are dropped (they can never equi-join a target).
+    """
+    if any(k is None for k in targets):
+        raise ValueError("mixture_sample targets must have non-NULL keys")
+    if any(int(v) < 0 for v in targets.values()):
+        raise ValueError("mixture_sample targets must be >= 0")
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, int(v)) for k, v in targets.items()],
+        schema=df.select(
+            F.col(stratum_col).alias("__s"), F.lit(0).cast("long").alias("__n")
+        ).schema,
+    )
+    key = sample_key(id_col, salt)
+    klong = _key_long(id_col, salt)
+    strat = F.col(stratum_col)
+
+    counts = df.groupBy(strat.alias("__s")).agg(F.count(F.lit(1)).alias("__m"))
+    cushion = (
+        F.col("__n")
+        + F.lit(6.0) * F.sqrt(F.col("__n").cast("double"))
+        + F.lit(64.0)
+    )
+    thr = (
+        counts.join(tgt, "__s")
+        .select(
+            "__s",
+            "__m",
+            "__n",
+            F.when(F.col("__m").cast("double") <= cushion, F.lit(_KEY_SPACE))
+            .otherwise(
+                F.ceil(cushion / F.col("__m") * F.lit(float(_KEY_SPACE)))
+            )
+            .alias("__t"),
+        )
+        .localCheckpoint(eager=True)  # O(strata) rows; one corpus scan
+    )
+
+    def survivors(threshold_table: DataFrame) -> DataFrame:
+        return df.join(F.broadcast(threshold_table), strat == F.col("__s")).where(
+            (klong <= F.col("__t")) | klong.isNull()
+        )
+
+    got = survivors(thr).groupBy("__s", "__m", "__n", "__t").agg(
+        F.count(F.lit(1)).alias("__got")
+    )
+    deficient = [
+        r["__s"]
+        for r in got.where(
+            F.col("__got") < F.least(F.col("__n"), F.col("__m"))
+        ).collect()
+    ]
+    if deficient:
+        thr = thr.withColumn(
+            "__t",
+            F.when(F.col("__s").isin(deficient), F.lit(_KEY_SPACE)).otherwise(
+                F.col("__t")
+            ),
+        )
+
+    w = Window.partitionBy(stratum_col).orderBy(key, F.col(id_col))
+    return (
+        survivors(thr)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= F.col("__n"))
+        .drop("__s", "__m", "__n", "__t")
+    )

@@ -382,6 +382,89 @@ def chunk_rows(
 
 
 # ---------------------------------------------------------------------------
+# sequence packing (concat-and-carve context-window assembly)
+# ---------------------------------------------------------------------------
+
+
+def concat_pack(
+    df: "DataFrame",
+    len_col: str,
+    order_by,
+    capacity: int,
+    out_prefix: str = "pack_",
+) -> "DataFrame":
+    """Concat-style sequence packing: lay the sequences end-to-end in
+    a deterministic global order and carve the token stream into
+    fixed-``capacity`` context windows — the standard pretraining
+    "pack by concatenation" step. Each row gains
+    ``{out_prefix}id``     (the pack its FIRST token lands in) and
+    ``{out_prefix}offset`` (its start offset within that pack);
+    a sequence whose tokens straddle a pack boundary simply continues
+    into the next pack, exactly like the concatenated-token-stream
+    formulation.
+
+    ``order_by`` must be a deterministic, layout-independent key
+    (e.g. :func:`data_frame_spark.operators.sampling.sample_key`
+    derivatives) — NEVER partition order. The global running sum of
+    ``len_col`` goes through the range-bucketed two-level primitive
+    (:func:`data_frame_spark.operators.distributed.with_running_sum`):
+    no partitionless window, integer token counts so offsets are
+    exact at any scale.
+    """
+    from data_frame_spark.operators import distributed as D
+
+    out = D.with_running_sum(df, order_by, F.col(len_col).cast("long"), "__end")
+    start = F.col("__end") - F.col(len_col)
+    return (
+        out.withColumn(out_prefix + "id", F.floor(start / F.lit(capacity)).cast("long"))
+        .withColumn(out_prefix + "offset", (start % F.lit(capacity)).cast("long"))
+        .drop("__end")
+    )
+
+
+# ---------------------------------------------------------------------------
+# denylist / PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: public-shape PII patterns (email, E.164-ish phone, IPv4) — the
+#: regexes use only syntax shared by Java regex and RE2, so the same
+#: pattern runs in Spark and a DuckDB oracle.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # no '.' in the separator set: dotted runs are IPs/versions, and
+    # letting phone eat them would shadow the ipv4 label
+    "phone": r"\+?[0-9][0-9() -]{6,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def redact(
+    df: "DataFrame",
+    text_col: str,
+    patterns: dict[str, str] | None = None,
+    out_col: str = "redacted_text",
+) -> "DataFrame":
+    """Scrub every match of each labelled pattern, replacing it with
+    ``<LABEL>``, and count matches per label (``n_<label>`` columns,
+    counted on the ORIGINAL text). Patterns are applied in dict order
+    on the accumulating text, so an earlier label wins overlapping
+    matches. Pure Column expressions (regexp_replace /
+    regexp_extract_all) — a zero-shuffle map-only pass at any corpus
+    size."""
+    patterns = PII_PATTERNS if patterns is None else patterns
+    c = F.col(text_col)
+    red = c
+    out = df
+    for label, pat in patterns.items():
+        out = out.withColumn(
+            f"n_{label}",
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long"),
+        )
+        red = F.regexp_replace(red, pat, f"<{label.upper()}>")
+    return out.withColumn(out_col, red)
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF (top characteristic terms per document)
 # ---------------------------------------------------------------------------
 

@@ -1432,6 +1432,179 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_sample_docs",
+    oracle="""
+    WITH t(lang, n) AS (VALUES ('en', 8), ('de', 5), ('zh', 3)),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '|mix'), doc_id
+             ) AS sample_rank
+      FROM documents)
+    SELECT r.doc_id, r.lang, CAST(r.sample_rank AS BIGINT) AS sample_rank
+    FROM ranked r JOIN t ON r.lang = t.lang
+    WHERE r.sample_rank <= t.n
+    """,
+)
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture sampling: per-language quotas (en 8, de 5,
+    zh 3; other languages dropped) drawn in deterministic md5-hash
+    order — the corpus "mixing" step of a training-data pipeline.
+    Two-phase plan: per-stratum quota thresholds are broadcast and
+    applied map-side, so a giant stratum with a tiny quota is cut to
+    ~quota rows before the exact-rank window ever shuffles."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = OpSample.mixture_sample(
+        docs, "lang", "doc_id", {"en": 8, "de": 5, "zh": 3}, salt="mix"
+    )
+    return out.select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+@query(
+    "pack_chunks_256",
+    oracle=r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+    nch AS (SELECT doc_id, tk,
+                   GREATEST(1, CAST(CEIL((len(tk) - 16) / 48.0) AS INT)) AS nc
+            FROM toks),
+    ch AS (SELECT doc_id, i AS chunk_idx,
+                  len(string_split(array_to_string(tk[i*48+1 : i*48+64], ' '), ' ')) AS nt
+           FROM nch, UNNEST(generate_series(0, nc - 1)) u(i)),
+    keyed AS (SELECT doc_id, chunk_idx, nt,
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                CAST(chunk_idx AS VARCHAR) || '|pack'), 1, 15) AS pk
+              FROM ch),
+    s AS (SELECT doc_id, chunk_idx, nt,
+                 CAST(SUM(nt) OVER (ORDER BY pk, doc_id, chunk_idx
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS e
+          FROM keyed)
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(nt AS BIGINT) AS chunk_n_tokens,
+           (e - nt) // 256 AS pack_id,
+           (e - nt) % 256 AS pack_offset
+    FROM s
+    """,
+)
+def pack_chunks_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-style sequence packing: 64/16 context chunks laid
+    end-to-end in deterministic md5 order and carved into 256-token
+    packs — each chunk tagged with the pack its first token lands in
+    and its offset inside that pack. The global running token sum
+    goes through the range-bucketed two-level primitive (no
+    partitionless window); integer token counts make the offsets
+    exact in both engines."""
+    docs = t(spark, sf_dir, "documents")
+    chunks = OpText.chunk_rows(docs, "text", "doc_id", chunk_tokens=64, overlap=16)
+    pk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("chunk_idx").cast("string"),
+                    F.lit("|pack"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    packed = OpText.concat_pack(
+        chunks.withColumn("__pk", pk),
+        "chunk_n_tokens",
+        ["__pk", "doc_id", "chunk_idx"],
+        capacity=256,
+    )
+    return packed.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_n_tokens").cast("long").alias("chunk_n_tokens"),
+        "pack_id",
+        "pack_offset",
+    )
+
+
+@query(
+    "corpus_stats_rollup",
+    oracle=r"""
+    WITH d AS (SELECT lang, source,
+                      len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS nt,
+                      n_chars
+               FROM documents)
+    SELECT COALESCE(lang, '<all>') AS lang,
+           COALESCE(source, '<all>') AS source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM d GROUP BY ROLLUP (lang, source)
+    """,
+)
+def corpus_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level corpus accounting in ONE pass: per (lang, source),
+    per lang, and grand-total doc/token/char counts via ROLLUP
+    grouping sets — the "how big is each slice" report every curation
+    run starts with. Plans as a single Expand + one map-side-
+    combinable aggregate (one shuffle of partial aggregates at any
+    scale); integer sums + one exact double division keep the hash
+    bit-stable. The reference's whole-frame fold family
+    (df.rkt:1056-1100) generalized to grouping sets."""
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        "source",
+        OpText.token_count(F.col("text")).cast("long").alias("__nt"),
+        F.col("n_chars").cast("long").alias("__nc"),
+    )
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("sum_tokens"),
+            F.sum("__nc").alias("sum_chars"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            "n_docs",
+            "sum_tokens",
+            "sum_chars",
+            (F.col("sum_chars").cast("double") / F.col("n_docs")).alias("avg_chars"),
+        )
+    )
+
+
+@query(
+    "denylist_scrub_docs",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\b(spark|customer)\b')) AS BIGINT) AS n_banned,
+           regexp_replace(text, '\b(spark|customer)\b', '<BANNED>', 'g') AS redacted_text
+    FROM documents
+    """,
+)
+def denylist_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrubbing: every match of the banned-term pattern is
+    replaced with a placeholder token and counted — the same operator
+    (operators/text.redact) ships email/phone/IPv4 PII patterns whose
+    regex syntax runs identically in Java regex and RE2. A pure
+    Column-expression map pass: ZERO shuffles at any corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    out = OpText.redact(
+        docs, "text", {"banned": r"\b(spark|customer)\b"}, out_col="redacted_text"
+    )
+    return out.select("doc_id", "n_banned", "redacted_text")
+
+
+@query(
     "tfidf_top_terms_docs",
     oracle=r"""
     WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -2589,6 +2762,11 @@ _FIRST = [
     "minhash_signatures_docs",
     "ngram_jaccard_verified",
     "shipping_priority",
+    # round-5 additions: driver-checked this round
+    "mixture_sample_docs",
+    "pack_chunks_256",
+    "corpus_stats_rollup",
+    "denylist_scrub_docs",
     "near_dup_clusters_docs",
     "stratified_sample_docs",
     "chunk_documents",

@@ -198,3 +198,45 @@ def test_tfidf_shuffle_budget(spark, sf_dir):
     assert C.uses_broadcast_join(df)
     assert "WindowGroupLimit" in C.simple_plan(df)
     assert not C.data_sized_partitionless_windows(df)
+
+
+def test_mixture_prefilter_and_budget(spark, sf_dir):
+    # mixture sampling shares the two-phase contract: broadcast
+    # per-stratum quota thresholds, map-side conv(md5-prefix) filter
+    # BELOW the exact-rank window, bounded shuffles, no data-sized
+    # partitionless window
+    df = QUERIES["mixture_sample_docs"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    assert C.uses_broadcast_join(df)
+    assert not C.data_sized_partitionless_windows(df)
+    win = plan.find("Window")
+    flt = plan.rfind("conv(")
+    assert win != -1 and flt > win
+    assert C.count_shuffles(df) <= 2
+
+
+def test_concat_pack_uses_bucketed_running_sum(spark, sf_dir):
+    # the global running token sum must go through the range-bucketed
+    # two-level primitive: no partitionless window over the chunk
+    # stream, and only the bucket-keyed data shuffle moves rows
+    df = QUERIES["pack_chunks_256"](spark, sf_dir)
+    assert not C.data_sized_partitionless_windows(df)
+    data, tiny = C.shuffle_census(df)
+    assert data <= 2, f"data shuffles {data}"
+
+
+def test_rollup_is_single_shuffle_expand(spark, sf_dir):
+    # grouping sets plan as Expand + ONE map-side-combinable aggregate:
+    # one shuffle of partial aggregates regardless of corpus size
+    df = QUERIES["corpus_stats_rollup"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    assert "Expand" in plan
+    assert C.count_shuffles(df) == 1
+    assert "partial_" in plan
+
+
+def test_denylist_scrub_is_map_only(spark, sf_dir):
+    # regex scrub + counts must stay a zero-shuffle map pass
+    df = QUERIES["denylist_scrub_docs"](spark, sf_dir)
+    assert C.count_shuffles(df) == 0
+    assert not C.data_sized_partitionless_windows(df)

@@ -133,3 +133,88 @@ def test_tfidf_single_doc_idf_zero(spark):
                   key=lambda r: r["rank"])
     assert [r["term"] for r in rows] == ["c", "b", "a"]
     assert all(r["tfidf"] == 0.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# mixture sampling (per-stratum quotas)
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_quotas_and_prefix_property(spark):
+    from data_frame_spark.operators.sampling import mixture_sample
+
+    df = _docs(spark).select("doc_id", "lang")
+    targets = {"lang0": 7, "lang1": 3, "lang2": 0}
+    got = mixture_sample(df, "lang", "doc_id", targets).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert set(by_lang) == {"lang0", "lang1"}  # quota-0 and unlisted dropped
+    assert sorted(by_lang["lang0"]) == list(range(1, 8))
+    assert sorted(by_lang["lang1"]) == list(range(1, 4))
+    # the mixture draw is a PREFIX of the stratified draw (same salt,
+    # same hash order), so mixing never changes which docs rank first
+    strat = {
+        (r["lang"], r["sample_rank"]): r["doc_id"]
+        for r in stratified_sample(df, "lang", "doc_id", 7).collect()
+    }
+    for r in got:
+        assert strat[(r["lang"], r["sample_rank"])] == r["doc_id"]
+
+
+def test_mixture_partitioning_invariant_and_overshoot(spark):
+    from data_frame_spark.operators.sampling import mixture_sample
+
+    df = _docs(spark).select("doc_id", "lang")
+    targets = {"lang3": 10_000}  # quota far above |stratum|: keep all
+    a = {(r["doc_id"], r["sample_rank"])
+         for r in mixture_sample(df, "lang", "doc_id", targets).collect()}
+    b = {(r["doc_id"], r["sample_rank"])
+         for r in mixture_sample(df.repartition(11), "lang", "doc_id", targets).collect()}
+    assert a == b
+    assert len(a) == df.where(F.col("lang") == "lang3").count()
+
+
+def test_mixture_rejects_null_or_negative(spark):
+    import pytest
+    from data_frame_spark.operators.sampling import mixture_sample
+
+    df = _docs(spark).select("doc_id", "lang")
+    with pytest.raises(ValueError):
+        mixture_sample(df, "lang", "doc_id", {None: 5})
+    with pytest.raises(ValueError):
+        mixture_sample(df, "lang", "doc_id", {"lang0": -1})
+
+
+# ---------------------------------------------------------------------------
+# concat packing
+# ---------------------------------------------------------------------------
+
+
+def test_concat_pack_offsets_are_contiguous(spark):
+    from data_frame_spark.operators.text import concat_pack
+
+    rows = [(i, 3 + (i * 5) % 11) for i in range(100)]
+    df = spark.createDataFrame(rows, "seq_id long, n_tok long")
+    got = sorted(
+        concat_pack(df, "n_tok", ["seq_id"], capacity=64).collect(),
+        key=lambda r: (r["pack_id"], r["pack_offset"]),
+    )
+    # walking in pack order reconstructs the exact concatenated stream
+    pos = 0
+    for r in got:
+        assert r["pack_id"] * 64 + r["pack_offset"] == pos
+        pos += r["n_tok"]
+    assert pos == sum(n for _, n in rows)
+
+
+def test_concat_pack_partitioning_invariant(spark):
+    from data_frame_spark.operators.text import concat_pack
+
+    rows = [(i, 1 + i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "seq_id long, n_tok long")
+    a = {(r["seq_id"], r["pack_id"], r["pack_offset"])
+         for r in concat_pack(df, "n_tok", ["seq_id"], 32).collect()}
+    b = {(r["seq_id"], r["pack_id"], r["pack_offset"])
+         for r in concat_pack(df.repartition(17), "n_tok", ["seq_id"], 32).collect()}
+    assert a == b

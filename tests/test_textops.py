@@ -291,3 +291,37 @@ def test_lsh_bucket_size_cap(spark):
     # ...but the small distinct-pair bucket survives
     assert (100, 101) in got
     assert all(a >= 100 for a, _ in got)
+
+
+def test_redact_pii_patterns(spark):
+    from data_frame_spark.operators.text import redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.user+tag@example.co.uk or call +1 (555) 123-4567 now"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 no mail"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact(df, "text").collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 1
+    assert "<EMAIL>" in got[1]["redacted_text"]
+    assert "<PHONE>" in got[1]["redacted_text"]
+    assert "example.co.uk" not in got[1]["redacted_text"]
+    assert got[2]["n_ipv4"] == 2
+    assert got[2]["redacted_text"].count("<IPV4>") == 2
+    assert got[3]["redacted_text"] == got[3]["text"]
+    assert got[3]["n_email"] == got[3]["n_phone"] == got[3]["n_ipv4"] == 0
+
+
+def test_redact_custom_denylist_counts(spark):
+    from data_frame_spark.operators.text import redact
+
+    df = spark.createDataFrame(
+        [(1, "spark and sparkle and spark again")], "doc_id long, text string"
+    )
+    got = redact(df, "text", {"banned": r"\bspark\b"}).collect()[0]
+    # \b keeps 'sparkle' intact; both bare 'spark's are scrubbed
+    assert got["n_banned"] == 2
+    assert got["redacted_text"] == "<BANNED> and sparkle and <BANNED> again"
