@@ -93,17 +93,29 @@ def connected_components(
     a, b = F.col(src).cast("long"), F.col(dst).cast("long")
     # a non-castable id silently becomes NULL and would be dropped by
     # the u != v filter, returning partial clusters — surface misuse
-    # as an error instead (limit(1) short-circuits the scan)
-    bad = pairs.where(
-        (F.col(src).isNotNull() & a.isNull()) | (F.col(dst).isNotNull() & b.isNull())
+    # as an error instead. The validity flag rides along the ONE
+    # canonicalizing pass (eager checkpoint): the upstream pair
+    # pipeline — often an expensive LSH/verify stage the caller did
+    # not checkpoint — is scanned exactly once, not once for the
+    # probe and again for the edge materialization.
+    canon = (
+        pairs.select(
+            F.greatest(a, b).alias("u"),
+            F.least(a, b).alias("v"),
+            (
+                (F.col(src).isNotNull() & a.isNull())
+                | (F.col(dst).isNotNull() & b.isNull())
+            ).alias("__bad"),
+        )
+        .localCheckpoint(eager=True)
     )
-    if bad.limit(1).count() > 0:
+    if canon.where(F.col("__bad")).limit(1).count() > 0:
         raise ValueError(
             f"connected_components: {src}/{dst} contain ids that do not "
             "cast to long; use orderable numeric ids or pre-map them"
         )
     edges = (
-        pairs.select(F.greatest(a, b).alias("u"), F.least(a, b).alias("v"))
+        canon.select("u", "v")
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=False)
@@ -122,7 +134,8 @@ def connected_components(
         ).collect()[0]
         return r["n"], r["x"]
 
-    sig_old = _sig(edges)
+    sig_old = _sig(edges)  # materializes the edges checkpoint
+    canon.unpersist()  # canonical pass no longer referenced
     converged = False
     for _ in range(max_rounds):
         # the mid-round checkpoint is load-bearing: a star's output
