@@ -228,6 +228,130 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", table A1)
+# ---------------------------------------------------------------------------
+
+#: Gopher table-A1 thresholds: drop when the fraction is >= these.
+GOPHER_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _gram_run_stats(toks: Column, n: int) -> Column:
+    """struct(top_mass, dup_mass) — integer char masses over the word
+    ``n``-grams of one document, from a single run-length scan of the
+    SORTED in-row gram array:
+
+    * ``top_mass`` — occurrences x char-length of the most frequent
+      n-gram (ties broken toward the lexicographically smallest gram,
+      which the ascending sort + strict-greater update gives for
+      free).
+    * ``dup_mass`` — sum of occurrences x char-length over every
+      n-gram that occurs >= 2 times.
+
+    Documents with fewer than ``n`` tokens have no n-gram: (0, 0).
+    """
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    )
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(
+        F.lit("\x00").alias("prev"),
+        zero.alias("run"),
+        zero.alias("dup"),
+        zero.alias("top_run"),
+        F.lit("").alias("top_gram"),
+    )
+
+    def step(acc, w):
+        same = w == acc["prev"]
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        # a run just ended: fold the finished run into dup_mass
+        dup = F.when(
+            (~same) & (acc["run"] >= 2),
+            acc["dup"] + acc["run"] * F.length(acc["prev"]).cast("long"),
+        ).otherwise(acc["dup"])
+        better = run > acc["top_run"]
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            dup.alias("dup"),
+            F.when(better, run).otherwise(acc["top_run"]).alias("top_run"),
+            F.when(better, w).otherwise(acc["top_gram"]).alias("top_gram"),
+        )
+
+    def finish(acc):
+        dup = F.when(
+            acc["run"] >= 2,
+            acc["dup"] + acc["run"] * F.length(acc["prev"]).cast("long"),
+        ).otherwise(acc["dup"])
+        top = F.when(
+            acc["top_run"] > 0,
+            acc["top_run"] * F.length(acc["top_gram"]).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(top.alias("top_mass"), dup.alias("dup_mass"))
+
+    return F.aggregate(grams, acc0, step, finish)
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Gopher repetition-quality signals, one column pair per n:
+
+    * ``top_{n}gram_frac`` — chars covered by occurrences of the
+      single most frequent word n-gram / normalized doc chars.
+    * ``dup_{n}gram_frac`` — char mass of all n-grams occurring >= 2
+      times / normalized doc chars (an upper bound when duplicated
+      grams overlap — the standard published approximation; the
+      thresholds are calibrated against the same definition).
+
+    100 TB shape: a per-document quality filter must not shuffle —
+    every fraction here is a pure Column expression (sorted in-row
+    gram array + one run-length ``F.aggregate`` scan per n), so the
+    whole pass is narrow/map-only at any corpus size, and Catalyst
+    fuses it with whatever scan or filter surrounds it.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    ltot = F.length(normalize(c)).cast("long")
+    out = {}
+    frac = lambda mass: F.when(
+        ltot > 0, mass.cast("double") / ltot.cast("double")
+    ).otherwise(F.lit(0.0))
+    for n in top_ns:
+        out[f"top_{n}gram_frac"] = frac(_gram_run_stats(toks, n)["top_mass"])
+    for n in dup_ns:
+        out[f"dup_{n}gram_frac"] = frac(_gram_run_stats(toks, n)["dup_mass"])
+    return df.withColumns(out)
+
+
+def gopher_keep(
+    df: DataFrame,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """Add the Gopher repetition keep/drop verdict over columns
+    produced by :func:`gopher_repetition` (keep = every fraction
+    strictly below its table-A1 threshold)."""
+    cond = F.lit(True)
+    for n in top_ns:
+        cond = cond & (F.col(f"top_{n}gram_frac") < F.lit(GOPHER_TOP_THRESHOLDS[n]))
+    for n in dup_ns:
+        cond = cond & (F.col(f"dup_{n}gram_frac") < F.lit(GOPHER_DUP_THRESHOLDS[n]))
+    return df.withColumn("keep", cond)
+
+
+# ---------------------------------------------------------------------------
 # language identification (n-gram/stopword heuristic)
 # ---------------------------------------------------------------------------
 

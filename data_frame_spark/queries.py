@@ -1844,6 +1844,72 @@ def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "gopher_repetition_docs",
+    oracle=r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+         toks AS (SELECT doc_id, length(t) AS ltot, string_split(t, ' ') AS tk FROM norm),
+         g AS (SELECT doc_id, n,
+                      UNNEST(list_transform(generate_series(1, len(tk)-n+1),
+                                            i -> array_to_string(tk[i:i+n-1], ' '))) AS gram
+               FROM toks CROSS JOIN (VALUES (2),(3),(4),(5),(10)) v(n)
+               WHERE len(tk) >= n),
+         c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM g GROUP BY doc_id, n, gram),
+         tops AS (SELECT doc_id, n, cnt * length(gram) AS mass,
+                         ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                            ORDER BY cnt DESC, gram ASC) AS rn
+                  FROM c),
+         m AS (SELECT doc_id, 't' AS kind, n, CAST(mass AS BIGINT) AS mass
+               FROM tops WHERE rn = 1
+               UNION ALL
+               SELECT doc_id, 'd' AS kind, n,
+                      CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS BIGINT)
+               FROM c GROUP BY doc_id, n),
+         wide AS (SELECT k.doc_id, k.ltot,
+                         COALESCE(MAX(CASE WHEN kind='t' AND m.n=2 THEN mass END), 0) AS tm2,
+                         COALESCE(MAX(CASE WHEN kind='t' AND m.n=3 THEN mass END), 0) AS tm3,
+                         COALESCE(MAX(CASE WHEN kind='t' AND m.n=4 THEN mass END), 0) AS tm4,
+                         COALESCE(MAX(CASE WHEN kind='d' AND m.n=5 THEN mass END), 0) AS dm5,
+                         COALESCE(MAX(CASE WHEN kind='d' AND m.n=10 THEN mass END), 0) AS dm10
+                  FROM toks k LEFT JOIN m ON k.doc_id = m.doc_id
+                  GROUP BY k.doc_id, k.ltot),
+         fr AS (SELECT doc_id,
+                       CASE WHEN ltot > 0 THEN CAST(tm2 AS DOUBLE)/CAST(ltot AS DOUBLE) ELSE 0.0 END AS top_2gram_frac,
+                       CASE WHEN ltot > 0 THEN CAST(tm3 AS DOUBLE)/CAST(ltot AS DOUBLE) ELSE 0.0 END AS top_3gram_frac,
+                       CASE WHEN ltot > 0 THEN CAST(tm4 AS DOUBLE)/CAST(ltot AS DOUBLE) ELSE 0.0 END AS top_4gram_frac,
+                       CASE WHEN ltot > 0 THEN CAST(dm5 AS DOUBLE)/CAST(ltot AS DOUBLE) ELSE 0.0 END AS dup_5gram_frac,
+                       CASE WHEN ltot > 0 THEN CAST(dm10 AS DOUBLE)/CAST(ltot AS DOUBLE) ELSE 0.0 END AS dup_10gram_frac
+                FROM wide)
+    SELECT doc_id, top_2gram_frac, top_3gram_frac, top_4gram_frac,
+           dup_5gram_frac, dup_10gram_frac,
+           (top_2gram_frac < CAST(0.20 AS DOUBLE)
+            AND top_3gram_frac < CAST(0.18 AS DOUBLE)
+            AND top_4gram_frac < CAST(0.16 AS DOUBLE)
+            AND dup_5gram_frac < CAST(0.15 AS DOUBLE)
+            AND dup_10gram_frac < CAST(0.10 AS DOUBLE)) AS keep
+    FROM fr
+    """,
+)
+def gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition rule set (Rae et al. 2021 table A1):
+    per-document char-mass fractions of the top {2,3,4}-gram and of
+    duplicated {5,10}-grams, plus the keep/drop verdict (keep =
+    every fraction strictly below its threshold). Complements
+    quality_filter_docs' line/bigram signals with the full published
+    n-gram family. ZERO shuffles — each fraction is a sorted in-row
+    gram array + one run-length F.aggregate scan, so the filter is a
+    narrow map-only pass at any corpus size (pinned in
+    tests/test_plans.py)."""
+    docs = t(spark, sf_dir, "documents")
+    out = OpText.gopher_repetition(docs, "text", top_ns=(2, 3, 4), dup_ns=(5, 10))
+    out = OpText.gopher_keep(out, (2, 3, 4), (5, 10))
+    return out.select(
+        "doc_id", "top_2gram_frac", "top_3gram_frac", "top_4gram_frac",
+        "dup_5gram_frac", "dup_10gram_frac", "keep",
+    )
+
+
 _DOTQ = "SUM(CAST(FLOOR(CAST({a} AS DOUBLE)*CAST({b} AS DOUBLE)*1000000000.0 + 0.5) AS BIGINT))"
 
 
@@ -2763,6 +2829,7 @@ _FIRST = [
     "ngram_jaccard_verified",
     "shipping_priority",
     # round-5 additions: driver-checked this round
+    "gopher_repetition_docs",
     "mixture_sample_docs",
     "pack_chunks_256",
     "corpus_stats_rollup",

@@ -109,6 +109,15 @@ def test_chunking_is_narrow(spark, sf_dir):
     assert not C.data_sized_partitionless_windows(df)
 
 
+def test_gopher_repetition_is_narrow(spark, sf_dir):
+    # a per-document quality filter must not shuffle: every Gopher
+    # fraction is a sorted in-row gram array + one run-length
+    # F.aggregate scan, fused into the scan's map pass at any scale
+    df = QUERIES["gopher_repetition_docs"](spark, sf_dir)
+    assert C.count_shuffles(df) == 0
+    assert not C.data_sized_partitionless_windows(df)
+
+
 def test_sampling_has_no_global_sort(spark, sf_dir):
     # the stratified rank shuffles by stratum; the uniform sample must
     # plan as TakeOrderedAndProject (per-partition top-k), never a

