@@ -283,3 +283,68 @@ def ngram_contamination(
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .where(F.col("shared_ngrams") >= F.lit(min_overlap))
     )
+
+
+def dedup_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 32,
+) -> DataFrame:
+    """Corpus-level segment dedup — the C4 "line dedup" recipe
+    (Raffel et al. 2020 keep one occurrence of every three-sentence
+    span corpus-wide), generalized to fixed ``seg_tokens``-token
+    segments since segmentation units are corpus-specific.
+
+    Every document is split into consecutive non-overlapping token
+    segments; across the WHOLE corpus each distinct segment survives
+    only at its first occurrence in ``(doc_id, seg_no)`` order, and
+    every document is reassembled from its surviving segments.
+
+    Output: (id, n_segments, n_kept, kept_text) per document —
+    ``kept_text`` is the surviving segments joined in order (empty
+    when every segment of a document occurred earlier elsewhere).
+
+    100 TB shape: segmentation is the zero-shuffle chunking
+    transform; first-occurrence is a map-combinable MIN aggregate
+    keyed by segment hash (a boilerplate segment occurring 10^9
+    times partial-aggregates map-side — deliberately NOT a
+    row_number window over the hash, which would funnel the hot
+    hash through one task); the winner table equi-joins back on the
+    hash (AQE splits any residual hot key); reassembly is one
+    doc-keyed aggregate whose state is bounded by document size.
+    """
+    from data_frame_spark.operators.text import chunk_rows
+
+    segs = chunk_rows(df, text_col, id_col, chunk_tokens=seg_tokens, overlap=0)
+    segs = segs.select(
+        F.col(id_col).alias("__id"),
+        F.col("chunk_idx").alias("__seg_no"),
+        F.col("chunk_text").alias("__seg"),
+        F.md5(F.col("chunk_text")).alias("__h"),
+    )
+    winners = segs.groupBy("__h").agg(
+        F.min(F.struct(F.col("__id"), F.col("__seg_no"))).alias("__w")
+    )
+    marked = segs.join(winners, "__h").withColumn(
+        "__kept",
+        (F.col("__id") == F.col("__w.__id"))
+        & (F.col("__seg_no") == F.col("__w.__seg_no")),
+    )
+    kept_struct = F.when(
+        F.col("__kept"), F.struct(F.col("__seg_no"), F.col("__seg"))
+    )
+    return (
+        marked.groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("__kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["__seg"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )

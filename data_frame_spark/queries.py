@@ -1845,6 +1845,46 @@ def quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "segment_dedup_docs",
+    oracle=r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+         toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+         segidx AS (SELECT doc_id, tk,
+                           UNNEST(generate_series(0, GREATEST(1, CAST(CEIL(len(tk)/3.0) AS INT)) - 1)) AS seg_no
+                    FROM toks),
+         seg AS (SELECT doc_id, seg_no,
+                        array_to_string(tk[seg_no*3+1:seg_no*3+3], ' ') AS seg
+                 FROM segidx),
+         mk AS (SELECT doc_id, seg_no, seg,
+                       ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                                          ORDER BY doc_id, seg_no) AS rn
+                FROM seg)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_no), '')) AS kept_text_md5
+    FROM mk GROUP BY doc_id
+    """,
+)
+def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level segment dedup: split every document
+    into consecutive 3-token segments, keep each distinct segment
+    only at its first (doc_id, seg_no) occurrence CORPUS-WIDE, and
+    reassemble documents from the survivors. First-occurrence is a
+    map-combinable MIN keyed by segment hash (never a row_number
+    window over the hash — a boilerplate segment repeated 10^9
+    times must partial-aggregate map-side); the oracle's window
+    formulation is the single-node equivalent."""
+    docs = t(spark, sf_dir, "documents")
+    out = OpDedup.dedup_segments(docs, "text", "doc_id", seg_tokens=3)
+    return out.select(
+        "doc_id", "n_segments", "n_kept",
+        F.md5("kept_text").alias("kept_text_md5"),
+    )
+
+
+@query(
     "gopher_repetition_docs",
     oracle=r"""
     WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -2830,6 +2870,7 @@ _FIRST = [
     "shipping_priority",
     # round-5 additions: driver-checked this round
     "gopher_repetition_docs",
+    "segment_dedup_docs",
     "mixture_sample_docs",
     "pack_chunks_256",
     "corpus_stats_rollup",

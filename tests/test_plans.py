@@ -118,6 +118,19 @@ def test_gopher_repetition_is_narrow(spark, sf_dir):
     assert not C.data_sized_partitionless_windows(df)
 
 
+def test_segment_dedup_min_aggregate_not_window(spark, sf_dir):
+    # corpus-wide first-occurrence must be the map-combinable MIN
+    # keyed by segment hash (partial_min before the exchange), never
+    # a row_number window over the hash — a hot boilerplate segment
+    # would funnel through one task. Segmentation itself is narrow;
+    # budget: hash groupBy + join back + doc reassembly.
+    df = QUERIES["segment_dedup_docs"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    assert "partial_min" in plan
+    assert not C.data_sized_partitionless_windows(df)
+    assert C.count_shuffles(df) <= 4
+
+
 def test_sampling_has_no_global_sort(spark, sf_dir):
     # the stratified rank shuffles by stratum; the uniform sample must
     # plan as TakeOrderedAndProject (per-partition top-k), never a

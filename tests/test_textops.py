@@ -373,3 +373,37 @@ def test_gopher_top_gram_tie_breaks_to_smallest(spark):
     # grams: "a b" x2, "b c" x1, "c a" x1 -> top "a b" mass 6 over len 9
     out = gopher_repetition(df3, "text").collect()[0]
     assert out["top_2gram_frac"] == pytest.approx(6 / 9)
+
+
+def test_dedup_segments_first_occurrence_wins(spark):
+    # doc 1 owns both segments; doc 2 repeats doc 1's first segment
+    # (dropped) plus a fresh one (kept); doc 3 is entirely dups ->
+    # empty kept_text
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c x y z"),
+            (3, "a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.dedup_segments(df, "text", "doc_id", seg_tokens=3).collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["kept_text"] == "a b c d e f"
+    assert out[2]["n_segments"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["kept_text"] == "x y z"
+    assert out[3]["n_segments"] == 2 and out[3]["n_kept"] == 0
+    assert out[3]["kept_text"] == ""
+
+
+def test_dedup_segments_within_doc_dups(spark):
+    # a segment repeated INSIDE one document keeps only its first copy
+    df = spark.createDataFrame(
+        [(7, "p q r p q r tail")], "doc_id long, text string"
+    )
+    out = D.dedup_segments(df, "text", "doc_id", seg_tokens=3).collect()[0]
+    assert out["n_segments"] == 3 and out["n_kept"] == 2
+    assert out["kept_text"] == "p q r tail"
