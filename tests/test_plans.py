@@ -131,6 +131,16 @@ def test_segment_dedup_min_aggregate_not_window(spark, sf_dir):
     assert C.count_shuffles(df) <= 4
 
 
+def test_bloom_gate_broadcasts_and_stays_doc_keyed(spark, sf_dir):
+    # the bloom probes and the exact verify must all arrive as
+    # BROADCAST builds (the corpus side never shuffles for the gate);
+    # the only hash exchanges are the doc-keyed shingle/aggregate ones
+    df = QUERIES["bloom_decontamination_docs"](spark, sf_dir)
+    assert C.uses_broadcast_join(df)
+    assert C.count_shuffles(df) <= 10
+    assert not C.data_sized_partitionless_windows(df)
+
+
 def test_sampling_has_no_global_sort(spark, sf_dir):
     # the stratified rank shuffles by stratum; the uniform sample must
     # plan as TakeOrderedAndProject (per-partition top-k), never a

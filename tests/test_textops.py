@@ -407,3 +407,25 @@ def test_dedup_segments_within_doc_dups(spark):
     out = D.dedup_segments(df, "text", "doc_id", seg_tokens=3).collect()[0]
     assert out["n_segments"] == 3 and out["n_kept"] == 2
     assert out["kept_text"] == "p q r tail"
+
+
+def test_bloom_contamination_gate(spark):
+    # doc 20 shares its full 13-gram span with bench doc 0; doc 21 is
+    # clean. The bloom gate must have NO false negatives (exact hits
+    # are always bloom candidates) and the accounting must add up.
+    span = " ".join(f"tok{i}" for i in range(13))
+    rows = [
+        (0, span + " bench tail words here"),
+        (20, "prefix words " + span),
+        (21, " ".join(f"other{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.where(F.col("doc_id") == 0)
+    corpus = df.where(F.col("doc_id") >= 20)
+    out = {r["doc_id"]: r for r in
+           D.bloom_contamination(corpus, bench, "text", "doc_id").collect()}
+    assert out[20]["exact_hits"] >= 1
+    assert out[21]["exact_hits"] == 0
+    for r in out.values():
+        assert r["bloom_candidates"] >= r["exact_hits"]
+        assert r["bloom_false_positives"] == r["bloom_candidates"] - r["exact_hits"]
