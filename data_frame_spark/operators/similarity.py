@@ -450,3 +450,44 @@ def embedding_near_dup(
         )
     )
     return pairs.where(F.col("cosine") >= F.lit(threshold))
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 6,
+) -> DataFrame:
+    """Per-label mean vector (centroid) of an embedding column —
+    the building block for class prototypes, IVF coarse-quantizer
+    refreshes, and cluster-quality audits.
+
+    Output: one (label, dim_idx [1-based], centroid, n_vectors) row
+    per label x dimension.
+
+    100 TB shape: posexplode to (label, dim, component) rows, then
+    ONE map-combinable groupBy(label, dim) shuffle of quantized
+    integer sums — deliberately NOT collect_list(vector) per label
+    (a hot label would materialize its whole member set in one
+    task). Quantized integer sums (FLOOR(v*10^scale + 0.5)) make
+    the distributed sum order-insensitive and bit-identical to any
+    single-node oracle.
+    """
+    flat = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "__v"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim_idx"),
+        F.floor(F.col("__v").cast("double") * F.lit(float(10**scale)) + F.lit(0.5))
+        .cast("long")
+        .alias("__q"),
+    )
+    m = float(10**scale)
+    return flat.groupBy("label", "dim_idx").agg(
+        (
+            F.sum("__q").cast("double")
+            / (F.count(F.lit(1)) * F.lit(int(m))).cast("double")
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

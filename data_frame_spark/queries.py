@@ -2861,6 +2861,65 @@ _BLOOM_M = 4096
 
 
 @query(
+    "label_centroids_embeddings",
+    oracle="""
+    WITH idx AS (SELECT label, embedding,
+                        UNNEST(generate_series(1, len(embedding))) AS dim_idx
+                 FROM embeddings),
+         q AS (SELECT label, dim_idx,
+                      CAST(FLOOR(CAST(embedding[dim_idx] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+               FROM idx)
+    SELECT label, CAST(dim_idx AS BIGINT) AS dim_idx,
+           CAST(SUM(qv) AS DOUBLE) / CAST(COUNT(*) * 1000000 AS DOUBLE) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM q GROUP BY label, dim_idx
+    """,
+)
+def label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes): posexplode
+    to (label, dim, quantized component) and ONE map-combinable
+    groupBy(label, dim) shuffle — never collect_list(vector) per
+    label, which would funnel a hot label through one task. The
+    quantized integer sums make the distributed mean bit-identical
+    to the single-node oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = OpSim.label_centroids(emb, "embedding", "label", scale=6)
+    return out.select(
+        "label", F.col("dim_idx").cast("long").alias("dim_idx"),
+        "centroid", "n_vectors",
+    )
+
+
+@query(
+    "temperature_mixture_weights",
+    oracle="""
+    WITH c AS (SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+         t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
+         q AS (SELECT stratum, n_docs,
+                      CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+                      CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE) / CAST(total AS DOUBLE))
+                                 * 1000000000.0 + 0.5) AS BIGINT) AS qs
+               FROM c, t),
+         d AS (SELECT CAST(SUM(qs) AS BIGINT) AS denom FROM q)
+    SELECT stratum, n_docs, p,
+           CAST(qs AS DOUBLE) / CAST(denom AS DOUBLE) AS weight,
+           CAST((1000 * qs) // denom AS BIGINT) AS expected_docs
+    FROM q, d
+    """,
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing weights at temperature T=2 over the language
+    strata (the mT5/UniMax balancing recipe): weight proportional to
+    sqrt(p_lang), normalized over order-insensitive quantized
+    integers, with the integer allocation of a 1000-doc budget. One
+    map-combinable count shuffle; the rest runs on the |strata|-row
+    aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    return OpSample.temperature_weights(docs, "lang", temperature=2.0, budget=1000)
+
+
+@query(
     "bloom_decontamination_docs",
     oracle=r"""
     WITH norm AS (SELECT doc_id,
@@ -2944,6 +3003,8 @@ _FIRST = [
     "gopher_repetition_docs",
     "segment_dedup_docs",
     "bloom_decontamination_docs",
+    "temperature_mixture_weights",
+    "label_centroids_embeddings",
     "mixture_sample_docs",
     "pack_chunks_256",
     "corpus_stats_rollup",

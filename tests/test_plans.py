@@ -141,6 +141,24 @@ def test_bloom_gate_broadcasts_and_stays_doc_keyed(spark, sf_dir):
     assert not C.data_sized_partitionless_windows(df)
 
 
+def test_label_centroids_single_combinable_shuffle(spark, sf_dir):
+    # per-label mean vectors: posexplode (narrow) + ONE (label, dim)
+    # exchange with map-side partial sums — never collect_list(vector)
+    df = QUERIES["label_centroids_embeddings"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    assert C.count_shuffles(df) == 1
+    assert "partial_sum" in plan
+    assert "collect_list" not in plan
+
+
+def test_temperature_weights_windows_are_aggregate_sized(spark, sf_dir):
+    # one count shuffle; the normalization windows run over the
+    # |strata|-row aggregate, never the data
+    df = QUERIES["temperature_mixture_weights"](spark, sf_dir)
+    assert not C.data_sized_partitionless_windows(df)
+    assert C.count_shuffles(df) <= 3
+
+
 def test_sampling_has_no_global_sort(spark, sf_dir):
     # the stratified rank shuffles by stratum; the uniform sample must
     # plan as TakeOrderedAndProject (per-partition top-k), never a

@@ -218,3 +218,20 @@ def test_concat_pack_partitioning_invariant(spark):
     b = {(r["seq_id"], r["pack_id"], r["pack_offset"])
          for r in concat_pack(df.repartition(17), "n_tok", ["seq_id"], 32).collect()}
     assert a == b
+
+
+def test_temperature_weights_flatten_toward_uniform(spark):
+    from data_frame_spark.operators.sampling import temperature_weights
+
+    rows = [("en",)] * 80 + [("de",)] * 15 + [("fr",)] * 5
+    df = spark.createDataFrame(rows, "lang string")
+    out = {r["stratum"]: r for r in
+           temperature_weights(df, "lang", temperature=2.0, budget=100).collect()}
+    # ordering preserved, but compressed toward uniform vs raw p
+    assert out["en"]["weight"] > out["de"]["weight"] > out["fr"]["weight"]
+    assert out["en"]["weight"] < out["en"]["p"]        # T>1 shrinks the head
+    assert out["fr"]["weight"] > out["fr"]["p"]        # ...and lifts the tail
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-9
+    assert sum(r["expected_docs"] for r in out.values()) <= 100
+    # sanity: sqrt proportions — w_en/w_fr == sqrt(80/5) up to quantization
+    assert out["en"]["weight"] / out["fr"]["weight"] < 4.0 + 1e-6 and out["en"]["weight"] / out["fr"]["weight"] > 4.0 - 1e-6

@@ -429,3 +429,20 @@ def test_bloom_contamination_gate(spark):
     for r in out.values():
         assert r["bloom_candidates"] >= r["exact_hits"]
         assert r["bloom_false_positives"] == r["bloom_candidates"] - r["exact_hits"]
+
+
+def test_label_centroids_exact_mean(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0]),
+            (2, 0, [3.0, 6.0]),
+            (3, 1, [5.0, 5.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = {(r["label"], r["dim_idx"]): r
+           for r in SIM.label_centroids(df, "embedding", "label").collect()}
+    assert out[(0, 1)]["centroid"] == pytest.approx(2.0)
+    assert out[(0, 2)]["centroid"] == pytest.approx(4.0)
+    assert out[(1, 1)]["centroid"] == pytest.approx(5.0)
+    assert out[(0, 1)]["n_vectors"] == 2 and out[(1, 1)]["n_vectors"] == 1
