@@ -78,3 +78,81 @@ def kmv_distinct(
     return kmins.join(counts, "scope").select(
         "scope", "kmv_k", "exact_distinct", est.alias("estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (frequency estimation)
+# ---------------------------------------------------------------------------
+
+#: probe layout shared with the bloom gate: depth-many disjoint
+#: 7-hex-digit md5 slices, reduced mod the row width
+CMS_SLICE_STARTS = (1, 8, 15)
+
+
+def _cms_pos(h, start: int, width: int):
+    return F.conv(F.substring(h, start, 7), 16, 10).cast("long") % F.lit(width)
+
+
+def cms_build(
+    df: DataFrame, key_col: str, width: int = 1024, depth: int = 3
+) -> DataFrame:
+    """Count-min sketch counters (Cormode & Muthukrishnan 2005) over
+    a key column: ``depth`` hash rows x ``width`` buckets, counter =
+    number of input rows hashing there. Estimates from the counters
+    over-count (never under-count) with error ~ N/width at
+    confidence 1 - (1/2)^depth.
+
+    Output: (row, bucket, cnt) — at most depth x width rows, however
+    large the input. Deterministic (md5-slice hashes), so estimates
+    are oracle-checkable; merge = element-wise counter SUM, a
+    monoid, so shard sketches combine without rescanning (same
+    contract as the KMV sketch).
+
+    Scale: one map-combinable groupBy of (row, bucket) — the only
+    shuffle, bounded by depth x width regardless of input size.
+    """
+    if depth > len(CMS_SLICE_STARTS):
+        raise ValueError(f"depth <= {len(CMS_SLICE_STARTS)} supported")
+    h = F.md5(F.col(key_col).cast("string"))
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                _cms_pos(h, CMS_SLICE_STARTS[j], width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, keys: DataFrame, key_col: str, width: int = 1024, depth: int = 3
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` from CMS ``counters``:
+    min over the depth rows of the counter each key hashes to.
+    Missing counters read as 0. The counter table is aggregate-sized
+    (depth x width), so it arrives as a BROADCAST build — estimating
+    any number of keys never shuffles the key side."""
+    h = F.md5(F.col(key_col).cast("string"))
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                _cms_pos(h, CMS_SLICE_STARTS[j], width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    exploded = keys.select(F.col(key_col), F.explode(probes).alias("p")).select(
+        key_col, F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket")
+    )
+    return (
+        exploded.join(F.broadcast(counters), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
+    )

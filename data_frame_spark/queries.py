@@ -2861,6 +2861,62 @@ _BLOOM_M = 4096
 
 
 @query(
+    "cms_token_counts",
+    oracle=r"""
+    WITH norm AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+         tok AS (SELECT UNNEST(string_split(t, ' ')) AS token FROM norm),
+         occ AS (SELECT md5(token) AS hh FROM tok),
+         ctr AS (SELECT j, p, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+                   SELECT j, CASE j WHEN 0 THEN ({H0}) % 16
+                                    WHEN 1 THEN ({H1}) % 16
+                                    ELSE ({H2}) % 16 END AS p
+                   FROM occ, (VALUES (0),(1),(2)) v(j))
+                 GROUP BY j, p),
+         exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+                   FROM tok GROUP BY token),
+         kh AS (SELECT token, exact_count, md5(token) AS hh FROM exact),
+         kp AS (SELECT token, exact_count, j,
+                       CASE j WHEN 0 THEN ({H0}) % 16
+                              WHEN 1 THEN ({H1}) % 16
+                              ELSE ({H2}) % 16 END AS p
+                FROM kh, (VALUES (0),(1),(2)) v(j)),
+         est AS (SELECT token, exact_count,
+                        MIN(COALESCE(cnt, 0)) AS cms_count
+                 FROM kp LEFT JOIN ctr ON kp.j = ctr.j AND kp.p = ctr.p
+                 GROUP BY token, exact_count)
+    SELECT token, exact_count, CAST(cms_count AS BIGINT) AS cms_count,
+           CAST(cms_count - exact_count AS BIGINT) AS overcount
+    FROM est
+    """.replace("{H0}", _hex7("hh", 1))
+       .replace("{H1}", _hex7("hh", 8))
+       .replace("{H2}", _hex7("hh", 15)),
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch over the corpus token stream
+    (width 16 x depth 3 — deliberately tiny so the oracle exercises
+    real collisions): every distinct token's estimate vs its exact
+    count, overcount >= 0 always. The counter table is bounded by
+    depth x width however large the corpus, merges by element-wise
+    SUM (shard-combinable), and estimating arrives as a broadcast
+    build — the md5-slice hashes make the estimates themselves
+    oracle-checkable, not just plausible."""
+    from data_frame_spark.operators import sketch as OpSketch2
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(OpText.tokens(F.col("text"))).alias("token"))
+    counters = OpSketch2.cms_build(tok, "token", width=16, depth=3)
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = OpSketch2.cms_estimate(
+        counters, exact.select("token"), "token", width=16, depth=3
+    )
+    return exact.join(est, "token").select(
+        "token", "exact_count", "cms_count",
+        (F.col("cms_count") - F.col("exact_count")).alias("overcount"),
+    )
+
+
+@query(
     "label_centroids_embeddings",
     oracle="""
     WITH idx AS (SELECT label, embedding,
@@ -3005,6 +3061,7 @@ _FIRST = [
     "bloom_decontamination_docs",
     "temperature_mixture_weights",
     "label_centroids_embeddings",
+    "cms_token_counts",
     "mixture_sample_docs",
     "pack_chunks_256",
     "corpus_stats_rollup",

@@ -159,6 +159,16 @@ def test_temperature_weights_windows_are_aggregate_sized(spark, sf_dir):
     assert C.count_shuffles(df) <= 3
 
 
+def test_cms_counters_bounded_and_broadcast(spark, sf_dir):
+    # the counter build is ONE map-combinable shuffle bounded by
+    # depth x width; estimation joins arrive as broadcast builds
+    df = QUERIES["cms_token_counts"](spark, sf_dir)
+    assert C.uses_broadcast_join(df)
+    plan = C.simple_plan(df)
+    assert "partial_count" in plan
+    assert not C.data_sized_partitionless_windows(df)
+
+
 def test_sampling_has_no_global_sort(spark, sf_dir):
     # the stratified rank shuffles by stratum; the uniform sample must
     # plan as TakeOrderedAndProject (per-partition top-k), never a

@@ -101,3 +101,42 @@ def test_kmv_nulls_count_as_one_value(spark):
     df = spark.createDataFrame([(None,), (1,), (2,), (None,)], "v long")
     row = kmv_distinct(df, "v", k=8).collect()[0]
     assert row["exact_distinct"] in (2, 3)
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    from data_frame_spark.operators.sketch import cms_build, cms_estimate
+
+    rows = [(w,) for w, k in [("a", 50), ("b", 30), ("c", 7), ("d", 1)] for _ in range(k)]
+    df = spark.createDataFrame(rows, "token string")
+    keys = df.distinct()
+    ctr = cms_build(df, "token", width=4, depth=3)  # tiny: forced collisions
+    est = {r["token"]: r["cms_count"]
+           for r in cms_estimate(ctr, keys, "token", width=4, depth=3).collect()}
+    exact = {"a": 50, "b": 30, "c": 7, "d": 1}
+    for w, c in exact.items():
+        assert est[w] >= c  # CMS never undercounts
+    # merge monoid: counters of two shards sum to the full counters
+    import pyspark.sql.functions as F
+
+    h1 = df.where(F.col("token").isin("a", "c"))
+    h2 = df.where(~F.col("token").isin("a", "c"))
+    merged = (
+        cms_build(h1, "token", width=4, depth=3)
+        .unionByName(cms_build(h2, "token", width=4, depth=3))
+        .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    full = {(r["row"], r["bucket"]): r["cnt"] for r in ctr.collect()}
+    got = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert got == full
+
+
+def test_cms_unknown_key_reads_zero_or_collision(spark):
+    from data_frame_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([("x",)] * 5, "token string")
+    keys = spark.createDataFrame([("never-seen",)], "token string")
+    est = cms_estimate(cms_build(df, "token", width=1024, depth=3),
+                       keys, "token", width=1024, depth=3).collect()[0]
+    # wide sketch, single stored key: the unknown key's buckets are
+    # almost surely empty -> estimate 0 (and never negative)
+    assert est["cms_count"] >= 0
