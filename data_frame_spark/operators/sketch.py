@@ -130,6 +130,84 @@ def cms_build(
     )
 
 
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    hex_digits: int = 2,
+    include_overall: bool = False,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate (Flajolet et al.,
+    AofA'07) with md5-derived registers, so — unlike Spark's
+    ``approx_count_distinct`` whose register layout is
+    engine-private — the SAME registers and estimate fall out of a
+    SQL oracle, bit for bit.
+
+    Layout: register index = first ``hex_digits`` md5 hex digits
+    (m = 16^hex_digits registers); rho = leading-zero rank of the
+    next 10 hex digits (40 bits), computed by pure integer/string
+    arithmetic (base-conversion length, no float log2). Estimate =
+    alpha_m * m^2 / (V + sum 2^-M_j) with the standard linear-
+    counting small-range correction m*ln(m/V). The register sum is
+    EXACT in doubles (dyadic terms spanning < 53 bits), so the
+    estimate is reproducible across engines and partitionings.
+
+    Output: (scope, hll_registers_set, exact_distinct, estimate) —
+    ``exact_distinct`` carried for verification only, the estimate
+    is computable from the m registers alone.
+
+    Scale: rho is a narrow map; ONE map-combinable shuffle of
+    (scope, register) MAX partials — at most m rows per scope move —
+    then an aggregate-sized groupBy(scope). Merge across shards =
+    element-wise register MAX, a monoid, so partial sketches
+    combine without rescanning (same contract as KMV/CMS).
+    """
+    if hex_digits not in (1, 2, 3):
+        raise ValueError("hex_digits must be 1, 2 or 3")
+    m = 16 ** hex_digits
+    alpha = {16: 0.673, 256: 0.7213 / (1.0 + 1.079 / 256.0),
+             4096: 0.7213 / (1.0 + 1.079 / 4096.0)}[m]
+    L = 40
+
+    h = F.md5(F.col(value_col).cast("string"))
+    scope = (
+        F.lit("ALL") if group_col is None else F.col(group_col).cast("string")
+    )
+    sel = df.select(scope.alias("scope"), h.alias("__hh"))
+    if include_overall and group_col is not None:
+        sel = sel.unionAll(df.select(F.lit("ALL").alias("scope"), h.alias("__hh")))
+    j = F.conv(F.substring("__hh", 1, hex_digits), 16, 10).cast("long")
+    wbin = F.conv(F.substring("__hh", hex_digits + 1, 10), 16, 2)
+    rho = F.when(wbin == "0", F.lit(L + 1)).otherwise(
+        F.lit(L + 1) - F.length(wbin)
+    )
+    regs = (
+        sel.select("scope", j.alias("__j"), rho.alias("__rho"))
+        .groupBy("scope", "__j")
+        .agg(F.max("__rho").alias("__mj"))
+    )
+    per_scope = regs.groupBy("scope").agg(
+        F.count(F.lit(1)).alias("hll_registers_set"),
+        # dyadic terms: exact double sum in any order
+        F.sum(F.pow(F.lit(2.0), -F.col("__mj"))).alias("__s"),
+    )
+    v = F.lit(m) - F.col("hll_registers_set")
+    raw = F.lit(alpha * m * m) / (v.cast("double") + F.col("__s"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    exact = sel.distinct().groupBy("scope").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    return per_scope.join(exact, "scope").select(
+        "scope",
+        "hll_registers_set",
+        "exact_distinct",
+        F.round(est, 4).alias("estimate"),
+    )
+
+
 def cms_estimate(
     counters: DataFrame, keys: DataFrame, key_col: str, width: int = 1024, depth: int = 3
 ) -> DataFrame:

@@ -2916,6 +2916,83 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hexn(col: str, start: int, n: int) -> str:
+    """DuckDB integer value of md5 hex digits [start, start+n) —
+    generic twin of F.conv(substring(md5, start, n), 16, 10)."""
+    return " + ".join(
+        f"(CASE WHEN ascii(substr({col}, {start + i}, 1)) >= 97 "
+        f"THEN ascii(substr({col}, {start + i}, 1)) - 87 "
+        f"ELSE ascii(substr({col}, {start + i}, 1)) - 48 END) "
+        f"* CAST({16 ** (n - 1 - i)} AS BIGINT)"
+        for i in range(n)
+    )
+
+
+#: alpha_m * m^2 for m=256 (Flajolet et al. AofA'07) — the same
+#: Python float literal feeds both engines, so the doubles agree
+_HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+
+
+@query(
+    "hll_distinct_shingles",
+    oracle=r"""
+    WITH norm AS (SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+         toks AS (SELECT source, string_split(t, ' ') AS tk FROM norm),
+         sh AS (SELECT source,
+                       CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                            ELSE list_transform(generate_series(1, len(tk)-2),
+                                                i -> array_to_string(tk[i:i+2], ' '))
+                       END AS shingles
+                FROM toks),
+         ex0 AS (SELECT source AS scope, UNNEST(shingles) AS s FROM sh),
+         ex AS (SELECT scope, s FROM ex0
+                UNION ALL SELECT 'ALL', s FROM ex0),
+         hh AS (SELECT scope, md5(s) AS hh FROM ex),
+         reg AS (SELECT scope, ({HEX2}) AS j, ({HEX10}) AS w FROM hh),
+         rho AS (SELECT scope, j,
+                        CASE WHEN w = 0 THEN 41 ELSE 41 - length(bin(w)) END AS r
+                 FROM reg),
+         mj AS (SELECT scope, j, MAX(r) AS mj FROM rho GROUP BY scope, j),
+         agg AS (SELECT scope, CAST(COUNT(*) AS BIGINT) AS hll_registers_set,
+                        SUM(POWER(2.0, -mj)) AS s
+                 FROM mj GROUP BY scope),
+         exact AS (SELECT scope, CAST(COUNT(DISTINCT hh) AS BIGINT) AS exact_distinct
+                   FROM hh GROUP BY scope),
+         est AS (SELECT scope, hll_registers_set,
+                        256 - hll_registers_set AS v,
+                        {ALPHA_M2} / (CAST(256 - hll_registers_set AS DOUBLE) + s) AS raw
+                 FROM agg)
+    SELECT e.scope, e.hll_registers_set, x.exact_distinct,
+           ROUND(CASE WHEN raw <= 640.0 AND v > 0
+                      THEN 256.0 * ln(256.0 / CAST(v AS DOUBLE))
+                      ELSE raw END, 4) AS estimate
+    FROM est e JOIN exact x ON e.scope = x.scope
+    """.replace("{HEX2}", _hexn("hh", 1, 2))
+       .replace("{HEX10}", _hexn("hh", 3, 10))
+       .replace("{ALPHA_M2}", repr(_HLL_ALPHA_M2)),
+)
+def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct 3-gram-shingle count per source (+ the
+    'ALL' scope in the same pipeline): md5-derived registers, so the
+    oracle reproduces the registers AND the estimate bit for bit
+    (the linear-counting small-range branch is pinned by a unit
+    test; every scope here is past the 2.5m boundary). The plan is
+    the textbook HLL shape: narrow shingle explode + rho map, one
+    map-combinable (scope, register) MAX shuffle moving <= m rows
+    per scope, registers merging by element-wise MAX across shards."""
+    from data_frame_spark.operators import sketch as OpSketch2
+
+    docs = t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source",
+        F.explode(OpText.word_shingles(F.col("text"), 3)).alias("shingle"),
+    )
+    return OpSketch2.hll_distinct(
+        sh, "shingle", "source", hex_digits=2, include_overall=True
+    )
+
+
 @query(
     "label_centroids_embeddings",
     oracle="""
@@ -3062,6 +3139,7 @@ _FIRST = [
     "temperature_mixture_weights",
     "label_centroids_embeddings",
     "cms_token_counts",
+    "hll_distinct_shingles",
     "mixture_sample_docs",
     "pack_chunks_256",
     "corpus_stats_rollup",

@@ -169,6 +169,16 @@ def test_cms_counters_bounded_and_broadcast(spark, sf_dir):
     assert not C.data_sized_partitionless_windows(df)
 
 
+def test_hll_is_map_combinable_no_big_windows(spark, sf_dir):
+    # HLL register build: narrow explode + rho map, then (scope, j)
+    # MAX with map-side combine — at most m rows per scope reach the
+    # exchange; no window over raw data anywhere
+    df = QUERIES["hll_distinct_shingles"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    assert "partial_max" in plan
+    assert not C.data_sized_partitionless_windows(df)
+
+
 def test_sampling_has_no_global_sort(spark, sf_dir):
     # the stratified rank shuffles by stratum; the uniform sample must
     # plan as TakeOrderedAndProject (per-partition top-k), never a

@@ -140,3 +140,62 @@ def test_cms_unknown_key_reads_zero_or_collision(spark):
     # wide sketch, single stored key: the unknown key's buckets are
     # almost surely empty -> estimate 0 (and never negative)
     assert est["cms_count"] >= 0
+
+
+def test_hll_small_range_linear_counting(spark):
+    import math
+
+    from data_frame_spark.operators.sketch import hll_distinct
+
+    # 5 distinct values, m=256 registers: the estimate must come from
+    # the linear-counting branch m*ln(m/V) (assuming no register
+    # collision among 5 md5 buckets, V = 251)
+    df = spark.createDataFrame([(f"v{i}",) for i in range(5)], "v string")
+    row = hll_distinct(df, "v").collect()[0]
+    nset = row["hll_registers_set"]
+    assert row["exact_distinct"] == 5
+    expected = round(256.0 * math.log(256.0 / (256 - nset)), 4)
+    assert row["estimate"] == expected
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    from data_frame_spark.operators.sketch import hll_distinct
+
+    once = spark.createDataFrame([(f"v{i}",) for i in range(200)], "v string")
+    thrice = once.unionAll(once).unionAll(once)
+    a = hll_distinct(once, "v").collect()[0]
+    b = hll_distinct(thrice, "v").collect()[0]
+    assert a["estimate"] == b["estimate"]
+    assert a["hll_registers_set"] == b["hll_registers_set"]
+
+
+def test_hll_accuracy_and_register_merge(spark):
+    import pyspark.sql.functions as F
+
+    from data_frame_spark.operators.sketch import hll_distinct
+
+    n = 5000
+    df = spark.createDataFrame([(f"item-{i}",) for i in range(n)], "v string")
+    row = hll_distinct(df, "v").collect()[0]
+    # 3-sigma bound at m=256: 1.04/sqrt(256) ~ 6.5% per sigma
+    assert abs(row["estimate"] - n) / n < 0.20
+    # merge monoid: element-wise register MAX of two shard sketches
+    # equals the full sketch => identical estimate. Reconstruct the
+    # registers the same way the operator does.
+    def regs(d):
+        h = F.md5(F.col("v"))
+        j = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+        wbin = F.conv(F.substring(h, 3, 10), 16, 2)
+        rho = F.when(wbin == "0", F.lit(41)).otherwise(F.lit(41) - F.length(wbin))
+        return d.select(j.alias("j"), rho.alias("r")).groupBy("j").agg(
+            F.max("r").alias("mj")
+        )
+
+    half1 = df.where(F.col("v") < "item-3")
+    half2 = df.where(~(F.col("v") < "item-3"))
+    merged = (
+        regs(half1).unionByName(regs(half2)).groupBy("j").agg(F.max("mj").alias("mj"))
+    )
+    full = {r["j"]: r["mj"] for r in regs(df).collect()}
+    got = {r["j"]: r["mj"] for r in merged.collect()}
+    assert got == full
