@@ -134,6 +134,38 @@ def uniform_sample(df: DataFrame, id_col: str, k: int, salt: str = "") -> DataFr
     return df.orderBy(sample_key(id_col, salt), F.col(id_col)).limit(k)
 
 
+def weighted_sample(
+    df: DataFrame, id_col: str, weight_col: str, k: int, salt: str = ""
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement: k rows
+    drawn with probability proportional to ``weight_col``, by the
+    Efraimidis–Spirakis A-ES one-pass recipe (IPL 2006): each row
+    gets key = -ln(u)/w with u a uniform derived from the row's md5
+    hash, and the k SMALLEST keys win. Because u comes from content
+    (never ``rand()``), the draw is reproducible run-to-run,
+    layout-independent, and replayable by a SQL oracle; vary
+    ``salt`` for independent draws.
+
+    Rows with NULL or non-positive weight carry no probability mass
+    and are excluded (the A-ES key is undefined there).
+
+    Scale: a narrow map computes the key, then one global top-k —
+    Spark plans it as TakeOrderedAndProject (per-partition partial
+    top-k, driver merge of k rows per partition): no shuffle, no
+    global sort, single pass at any corpus size. The partial top-k
+    is exactly the A-ES reservoir, so this is also the batch twin of
+    a streaming weighted reservoir.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (_key_long(id_col, salt) + F.lit(1)).cast("double") / F.lit(float(_KEY_SPACE))
+    key = -F.log(u) / w
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .orderBy(key, F.col(id_col))
+        .limit(k)
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     stratum_col: str,

@@ -61,6 +61,18 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _hexn(col: str, start: int, n: int) -> str:
+    """DuckDB integer value of md5 hex digits [start, start+n) —
+    generic twin of F.conv(substring(md5, start, n), 16, 10)."""
+    return " + ".join(
+        f"(CASE WHEN ascii(substr({col}, {start + i}, 1)) >= 97 "
+        f"THEN ascii(substr({col}, {start + i}, 1)) - 87 "
+        f"ELSE ascii(substr({col}, {start + i}, 1)) - 48 END) "
+        f"* CAST({16 ** (n - 1 - i)} AS BIGINT)"
+        for i in range(n)
+    )
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table (columnar parquet scan; filters and
     projections applied by callers push down into this scan).
@@ -1398,6 +1410,35 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("sample_rank"),
     )
     return strat.unionByName(uni)
+
+
+@query(
+    "weighted_sample_docs",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source, n_chars,
+             md5(CAST(doc_id AS VARCHAR) || '|w') AS hh
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0),
+    keyed AS (
+      SELECT doc_id, source, n_chars,
+             -ln((({HEX15}) + 1) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE) AS k
+      FROM h)
+    SELECT doc_id, source, n_chars
+    FROM keyed ORDER BY k, doc_id LIMIT 40
+    """.replace("{HEX15}", _hexn("hh", 1, 15)),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted deterministic sample: 40 docs drawn without
+    replacement with probability proportional to n_chars, by the
+    Efraimidis-Spirakis one-pass key -ln(u)/w with u md5-derived —
+    reproducible at any partitioning and replayed exactly by the
+    oracle. Plans as TakeOrderedAndProject: the per-partition
+    partial top-k IS the A-ES reservoir, so no shuffle and no
+    global sort at any corpus size."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return OpSample.weighted_sample(docs, "doc_id", "n_chars", 40, salt="w")
 
 
 @query(
@@ -2916,18 +2957,6 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hexn(col: str, start: int, n: int) -> str:
-    """DuckDB integer value of md5 hex digits [start, start+n) —
-    generic twin of F.conv(substring(md5, start, n), 16, 10)."""
-    return " + ".join(
-        f"(CASE WHEN ascii(substr({col}, {start + i}, 1)) >= 97 "
-        f"THEN ascii(substr({col}, {start + i}, 1)) - 87 "
-        f"ELSE ascii(substr({col}, {start + i}, 1)) - 48 END) "
-        f"* CAST({16 ** (n - 1 - i)} AS BIGINT)"
-        for i in range(n)
-    )
-
-
 #: alpha_m * m^2 for m=256 (Flajolet et al. AofA'07) — the same
 #: Python float literal feeds both engines, so the doubles agree
 _HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
@@ -3140,6 +3169,7 @@ _FIRST = [
     "label_centroids_embeddings",
     "cms_token_counts",
     "hll_distinct_shingles",
+    "weighted_sample_docs",
     "mixture_sample_docs",
     "pack_chunks_256",
     "corpus_stats_rollup",

@@ -179,6 +179,17 @@ def test_hll_is_map_combinable_no_big_windows(spark, sf_dir):
     assert not C.data_sized_partitionless_windows(df)
 
 
+def test_weighted_sample_is_single_pass_topk(spark, sf_dir):
+    # A-ES weighted sampling: narrow key map + TakeOrderedAndProject
+    # (the per-partition partial top-k IS the reservoir) — zero
+    # shuffles, no global sort, no windows
+    df = QUERIES["weighted_sample_docs"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert C.count_shuffles(df) == 0
+    assert not C.data_sized_partitionless_windows(df)
+
+
 def test_sampling_has_no_global_sort(spark, sf_dir):
     # the stratified rank shuffles by stratum; the uniform sample must
     # plan as TakeOrderedAndProject (per-partition top-k), never a

@@ -235,3 +235,43 @@ def test_temperature_weights_flatten_toward_uniform(spark):
     assert sum(r["expected_docs"] for r in out.values()) <= 100
     # sanity: sqrt proportions — w_en/w_fr == sqrt(80/5) up to quantization
     assert out["en"]["weight"] / out["fr"]["weight"] < 4.0 + 1e-6 and out["en"]["weight"] / out["fr"]["weight"] > 4.0 - 1e-6
+
+
+def test_weighted_sample_excludes_nonpositive_and_is_layout_invariant(spark):
+    from data_frame_spark.operators.sampling import weighted_sample
+
+    rows = [(1, 10.0), (2, 0.0), (3, -5.0), (4, None), (5, 3.0), (6, 7.0), (7, 1.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r["id"] for r in weighted_sample(df, "id", "w", 10).collect()}
+    assert got == {1, 5, 6, 7}  # zero/negative/NULL weights carry no mass
+    a = [r["id"] for r in weighted_sample(df, "id", "w", 2).collect()]
+    b = [r["id"] for r in weighted_sample(df.repartition(5), "id", "w", 2).collect()]
+    assert sorted(a) == sorted(b)  # content-hash keys: layout-independent
+
+
+def test_weighted_sample_biases_toward_heavy_weights(spark):
+    from data_frame_spark.operators.sampling import weighted_sample
+
+    # one row with 1000x the weight of 50 others: across 10
+    # independent salts it must be drawn into the top-5 nearly
+    # always (P(miss) < (1 - w/W)^5 per draw; 10 misses ~ impossible)
+    rows = [(0, 1000.0)] + [(i, 1.0) for i in range(1, 51)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    hits = sum(
+        1
+        for s in range(10)
+        if 0 in {r["id"] for r in weighted_sample(df, "id", "w", 5, salt=str(s)).collect()}
+    )
+    assert hits >= 9
+
+
+def test_weighted_sample_uniform_weights_match_uniform_sample_distribution(spark):
+    from data_frame_spark.operators.sampling import weighted_sample
+
+    # with equal weights the draw is a uniform k-sample; the chosen
+    # set must be salt-stable and of exact size
+    df = spark.createDataFrame([(i, 2.5) for i in range(100)], "id long, w double")
+    got = weighted_sample(df, "id", "w", 8, salt="x").collect()
+    again = weighted_sample(df, "id", "w", 8, salt="x").collect()
+    assert len(got) == 8
+    assert {r["id"] for r in got} == {r["id"] for r in again}
