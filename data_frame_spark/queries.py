@@ -1441,6 +1441,64 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OpSample.weighted_sample(docs, "doc_id", "n_chars", 40, salt="w")
 
 
+def _bm25_sql_part(i: int) -> str:
+    """One query-term's quantized BM25 contribution — the exact
+    arithmetic-order twin of retrieval.bm25_rank's ``part``."""
+    return (
+        f"CAST(FLOOR("
+        f"ln(CAST(1.0 AS DOUBLE) + (CAST(n - df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" / (CAST(df{i} AS DOUBLE) + CAST(0.5 AS DOUBLE)))"
+        f" * CAST(tf{i} AS DOUBLE) * CAST(2.2 AS DOUBLE)"
+        f" / (CAST(tf{i} AS DOUBLE) + CAST(1.2 AS DOUBLE) *"
+        f" (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))"
+        f" * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+
+
+@query(
+    "bm25_search_docs",
+    oracle=r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+         tok AS (SELECT doc_id, UNNEST(string_split(t, ' ')) AS term FROM norm),
+         perdoc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl,
+                           SUM(CASE WHEN term = 'hash'   THEN 1 ELSE 0 END) AS tf0,
+                           SUM(CASE WHEN term = 'spark'  THEN 1 ELSE 0 END) AS tf1,
+                           SUM(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS tf2
+                    FROM tok GROUP BY doc_id),
+         stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl,
+                          SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                          SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                          SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+                   FROM perdoc),
+         scored AS (SELECT doc_id,
+                           ({P0}) + ({P1}) + ({P2}) AS bm25_micro,
+                           GREATEST(tf0, tf1, tf2) AS mx
+                    FROM perdoc CROSS JOIN stats)
+    SELECT doc_id, bm25_micro,
+           CAST(bm25_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE) AS bm25
+    FROM scored WHERE mx > 0
+    ORDER BY bm25_micro DESC, doc_id LIMIT 15
+    """.replace("{P0}", _bm25_sql_part(0))
+       .replace("{P1}", _bm25_sql_part(1))
+       .replace("{P2}", _bm25_sql_part(2)),
+)
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for the query {hash, spark, window}:
+    top-15 docs with the exact integer micro-unit score as the
+    ranking key (quantize-then-sum, so the total is summation-order
+    independent and the oracle reproduces the ranking bit for bit).
+    One map-combinable corpus shuffle (per-doc length + every tf as
+    conditional aggregates), one broadcast stats row, narrow
+    scoring, TakeOrderedAndProject top-k."""
+    from data_frame_spark.operators import retrieval as OpRetrieval
+
+    docs = t(spark, sf_dir, "documents")
+    return OpRetrieval.bm25_rank(
+        docs, "text", "doc_id", ["hash", "spark", "window"], top_k=15
+    )
+
+
 @query(
     "chunk_documents",
     oracle=r"""
@@ -3170,6 +3228,7 @@ _FIRST = [
     "cms_token_counts",
     "hll_distinct_shingles",
     "weighted_sample_docs",
+    "bm25_search_docs",
     "mixture_sample_docs",
     "pack_chunks_256",
     "corpus_stats_rollup",

@@ -190,6 +190,20 @@ def test_weighted_sample_is_single_pass_topk(spark, sf_dir):
     assert not C.data_sized_partitionless_windows(df)
 
 
+def test_bm25_single_shuffle_broadcast_stats_topk(spark, sf_dir):
+    # BM25: one map-combinable corpus shuffle (per-doc tf aggregate),
+    # stats row arrives broadcast, top-k plans as TakeOrderedAndProject
+    df = QUERIES["bm25_search_docs"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert C.uses_broadcast_join(df)
+    assert "partial_count" in plan or "partial_sum" in plan
+    # the tf groupBy is the ONLY data-sized exchange; the stats
+    # aggregate adds its single-row exchanges at most
+    assert C.count_shuffles(df) <= 4
+    assert not C.data_sized_partitionless_windows(df)
+
+
 def test_sampling_has_no_global_sort(spark, sf_dir):
     # the stratified rank shuffles by stratum; the uniform sample must
     # plan as TakeOrderedAndProject (per-partition top-k), never a
