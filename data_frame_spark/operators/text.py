@@ -638,3 +638,86 @@ def tfidf_top_terms(
         .where(F.col("rank") <= F.lit(top_k))
         .select(F.col("__id").alias(id_col), "term", "tf", "df", "idf", "tfidf", "rank")
     )
+
+
+def unigram_lm_nll(
+    df: "DataFrame", text_col: str, id_col: str, vocab_size: int = 10000
+) -> "DataFrame":
+    """Per-document negative log-likelihood under a self-trained
+    add-one-smoothed unigram LM — the CCNet-style "perplexity
+    bucket" quality signal, with the LM trained on the corpus
+    itself instead of an external KenLM: documents whose token
+    distribution diverges from the corpus (gibberish, boilerplate,
+    wrong language) score a high average NLL and can be filtered or
+    bucketed downstream.
+
+    Model: vocabulary = top ``vocab_size`` tokens by count (ties by
+    token); every out-of-vocabulary token collapses into ONE unk
+    type carrying the remaining mass. p(t) = (c_t + 1) / (N + V + 1)
+    with V = |vocab|; p(unk) = (c_unk + 1) / (N + V + 1).
+
+    Output: (id, n_tokens, nll_micro, avg_nll_micro) — per-token
+    NLLs are quantized to integer micro-nats BEFORE summing, so the
+    totals are summation-order independent and a SQL oracle
+    reproduces them exactly (same recipe as retrieval.bm25_rank).
+
+    Scale: token counts are one map-combinable shuffle; the vocab
+    cap is a TakeOrderedAndProject (never a global sort); the LM
+    table (≤ vocab_size rows) and the scalar params row BROADCAST
+    back onto the token stream map-side; the per-doc sum is the one
+    remaining corpus shuffle, keyed by document. A 100 TB corpus
+    passes through exactly two data-sized shuffles, both
+    map-combinable.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("__term"),
+    )
+    # materialize the count table ONCE: tot/vocab/vs/lm all read it,
+    # and without the checkpoint Catalyst re-derives the corpus
+    # explode+shuffle per consumer (4 corpus scans instead of 1)
+    cnt = (
+        toks.groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cnt.agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__dv")
+    )
+    vocab = (
+        cnt.orderBy(F.col("__c").desc(), F.col("__term"))
+        .limit(vocab_size)
+        .localCheckpoint(eager=True)  # <= vocab_size rows
+    )
+    vs = vocab.agg(
+        F.sum("__c").alias("__vc"), F.count(F.lit(1)).alias("__v")
+    )
+    params = (
+        tot.crossJoin(vs)
+        .select(
+            (F.col("__n") + F.col("__v") + F.lit(1)).alias("__denom"),
+            (F.col("__n") - F.col("__vc")).alias("__cunk"),
+        )
+    )
+
+    def nll_micro(count_col) -> F.Column:
+        p = (count_col + F.lit(1)).cast("double") / F.col("__denom").cast("double")
+        return F.floor(-F.log(p) * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    lm = vocab.crossJoin(F.broadcast(params)).select(
+        "__term", nll_micro(F.col("__c")).alias("__nll")
+    )
+    unk = params.select(nll_micro(F.col("__cunk")).alias("__unll"))
+    per = (
+        toks.join(F.broadcast(lm), "__term", "left")
+        .crossJoin(F.broadcast(unk))
+        .select("__id", F.coalesce("__nll", "__unll").alias("__t"))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("__t").alias("nll_micro"))
+    )
+    return per.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "nll_micro",
+        F.expr("nll_micro div n_tokens").alias("avg_nll_micro"),
+    )

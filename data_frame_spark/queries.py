@@ -1500,6 +1500,48 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unigram_lm_nll_docs",
+    oracle=r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+         tok AS (SELECT doc_id, UNNEST(string_split(t, ' ')) AS term FROM norm),
+         cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+         vocab AS (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 10000),
+         vs AS (SELECT CAST(SUM(c) AS BIGINT) AS vc, CAST(COUNT(*) AS BIGINT) AS v
+                FROM vocab),
+         params AS (SELECT n + v + 1 AS denom, n - vc AS cunk
+                    FROM tot CROSS JOIN vs),
+         lm AS (SELECT term,
+                       CAST(FLOOR(-ln(CAST(c + 1 AS DOUBLE) / CAST(denom AS DOUBLE))
+                                  * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                            AS BIGINT) AS nll
+                FROM vocab CROSS JOIN params),
+         unk AS (SELECT CAST(FLOOR(-ln(CAST(cunk + 1 AS DOUBLE) / CAST(denom AS DOUBLE))
+                                   * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                             AS BIGINT) AS unll
+                 FROM params),
+         per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                        CAST(SUM(COALESCE(lm.nll, unk.unll)) AS BIGINT) AS nll_micro
+                 FROM tok LEFT JOIN lm ON tok.term = lm.term CROSS JOIN unk
+                 GROUP BY doc_id)
+    SELECT doc_id, n_tokens, nll_micro,
+           CAST(nll_micro // n_tokens AS BIGINT) AS avg_nll_micro
+    FROM per
+    """,
+)
+def unigram_lm_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NLL under a corpus-trained add-one unigram LM
+    (CCNet-style perplexity quality signal): top-10k-token vocab +
+    single unk type, per-token micro-nat quantization so every
+    total is an exact integer the oracle reproduces. Two
+    map-combinable corpus shuffles (token counts; per-doc sum), LM
+    and params broadcast, vocab cap as TakeOrderedAndProject."""
+    docs = t(spark, sf_dir, "documents")
+    return OpText.unigram_lm_nll(docs, "text", "doc_id", vocab_size=10000)
+
+
+@query(
     "chunk_documents",
     oracle=r"""
     WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -3229,6 +3271,7 @@ _FIRST = [
     "hll_distinct_shingles",
     "weighted_sample_docs",
     "bm25_search_docs",
+    "unigram_lm_nll_docs",
     "mixture_sample_docs",
     "pack_chunks_256",
     "corpus_stats_rollup",

@@ -204,6 +204,24 @@ def test_bm25_single_shuffle_broadcast_stats_topk(spark, sf_dir):
     assert not C.data_sized_partitionless_windows(df)
 
 
+def test_unigram_lm_broadcasts_model_two_data_shuffles(spark, sf_dir):
+    # LM + params broadcast onto the token stream; the only
+    # data-sized shuffles are the token-count and per-doc-sum
+    # aggregates (plus aggregate-sized single-row exchanges); vocab
+    # cap is a TakeOrderedAndProject, never a global sort
+    # (the vocab cap's TakeOrderedAndProject runs inside the eager
+    # count-table checkpoint job, so it is not in the final plan)
+    df = QUERIES["unigram_lm_nll_docs"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    assert C.uses_broadcast_join(df)
+    assert not C.data_sized_partitionless_windows(df)
+    # one corpus shuffle (per-doc sum) + two single-row sums over the
+    # checkpointed, vocab-sized count table — never a corpus re-scan
+    data, tiny = C.shuffle_census(df)
+    assert data <= 3, (data, tiny)
+    assert plan.count("FileScan") == 1
+
+
 def test_sampling_has_no_global_sort(spark, sf_dir):
     # the stratified rank shuffles by stratum; the uniform sample must
     # plan as TakeOrderedAndProject (per-partition top-k), never a

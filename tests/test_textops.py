@@ -446,3 +446,54 @@ def test_label_centroids_exact_mean(spark):
     assert out[(0, 2)]["centroid"] == pytest.approx(4.0)
     assert out[(1, 1)]["centroid"] == pytest.approx(5.0)
     assert out[(0, 1)]["n_vectors"] == 2 and out[(1, 1)]["n_vectors"] == 1
+
+
+def test_unigram_lm_nll_hand_computed(spark):
+    import math
+
+    from data_frame_spark.operators.text import unigram_lm_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           unigram_lm_nll(docs, "text", "doc_id", vocab_size=10).collect()}
+    # counts: a=2 b=2 c=1, N=5, V=3, denom=9
+    nll = {tok: math.floor(-math.log((c + 1) / 9.0) * 1e6 + 0.5)
+           for tok, c in (("a", 2), ("b", 2), ("c", 1))}
+    assert out[1]["nll_micro"] == 2 * nll["a"] + nll["b"]
+    assert out[1]["n_tokens"] == 3
+    assert out[2]["nll_micro"] == nll["b"] + nll["c"]
+    assert out[1]["avg_nll_micro"] == out[1]["nll_micro"] // 3
+
+
+def test_unigram_lm_oov_collapses_to_unk(spark):
+    import math
+
+    from data_frame_spark.operators.text import unigram_lm_nll
+
+    # vocab_size=1 keeps only the most frequent token ('a', ties by
+    # name); 'b' and 'c' both score as the SAME unk type
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a a a c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["nll_micro"] for r in
+           unigram_lm_nll(docs, "text", "doc_id", vocab_size=1).collect()}
+    # N=8, V=1, denom=10, c_a=6, c_unk=2
+    nll_a = math.floor(-math.log(7 / 10.0) * 1e6 + 0.5)
+    nll_u = math.floor(-math.log(3 / 10.0) * 1e6 + 0.5)
+    assert out[1] == 3 * nll_a + nll_u
+    assert out[1] == out[2]  # b and c are indistinguishable as unk
+
+
+def test_unigram_lm_gibberish_scores_higher(spark):
+    from data_frame_spark.operators.text import unigram_lm_nll
+
+    common = "the cat sat on the mat and the dog ran"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(20)] + [(99, "zq xv qqj wp zzk vvx qpz jjw js kk")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["avg_nll_micro"] for r in
+           unigram_lm_nll(docs, "text", "doc_id").collect()}
+    assert out[99] > 2 * out[0]  # rare-token doc diverges hard
