@@ -258,6 +258,99 @@ def mixture_sample(
         .drop("__s", "__m", "__n", "__t")
     )
 
+#: log-spaced quantile grid for per_group_top_n's threshold pick —
+#: suffix sizes step by ~10x, so the surviving remnant is at most
+#: ~10x the cushion whatever the group size
+_TOPN_GRID = (0.0, 0.5, 0.9, 0.99, 0.999, 0.9999)
+
+
+def per_group_top_n(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    n: int,
+    ascending: bool = False,
+) -> DataFrame:
+    """Keep the top ``n`` rows per group by a numeric ``order_col``
+    (descending by default; ties broken by ``id_col`` so the result
+    is deterministic) — the "cap documents per domain, preferring
+    quality" curation step. Adds ``group_rank`` (1-based). NULL
+    order values rank last.
+
+    Two-phase 100 TB plan (the arbitrary-order generalization of
+    :func:`stratified_sample`'s hash version): one pass computes
+    per-group counts plus ``percentile_approx`` quantiles on a
+    fixed log-spaced grid; the largest grid point whose expected
+    suffix still holds ~cushion(n) rows becomes that group's
+    threshold, broadcast back and applied MAP-SIDE — the exact
+    per-group rank window then sees a remnant of at most ~10x the
+    cushion, so no group ever funnels its full row count through
+    one task. Exactness does NOT rest on the quantile sketch:
+    survivors form an order-suffix (threshold inclusive of ties),
+    so a per-group survivor count >= min(n, |group|) certifies the
+    true top-n is inside; a deficient group is re-admitted whole.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    acc = 10000
+    # internally always "descending on __k": flip sign for ascending
+    key = F.col(order_col).cast("double")
+    k2 = (-key) if ascending else key
+    grp = F.col(group_col)
+
+    qs = F.percentile_approx(
+        k2, F.array(*[F.lit(q) for q in _TOPN_GRID]), F.lit(acc)
+    )
+    stats = df.groupBy(grp.alias("__g")).agg(
+        F.count(F.lit(1)).alias("__m"), qs.alias("__qs")
+    )
+    # cushion: n + slack + the sketch's worst-case rank error (m/acc,
+    # doubled); pick the LARGEST grid quantile whose expected suffix
+    # m*(1-q) still covers it, else keep the whole group
+    cushion = (
+        F.lit(float(n) + 64.0)
+        + F.lit(2.0) * F.col("__m").cast("double") / F.lit(float(acc))
+    )
+    thr = F.lit(float("-inf"))
+    for i, q in enumerate(_TOPN_GRID):
+        keep = F.col("__m").cast("double") * F.lit(1.0 - q) >= cushion
+        thr = F.when(keep, F.col("__qs")[i]).otherwise(thr)
+    thr_tab = stats.select("__g", "__m", thr.alias("__t")).localCheckpoint(
+        eager=True
+    )  # O(groups) rows; one corpus scan
+
+    def survivors(tab: DataFrame) -> DataFrame:
+        return df.join(F.broadcast(tab), grp.eqNullSafe(F.col("__g"))).where(
+            (k2 >= F.col("__t")) | k2.isNull()
+        )
+
+    got = survivors(thr_tab).groupBy("__g", "__m", "__t").agg(
+        F.count(F.lit(1)).alias("__got")
+    )
+    deficient = [
+        r["__g"]
+        for r in got.where(F.col("__got") < F.least(F.lit(n), F.col("__m"))).collect()
+    ]
+    if deficient:
+        hit = F.col("__g").isin([d for d in deficient if d is not None])
+        if any(d is None for d in deficient):
+            hit = hit | F.col("__g").isNull()
+        thr_tab = thr_tab.withColumn(
+            "__t", F.when(hit, F.lit(float("-inf"))).otherwise(F.col("__t"))
+        )
+
+    w = Window.partitionBy(group_col).orderBy(
+        k2.desc_nulls_last(), F.col(id_col)
+    )
+    return (
+        survivors(thr_tab)
+        .drop("__g", "__m", "__t")
+        .withColumn("group_rank", F.row_number().over(w))
+        .where(F.col("group_rank") <= F.lit(n))
+    )
+
+
 def temperature_weights(
     df: DataFrame,
     stratum_col: str,

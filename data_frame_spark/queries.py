@@ -1542,6 +1542,35 @@ def unigram_lm_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "per_source_cap_docs",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(n_chars AS DOUBLE) DESC NULLS LAST, doc_id
+             ) AS group_rank
+      FROM documents)
+    SELECT doc_id, source, n_chars, CAST(group_rank AS BIGINT) AS group_rank
+    FROM r WHERE group_rank <= 8
+    """,
+)
+def per_source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb-style "at most N docs
+    per source, prefer the best" curation step): top 8 per source by
+    n_chars, ties by doc_id. Two-phase at scale: per-group
+    percentile_approx grid thresholds broadcast + applied map-side,
+    exact rank window only on the ~cushion-sized remnant, survivor-
+    count certificate re-admits any deficient group — output is
+    exactly the one-phase window's, with no per-group funnel."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = OpSample.per_group_top_n(docs, "source", "n_chars", "doc_id", 8)
+    return out.select(
+        "doc_id", "source", "n_chars", F.col("group_rank").cast("long").alias("group_rank")
+    )
+
+
+@query(
     "chunk_documents",
     oracle=r"""
     WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -3272,6 +3301,7 @@ _FIRST = [
     "weighted_sample_docs",
     "bm25_search_docs",
     "unigram_lm_nll_docs",
+    "per_source_cap_docs",
     "mixture_sample_docs",
     "pack_chunks_256",
     "corpus_stats_rollup",

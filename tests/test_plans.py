@@ -248,6 +248,20 @@ def test_stratified_prefilter_sits_below_window(spark, sf_dir):
     assert win != -1 and flt > win
 
 
+def test_per_source_cap_prefilter_sits_below_window(spark, sf_dir):
+    # per_group_top_n's two-phase contract, same shape as the
+    # stratified pin: the per-group quantile threshold arrives via a
+    # BROADCAST join and the order-key filter runs map-side, so the
+    # exact rank window only sees the remnant — never the corpus
+    df = QUERIES["per_source_cap_docs"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    assert C.uses_broadcast_join(df)
+    win = plan.find("Window")
+    flt = plan.rfind("__t#")  # threshold-column filter below the window
+    assert win != -1 and flt > win
+    assert not C.data_sized_partitionless_windows(df)
+
+
 def test_cc_star_round_shuffle_budget(spark):
     # one alternating CC round (large-star then small-star) must stay
     # within a fixed physical-exchange budget: the mid-round persist

@@ -275,3 +275,41 @@ def test_weighted_sample_uniform_weights_match_uniform_sample_distribution(spark
     again = weighted_sample(df, "id", "w", 8, salt="x").collect()
     assert len(got) == 8
     assert {r["id"] for r in got} == {r["id"] for r in again}
+
+
+def test_per_group_top_n_matches_naive_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from data_frame_spark.operators.sampling import per_group_top_n
+
+    # deterministic pseudo-random scores with plenty of ties
+    rows = [(i, f"g{i % 7}", float((i * 37) % 23)) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, g string, score double")
+    got = {(r["id"], r["group_rank"])
+           for r in per_group_top_n(df, "g", "score", "id", 10).collect()}
+    w = Window.partitionBy("g").orderBy(F.col("score").desc_nulls_last(), "id")
+    want = {(r["id"], r["rk"]) for r in
+            df.withColumn("rk", F.row_number().over(w)).where("rk <= 10").collect()}
+    assert got == want
+
+
+def test_per_group_top_n_ascending_and_small_groups(spark):
+    from data_frame_spark.operators.sampling import per_group_top_n
+
+    rows = [(1, "a", 5.0), (2, "a", 1.0), (3, "a", 3.0), (4, "b", 9.0)]
+    df = spark.createDataFrame(rows, "id long, g string, score double")
+    got = {r["id"]: r["group_rank"]
+           for r in per_group_top_n(df, "g", "score", "id", 2, ascending=True).collect()}
+    # group a: scores 1.0 < 3.0 win; group b smaller than n -> kept whole
+    assert got == {2: 1, 3: 2, 4: 1}
+
+
+def test_per_group_top_n_nulls_rank_last(spark):
+    from data_frame_spark.operators.sampling import per_group_top_n
+
+    rows = [(1, "a", None), (2, "a", 2.0), (3, "a", None), (4, "a", 7.0)]
+    df = spark.createDataFrame(rows, "id long, g string, score double")
+    got = {r["id"]: r["group_rank"]
+           for r in per_group_top_n(df, "g", "score", "id", 3).collect()}
+    assert got == {4: 1, 2: 2, 1: 3}  # nulls after values, ties by id
