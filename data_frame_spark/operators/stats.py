@@ -270,3 +270,44 @@ def weighted_quantiles(
     )
     joined = probs_w.join(cum, crossing)
     return joined.groupBy("p").agg(F.min("__x").alias("quantile"))
+
+
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Assign every row an exact-quantile bucket of ``value_col``:
+    bucket 1 = values <= q(probs[0]), ..., bucket len(probs)+1 =
+    the rest; NULL values get a NULL bucket. The curriculum-ordering
+    primitive ("schedule training from easy to hard thirds/quarters")
+    — done WITHOUT a global NTILE window, which would funnel the
+    corpus through one task: thresholds come from the range-bucketed
+    exact :func:`quantiles` (one data shuffle), collapse to a single
+    broadcast row, and the bucket assignment is a narrow CASE
+    cascade. Ties sit in the lower bucket on both engines (<=
+    against the exact order statistic).
+    """
+    probs = [float(p) for p in probs]
+    if sorted(probs) != probs or len(set(probs)) != len(probs):
+        raise ValueError("probs must be strictly increasing")
+    thr = quantiles(df, value_col, probs)
+    row = thr.agg(
+        *[
+            F.max(
+                F.when(F.col("p") == F.lit(p), F.col("quantile"))
+            ).alias(f"__t{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    v = F.col(value_col).cast("double")
+    bucket = F.lit(len(probs) + 1)
+    for i in reversed(range(len(probs))):
+        bucket = F.when(v <= F.col(f"__t{i}"), F.lit(i + 1)).otherwise(bucket)
+    bucket = F.when(v.isNull(), F.lit(None).cast("int")).otherwise(bucket)
+    return (
+        df.crossJoin(F.broadcast(row))
+        .withColumn(out_col, bucket.cast("int"))
+        .drop(*[f"__t{i}" for i in range(len(probs))])
+    )

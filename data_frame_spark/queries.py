@@ -1499,9 +1499,10 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "unigram_lm_nll_docs",
-    oracle=r"""
+# shared CTE chain: corpus-trained add-one unigram LM -> per-doc
+# micro-nat NLL totals (used by the LM-scoring query and the
+# curriculum bucketing built on top of it)
+_LM_CTE = r"""
     WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
                   FROM documents),
          tok AS (SELECT doc_id, UNNEST(string_split(t, ' ')) AS term FROM norm),
@@ -1525,6 +1526,13 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         CAST(SUM(COALESCE(lm.nll, unk.unll)) AS BIGINT) AS nll_micro
                  FROM tok LEFT JOIN lm ON tok.term = lm.term CROSS JOIN unk
                  GROUP BY doc_id)
+"""
+
+
+@query(
+    "unigram_lm_nll_docs",
+    oracle=_LM_CTE
+    + """
     SELECT doc_id, n_tokens, nll_micro,
            CAST(nll_micro // n_tokens AS BIGINT) AS avg_nll_micro
     FROM per
@@ -1539,6 +1547,53 @@ def unigram_lm_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and params broadcast, vocab cap as TakeOrderedAndProject."""
     docs = t(spark, sf_dir, "documents")
     return OpText.unigram_lm_nll(docs, "text", "doc_id", vocab_size=10000)
+
+
+@query(
+    "curriculum_buckets_docs",
+    oracle=_LM_CTE
+    + """
+    , scored AS (SELECT doc_id, CAST(nll_micro // n_tokens AS BIGINT) AS avg_nll_micro
+                 FROM per),
+      ranked AS (SELECT avg_nll_micro AS v,
+                        ROW_NUMBER() OVER (ORDER BY avg_nll_micro) AS rn
+                 FROM scored),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+      thr AS (SELECT
+                MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.25 * n) AS BIGINT), 1)
+                         THEN CAST(v AS DOUBLE) END) AS t0,
+                MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.5 * n) AS BIGINT), 1)
+                         THEN CAST(v AS DOUBLE) END) AS t1,
+                MAX(CASE WHEN rn = GREATEST(CAST(CEIL(0.75 * n) AS BIGINT), 1)
+                         THEN CAST(v AS DOUBLE) END) AS t2
+              FROM ranked CROSS JOIN nn)
+    SELECT doc_id, avg_nll_micro,
+           CAST(CASE WHEN CAST(avg_nll_micro AS DOUBLE) <= t0 THEN 1
+                     WHEN CAST(avg_nll_micro AS DOUBLE) <= t1 THEN 2
+                     WHEN CAST(avg_nll_micro AS DOUBLE) <= t2 THEN 3
+                     ELSE 4 END AS INTEGER) AS curriculum_bucket
+    FROM scored CROSS JOIN thr
+    """,
+)
+def curriculum_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering by LM perplexity: every doc assigned an
+    exact-quartile bucket of its average unigram NLL (1 = most
+    predictable quarter -> train first; 4 = hardest). Thresholds
+    come from the range-bucketed exact quantile primitive (no
+    global NTILE window anywhere) and broadcast onto the corpus as
+    one row; bucket assignment is a narrow CASE. Composes two
+    oracle-checked operators: text.unigram_lm_nll ->
+    stats.quantile_buckets."""
+    from data_frame_spark.operators import stats as OpStatsMod
+
+    docs = t(spark, sf_dir, "documents")
+    lm = OpText.unigram_lm_nll(docs, "text", "doc_id", vocab_size=10000).select(
+        "doc_id", "avg_nll_micro"
+    )
+    out = OpStatsMod.quantile_buckets(
+        lm, "avg_nll_micro", (0.25, 0.5, 0.75), out_col="curriculum_bucket"
+    )
+    return out.select("doc_id", "avg_nll_micro", "curriculum_bucket")
 
 
 @query(
@@ -3302,6 +3357,7 @@ _FIRST = [
     "bm25_search_docs",
     "unigram_lm_nll_docs",
     "per_source_cap_docs",
+    "curriculum_buckets_docs",
     "mixture_sample_docs",
     "pack_chunks_256",
     "corpus_stats_rollup",

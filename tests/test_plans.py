@@ -262,6 +262,15 @@ def test_per_source_cap_prefilter_sits_below_window(spark, sf_dir):
     assert not C.data_sized_partitionless_windows(df)
 
 
+def test_curriculum_buckets_no_global_ntile(spark, sf_dir):
+    # bucket thresholds must come from the range-bucketed quantile
+    # primitive and broadcast back — never a corpus-wide NTILE/rank
+    # window without partitioning
+    df = QUERIES["curriculum_buckets_docs"](spark, sf_dir)
+    assert C.uses_broadcast_join(df)
+    assert not C.data_sized_partitionless_windows(df)
+
+
 def test_cc_star_round_shuffle_budget(spark):
     # one alternating CC round (large-star then small-star) must stay
     # within a fixed physical-exchange budget: the mid-round persist

@@ -121,3 +121,37 @@ def test_trim_percentage_not_rescaled(spark):
     out = {r["bucket"]: r["count"] for r in H.histogram(
         fr.df, "v", as_percentage=True, trim_outliers=0.02).collect()}
     assert list(out) == [1] and abs(out[1] - 97.0) < 1e-9
+
+
+def test_quantile_buckets_hand_computed(spark):
+    from data_frame_spark.operators.stats import quantile_buckets
+
+    # values 1..8: quartile thresholds (ceil(p*8) ranks) = 2, 4, 6
+    df = spark.createDataFrame([(float(i),) for i in range(1, 9)], "v double")
+    got = {r["v"]: r["bucket"] for r in quantile_buckets(df, "v").collect()}
+    assert got == {1.0: 1, 2.0: 1, 3.0: 2, 4.0: 2, 5.0: 3, 6.0: 3, 7.0: 4, 8.0: 4}
+
+
+def test_quantile_buckets_nulls_and_ties(spark):
+    from data_frame_spark.operators.stats import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(1.0,), (1.0,), (1.0,), (9.0,), (None,)], "v double"
+    )
+    got = [r["bucket"] for r in quantile_buckets(df, "v").collect()]
+    assert got.count(None) == 1          # NULL value -> NULL bucket
+    assert set(b for b in got if b) <= {1, 2, 3, 4}
+    # all tied values land in one bucket
+    tied = {r["bucket"] for r in quantile_buckets(df, "v").collect()
+            if r["v"] == 1.0}
+    assert len(tied) == 1
+
+
+def test_quantile_buckets_rejects_unsorted_probs(spark):
+    import pytest
+
+    from data_frame_spark.operators.stats import quantile_buckets
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "v", probs=(0.5, 0.25))
