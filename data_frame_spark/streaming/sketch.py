@@ -78,3 +78,41 @@ def streaming_kmv(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_cms(
+    stream: DataFrame, key_col: str, width: int = 1024, depth: int = 3
+) -> DataFrame:
+    """Running count-min counters over a stream — frequency / heavy-
+    hitter monitoring at ingest without storing identities. Reuses
+    the EXACT probe layout of :func:`operators.sketch.cms_build`
+    (depth disjoint md5 hex slices mod width), so at any point the
+    streamed counters equal the batch sketch over the rows ingested
+    so far, bit for bit (pinned by the stream==batch parity test),
+    and :func:`operators.sketch.cms_estimate` reads them unchanged.
+
+    No custom state handler at all: counters ARE a streaming
+    aggregation keyed by (row, bucket) in update mode, so the state
+    store holds at most depth x width longs however long the stream
+    runs — the same bounded-state argument as the KMV min-sets, with
+    Spark's native fault-tolerant aggregation state doing the work.
+    """
+    from data_frame_spark.operators.sketch import CMS_SLICE_STARTS, _cms_pos
+
+    if depth > len(CMS_SLICE_STARTS):
+        raise ValueError(f"depth <= {len(CMS_SLICE_STARTS)} supported")
+    h = F.md5(F.col(key_col).cast("string"))
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                _cms_pos(h, CMS_SLICE_STARTS[j], width).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        stream.select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -63,3 +63,30 @@ def test_streaming_kmv_matches_batch_sketch(spark, sf_dir):
         ).collect()
     }
     assert latest == batch
+
+
+def test_streaming_cms_matches_batch_counters(spark, sf_dir):
+    from data_frame_spark.operators.sketch import cms_build
+    from data_frame_spark.streaming.sketch import streaming_cms
+
+    stream = W.stream_events(spark, sf_dir, watermark="1 hour")
+    out = streaming_cms(stream, "event_type", width=16, depth=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_cms")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per (row, bucket) = counter over the whole stream
+    latest = {}
+    for r in spark.table("t_cms").collect():
+        latest[(r["row"], r["bucket"])] = r["cnt"]
+    batch = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_build(
+            t(spark, sf_dir, "events"), "event_type", width=16, depth=3
+        ).collect()
+    }
+    assert latest == batch
