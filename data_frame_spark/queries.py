@@ -3195,8 +3195,12 @@ def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combinable (scope, register) MAX shuffle moving <= m rows
     per scope, registers merging by element-wise MAX across shards."""
     from data_frame_spark.operators import sketch as OpSketch2
+    from data_frame_spark.operators.distributed import ensure_parallelism
 
-    docs = t(spark, sf_dir, "documents")
+    # guard, not a repartition: spreads the shingle transform only
+    # when the scan arrives with fewer partitions than cores (a real
+    # corpus arrives with thousands and passes through shuffle-free)
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     sh = docs.select(
         "source",
         F.explode(OpText.word_shingles(F.col("text"), 3)).alias("shingle"),
