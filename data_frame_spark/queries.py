@@ -1587,8 +1587,13 @@ def curriculum_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_frame_spark.operators import stats as OpStatsMod
 
     docs = t(spark, sf_dir, "documents")
-    lm = OpText.unigram_lm_nll(docs, "text", "doc_id", vocab_size=10000).select(
-        "doc_id", "avg_nll_micro"
+    # materialize the doc-level scores once: both the quantile pass
+    # and the bucket assignment read them, and without this the whole
+    # LM pipeline (2 corpus scans + 2 shuffles) runs twice
+    lm = (
+        OpText.unigram_lm_nll(docs, "text", "doc_id", vocab_size=10000)
+        .select("doc_id", "avg_nll_micro")
+        .localCheckpoint(eager=True)
     )
     out = OpStatsMod.quantile_buckets(
         lm, "avg_nll_micro", (0.25, 0.5, 0.75), out_col="curriculum_bucket"
