@@ -41,6 +41,36 @@ def exact_dedup_keys(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def canonical_pick(
+    df: DataFrame, key, id_col: str, order_col: str
+) -> DataFrame:
+    """Per-duplicate-group canonical representative: for each value
+    of ``key`` (a Column — e.g. a content fingerprint), the member
+    with the HIGHEST ``order_col`` (ties by smallest id) survives —
+    the curation policy "among duplicates, keep the most complete /
+    highest-quality copy" instead of exact_dedup_keys' arbitrary
+    min-id.
+
+    Output: (group_key, n_dups, canonical_id, canonical_order).
+    ``id_col`` must be numeric (the tiebreak negates it inside the
+    ordering struct).
+
+    Scale: ONE map-combinable groupBy — ``max_by`` over a
+    lexicographic (order, -id) struct is an ordinary aggregate with
+    partial combine (planned as SortAggregate: per-partition
+    group-key sorts, never a global sort), so no per-group window
+    and no second shuffle, whatever the group sizes.
+    """
+    ordk = F.struct(
+        F.col(order_col).alias("o"), (-F.col(id_col)).alias("nid")
+    )
+    return df.groupBy(key.alias("group_key")).agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.max_by(F.col(id_col), ordk).alias("canonical_id"),
+        F.max(F.col(order_col)).alias("canonical_order"),
+    )
+
+
 #: prime modulus for the affine minhash family (< 2^30 so the
 #: a*h multiply stays inside int64 in every engine)
 MINHASH_P = 1073741789

@@ -725,6 +725,41 @@ def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "canonical_docs_by_quality",
+    oracle="""
+    WITH h AS (SELECT doc_id, n_chars, SUBSTR(text, 1, 40) AS group_key
+               FROM documents),
+         g AS (SELECT group_key, CAST(COUNT(*) AS BIGINT) AS n_dups,
+                      MAX(n_chars) AS canonical_order
+               FROM h GROUP BY group_key),
+         pick AS (SELECT group_key, doc_id,
+                         ROW_NUMBER() OVER (
+                           PARTITION BY group_key
+                           ORDER BY n_chars DESC, doc_id
+                         ) AS rk
+                  FROM h)
+    SELECT g.group_key, g.n_dups, p.doc_id AS canonical_id,
+           g.canonical_order
+    FROM g JOIN pick p ON g.group_key = p.group_key AND p.rk = 1
+    WHERE g.n_dups >= 2
+    """,
+)
+def canonical_docs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group canonicalization with a QUALITY policy: among
+    each exact-duplicate group (same 40-char prefix, as in
+    exact_dedup_documents), keep the longest copy, ties by smallest
+    doc_id. One map-combinable groupBy — max_by over a
+    lexicographic (n_chars, -doc_id) struct — so no per-group
+    window or sort anywhere; the oracle cross-checks with an
+    explicit rank formulation."""
+    docs = t(spark, sf_dir, "documents")
+    out = OpDedup.canonical_pick(
+        docs, F.substring("text", 1, 40), "doc_id", "n_chars"
+    )
+    return out.where(F.col("n_dups") >= 2)
+
+
+@query(
     "top_revenue_orders",
     oracle=f"""
     SELECT o_orderkey, revenue FROM (
@@ -3367,6 +3402,7 @@ _FIRST = [
     "unigram_lm_nll_docs",
     "per_source_cap_docs",
     "curriculum_buckets_docs",
+    "canonical_docs_by_quality",
     "mixture_sample_docs",
     "pack_chunks_256",
     "corpus_stats_rollup",

@@ -78,3 +78,35 @@ def test_read_sql_surface(spark, sf_dir):
         "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag",
     )
     assert out.count() == 3
+
+
+def test_canonical_pick_prefers_quality_then_min_id(spark):
+    import pyspark.sql.functions as F
+
+    from data_frame_spark.operators.dedup import canonical_pick
+
+    rows = [
+        (1, "k1", 10), (2, "k1", 30), (3, "k1", 30),   # max order ties: min id wins
+        (4, "k2", 5),
+    ]
+    df = spark.createDataFrame(rows, "id long, k string, q long")
+    got = {r["group_key"]: (r["n_dups"], r["canonical_id"], r["canonical_order"])
+           for r in canonical_pick(df, F.col("k"), "id", "q").collect()}
+    assert got == {"k1": (3, 2, 30), "k2": (1, 4, 5)}
+
+
+def test_canonical_pick_is_single_aggregate(spark):
+    import pyspark.sql.functions as F
+
+    from data_frame_spark.operators.dedup import canonical_pick
+    from data_frame_spark.plans import checks as C
+
+    df = spark.createDataFrame([(i, f"k{i%5}", i * 3 % 7) for i in range(100)],
+                               "id long, k string, q long")
+    out = canonical_pick(df, F.col("k"), "id", "q")
+    plan = C.simple_plan(out)
+    assert C.count_shuffles(out) == 1 and "partial_" in plan  # map-side combine
+    # struct-ordered max_by plans as SortAggregate: per-partition
+    # group-key sorts are fine; a Window or a global Sort is not
+    assert "Window" not in plan
+    assert "Sort [k" in plan or "HashAggregate" in plan  # never Sort [q/global
