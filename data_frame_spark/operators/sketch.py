@@ -130,6 +130,66 @@ def cms_build(
     )
 
 
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    min_count: int | None = None,
+    min_div: int | None = None,
+    width: int = 1024,
+    depth: int = 3,
+) -> DataFrame:
+    """Exact heavy hitters, sketch-GATED: every key whose total
+    occurrence count reaches ``min_count`` (or total occurrences
+    ``div min_div`` — an exact integer threshold, so a SQL oracle
+    reproduces it), found without ever aggregating the full key
+    space.
+
+    Two passes over the occurrences:
+
+    1. :func:`cms_build` counters — bounded depth x width whatever
+       the corpus — are collected (aggregate-sized, the same
+       judgement as the spline-knot collect) into literal lookup
+       arrays.
+    2. Each occurrence evaluates its own CMS estimate MAP-SIDE
+       (three ``element_at`` probes into the literal arrays) and is
+       dropped unless estimate >= threshold; only candidate
+       occurrences reach the exact groupBy, whose result is then
+       exactly filtered.
+
+    Because CMS never under-counts, the gate admits every true
+    heavy hitter — the sketch only prunes, it cannot change the
+    answer — so the output equals the naive full groupBy + HAVING,
+    while the shuffle carries only the heavy candidates' occurrences
+    (~top keys) instead of the whole key space. The light-key kill
+    happens at the map side, which is what makes this the 100 TB
+    formulation.
+    """
+    if (min_count is None) == (min_div is None):
+        raise ValueError("exactly one of min_count / min_div required")
+    counters = cms_build(df, key_col, width=width, depth=depth).collect()
+    grid = [[0] * width for _ in range(depth)]
+    for r in counters:
+        grid[r["row"]][r["bucket"]] = r["cnt"]
+    total = sum(grid[0])  # each occurrence lands once in row 0
+    thr = int(min_count) if min_count is not None else total // int(min_div)
+
+    h = F.md5(F.col(key_col).cast("string"))
+    est = F.least(
+        *[
+            F.element_at(
+                F.lit(grid[j]), (_cms_pos(h, CMS_SLICE_STARTS[j], width) + 1).cast("int")
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.where(est >= F.lit(thr))
+        .groupBy(F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .where(F.col("exact_count") >= F.lit(thr))
+    )
+
+
 def hll_distinct(
     df: DataFrame,
     value_col: str,

@@ -3251,6 +3251,35 @@ def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "heavy_hitter_tokens",
+    oracle=r"""
+    WITH norm AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+         tok AS (SELECT UNNEST(string_split(t, ' ')) AS token FROM norm),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+    FROM tok CROSS JOIN tot
+    GROUP BY token, n
+    HAVING COUNT(*) >= n // 30
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with >= 1/30 of all occurrences),
+    CMS-gated: the bounded sketch is collected into literal lookup
+    arrays and every occurrence evaluates its own estimate map-side,
+    so only heavy-candidate occurrences reach the exact groupBy —
+    the sketch can only admit extras (never under-counts), so the
+    result equals the naive full aggregation the oracle runs. The
+    deliberately narrow width (64) forces real collisions through
+    the gate; the exact verify removes them."""
+    from data_frame_spark.operators import sketch as OpSketch2
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(OpText.tokens(F.col("text"))).alias("token"))
+    return OpSketch2.cms_heavy_hitters(tok, "token", min_div=30, width=64, depth=3)
+
+
+@query(
     "label_centroids_embeddings",
     oracle="""
     WITH idx AS (SELECT label, embedding,
@@ -3403,6 +3432,7 @@ _FIRST = [
     "per_source_cap_docs",
     "curriculum_buckets_docs",
     "canonical_docs_by_quality",
+    "heavy_hitter_tokens",
     "mixture_sample_docs",
     "pack_chunks_256",
     "corpus_stats_rollup",

@@ -222,6 +222,21 @@ def test_unigram_lm_broadcasts_model_two_data_shuffles(spark, sf_dir):
     assert plan.count("FileScan") == 1
 
 
+def test_heavy_hitters_gate_is_mapside_filter(spark, sf_dir):
+    # the CMS gate must be a literal-array Filter BELOW the exact
+    # aggregate (map-side kill of light keys) — no join, no window,
+    # one data shuffle for the candidates-only groupBy
+    df = QUERIES["heavy_hitter_tokens"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    assert "Join" not in plan and "Window" not in plan
+    assert "least(" in plan and "Filter" in plan
+    agg = plan.find("partial_count")
+    flt = plan.rfind("least(")
+    assert agg != -1 and flt > agg  # filter printed below the partial agg
+    assert C.count_shuffles(df) == 1
+    assert not C.data_sized_partitionless_windows(df)
+
+
 def test_sampling_has_no_global_sort(spark, sf_dir):
     # the stratified rank shuffles by stratum; the uniform sample must
     # plan as TakeOrderedAndProject (per-partition top-k), never a

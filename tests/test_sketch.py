@@ -199,3 +199,37 @@ def test_hll_accuracy_and_register_merge(spark):
     full = {r["j"]: r["mj"] for r in regs(df).collect()}
     got = {r["j"]: r["mj"] for r in merged.collect()}
     assert got == full
+
+
+def test_cms_heavy_hitters_equals_naive(spark):
+    import pyspark.sql.functions as F
+
+    from data_frame_spark.operators.sketch import cms_heavy_hitters
+
+    rows = (
+        [("big",)] * 300 + [("mid",)] * 60 + [("small",)] * 5
+        + [(f"noise{i}",) for i in range(50)]
+    )
+    df = spark.createDataFrame(rows, "token string")
+    # width 4: guaranteed collisions; exact verify must remove them
+    got = {r["token"]: r["exact_count"] for r in
+           cms_heavy_hitters(df, "token", min_count=50, width=4, depth=3).collect()}
+    naive = {r["token"]: r["c"] for r in
+             df.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+             .where("c >= 50").collect()}
+    assert got == naive == {"big": 300, "mid": 60}
+
+
+def test_cms_heavy_hitters_min_div_and_arg_validation(spark):
+    import pytest
+
+    from data_frame_spark.operators.sketch import cms_heavy_hitters
+
+    df = spark.createDataFrame([("a",)] * 90 + [("b",)] * 10, "token string")
+    got = {r["token"] for r in
+           cms_heavy_hitters(df, "token", min_div=5).collect()}  # thr = 20
+    assert got == {"a"}
+    with pytest.raises(ValueError):
+        cms_heavy_hitters(df, "token")
+    with pytest.raises(ValueError):
+        cms_heavy_hitters(df, "token", min_count=1, min_div=2)
