@@ -71,6 +71,43 @@ def canonical_pick(
     )
 
 
+def incremental_dedup_keys(
+    batch: DataFrame,
+    store: DataFrame,
+    fp,
+    id_col: str,
+    store_fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental ingest dedup: the (fingerprint, keep_id) rows of
+    a NEW batch that are not already in a persisted fingerprint
+    ``store`` — the nightly-snapshot pattern where yesterday's corpus
+    is never rescanned as text, only its fingerprint table.
+
+    ``fp`` is the batch's fingerprint Column (any canonicalization:
+    full-text md5, prefix, winnowing key ...); ``store`` holds one
+    ``store_fp_col`` per previously ingested fingerprint.
+
+    Output = exact_dedup_keys semantics within the batch, minus
+    store hits; append it to the store to complete the cycle.
+
+    Scale: the batch is aggregated once (map-combinable min-id per
+    fingerprint) and then BROADCAST twice — first into a left-semi
+    probe where the (huge) store is the streamed side, so the store
+    is scanned map-side and NEVER shuffled, then the (batch-bounded)
+    hit set broadcasts into the anti-join. Nothing anywhere moves
+    more rows than the new batch itself.
+    """
+    canon = (
+        batch.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+    hits = store.select(F.col(store_fp_col).alias("fingerprint")).join(
+        F.broadcast(canon.select("fingerprint")), "fingerprint", "left_semi"
+    )
+    return canon.join(F.broadcast(hits), "fingerprint", "left_anti")
+
+
 #: prime modulus for the affine minhash family (< 2^30 so the
 #: a*h multiply stays inside int64 in every engine)
 MINHASH_P = 1073741789

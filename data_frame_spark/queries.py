@@ -760,6 +760,38 @@ def canonical_docs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "incremental_dedup_batch",
+    oracle="""
+    WITH fp AS (SELECT doc_id, SUBSTR(text, 1, 40) AS fingerprint
+                FROM documents),
+         store AS (SELECT fingerprint FROM fp WHERE doc_id % 3 = 0),
+         batch AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 3 <> 0),
+         canon AS (SELECT fingerprint, MIN(doc_id) AS keep_id,
+                          CAST(COUNT(*) AS BIGINT) AS dup_count
+                   FROM batch GROUP BY fingerprint)
+    SELECT c.fingerprint, c.keep_id, c.dup_count
+    FROM canon c LEFT JOIN store s ON c.fingerprint = s.fingerprint
+    WHERE s.fingerprint IS NULL
+    """,
+)
+def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nightly-snapshot ingest dedup: docs with doc_id%3==0 play the
+    already-ingested store (as its fingerprint table), the rest are
+    the incoming batch; output = the batch's canonical new
+    fingerprints (in-batch dedup minus store hits). The store side
+    is only ever streamed through a broadcast left-semi probe —
+    never shuffled — so yesterday's 100 TB corpus costs one
+    fingerprint-table scan."""
+    docs = t(spark, sf_dir, "documents")
+    fp = F.substring("text", 1, 40)
+    # a real store is already distinct; duplicates would not change
+    # the semi/anti semantics anyway, so no store-side dedup shuffle
+    store = docs.where(F.col("doc_id") % 3 == 0).select(fp.alias("fingerprint"))
+    batch = docs.where(F.col("doc_id") % 3 != 0)
+    return OpDedup.incremental_dedup_keys(batch, store, fp, "doc_id")
+
+
+@query(
     "top_revenue_orders",
     oracle=f"""
     SELECT o_orderkey, revenue FROM (
@@ -3433,6 +3465,7 @@ _FIRST = [
     "curriculum_buckets_docs",
     "canonical_docs_by_quality",
     "heavy_hitter_tokens",
+    "incremental_dedup_batch",
     "mixture_sample_docs",
     "pack_chunks_256",
     "corpus_stats_rollup",

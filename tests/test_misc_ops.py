@@ -110,3 +110,38 @@ def test_canonical_pick_is_single_aggregate(spark):
     # group-key sorts are fine; a Window or a global Sort is not
     assert "Window" not in plan
     assert "Sort [k" in plan or "HashAggregate" in plan  # never Sort [q/global
+
+
+def test_incremental_dedup_keys_semantics(spark):
+    import pyspark.sql.functions as F
+
+    from data_frame_spark.operators.dedup import incremental_dedup_keys
+
+    store = spark.createDataFrame([("fpA",), ("fpB",)], "fingerprint string")
+    batch = spark.createDataFrame(
+        [(10, "fpA"), (11, "fpC"), (12, "fpC"), (13, "fpD")],
+        "id long, f string",
+    )
+    got = {r["fingerprint"]: (r["keep_id"], r["dup_count"])
+           for r in incremental_dedup_keys(batch, store, F.col("f"), "id").collect()}
+    # fpA already ingested -> dropped; fpC collapses in-batch to min id
+    assert got == {"fpC": (11, 2), "fpD": (13, 1)}
+
+
+def test_incremental_dedup_store_cycle(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from data_frame_spark.operators.dedup import incremental_dedup_keys
+
+    path = str(tmp_path / "fp_store")
+    day1 = spark.createDataFrame([(1, "x"), (2, "y")], "id long, f string")
+    empty_store = spark.createDataFrame([], "fingerprint string")
+    new1 = incremental_dedup_keys(day1, empty_store, F.col("f"), "id")
+    new1.select("fingerprint").write.mode("overwrite").parquet(path)
+
+    day2 = spark.createDataFrame([(3, "y"), (4, "z")], "id long, f string")
+    store = spark.read.parquet(path)
+    new2 = incremental_dedup_keys(day2, store, F.col("f"), "id")
+    assert {r["fingerprint"] for r in new2.collect()} == {"z"}  # y seen on day 1
+    new2.select("fingerprint").write.mode("append").parquet(path)
+    assert {r["fingerprint"] for r in spark.read.parquet(path).collect()} == {"x", "y", "z"}

@@ -237,6 +237,21 @@ def test_heavy_hitters_gate_is_mapside_filter(spark, sf_dir):
     assert not C.data_sized_partitionless_windows(df)
 
 
+def test_incremental_dedup_store_never_shuffles(spark, sf_dir):
+    # the fingerprint store must be the STREAMED side of a broadcast
+    # left-semi probe — a store-side Exchange would re-shuffle
+    # yesterday's whole corpus every night
+    df = QUERIES["incremental_dedup_batch"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # semi probe + anti join
+    # the only data shuffles are batch-keyed (canonical agg + the
+    # probe-set dedup); the store side streams into the semi probe
+    data, _tiny = C.shuffle_census(df)
+    assert data <= 2, data
+    assert not C.data_sized_partitionless_windows(df)
+
+
 def test_sampling_has_no_global_sort(spark, sf_dir):
     # the stratified rank shuffles by stratum; the uniform sample must
     # plan as TakeOrderedAndProject (per-partition top-k), never a
