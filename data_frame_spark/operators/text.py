@@ -721,3 +721,69 @@ def unigram_lm_nll(
         "nll_micro",
         F.expr("nll_micro div n_tokens").alias("avg_nll_micro"),
     )
+
+
+def collocations(
+    df: "DataFrame",
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 20,
+) -> "DataFrame":
+    """Top collocations (adjacent word pairs) by pointwise mutual
+    information: PMI = ln(p(x,y) / (p(x) p(y))) with p from corpus
+    unigram/bigram counts — the classic collocation-mining signal
+    ("new york" >> "of the") used for corpus inspection and
+    tokenizer-merge candidates. Pairs below ``min_count`` are
+    dropped (PMI is noise at tiny counts).
+
+    Output: (w1, w2, pair_count, pmi_micro) — PMI quantized to
+    integer micro-nats (FLOOR(x*1e6+0.5)) so ranking and values are
+    engine-exact; ties by (w1, w2).
+
+    Scale: bigram and unigram counts are each ONE map-combinable
+    corpus shuffle (narrow shingle explode feeding both); the count
+    tables are vocab-sized and checkpointed once; the PMI joins run
+    over those aggregate tables (AQE broadcasts them when small),
+    and the final top-k is a TakeOrderedAndProject.
+    """
+    toks = tokens(F.col(text_col))
+    big = (
+        df.select(F.explode(word_shingles(F.col(text_col), 2)).alias("bg"))
+        .where(F.size(F.split(F.col("bg"), " ")) == 2)
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+        .select(
+            F.split(F.col("bg"), " ")[0].alias("w1"),
+            F.split(F.col("bg"), " ")[1].alias("w2"),
+            "c_xy",
+        )
+        .localCheckpoint(eager=True)  # surviving-pair-sized
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # vocab-sized
+    )
+    nb = df.select(F.explode(word_shingles(F.col(text_col), 2)).alias("bg")).where(
+        F.size(F.split(F.col("bg"), " ")) == 2
+    ).agg(F.count(F.lit(1)).alias("nb"))
+    nu = uni.agg(F.sum("c").alias("nu"))
+
+    d = "double"
+    joined = (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+    )
+    pxy = F.col("c_xy").cast(d) / F.col("nb").cast(d)
+    px = F.col("c_x").cast(d) / F.col("nu").cast(d)
+    py = F.col("c_y").cast(d) / F.col("nu").cast(d)
+    pmi = F.floor(F.log(pxy / (px * py)) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return (
+        joined.select("w1", "w2", F.col("c_xy").alias("pair_count"), pmi.alias("pmi_micro"))
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(top_k)
+    )

@@ -1669,6 +1669,51 @@ def curriculum_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pmi_collocations_docs",
+    oracle=r"""
+    WITH norm AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+         toks AS (SELECT string_split(t, ' ') AS tk FROM norm),
+         bg0 AS (SELECT CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+                             ELSE list_transform(generate_series(1, len(tk)-1),
+                                                 i -> array_to_string(tk[i:i+1], ' '))
+                        END AS bgs
+                 FROM toks),
+         bgf AS (SELECT bg FROM (SELECT UNNEST(bgs) AS bg FROM bg0)
+                 WHERE len(string_split(bg, ' ')) = 2),
+         bigc AS (SELECT string_split(bg, ' ')[1] AS w1,
+                         string_split(bg, ' ')[2] AS w2,
+                         CAST(COUNT(*) AS BIGINT) AS c_xy
+                  FROM bgf GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         uni AS (SELECT term AS w, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM (SELECT UNNEST(tk) AS term FROM toks) GROUP BY term),
+         nbt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bgf),
+         nut AS (SELECT CAST(SUM(c) AS BIGINT) AS nu FROM uni),
+         j AS (SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y, nb, nu
+               FROM bigc JOIN uni u1 ON w1 = u1.w JOIN uni u2 ON w2 = u2.w
+               CROSS JOIN nbt CROSS JOIN nut)
+    SELECT w1, w2, c_xy AS pair_count,
+           CAST(FLOOR(ln((CAST(c_xy AS DOUBLE) / CAST(nb AS DOUBLE))
+                         / ((CAST(c_x AS DOUBLE) / CAST(nu AS DOUBLE))
+                            * (CAST(c_y AS DOUBLE) / CAST(nu AS DOUBLE))))
+                      * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                AS BIGINT) AS pmi_micro
+    FROM j ORDER BY pmi_micro DESC, w1, w2 LIMIT 20
+    """,
+)
+def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information (pairs
+    with >= 5 occurrences): micro-nat-quantized PMI so values and
+    ranking are engine-exact. One map-combinable corpus shuffle per
+    count table (both checkpointed once), PMI over the vocab-sized
+    aggregates, TakeOrderedAndProject top-k."""
+    from data_frame_spark.operators.distributed import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    return OpText.collocations(docs, "text", min_count=5, top_k=20)
+
+
+@query(
     "per_source_cap_docs",
     oracle="""
     WITH r AS (
@@ -3466,6 +3511,7 @@ _FIRST = [
     "canonical_docs_by_quality",
     "heavy_hitter_tokens",
     "incremental_dedup_batch",
+    "pmi_collocations_docs",
     "mixture_sample_docs",
     "pack_chunks_256",
     "corpus_stats_rollup",

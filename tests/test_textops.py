@@ -497,3 +497,39 @@ def test_unigram_lm_gibberish_scores_higher(spark):
     out = {r["doc_id"]: r["avg_nll_micro"] for r in
            unigram_lm_nll(docs, "text", "doc_id").collect()}
     assert out[99] > 2 * out[0]  # rare-token doc diverges hard
+
+
+def test_collocations_hand_computed_pmi(spark):
+    import math
+
+    from data_frame_spark.operators.text import collocations
+
+    # 'new york' always adjacent; 'the the' frequent but independent
+    docs = spark.createDataFrame(
+        [(0, "new york " + "the " * 8)] * 6, "doc_id long, text string"
+    )
+    out = {(r["w1"], r["w2"]): (r["pair_count"], r["pmi_micro"])
+           for r in collocations(docs, "text", min_count=5, top_k=10).collect()}
+    # per doc: tokens = [new, york, the*8] (10 tokens, 9 bigrams)
+    # bigrams: (new,york) x1, (york,the) x1, (the,the) x7 -> x6 docs
+    nu, nb = 60, 54
+    def pmi(cxy, cx, cy):
+        return math.floor(
+            math.log((cxy / nb) / ((cx / nu) * (cy / nu))) * 1e6 + 0.5
+        )
+    assert out[("new", "york")] == (6, pmi(6, 6, 6))
+    assert out[("the", "the")] == (42, pmi(42, 48, 48))
+    # always-together rare pair scores far above the frequent pair
+    assert out[("new", "york")][1] > out[("the", "the")][1]
+
+
+def test_collocations_min_count_filter(spark):
+    from data_frame_spark.operators.text import collocations
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "c d c d c d c d c d")], "doc_id long, text string"
+    )
+    got = {(r["w1"], r["w2"]) for r in
+           collocations(docs, "text", min_count=5, top_k=10).collect()}
+    assert ("a", "b") not in got          # count 1 < 5
+    assert ("c", "d") in got              # count 5
