@@ -1713,6 +1713,55 @@ def pmi_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OpText.collocations(docs, "text", min_count=5, top_k=20)
 
 
+def _zipf_sql() -> str:
+    b = "(((n * slxly) - (slx * sly)) / ((n * slx2) - (slx * slx)))"
+    a = f"EXP((sly - ({b} * slx)) / n)"
+    return rf"""
+    WITH norm AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+         tok AS (SELECT UNNEST(string_split(t, ' ')) AS term FROM norm),
+         cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY term),
+         r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) AS DOUBLE) AS x,
+                      CAST(c AS DOUBLE) AS y
+               FROM cnt),
+         m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                      {_fsum('ln(x) * ln(y)')} AS slxly,
+                      {_fsum('ln(x)')} AS slx,
+                      {_fsum('ln(y)')} AS sly,
+                      {_fsum('ln(x) * ln(x)')} AS slx2
+               FROM r)
+    SELECT ROUND({a}, 6) AS a, ROUND({b}, 6) AS zipf_exponent FROM m
+    """
+
+
+@query("zipf_fit_tokens", oracle=_zipf_sql())
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the token rank-frequency curve
+    (count ~ a * rank^b): the corpus-health check that a natural
+    corpus shows b near -1 and synthetic/templated text shows a
+    flat head. Composes the distributed token count (one
+    map-combinable shuffle; the rank window runs OVER the
+    vocab-sized aggregate, which is the sanctioned partitionless
+    form) with the reference-parity power fit
+    (least-squares-fit.rkt:156-196) and its scale-6-quantized exact
+    moment sums."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(OpText.tokens(F.col("text"))).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("term"))
+    d = cnt.select(
+        F.row_number().over(w).cast("double").alias("x"),
+        F.col("c").cast("double").alias("y"),
+    )
+    fit = OpFit.least_squares_fit(d, "x", "y", mode="power")
+    a, b = fit.coefficients
+    return spark.createDataFrame(
+        [(round(a, 6), round(b, 6))], ["a", "zipf_exponent"]
+    )
+
+
 @query(
     "per_source_cap_docs",
     oracle="""
@@ -3512,6 +3561,7 @@ _FIRST = [
     "heavy_hitter_tokens",
     "incremental_dedup_batch",
     "pmi_collocations_docs",
+    "zipf_fit_tokens",
     "mixture_sample_docs",
     "pack_chunks_256",
     "corpus_stats_rollup",

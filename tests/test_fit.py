@@ -111,3 +111,17 @@ def test_slr_degenerate(spark):
     row = Fit.slr_df(df, "x", "y").collect()[0]
     # zero x-variance -> NaN/NULL outputs (reference returns #f)
     assert row["beta"] is None or math.isnan(row["beta"])
+
+
+def test_power_fit_recovers_zipf_exponent(spark):
+    # exact power-law data y = 100 * x^-1: the closed-form fit must
+    # recover both coefficients (log-log linear regression is exact
+    # on noiseless data up to the scale-6 moment quantization)
+    rows = [(float(r), 100.0 / r) for r in range(1, 50)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    from data_frame_spark.operators.fit import least_squares_fit
+
+    fit = least_squares_fit(df, "x", "y", mode="power")
+    a, b = fit.coefficients
+    assert abs(a - 100.0) < 0.01
+    assert abs(b - (-1.0)) < 1e-4
