@@ -294,3 +294,93 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# grid-quantile sketch (mergeable distributed quantile estimation)
+# ---------------------------------------------------------------------------
+
+
+def grid_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    bins: int = 256,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group quantile ESTIMATES from an equi-width bin-count
+    sketch — the scale-correct alternative to exact sort-based
+    quantiles (``operators/stats.py:120``, which reproduces the
+    reference ``df-quantile`` semantics, ``statistics.rkt``): no
+    global sort anywhere, just two map-combinable aggregations.
+
+    Pass 1 computes (min, max, n) per group; pass 2 buckets every
+    value into one of ``bins`` equal-width bins against the
+    broadcast range table and counts per (group, bin). The bin-count
+    table is the SKETCH: fixed boundaries make it a merge monoid
+    (counts from independent corpus shards just add), it is
+    aggregate-sized (≤ groups x bins rows), and the quantile read-out
+    — cumulative counts, then linear interpolation inside the first
+    bin whose cumulative count reaches ceil(p*n) — runs on the
+    sketch, never the data. Estimation error is bounded by one bin
+    width (hi-lo)/bins, asserted in tests/test_sketch.py.
+
+    Everything is integer counts + IEEE-reproducible double
+    arithmetic on (lo, hi), so the estimate is deterministic and
+    oracle-checkable bit for bit; the final value is quantized to
+    integer micro-units (FLOOR(x*1e6+0.5)) like the LM/PMI scores.
+
+    Output: (scope, prob_pct, n, bin, est_micro).
+    """
+    scope = (
+        F.lit("ALL") if group_col is None else F.col(group_col).cast("string")
+    )
+    base = df.select(
+        scope.alias("scope"), F.col(value_col).cast("double").alias("__x")
+    ).where(F.col("__x").isNotNull())
+    rng = base.groupBy("scope").agg(
+        F.min("__x").alias("__lo"),
+        F.max("__x").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    b = F.when(F.col("__hi") == F.col("__lo"), F.lit(0).cast("long")).otherwise(
+        F.least(
+            F.floor((F.col("__x") - F.col("__lo")) / w), F.lit(bins - 1).cast("long")
+        )
+    )
+    counts = (
+        base.join(F.broadcast(rng), "scope")
+        .groupBy("scope", "__lo", "__hi", "__n", b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    cum = counts.withColumn(
+        "__cum",
+        F.sum("__c").over(Window.partitionBy("scope").orderBy("__b")),
+    )
+    cand = cum.select(
+        "*", F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("__p")
+    ).withColumn(
+        "__target",
+        F.greatest(F.ceil(F.col("__p") * F.col("__n")).cast("long"), F.lit(1)),
+    ).where(F.col("__cum") >= F.col("__target"))
+    pick = cand.groupBy("scope", "__p").agg(
+        F.min_by(
+            F.struct("__b", "__c", "__cum", "__lo", "__hi", "__n", "__target"),
+            F.col("__b"),
+        ).alias("s")
+    )
+    frac = (F.col("s.__target") - (F.col("s.__cum") - F.col("s.__c"))) / F.col(
+        "s.__c"
+    )
+    wp = (F.col("s.__hi") - F.col("s.__lo")) / F.lit(float(bins))
+    est = F.when(F.col("s.__hi") == F.col("s.__lo"), F.col("s.__lo")).otherwise(
+        F.col("s.__lo") + wp * (F.col("s.__b") + frac)
+    )
+    return pick.select(
+        "scope",
+        F.floor(F.col("__p") * 100 + F.lit(0.5)).cast("long").alias("prob_pct"),
+        F.col("s.__n").alias("n"),
+        F.col("s.__b").alias("bin"),
+        F.floor(est * 1e6 + F.lit(0.5)).cast("long").alias("est_micro"),
+    )

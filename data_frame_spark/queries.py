@@ -2112,6 +2112,58 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grid_quantiles_price",
+    oracle="""
+    WITH x AS (SELECT CAST(l_returnflag AS VARCHAR) AS scope,
+                      CAST(l_extendedprice AS DOUBLE) AS v
+               FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         rng AS (SELECT scope, MIN(v) AS lo, MAX(v) AS hi,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM x GROUP BY scope),
+         bnd AS (SELECT x.scope, lo, hi, n,
+                        CASE WHEN hi = lo THEN 0
+                             ELSE LEAST(CAST(FLOOR((v - lo) / ((hi - lo) / 256.0)) AS BIGINT), 255)
+                        END AS b
+                 FROM x JOIN rng USING (scope)),
+         cnt AS (SELECT scope, lo, hi, n, b, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM bnd GROUP BY ALL),
+         cum AS (SELECT *, SUM(c) OVER (PARTITION BY scope ORDER BY b) AS cm
+                 FROM cnt),
+         pr AS (SELECT UNNEST([0.01, 0.25, 0.5, 0.75, 0.99]) AS p),
+         cand AS (SELECT scope, p, b, c, cm, lo, hi, n,
+                         GREATEST(CAST(CEIL(p * n) AS BIGINT), 1) AS target
+                  FROM cum CROSS JOIN pr
+                  WHERE cm >= GREATEST(CAST(CEIL(p * n) AS BIGINT), 1)),
+         pick AS (SELECT * FROM cand
+                  QUALIFY ROW_NUMBER() OVER (PARTITION BY scope, p ORDER BY b) = 1),
+         est AS (SELECT scope, p, n, b,
+                        CASE WHEN hi = lo THEN lo
+                             ELSE lo + ((hi - lo) / 256.0)
+                                  * (b + CAST(target - (cm - c) AS DOUBLE) / c)
+                        END AS e
+                 FROM pick)
+    SELECT scope, CAST(FLOOR(p * 100 + 0.5) AS BIGINT) AS prob_pct, n, b AS bin,
+           CAST(FLOOR(e * 1e6 + 0.5) AS BIGINT) AS est_micro
+    FROM est
+    """,
+)
+def grid_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable grid-quantile sketch of l_extendedprice per return
+    flag: quantiles WITHOUT a sort — two map-combinable passes and a
+    read-out on the aggregate-sized bin-count monoid. The scale path
+    next to the exact `quantiles_extendedprice` (reference
+    `df-quantile`, `statistics.rkt`)."""
+    li = t(spark, sf_dir, "lineitem")
+    return OpSketch.grid_quantiles(
+        li,
+        "l_extendedprice",
+        probs=[0.01, 0.25, 0.5, 0.75, 0.99],
+        bins=256,
+        group_col="l_returnflag",
+    )
+
+
+@query(
     "text_features_docs",
     oracle=r"""
     WITH base AS (SELECT doc_id, text,
@@ -3566,6 +3618,7 @@ _FIRST = [
     "pack_chunks_256",
     "corpus_stats_rollup",
     "denylist_scrub_docs",
+    "grid_quantiles_price",
     "near_dup_clusters_docs",
     "stratified_sample_docs",
     "chunk_documents",

@@ -406,3 +406,22 @@ def test_denylist_scrub_is_map_only(spark, sf_dir):
     df = QUERIES["denylist_scrub_docs"](spark, sf_dir)
     assert C.count_shuffles(df) == 0
     assert not C.data_sized_partitionless_windows(df)
+
+
+def test_grid_quantiles_sketch_plan(spark, sf_dir):
+    # quantiles WITHOUT a sort: the data path is two map-combinable
+    # aggregations (range, then bin counts against the broadcast
+    # range table); all remaining machinery runs on the
+    # aggregate-sized bin-count sketch. No global sort of the data,
+    # no data-sized partitionless window.
+    df = QUERIES["grid_quantiles_price"](spark, sf_dir)
+    assert C.uses_broadcast_join(df)
+    assert C.data_sized_partitionless_windows(df) == []
+    data, tiny = C.shuffle_census(df)
+    # 2 data shuffles (range agg, bin-count agg) + 1 exchange of the
+    # aggregate-sized bin table itself (≤ groups x bins rows — bounded
+    # by construction, though the census's tiny-rule only recognizes
+    # __bucket spines)
+    assert data <= 3, (data, tiny)
+    plan = C.simple_plan(df)
+    assert "partial_count" in plan  # map-side combine on the bin counts

@@ -233,3 +233,55 @@ def test_cms_heavy_hitters_min_div_and_arg_validation(spark):
         cms_heavy_hitters(df, "token")
     with pytest.raises(ValueError):
         cms_heavy_hitters(df, "token", min_count=1, min_div=2)
+
+
+# ---------------------------------------------------------------------------
+# grid-quantile sketch
+# ---------------------------------------------------------------------------
+
+from data_frame_spark.operators.sketch import grid_quantiles
+
+
+def test_grid_quantiles_error_bounded_by_bin_width(spark):
+    # uniform-ish data: every estimate must land within one bin width
+    # of the exact quantile (the sketch's documented error bound)
+    import random
+
+    rnd = random.Random(7)
+    vals = [(rnd.uniform(0.0, 1000.0),) for _ in range(20000)]
+    df = spark.createDataFrame(vals, "v double")
+    probs = [0.1, 0.5, 0.9]
+    got = {r["prob_pct"]: r["est_micro"] / 1e6 for r in
+           grid_quantiles(df, "v", probs, bins=128).collect()}
+    exact = df.selectExpr(
+        *[f"percentile(v, {p}) AS p{int(p*100)}" for p in probs]
+    ).collect()[0]
+    lo, hi = min(v for v, in vals), max(v for v, in vals)
+    bw = (hi - lo) / 128
+    for p in probs:
+        assert abs(got[int(p * 100)] - exact[f"p{int(p*100)}"]) <= bw
+
+
+def test_grid_quantiles_degenerate_single_value_group(spark):
+    # hi == lo: bin width is zero; the estimate must be the value
+    # itself, not NaN/div-by-zero
+    df = spark.createDataFrame([("a", 5.0)] * 10 + [("b", float(i)) for i in range(100)],
+                               "g string, v double")
+    rows = {(r["scope"], r["prob_pct"]): r for r in
+            grid_quantiles(df, "v", [0.5], bins=16, group_col="g").collect()}
+    assert rows[("a", 50)]["est_micro"] == 5_000_000
+    assert rows[("a", 50)]["n"] == 10
+
+
+def test_grid_quantiles_bin_counts_merge_monoid(spark):
+    # fixed boundaries: sketches from independent shards merge by
+    # adding bin counts — estimating over the union equals estimating
+    # over the concatenation (same fixed (lo, hi) range)
+    a = spark.createDataFrame([(float(i),) for i in range(0, 1000)], "v double")
+    b = spark.createDataFrame([(float(i),) for i in range(0, 1000)], "v double")
+    whole = a.unionAll(b)
+    est_whole = grid_quantiles(whole, "v", [0.25, 0.75], bins=64).collect()
+    est_a = grid_quantiles(a, "v", [0.25, 0.75], bins=64).collect()
+    # same per-bin distribution (b duplicates a) -> identical estimates
+    assert sorted((r["prob_pct"], r["est_micro"]) for r in est_whole) == \
+        sorted((r["prob_pct"], r["est_micro"]) for r in est_a)
