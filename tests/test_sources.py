@@ -501,3 +501,77 @@ def test_partitioned_parquet_schema_evolution(spark, tmp_path):
     rows = {r["id"]: r for r in back.collect()}
     assert rows[1]["quality"] is None and rows[3]["quality"] == 0.9
     assert len(rows) == 3
+
+
+# ---------------------------------------------------------------------------
+# ORC source/sink
+# ---------------------------------------------------------------------------
+
+
+def test_orc_round_trip_partitioned_with_pruning(spark, sf_dir, tmp_path):
+    from data_frame_spark.sources.orc import write_orc, read_orc
+    from data_frame_spark.plans import checks as C
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_orc")
+    write_orc(docs, out, ["lang"])
+    back = read_orc(spark, out)
+    assert back.count() == docs.count()
+    # same rows, modulo column order (lang moves to the partition tail)
+    a = {tuple(sorted(r.asDict().items())) for r in docs.collect()}
+    b = {tuple(sorted(r.asDict().items())) for r in back.collect()}
+    assert a == b
+    # partition-key filters prune directories at planning time
+    plan = C.formatted_plan(back.where("lang = 'en'"))
+    assert "PartitionFilters" in plan and "lang" in plan
+
+
+def test_orc_unpartitioned_round_trip(spark, tmp_path):
+    from data_frame_spark.sources.orc import write_orc, read_orc
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    out = str(tmp_path / "plain_orc")
+    write_orc(df, out)
+    assert sorted((r["id"], r["s"]) for r in read_orc(spark, out).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# binaryFile ingestion
+# ---------------------------------------------------------------------------
+
+_PNG = bytes.fromhex("89504E470D0A1A0A") + b"\x00" * 16
+_JPEG = bytes.fromhex("FFD8FFE000104A46") + b"\x00" * 8
+
+
+def test_binary_dir_read_and_sniff(spark, tmp_path):
+    from data_frame_spark.sources.binaryfiles import read_media_corpus
+
+    d = tmp_path / "media"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.png").write_bytes(_PNG)
+    (d / "sub" / "b.jpg").write_bytes(_JPEG)
+    (d / "notes.txt").write_text("not media")
+
+    df = read_media_corpus(spark, str(d))
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.png", "b.jpg", "notes.txt"}
+    assert rows["a.png"]["meta"]["format"] == "png"
+    assert rows["b.jpg"]["meta"]["format"] == "jpeg"
+    assert rows["notes.txt"]["meta"]["format"] == "unknown"
+    assert rows["a.png"]["length"] == len(_PNG)
+    assert rows["a.png"]["meta"]["n_bytes"] == len(_PNG)
+
+
+def test_binary_dir_glob_filters_at_planning_time(spark, tmp_path):
+    from data_frame_spark.sources.binaryfiles import read_binary_dir
+
+    d = tmp_path / "media2"
+    d.mkdir()
+    (d / "a.png").write_bytes(_PNG)
+    (d / "b.jpg").write_bytes(_JPEG)
+    df = read_binary_dir(spark, str(d), glob="*.png")
+    paths = [r["path"] for r in df.select("path").collect()]
+    assert len(paths) == 1 and paths[0].endswith("a.png")
