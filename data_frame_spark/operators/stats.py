@@ -311,3 +311,137 @@ def quantile_buckets(
         .withColumn(out_col, bucket.cast("int"))
         .drop(*[f"__t{i}" for i in range(len(probs))])
     )
+
+
+# ---------------------------------------------------------------------------
+# robust statistics: median / MAD outlier detection
+# ---------------------------------------------------------------------------
+
+
+def _grid_exact_kth(base: DataFrame, bins: int) -> DataFrame:
+    """Exact type-1 median per scope WITHOUT a per-group sort of the
+    data: grid-prune to the median's bin, exact-rank only the remnant.
+
+    ``base`` is (scope: string, __x: double), NA-free. Returns
+    (scope, __med).
+
+    Pass 1 gets (lo, hi, n) per scope; pass 2 counts rows per
+    equal-width bin; the aggregate-sized cumulative bin table locates
+    the bin containing rank ceil(n/2), and only THAT bin's rows
+    (≈ n/bins per group) are ranked exactly — the per-scope ordered
+    window runs on the remnant, never the data. Degenerate groups
+    (hi == lo: every value identical) short-circuit to lo. A
+    mass-point group (most rows one value) can still concentrate its
+    remnant in one bin — the pick is then trivially that value, but
+    the remnant sort is data-sized for that group; same documented
+    judgement as the stratified-sample threshold phase
+    (operators/sampling.py).
+    """
+    rng = base.groupBy("scope").agg(
+        F.min("__x").alias("__lo"),
+        F.max("__x").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+
+    def bin_of(x):
+        w = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+        return F.least(F.floor((x - F.col("__lo")) / w), F.lit(bins - 1).cast("long"))
+
+    nondeg = base.join(F.broadcast(rng.where(F.col("__hi") != F.col("__lo"))), "scope")
+    counts = nondeg.groupBy(
+        "scope", "__lo", "__hi", "__n", bin_of(F.col("__x")).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    cum = counts.withColumn(
+        "__cum", F.sum("__c").over(Window.partitionBy("scope").orderBy("__b"))
+    ).withColumn(
+        "__target", F.greatest(F.ceil(F.lit(0.5) * F.col("__n")).cast("long"), F.lit(1))
+    )
+    pick = (
+        cum.where(F.col("__cum") >= F.col("__target"))
+        .groupBy("scope")
+        .agg(F.min_by(F.struct("__b", "__cum", "__c", "__target"), F.col("__b")).alias("s"))
+        .select(
+            "scope",
+            F.col("s.__b").alias("__mb"),
+            (F.col("s.__cum") - F.col("s.__c")).alias("__before"),
+            F.col("s.__target").alias("__target"),
+        )
+    )
+    remnant = nondeg.join(F.broadcast(pick), "scope").where(
+        bin_of(F.col("__x")) == F.col("__mb")
+    )
+    rn = F.row_number().over(Window.partitionBy("scope").orderBy("__x"))
+    med = (
+        remnant.withColumn("__rn", rn)
+        .where(F.col("__rn") == F.col("__target") - F.col("__before"))
+        .select("scope", F.col("__x").alias("__med"))
+    )
+    degenerate = rng.where(F.col("__hi") == F.col("__lo")).select(
+        "scope", F.col("__lo").alias("__med")
+    )
+    return med.unionByName(degenerate)
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    thresh: float = 3.5,
+    bins: int = 256,
+) -> DataFrame:
+    """Median/MAD robust outlier detection per group (Iglewicz &
+    Hoaglin's modified z-score, the published robust-statistics
+    recipe): z = 0.6745 * (x - median) / MAD, where MAD is the
+    median absolute deviation. Unlike mean/stddev (``df-statistics``,
+    statistics.rkt:43-54), a handful of corrupt values cannot drag
+    the threshold — the estimator has a 50% breakdown point, which is
+    what a 100 TB corpus with pathological rows needs.
+
+    Both medians are EXACT type-1 quantiles computed by grid-prune +
+    remnant-rank (:func:`_grid_exact_kth`) — two passes each, no
+    per-group data sort. The final scoring pass is a broadcast join +
+    pure Column expressions, map-side.
+
+    Output: (scope, n, med_micro, mad_micro, n_outliers,
+    max_abs_z_micro) — values quantized to integer micro-units
+    (FLOOR(x*1e6+0.5)); max_abs_z_micro is NULL when MAD == 0 (more
+    than half the group sits on one value — no scale to score
+    against, outliers undefined, n_outliers = 0).
+    """
+    scope = (
+        F.lit("ALL") if group_col is None else F.col(group_col).cast("string")
+    )
+    base = df.select(
+        scope.alias("scope"), F.col(value_col).cast("double").alias("__x")
+    ).where(F.col("__x").isNotNull())
+    # med/mad are aggregate-sized (one row per scope) but their
+    # subtrees are multi-pass corpus pipelines: cut lineage once so
+    # downstream consumers (deviation pass, scoring pass) read the
+    # stored rows instead of re-executing the grid passes — same
+    # judgement as the shingle table (dedup.py:221-232)
+    med = _grid_exact_kth(base, bins).localCheckpoint(eager=True)
+    dev = base.join(F.broadcast(med), "scope").select(
+        "scope", F.abs(F.col("__x") - F.col("__med")).alias("__x")
+    )
+    mad = _grid_exact_kth(dev, bins).withColumnRenamed(
+        "__med", "__mad"
+    ).localCheckpoint(eager=True)
+    params = med.join(mad, "scope")
+    z = F.lit(0.6745) * F.abs(F.col("__x") - F.col("__med")) / F.col("__mad")
+    scored = base.join(F.broadcast(params), "scope")
+    return scored.groupBy("scope", "__med", "__mad").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("__mad") > 0) & (z > F.lit(thresh)), 1).otherwise(0)
+        ).alias("n_outliers"),
+        F.max(F.when(F.col("__mad") > 0, F.floor(z * 1e6 + F.lit(0.5)).cast("long"))).alias(
+            "max_abs_z_micro"
+        ),
+    ).select(
+        "scope",
+        "n",
+        F.floor(F.col("__med") * 1e6 + F.lit(0.5)).cast("long").alias("med_micro"),
+        F.floor(F.col("__mad") * 1e6 + F.lit(0.5)).cast("long").alias("mad_micro"),
+        "n_outliers",
+        "max_abs_z_micro",
+    )

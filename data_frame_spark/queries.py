@@ -2164,6 +2164,48 @@ def grid_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "robust_outliers_value",
+    oracle="""
+    WITH base AS (SELECT CAST(event_type AS VARCHAR) AS scope,
+                         CAST(value AS DOUBLE) AS x
+                  FROM events WHERE value IS NOT NULL),
+         r1 AS (SELECT scope, x,
+                       ROW_NUMBER() OVER (PARTITION BY scope ORDER BY x) AS rn,
+                       COUNT(*) OVER (PARTITION BY scope) AS n
+                FROM base),
+         med AS (SELECT scope, x AS med, n FROM r1
+                 WHERE rn = GREATEST(CAST(CEIL(0.5 * n) AS BIGINT), 1)),
+         d AS (SELECT b.scope, ABS(b.x - m.med) AS dx
+               FROM base b JOIN med m USING (scope)),
+         r2 AS (SELECT scope, dx,
+                       ROW_NUMBER() OVER (PARTITION BY scope ORDER BY dx) AS rn,
+                       COUNT(*) OVER (PARTITION BY scope) AS n
+                FROM d),
+         mad AS (SELECT scope, dx AS mad FROM r2
+                 WHERE rn = GREATEST(CAST(CEIL(0.5 * n) AS BIGINT), 1)),
+         sc AS (SELECT b.scope, m.n, m.med, a.mad,
+                       0.6745 * ABS(b.x - m.med) / a.mad AS z
+                FROM base b JOIN med m USING (scope) JOIN mad a USING (scope))
+    SELECT scope, n,
+           CAST(FLOOR(med * 1e6 + 0.5) AS BIGINT) AS med_micro,
+           CAST(FLOOR(mad * 1e6 + 0.5) AS BIGINT) AS mad_micro,
+           CAST(SUM(CASE WHEN mad > 0 AND z > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           MAX(CASE WHEN mad > 0 THEN CAST(FLOOR(z * 1e6 + 0.5) AS BIGINT) END)
+               AS max_abs_z_micro
+    FROM sc GROUP BY scope, n, med, mad
+    """,
+)
+def robust_outliers_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD modified-z outlier audit of event values per event
+    type — the robust counterpart to `df-statistics` mean/stddev
+    (statistics.rkt:43-54). Both medians are exact, computed by
+    grid-prune + remnant-rank (no per-group data sort)."""
+    ev = t(spark, sf_dir, "events")
+    return OpStats.robust_outlier_stats(ev, "value", group_col="event_type")
+
+
+@query(
     "text_features_docs",
     oracle=r"""
     WITH base AS (SELECT doc_id, text,
@@ -3619,6 +3661,7 @@ _FIRST = [
     "corpus_stats_rollup",
     "denylist_scrub_docs",
     "grid_quantiles_price",
+    "robust_outliers_value",
     "near_dup_clusters_docs",
     "stratified_sample_docs",
     "chunk_documents",

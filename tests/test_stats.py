@@ -155,3 +155,49 @@ def test_quantile_buckets_rejects_unsorted_probs(spark):
     df = spark.createDataFrame([(1.0,)], "v double")
     with pytest.raises(ValueError):
         quantile_buckets(df, "v", probs=(0.5, 0.25))
+
+
+# ---------------------------------------------------------------------------
+# robust outlier stats (median / MAD)
+# ---------------------------------------------------------------------------
+
+
+def test_robust_outliers_matches_direct_median_mad(spark):
+    from data_frame_spark.operators.stats import robust_outlier_stats
+
+    # type-1 median: sorted element at rank ceil(n/2)
+    vals = [3.0, 1.0, 7.0, 2.0, 9.0, 100.0, 2.5]  # 100.0 is the outlier
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    row = robust_outlier_stats(df, "v").collect()[0]
+    s = sorted(vals)
+    med = s[(len(s) + 1) // 2 - 1]  # 2.5... n=7 -> rank 4 -> 3.0
+    assert row["med_micro"] == round(med * 1e6)
+    devs = sorted(abs(v - med) for v in vals)
+    mad = devs[(len(devs) + 1) // 2 - 1]
+    assert row["mad_micro"] == round(mad * 1e6)
+    assert row["n"] == 7
+    assert row["n_outliers"] == 1  # only 100.0 has |z| > 3.5
+
+
+def test_robust_outliers_zero_mad_group(spark):
+    from data_frame_spark.operators.stats import robust_outlier_stats
+
+    # >half the group on one value -> MAD 0 -> no scale, no outliers
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 6 + [("a", 99.0)] * 2 + [("b", float(i)) for i in range(9)],
+        "g string, v double",
+    )
+    rows = {r["scope"]: r for r in
+            robust_outlier_stats(df, "v", group_col="g").collect()}
+    assert rows["a"]["mad_micro"] == 0
+    assert rows["a"]["n_outliers"] == 0
+    assert rows["a"]["max_abs_z_micro"] is None
+    assert rows["b"]["mad_micro"] > 0
+
+
+def test_robust_outliers_no_partitionless_windows(spark, sf_dir):
+    from data_frame_spark.plans import checks as C
+    from data_frame_spark.queries import QUERIES
+
+    df = QUERIES["robust_outliers_value"](spark, sf_dir)
+    assert C.data_sized_partitionless_windows(df) == []
