@@ -787,3 +787,108 @@ def collocations(
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(top_k)
     )
+
+
+def bigram_lm_nll(
+    df: "DataFrame", text_col: str, id_col: str, vocab_size: int = 10000
+) -> "DataFrame":
+    """Per-document NLL under a self-trained add-one-smoothed BIGRAM
+    LM — the context-aware upgrade of :func:`unigram_lm_nll`: word
+    salad with a plausible unigram profile ("the of and is the")
+    scores high because each token is conditioned on its predecessor.
+
+    Model: tokens map through the top-``vocab_size`` vocabulary (ties
+    by token) or collapse to '<unk>'; each document's first token
+    conditions on '<s>'. p(w|v) = (c(v,w) + 1) / (c(v,·) + V + 1)
+    over the V+1 mapped outcomes. Per-token NLLs quantize to integer
+    micro-nats BEFORE the per-doc sum (summation-order independent,
+    SQL-oracle exact — same recipe as the unigram LM).
+
+    Scale: bigram pairs are built MAP-SIDE with an indexed array
+    transform (no lag window, no doc-keyed shuffle); vocab mapping is
+    two broadcast joins. Data shuffles: the vocab count, the bigram
+    count (map-combinable), the score join on (prev,cur) — the
+    checkpointed bigram table is size-known, so AQE turns it into a
+    broadcast when it fits — and the per-doc sum. Like any
+    self-trained LM it is a count pass plus a score pass over the
+    corpus; the model tables in between are bounded, not corpus-sized.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("__term"),
+    )
+    cnt = toks.groupBy("__term").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = (
+        cnt.orderBy(F.col("__c").desc(), F.col("__term"))
+        .limit(vocab_size)
+        .localCheckpoint(eager=True)  # <= vocab_size rows
+    )
+    pairs = (
+        df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk"))
+        .select(
+            "__id",
+            F.explode(
+                F.transform(
+                    F.col("__tk"),
+                    lambda x, i: F.struct(
+                        F.when(i == 0, F.lit("<s>"))
+                        .otherwise(F.element_at(F.col("__tk"), i))
+                        .alias("prev"),
+                        x.alias("cur"),
+                    ),
+                )
+            ).alias("__p"),
+        )
+        .select(
+            "__id",
+            F.col("__p.prev").alias("__pr"),
+            F.col("__p.cur").alias("__cr"),
+        )
+    )
+    v_prev = vocab.select(F.col("__term").alias("__pr"), F.lit(1).alias("__inp"))
+    v_cur = vocab.select(F.col("__term").alias("__cr"), F.lit(1).alias("__inc"))
+    mapped = (
+        pairs.join(F.broadcast(v_prev), "__pr", "left")
+        .join(F.broadcast(v_cur), "__cr", "left")
+        .select(
+            "__id",
+            F.when(F.col("__pr") == "<s>", F.lit("<s>"))
+            .when(F.col("__inp").isNotNull(), F.col("__pr"))
+            .otherwise(F.lit("<unk>"))
+            .alias("__prev"),
+            F.when(F.col("__inc").isNotNull(), F.col("__cr"))
+            .otherwise(F.lit("<unk>"))
+            .alias("__cur"),
+        )
+    )
+    # bounded model tables: bigram counts (checkpointed once — the
+    # score join and the context marginal both read it) and the
+    # context totals derived FROM the bigram table, never the corpus
+    bgc = (
+        mapped.groupBy("__prev", "__cur")
+        .agg(F.count(F.lit(1)).alias("__cb"))
+        .localCheckpoint(eager=True)
+    )
+    ctx = bgc.groupBy("__prev").agg(F.sum("__cb").alias("__cc"))
+    vs = vocab.agg(F.count(F.lit(1)).alias("__v"))
+    p = (F.coalesce(F.col("__cb"), F.lit(0)) + F.lit(1)).cast("double") / (
+        F.col("__cc") + F.col("__v") + F.lit(1)
+    ).cast("double")
+    scored = (
+        mapped.join(bgc, ["__prev", "__cur"], "left")
+        .join(F.broadcast(ctx), "__prev")
+        .crossJoin(F.broadcast(vs))
+        .select(
+            "__id",
+            F.floor(-F.log(p) * F.lit(1e6) + F.lit(0.5)).cast("long").alias("__t"),
+        )
+    )
+    per = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("__t").alias("nll_micro")
+    )
+    return per.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "nll_micro",
+        F.expr("nll_micro div n_tokens").alias("avg_nll_micro"),
+    )

@@ -1617,6 +1617,53 @@ def unigram_lm_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bigram_lm_nll_docs",
+    oracle=r"""
+    WITH norm AS (SELECT doc_id,
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                  FROM documents),
+         cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM (SELECT UNNEST(tk) AS term FROM norm) GROUP BY term),
+         vocab AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT 10000),
+         vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+         p0 AS (SELECT doc_id,
+                       CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS prev_raw,
+                       tk[i] AS cur_raw
+                FROM norm, UNNEST(generate_series(1, len(tk))) AS u(i)),
+         m AS (SELECT doc_id,
+                      CASE WHEN prev_raw = '<s>' THEN '<s>'
+                           WHEN prev_raw IN (SELECT term FROM vocab) THEN prev_raw
+                           ELSE '<unk>' END AS prev,
+                      CASE WHEN cur_raw IN (SELECT term FROM vocab) THEN cur_raw
+                           ELSE '<unk>' END AS cur
+               FROM p0),
+         bg AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb
+                FROM m GROUP BY prev, cur),
+         ctx AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cc FROM bg GROUP BY prev),
+         sc AS (SELECT doc_id,
+                       CAST(FLOOR(-ln(CAST(COALESCE(cb, 0) + 1 AS DOUBLE)
+                                      / CAST(cc + v + 1 AS DOUBLE))
+                                  * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                            AS BIGINT) AS t
+                FROM m LEFT JOIN bg USING (prev, cur)
+                       JOIN ctx USING (prev) CROSS JOIN vs)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(t) AS BIGINT) AS nll_micro,
+           CAST(SUM(t) // COUNT(*) AS BIGINT) AS avg_nll_micro
+    FROM sc GROUP BY doc_id
+    """,
+)
+def bigram_lm_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NLL under a corpus-trained add-one BIGRAM LM —
+    the context-aware quality signal next to `unigram_lm_nll_docs`:
+    pairs built map-side (indexed array transform, no lag window),
+    vocab mapping by broadcast join, bounded model tables, exact
+    integer micro-nat totals."""
+    docs = t(spark, sf_dir, "documents")
+    return OpText.bigram_lm_nll(docs, "text", "doc_id", vocab_size=10000)
+
+
+@query(
     "curriculum_buckets_docs",
     oracle=_LM_CTE
     + """
@@ -3662,6 +3709,7 @@ _FIRST = [
     "denylist_scrub_docs",
     "grid_quantiles_price",
     "robust_outliers_value",
+    "bigram_lm_nll_docs",
     "near_dup_clusters_docs",
     "stratified_sample_docs",
     "chunk_documents",

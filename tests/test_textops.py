@@ -533,3 +533,50 @@ def test_collocations_min_count_filter(spark):
            collocations(docs, "text", min_count=5, top_k=10).collect()}
     assert ("a", "b") not in got          # count 1 < 5
     assert ("c", "d") in got              # count 5
+
+
+# ---------------------------------------------------------------------------
+# bigram LM NLL
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_nll_hand_computed(spark):
+    import math
+
+    from data_frame_spark.operators.text import bigram_lm_nll
+
+    # corpus: two docs, vocab covers everything (V = 2: 'a', 'b')
+    # doc 1 pairs: (<s>,a) (a,b) (b,a) (a,b)   doc 2 pairs: (<s>,b) (b,a)
+    df = spark.createDataFrame([(1, "a b a b"), (2, "b a")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in bigram_lm_nll(df, "text", "doc_id", vocab_size=10).collect()}
+    cb = {("<s>", "a"): 1, ("a", "b"): 2, ("b", "a"): 2, ("<s>", "b"): 1}
+    cc = {"<s>": 2, "a": 2, "b": 2}
+    V = 2
+
+    def t(prev, cur):
+        p = (cb.get((prev, cur), 0) + 1) / (cc[prev] + V + 1)
+        return math.floor(-math.log(p) * 1e6 + 0.5)
+
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["nll_micro"] == t("<s>", "a") + t("a", "b") + t("b", "a") + t("a", "b")
+    assert rows[2]["n_tokens"] == 2
+    assert rows[2]["nll_micro"] == t("<s>", "b") + t("b", "a")
+
+
+def test_bigram_lm_detects_word_salad_unigram_cannot(spark):
+    from data_frame_spark.operators.text import bigram_lm_nll, unigram_lm_nll
+
+    # same unigram profile, scrambled order: the bigram LM must
+    # separate them; the unigram LM cannot (identical multiset)
+    coherent = " ".join(["the cat sat on the mat"] * 20)
+    salad = " ".join(["the the cat on sat mat"] * 20)
+    filler = [(i + 10, " ".join(["the cat sat on the mat"] * 5)) for i in range(20)]
+    df = spark.createDataFrame(
+        [(1, coherent), (2, salad)] + filler, "doc_id long, text string"
+    )
+    bi = {r["doc_id"]: r["avg_nll_micro"] for r in
+          bigram_lm_nll(df, "text", "doc_id", vocab_size=100).collect()}
+    un = {r["doc_id"]: r["avg_nll_micro"] for r in
+          unigram_lm_nll(df, "text", "doc_id", vocab_size=100).collect()}
+    assert un[1] == un[2]          # unigram is blind to order
+    assert bi[1] < bi[2]           # bigram is not
