@@ -2210,6 +2210,54 @@ def grid_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_interleave16(a: str, b: str) -> str:
+    """DuckDB twin of operators.zorder.interleave_bits (bits=16)."""
+    return " + ".join(
+        f"((({a} >> {i}) & 1) << {2 * i}) + ((({b} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+
+
+@query(
+    "zorder_key_events",
+    oracle=f"""
+    WITH x AS (SELECT event_id, CAST(value AS DOUBLE) AS v,
+                      CAST(user_id AS DOUBLE) AS u
+               FROM events),
+         rng AS (SELECT MIN(v) AS vlo, MAX(v) AS vhi,
+                        MIN(u) AS ulo, MAX(u) AS uhi FROM x),
+         q AS (SELECT event_id,
+                      CASE WHEN vhi = vlo THEN 0
+                           ELSE LEAST(CAST(FLOOR((v - vlo) / ((vhi - vlo) / 65536.0)) AS BIGINT), 65535)
+                      END AS qa,
+                      CASE WHEN uhi = ulo THEN 0
+                           ELSE LEAST(CAST(FLOOR((u - ulo) / ((uhi - ulo) / 65536.0)) AS BIGINT), 65535)
+                      END AS qb
+               FROM x CROSS JOIN rng),
+         k AS (SELECT event_id, {_sql_interleave16('qa', 'qb')} AS zkey FROM q)
+    SELECT zkey >> 22 AS z_prefix, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(zkey) AS min_zkey, MAX(zkey) AS max_zkey
+    FROM k GROUP BY 1
+    """,
+)
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (value, user_id) rolled
+    up by 10-bit curve prefix — the multi-dimensional data-skipping
+    layout (operators/zorder.py): files written in z-key ranges carry
+    tight min/max stats on BOTH columns."""
+    from data_frame_spark.operators import zorder as OpZ
+
+    ev = t(spark, sf_dir, "events")
+    keyed = OpZ.zorder_key(ev, "value", "user_id", bits=16)
+    return keyed.groupBy(
+        F.shiftright(F.col("zkey"), 22).alias("z_prefix")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("zkey").alias("min_zkey"),
+        F.max("zkey").alias("max_zkey"),
+    )
+
+
 @query(
     "robust_outliers_value",
     oracle="""
@@ -3710,6 +3758,7 @@ _FIRST = [
     "grid_quantiles_price",
     "robust_outliers_value",
     "bigram_lm_nll_docs",
+    "zorder_key_events",
     "near_dup_clusters_docs",
     "stratified_sample_docs",
     "chunk_documents",
