@@ -115,3 +115,49 @@ def row_range(
     if stop is not None:
         cond = cond & (pos < F.lit(stop))
     return out.where(cond).drop("__pos1")
+
+
+def rolling_stats(
+    df: DataFrame,
+    value_col: str,
+    order_by: Sequence[str | Column],
+    partition_by: Sequence[str | Column],
+    n: int = 5,
+) -> DataFrame:
+    """Trailing n-row rolling mean/min/max/count of ``value_col`` —
+    the smoothing pass a telemetry or training-loss series needs
+    before plotting or thresholding (the reference reaches this with
+    arity-2 ``df-map`` + manual accumulation, df.rkt:946-998; Spark
+    states it declaratively as a bounded ROWS frame).
+
+    The frame is ``ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW`` —
+    bounded, so Spark keeps a sliding buffer of n rows per partition,
+    never the whole partition in memory. ``partition_by`` is required
+    non-empty (same 100 TB contract as every helper here: a global
+    ordered window is a single-partition sort).
+
+    The rolling mean is emitted as an exact integer micro-value
+    (FLOOR over the micro-quantized SUM divided by the count) so the
+    result is summation-order independent and oracle-checkable.
+    """
+    if not partition_by:
+        raise ValueError("rolling_stats requires partition_by (scale contract)")
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    x = F.col(value_col)
+    micro = F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        df.withColumn("__rn_cnt", F.count(x).over(w))
+        .withColumn("__rsum_micro", F.sum(micro).over(w))
+        .withColumn(
+            "roll_mean_micro",
+            F.expr("__rsum_micro div __rn_cnt"),
+        )
+        .withColumn("roll_min", F.min(x).over(w))
+        .withColumn("roll_max", F.max(x).over(w))
+        .withColumn("roll_n", F.col("__rn_cnt"))
+        .drop("__rn_cnt", "__rsum_micro")
+    )

@@ -2210,6 +2210,35 @@ def grid_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "rolling_stats_value",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(value) OVER w AS BIGINT) AS roll_n,
+           CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) OVER w
+                // COUNT(value) OVER w AS BIGINT) AS roll_mean_micro,
+           MIN(value) OVER w AS roll_min,
+           MAX(value) OVER w AS roll_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_stats_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-row rolling mean/min/max of event values per user —
+    bounded ROWS frame (sliding n-row buffer, never the partition in
+    memory), exact integer micro-mean."""
+    from data_frame_spark.operators import window as OpW
+
+    ev = t(spark, sf_dir, "events")
+    out = OpW.rolling_stats(
+        ev, "value", order_by=["ts", "event_id"], partition_by=["user_id"], n=5
+    )
+    return out.select(
+        "event_id", "user_id", "roll_n", "roll_mean_micro", "roll_min", "roll_max"
+    )
+
+
 def _sql_interleave16(a: str, b: str) -> str:
     """DuckDB twin of operators.zorder.interleave_bits (bits=16)."""
     return " + ".join(
@@ -3759,6 +3788,7 @@ _FIRST = [
     "robust_outliers_value",
     "bigram_lm_nll_docs",
     "zorder_key_events",
+    "rolling_stats_value",
     "near_dup_clusters_docs",
     "stratified_sample_docs",
     "chunk_documents",

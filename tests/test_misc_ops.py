@@ -145,3 +145,37 @@ def test_incremental_dedup_store_cycle(spark, tmp_path):
     assert {r["fingerprint"] for r in new2.collect()} == {"z"}  # y seen on day 1
     new2.select("fingerprint").write.mode("append").parquet(path)
     assert {r["fingerprint"] for r in spark.read.parquet(path).collect()} == {"x", "y", "z"}
+
+
+# ---------------------------------------------------------------------------
+# rolling n-row stats
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_stats_hand_computed(spark):
+    from data_frame_spark.operators.window import rolling_stats
+
+    df = spark.createDataFrame(
+        [("u", i, float(v)) for i, v in enumerate([10, 20, 30, 40, 50])],
+        "g string, i long, v double",
+    )
+    rows = sorted(
+        rolling_stats(df, "v", ["i"], ["g"], n=3).collect(), key=lambda r: r["i"]
+    )
+    # trailing 3-row window: mean of [10], [10,20], [10,20,30], [20,30,40], ...
+    assert [r["roll_n"] for r in rows] == [1, 2, 3, 3, 3]
+    assert [r["roll_mean_micro"] for r in rows] == [
+        10_000_000, 15_000_000, 20_000_000, 30_000_000, 40_000_000
+    ]
+    assert [r["roll_min"] for r in rows] == [10.0, 10.0, 10.0, 20.0, 30.0]
+    assert [r["roll_max"] for r in rows] == [10.0, 20.0, 30.0, 40.0, 50.0]
+
+
+def test_rolling_stats_requires_partitioning(spark):
+    import pytest as _pytest
+
+    from data_frame_spark.operators.window import rolling_stats
+
+    df = spark.createDataFrame([(1, 1.0)], "i long, v double")
+    with _pytest.raises(ValueError):
+        rolling_stats(df, "v", ["i"], [], n=3)
