@@ -425,3 +425,22 @@ def test_grid_quantiles_sketch_plan(spark, sf_dir):
     assert data <= 3, (data, tiny)
     plan = C.simple_plan(df)
     assert "partial_count" in plan  # map-side combine on the bin counts
+
+
+def test_bigram_lm_vocab_joins_broadcast(spark, sf_dir):
+    # vocab mapping must reach the pair stream as broadcast joins
+    # (map-side), never a shuffle of the corpus on the token key
+    df = QUERIES["bigram_lm_nll_docs"](spark, sf_dir)
+    assert C.uses_broadcast_join(df)
+    assert C.data_sized_partitionless_windows(df) == []
+
+
+def test_robust_outliers_scoring_is_broadcast(spark, sf_dir):
+    # med/mad are checkpointed aggregate-sized tables; the scoring
+    # pass must join them back broadcast and keep one data shuffle
+    # (the final per-scope aggregate)
+    df = QUERIES["robust_outliers_value"](spark, sf_dir)
+    assert C.uses_broadcast_join(df)
+    assert C.data_sized_partitionless_windows(df) == []
+    data, tiny = C.shuffle_census(df)
+    assert data <= 2, (data, tiny)
