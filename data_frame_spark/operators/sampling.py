@@ -400,3 +400,52 @@ def temperature_weights(
         .withColumn("expected_docs", F.expr("(__budget * __q) div __denom"))
         .drop("__q", "__denom", "__budget")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment by hash range —
+    the membership function every training pipeline needs. Each row's
+    60-bit md5 hash of (salt, id) maps to u in [0,1); the ordered
+    cumulative fractions carve [0,1) into one interval per split.
+
+    Properties a random() split cannot give:
+
+    * REPRODUCIBLE — same ids, same salt -> same assignment on any
+      cluster, any partitioning, any day (md5, not rand(); same
+      layout-independence argument as deterministic_sample above).
+    * STABLE UNDER GROWTH — a new document cannot move an old one
+      between splits; ingesting more data only adds rows to each.
+    * LEAK-RESISTANT — membership is a pure function of the id, so a
+      re-run after a pipeline change cannot shuffle val into train.
+    * zero-shuffle: one narrow Column CASE chain.
+
+    ``fractions`` values must sum to ~1; splits are carved in dict
+    order. Use a per-dataset ``salt`` so different experiments get
+    independent assignments.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    # the string salt folds into the hashed text (hash60's seed
+    # parameter is numeric), so any experiment label works
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long") / F.lit(float(1 << 60))
+    expr = None
+    cum = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        cum += frac
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out, expr)

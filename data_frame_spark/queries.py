@@ -2211,6 +2211,41 @@ def grid_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "split_assignment_docs",
+    oracle=f"""
+    WITH u AS (SELECT doc_id, source,
+                      CAST({_sql_h60("CONCAT('exp1:', CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+                      / 1152921504606846976.0 AS uu
+               FROM documents),
+         s AS (SELECT doc_id, source,
+                      CASE WHEN uu < 0.9 THEN 'train'
+                           WHEN uu < 0.95 THEN 'val'
+                           ELSE 'test' END AS split
+               FROM u)
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM s GROUP BY source, split
+    """,
+)
+def split_assignment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by md5 hash
+    range (reproducible, growth-stable, leak-resistant — never
+    rand()), rolled up per source. The assignment itself is a
+    zero-shuffle Column CASE chain."""
+    from data_frame_spark.operators import sampling as OpSamp
+
+    docs = t(spark, sf_dir, "documents")
+    assigned = OpSamp.assign_splits(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="exp1"
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@query(
     "rolling_stats_value",
     oracle="""
     SELECT event_id, user_id,
@@ -3789,6 +3824,7 @@ _FIRST = [
     "bigram_lm_nll_docs",
     "zorder_key_events",
     "rolling_stats_value",
+    "split_assignment_docs",
     "near_dup_clusters_docs",
     "stratified_sample_docs",
     "chunk_documents",

@@ -313,3 +313,57 @@ def test_per_group_top_n_nulls_rank_last(spark):
     got = {r["id"]: r["group_rank"]
            for r in per_group_top_n(df, "g", "score", "id", 3).collect()}
     assert got == {4: 1, 2: 2, 1: 3}  # nulls after values, ties by id
+
+
+# ---------------------------------------------------------------------------
+# deterministic split assignment
+# ---------------------------------------------------------------------------
+
+
+def test_assign_splits_deterministic_and_exhaustive(spark):
+    from data_frame_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id long")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["id"]: r["split"] for r in assign_splits(df, "id", fr).collect()}
+    b = {r["id"]: r["split"] for r in assign_splits(df, "id", fr).collect()}
+    assert a == b                      # reproducible
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    frac_train = sum(1 for v in a.values() if v == "train") / n
+    assert 0.75 < frac_train < 0.85    # md5 is uniform
+
+
+def test_assign_splits_stable_under_growth(spark):
+    from data_frame_spark.operators.sampling import assign_splits
+
+    fr = {"train": 0.9, "val": 0.1}
+    small = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    big = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    a = {r["id"]: r["split"] for r in assign_splits(small, "id", fr).collect()}
+    b = {r["id"]: r["split"] for r in assign_splits(big, "id", fr).collect()}
+    assert all(b[i] == a[i] for i in a)  # old rows never move
+
+
+def test_assign_splits_salt_independence_and_validation(spark):
+    import pytest as _pytest
+
+    from data_frame_spark.operators.sampling import assign_splits
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    fr = {"a": 0.5, "b": 0.5}
+    s1 = {r["id"]: r["split"] for r in assign_splits(df, "id", fr, salt="x").collect()}
+    s2 = {r["id"]: r["split"] for r in assign_splits(df, "id", fr, salt="y").collect()}
+    moved = sum(1 for i in s1 if s1[i] != s2[i])
+    assert moved > 300                 # different salt -> fresh assignment
+    with _pytest.raises(ValueError):
+        assign_splits(df, "id", {"a": 0.5, "b": 0.4})
+
+
+def test_assign_splits_is_narrow(spark, sf_dir):
+    from data_frame_spark.plans import checks as C
+    from data_frame_spark.operators.sampling import assign_splits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = assign_splits(docs, "doc_id", {"train": 0.9, "val": 0.1})
+    assert C.count_shuffles(out) == 0
