@@ -445,3 +445,66 @@ def robust_outlier_stats(
         "n_outliers",
         "max_abs_z_micro",
     )
+
+
+def pairwise_corr(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Exact Pearson correlation for every column pair in ONE
+    map-combinable aggregate pass — the `df-statistics` moment
+    machinery (statistics.rkt:43-54) generalized to the cross-moment
+    matrix.
+
+    Exactness contract: values quantize to integer micro-units, every
+    moment (Sx, Sxx, Sxy) accumulates in DECIMAL(38,0) — integer
+    sums, so distributed summation order cannot perturb a bit — and
+    only the final ratio touches doubles:
+    corr = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²) · (n·Syy − Sy²)),
+    quantized back to micro. A SQL oracle reproduces it bit for bit
+    with HUGEINT sums.
+
+    Scale: one aggregate over the corpus (map-side partials, shuffle
+    carries one row of ~k² numbers); the k(k-1)/2 output rows unfold
+    from that single row with Column math. Rows with ANY NULL among
+    ``cols`` are dropped (pairwise-complete would need per-pair n).
+    """
+    d = df.select(*cols).na.drop()
+    micro = {
+        c: F.floor(F.col(c).cast("double") * 1e6 + F.lit(0.5)).cast("decimal(19,0)")
+        for c in cols
+    }
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(micro[c]).cast("decimal(38,0)").alias(f"__s_{c}"))
+        aggs.append(
+            F.sum(micro[c] * micro[c]).cast("decimal(38,0)").alias(f"__ss_{c}")
+        )
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(
+            F.sum(micro[a] * micro[b]).cast("decimal(38,0)").alias(f"__sp_{a}_{b}")
+        )
+    row = d.agg(*aggs)
+
+    def corr_col(a: str, b: str) -> Column:
+        n = F.col("__n")
+        num = n * F.col(f"__sp_{a}_{b}") - F.col(f"__s_{a}") * F.col(f"__s_{b}")
+        da = n * F.col(f"__ss_{a}") - F.col(f"__s_{a}") * F.col(f"__s_{a}")
+        db = n * F.col(f"__ss_{b}") - F.col(f"__s_{b}") * F.col(f"__s_{b}")
+        corr = num.cast("double") / F.sqrt(da.cast("double") * db.cast("double"))
+        return F.floor(corr * 1e6 + F.lit(0.5)).cast("long")
+
+    out = row.select(
+        F.col("__n").cast("long").alias("n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_x"),
+                        F.lit(b).alias("col_y"),
+                        corr_col(a, b).alias("corr_micro"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("__p"),
+    )
+    return out.select("__p.col_x", "__p.col_y", "n", "__p.corr_micro")

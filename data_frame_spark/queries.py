@@ -2211,6 +2211,53 @@ def grid_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pairwise_corr_lineitem",
+    oracle="""
+    WITH d AS (SELECT CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 1e6 + 0.5) AS HUGEINT) AS qa,
+                      CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) * 1e6 + 0.5) AS HUGEINT) AS qb,
+                      CAST(FLOOR(CAST(l_discount AS DOUBLE) * 1e6 + 0.5) AS HUGEINT) AS qc,
+                      CAST(FLOOR(CAST(l_tax AS DOUBLE) * 1e6 + 0.5) AS HUGEINT) AS qd
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+                 AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+         m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                      SUM(qa) AS sa, SUM(qb) AS sb, SUM(qc) AS sc2, SUM(qd) AS sd,
+                      SUM(qa*qa) AS saa, SUM(qb*qb) AS sbb,
+                      SUM(qc*qc) AS scc, SUM(qd*qd) AS sdd,
+                      SUM(qa*qb) AS sab, SUM(qa*qc) AS sac, SUM(qa*qd) AS sad,
+                      SUM(qb*qc) AS sbc, SUM(qb*qd) AS sbd, SUM(qc*qd) AS scd
+               FROM d),
+         p AS (
+           SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+                  n*sab - sa*sb AS num, n*saa - sa*sa AS dx, n*sbb - sb*sb AS dy FROM m
+           UNION ALL SELECT 'l_quantity', 'l_discount', n,
+                  n*sac - sa*sc2, n*saa - sa*sa, n*scc - sc2*sc2 FROM m
+           UNION ALL SELECT 'l_quantity', 'l_tax', n,
+                  n*sad - sa*sd, n*saa - sa*sa, n*sdd - sd*sd FROM m
+           UNION ALL SELECT 'l_extendedprice', 'l_discount', n,
+                  n*sbc - sb*sc2, n*sbb - sb*sb, n*scc - sc2*sc2 FROM m
+           UNION ALL SELECT 'l_extendedprice', 'l_tax', n,
+                  n*sbd - sb*sd, n*sbb - sb*sb, n*sdd - sd*sd FROM m
+           UNION ALL SELECT 'l_discount', 'l_tax', n,
+                  n*scd - sc2*sd, n*scc - sc2*sc2, n*sdd - sd*sd FROM m)
+    SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(CAST(num AS DOUBLE)
+                      / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+                      * 1e6 + 0.5) AS BIGINT) AS corr_micro
+    FROM p
+    """,
+)
+def pairwise_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation matrix of the four lineitem numeric
+    columns in one map-combinable aggregate pass — integer micro
+    moments in DECIMAL(38,0), doubles only in the final ratio."""
+    li = t(spark, sf_dir, "lineitem")
+    return OpStats.pairwise_corr(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@query(
     "split_assignment_docs",
     oracle=f"""
     WITH u AS (SELECT doc_id, source,
@@ -3825,6 +3872,7 @@ _FIRST = [
     "zorder_key_events",
     "rolling_stats_value",
     "split_assignment_docs",
+    "pairwise_corr_lineitem",
     "near_dup_clusters_docs",
     "stratified_sample_docs",
     "chunk_documents",

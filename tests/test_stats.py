@@ -201,3 +201,35 @@ def test_robust_outliers_no_partitionless_windows(spark, sf_dir):
 
     df = QUERIES["robust_outliers_value"](spark, sf_dir)
     assert C.data_sized_partitionless_windows(df) == []
+
+
+def test_pairwise_corr_matches_numpy(spark):
+    import numpy as np
+
+    from data_frame_spark.operators.stats import pairwise_corr
+
+    rng = np.random.RandomState(3)
+    x = rng.uniform(0, 100, 3000)
+    y = 2.5 * x + rng.uniform(0, 40, 3000)   # strongly correlated
+    z = rng.uniform(0, 100, 3000)            # independent
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    got = {(r["col_x"], r["col_y"]): r["corr_micro"] / 1e6
+           for r in pairwise_corr(df, ["x", "y", "z"]).collect()}
+    # micro-quantization of the inputs perturbs corr by < 1e-4 here
+    xq, yq, zq = (np.floor(v * 1e6 + 0.5) for v in (x, y, z))
+    assert abs(got[("x", "y")] - np.corrcoef(xq, yq)[0, 1]) < 2e-6
+    assert abs(got[("x", "z")] - np.corrcoef(xq, zq)[0, 1]) < 2e-6
+    assert got[("x", "y")] > 0.9 and abs(got[("x", "z")]) < 0.1
+
+
+def test_pairwise_corr_single_shuffle(spark, sf_dir):
+    from data_frame_spark.plans import checks as C
+    from data_frame_spark.queries import QUERIES
+
+    df = QUERIES["pairwise_corr_lineitem"](spark, sf_dir)
+    assert C.count_shuffles(df) == 1
+    assert "partial_sum" in C.simple_plan(df)
+    assert C.data_sized_partitionless_windows(df) == []
