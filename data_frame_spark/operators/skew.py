@@ -22,12 +22,23 @@ def salted_join(
     replication: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Join with a salted key: ``large`` rows get a random salt in
-    [0, R); ``small`` rows are replicated for every salt value. The
-    shuffle key (on, salt) splits each hot key across R partitions.
+    """Join with a salted key: ``large`` rows get a salt in [0, R);
+    ``small`` rows are replicated for every salt value. The shuffle
+    key (on, salt) splits each hot key across R partitions.
+
+    The salt is a DETERMINISTIC full-row hash, never ``rand()``:
+    rand() may re-evaluate differently across plan branches / task
+    retries (a correctness hazard inside a join), and the same
+    layout-independence argument as the deterministic sampler
+    (operators/sampling.py) applies. Rows within a hot key differ in
+    their other columns, so the hash still spreads them over R
+    reducers.
     """
     salted_large = large.withColumn(
-        "__salt", (F.rand(seed=42) * replication).cast("int")
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in large.columns]), F.lit(replication)
+        ).cast("int"),
     )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(replication - 1))

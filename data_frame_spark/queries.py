@@ -2211,6 +2211,33 @@ def grid_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_segment_revenue",
+    oracle=f"""
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through the EXPLICIT salted join
+    (operators/skew.py): deterministic full-row-hash salt on the
+    orders side, customer replicated R times, shuffle keyed by
+    (custkey, salt) — the manual hot-key spreading path for non-AQE
+    deployments. Results are salt-invariant, so the oracle is the
+    plain join."""
+    from data_frame_spark.operators.skew import salted_join
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    joined = salted_join(o, c, "o_custkey", replication=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )
+
+
+@query(
     "pairwise_corr_lineitem",
     oracle="""
     WITH d AS (SELECT CAST(FLOOR(CAST(l_quantity AS DOUBLE) * 1e6 + 0.5) AS HUGEINT) AS qa,
@@ -3873,6 +3900,7 @@ _FIRST = [
     "rolling_stats_value",
     "split_assignment_docs",
     "pairwise_corr_lineitem",
+    "salted_join_segment_revenue",
     "near_dup_clusters_docs",
     "stratified_sample_docs",
     "chunk_documents",
