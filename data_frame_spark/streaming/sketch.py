@@ -116,3 +116,102 @@ def streaming_cms(
         .groupBy(F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming grid-quantile monitoring
+# ---------------------------------------------------------------------------
+
+GRIDQ_OUTPUT_SCHEMA = "scope string, prob_pct long, n long, bin long, est_micro long"
+GRIDQ_STATE_SCHEMA = "counts array<long>"
+
+
+def _gridq_updater(lo: float, hi: float, bins: int, probs: list[float]):
+    import math
+
+    w = (hi - lo) / float(bins)
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (scope,) = key
+        counts = list(state.get[0]) if state.exists else [0] * bins
+        for pdf in pdfs:
+            for v in pdf["__x"]:
+                v = float(v)
+                if hi == lo:
+                    b = 0
+                else:
+                    b = min(int(math.floor((v - lo) / w)), bins - 1)
+                    b = max(b, 0)  # stream values may undershoot the
+                    # calibrated lo; clamp like the top cell clamps
+                counts[b] += 1
+        state.update((counts,))
+        n = sum(counts)
+        rows = []
+        for p in probs:
+            target = max(int(math.ceil(p * n)), 1)
+            cum = 0
+            for b, c in enumerate(counts):
+                if c == 0:
+                    continue
+                cum += c
+                if cum >= target:
+                    if hi == lo:
+                        est = lo
+                    else:
+                        # same IEEE double ops as the batch read-out
+                        est = lo + ((hi - lo) / float(bins)) * (
+                            b + float(target - (cum - c)) / float(c)
+                        )
+                    rows.append(
+                        {
+                            "scope": scope,
+                            "prob_pct": int(math.floor(p * 100 + 0.5)),
+                            "n": n,
+                            "bin": b,
+                            "est_micro": int(math.floor(est * 1e6 + 0.5)),
+                        }
+                    )
+                    break
+        yield pd.DataFrame(rows)
+
+    return update
+
+
+def streaming_grid_quantiles(
+    stream: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    probs: list[float] | None = None,
+) -> DataFrame:
+    """Running per-group quantile estimates over a stream against a
+    FIXED calibrated grid — the streaming twin of
+    :func:`operators.sketch.grid_quantiles`. The deployment shape:
+    a batch pass calibrates (lo, hi) offline (day-one data), then the
+    monitor tracks p50/p99 latency/length/score quantiles at ingest
+    forever with ``bins`` longs of state per group.
+
+    The state is the same bin-count monoid as the batch sketch:
+    bounded, order-insensitive (counts just add), replay-exact. With
+    (lo, hi) equal to the batch pass's observed range, the stream's
+    final estimate equals the batch sketch over the same rows BIT
+    FOR BIT — the read-out repeats the batch's IEEE double ops —
+    pinned by the stream==batch parity test. Out-of-range values
+    clamp into the edge cells (the batch sketch cannot see any,
+    since it derives the range from the data).
+    """
+    if probs is None:
+        probs = [0.5, 0.9, 0.99]
+    hashed = stream.select(
+        F.col(group_col).cast("string").alias("scope"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).where(F.col("__x").isNotNull())
+    return hashed.groupBy("scope").applyInPandasWithState(
+        _gridq_updater(lo, hi, bins, probs),
+        outputStructType=GRIDQ_OUTPUT_SCHEMA,
+        stateStructType=GRIDQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

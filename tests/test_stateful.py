@@ -90,3 +90,40 @@ def test_streaming_cms_matches_batch_counters(spark, sf_dir):
         ).collect()
     }
     assert latest == batch
+
+
+def test_streaming_grid_quantiles_matches_batch_sketch(spark, sf_dir):
+    from data_frame_spark.operators.sketch import grid_quantiles
+    from data_frame_spark.streaming.sketch import streaming_grid_quantiles
+
+    # one calibrated grid per group; restrict to a single event_type
+    # so the stream's fixed (lo, hi) equals the batch-derived range
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    rng = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    lo, hi = float(rng[0]), float(rng[1])
+    probs = [0.5, 0.9, 0.99]
+
+    stream = W.stream_events(spark, sf_dir, watermark="1 hour").where(
+        F.col("event_type") == "click"
+    )
+    out = streaming_grid_quantiles(
+        stream, "value", "event_type", lo=lo, hi=hi, bins=128, probs=probs
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_gridq")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("t_gridq").collect()
+    latest = {}
+    for r in rows:  # memory sink appends; later rows supersede
+        latest[(r["scope"], r["prob_pct"])] = (r["n"], r["bin"], r["est_micro"])
+
+    batch = {
+        ("click", r["prob_pct"]): (r["n"], r["bin"], r["est_micro"])
+        for r in grid_quantiles(ev, "value", probs, bins=128).collect()
+    }
+    assert latest == batch  # bit-for-bit: same counts, same double ops
