@@ -1,7 +1,10 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+TWO JSON lines: first the full per-query timing dict on its own line,
+then a SHORT final summary line {"metric": ..., "value": total_sec,
+"unit": "sec", "sf": ..., "queries": {top-10 by time}} that survives
+the driver's output-tail truncation (round-5 lesson: one long line got
+its head cut and the round lost its machine-readable bench).
 
 Timing excludes session startup; each query is executed to
 completion via a count-style action on its final plan (results are
@@ -75,16 +78,23 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # The driver captures only an output TAIL; round 5's single long
+    # line grew past the capture window and lost its head (BENCH_r05
+    # parsed: null). Emit the big per-query dict on its own line FIRST,
+    # then a short final summary line that always survives truncation.
+    print(json.dumps({"per_query": timings, "runs_per_query": RUNS, "agg": "min"}))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_val,
-                "runs_per_query": RUNS,
-                "agg": "min",
+                "n_queries": len(timings),
+                "queries": {
+                    n: timings[n]
+                    for n in sorted(timings, key=timings.get, reverse=True)[:10]
+                },
             }
         )
     )

@@ -3858,66 +3858,41 @@ def bloom_decontamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FIRST = [
-    # round-5 rotation: the 8 queries past round 4's 50-query cap go
-    # first so the current code gets a driver row for each.
-    # session_windows_30m leads — its last green driver row is round 2
-    # (the r3 row failed on driver testdata schema drift; the loader
-    # fix has never been driver-verified).
-    "session_windows_30m",
-    "binary_metadata_docs",
-    "cosine_topk_embeddings",
-    "forecast_revenue",
-    "index_range_select",
-    "minhash_signatures_docs",
-    "ngram_jaccard_verified",
-    "shipping_priority",
-    # round-5 additions: driver-checked this round
-    "gopher_repetition_docs",
-    "segment_dedup_docs",
-    "bloom_decontamination_docs",
-    "temperature_mixture_weights",
-    "label_centroids_embeddings",
-    "cms_token_counts",
-    "hll_distinct_shingles",
-    "weighted_sample_docs",
-    "bm25_search_docs",
-    "unigram_lm_nll_docs",
-    "per_source_cap_docs",
-    "curriculum_buckets_docs",
-    "canonical_docs_by_quality",
-    "heavy_hitter_tokens",
-    "incremental_dedup_batch",
-    "pmi_collocations_docs",
-    "zipf_fit_tokens",
-    "mixture_sample_docs",
-    "pack_chunks_256",
-    "corpus_stats_rollup",
-    "denylist_scrub_docs",
-    "grid_quantiles_price",
-    "robust_outliers_value",
-    "bigram_lm_nll_docs",
-    "zorder_key_events",
-    "rolling_stats_value",
-    "split_assignment_docs",
-    "pairwise_corr_lineitem",
-    "salted_join_segment_revenue",
-    "near_dup_clusters_docs",
-    "stratified_sample_docs",
-    "chunk_documents",
-    "tfidf_top_terms_docs",
-    "kmv_distinct_users",
-    "json_props_rollup",
-    "embedding_dup_clusters",
-    "quality_filter_docs",
-    "ngram_decontamination_docs",
-    "mean_max_by_user",
-    "mean_max_aux_by_user",
-    "lap_swim_mean_max_by_user",
-    "fits_price_qty",
+    # round-6 rotation (standing policy: every query gets a driver row
+    # at least every 2 rounds; any query whose code changes this round
+    # goes into the first 50).
+    #
+    # Block 1 — the 37 queries past round 5's 50-query cap (last green
+    # row: CORRECTNESS_r04; code verified unchanged in r5 by git diff).
+    "pricing_summary",
+    "select_filter_project",
+    "valid_only_drop_na",
+    "describe_lineitem",
+    "csv_read_fixture",
     "event_derived_series",
-    "text_features_docs",
-    "stream_windows_hourly",
+    "row_range_slice",
+    "interpolated_lookup_value",
+    "weighted_stats_value",
+    "quantiles_extendedprice",
+    "weighted_quantiles_value",
     "histogram_quantity",
+    "weighted_histogram_value",
+    "string_histogram_event_type",
+    "combine_histograms_returnflag",
+    "regional_revenue",
+    "semi_join_customers_with_open_orders",
+    "anti_join_parts_never_ordered",
+    "set_ops_order_priorities",
+    "exact_dedup_documents",
+    "top_revenue_orders",
+    "mean_max_value",
+    "group_samples_value_user",
+    "rdp_simplify_user_series",
+    "spline_mean_max_curve",
+    "text_features_docs",
+    "embedding_near_dup_pairs",
+    "lsh_ann_topk_embeddings",
+    "stream_windows_hourly",
     "byte_features_docs",
     "equal_range_count",
     "cartesian_region_nation",
@@ -3926,10 +3901,14 @@ _FIRST = [
     "winnowed_fingerprints_docs",
     "exp_fit_value_hour",
     "asof_multi_value_lookup",
-    "rdp_simplify_user_series",
-    "spline_mean_max_curve",
-    "embedding_near_dup_pairs",
-    "lsh_ann_topk_embeddings",
+    # Block 2 — queries whose code changed in round 6 (must re-verify).
+    "zipf_fit_tokens",
+    "near_dup_clusters_docs",
+    "embedding_dup_clusters",
+    "pairwise_corr_lineitem",
+    "split_assignment_docs",
+    "salted_join_segment_revenue",
+    # Block 3 — round-6 additions (never had a driver row).
 ]
 
 _order = [n for n in _FIRST if n in QUERIES] + [n for n in QUERIES if n not in _FIRST]
