@@ -2284,16 +2284,25 @@ def pairwise_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from data_frame_spark.operators.sampling import split_thresholds as _split_thresholds
+
+_SPLIT_BOUNDS = dict(
+    _split_thresholds({"train": 0.9, "val": 0.05, "test": 0.05})
+)
+
+
 @query(
     "split_assignment_docs",
+    # integer hash-scale boundaries from the SAME helper the operator
+    # uses (operators/sampling.py:split_thresholds) — no float literal
+    # can sit one ulp off the Spark-side CASE chain
     oracle=f"""
     WITH u AS (SELECT doc_id, source,
-                      CAST({_sql_h60("CONCAT('exp1:', CAST(doc_id AS VARCHAR))")} AS DOUBLE)
-                      / 1152921504606846976.0 AS uu
+                      CAST({_sql_h60("CONCAT('exp1:', CAST(doc_id AS VARCHAR))")} AS BIGINT) AS h
                FROM documents),
          s AS (SELECT doc_id, source,
-                      CASE WHEN uu < 0.9 THEN 'train'
-                           WHEN uu < 0.95 THEN 'val'
+                      CASE WHEN h < {_SPLIT_BOUNDS["train"]} THEN 'train'
+                           WHEN h < {_SPLIT_BOUNDS["val"]} THEN 'val'
                            ELSE 'test' END AS split
                FROM u)
     SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n,

@@ -275,13 +275,37 @@ def test_grid_quantiles_degenerate_single_value_group(spark):
 
 def test_grid_quantiles_bin_counts_merge_monoid(spark):
     # fixed boundaries: sketches from independent shards merge by
-    # adding bin counts — estimating over the union equals estimating
-    # over the concatenation (same fixed (lo, hi) range)
+    # ADDING bin counts. Two shards with genuinely DIFFERENT
+    # distributions (a recompute-from-raw impl that ignores merging
+    # cannot pass by symmetry): materialize each shard's bin-count
+    # table, sum-merge them, read out on the merged table, and
+    # compare against the sketch built over the concatenated data.
+    from pyspark.sql import functions as F
+    from data_frame_spark.operators.sketch import (
+        grid_bin_counts,
+        grid_quantile_readout,
+    )
+
     a = spark.createDataFrame([(float(i),) for i in range(0, 1000)], "v double")
-    b = spark.createDataFrame([(float(i),) for i in range(0, 1000)], "v double")
-    whole = a.unionAll(b)
-    est_whole = grid_quantiles(whole, "v", [0.25, 0.75], bins=64).collect()
-    est_a = grid_quantiles(a, "v", [0.25, 0.75], bins=64).collect()
-    # same per-bin distribution (b duplicates a) -> identical estimates
-    assert sorted((r["prob_pct"], r["est_micro"]) for r in est_whole) == \
-        sorted((r["prob_pct"], r["est_micro"]) for r in est_a)
+    b = spark.createDataFrame(
+        [(float(i),) for i in range(500, 1500)], "v double"
+    )
+    LO, HI, BINS = 0.0, 1500.0, 64
+    ca = grid_bin_counts(a, "v", LO, HI, BINS)
+    cb = grid_bin_counts(b, "v", LO, HI, BINS)
+    merged = (
+        ca.unionAll(cb).groupBy("scope", "__b").agg(F.sum("__c").alias("__c"))
+    )
+    whole = grid_bin_counts(a.unionAll(b), "v", LO, HI, BINS)
+    probs = [0.25, 0.5, 0.75, 0.99]
+    est_merged = grid_quantile_readout(merged, probs, LO, HI, BINS).collect()
+    est_whole = grid_quantile_readout(whole, probs, LO, HI, BINS).collect()
+    key = lambda rows: sorted(
+        (r["scope"], r["prob_pct"], r["n"], r["bin"], r["est_micro"])
+        for r in rows
+    )
+    assert key(est_merged) == key(est_whole)
+    # and the merged bin-count tables themselves are identical
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )

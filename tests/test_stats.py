@@ -225,6 +225,31 @@ def test_pairwise_corr_matches_numpy(spark):
     assert got[("x", "y")] > 0.9 and abs(got[("x", "z")]) < 0.1
 
 
+def test_pairwise_corr_inexact_path_matches_exact(spark):
+    # exact=False (built-in F.corr, unbounded scale) must agree with
+    # the decimal-exact path to well under micro resolution on data
+    # inside the exact path's bound
+    import numpy as np
+
+    from data_frame_spark.operators.stats import pairwise_corr
+
+    rng = np.random.RandomState(11)
+    x = rng.uniform(0, 1000, 2000)
+    y = 0.5 * x + rng.uniform(0, 300, 2000)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(x, y)], "x double, y double"
+    )
+    ex = pairwise_corr(df, ["x", "y"], exact=True).collect()[0]
+    ap = pairwise_corr(df, ["x", "y"], exact=False).collect()[0]
+    assert ex["n"] == ap["n"] == 2000
+    # F.corr works on raw doubles (no micro quantization), so allow
+    # the quantization-level difference
+    assert abs(ex["corr_micro"] - ap["corr_micro"]) <= 2
+    from data_frame_spark.plans import checks as C
+
+    assert C.count_shuffles(pairwise_corr(df, ["x", "y"], exact=False)) == 1
+
+
 def test_pairwise_corr_single_shuffle(spark, sf_dir):
     from data_frame_spark.plans import checks as C
     from data_frame_spark.queries import QUERIES
