@@ -9,6 +9,8 @@ not a cluster run.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -117,14 +119,123 @@ def shuffle_census(df: DataFrame) -> tuple[int, int]:
     return data, tiny
 
 
-def data_sized_partitionless_windows(df: DataFrame) -> list[str]:
-    """Partitionless WindowExec nodes whose input is NOT aggregate-sized.
+_AGG_NODES = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+#: nodes that bound their output row count regardless of input size
+_LIMIT_NODES = (
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+)
+_KEYS_RE = re.compile(r"keys?=\[(.*?)\](?:,|\))")
+_OUTPUT_RE = re.compile(r"output=\[(.*?)\]")
+
+#: Per-query DECLARED bounded grouping domains: aggregate output
+#: column names whose cardinality is bounded by construction or by
+#: attribute domain, NOT by corpus size — each entry carries its
+#: justification and is consulted by the scale ledger and the
+#: test_plans pins via :func:`partitionless_for_query`. Anything not
+#: declared here (e.g. a token vocabulary) stays flagged.
+DECLARED_BOUNDED_KEYS: dict[str, frozenset[str]] = {
+    # histogram bin tables: bin count = ceil(range/width), both caller
+    # constants — adding rows never adds bins (operators/histogram.py)
+    "histogram_quantity": frozenset({"bucket"}),
+    "weighted_histogram_value": frozenset({"bucket"}),
+    "combine_histograms_returnflag": frozenset({"bucket"}),
+    # factor histogram over event_type: attribute domain (enum of
+    # event kinds), not corpus-sized; documented in the query
+    "string_histogram_event_type": frozenset({"bucket", "event_type"}),
+    # mixture strata = language codes — attribute domain (~hundreds),
+    # grows with the language inventory, not the corpus
+    "temperature_mixture_weights": frozenset({"stratum"}),
+}
+
+
+def partitionless_for_query(name: str, df: DataFrame) -> list[str]:
+    """data_sized_partitionless_windows with the query's DECLARED
+    bounded key domains applied (see DECLARED_BOUNDED_KEYS)."""
+    return data_sized_partitionless_windows(
+        df, bounded_names=DECLARED_BOUNDED_KEYS.get(name, frozenset())
+    )
+
+
+def _bounded_first_aggregates(
+    node, bounded_names: frozenset[str] = frozenset()
+) -> tuple[bool, list[str]]:
+    """Walk ``node``'s subtree down to the TOPMOST aggregate / limit
+    node of each branch and classify it by output-cardinality class:
+
+    * limit nodes (TakeOrderedAndProject, …) — k-bounded, fine;
+    * aggregates with NO grouping keys — one row, fine;
+    * aggregates keyed (only) by ``__bucket`` — at most |buckets|+1
+      rows by construction (operators.distributed), fine;
+    * any OTHER grouping key — DATA-DEPENDENT cardinality (a token
+      vocabulary, doc ids, …): a partitionless window over it is a
+      scale funnel even though an aggregate sits below.
+
+    Returns (all_branches_bounded, offending first-line summaries).
+    """
+    bad: list[str] = []
+    found_any = False
+
+    def walk(n):
+        nonlocal found_any
+        name = n.getClass().getSimpleName()
+        if any(name.startswith(l) for l in _LIMIT_NODES):
+            found_any = True
+            return
+        if name.startswith(("LocalTableScan", "OneRowRelation", "EmptyRelation")):
+            # driver-side literal relation (offset lookup tables,
+            # createDataFrame constants) — constant-sized
+            found_any = True
+            return
+        if name.startswith("Range"):
+            # spark.range(...) — bounds are plan-time constants (the
+            # bucket spines in operators.distributed), never data-sized
+            found_any = True
+            return
+        if any(name.startswith(a) for a in _AGG_NODES):
+            found_any = True
+            first = n.toString().splitlines()[0]
+            m = _KEYS_RE.search(first)
+            keys = (m.group(1) if m else "").strip()
+            if keys and "__bucket" not in keys:
+                outs = _OUTPUT_RE.search(first)
+                out_names = {
+                    c.strip().split("#")[0]
+                    for c in (outs.group(1).split(",") if outs else [])
+                }
+                if not (bounded_names and out_names & bounded_names):
+                    bad.append(first)
+            return
+        kids = n.children()
+        if kids.size() == 0:
+            # reached a data leaf (file scan / range) with no bounding
+            # node on this branch — data-sized input
+            bad.append(n.toString().splitlines()[0])
+            return
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(node)
+    return (found_any and not bad), bad
+
+
+def data_sized_partitionless_windows(
+    df: DataFrame, bounded_names: frozenset[str] = frozenset()
+) -> list[str]:
+    """Partitionless WindowExec nodes whose input is NOT bounded.
 
     A ``Window.orderBy`` with no partition keys funnels its whole input
-    through one partition. That is acceptable only when the input is
-    already aggregate-sized (e.g. the per-bucket offset tables in
-    ``operators.distributed`` — a HashAggregate sits below). Any other
-    occurrence is a scale bug; tests assert this returns [].
+    through one partition. That is acceptable only when the input's
+    cardinality is BOUNDED independent of the data: a global (no-key)
+    aggregate, a ``__bucket``-keyed aggregate from
+    ``operators.distributed`` (≤ |buckets|+1 rows), or a k-limit.
+    An aggregate keyed by a data column (a token vocabulary, doc ids)
+    does NOT qualify — its output grows with the corpus, so the window
+    is still a scale funnel (round-5 verdict: the old any-aggregate
+    exemption wrongly blessed the zipf vocab rank). Tests assert this
+    returns [].
     """
     jplan = df._jdf.queryExecution().executedPlan()
     if jplan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
@@ -134,12 +245,14 @@ def data_sized_partitionless_windows(df: DataFrame) -> list[str]:
     def walk(node):
         if node.getClass().getSimpleName() in ("WindowExec", "WindowGroupLimitExec"):
             if node.partitionSpec().isEmpty():
-                sub = node.toString()
-                if not any(
-                    a in sub
-                    for a in ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
-                ):
-                    bad.append(sub.splitlines()[0])
+                ok, offenders = _bounded_first_aggregates(node, bounded_names)
+                if not ok:
+                    head = node.toString().splitlines()[0]
+                    bad.append(
+                        head
+                        + " <- unbounded input: "
+                        + "; ".join(offenders[:3])
+                    )
         kids = node.children()
         for i in range(kids.size()):
             walk(kids.apply(i))

@@ -74,7 +74,7 @@ def test_no_data_sized_partitionless_windows(spark, sf_dir):
         "spline_mean_max_curve",
     ):
         df = QUERIES[name](spark, sf_dir)
-        bad = C.data_sized_partitionless_windows(df)
+        bad = C.partitionless_for_query(name, df)
         assert not bad, f"{name}: {bad}"
 
 
@@ -97,7 +97,7 @@ def test_partitioned_meanmax_has_no_global_sort(spark, sf_dir):
         "event_derived_series",
     ):
         df = QUERIES[name](spark, sf_dir)
-        bad = C.data_sized_partitionless_windows(df)
+        bad = C.partitionless_for_query(name, df)
         assert not bad, f"{name}: {bad}"
 
 
@@ -153,9 +153,12 @@ def test_label_centroids_single_combinable_shuffle(spark, sf_dir):
 
 def test_temperature_weights_windows_are_aggregate_sized(spark, sf_dir):
     # one count shuffle; the normalization windows run over the
-    # |strata|-row aggregate, never the data
+    # |strata|-row aggregate, never the data. Strata are language
+    # codes — an attribute domain declared bounded in
+    # checks.DECLARED_BOUNDED_KEYS (the strict classifier would flag
+    # the stratum-keyed aggregate as data-dependent otherwise)
     df = QUERIES["temperature_mixture_weights"](spark, sf_dir)
-    assert not C.data_sized_partitionless_windows(df)
+    assert not C.partitionless_for_query("temperature_mixture_weights", df)
     assert C.count_shuffles(df) <= 3
 
 
@@ -444,3 +447,29 @@ def test_robust_outliers_scoring_is_broadcast(spark, sf_dir):
     assert C.data_sized_partitionless_windows(df) == []
     data, tiny = C.shuffle_census(df)
     assert data <= 2, (data, tiny)
+
+
+def test_zipf_rank_has_no_vocab_sized_partitionless_window(spark, sf_dir):
+    # the vocabulary rank is a global row_number over a corpus-sized
+    # key domain (token types grow with the data, Heaps' law) — it
+    # must route through the range-bucketed two-level rank, and the
+    # tightened classifier (which no longer blesses a partitionless
+    # window just because SOME aggregate sits below it) must agree
+    # (round-5 verdict item #3)
+    df = QUERIES["zipf_fit_tokens"](spark, sf_dir)
+    assert C.data_sized_partitionless_windows(df) == []
+
+
+def test_classifier_rejects_vocab_window(spark, sf_dir):
+    # regression for the ledger loophole itself: a partitionless rank
+    # directly over a term-keyed aggregate (the round-5 zipf shape)
+    # MUST be flagged even though a HashAggregate sits below the window
+    from pyspark.sql import Window, functions as F
+    from data_frame_spark.operators import text as OpText
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(F.explode(OpText.tokens(F.col("text"))).alias("term"))
+    cnt = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), F.col("term"))
+    ranked = cnt.select(F.row_number().over(w).alias("x"), "c")
+    assert C.data_sized_partitionless_windows(ranked) != []

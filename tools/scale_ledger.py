@@ -56,7 +56,7 @@ def main() -> None:
         try:
             df = fn(spark, SF_DIR)
             sh, tiny = C.shuffle_census(df)
-            pw = len(C.data_sized_partitionless_windows(df))
+            pw = len(C.partitionless_for_query(name, df))
             bc = "yes" if C.uses_broadcast_join(df) else ""
             rows.append(f"| `{name}` | {sh} | {tiny} | {pw} | {bc} |")
         except Exception as e:  # pragma: no cover
