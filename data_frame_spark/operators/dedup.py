@@ -128,6 +128,7 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: ONE md5 per shingle -> 60-bit
     integer -> K affine rehashes (a_k·h + b_k) mod P; signature k is
@@ -138,12 +139,21 @@ def minhash_signatures(
 
     Plan: explode shingles -> ONE groupBy(id) computing all K mins
     (map-side combine does most of the work before the shuffle).
+
+    ``shingles`` lets a pipeline that ALSO needs the shingle table
+    (e.g. an exact Jaccard verify stage) tokenize the corpus once:
+    pass a (__id, __shingle) DataFrame — typically the checkpointed
+    distinct table shared with :func:`ngram_jaccard` — and the
+    signature aggregation reads it instead of re-running the
+    tokenize pipeline. MIN over duplicate shingles equals MIN over
+    the distinct set, so signatures are identical either way.
     """
-    # MIN over duplicate shingles equals MIN over the distinct set,
-    # so no dedup stage is needed before the aggregation
-    sh = shingle_rows(df, text_col, id_col, shingle_n).withColumn(
-        "__h", hash60(F.col("__shingle")) % F.lit(MINHASH_P)
+    base = (
+        shingles
+        if shingles is not None
+        else shingle_rows(df, text_col, id_col, shingle_n)
     )
+    sh = base.withColumn("__h", hash60(F.col("__shingle")) % F.lit(MINHASH_P))
     aggs = []
     for k in range(num_hashes):
         a, b = minhash_params(k)
@@ -211,6 +221,7 @@ def ngram_jaccard(
     id_col: str,
     shingle_n: int = 3,
     persist_shingles: bool = False,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs:
     (id_a, id_b, jaccard). Explode each side's distinct shingles,
@@ -224,12 +235,19 @@ def ngram_jaccard(
     leak) instead of recomputing the tokenize+md5 pipeline per
     branch — the standard stage-checkpoint practice for production
     dedup pipelines (at 100 TB you would write the signature/shingle
-    tables to parquet between stages)."""
-    sh = shingle_rows(df, text_col, id_col, shingle_n).withColumnRenamed(
-        "__shingle", "__s"
-    ).distinct()
-    if persist_shingles:
-        sh = sh.localCheckpoint(eager=True)
+    tables to parquet between stages).
+
+    ``shingles`` accepts a precomputed DISTINCT (__id, __shingle)
+    table (shared with :func:`minhash_signatures` upstream) so the
+    tokenize+md5 pipeline runs once per corpus, not once per stage."""
+    if shingles is not None:
+        sh = shingles.withColumnRenamed("__shingle", "__s")
+    else:
+        sh = shingle_rows(df, text_col, id_col, shingle_n).withColumnRenamed(
+            "__shingle", "__s"
+        ).distinct()
+        if persist_shingles:
+            sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     inter = (
         pairs.join(sh.alias("sa"), F.col("id_a") == F.col("sa.__id"))

@@ -93,33 +93,34 @@ def connected_components(
     a, b = F.col(src).cast("long"), F.col(dst).cast("long")
     # a non-castable id silently becomes NULL and would be dropped by
     # the u != v filter, returning partial clusters — surface misuse
-    # as an error instead. The validity flag rides along the ONE
-    # canonicalizing pass (eager checkpoint): the upstream pair
-    # pipeline — often an expensive LSH/verify stage the caller did
-    # not checkpoint — is scanned exactly once, not once for the
-    # probe and again for the edge materialization.
-    canon = (
-        pairs.select(
-            F.greatest(a, b).alias("u"),
-            F.least(a, b).alias("v"),
-            (
-                (F.col(src).isNotNull() & a.isNull())
-                | (F.col(dst).isNotNull() & b.isNull())
-            ).alias("__bad"),
-        )
-        .localCheckpoint(eager=True)
+    # as an error instead. The check is FOLDED into the canonicalizing
+    # expression (raise_error fires inside the edge-materialization
+    # job), so validity costs ZERO extra jobs and zero extra scans of
+    # the upstream pair pipeline — round 5 spent one full probe job
+    # (limit(1).count()) on it, ~10% of the query's driver latency.
+    _BAD_MSG = (
+        f"connected_components: {src}/{dst} contain ids that do not "
+        "cast to long; use orderable numeric ids or pre-map them"
     )
-    if canon.where(F.col("__bad")).limit(1).count() > 0:
-        raise ValueError(
-            f"connected_components: {src}/{dst} contain ids that do not "
-            "cast to long; use orderable numeric ids or pre-map them"
-        )
-    edges = (
-        canon.select("u", "v")
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=False)
+    bad = (F.col(src).isNotNull() & a.isNull()) | (
+        F.col(dst).isNotNull() & b.isNull()
     )
+    try:
+        edges = (
+            pairs.select(
+                F.when(bad, F.raise_error(F.lit(_BAD_MSG)).cast("long"))
+                .otherwise(F.greatest(a, b))
+                .alias("u"),
+                F.least(a, b).alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    except Exception as e:  # surface the folded id-validity check
+        if "do not cast to long" in str(e):
+            raise ValueError(_BAD_MSG) from None
+        raise
     def _sig(df):
         # (count, order-insensitive XOR of per-edge hashes): one tiny
         # aggregate; both sets are distinct, so differing sets with
@@ -134,8 +135,12 @@ def connected_components(
         ).collect()[0]
         return r["n"], r["x"]
 
-    sig_old = _sig(edges)  # materializes the edges checkpoint
-    canon.unpersist()  # canonical pass no longer referenced
+    try:
+        sig_old = _sig(edges)  # materializes the edges checkpoint
+    except Exception as e:  # surface the folded id-validity check
+        if "do not cast to long" in str(e):
+            raise ValueError(_BAD_MSG) from None
+        raise
     converged = False
     for _ in range(max_rounds):
         # the mid-round checkpoint is load-bearing: a star's output

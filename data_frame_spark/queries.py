@@ -1424,12 +1424,22 @@ def near_dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_size); a dedup keeps rows where doc_id == cluster_id.
     The DuckDB twin closes the same edge set with a recursive
     min-reachability CTE."""
+    from data_frame_spark.operators.text import shingle_rows
+
     docs = t(spark, sf_dir, "documents")
-    sigs = OpDedup.minhash_signatures(docs, "text", "doc_id", num_hashes=_NHASH)
+    # ONE tokenize+md5 pass over the corpus: the checkpointed
+    # distinct shingle table feeds both the minhash signatures and
+    # the exact Jaccard verify (round-6 latency fix — previously each
+    # stage re-ran the shingle pipeline; MIN over the distinct set
+    # equals MIN over the multiset, so signatures are unchanged)
+    sh = shingle_rows(docs, "text", "doc_id").distinct().localCheckpoint(eager=True)
+    sigs = OpDedup.minhash_signatures(
+        docs, "text", "doc_id", num_hashes=_NHASH, shingles=sh
+    )
     pairs = OpDedup.lsh_candidate_pairs(sigs, "doc_id", _NHASH, _BANDS)
     pairs = pairs.localCheckpoint(eager=True)
     verified = OpDedup.ngram_jaccard(
-        docs, pairs, "text", "doc_id", persist_shingles=True
+        docs, pairs, "text", "doc_id", shingles=sh
     ).where(F.col("jaccard") >= F.lit(0.8))
     return OpGraph.cluster_documents(verified).withColumnRenamed("id", "doc_id")
 

@@ -97,3 +97,23 @@ def test_cc_empty_edge_list(spark):
     df = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(df).collect() == []
     assert cluster_documents(df).collect() == []
+
+
+def test_cc_raises_on_uncastable_ids(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [("1", "2"), ("3", "not-a-number")], ["id_a", "id_b"]
+    )
+    with pytest.raises(ValueError, match="do not cast to long"):
+        connected_components(df)
+
+
+def test_cc_null_ids_dropped_not_raised(spark):
+    # genuinely-null ids (not cast failures) keep the old drop
+    # semantics — only the (1,2) edge remains
+    df = spark.createDataFrame(
+        [(1, 2), (None, 5)], "id_a long, id_b long"
+    )
+    got = {(r["id"], r["component"]) for r in connected_components(df).collect()}
+    assert got == {(1, 1), (2, 1)}
