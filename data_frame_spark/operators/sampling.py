@@ -477,3 +477,83 @@ def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
         out.append((name, (cum << 60) // 1_000_000))
     out[-1] = (out[-1][0], 1 << 60)
     return out
+
+
+def dsir_importance(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: "F.Column",
+    buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public method):
+    documents are featurized as hashed unigram bags over ``buckets``
+    buckets; a document's weight is the log-likelihood ratio of its
+    tokens under the TARGET domain's bucket distribution vs the raw
+    corpus distribution (Laplace-smoothed):
+
+        w(d) = Σ_tokens [ ln p_target(bucket) − ln p_raw(bucket) ]
+
+    High-weight documents "look like" the target domain; resampling
+    by w is the DSIR selection step (compose with
+    :func:`weighted_sample`).
+
+    Exactness: per-bucket log-ratios are quantized to integer
+    micro-nats FIRST, so each document's weight is an exact integer
+    sum (summation-order independent, oracle-reproducible) — the
+    same micro-nat contract as the LM NLL scorers (text.py).
+
+    Scale: token stream is aggregated by BUCKET (bounded key domain,
+    map-combinable, one shuffle), the 2×buckets count table folds
+    with the scalar totals into a broadcast lookup, and the per-doc
+    sum is one doc-keyed shuffle. The token stream is never shuffled
+    on the raw token key and nothing is vocabulary-sized.
+
+    ``target`` is a boolean Column over ``df``'s rows selecting the
+    target-domain documents (e.g. ``F.col("lang") == "en"``).
+    Output: (id, n_tokens, weight_micro).
+    """
+    from data_frame_spark.functions.texthash import hash60
+    from data_frame_spark.operators.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        target.alias("__t"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    ).withColumn("__b", hash60(F.col("__tok")) % F.lit(buckets))
+    cnt = tok.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__c_raw"),
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__c_t"),
+    )
+    totals = cnt.agg(
+        F.sum("__c_raw").alias("__n_raw"), F.sum("__c_t").alias("__n_t")
+    )
+    ratio = cnt.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.floor(
+            (
+                F.log(
+                    (F.col("__c_t") + F.lit(1)).cast("double")
+                    / (F.col("__n_t") + F.lit(buckets)).cast("double")
+                )
+                - F.log(
+                    (F.col("__c_raw") + F.lit(1)).cast("double")
+                    / (F.col("__n_raw") + F.lit(buckets)).cast("double")
+                )
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__r_micro"),
+    )
+    scored = tok.join(F.broadcast(ratio), "__b")
+    return (
+        scored.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__r_micro").alias("weight_micro"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )

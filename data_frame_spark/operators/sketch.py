@@ -80,6 +80,93 @@ def kmv_distinct(
     )
 
 
+def kmv_set_ops(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scope_a: str,
+    scope_b: str,
+    k: int = 64,
+) -> DataFrame:
+    """Set-operation estimates between two scopes' KMV sketches —
+    union cardinality, Jaccard, and intersection — the theta-sketch
+    set algebra (Beyer et al. 2007; Dasgupta et al., "Theta-sketch
+    framework") on the same md5-deterministic min-sets as
+    :func:`kmv_distinct`, so a SQL oracle reproduces every value.
+
+    Math: K(A∪B) = the k smallest of K(A) ∪ K(B), so the union
+    estimate is the standard (k-1)/u_k read-out on the merged
+    min-set (exact when both sketches are complete). Jaccard is the
+    fraction of K(A∪B) members present in BOTH input min-sets;
+    intersection = jaccard × union.
+
+    Scale: the only data-sized work is one distinct over the two
+    scopes' (scope, hash) pairs and a PER-SCOPE (partitioned)
+    row_number to keep k mins; everything after runs on two
+    k-length arrays inside a global no-key aggregate — bounded
+    state, no partitionless window over data, no driver collect.
+    ``exact_union`` / ``exact_inter`` are demonstration columns (one
+    extra hash-keyed aggregate); production reads drop them and pay
+    only the sketch path.
+    Output: (scope_a, scope_b, union_k, union_estimate,
+    jaccard_micro, inter_estimate_micro, exact_union, exact_inter).
+    """
+    h = hash60(F.col(value_col).cast("string"))
+    scope = F.col(group_col).cast("string")
+    base = (
+        df.where(scope.isin([scope_a, scope_b]))
+        .select(scope.alias("scope"), h.alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy("scope").orderBy("__h")
+    kept = base.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") <= k
+    )
+    sets = kept.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("scope") == scope_a, F.col("__h")))
+        ).alias("ha"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("scope") == scope_b, F.col("__h")))
+        ).alias("hb"),
+    )
+    merged = F.slice(F.array_sort(F.array_union("ha", "hb")), 1, k)
+    st = sets.select(
+        F.size(merged).alias("mn"),
+        F.element_at(merged, F.size(merged)).alias("uk"),
+        F.size(
+            F.filter(
+                merged,
+                lambda x: F.array_contains("ha", x) & F.array_contains("hb", x),
+            )
+        ).alias("inter_k"),
+    )
+    exact = (
+        base.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.count(F.lit(1)).alias("exact_union"),
+            F.sum(F.when(F.col("__c") == 2, 1).otherwise(0)).alias("exact_inter"),
+        )
+    )
+    uest = F.when(F.col("mn") < k, F.col("mn").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("uk").cast("double") / F.lit(_HASH_SPACE))
+    )
+    j = F.col("inter_k").cast("double") / F.col("mn").cast("double")
+    return st.crossJoin(exact).select(
+        F.lit(scope_a).alias("scope_a"),
+        F.lit(scope_b).alias("scope_b"),
+        F.col("mn").cast("long").alias("union_k"),
+        uest.alias("union_estimate"),
+        F.floor(j * 1e6 + F.lit(0.5)).cast("long").alias("jaccard_micro"),
+        F.floor(j * uest * 1e6 + F.lit(0.5)).cast("long").alias(
+            "inter_estimate_micro"
+        ),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # count-min sketch (frequency estimation)
 # ---------------------------------------------------------------------------

@@ -161,3 +161,39 @@ def rolling_stats(
         .withColumn("roll_n", F.col("__rn_cnt"))
         .drop("__rn_cnt", "__rsum_micro")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    gap: int,
+    partition_by: Sequence[str],
+    order_tiebreak: Sequence[str] = (),
+    out: str = "session_seq",
+) -> DataFrame:
+    """Batch sessionization: assign each row a per-key session number,
+    starting a new session whenever the gap since the previous row
+    exceeds ``gap`` (in ``ts_col`` units) — the batch twin of the
+    streaming session windows (streaming/windows.py), and the classic
+    gaps-and-islands formulation: a lag-compare flags session starts,
+    a running sum of flags numbers the sessions.
+
+    ``ts_col`` should be an exact integer timestamp (ts_us) so the
+    gap compare is engine-exact. Both windows are partitioned by the
+    session key (user/device) — no global sort, and the running-sum
+    frame is ROWS-bounded growth per partition, so at 100 TB the
+    sort is per-user and distributed. ``partition_by`` is required
+    non-empty (same scale contract as rolling_stats).
+    """
+    if not partition_by:
+        raise ValueError("sessionize requires partition_by (scale contract)")
+    order = [ts_col, *order_tiebreak]
+    w = Window.partitionBy(*partition_by).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_s = F.when(
+        prev.isNull() | ((F.col(ts_col) - prev) > F.lit(gap)), F.lit(1)
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(*partition_by).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out, F.sum(new_s).over(run))

@@ -3877,6 +3877,212 @@ def bloom_decontamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-6 additions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "batch_sessions_events",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, epoch_ns(ts)//1000 AS ts_us, value
+               FROM events),
+    s AS (SELECT user_id, event_id, ts_us, value,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+    g AS (SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+          FROM s)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+           MAX(ts_us) - MIN(ts_us) AS duration_us,
+           CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS value_micro
+    FROM g GROUP BY user_id, session_seq
+    """,
+)
+def batch_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a 30-minute inactivity gap — the
+    batch twin of session_windows_30m (streaming/windows.py): classic
+    gaps-and-islands (lag-compare flags starts, running sum numbers
+    sessions), rolled up to one row per session with exact integer
+    micro-value sums. Both windows are partitioned by user_id — the
+    per-user sort distributes at any scale, no global window."""
+    from data_frame_spark.operators.window import sessionize
+
+    ev = t(spark, sf_dir, "events")
+    s = sessionize(
+        ev, "ts_us", 1800 * 1000000, partition_by=["user_id"],
+        order_tiebreak=["event_id"],
+    )
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        F.sum(F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")).alias(
+            "value_micro"
+        ),
+    )
+
+
+@query(
+    "kmv_set_ops_users",
+    oracle=f"""
+    WITH h AS (SELECT DISTINCT CAST(event_type AS VARCHAR) AS scope,
+                               {_KMV_HASH} AS hh
+               FROM events WHERE event_type IN ('click', 'view')),
+    r AS (SELECT scope, hh,
+                 ROW_NUMBER() OVER (PARTITION BY scope ORDER BY hh) AS rn
+          FROM h),
+    ka AS (SELECT hh FROM r WHERE scope = 'click' AND rn <= 64),
+    kb AS (SELECT hh FROM r WHERE scope = 'view' AND rn <= 64),
+    u AS (SELECT hh FROM ka UNION SELECT hh FROM kb),
+    mr AS (SELECT hh, ROW_NUMBER() OVER (ORDER BY hh) AS rn FROM u),
+    mk AS (SELECT hh FROM mr WHERE rn <= 64),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS mn, MAX(hh) AS uk,
+                  CAST(SUM(CASE WHEN hh IN (SELECT hh FROM ka)
+                                 AND hh IN (SELECT hh FROM kb)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS inter_k
+           FROM mk),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+                  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+           FROM (SELECT hh, COUNT(*) AS c FROM h GROUP BY hh)),
+    f AS (SELECT mn, inter_k,
+                 CASE WHEN mn < 64 THEN CAST(mn AS DOUBLE)
+                      ELSE 63.0 / (CAST(uk AS DOUBLE) / 1152921504606846976.0)
+                 END AS uest,
+                 CAST(inter_k AS DOUBLE) / CAST(mn AS DOUBLE) AS j
+          FROM st)
+    SELECT 'click' AS scope_a, 'view' AS scope_b,
+           mn AS union_k, uest AS union_estimate,
+           CAST(FLOOR(j * 1000000.0 + 0.5) AS BIGINT) AS jaccard_micro,
+           CAST(FLOOR(j * uest * 1000000.0 + 0.5) AS BIGINT) AS inter_estimate_micro,
+           ex.exact_union, ex.exact_inter
+    FROM f CROSS JOIN ex
+    """,
+)
+def kmv_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra over two scopes' KMV min-sets
+    (operators/sketch.py:kmv_set_ops): union cardinality via the
+    (k-1)/u_k read-out on the merged min-set, Jaccard as the
+    both-members fraction of K(A∪B), intersection = J × union —
+    'how many distinct users do click and view share' without ever
+    counting distincts at scale. exact_* are demonstration columns."""
+    ev = t(spark, sf_dir, "events")
+    return OpSketch.kmv_set_ops(
+        ev, "user_id", "event_type", "click", "view", k=64
+    )
+
+
+@query(
+    "contamination_audit_splits",
+    oracle=rf"""
+    WITH u AS (SELECT doc_id, source, text,
+                      CAST({_sql_h60("CONCAT('exp1:', CAST(doc_id AS VARCHAR))")} AS BIGINT) AS h
+               FROM documents),
+    s AS (SELECT doc_id, source, text,
+                 CASE WHEN h < {_SPLIT_BOUNDS["train"]} THEN 'train'
+                      WHEN h < {_SPLIT_BOUNDS["val"]} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM u),
+    norm AS (SELECT doc_id, split, source,
+                    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+             FROM s WHERE split IN ('train', 'test')),
+    sh AS (SELECT doc_id, split, source,
+                  CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                       ELSE list_transform(generate_series(1, len(tk)-4),
+                                           i -> array_to_string(tk[i:i+4], ' '))
+                  END AS sg
+           FROM norm),
+    cg AS (SELECT doc_id, split, source,
+                  UNNEST(list_distinct(list_transform(sg, x -> md5(x)))) AS h2
+           FROM sh),
+    tr AS (SELECT doc_id, source, h2 FROM cg WHERE split = 'train'),
+    te AS (SELECT doc_id AS bench_id, h2 FROM cg WHERE split = 'test'),
+    hits AS (SELECT tr.doc_id, tr.source, te.bench_id,
+                    CAST(COUNT(*) AS BIGINT) AS shared
+             FROM tr JOIN te USING (h2) GROUP BY 1, 2, 3)
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs,
+           CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs_hit,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MAX(shared) AS BIGINT) AS max_shared
+    FROM hits GROUP BY source
+    """,
+)
+def contamination_audit_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit: assign deterministic 90/5/5 splits
+    (exact integer hash boundaries, operators/sampling.py), then flag
+    every train document sharing a verbatim 5-token span with a test
+    document (hashed n-gram equi-join with the test side broadcast —
+    work ∝ collisions, never train × test), rolled up per source.
+    The audit every training pipeline should run BEFORE shipping a
+    split: a nonzero row means the eval set leaks into train."""
+    from data_frame_spark.operators import sampling as OpSamp
+    from data_frame_spark.operators.distributed import ensure_parallelism
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    assigned = OpSamp.assign_splits(
+        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="exp1"
+    )
+    train = assigned.where(F.col("split") == "train")
+    test_ = assigned.where(F.col("split") == "test")
+    hits = OpDedup.ngram_contamination(train, test_, "text", "doc_id", n=5)
+    return (
+        hits.join(train.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_contaminated_docs"),
+            F.countDistinct("bench_id").alias("n_bench_docs_hit"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("shared_ngrams").alias("max_shared"),
+        )
+    )
+
+
+@query(
+    "dsir_importance_docs",
+    oracle=rf"""
+    WITH norm AS (SELECT doc_id, lang,
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                  FROM documents),
+    tok AS (SELECT doc_id, (lang = 'en') AS t, UNNEST(tk) AS token FROM norm),
+    bk AS (SELECT doc_id, t, ({_sql_h60("token")}) % 256 AS b FROM tok),
+    cnt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_raw,
+                   CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+            FROM bk GROUP BY b),
+    tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+                   CAST(SUM(c_t) AS BIGINT) AS n_t
+            FROM cnt),
+    ratio AS (SELECT b,
+                     CAST(FLOOR((ln(CAST(c_t + 1 AS DOUBLE) / CAST(n_t + 256 AS DOUBLE))
+                                 - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(n_raw + 256 AS DOUBLE)))
+                                * 1000000.0 + 0.5) AS BIGINT) AS r
+              FROM cnt CROSS JOIN tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(r) AS BIGINT) AS weight_micro
+    FROM bk JOIN ratio USING (b) GROUP BY doc_id
+    """,
+)
+def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, public): hashed
+    unigram features over 256 buckets; each document scores the
+    micro-nat log-likelihood ratio of its tokens under the target
+    domain (lang='en') vs the raw corpus, Laplace-smoothed. The
+    selection signal for 'give me more data that looks like X';
+    compose with weighted_sample for the resampling step. Bounded
+    bucket domain — the token stream never shuffles on a vocabulary
+    key."""
+    from data_frame_spark.operators import sampling as OpSamp
+
+    docs = t(spark, sf_dir, "documents")
+    return OpSamp.dsir_importance(
+        docs, "text", "doc_id", target=(F.col("lang") == "en"), buckets=256
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry order: the driver's correctness gate walks the registry in
 # iteration order (round-1 evidence: exactly the first 50 entries got
 # CORRECTNESS rows). Queries that have never had a green driver row —
@@ -3936,6 +4142,10 @@ _FIRST = [
     "split_assignment_docs",
     "salted_join_segment_revenue",
     # Block 3 — round-6 additions (never had a driver row).
+    "batch_sessions_events",
+    "kmv_set_ops_users",
+    "contamination_audit_splits",
+    "dsir_importance_docs",
 ]
 
 _order = [n for n in _FIRST if n in QUERIES] + [n for n in QUERIES if n not in _FIRST]

@@ -198,3 +198,30 @@ def test_rolling_stats_requires_partitioning(spark):
     df = spark.createDataFrame([(1, 1.0)], "i long, v double")
     with _pytest.raises(ValueError):
         rolling_stats(df, "v", ["i"], [], n=3)
+
+
+def test_sessionize_gap_semantics(spark):
+    from data_frame_spark.operators.window import sessionize
+    import pytest
+
+    rows = [
+        (1, 0), (1, 100), (1, 2000),        # user 1: gap 1900 > 1000 -> 2 sessions
+        (2, 50), (2, 1050), (2, 1100),      # user 2: first gap exactly 1000 (NOT >) -> 1 session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long")
+    got = {
+        (r["user_id"], r["ts"]): r["session_seq"]
+        for r in sessionize(df, "ts", 1000, partition_by=["user_id"]).collect()
+    }
+    assert got[(1, 0)] == 1 and got[(1, 100)] == 1 and got[(1, 2000)] == 2
+    assert got[(2, 50)] == got[(2, 1050)] == got[(2, 1100)] == 1
+    with pytest.raises(ValueError, match="partition_by"):
+        sessionize(df, "ts", 1000, partition_by=[])
+
+
+def test_sessionize_windows_are_partitioned(spark, sf_dir):
+    from data_frame_spark.plans import checks as C
+    from data_frame_spark.queries import QUERIES
+
+    df = QUERIES["batch_sessions_events"](spark, sf_dir)
+    assert C.data_sized_partitionless_windows(df) == []

@@ -386,3 +386,38 @@ def test_assign_splits_is_narrow(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = assign_splits(docs, "doc_id", {"train": 0.9, "val": 0.1})
     assert C.count_shuffles(out) == 0
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    # target = docs drawn from vocabulary A; docs written in A must
+    # outscore docs written in vocabulary B
+    from data_frame_spark.operators.sampling import dsir_importance
+    from pyspark.sql import functions as F
+
+    a_words = ["alpha beta gamma delta epsilon"] * 6
+    b_words = ["zeta eta theta iota kappa"] * 6
+    rows = (
+        [(i, a_words[0], "t") for i in range(6)]
+        + [(100 + i, b_words[0], "o") for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = {
+        r["doc_id"]: r["weight_micro"]
+        for r in dsir_importance(
+            df, "text", "doc_id", target=(F.col("grp") == "t"), buckets=64
+        ).collect()
+    }
+    # every A-doc outweighs every B-doc
+    assert min(out[i] for i in range(6)) > max(out[100 + i] for i in range(6))
+
+
+def test_dsir_importance_plan_bounded(spark, sf_dir):
+    # the token stream aggregates on the BOUNDED bucket key and the
+    # ratio table arrives broadcast; no vocabulary-keyed shuffle, no
+    # partitionless window
+    from data_frame_spark.plans import checks as C
+    from data_frame_spark.queries import QUERIES
+
+    df = QUERIES["dsir_importance_docs"](spark, sf_dir)
+    assert C.data_sized_partitionless_windows(df) == []
+    assert C.uses_broadcast_join(df)

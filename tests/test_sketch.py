@@ -309,3 +309,40 @@ def test_grid_quantiles_bin_counts_merge_monoid(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_kmv_set_ops_complete_sketches_are_exact(spark):
+    # distinct counts below k: the merged min-set holds every hash, so
+    # union/intersection/jaccard are EXACT, not estimates
+    from data_frame_spark.operators.sketch import kmv_set_ops
+
+    rows = [("a", i) for i in range(30)] + [("b", i) for i in range(20, 50)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kmv_set_ops(df, "v", "g", "a", "b", k=64).collect()[0]
+    assert r["union_k"] == 50 and r["exact_union"] == 50
+    assert r["exact_inter"] == 10
+    assert r["union_estimate"] == 50.0
+    assert r["jaccard_micro"] == int(10 / 50 * 1e6 + 0.5)
+    assert r["inter_estimate_micro"] == int(10 / 50 * 50 * 1e6 + 0.5)
+
+
+def test_kmv_set_ops_estimate_tracks_truth(spark):
+    # overlapping ranges well above k: estimates within the standard
+    # KMV relative error ~1/sqrt(k-1) (~13% at k=64; allow 3x)
+    from data_frame_spark.operators.sketch import kmv_set_ops
+
+    rows = [("a", i) for i in range(4000)] + [("b", i) for i in range(2000, 6000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kmv_set_ops(df, "v", "g", "a", "b", k=64).collect()[0]
+    assert r["exact_union"] == 6000 and r["exact_inter"] == 2000
+    assert abs(r["union_estimate"] - 6000) / 6000 < 0.4
+    true_j = 2000 / 6000
+    assert abs(r["jaccard_micro"] / 1e6 - true_j) < 0.15
+
+
+def test_kmv_set_ops_no_partitionless_window_over_data(spark, sf_dir):
+    from data_frame_spark.plans import checks as C
+    from data_frame_spark.queries import QUERIES
+
+    df = QUERIES["kmv_set_ops_users"](spark, sf_dir)
+    assert C.data_sized_partitionless_windows(df) == []
