@@ -1,0 +1,101 @@
+"""Generate a 10x scale-up of sf0.1 under .scratch/sf1 for the
+scaling probe (round-6 verdict item #6). Replicas are DECORRELATED so
+dedup-style queries scale by corpus size, not by artificial
+cross-replica duplicates:
+- documents: per-replica character substitution (translate) rewrites
+  tokens while preserving lengths/counts, so per-replica statistics
+  match the original but cross-replica shingles differ
+- embeddings: per-replica deterministic sign flips (md5-derived ±1
+  per dimension) preserve norms exactly and drive cross-replica
+  cosine to ~0 (a circular rotation does NOT decorrelate — adjacent
+  dims are correlated, so rotated copies stayed near-duplicates and
+  inflated the sf1 cluster count 31x in the first probe)
+- events: id/user offsets; values and timestamps unchanged
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+
+from data_frame_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/.scratch/sf1"
+R = 10
+
+spark = get_spark("make-sf1")
+spark.sparkContext.setLogLevel("ERROR")
+
+alpha = "etaoinshrd"
+
+docs = spark.read.parquet(f"{SRC}/documents.parquet")
+parts = []
+for i in range(R):
+    if i == 0:
+        parts.append(docs)
+    else:
+        rot = alpha[i:] + alpha[:i]
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                F.translate("text", alpha, rot).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+big = parts[0]
+for p in parts[1:]:
+    big = big.unionByName(p)
+big.repartition(32).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+print("documents:", spark.read.parquet(f"{DST}/documents.parquet").count())
+
+emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+d = len(emb.select("embedding").first()["embedding"])
+import hashlib
+
+parts = []
+for i in range(R):
+    if i == 0:
+        parts.append(emb)
+    else:
+        signs = [
+            1.0 if int(hashlib.md5(f"s{i}:{j}".encode()).hexdigest()[:2], 16) % 2
+            else -1.0
+            for j in range(d)
+        ]
+        flipped = F.zip_with(
+            "embedding",
+            F.array(*[F.lit(s) for s in signs]),
+            lambda x, s: (x * s).cast("float"),
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                flipped.alias("embedding"),
+                "label",
+            )
+        )
+big = parts[0]
+for p in parts[1:]:
+    big = big.unionByName(p)
+big.repartition(32).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+print("embeddings:", spark.read.parquet(f"{DST}/embeddings.parquet").count())
+
+ev = spark.read.parquet(f"{SRC}/events.parquet")
+parts = []
+for i in range(R):
+    if i == 0:
+        parts.append(ev)
+    else:
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 1_000_000_000)).alias("user_id"),
+                "event_type", "value", "props",
+            )
+        )
+big = parts[0]
+for p in parts[1:]:
+    big = big.unionByName(p)
+big.repartition(32).write.mode("overwrite").parquet(f"{DST}/events.parquet")
+print("events:", spark.read.parquet(f"{DST}/events.parquet").count())

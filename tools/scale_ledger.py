@@ -43,6 +43,10 @@ accounting for every registered query at sf0.001. Columns:
 - **broadcast** — the plan broadcasts a small side instead of
   shuffling the big one.
 
+Empirical 10x scale-up slopes for the five most expensive queries are
+recorded in [SCALE_PROBE.md](SCALE_PROBE.md) (round 6): no
+super-linear time slope.
+
 | query | shuffles | tiny | partitionless | broadcast |
 |---|---|---|---|---|
 """
