@@ -336,6 +336,7 @@ def ngram_contamination(
     id_col: str = "doc_id",
     n: int = 13,
     min_overlap: int = 1,
+    broadcast: bool | str = True,
 ) -> DataFrame:
     """Train/test decontamination by n-gram collision (the standard
     public recipe: a training document is contaminated if it shares
@@ -347,7 +348,24 @@ def ngram_contamination(
     ∝ colliding n-grams, never |corpus|×|benchmark| — then a
     pair-keyed count. Output: (doc_id, bench_id, shared_ngrams) for
     pairs with at least ``min_overlap`` shared n-grams.
+
+    ``broadcast`` picks the join strategy for the benchmark side —
+    the knob that decides whether this survives 100 TB:
+
+    * ``True`` (default) — ``F.broadcast`` the benchmark hash set so
+      non-colliding corpus n-grams are dropped MAP-SIDE; the corpus
+      never shuffles its shingles. Correct ONLY when the benchmark
+      is a fixed eval suite (MBs of hashes), the operator's original
+      use.
+    * ``False`` — force a shuffle hash equi-join on ``__h``. Use
+      when the "benchmark" scales with the corpus (e.g. a held-out
+      test SPLIT: 5%% of 100 TB is terabytes of 5-gram hashes, far
+      past any broadcast cap / executor memory). Both sides
+      hash-partition on ``__h``; work stays ∝ collisions.
+    * ``'auto'`` — no hint; Catalyst + AQE choose from size stats.
     """
+    if broadcast not in (True, False, "auto"):
+        raise ValueError(f"broadcast must be True, False, or 'auto', got {broadcast!r}")
     c = shingle_rows(corpus, text_col, id_col, n=n).select(
         F.col("__id").alias("doc_id"), F.md5(F.col("__shingle")).alias("__h")
     )
@@ -356,12 +374,16 @@ def ngram_contamination(
         .select(F.col("__id").alias("bench_id"), F.md5(F.col("__shingle")).alias("__h"))
         .distinct()
     )
-    # benchmark suites are tiny next to a training corpus: broadcast
-    # the benchmark hash set so non-colliding corpus n-grams are
-    # dropped MAP-SIDE — the corpus never shuffles its shingles; only
-    # the (rare) collisions reach the distinct + pair count
+    if broadcast is True:
+        b = F.broadcast(b)
+    elif broadcast is False:
+        # pin a ShuffledHashJoin (not just "no broadcast hint"):
+        # at small SF Catalyst's size estimate would still elect to
+        # broadcast a corpus-derived side, which is exactly the plan
+        # shape the 100 TB contract forbids for split-vs-split audits
+        b = b.hint("shuffle_hash")
     return (
-        c.join(F.broadcast(b), "__h")
+        c.join(b, "__h")
         .select("doc_id", "bench_id", "__h")
         .distinct()
         .groupBy("doc_id", "bench_id")

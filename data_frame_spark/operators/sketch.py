@@ -133,7 +133,13 @@ def kmv_set_ops(
     merged = F.slice(F.array_sort(F.array_union("ha", "hb")), 1, k)
     st = sets.select(
         F.size(merged).alias("mn"),
-        F.element_at(merged, F.size(merged)).alias("uk"),
+        # guard the read-out against BOTH scopes being empty: merged
+        # is then [] and element_at(arr, 0) is rejected (Spark array
+        # indices are 1-based; ANSI error) — an empty union reads out
+        # as NULL u_k and the mn<k branch below yields estimate 0.0
+        F.when(
+            F.size(merged) > 0, F.element_at(merged, F.size(merged))
+        ).alias("uk"),
         F.size(
             F.filter(
                 merged,
@@ -152,7 +158,12 @@ def kmv_set_ops(
     uest = F.when(F.col("mn") < k, F.col("mn").cast("double")).otherwise(
         F.lit(float(k - 1)) / (F.col("uk").cast("double") / F.lit(_HASH_SPACE))
     )
-    j = F.col("inter_k").cast("double") / F.col("mn").cast("double")
+    # mn = 0 (both scopes empty) would make this an ANSI 0/0 error;
+    # an empty union's Jaccard reads out as 0
+    j = F.when(
+        F.col("mn") > 0,
+        F.col("inter_k").cast("double") / F.col("mn").cast("double"),
+    ).otherwise(F.lit(0.0))
     return st.crossJoin(exact).select(
         F.lit(scope_a).alias("scope_a"),
         F.lit(scope_b).alias("scope_b"),

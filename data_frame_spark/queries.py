@@ -628,23 +628,28 @@ from data_frame_spark.operators import joins as OpJoins
     """,
 )
 def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped star join: fact joined through three broadcast
-    dimensions — the lineitem side never shuffles for the dims."""
+    """TPC-H Q5-shaped star join. Broadcast discipline (round-7 fix,
+    caught by plans.checks.data_sized_broadcasts): only the
+    ATTRIBUTE-DOMAIN dims broadcast — nation (25 rows) and region (5
+    rows) are fixed by the TPC-H spec at any SF, so they ship onto
+    the customer side map-side. customer itself is SF-proportional
+    (15e9 rows at 100 TB) and must NOT carry a broadcast hint: the
+    fact-to-customer join is left to Catalyst/AQE, which broadcasts
+    it at small SF and key-partitions it on a real cluster."""
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     cust = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region")
-    dim = (
-        OpJoins.join_small_dim(
-            OpJoins.join_small_dim(cust, nation, on=[cust.c_nationkey == nation.n_nationkey]),
-            region,
-            on=[F.col("n_regionkey") == F.col("r_regionkey")],
-        )
+    geo = OpJoins.join_small_dim(
+        nation, region, on=[F.col("n_regionkey") == F.col("r_regionkey")]
+    ).select("n_nationkey", "n_name", "r_name")
+    dim = OpJoins.join_small_dim(
+        cust, geo, on=[cust.c_nationkey == F.col("n_nationkey")]
     ).select("c_custkey", "n_name", "r_name")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
     )
     return (
         joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -3117,8 +3122,14 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter broadcast through a
-    two-level join, grouped revenue."""
+    """TPC-H Q3 shape: selective filters pushed to the scans, grouped
+    revenue. Broadcast discipline (round-7 fix, caught by
+    plans.checks.data_sized_broadcasts): BOTH join sides here are
+    SF-proportional — the date filter keeps most of orders and the
+    BUILDING segment is ~1/5 of customer, i.e. billions of rows at
+    100 TB — so neither carries a broadcast hint; Catalyst/AQE
+    broadcasts them at small SF and key-partitions at scale (the
+    li⋈orders join co-partitions on orderkey either way)."""
     cust = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -3127,8 +3138,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -4015,10 +4026,16 @@ def contamination_audit_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split leakage audit: assign deterministic 90/5/5 splits
     (exact integer hash boundaries, operators/sampling.py), then flag
     every train document sharing a verbatim 5-token span with a test
-    document (hashed n-gram equi-join with the test side broadcast —
-    work ∝ collisions, never train × test), rolled up per source.
-    The audit every training pipeline should run BEFORE shipping a
-    split: a nonzero row means the eval set leaks into train."""
+    document, rolled up per source. The audit every training pipeline
+    should run BEFORE shipping a split: a nonzero row means the eval
+    set leaks into train.
+
+    100 TB shape: unlike the eval-suite decontamination query, BOTH
+    sides here are corpus-proportional (the test split is 5% of the
+    corpus — terabytes of 5-gram hashes at scale, far past any
+    broadcast cap), so the n-gram tables meet in a SHUFFLE hash
+    equi-join on the hash (``broadcast=False``) — work stays
+    ∝ collisions; pinned broadcast-free in tests/test_plans.py."""
     from data_frame_spark.operators import sampling as OpSamp
     from data_frame_spark.operators.distributed import ensure_parallelism
 
@@ -4028,7 +4045,9 @@ def contamination_audit_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = assigned.where(F.col("split") == "train")
     test_ = assigned.where(F.col("split") == "test")
-    hits = OpDedup.ngram_contamination(train, test_, "text", "doc_id", n=5)
+    hits = OpDedup.ngram_contamination(
+        train, test_, "text", "doc_id", n=5, broadcast=False
+    )
     return (
         hits.join(train.select("doc_id", "source"), "doc_id")
         .groupBy("source")

@@ -333,6 +333,63 @@ def test_decontamination_broadcasts_benchmark(spark, sf_dir):
     assert C.uses_broadcast_join(df)
 
 
+def test_contamination_audit_is_broadcast_free_at_scale(spark, sf_dir):
+    # round-7 fix of the round-6 scale flag: BOTH sides of the
+    # split-vs-split audit are corpus-proportional (the test split is
+    # 5% of the corpus — terabytes of 5-gram hashes at 100 TB), so
+    # the audit must NOT broadcast anything: the n-gram tables meet
+    # in a pinned ShuffledHashJoin on the hash, and the source
+    # roll-up join is left size-elected (shuffles at scale)
+    with C.scale_planner(spark):
+        df = QUERIES["contamination_audit_splits"](spark, sf_dir)
+        assert C.broadcasts_for_query("contamination_audit_splits", df) == []
+        plan = C.simple_plan(df)
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
+def test_no_code_forced_data_sized_broadcasts(spark, sf_dir):
+    # the 100 TB planner simulation (autoBroadcastJoinThreshold=-1):
+    # size-elected broadcasts vanish at scale on their own, so any
+    # BroadcastExchange left is one OUR code forces via a hint — and
+    # its input subtree must be bounded (round-7 fix: regional_revenue
+    # broadcast a dim tree CONTAINING customer, shipping_priority
+    # broadcast orders + filtered customer; both are SF-proportional)
+    for name in (
+        "regional_revenue",
+        "shipping_priority",
+        "salted_join_segment_revenue",
+        "dsir_importance_docs",
+        "cms_token_counts",
+        "bigram_lm_nll_docs",
+        "grid_quantiles_price",
+        "kmv_set_ops_users",
+        "near_dup_clusters_docs",
+        "segment_dedup_docs",
+    ):
+        with C.scale_planner(spark):
+            df = QUERIES[name](spark, sf_dir)
+            bad = C.broadcasts_for_query(name, df)
+        assert not bad, f"{name}: {bad}"
+
+
+def test_broadcast_classifier_catches_forced_corpus_broadcast(spark, sf_dir):
+    # positive control: force-broadcasting a corpus-derived side must
+    # be flagged — this is exactly the round-6 audit bug shape
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with C.scale_planner(spark):
+        df = docs.join(F.broadcast(docs.select("doc_id").distinct()), "doc_id")
+        assert C.data_sized_broadcasts(df)
+    # ...and the benchmark-suite decontamination broadcast stays
+    # declared-legitimate rather than structurally blessed
+    with C.scale_planner(spark):
+        ddf = QUERIES["ngram_decontamination_docs"](spark, sf_dir)
+        assert C.data_sized_broadcasts(ddf)  # raw classifier flags it
+        assert C.broadcasts_for_query("ngram_decontamination_docs", ddf) == []
+
+
 def test_ensure_parallelism_is_identity_on_wide_input(spark):
     # the small-file guard must NOT add a shuffle once the input is
     # already as parallel as the session target — at scale the corpus

@@ -42,13 +42,25 @@ accounting for every registered query at sf0.001. Columns:
   `operators/distributed.py` (pinned by `tests/test_plans.py`).
 - **broadcast** — the plan broadcasts a small side instead of
   shuffling the big one.
+- **bcast data-sized** — broadcast exchanges that would ship a
+  CORPUS-SIZED side at 100 TB. Measured under
+  `plans.checks.scale_planner` (autoBroadcastJoinThreshold=-1: the
+  100 TB planner simulation — size-elected broadcasts vanish at
+  scale on their own; only CODE-FORCED hints persist) and classified
+  by `plans.checks.broadcasts_for_query` (the broadcast input
+  subtree must bottom out in a bounded node — no-key/`__bucket`
+  aggregate, k-limit, literal relation, or the attribute-domain
+  region/nation scans — or the query must carry a justified
+  `DECLARED_BROADCAST_OK` entry). This column must be 0 for EVERY
+  query (round-6 verdict: the contamination audit's
+  corpus-proportional broadcast is exactly this bug class).
 
 Empirical 10x scale-up slopes for the five most expensive queries are
 recorded in [SCALE_PROBE.md](SCALE_PROBE.md) (round 6): no
 super-linear time slope.
 
-| query | shuffles | tiny | partitionless | broadcast |
-|---|---|---|---|---|
+| query | shuffles | tiny | partitionless | broadcast | bcast data-sized |
+|---|---|---|---|---|---|
 """
 
 
@@ -62,9 +74,14 @@ def main() -> None:
             sh, tiny = C.shuffle_census(df)
             pw = len(C.partitionless_for_query(name, df))
             bc = "yes" if C.uses_broadcast_join(df) else ""
-            rows.append(f"| `{name}` | {sh} | {tiny} | {pw} | {bc} |")
+            # re-plan under the 100 TB planner simulation: only
+            # code-forced broadcast hints survive there
+            with C.scale_planner(spark):
+                df_scale = fn(spark, SF_DIR)
+                bd = len(C.broadcasts_for_query(name, df_scale))
+            rows.append(f"| `{name}` | {sh} | {tiny} | {pw} | {bc} | {bd} |")
         except Exception as e:  # pragma: no cover
-            rows.append(f"| `{name}` | ERROR | | {str(e)[:40]} | |")
+            rows.append(f"| `{name}` | ERROR | | {str(e)[:40]} | | |")
     out = HEADER + "\n".join(rows) + "\n"
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "docs", "SCALE_LEDGER.md")
