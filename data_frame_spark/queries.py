@@ -4110,61 +4110,64 @@ def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FIRST = [
-    # round-6 rotation (standing policy: every query gets a driver row
+    # round-7 rotation (standing policy: every query gets a driver row
     # at least every 2 rounds; any query whose code changes this round
     # goes into the first 50).
     #
-    # Block 1 — the 37 queries past round 5's 50-query cap (last green
-    # row: CORRECTNESS_r04; code verified unchanged in r5 by git diff).
-    "pricing_summary",
-    "select_filter_project",
-    "valid_only_drop_na",
-    "describe_lineitem",
-    "csv_read_fixture",
-    "event_derived_series",
-    "row_range_slice",
-    "interpolated_lookup_value",
-    "weighted_stats_value",
-    "quantiles_extendedprice",
-    "weighted_quantiles_value",
-    "histogram_quantity",
-    "weighted_histogram_value",
-    "string_histogram_event_type",
-    "combine_histograms_returnflag",
+    # Block 1 — the 41 queries past round 6's 50-query cap (last green
+    # row: CORRECTNESS_r05), led by minhash_signatures_docs and
+    # ngram_jaccard_verified per the round-6 verdict (their backing
+    # dedup.py functions gained the shingles= parameter in r6).
+    "minhash_signatures_docs",
+    "ngram_jaccard_verified",
+    "stratified_sample_docs",
+    "weighted_sample_docs",
+    "bm25_search_docs",
+    "unigram_lm_nll_docs",
+    "bigram_lm_nll_docs",
+    "curriculum_buckets_docs",
+    "pmi_collocations_docs",
+    "per_source_cap_docs",
+    "chunk_documents",
+    "mixture_sample_docs",
+    "pack_chunks_256",
+    "corpus_stats_rollup",
+    "denylist_scrub_docs",
+    "tfidf_top_terms_docs",
+    "json_props_rollup",
+    "kmv_distinct_users",
+    "grid_quantiles_price",
+    "rolling_stats_value",
+    "zorder_key_events",
+    "robust_outliers_value",
+    "quality_filter_docs",
+    "segment_dedup_docs",
+    "gopher_repetition_docs",
+    "cosine_topk_embeddings",
+    "session_windows_30m",
+    "binary_metadata_docs",
+    "forecast_revenue",
+    "shipping_priority",
+    "index_range_select",
+    "mean_max_by_user",
+    "mean_max_aux_by_user",
+    "lap_swim_mean_max_by_user",
+    "ngram_decontamination_docs",
+    "cms_token_counts",
+    "hll_distinct_shingles",
+    "heavy_hitter_tokens",
+    "label_centroids_embeddings",
+    "temperature_mixture_weights",
+    "bloom_decontamination_docs",
+    # Block 2 — queries whose code changed in round 7 (broadcast
+    # discipline: audit shuffle-join pin, Q5/Q3 de-broadcast, kmv
+    # empty-scope guard, split_thresholds validation). The other two
+    # r7-touched queries (shipping_priority, ngram_decontamination_docs)
+    # are already in Block 1.
     "regional_revenue",
-    "semi_join_customers_with_open_orders",
-    "anti_join_parts_never_ordered",
-    "set_ops_order_priorities",
-    "exact_dedup_documents",
-    "top_revenue_orders",
-    "mean_max_value",
-    "group_samples_value_user",
-    "rdp_simplify_user_series",
-    "spline_mean_max_curve",
-    "text_features_docs",
-    "embedding_near_dup_pairs",
-    "lsh_ann_topk_embeddings",
-    "stream_windows_hourly",
-    "byte_features_docs",
-    "equal_range_count",
-    "cartesian_region_nation",
-    "mean_max_inverted",
-    "simhash_docs",
-    "winnowed_fingerprints_docs",
-    "exp_fit_value_hour",
-    "asof_multi_value_lookup",
-    # Block 2 — queries whose code changed in round 6 (must re-verify).
-    "zipf_fit_tokens",
-    "near_dup_clusters_docs",
-    "embedding_dup_clusters",
-    "pairwise_corr_lineitem",
-    "split_assignment_docs",
-    "salted_join_segment_revenue",
-    # Block 3 — round-6 additions (never had a driver row).
-    "batch_sessions_events",
-    "kmv_set_ops_users",
     "contamination_audit_splits",
-    "dsir_importance_docs",
+    "kmv_set_ops_users",
+    "split_assignment_docs",
 ]
 
 _order = [n for n in _FIRST if n in QUERIES] + [n for n in QUERIES if n not in _FIRST]
