@@ -392,6 +392,67 @@ def ngram_contamination(
     )
 
 
+def split_contamination_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_col: str = "split",
+    train: str = "train",
+    test: str = "test",
+    n: int = 13,
+    min_overlap: int = 1,
+    rollup_col: str | None = None,
+) -> DataFrame:
+    """Cross-split leakage audit as a reusable operator: given a
+    corpus that ALREADY carries a split assignment column (from
+    :func:`~data_frame_spark.operators.sampling.assign_splits` or any
+    pipeline's own splitter), flag every ``train`` document sharing a
+    verbatim ``n``-token span with a ``test`` document — the "verify
+    your split before shipping it" step; a nonzero result means the
+    eval set leaks into the training set.
+
+    Output: pair-level ``(doc_id, bench_id, shared_ngrams)`` rows
+    (``bench_id`` = the test-split document), or, with ``rollup_col``
+    (e.g. a source/domain column), a per-value roll-up
+    ``(rollup_col, n_contaminated_docs, n_bench_docs_hit, n_pairs,
+    max_shared)``.
+
+    100 TB shape: BOTH sides are corpus-proportional (a held-out
+    split is a fixed FRACTION of the corpus, not a fixed-size eval
+    suite), so this always routes through
+    :func:`ngram_contamination` with ``broadcast=False`` — the
+    train/test n-gram hash tables meet in a shuffle equi-join, work
+    ∝ collisions, nothing corpus-sized is ever broadcast (round-6
+    verdict fix; pinned broadcast-free in tests/test_plans.py).
+    """
+    train_df = df.where(F.col(split_col) == train)
+    test_df = df.where(F.col(split_col) == test)
+    hits = ngram_contamination(
+        train_df,
+        test_df,
+        text_col,
+        id_col,
+        n=n,
+        min_overlap=min_overlap,
+        broadcast=False,
+    )
+    if rollup_col is None:
+        return hits
+    # ngram_contamination names its output ids doc_id/bench_id
+    return (
+        hits.join(
+            train_df.select(F.col(id_col).alias("doc_id"), rollup_col), "doc_id"
+        )
+        .groupBy(rollup_col)
+        .agg(
+            F.countDistinct(id_col).alias("n_contaminated_docs"),
+            F.countDistinct("bench_id").alias("n_bench_docs_hit"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("shared_ngrams").alias("max_shared"),
+        )
+    )
+
+
 def dedup_segments(
     df: DataFrame,
     text_col: str = "text",

@@ -4043,20 +4043,8 @@ def contamination_audit_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = OpSamp.assign_splits(
         docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="exp1"
     )
-    train = assigned.where(F.col("split") == "train")
-    test_ = assigned.where(F.col("split") == "test")
-    hits = OpDedup.ngram_contamination(
-        train, test_, "text", "doc_id", n=5, broadcast=False
-    )
-    return (
-        hits.join(train.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
-        .agg(
-            F.countDistinct("doc_id").alias("n_contaminated_docs"),
-            F.countDistinct("bench_id").alias("n_bench_docs_hit"),
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.max("shared_ngrams").alias("max_shared"),
-        )
+    return OpDedup.split_contamination_audit(
+        assigned, "text", "doc_id", "split", n=5, rollup_col="source"
     )
 
 

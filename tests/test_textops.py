@@ -248,6 +248,74 @@ def test_ngram_contamination(spark):
     assert (3, 101) in got  # whole-text fallback for sub-n docs
 
 
+def test_ngram_contamination_join_strategies_agree(spark):
+    # the broadcast knob must change ONLY the physical join, never the
+    # result: True / False / 'auto' all produce the same pairs
+    span = " ".join(f"w{i}" for i in range(13))
+    corpus = spark.createDataFrame(
+        [(1, f"a b c {span} d e"), (2, "no overlap here at all " * 4)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(9, f"x {span} y")], ["doc_id", "text"])
+    key = lambda df: sorted(map(tuple, df.collect()))
+    expected = key(D.ngram_contamination(corpus, bench, n=13, broadcast=True))
+    assert key(D.ngram_contamination(corpus, bench, n=13, broadcast=False)) == expected
+    assert key(D.ngram_contamination(corpus, bench, n=13, broadcast="auto")) == expected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="broadcast"):
+        D.ngram_contamination(corpus, bench, n=13, broadcast="yes")
+
+
+def test_split_contamination_audit_operator(spark):
+    # the reusable split-audit: leaked 5-gram between train and test
+    # is flagged pair-level and rolls up per source; val is ignored
+    span = " ".join(f"t{i}" for i in range(5))
+    df = spark.createDataFrame(
+        [
+            (1, f"begin {span} end", "train", "web"),
+            (2, "clean training text with nothing shared", "train", "web"),
+            (3, f"eval question about {span} here", "test", "web"),
+            (4, f"val doc also has {span} inside", "val", "web"),
+            (5, "unrelated eval document entirely", "test", "books"),
+        ],
+        ["doc_id", "text", "split", "source"],
+    )
+    from data_frame_spark.operators.dedup import split_contamination_audit
+
+    pairs = {
+        (r["doc_id"], r["bench_id"])
+        for r in split_contamination_audit(df, "text", "doc_id", "split", n=5).collect()
+    }
+    # only train(1) x test(3) share the span; the val doc never joins
+    assert pairs == {(1, 3)}
+    roll = split_contamination_audit(
+        df, "text", "doc_id", "split", n=5, rollup_col="source"
+    ).collect()
+    assert len(roll) == 1 and roll[0]["source"] == "web"
+    assert roll[0]["n_contaminated_docs"] == 1
+    assert roll[0]["n_bench_docs_hit"] == 1
+
+
+def test_split_contamination_audit_broadcast_free(spark):
+    # both audit sides are corpus-proportional: the plan must contain
+    # no BroadcastExchange even when size stats would allow one
+    from data_frame_spark.operators.dedup import split_contamination_audit
+    from data_frame_spark.plans import checks as C
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body text {' '.join(str(j) for j in range(6))}",
+          "train" if i % 2 else "test", "s")
+         for i in range(20)],
+        ["doc_id", "text", "split", "source"],
+    )
+    with C.scale_planner(spark):
+        out = split_contamination_audit(df, "text", "doc_id", "split", n=5)
+        plan = C.simple_plan(out)
+    assert "BroadcastExchange" not in plan
+    assert "ShuffledHashJoin" in plan
+
+
 def test_repetition_features(spark):
     rows = [
         # 4 lines, 'same' repeated 3x -> 2 duplicate lines -> 0.5;
