@@ -168,7 +168,6 @@ DECLARED_BOUNDED_KEYS: dict[str, frozenset[str]] = {
     # CMS counter table: (row, bucket) = depth × width grid
     # (3 × 1024, operators/sketch.py) — fixed by constructor args
     "cms_token_counts": frozenset({"row", "bucket"}),
-    "heavy_hitter_tokens": frozenset({"row", "bucket"}),
     # per-scope (lo, hi, n) calibration row for the streaming grid
     # quantile: scope is a grouping attribute domain (returnflag-like
     # enum), one row per scope

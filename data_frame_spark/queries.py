@@ -3622,6 +3622,7 @@ _BLOOM_M = 4096
     WITH norm AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
                   FROM documents),
          tok AS (SELECT UNNEST(string_split(t, ' ')) AS token FROM norm),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok),
          occ AS (SELECT md5(token) AS hh FROM tok),
          ctr AS (SELECT j, p, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
                    SELECT j, CASE j WHEN 0 THEN ({H0}) % 16
@@ -3629,9 +3630,11 @@ _BLOOM_M = 4096
                                     ELSE ({H2}) % 16 END AS p
                    FROM occ, (VALUES (0),(1),(2)) v(j))
                  GROUP BY j, p),
-         exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
-                   FROM tok GROUP BY token),
-         kh AS (SELECT token, exact_count, md5(token) AS hh FROM exact),
+         hvy AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+                 FROM tok CROSS JOIN tot
+                 GROUP BY token, n
+                 HAVING COUNT(*) >= n // 30),
+         kh AS (SELECT token, exact_count, md5(token) AS hh FROM hvy),
          kp AS (SELECT token, exact_count, j,
                        CASE j WHEN 0 THEN ({H0}) % 16
                               WHEN 1 THEN ({H1}) % 16
@@ -3649,24 +3652,30 @@ _BLOOM_M = 4096
        .replace("{H2}", _hex7("hh", 15)),
 )
 def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min frequency sketch over the corpus token stream
-    (width 16 x depth 3 — deliberately tiny so the oracle exercises
-    real collisions): every distinct token's estimate vs its exact
-    count, overcount >= 0 always. The counter table is bounded by
-    depth x width however large the corpus, merges by element-wise
-    SUM (shard-combinable), and estimating arrives as a broadcast
-    build — the md5-slice hashes make the estimates themselves
-    oracle-checkable, not just plausible."""
+    """Count-min sketch over the corpus token stream, BOTH facets in
+    one query (round-7 registry merge of cms_token_counts +
+    heavy_hitter_tokens — same operators, one driver row): exact
+    heavy hitters (>= 1/30 of all occurrences) found through the
+    CMS GATE — the bounded sketch is collected into literal lookup
+    arrays and every occurrence evaluates its own estimate map-side,
+    so only heavy-candidate occurrences reach the exact groupBy —
+    then each heavy hitter's CMS point estimate vs its exact count
+    (width 16 x depth 3, deliberately tiny so the oracle exercises
+    real collisions; overcount >= 0 always; the gate can only admit
+    extras, never drop a true heavy hitter, so the result equals the
+    naive full aggregation). Counters are bounded by depth x width
+    however large the corpus, merge by element-wise SUM, and
+    estimation arrives as a broadcast build."""
     from data_frame_spark.operators import sketch as OpSketch2
 
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(OpText.tokens(F.col("text"))).alias("token"))
+    hh = OpSketch2.cms_heavy_hitters(tok, "token", min_div=30, width=16, depth=3)
     counters = OpSketch2.cms_build(tok, "token", width=16, depth=3)
-    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
     est = OpSketch2.cms_estimate(
-        counters, exact.select("token"), "token", width=16, depth=3
+        counters, hh.select("token"), "token", width=16, depth=3
     )
-    return exact.join(est, "token").select(
+    return hh.join(est, "token").select(
         "token", "exact_count", "cms_count",
         (F.col("cms_count") - F.col("exact_count")).alias("overcount"),
     )
@@ -3739,35 +3748,6 @@ def hll_distinct_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OpSketch2.hll_distinct(
         sh, "shingle", "source", hex_digits=2, include_overall=True
     )
-
-
-@query(
-    "heavy_hitter_tokens",
-    oracle=r"""
-    WITH norm AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-                  FROM documents),
-         tok AS (SELECT UNNEST(string_split(t, ' ')) AS token FROM norm),
-         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
-    SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
-    FROM tok CROSS JOIN tot
-    GROUP BY token, n
-    HAVING COUNT(*) >= n // 30
-    """,
-)
-def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters (tokens with >= 1/30 of all occurrences),
-    CMS-gated: the bounded sketch is collected into literal lookup
-    arrays and every occurrence evaluates its own estimate map-side,
-    so only heavy-candidate occurrences reach the exact groupBy —
-    the sketch can only admit extras (never under-counts), so the
-    result equals the naive full aggregation the oracle runs. The
-    deliberately narrow width (64) forces real collisions through
-    the gate; the exact verify removes them."""
-    from data_frame_spark.operators import sketch as OpSketch2
-
-    docs = t(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(OpText.tokens(F.col("text"))).alias("token"))
-    return OpSketch2.cms_heavy_hitters(tok, "token", min_div=30, width=64, depth=3)
 
 
 @query(
@@ -4143,7 +4123,6 @@ _FIRST = [
     "ngram_decontamination_docs",
     "cms_token_counts",
     "hll_distinct_shingles",
-    "heavy_hitter_tokens",
     "label_centroids_embeddings",
     "temperature_mixture_weights",
     "bloom_decontamination_docs",

@@ -228,8 +228,16 @@ def test_unigram_lm_broadcasts_model_two_data_shuffles(spark, sf_dir):
 def test_heavy_hitters_gate_is_mapside_filter(spark, sf_dir):
     # the CMS gate must be a literal-array Filter BELOW the exact
     # aggregate (map-side kill of light keys) — no join, no window,
-    # one data shuffle for the candidates-only groupBy
-    df = QUERIES["heavy_hitter_tokens"](spark, sf_dir)
+    # one data shuffle for the candidates-only groupBy. Exercised on
+    # the operator directly (the registered query adds the estimate
+    # join on top since the round-7 registry merge).
+    from data_frame_spark.operators.sketch import cms_heavy_hitters
+    from data_frame_spark.operators.text import tokens as _tokens
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.select(F.explode(_tokens(F.col("text"))).alias("token"))
+    df = cms_heavy_hitters(tok, "token", min_div=30, width=16, depth=3)
     plan = C.simple_plan(df)
     assert "Join" not in plan and "Window" not in plan
     assert "least(" in plan and "Filter" in plan
@@ -238,6 +246,11 @@ def test_heavy_hitters_gate_is_mapside_filter(spark, sf_dir):
     assert agg != -1 and flt > agg  # filter printed below the partial agg
     assert C.count_shuffles(df) == 1
     assert not C.data_sized_partitionless_windows(df)
+    # and the merged query keeps its estimate join broadcast with
+    # bounded (depth x width) build sides at any scale
+    with C.scale_planner(spark):
+        q = QUERIES["cms_token_counts"](spark, sf_dir)
+        assert C.broadcasts_for_query("cms_token_counts", q) == []
 
 
 def test_incremental_dedup_store_never_shuffles(spark, sf_dir):
