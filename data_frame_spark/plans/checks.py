@@ -92,8 +92,11 @@ def shuffle_census(df: DataFrame) -> tuple[int, int]:
         if node.getClass().getSimpleName() == "ShuffleExchangeExec":
             part = node.outputPartitioning().toString()
             sub = node.child().toString()
-            # SortAggregate prints "key=[", HashAggregate "keys=["
-            bucket_keyed_agg = "keys=[__bucket" in sub or "key=[__bucket" in sub
+            # SortAggregate prints "key=[", HashAggregate "keys=[";
+            # exact name match (`__bucket#NNN`), same rigor as the
+            # partitionless classifier — a bare substring test would
+            # also match a `__bucket_like` data column
+            bucket_keyed_agg = bool(re.search(r"keys?=\[__bucket#", sub))
             first_agg = min(
                 (sub.find(a) for a in ("HashAggregate", "SortAggregate", "ObjectHashAggregate") if a in sub),
                 default=-1,

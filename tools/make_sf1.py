@@ -99,3 +99,49 @@ for p in parts[1:]:
     big = big.unionByName(p)
 big.repartition(32).write.mode("overwrite").parquet(f"{DST}/events.parquet")
 print("events:", spark.read.parquet(f"{DST}/events.parquet").count())
+
+# TPC-H fact/dim replicas (round 7 — probe the de-broadcast join
+# queries): key offsets keep the orderkey/custkey join structure
+# within each replica; nation/region stay as-is (attribute domains,
+# fixed at any SF — sf1 queries read them from SRC directly)
+OK_OFF, CK_OFF = 100_000_000, 10_000_000
+
+li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+parts = [li] + [
+    li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * OK_OFF))
+    for i in range(1, R)
+]
+big = parts[0]
+for p in parts[1:]:
+    big = big.unionByName(p)
+big.repartition(32).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+print("lineitem:", spark.read.parquet(f"{DST}/lineitem.parquet").count())
+
+orders = spark.read.parquet(f"{SRC}/orders.parquet")
+parts = [orders] + [
+    orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * OK_OFF))
+    .withColumn("o_custkey", F.col("o_custkey") + F.lit(i * CK_OFF))
+    for i in range(1, R)
+]
+big = parts[0]
+for p in parts[1:]:
+    big = big.unionByName(p)
+big.repartition(32).write.mode("overwrite").parquet(f"{DST}/orders.parquet")
+print("orders:", spark.read.parquet(f"{DST}/orders.parquet").count())
+
+cust = spark.read.parquet(f"{SRC}/customer.parquet")
+parts = [cust] + [
+    cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * CK_OFF))
+    for i in range(1, R)
+]
+big = parts[0]
+for p in parts[1:]:
+    big = big.unionByName(p)
+big.repartition(32).write.mode("overwrite").parquet(f"{DST}/customer.parquet")
+print("customer:", spark.read.parquet(f"{DST}/customer.parquet").count())
+
+for dim in ("nation", "region"):
+    spark.read.parquet(f"{SRC}/{dim}.parquet").write.mode("overwrite").parquet(
+        f"{DST}/{dim}.parquet"
+    )
+    print(dim, "copied")
