@@ -30,13 +30,18 @@ def group_samples(
     y_col: str,
     frac_digits1: int = 0,
     frac_digits2: int = 0,
+    by: str | None = None,
 ) -> DataFrame:
-    """(x, y, rank): rounded pairs with their duplicate count."""
+    """(x, y, rank): rounded pairs with their duplicate count.
+    With ``by``, ranks are computed per factor value — the composed
+    group-samples/factor semantics (scatter.rkt:102-107: each factor
+    value is its own series) in the same single-shuffle aggregate."""
     x = _round_half_even(F.col(x_col).cast("double"), frac_digits1)
     y = _round_half_even(F.col(y_col).cast("double"), frac_digits2)
+    keys = ([F.col(by)] if by else []) + [x.alias("x"), y.alias("y")]
     return (
         df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
-        .groupBy(x.alias("x"), y.alias("y"))
+        .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("rank"))
     )
 

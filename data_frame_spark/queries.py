@@ -1021,6 +1021,82 @@ def fits_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fit_residuals_sql() -> str:
+    moms = ", ".join(
+        "CAST(COUNT(*) AS DOUBLE) AS n" if expr is None else f"{_fsum(expr, 4)} AS {name}"
+        for name, expr in _FIT_MOMS.items()
+    )
+    s = {k: _S(k) for k in _FIT_MOMS}
+    mv = [s["n"]] + [s[f"sx{k}"] for k in range(1, 7)]
+    rhs = [s["sy"], s["sxy1"], s["sxy2"]]
+    lin = [f"{num.s} / {den.s}" for num, den in _cramer(mv[:3], rhs[:2], 1)]
+    p2 = [f"{num.s} / {den.s}" for num, den in _cramer(mv[:5], rhs[:3], 2)]
+    rl = "(y - (l0 + (l1 * x)))"
+    rq = "(y - ((q0 + (q1 * x)) + ((q2 * x) * x)))"
+    return f"""
+    WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                      CAST(l_extendedprice AS DOUBLE) AS y
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         m AS (SELECT {moms} FROM d),
+         a AS (SELECT {lin[0]} AS l0, {lin[1]} AS l1,
+                      {p2[0]} AS q0, {p2[1]} AS q1, {p2[2]} AS q2 FROM m)
+    SELECT 'linear' AS kind, {_fsum(f'{rl} * {rl}', 4)} AS sse,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM d CROSS JOIN a
+    UNION ALL
+    SELECT 'poly2' AS kind, {_fsum(f'{rq} * {rq}', 4)} AS sse,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM d CROSS JOIN a
+    """
+
+
+@query("fit_residuals_price_qty", oracle=_fit_residuals_sql())
+def fit_residuals_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fit RESIDUAL pass (least-squares-fit.rkt:226-229,
+    operators/fit.py:199): Σ(y − ŷ)² as a second distributed
+    aggregate after the coefficient solve — the goal function the
+    annealing refinement minimizes, here for the linear and
+    Vandermonde-poly2 fits over lineitem. Coefficients come from the
+    SAME scale-4 quantized moment aggregate as fits_price_qty (so
+    both engines hold bit-identical doubles), and ŷ is built by
+    left-associated repeated multiplication — NOT pow() — matching
+    the oracle's expression tree ulp for ulp; the squared-residual
+    sum is scale-4 floor-quantized (order-independent, exact).
+
+    100 TB shape: two map-combinable whole-frame aggregates (moments,
+    then residuals) — no shuffle wider than one row, any row count.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    d = li.where(x.isNotNull() & y.isNotNull()).select(x.alias("x"), y.alias("y"))
+    X, Y = F.col("x"), F.col("y")
+    xpow = {1: X, 2: X * X, 3: (X * X) * X, 4: ((X * X) * X) * X}
+    m = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        *[dsum(xpow[k], 4).alias(f"sx{k}") for k in range(1, 5)],
+        dsum(Y, 4).alias("sy"),
+        dsum(X * Y, 4).alias("sxy1"),
+        dsum(X * X * Y, 4).alias("sxy2"),
+    ).collect()[0].asDict()
+    mv = [m["n"]] + [m[f"sx{k}"] for k in range(1, 5)]
+    rhs = [m["sy"], m["sxy1"], m["sxy2"]]
+    l0, l1 = [num / den for num, den in _cramer(mv[:3], rhs[:2], 1)]
+    q0, q1, q2 = [num / den for num, den in _cramer(mv[:5], rhs[:3], 2)]
+    rl = Y - (F.lit(l0) + (F.lit(l1) * X))
+    rq = Y - ((F.lit(q0) + (F.lit(q1) * X)) + ((F.lit(q2) * X) * X))
+    row = d.agg(
+        dsum(rl * rl, 4).alias("sl"),
+        dsum(rq * rq, 4).alias("sq"),
+        F.count(F.lit(1)).alias("np"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [("linear", row["sl"], row["np"]), ("poly2", row["sq"], row["np"])],
+        "kind string, sse double, n_points long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mean-max curve (SURVEY §2.4, private/meanmax.rkt — flagship custom op)
 # ---------------------------------------------------------------------------
@@ -1101,6 +1177,27 @@ def group_samples_value_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate counts (plot density ranks)."""
     ev = t(spark, sf_dir, "events")
     return OpScatter.group_samples(ev, "value", "user_id", 0, 0)
+
+
+@query(
+    "group_samples_factor_events",
+    oracle="""
+    SELECT event_type,
+           round_even(CAST(value AS DOUBLE), 0) AS x,
+           round_even(CAST(user_id AS DOUBLE), 0) AS y,
+           COUNT(*) AS rank
+    FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+)
+def group_samples_factor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group-samples/factor (scatter.rkt:102-107): every factor value
+    — here the event type — is its own scatter series, so density
+    ranks count within (factor, x, y). One map-combinable shuffle
+    keyed by the full triple, same plan shape as the unfactored
+    query at any scale."""
+    ev = t(spark, sf_dir, "events")
+    return OpScatter.group_samples(ev, "value", "user_id", 0, 0, by="event_type")
 
 
 @query(
@@ -4135,6 +4232,9 @@ _FIRST = [
     "contamination_audit_splits",
     "kmv_set_ops_users",
     "split_assignment_docs",
+    # Block 3 — round-7 additions (never had a driver row).
+    "fit_residuals_price_qty",
+    "group_samples_factor_events",
 ]
 
 _order = [n for n in _FIRST if n in QUERIES] + [n for n in QUERIES if n not in _FIRST]

@@ -60,6 +60,19 @@ def test_group_samples(spark):
     assert out[(3.0, 4.0)] == 1
 
 
+def test_group_samples_by_factor(spark):
+    # group-samples/factor: the same rounded pair counts separately
+    # per factor value (each factor is its own scatter series)
+    rows = [("a", 1.04, 2.04), ("a", 0.96, 1.96), ("b", 1.0, 2.0)]
+    df = spark.createDataFrame(rows, ["f", "a", "b"])
+    out = {
+        (r["f"], r["x"], r["y"]): r["rank"]
+        for r in SC.group_samples(df, "a", "b", by="f").collect()
+    }
+    assert out[("a", 1.0, 2.0)] == 2
+    assert out[("b", 1.0, 2.0)] == 1
+
+
 def test_spline_interpolates_knots_and_extrapolates():
     xs = [0.0, 1.0, 2.0, 3.0, 4.0]
     ys = [0.0, 1.0, 0.0, 1.0, 0.0]
