@@ -21,7 +21,7 @@ oracle reproduces every stage bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_frame_spark.operators.text import normalize, word_shingles, shingle_rows, tokens
@@ -389,6 +389,71 @@ def ngram_contamination(
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
         .where(F.col("shared_ngrams") >= F.lit(min_overlap))
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection — the ExactSubstr dedup recipe
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": remove any substring duplicated verbatim
+    anywhere in the corpus), relaxed from suffix-array character
+    granularity to k-token sliding windows, which is what the
+    distributed plan can do without a global suffix sort: a document
+    region is flagged when EVERY k-token window inside it occurs at
+    least ``min_occurrences`` times corpus-wide (occurrences count
+    all windows, including self-repeats within one document).
+
+    Complements :func:`dedup_segments` (the C4-style fixed
+    non-overlapping segments, which MISS duplicates that straddle a
+    segment boundary): sliding windows catch every alignment.
+
+    Output: one row per MAXIMAL duplicated region —
+    ``(id_col, span_start, span_end, n_windows)`` with token
+    positions, ``span_end`` exclusive; overlapping/touching windows
+    merge (gaps-and-islands). Documents shorter than ``k`` tokens
+    are skipped (no full window exists — the paper's behavior).
+    Feed the spans to a scrubber or drop the documents.
+
+    100 TB shape: sliding windows come from the doc-keyed
+    shingle_rows shuffle (codegen lead-window, no per-row arrays);
+    duplicated hashes are a map-combinable count ≥ threshold; the
+    mark-back is a SHUFFLE left-semi equi-join on the hash (the
+    duplicated-hash set is corpus-proportional — never broadcast;
+    AQE splits a boilerplate hot hash); the island merge runs per
+    document. Nothing funnels through one partition.
+    """
+    from data_frame_spark.operators.text import tokens
+
+    eligible = df.where(F.size(tokens(F.col(text_col))) >= k)
+    wins = shingle_rows(eligible, text_col, id_col, n=k, keep_pos=True).select(
+        "__id", "__pos", F.md5(F.col("__shingle")).alias("__h")
+    )
+    dups = (
+        wins.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") >= F.lit(min_occurrences))
+    )
+    marked = wins.join(dups.select("__h").hint("shuffle_hash"), "__h", "left_semi")
+    w = Window.partitionBy("__id").orderBy("__pos")
+    prev = F.lag("__pos").over(w)
+    brk = F.when(prev.isNull() | (F.col("__pos") > prev + F.lit(k)), 1).otherwise(0)
+    g = marked.withColumn("__brk", brk).withColumn(
+        "__grp", F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        g.groupBy(F.col("__id").alias(id_col), F.col("__grp"))
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + F.lit(k)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
     )
 
 

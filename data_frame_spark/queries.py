@@ -2732,6 +2732,47 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "duplicate_spans_docs",
+    oracle=r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+         toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm
+                  WHERE len(string_split(t, ' ')) >= 5),
+         wins AS (SELECT doc_id, i AS pos,
+                         md5(array_to_string(tk[i+1:i+5], ' ')) AS h
+                  FROM toks, UNNEST(generate_series(0, len(tk) - 5)) u(i)),
+         dups AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+         sp AS (SELECT doc_id, pos FROM wins JOIN dups USING (h)),
+         b AS (SELECT doc_id, pos,
+                      CASE WHEN LAG(pos) OVER w IS NULL
+                                OR pos > LAG(pos) OVER w + 5
+                           THEN 1 ELSE 0 END AS brk
+               FROM sp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         g AS (SELECT doc_id, pos,
+                      SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS grp
+               FROM b)
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 5 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM g GROUP BY doc_id, grp
+    """,
+)
+def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span detection (ExactSubstr, Lee et al. 2022,
+    relaxed to 5-token sliding windows): every maximal document
+    region whose every 5-token window recurs verbatim anywhere in
+    the corpus — the dedup pass that catches boilerplate straddling
+    segment_dedup_docs' fixed segment boundaries. Sliding windows
+    from the doc-keyed shingle shuffle; duplicated hashes by
+    map-combinable count; mark-back via SHUFFLE left-semi on the
+    hash (corpus-proportional set — never broadcast, pinned);
+    per-document gaps-and-islands merge."""
+    docs = t(spark, sf_dir, "documents")
+    return OpDedup.duplicate_spans(docs, "text", "doc_id", k=5)
+
+
+@query(
     "gopher_repetition_docs",
     oracle=r"""
     WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -4235,6 +4276,7 @@ _FIRST = [
     # Block 3 — round-7 additions (never had a driver row).
     "fit_residuals_price_qty",
     "group_samples_factor_events",
+    "duplicate_spans_docs",
 ]
 
 _order = [n for n in _FIRST if n in QUERIES] + [n for n in QUERIES if n not in _FIRST]

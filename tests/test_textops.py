@@ -316,6 +316,64 @@ def test_split_contamination_audit_broadcast_free(spark):
     assert "ShuffledHashJoin" in plan
 
 
+def test_duplicate_spans_semantics(spark):
+    # ExactSubstr at k-token granularity: doc 1 and doc 2 share the
+    # span "a b c d e f" -> every 4-window inside it is duplicated
+    # and the three overlapping windows merge into ONE maximal span
+    # [0, 6); doc 3 is clean; doc 4 is shorter than k and skipped
+    from data_frame_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f unique tail one"),
+            (2, "different head a b c d e f"),
+            (3, "totally clean document body here"),
+            (4, "a b c"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in duplicate_spans(df, "text", "doc_id", k=4).collect()
+    }
+    assert out[1] == (0, 6, 3)   # windows at 0,1,2 merge -> [0, 6)
+    assert out[2] == (2, 8, 3)   # same span at offset 2
+    assert 3 not in out and 4 not in out
+
+
+def test_duplicate_spans_self_repeat_and_gap(spark):
+    # occurrences count self-repeats within one document, and
+    # disjoint duplicated regions stay separate islands
+    from data_frame_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "x y z q mid mid mid x y z q end")],
+        ["doc_id", "text"],
+    )
+    # "x y z q" occurs twice within the same doc (pos 0 and pos 7)
+    rows = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, "text", "doc_id", k=4).collect()
+    )
+    assert rows == [(0, 4), (7, 11)]
+
+
+def test_duplicate_spans_broadcast_free_at_scale(spark):
+    # the duplicated-hash set is corpus-proportional: the mark-back
+    # must be a shuffle semi-join, never a broadcast
+    from data_frame_spark.operators.dedup import duplicate_spans
+    from data_frame_spark.plans import checks as C
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} " * 8) for i in range(12)], ["doc_id", "text"]
+    )
+    with C.scale_planner(spark):
+        out = duplicate_spans(df, "text", "doc_id", k=4)
+        plan = C.simple_plan(out)
+        assert not C.data_sized_partitionless_windows(out)
+    assert "BroadcastExchange" not in plan
+
+
 def test_repetition_features(spark):
     rows = [
         # 4 lines, 'same' repeated 3x -> 2 duplicate lines -> 0.5;
