@@ -457,6 +457,65 @@ def duplicate_spans(
     )
 
 
+def scrub_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove flagged token spans from documents — the scrub step
+    after :func:`duplicate_spans` (ExactSubstr: cut every duplicated
+    region out of the training text), usable with ANY
+    ``(id_col, span_start, span_end)`` span table (PII spans, layout
+    boilerplate, ...).
+
+    Output: ``(id_col, n_tokens, n_kept, kept_text)`` per input
+    document — ``kept_text`` is the surviving tokens joined in
+    original order ('' when the whole document is covered); documents
+    with no spans pass through whole.
+
+    100 TB shape: the span table explodes to a (doc, position)
+    kill-list — bounded by the flagged token count, not the corpus —
+    and meets the doc-keyed token stream in a shuffle left-anti
+    equi-join on (doc, position); reassembly is one doc-keyed
+    aggregate whose state is bounded by document length. No
+    broadcast of anything corpus-proportional, no global window.
+    """
+    from data_frame_spark.operators.text import tokens
+
+    kill = spans.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("__pos"),
+    )  # no distinct: anti-join semantics ignore duplicate kill rows
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok"),
+    )
+    kept = tok.join(kill, ["__id", "__pos"], "left_anti")
+    reassembled = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__nk"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias("__kept"),
+    )
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    return base.join(reassembled, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("__nk"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("__kept"), F.lit("")).alias("kept_text"),
+    )
+
+
 def split_contamination_audit(
     df: DataFrame,
     text_col: str = "text",

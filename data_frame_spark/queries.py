@@ -2772,6 +2772,72 @@ def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OpDedup.duplicate_spans(docs, "text", "doc_id", k=5)
 
 
+_SPANS_CTE = r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+         toks0 AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm
+                   WHERE len(string_split(t, ' ')) >= 5),
+         wins AS (SELECT doc_id, i AS pos,
+                         md5(array_to_string(tk[i+1:i+5], ' ')) AS h
+                  FROM toks0, UNNEST(generate_series(0, len(tk) - 5)) u(i)),
+         dups AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+         sp AS (SELECT doc_id, pos FROM wins JOIN dups USING (h)),
+         b AS (SELECT doc_id, pos,
+                      CASE WHEN LAG(pos) OVER w IS NULL
+                                OR pos > LAG(pos) OVER w + 5
+                           THEN 1 ELSE 0 END AS brk
+               FROM sp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         g AS (SELECT doc_id, pos,
+                      SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS grp
+               FROM b),
+         spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 5 AS span_end
+                   FROM g GROUP BY doc_id, grp)
+"""
+
+
+@query(
+    "scrub_spans_docs",
+    oracle=_SPANS_CTE
+    + r""",
+         kill AS (SELECT doc_id, UNNEST(generate_series(span_start, span_end - 1)) AS pos
+                  FROM spans),
+         tok AS (SELECT n.doc_id, i - 1 AS pos, tk[i] AS w
+                 FROM (SELECT doc_id, string_split(t, ' ') AS tk FROM norm) n,
+                      UNNEST(generate_series(1, len(n.tk))) u(i)),
+         kept AS (SELECT t.doc_id, t.pos, t.w
+                  FROM tok t LEFT JOIN kill k
+                    ON t.doc_id = k.doc_id AND t.pos = k.pos
+                  WHERE k.doc_id IS NULL),
+         re AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                       string_agg(w, ' ' ORDER BY pos) AS kept
+                FROM kept GROUP BY doc_id),
+         base AS (SELECT doc_id,
+                         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+                  FROM norm)
+    SELECT b.doc_id, b.n_tokens,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(r.kept, '')) AS kept_text_md5
+    FROM base b LEFT JOIN re r ON b.doc_id = r.doc_id
+    """,
+)
+def scrub_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub step after duplicate-span detection (ExactSubstr's
+    'remove every duplicated substring'): cut each flagged 5-token
+    duplicate region out of the text and reassemble the survivors in
+    order. Span table explodes to a (doc, position) kill-list —
+    bounded by flagged tokens, never broadcast — meeting the
+    doc-keyed token stream in a shuffle left-anti join; reassembly
+    state is bounded by document length (operators/dedup.py
+    scrub_spans)."""
+    docs = t(spark, sf_dir, "documents")
+    spans = OpDedup.duplicate_spans(docs, "text", "doc_id", k=5)
+    out = OpDedup.scrub_spans(docs, spans, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_tokens", "n_kept", F.md5("kept_text").alias("kept_text_md5")
+    )
+
+
 @query(
     "gopher_repetition_docs",
     oracle=r"""
@@ -4277,6 +4343,7 @@ _FIRST = [
     "fit_residuals_price_qty",
     "group_samples_factor_events",
     "duplicate_spans_docs",
+    "scrub_spans_docs",
 ]
 
 _order = [n for n in _FIRST if n in QUERIES] + [n for n in QUERIES if n not in _FIRST]

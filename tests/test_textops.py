@@ -374,6 +374,45 @@ def test_duplicate_spans_broadcast_free_at_scale(spark):
     assert "BroadcastExchange" not in plan
 
 
+def test_scrub_spans_semantics(spark):
+    # cut the flagged region, keep order; span-free docs pass whole;
+    # a fully-covered doc comes back empty, not missing
+    from data_frame_spark.operators.dedup import duplicate_spans, scrub_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f unique tail one"),
+            (2, "different head a b c d e f"),
+            (3, "totally clean document body here"),
+            (4, "a b c d e f"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = duplicate_spans(df, "text", "doc_id", k=4)
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_kept"], r["kept_text"])
+        for r in scrub_spans(df, spans, "text", "doc_id").collect()
+    }
+    assert out[1] == (9, 3, "unique tail one")
+    assert out[2] == (8, 2, "different head")
+    assert out[3] == (5, 5, "totally clean document body here")
+    assert out[4] == (6, 0, "")        # whole doc duplicated -> empty
+    assert len(out) == 4               # nothing dropped
+
+
+def test_scrub_spans_arbitrary_span_table(spark):
+    # works with any span table (PII spans etc), including
+    # overlapping spans — covered tokens are removed once
+    from data_frame_spark.operators.dedup import scrub_spans
+
+    df = spark.createDataFrame([(7, "t0 t1 t2 t3 t4 t5")], ["doc_id", "text"])
+    spans = spark.createDataFrame(
+        [(7, 1, 3), (7, 2, 5)], "doc_id long, span_start long, span_end long"
+    )
+    r = scrub_spans(df, spans, "text", "doc_id").collect()[0]
+    assert (r["n_tokens"], r["n_kept"], r["kept_text"]) == (6, 2, "t0 t5")
+
+
 def test_repetition_features(spark):
     rows = [
         # 4 lines, 'same' repeated 3x -> 2 duplicate lines -> 0.5;
