@@ -7,8 +7,12 @@ the driver's output-tail truncation (round-5 lesson: one long line got
 its head cut and the round lost its machine-readable bench).
 
 Timing excludes session startup; each query is executed to
-completion via a count-style action on its final plan (results are
-small aggregates, so the action cost is the query cost).
+completion via a FULL-ROW materializing action: every output column
+feeds an xxhash64 that a global aggregate consumes, so Catalyst
+cannot prune column expressions or join subtrees that don't affect
+the row count (a bare count() under-measured narrow feature queries
+and left-join-shaped scrubs — round-7 fix; the aggregate itself adds
+one hash per row, negligible next to any real query).
 """
 
 from __future__ import annotations
@@ -34,6 +38,25 @@ def bench_names() -> list[str]:
     if HEADLINE:
         return [n for n in HEADLINE if n in Q.QUERIES]
     return list(Q.QUERIES)
+
+
+def materialize(df) -> int:
+    """Run ``df`` to completion with NO column pruning: hash every
+    output column into a global (count, hash-sum) aggregate. Maps
+    aren't hashable by xxhash64 and go through to_json first."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import MapType
+
+    cols = [
+        F.to_json(F.col(f.name)) if isinstance(f.dataType, MapType) else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    row = (
+        df.select(F.xxhash64(*cols).alias("__h"))
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__h"))
+        .collect()[0]
+    )
+    return row["__n"]
 
 
 def main() -> None:
@@ -67,7 +90,7 @@ def main() -> None:
         for _ in range(RUNS):
             t0 = time.time()
             df = fn(spark, SF_DIR)
-            n = df.count()
+            n = materialize(df)
             el = time.time() - t0
             best = el if best is None or el < best else best
         timings[name] = round(best, 3)
@@ -82,7 +105,16 @@ def main() -> None:
     # line grew past the capture window and lost its head (BENCH_r05
     # parsed: null). Emit the big per-query dict on its own line FIRST,
     # then a short final summary line that always survives truncation.
-    print(json.dumps({"per_query": timings, "runs_per_query": RUNS, "agg": "min"}))
+    print(
+        json.dumps(
+            {
+                "per_query": timings,
+                "runs_per_query": RUNS,
+                "agg": "min",
+                "action": "full_row_hash",
+            }
+        )
+    )
     print(
         json.dumps(
             {

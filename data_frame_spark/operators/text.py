@@ -33,6 +33,23 @@ def tokens(col: Column) -> Column:
     return F.split(normalize(col), " ")
 
 
+def _bind(arr: Column, body) -> Column:
+    """Evaluate ``arr`` ONCE per row and pass the VALUE into ``body``
+    (a lambda Column -> Column), via a one-element transform wrap.
+
+    Why this exists (round-7 bench finding): a higher-order function
+    evaluates its INPUT array once, but any outer expression CAPTURED
+    in the lambda body is re-evaluated on the row for EVERY element —
+    so ``transform(sequence(1, n), i -> slice(toks, i, k))`` with
+    ``toks = split(regexp_replace(...))`` re-runs the whole tokenize
+    per element: O(n²) regex work per document. Binding the array as
+    a lambda variable makes it a cheap bound reference (6x faster on
+    the gopher gram scan, 16s -> 2.5s for the full feature set at
+    sf0.1). Semantically a no-op.
+    """
+    return F.element_at(F.transform(F.array(arr), body), 1)
+
+
 def shingle_rows(
     df: "DataFrame", text_col: str, id_col: str, n: int = 3, keep_pos: bool = False
 ) -> "DataFrame":
@@ -78,16 +95,19 @@ def shingle_rows(
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles (array<string>); documents shorter than
     n tokens yield their full token string as a single shingle."""
-    toks = tokens(col)
-    k = F.size(toks) - F.lit(n - 1)
-    return F.when(
-        k <= 0, F.array(F.concat_ws(" ", toks))
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+
+    def body(tk):
+        k = F.size(tk) - F.lit(n - 1)
+        return F.when(
+            k <= 0, F.array(F.concat_ws(" ", tk))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+            )
         )
-    )
+
+    return _bind(tokens(col), body)
 
 
 # ---------------------------------------------------------------------------
@@ -192,14 +212,6 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     toks = tokens(c)
     n = F.size(toks)
-    bgs = F.array_sort(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        )
-    )
     zero = F.lit(0).cast("long")
     acc0 = F.struct(
         F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
@@ -215,7 +227,18 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.greatest(acc["best"], run).alias("best"),
         )
 
-    best = F.aggregate(bgs, acc0, step, lambda a: a["best"])
+    def body(tk):
+        bgs = F.array_sort(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+                ),
+            )
+        )
+        return F.aggregate(bgs, acc0, step, lambda a: a["best"])
+
+    best = _bind(toks, body)
     top_bigram = F.when(
         n >= 2, best.cast("double") / (n - 1).cast("double")
     ).otherwise(F.lit(0.0))
@@ -251,15 +274,6 @@ def _gram_run_stats(toks: Column, n: int) -> Column:
 
     Documents with fewer than ``n`` tokens have no n-gram: (0, 0).
     """
-    k = F.size(toks) - F.lit(n - 1)
-    grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
-        F.array_sort(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        )
-    )
     zero = F.lit(0).cast("long")
     acc0 = F.struct(
         F.lit("\x00").alias("prev"),
@@ -297,7 +311,19 @@ def _gram_run_stats(toks: Column, n: int) -> Column:
         ).otherwise(F.lit(0).cast("long"))
         return F.struct(top.alias("top_mass"), dup.alias("dup_mass"))
 
-    return F.aggregate(grams, acc0, step, finish)
+    def body(tk):
+        k = F.size(tk) - F.lit(n - 1)
+        grams = F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+                )
+            )
+        )
+        return F.aggregate(grams, acc0, step, finish)
+
+    return _bind(toks, body)
 
 
 def gopher_repetition(
@@ -407,16 +433,20 @@ def winnowed_fingerprints(col: Column, k: int = 5, window: int = 4) -> Column:
     NOTE: array-lambda formulation — fine for ad-hoc use on small
     frames; the hot-path equivalent is :func:`winnowed_fingerprint_rows`
     (codegen-friendly row windows, ~20x faster)."""
-    sh = word_shingles(col, k)
-    hashes = F.transform(sh, lambda s: F.md5(s))
-    nwin = F.size(hashes) - F.lit(window - 1)
-    return F.when(nwin <= 0, F.array(F.array_min(hashes))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), nwin),
-                lambda i: F.array_min(F.slice(hashes, i, window)),
+
+    def body(hashes):
+        nwin = F.size(hashes) - F.lit(window - 1)
+        return F.when(nwin <= 0, F.array(F.array_min(hashes))).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), nwin),
+                    lambda i: F.array_min(F.slice(hashes, i, window)),
+                )
             )
         )
+
+    return _bind(
+        F.transform(word_shingles(col, k), lambda s: F.md5(s)), body
     )
 
 

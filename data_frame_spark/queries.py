@@ -4344,6 +4344,10 @@ _FIRST = [
     "group_samples_factor_events",
     "duplicate_spans_docs",
     "scrub_spans_docs",
+    # Block 4 — r6-green queries whose backing text.py feature code
+    # changed in round 7 (the _bind O(n^2)-tokenize fix): re-verify.
+    "text_features_docs",
+    "winnowed_fingerprints_docs",
 ]
 
 _order = [n for n in _FIRST if n in QUERIES] + [n for n in QUERIES if n not in _FIRST]
