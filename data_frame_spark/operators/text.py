@@ -348,17 +348,23 @@ def gopher_repetition(
     fuses it with whatever scan or filter surrounds it.
     """
     c = F.col(text_col)
-    toks = tokens(c)
     ltot = F.length(normalize(c)).cast("long")
     out = {}
     frac = lambda mass: F.when(
         ltot > 0, mass.cast("double") / ltot.cast("double")
     ).otherwise(F.lit(0.0))
+    # tokenize ONCE into a projected column — each of the 5 gram
+    # scans then reads a bound array reference instead of re-running
+    # the regex tokenize (the interpreted HOFs sit outside codegen's
+    # common-subexpression elimination, so the 5 copies would not
+    # otherwise be shared)
+    base = df.withColumn("__gr_toks", tokens(c))
+    toks = F.col("__gr_toks")
     for n in top_ns:
         out[f"top_{n}gram_frac"] = frac(_gram_run_stats(toks, n)["top_mass"])
     for n in dup_ns:
         out[f"dup_{n}gram_frac"] = frac(_gram_run_stats(toks, n)["dup_mass"])
-    return df.withColumns(out)
+    return base.withColumns(out).drop("__gr_toks")
 
 
 def gopher_keep(
