@@ -145,3 +145,13 @@ for dim in ("nation", "region"):
         f"{DST}/{dim}.parquet"
     )
     print(dim, "copied")
+
+# part/supplier: copied UNREPLICATED — lineitem replicas keep their
+# original l_partkey/l_suppkey, so each row still joins exactly one
+# part/supplier row (dimension-style). Right for timing probes; a
+# true TPC-H SF10 would grow these ∝ SF.
+for dim in ("part", "supplier"):
+    spark.read.parquet(f"{SRC}/{dim}.parquet").write.mode("overwrite").parquet(
+        f"{DST}/{dim}.parquet"
+    )
+    print(dim, "copied")
