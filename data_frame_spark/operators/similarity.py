@@ -310,6 +310,39 @@ def _argmin_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_sort(_centroid_scores(vec, centroids))[0]["cid"]
 
 
+def _argmin_centroid_micro(vq: Column, cent: list[list[int]]) -> Column:
+    """Nearest-centroid id by maximum INTEGER dot product between a
+    micro-quantized vector column and micro-int centroid literals —
+    exact int64 arithmetic (|v| ≤ ~1 → products ≤ 1e12, 64-dim sums
+    ≤ 6.4e13, well inside int64 AND double-exact range), so the
+    assignment is bit-identical on any engine and any partitioning.
+    Ties break toward the smaller cid."""
+    m = F.array(*[F.array(*[F.lit(int(c)) for c in row]) for row in cent])
+    idx = F.expr(f"sequence(0, {len(cent) - 1})")
+    zero = F.lit(0).cast("long")
+    scores = F.zip_with(
+        m,
+        idx,
+        lambda c, i: F.struct(
+            (
+                -F.aggregate(
+                    F.zip_with(vq, c, lambda a, b: a * b), zero, lambda acc, x: acc + x
+                )
+            ).alias("d"),
+            i.cast("int").alias("cid"),
+        ),
+    )
+    return F.array_sort(scores)[0]["cid"]
+
+
+def quantize_vec(vec: Column) -> Column:
+    """array<long> micro-quantization (floor(x*1e6+0.5)) — the shared
+    exact-integer vector form for cross-engine-reproducible math."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    )
+
+
 def ivf_fit_centroids(
     base: DataFrame,
     dim: int,
@@ -319,32 +352,54 @@ def ivf_fit_centroids(
     vec_col: str = "embedding",
 ) -> list[list[float]]:
     """IVF coarse quantizer: k centroids, deterministically seeded
-    (the k vectors with smallest md5(vec_id) — reproducible without
-    rand()), refined by ``iterations`` Lloyd steps. Each step is one
-    distributed assign + groupBy-mean; only k×dim floats ever reach
-    the driver, so fitting scales to any corpus."""
+    (the k vectors with smallest (md5(vec_id), vec_id) — reproducible
+    without rand()), refined by ``iterations`` Lloyd steps. Each step
+    is one distributed assign + groupBy-sum; only k×dim values ever
+    reach the driver, so fitting scales to any corpus.
+
+    Round-7 exactness upgrade: Lloyd runs on MICRO-QUANTIZED integer
+    vectors — integer dot-product assignment and floor(sum/n) means —
+    because the previous float ``F.avg`` means depended on partial-sum
+    ORDER, i.e. on partitioning: the same data could yield ulp-level
+    different centroids (and therefore different cells) on a different
+    cluster layout. Integer sums are layout-independent and
+    SQL-oracle-reproducible; returned centroids are micro/1e6 floats
+    (identical doubles on every engine). Empty clusters keep their
+    previous centroid."""
+    import math
+
+    qdf = base.select(
+        F.col(id_col).alias("__id"), quantize_vec(F.col(vec_col)).alias("__vq")
+    )
     seed_rows = (
-        base.select(id_col, vec_col)
-        .orderBy(md5_order(F.col(id_col)))
+        qdf.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
         .limit(k)
         .collect()
     )
-    centroids = [list(map(float, r[vec_col])) for r in seed_rows]
+    cent = [list(map(int, r["__vq"])) for r in seed_rows]
     for _ in range(iterations):
-        assigned = base.select(
-            _argmin_centroid(F.col(vec_col), centroids).alias("__cid"),
-            F.col(vec_col).alias("__v"),
+        assigned = qdf.select(
+            _argmin_centroid_micro(F.col("__vq"), cent).alias("__cid"), "__vq"
         )
-        means = (
+        rows = (
             assigned.groupBy("__cid")
-            .agg(*[
-                F.avg(F.col("__v")[i]).alias(f"c{i}") for i in range(dim)
-            ])
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at("__vq", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
             .collect()
         )
-        for r in means:
-            centroids[r["__cid"]] = [float(r[f"c{i}"]) for i in range(dim)]
-    return centroids
+        for r in rows:
+            n = r["__n"]
+            # floor of an exact-double division (sums < 2^53): the
+            # same bits as the SQL FLOOR(CAST(s AS DOUBLE)/n)
+            cent[r["__cid"]] = [
+                int(math.floor(r[f"s{i}"] / n)) for i in range(dim)
+            ]
+    return [[c / 1e6 for c in cm] for cm in cent]
 
 
 def md5_order(id_col: Column) -> Column:

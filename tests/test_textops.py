@@ -215,6 +215,20 @@ def test_ivf_topk_recall(spark):
     assert hits / (len(exact) * k) >= 0.5
 
 
+def test_ivf_centroids_layout_independent(spark):
+    # quantized integer Lloyd (round 7): identical centroids under ANY
+    # partitioning — the old float-avg means depended on partial-sum
+    # order, so a different cluster layout could shift cells by ulps
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(5)]) for i in range(60)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    c1 = SIM.ivf_fit_centroids(base.coalesce(1), dim=5, k=4, iterations=2)
+    c2 = SIM.ivf_fit_centroids(base.repartition(7), dim=5, k=4, iterations=2)
+    assert c1 == c2
+
+
 def test_ivf_centroids_deterministic(spark):
     rows = [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(40)]
     base = spark.createDataFrame(rows, ["vec_id", "embedding"])
