@@ -398,6 +398,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     k: int = 32,
     min_occurrences: int = 2,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact duplicate-SPAN detection — the ExactSubstr dedup recipe
     (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -418,7 +419,17 @@ def duplicate_spans(
     positions, ``span_end`` exclusive; overlapping/touching windows
     merge (gaps-and-islands). Documents shorter than ``k`` tokens
     are skipped (no full window exists — the paper's behavior).
-    Feed the spans to a scrubber or drop the documents.
+    Feed the spans to :func:`scrub_spans` or drop the documents.
+
+    ``keep_first=True`` gives the keep-ONE-copy policy most training
+    pipelines want: each duplicated window's FIRST occurrence (by
+    ``(id, pos)``, the same deterministic order on every layout) is
+    NOT flagged, so scrubbing the returned spans deletes every copy
+    except one. The first-occurrence winner is a map-combinable MIN
+    aggregate keyed by the window hash (never a row_number window
+    over the hash — a boilerplate window occurring 10^9 times must
+    partial-aggregate map-side), joined back with the same shuffle
+    equi-join discipline as the flag path.
 
     100 TB shape: sliding windows come from the doc-keyed
     shingle_rows shuffle (codegen lead-window, no per-row arrays);
@@ -434,12 +445,27 @@ def duplicate_spans(
     wins = shingle_rows(eligible, text_col, id_col, n=k, keep_pos=True).select(
         "__id", "__pos", F.md5(F.col("__shingle")).alias("__h")
     )
+    dup_agg = [F.count(F.lit(1)).alias("__c")]
+    if keep_first:
+        dup_agg.append(F.min(F.struct("__id", "__pos")).alias("__first"))
     dups = (
         wins.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(*dup_agg)
         .where(F.col("__c") >= F.lit(min_occurrences))
     )
-    marked = wins.join(dups.select("__h").hint("shuffle_hash"), "__h", "left_semi")
+    if keep_first:
+        marked = wins.join(
+            dups.select("__h", "__first").hint("shuffle_hash"), "__h"
+        ).where(
+            ~(
+                (F.col("__id") == F.col("__first.__id"))
+                & (F.col("__pos") == F.col("__first.__pos"))
+            )
+        )
+    else:
+        marked = wins.join(
+            dups.select("__h").hint("shuffle_hash"), "__h", "left_semi"
+        )
     w = Window.partitionBy("__id").orderBy("__pos")
     prev = F.lag("__pos").over(w)
     brk = F.when(prev.isNull() | (F.col("__pos") > prev + F.lit(k)), 1).otherwise(0)

@@ -372,6 +372,48 @@ def test_duplicate_spans_self_repeat_and_gap(spark):
     assert rows == [(0, 4), (7, 11)]
 
 
+def test_duplicate_spans_keep_first(spark):
+    # keep-one-copy policy: the first occurrence by (id, pos) of each
+    # duplicated window is NOT flagged — scrubbing deletes every copy
+    # except one; combined with scrub_spans, doc 1 keeps the span and
+    # doc 2 loses it
+    from data_frame_spark.operators.dedup import duplicate_spans, scrub_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f unique tail one"),
+            (2, "different head a b c d e f"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = duplicate_spans(df, "text", "doc_id", k=4, keep_first=True)
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in spans.collect()
+    }
+    assert out == {2: (2, 8)}       # doc 1's copy survives unflagged
+    scrubbed = {
+        r["doc_id"]: r["kept_text"]
+        for r in scrub_spans(df, spans, "text", "doc_id").collect()
+    }
+    assert scrubbed[1] == "a b c d e f unique tail one"
+    assert scrubbed[2] == "different head"
+
+
+def test_duplicate_spans_keep_first_self_repeat(spark):
+    # within one document, the first of a self-repeated window is kept
+    from data_frame_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "x y z q mid mid mid x y z q end")], ["doc_id", "text"]
+    )
+    rows = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicate_spans(df, "text", "doc_id", k=4, keep_first=True).collect()
+    )
+    assert rows == [(7, 11)]        # pos-0 copy survives
+
+
 def test_duplicate_spans_broadcast_free_at_scale(spark):
     # the duplicated-hash set is corpus-proportional: the mark-back
     # must be a shuffle semi-join, never a broadcast
