@@ -147,14 +147,25 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     stopword_ratio, unique_token_ratio — the standard cheap filters
     a pretraining pipeline applies before expensive scoring."""
     c = F.col(text_col)
-    toks = tokens(c)
-    n_tok = F.size(toks)
+    stop_arr = F.array([F.lit(s) for s in STOPWORDS])
+    # one tokenize per row: (n_tok, n_stop, n_uniq) fall out of a
+    # single bound pass instead of three independent tokens(c) evals
+    tk3 = _bind(
+        tokens(c),
+        lambda tk: F.struct(
+            F.size(tk).alias("n"),
+            F.size(
+                F.filter(tk, lambda t: F.array_contains(stop_arr, t))
+            ).alias("stop"),
+            F.size(F.array_distinct(tk)).alias("uniq"),
+        ),
+    )
+    n_tok = tk3["n"]
     n_chars = F.length(c)
     punct = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
     digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
-    stop_arr = F.array([F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = tk3["stop"]
+    n_uniq = tk3["uniq"]
     return df.withColumns(
         {
             "n_chars_q": n_chars.cast("long"),
@@ -400,19 +411,24 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     hits the most tokens wins; ties and zero hits -> 'und'
     (undetermined). Pure Column arithmetic — the scores are token
     intersections computed per language."""
-    toks = tokens(F.col(text_col))
-    scores = []
-    for lang, markers in LANG_MARKERS.items():
-        arr = F.array([F.lit(m) for m in markers])
-        scores.append(
-            F.struct(
-                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias("hits"),
-                F.lit(lang).alias("lang"),
+    def body(tk):
+        scores = []
+        for lang, markers in LANG_MARKERS.items():
+            arr = F.array([F.lit(m) for m in markers])
+            scores.append(
+                F.struct(
+                    F.size(
+                        F.filter(tk, lambda t: F.array_contains(arr, t))
+                    ).alias("hits"),
+                    F.lit(lang).alias("lang"),
+                )
             )
-        )
+        return F.array_max(F.array(*scores))
+
     # max by (hits, lang) — deterministic tie-break on language code;
-    # zero hits -> undetermined
-    best = F.array_max(F.array(*scores))
+    # zero hits -> undetermined. One bound tokenize feeds every
+    # language's marker intersection.
+    best = _bind(tokens(F.col(text_col)), body)
     return df.withColumn(
         out_col,
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
