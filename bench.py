@@ -123,6 +123,10 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                # round-7 action change: full-row xxhash materialization
+                # (count() let Catalyst prune column work) — totals are
+                # NOT comparable to rounds <= 6, which measured less
+                "action": "full_row_hash",
                 "queries": {
                     n: timings[n]
                     for n in sorted(timings, key=timings.get, reverse=True)[:10]
