@@ -509,11 +509,19 @@ def scrub_spans(
     """
     from data_frame_spark.operators.text import tokens
 
-    kill = spans.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.sequence(F.col("span_start"), F.col("span_end") - 1)
-        ).alias("__pos"),
+    # guard arbitrary caller span tables: an empty span (start ==
+    # end) must delete nothing, and Spark's sequence(a, b) silently
+    # DESCENDS when a > b — an inverted span would delete [end..start]
+    # instead of erroring (round-7 review fix). Only spans with
+    # span_end > span_start produce kill positions.
+    kill = (
+        spans.where(F.col("span_end") > F.col("span_start"))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.sequence(F.col("span_start"), F.col("span_end") - 1)
+            ).alias("__pos"),
+        )
     )  # no distinct: anti-join semantics ignore duplicate kill rows
     tok = df.select(
         F.col(id_col).alias("__id"),
@@ -589,13 +597,15 @@ def split_contamination_audit(
     if rollup_col is None:
         return hits
     # ngram_contamination names its output ids doc_id/bench_id
+    # regardless of id_col — join and count on those names so any
+    # caller id column works (round-7 review fix)
     return (
         hits.join(
             train_df.select(F.col(id_col).alias("doc_id"), rollup_col), "doc_id"
         )
         .groupBy(rollup_col)
         .agg(
-            F.countDistinct(id_col).alias("n_contaminated_docs"),
+            F.countDistinct("doc_id").alias("n_contaminated_docs"),
             F.countDistinct("bench_id").alias("n_bench_docs_hit"),
             F.count(F.lit(1)).alias("n_pairs"),
             F.max("shared_ngrams").alias("max_shared"),

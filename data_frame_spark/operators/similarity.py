@@ -372,7 +372,7 @@ def ivf_fit_centroids(
         F.col(id_col).alias("__id"), quantize_vec(F.col(vec_col)).alias("__vq")
     )
     seed_rows = (
-        qdf.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        qdf.orderBy(md5_order(F.col("__id")), F.col("__id"))
         .limit(k)
         .collect()
     )

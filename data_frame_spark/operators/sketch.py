@@ -152,7 +152,11 @@ def kmv_set_ops(
         .agg(F.count(F.lit(1)).alias("__c"))
         .agg(
             F.count(F.lit(1)).alias("exact_union"),
-            F.sum(F.when(F.col("__c") == 2, 1).otherwise(0)).alias("exact_inter"),
+            # empty input: sum over zero rows is NULL — read out 0,
+            # consistent with the guarded sketch columns
+            F.coalesce(
+                F.sum(F.when(F.col("__c") == 2, 1).otherwise(0)), F.lit(0)
+            ).alias("exact_inter"),
         )
     )
     uest = F.when(F.col("mn") < k, F.col("mn").cast("double")).otherwise(
@@ -235,6 +239,7 @@ def cms_heavy_hitters(
     min_div: int | None = None,
     width: int = 1024,
     depth: int = 3,
+    counters=None,
 ) -> DataFrame:
     """Exact heavy hitters, sketch-GATED: every key whose total
     occurrence count reaches ``min_count`` (or total occurrences
@@ -264,7 +269,11 @@ def cms_heavy_hitters(
     """
     if (min_count is None) == (min_div is None):
         raise ValueError("exactly one of min_count / min_div required")
-    counters = cms_build(df, key_col, width=width, depth=depth).collect()
+    # callers that already built the SAME-shaped sketch pass its
+    # collected rows to skip a second full-corpus aggregation
+    # (round-7 review: the merged cms query paid the sketch twice)
+    if counters is None:
+        counters = cms_build(df, key_col, width=width, depth=depth).collect()
     grid = [[0] * width for _ in range(depth)]
     for r in counters:
         grid[r["row"]][r["bucket"]] = r["cnt"]

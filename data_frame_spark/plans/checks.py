@@ -92,14 +92,29 @@ def shuffle_census(df: DataFrame) -> tuple[int, int]:
         if node.getClass().getSimpleName() == "ShuffleExchangeExec":
             part = node.outputPartitioning().toString()
             sub = node.child().toString()
-            # SortAggregate prints "key=[", HashAggregate "keys=[";
-            # exact name match (`__bucket#NNN`), same rigor as the
-            # partitionless classifier — a bare substring test would
-            # also match a `__bucket_like` data column
-            bucket_keyed_agg = bool(re.search(r"keys?=\[__bucket#", sub))
             first_agg = min(
                 (sub.find(a) for a in ("HashAggregate", "SortAggregate", "ObjectHashAggregate") if a in sub),
                 default=-1,
+            )
+            # SortAggregate prints "key=[", HashAggregate "keys=[";
+            # parse the FIRST aggregate's key list exactly, same
+            # rigor as the partitionless classifier: bounded only
+            # when every key is `__bucket` or a declared
+            # bucket-DEPENDENT column — a substring/prefix test would
+            # bless a (`__bucket`, token) compound key whose
+            # cardinality is buckets × |vocabulary| (round-7 review)
+            key_m = _KEYS_RE.search(sub, first_agg) if first_agg >= 0 else None
+            key_names = (
+                {
+                    kk.strip().split("#")[0]
+                    for kk in key_m.group(1).split(",")
+                    if kk.strip()
+                }
+                if key_m
+                else set()
+            )
+            bucket_keyed_agg = "__bucket" in key_names and key_names <= (
+                {"__bucket"} | _BUCKET_DEPENDENT_KEYS
             )
             if "SinglePartition" in part and ("__bucket" in sub or "Range (" in sub):
                 tiny += 1
@@ -192,34 +207,36 @@ DECLARED_BOUNDED_KEYS: dict[str, frozenset[str]] = {
 #: here: they grow ∝ SF.
 BOUNDED_RELATIONS = ("/region.parquet", "/nation.parquet")
 
-#: Per-query DECLARED-legitimate data-derived broadcast sides, with
-#: justification — the broadcast-side twin of DECLARED_BOUNDED_KEYS.
-#: An entry means: this query broadcasts a side whose subtree reads a
-#: data-sized relation, but the side's cardinality is bounded by the
-#: query's SEMANTICS (a fixed eval suite, a k-limit the classifier
-#: cannot see through, …). Consulted by broadcasts_for_query and the
-#: scale ledger; anything not declared stays flagged.
-DECLARED_BROADCAST_OK: dict[str, str] = {
+#: Per-query DECLARED-legitimate data-derived broadcast sides, as
+#: (allowed_count, justification) — the broadcast-side twin of
+#: DECLARED_BOUNDED_KEYS. An entry means: this query broadcasts
+#: exactly ``allowed_count`` sides whose subtrees read a data-sized
+#: relation but whose cardinality is bounded by the query's SEMANTICS
+#: (a fixed eval suite, a constant probe batch, an ingest batch).
+#: The classifier STILL RUNS and flags anything beyond the allowance
+#: (round-7 review: a blanket waiver would silently bless a future
+#: SECOND corpus-sized broadcast — the exact bug class this catches).
+DECLARED_BROADCAST_OK: dict[str, tuple[int, str]] = {
     # the benchmark side is a FIXED eval suite (13-gram hashes of a
     # few hundred eval documents — MBs at any corpus scale); the sf
     # fixture derives it from `documents` only because the test data
     # has no separate benchmark table. The split-vs-split audit
     # (contamination_audit_splits) — where the side DOES scale with
     # the corpus — uses broadcast=False and is pinned broadcast-free.
-    "ngram_decontamination_docs": "benchmark eval suite is fixed-size by contract",
+    "ngram_decontamination_docs": (1, "benchmark eval suite is fixed-size by contract"),
     # the broadcast side is the ANN QUERY BATCH (the fixture's
     # vec_id < 3 probe set): top-k search broadcasts the k probe
     # vectors onto the corpus, never the reverse — batch size is an
     # operational constant, not corpus-proportional
-    "cosine_topk_embeddings": "ANN probe batch is constant-size by contract",
-    "lsh_ann_topk_embeddings": "ANN probe batch is constant-size by contract",
+    "cosine_topk_embeddings": (1, "ANN probe batch is constant-size by contract"),
+    "lsh_ann_topk_embeddings": (1, "ANN probe batch is constant-size by contract"),
     # both broadcast sides are BATCH-bounded: `canon` is the new
     # batch's distinct fingerprints (a nightly batch is an
     # operational knob, not the corpus), and `hits` is the
     # store⋉canon left-semi output — ≤ |canon| on a distinct store;
     # the store itself is only ever the STREAMED side (the
     # operator's whole point, operators/dedup.py:74)
-    "incremental_dedup_batch": "broadcast sides bounded by the ingest batch size",
+    "incremental_dedup_batch": (2, "broadcast sides bounded by the ingest batch size"),
 }
 
 
@@ -253,14 +270,16 @@ def scale_planner(spark):
 
 
 def broadcasts_for_query(name: str, df: DataFrame) -> list[str]:
-    """data_sized_broadcasts with the query's DECLARED-legitimate
-    broadcast sides applied (see DECLARED_BROADCAST_OK): declared
-    queries report []."""
-    if name in DECLARED_BROADCAST_OK:
-        return []
-    return data_sized_broadcasts(
+    """data_sized_broadcasts with the query's DECLARED broadcast
+    ALLOWANCE applied (see DECLARED_BROADCAST_OK): a declared query
+    reports [] while its flagged count stays within the allowance and
+    reports every flag the moment it exceeds it — declarations never
+    turn the classifier off."""
+    bad = data_sized_broadcasts(
         df, bounded_names=DECLARED_BOUNDED_KEYS.get(name, frozenset())
     )
+    allowed = DECLARED_BROADCAST_OK.get(name, (0, ""))[0]
+    return [] if len(bad) <= allowed else bad
 
 
 def data_sized_broadcasts(

@@ -3874,10 +3874,20 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(F.explode(OpText.tokens(F.col("text"))).alias("token"))
-    hh = OpSketch2.cms_heavy_hitters(tok, "token", min_div=30, width=16, depth=3)
-    counters = OpSketch2.cms_build(tok, "token", width=16, depth=3)
+    # ONE full-corpus sketch aggregation: its collected rows feed
+    # both the heavy-hitter gate (as literal probe arrays) and the
+    # point-estimate join (as a 48-row literal counter frame)
+    ctr = OpSketch2.cms_build(tok, "token", width=16, depth=3)
+    ctr_rows = ctr.collect()
+    hh = OpSketch2.cms_heavy_hitters(
+        tok, "token", min_div=30, width=16, depth=3, counters=ctr_rows
+    )
     est = OpSketch2.cms_estimate(
-        counters, hh.select("token"), "token", width=16, depth=3
+        spark.createDataFrame(ctr_rows, ctr.schema),
+        hh.select("token"),
+        "token",
+        width=16,
+        depth=3,
     )
     return hh.join(est, "token").select(
         "token", "exact_count", "cms_count",

@@ -57,7 +57,14 @@ def interval_join(
         & (F.col(f"r_{right_ts}") >= F.col(f"l_{left_ts}") - F.expr(f"INTERVAL {lower}"))
         & (F.col(f"r_{right_ts}") <= F.col(f"l_{left_ts}") + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, how).drop("__r_on")
+    # outer rows NULL-pad the missing side, so the surviving key must
+    # come from WHICHEVER side is present — a rightOuter unmatched
+    # purchase keeps its user_id instead of NULL (round-7 review fix)
+    return (
+        l.join(r, cond, how)
+        .withColumn(on, F.coalesce(F.col(on), F.col("__r_on")))
+        .drop("__r_on")
+    )
 
 
 def clicks_to_purchases(events: DataFrame, within: str = "30 minutes") -> DataFrame:

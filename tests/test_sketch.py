@@ -354,6 +354,7 @@ def test_kmv_set_ops_both_scopes_empty(spark):
     assert r["jaccard_micro"] == 0
     assert r["inter_estimate_micro"] == 0
     assert r["exact_union"] == 0
+    assert r["exact_inter"] == 0      # not NULL (review fix, round 7)
 
 
 def test_kmv_set_ops_one_scope_empty(spark):
