@@ -386,6 +386,22 @@ def test_no_code_forced_data_sized_broadcasts(spark, sf_dir):
         assert not bad, f"{name}: {bad}"
 
 
+def test_broadcast_allowance_is_counted_not_blanket(spark, sf_dir):
+    # a DECLARED query is allowed exactly its declared number of
+    # data-sized broadcasts; piling a SECOND forced corpus broadcast
+    # on top must flag — declarations never turn the classifier off
+    from pyspark.sql import functions as F
+
+    with C.scale_planner(spark):
+        base = QUERIES["ngram_decontamination_docs"](spark, sf_dir)
+        assert C.broadcasts_for_query("ngram_decontamination_docs", base) == []
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        worse = base.join(
+            F.broadcast(docs.select(F.col("doc_id"))), "doc_id"
+        )
+        assert C.broadcasts_for_query("ngram_decontamination_docs", worse)
+
+
 def test_broadcast_classifier_catches_forced_corpus_broadcast(spark, sf_dir):
     # positive control: force-broadcasting a corpus-derived side must
     # be flagged — this is exactly the round-6 audit bug shape
