@@ -396,6 +396,37 @@ def test_split_thresholds_rejects_silently_empty_split():
     assert th["tiny"] == 1 << 60
 
 
+def test_split_thresholds_tile_property():
+    # property: for ANY micro-representable fraction set, boundaries
+    # are strictly increasing and tile [0, 2^60) exactly — no gaps,
+    # no overlap, no unreachable split
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_frame_spark.operators.sampling import split_thresholds
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=999_999), min_size=1, max_size=8)
+    )
+    def check(parts):
+        total = sum(parts)
+        fractions = {f"s{i}": p / total for i, p in enumerate(parts)}
+        # snap to micro-representable by construction: rescale so the
+        # micro roundings sum to 1e6 (the operator's contract)
+        micro = [round(f * 1_000_000) for f in fractions.values()]
+        if abs(sum(micro) - 1_000_000) > len(parts) or 0 in micro:
+            return  # outside contract: operator raises, covered elsewhere
+        th = split_thresholds(fractions)
+        bounds = [b for _, b in th]
+        assert bounds == sorted(bounds)
+        assert len(set(bounds)) == len(bounds)   # strictly increasing
+        assert bounds[-1] == 1 << 60
+        assert all(0 < b <= 1 << 60 for b in bounds)
+
+    check()
+
+
 def test_assign_splits_is_narrow(spark, sf_dir):
     from data_frame_spark.plans import checks as C
     from data_frame_spark.operators.sampling import assign_splits
