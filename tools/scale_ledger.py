@@ -34,6 +34,12 @@ accounting for every registered query at sf0.001. Columns:
   introduced where the distributed primitives replaced driver
   collects with in-plan broadcast branches. These move bytes
   proportional to the bucket count, never the data.
+- **guard** — `ensure_parallelism` small-file repartitions (RoundRobin
+  REPARTITION_BY_NUM): they exist only because the local fixture is
+  one parquet footer; at corpus scale the input is already wider than
+  the session target and the guard is an IDENTITY (pinned by
+  `test_ensure_parallelism_is_identity_on_wide_input`), so these are
+  not scale costs.
 - **partitionless** — data-sized partitionless `WindowExec` nodes
   (everything funnels through ONE partition: the 100 TB hazard).
   This column must be 0 for EVERY query: the single-series mean-max
@@ -59,8 +65,8 @@ Empirical 10x scale-up slopes for the five most expensive queries are
 recorded in [SCALE_PROBE.md](SCALE_PROBE.md) (round 6): no
 super-linear time slope.
 
-| query | shuffles | tiny | partitionless | broadcast | bcast data-sized |
-|---|---|---|---|---|---|
+| query | shuffles | guard | tiny | partitionless | broadcast | bcast data-sized |
+|---|---|---|---|---|---|---|
 """
 
 
@@ -71,7 +77,7 @@ def main() -> None:
     for name, fn in QUERIES.items():
         try:
             df = fn(spark, SF_DIR)
-            sh, tiny = C.shuffle_census(df)
+            sh, tiny, guard = C.shuffle_census3(df)
             pw = len(C.partitionless_for_query(name, df))
             bc = "yes" if C.uses_broadcast_join(df) else ""
             # re-plan under the 100 TB planner simulation: only
@@ -79,9 +85,11 @@ def main() -> None:
             with C.scale_planner(spark):
                 df_scale = fn(spark, SF_DIR)
                 bd = len(C.broadcasts_for_query(name, df_scale))
-            rows.append(f"| `{name}` | {sh} | {tiny} | {pw} | {bc} | {bd} |")
+            rows.append(
+                f"| `{name}` | {sh} | {guard} | {tiny} | {pw} | {bc} | {bd} |"
+            )
         except Exception as e:  # pragma: no cover
-            rows.append(f"| `{name}` | ERROR | | {str(e)[:40]} | | |")
+            rows.append(f"| `{name}` | ERROR | | | {str(e)[:40]} | | |")
     out = HEADER + "\n".join(rows) + "\n"
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "docs", "SCALE_LEDGER.md")
