@@ -486,6 +486,20 @@ def split_thresholds(fractions: dict[str, float]) -> list[tuple[str, int]]:
         cum += m
         out.append((name, (cum << 60) // 1_000_000))
     out[-1] = (out[-1][0], 1 << 60)
+    # micro-rounding can overshoot so the cumulative reaches 1e6
+    # BEFORE the last split (e.g. fractions rounding to
+    # [1, 436785, 563214, 1] micro) — the last boundary then
+    # duplicates its predecessor and that split is silently
+    # unassignable. Raise, completing the round-6 advice ("or when
+    # consecutive thresholds are equal"); found by the round-7
+    # hypothesis tiling property.
+    for i in range(1, len(out)):
+        if out[i][1] <= out[i - 1][1]:
+            raise ValueError(
+                f"split {out[i][0]!r} gets an empty hash range (boundary "
+                f"{out[i][1]} <= {out[i - 1][1]}): micro-rounding overshoot; "
+                f"use fractions at micro (1e-6) granularity"
+            )
     return out
 
 

@@ -417,7 +417,12 @@ def test_split_thresholds_tile_property():
         micro = [round(f * 1_000_000) for f in fractions.values()]
         if abs(sum(micro) - 1_000_000) > len(parts) or 0 in micro:
             return  # outside contract: operator raises, covered elsewhere
-        th = split_thresholds(fractions)
+        try:
+            th = split_thresholds(fractions)
+        except ValueError:
+            # micro-rounding overshoot: the operator must REFUSE
+            # (an unassignable split), never silently tile wrong
+            return
         bounds = [b for _, b in th]
         assert bounds == sorted(bounds)
         assert len(set(bounds)) == len(bounds)   # strictly increasing
