@@ -208,3 +208,33 @@ def test_weighted_quantiles_match_bruteforce(spark, rows):
     assert set(got) == set(want)
     for p in want:
         assert got[p] == want[p]
+
+
+def test_width_boundaries_property():
+    # property: for any sane (lo, hi, n) the split points are strictly
+    # increasing, strictly inside (lo, hi), and never more than n-1 —
+    # degenerate ranges (hi <= lo, one bucket, NaN-free) yield []
+    from data_frame_spark.operators.distributed import width_boundaries
+
+    finite = st.floats(
+        min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(finite, finite, st.integers(min_value=0, max_value=64))
+    def check(a, b, n):
+        lo, hi = min(a, b), max(a, b)
+        out = width_boundaries(lo, hi, n)
+        if not (hi > lo) or n <= 1:
+            assert out == []
+            return
+        assert out == sorted(out)
+        assert len(set(out)) == len(out)
+        assert len(out) <= n - 1
+        assert all(lo < x < hi or x == lo + (hi - lo) / n * i
+                   for i, x in enumerate(out, 1))
+        # every boundary stays within [lo, hi] even under float
+        # rounding at extreme magnitudes
+        assert all(lo <= x <= hi for x in out)
+
+    check()
