@@ -291,6 +291,10 @@ def width_boundaries(lo: float, hi: float, n_buckets: int) -> list[float]:
     out: list[float] = []
     for i in range(1, n_buckets):
         bv = lo + step * i
+        # strictly inside (lo, hi): sub-ULP ranges round bv onto the
+        # endpoints — skip those rather than emit degenerate splits
+        if bv <= lo or bv >= hi:
+            continue
         if not out or bv > out[-1]:
             out.append(float(bv))
     return out

@@ -220,7 +220,7 @@ def test_width_boundaries_property():
         min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
     )
 
-    @settings(max_examples=300, deadline=None)
+    @settings(max_examples=300, deadline=None, derandomize=True)
     @given(finite, finite, st.integers(min_value=0, max_value=64))
     def check(a, b, n):
         lo, hi = min(a, b), max(a, b)
@@ -231,10 +231,8 @@ def test_width_boundaries_property():
         assert out == sorted(out)
         assert len(set(out)) == len(out)
         assert len(out) <= n - 1
-        assert all(lo < x < hi or x == lo + (hi - lo) / n * i
-                   for i, x in enumerate(out, 1))
-        # every boundary stays within [lo, hi] even under float
-        # rounding at extreme magnitudes
-        assert all(lo <= x <= hi for x in out)
+        # strictly inside the range — sub-ULP ranges may skip indices,
+        # so no positional alignment is asserted
+        assert all(lo < x < hi for x in out)
 
     check()

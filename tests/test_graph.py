@@ -69,7 +69,7 @@ def test_cc_self_loops_and_duplicates(spark):
     _run(spark, [(5, 5), (1, 2), (2, 1), (1, 2), (7, 3)])
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15, deadline=None, derandomize=True)
 @given(st.integers(0, 10_000))
 def test_cc_random_graphs_match_union_find(spark, seed):
     rng = random.Random(seed)

@@ -405,7 +405,7 @@ def test_split_thresholds_tile_property():
 
     from data_frame_spark.operators.sampling import split_thresholds
 
-    @settings(max_examples=200, deadline=None)
+    @settings(max_examples=200, deadline=None, derandomize=True)
     @given(
         st.lists(st.integers(min_value=1, max_value=999_999), min_size=1, max_size=8)
     )
