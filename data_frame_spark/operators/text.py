@@ -149,7 +149,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     stop_arr = F.array([F.lit(s) for s in STOPWORDS])
     # one tokenize per row: (n_tok, n_stop, n_uniq) fall out of a
-    # single bound pass instead of three independent tokens(c) evals
+    # single bound pass. The struct must be PROJECTED into a real
+    # column (like gopher_repetition's __gr_toks) — interpreted
+    # higher-order functions sit outside codegen CSE, so embedding
+    # the same tk3 expression into four output columns would re-run
+    # the tokenize up to 4x per row.
     tk3 = _bind(
         tokens(c),
         lambda tk: F.struct(
@@ -160,13 +164,14 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.size(F.array_distinct(tk)).alias("uniq"),
         ),
     )
-    n_tok = tk3["n"]
+    base = df.withColumn("__q_tk3", tk3)
+    n_tok = F.col("__q_tk3")["n"]
     n_chars = F.length(c)
     punct = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
     digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
-    n_stop = tk3["stop"]
-    n_uniq = tk3["uniq"]
-    return df.withColumns(
+    n_stop = F.col("__q_tk3")["stop"]
+    n_uniq = F.col("__q_tk3")["uniq"]
+    return base.withColumns(
         {
             "n_chars_q": n_chars.cast("long"),
             "n_tokens": n_tok.cast("long"),
@@ -178,7 +183,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             "stopword_ratio": (n_stop / n_tok).cast("double"),
             "unique_token_ratio": (n_uniq / n_tok).cast("double"),
         }
-    )
+    ).drop("__q_tk3")
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -419,6 +419,36 @@ def test_broadcast_classifier_catches_forced_corpus_broadcast(spark, sf_dir):
         assert C.broadcasts_for_query("ngram_decontamination_docs", ddf) == []
 
 
+def test_broadcast_fingerprint_rejects_replaced_broadcast(spark, sf_dir):
+    # round-8 advice fix: the declared allowance is a FINGERPRINT, not
+    # a count — a query whose single legitimate broadcast is REPLACED
+    # by a different corpus-sized forced broadcast must flag even
+    # though the flagged count equals the old allowance
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with C.scale_planner(spark):
+        wrong = docs.join(F.broadcast(docs.select("doc_id").distinct()), "doc_id")
+        assert C.broadcasts_for_query("ngram_decontamination_docs", wrong)
+
+
+def test_guard_census_is_structural(spark, sf_dir):
+    # round-8 advice fix: only a round-robin repartition sitting on a
+    # pure narrow scan pipeline (ensure_parallelism's position) is a
+    # cost-free guard; a mid-pipeline df.repartition(n) over derived
+    # data re-shuffles the corpus at any scale and must count as DATA
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.distributed import ensure_parallelism
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    data, _tiny, guard = C.shuffle_census3(ensure_parallelism(docs.coalesce(1)))
+    assert (data, guard) == (0, 1)
+    agg = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).repartition(8)
+    data, _tiny, guard = C.shuffle_census3(agg)
+    assert guard == 0 and data == 2  # groupBy exchange + the repartition
+
+
 def test_ensure_parallelism_is_identity_on_wide_input(spark):
     # the small-file guard must NOT add a shuffle once the input is
     # already as parallel as the session target — at scale the corpus
