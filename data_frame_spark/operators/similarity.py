@@ -350,7 +350,8 @@ def ivf_fit_centroids(
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> list[list[float]]:
+    micro: bool = False,
+) -> list[list[float]] | list[list[int]]:
     """IVF coarse quantizer: k centroids, deterministically seeded
     (the k vectors with smallest (md5(vec_id), vec_id) — reproducible
     without rand()), refined by ``iterations`` Lloyd steps. Each step
@@ -364,8 +365,10 @@ def ivf_fit_centroids(
     different centroids (and therefore different cells) on a different
     cluster layout. Integer sums are layout-independent and
     SQL-oracle-reproducible; returned centroids are micro/1e6 floats
-    (identical doubles on every engine). Empty clusters keep their
-    previous centroid."""
+    (identical doubles on every engine), or the raw micro INTEGERS
+    with ``micro=True`` (the exact cross-engine comparison form the
+    oracle query uses). Empty clusters keep their previous
+    centroid."""
     import math
 
     qdf = base.select(
@@ -399,6 +402,8 @@ def ivf_fit_centroids(
             cent[r["__cid"]] = [
                 int(math.floor(r[f"s{i}"] / n)) for i in range(dim)
             ]
+    if micro:
+        return cent
     return [[c / 1e6 for c in cm] for cm in cent]
 
 

@@ -1959,37 +1959,6 @@ def per_source_cap_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "chunk_documents",
-    oracle=r"""
-    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-                  FROM documents),
-    toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
-    nch AS (SELECT doc_id, tk,
-                   GREATEST(1, CAST(CEIL((len(tk) - 16) / 48.0) AS INT)) AS nc
-            FROM toks),
-    ch AS (SELECT doc_id, i AS chunk_idx,
-                  array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
-           FROM nch, UNNEST(generate_series(0, nc - 1)) u(i))
-    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_text,
-           CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS chunk_n_tokens
-    FROM ch
-    """,
-)
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Context-window chunking: 64-token windows with 16-token
-    overlap (stride 48) — the standard embedding-index / pretraining
-    packing step. A narrow tokenize→sequence→explode→slice transform:
-    ZERO shuffles at any corpus size."""
-    docs = t(spark, sf_dir, "documents")
-    return OpText.chunk_rows(docs, "text", "doc_id", chunk_tokens=64, overlap=16).select(
-        "doc_id",
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
-        "chunk_text",
-        F.col("chunk_n_tokens").cast("long").alias("chunk_n_tokens"),
-    )
-
-
-@query(
     "mixture_sample_docs",
     oracle="""
     WITH t(lang, n) AS (VALUES ('en', 8), ('de', 5), ('zh', 3)),
@@ -2031,18 +2000,22 @@ def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    GREATEST(1, CAST(CEIL((len(tk) - 16) / 48.0) AS INT)) AS nc
             FROM toks),
     ch AS (SELECT doc_id, i AS chunk_idx,
-                  len(string_split(array_to_string(tk[i*48+1 : i*48+64], ' '), ' ')) AS nt
+                  array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
            FROM nch, UNNEST(generate_series(0, nc - 1)) u(i)),
-    keyed AS (SELECT doc_id, chunk_idx, nt,
+    chn AS (SELECT doc_id, chunk_idx, chunk_text,
+                   len(string_split(chunk_text, ' ')) AS nt
+            FROM ch),
+    keyed AS (SELECT doc_id, chunk_idx, chunk_text, nt,
                      substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
                                 CAST(chunk_idx AS VARCHAR) || '|pack'), 1, 15) AS pk
-              FROM ch),
-    s AS (SELECT doc_id, chunk_idx, nt,
+              FROM chn),
+    s AS (SELECT doc_id, chunk_idx, chunk_text, nt,
                  CAST(SUM(nt) OVER (ORDER BY pk, doc_id, chunk_idx
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                       AS BIGINT) AS e
           FROM keyed)
     SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           md5(chunk_text) AS chunk_text_md5,
            CAST(nt AS BIGINT) AS chunk_n_tokens,
            (e - nt) // 256 AS pack_id,
            (e - nt) % 256 AS pack_offset
@@ -2050,9 +2023,13 @@ def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pack_chunks_256(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-style sequence packing: 64/16 context chunks laid
+    """Context-window chunking AND concat-style sequence packing in
+    one oracle row (round-8 merge of chunk_documents into this query
+    — both exercise OpText.chunk_rows; chunk content is verified via
+    chunk_text_md5): 64-token/16-overlap chunks — a narrow
+    tokenize→sequence→explode→slice transform, ZERO shuffles — laid
     end-to-end in deterministic md5 order and carved into 256-token
-    packs — each chunk tagged with the pack its first token lands in
+    packs, each chunk tagged with the pack its first token lands in
     and its offset inside that pack. The global running token sum
     goes through the range-bucketed two-level primitive (no
     partitionless window); integer token counts make the offsets
@@ -2084,6 +2061,7 @@ def pack_chunks_256(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5("chunk_text").alias("chunk_text_md5"),
         F.col("chunk_n_tokens").cast("long").alias("chunk_n_tokens"),
         "pack_id",
         "pack_offset",
@@ -2770,6 +2748,52 @@ def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document gaps-and-islands merge."""
     docs = t(spark, sf_dir, "documents")
     return OpDedup.duplicate_spans(docs, "text", "doc_id", k=5)
+
+
+@query(
+    "duplicate_spans_keep_first_docs",
+    oracle=r"""
+    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+                  FROM documents),
+         toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm
+                  WHERE len(string_split(t, ' ')) >= 5),
+         wins AS (SELECT doc_id, i AS pos,
+                         md5(array_to_string(tk[i+1:i+5], ' ')) AS h
+                  FROM toks, UNNEST(generate_series(0, len(tk) - 5)) u(i)),
+         rnk AS (SELECT doc_id, pos,
+                        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                        COUNT(*) OVER (PARTITION BY h) AS c
+                 FROM wins),
+         sp AS (SELECT doc_id, pos FROM rnk WHERE c >= 2 AND rn > 1),
+         b AS (SELECT doc_id, pos,
+                      CASE WHEN LAG(pos) OVER w IS NULL
+                                OR pos > LAG(pos) OVER w + 5
+                           THEN 1 ELSE 0 END AS brk
+               FROM sp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         g AS (SELECT doc_id, pos,
+                      SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS grp
+               FROM b)
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 5 AS BIGINT) AS span_end,
+           CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM g GROUP BY doc_id, grp
+    """,
+)
+def duplicate_spans_keep_first_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-ONE-copy duplicate-span policy — what production
+    ExactSubstr pipelines actually run (Lee et al. 2022 §4: scrub
+    every copy except one): each duplicated 5-token window's FIRST
+    corpus-wide occurrence (deterministic (doc_id, pos) order, the
+    oracle's ROW_NUMBER twin) is NOT flagged, so scrubbing the spans
+    leaves exactly one copy of every duplicated region. The
+    first-occurrence winner is a map-combinable MIN(struct) aggregate
+    keyed by the window hash — never a row_number window over a
+    potentially 10^9-occurrence boilerplate hash — joined back with
+    the same shuffle equi-join discipline as the flag-all path
+    (operators/dedup.py:449, keep_first=True)."""
+    docs = t(spark, sf_dir, "documents")
+    return OpDedup.duplicate_spans(docs, "text", "doc_id", k=5, keep_first=True)
 
 
 _SPANS_CTE = r"""
