@@ -103,8 +103,14 @@ def test_partitioned_meanmax_has_no_global_sort(spark, sf_dir):
 
 def test_chunking_is_narrow(spark, sf_dir):
     # chunking must stay a zero-shuffle narrow transform: tokenize ->
-    # sequence -> explode -> slice, linear in input bytes at any scale
-    df = QUERIES["chunk_documents"](spark, sf_dir)
+    # sequence -> explode -> slice, linear in input bytes at any scale.
+    # Pinned on the operator directly (not a registry entry) so the
+    # assertion survives registry merges — pack_chunks_256 consumes
+    # this subplan but adds the packing shuffle by design.
+    from data_frame_spark.operators import text as OpText
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = OpText.chunk_rows(docs, "text", "doc_id", chunk_tokens=64, overlap=16)
     assert C.count_shuffles(df) == 0
     assert not C.data_sized_partitionless_windows(df)
 
