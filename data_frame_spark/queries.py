@@ -4316,73 +4316,65 @@ def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FIRST = [
-    # round-7 rotation (standing policy: every query gets a driver row
+    # round-9 rotation (standing policy: every query gets a driver row
     # at least every 2 rounds; any query whose code changes this round
     # goes into the first 50).
     #
-    # Block 1 — the 41 queries past round 6's 50-query cap (last green
-    # row: CORRECTNESS_r05), led by minhash_signatures_docs and
-    # ngram_jaccard_verified per the round-6 verdict (their backing
-    # dedup.py functions gained the shingles= parameter in r6).
-    "minhash_signatures_docs",
-    "ngram_jaccard_verified",
-    "stratified_sample_docs",
-    "weighted_sample_docs",
-    "bm25_search_docs",
-    "unigram_lm_nll_docs",
-    "bigram_lm_nll_docs",
-    "curriculum_buckets_docs",
-    "pmi_collocations_docs",
-    "per_source_cap_docs",
-    "chunk_documents",
-    "mixture_sample_docs",
-    "pack_chunks_256",
-    "corpus_stats_rollup",
-    "denylist_scrub_docs",
-    "tfidf_top_terms_docs",
-    "json_props_rollup",
-    "kmv_distinct_users",
-    "grid_quantiles_price",
-    "rolling_stats_value",
-    "zorder_key_events",
-    "robust_outliers_value",
-    "quality_filter_docs",
-    "segment_dedup_docs",
-    "gopher_repetition_docs",
-    "cosine_topk_embeddings",
-    "session_windows_30m",
-    "binary_metadata_docs",
-    "forecast_revenue",
-    "shipping_priority",
-    "index_range_select",
-    "mean_max_by_user",
-    "mean_max_aux_by_user",
-    "lap_swim_mean_max_by_user",
-    "ngram_decontamination_docs",
-    "cms_token_counts",
-    "hll_distinct_shingles",
-    "label_centroids_embeddings",
-    "temperature_mixture_weights",
-    "bloom_decontamination_docs",
-    # Block 2 — queries whose code changed in round 7 (broadcast
-    # discipline: audit shuffle-join pin, Q5/Q3 de-broadcast, kmv
-    # empty-scope guard, split_thresholds validation). The other two
-    # r7-touched queries (shipping_priority, ngram_decontamination_docs)
-    # are already in Block 1.
-    "regional_revenue",
-    "contamination_audit_splits",
-    "kmv_set_ops_users",
-    "split_assignment_docs",
-    # Block 3 — round-7 additions (never had a driver row).
-    "fit_residuals_price_qty",
-    "group_samples_factor_events",
-    "duplicate_spans_docs",
-    "scrub_spans_docs",
-    # Block 4 — r6-green queries whose backing text.py feature code
-    # changed in round 7 (the _bind O(n^2)-tokenize fix): re-verify.
-    "text_features_docs",
-    "winnowed_fingerprints_docs",
+    # Block 1 — round-9 additions (never had a driver row).
+    "duplicate_spans_keep_first_docs",
+    # Block 2 — the 43 queries absent from both CORRECTNESS_r07 and
+    # CORRECTNESS_r08 (last driver-green: round 6; bodies verified
+    # bit-identical since by the round-7 and round-8 judges).
+    "anti_join_parts_never_ordered",
+    "asof_multi_value_lookup",
+    "batch_sessions_events",
+    "byte_features_docs",
+    "canonical_docs_by_quality",
+    "cartesian_region_nation",
+    "combine_histograms_returnflag",
+    "csv_read_fixture",
+    "describe_lineitem",
+    "dsir_importance_docs",
+    "embedding_dup_clusters",
+    "embedding_near_dup_pairs",
+    "equal_range_count",
+    "event_derived_series",
+    "exact_dedup_documents",
+    "exp_fit_value_hour",
+    "fits_price_qty",
+    "group_samples_value_user",
+    "histogram_quantity",
+    "incremental_dedup_batch",
+    "interpolated_lookup_value",
+    "lsh_ann_topk_embeddings",
+    "mean_max_inverted",
+    "mean_max_value",
+    "near_dup_clusters_docs",
+    "pairwise_corr_lineitem",
+    "quantiles_extendedprice",
+    "rdp_simplify_user_series",
+    "row_range_slice",
+    "salted_join_segment_revenue",
+    "select_filter_project",
+    "semi_join_customers_with_open_orders",
+    "set_ops_order_priorities",
+    "simhash_docs",
+    "spline_mean_max_curve",
+    "stream_windows_hourly",
+    "string_histogram_event_type",
+    "top_revenue_orders",
+    "valid_only_drop_na",
+    "weighted_histogram_value",
+    "weighted_quantiles_value",
+    "weighted_stats_value",
+    "zipf_fit_tokens",
 ]
+
+# A retired name left in _FIRST must fail loudly: _order silently drops
+# unknown names, which in round 8 let the checked window shift and skip
+# the rotation entirely.
+_unknown_first = set(_FIRST) - set(QUERIES)
+assert not _unknown_first, f"_FIRST names not in QUERIES: {sorted(_unknown_first)}"
 
 _order = [n for n in _FIRST if n in QUERIES] + [n for n in QUERIES if n not in _FIRST]
 QUERIES = {n: QUERIES[n] for n in _order}

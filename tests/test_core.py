@@ -25,6 +25,19 @@ def test_every_query_has_callable_and_runs_registered():
     assert set(ORACLE) <= set(QUERIES)
 
 
+def test_rotation_list_names_are_live():
+    # _FIRST drives the driver's 50-query correctness window; a retired
+    # name used to be dropped silently by _order, shifting the window
+    # (round-8 regression). queries.py now asserts at import, and this
+    # pins the invariant against the assert itself being removed.
+    from data_frame_spark import queries as q
+
+    assert set(q._FIRST) <= set(q.QUERIES)
+    assert len(q._FIRST) <= 50
+    # _FIRST must be duplicate-free, else a slot is wasted
+    assert len(q._FIRST) == len(set(q._FIRST))
+
+
 def test_frame_wrapper(spark):
     fr = Frame.from_dict(
         spark, {"c0": [1, 2, 3, 4], "c1": [3, 2, 1, 0]}
