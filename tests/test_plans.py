@@ -392,6 +392,20 @@ def test_no_code_forced_data_sized_broadcasts(spark, sf_dir):
         assert not bad, f"{name}: {bad}"
 
 
+def test_interval_join_is_shuffle_equi_join(spark, sf_dir):
+    # the attribution interval join must plan as a hash-partitioned
+    # equi-join on user_id with the time bounds as residual
+    # conditions — at 100 TB neither side is broadcastable and the
+    # state/shuffle must distribute by the key
+    with C.scale_planner(spark):
+        df = QUERIES["clicks_to_purchases_events"](spark, sf_dir)
+        plan = C.simple_plan(df)
+        assert "BroadcastExchange" not in plan
+        assert not C.broadcasts_for_query("clicks_to_purchases_events", df)
+    # equi-join, not a cartesian/range-only join
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_broadcast_allowance_is_counted_not_blanket(spark, sf_dir):
     # a DECLARED query is allowed exactly its declared number of
     # data-sized broadcasts; piling a SECOND forced corpus broadcast
