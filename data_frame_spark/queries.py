@@ -4357,6 +4357,75 @@ def clicks_to_purchases_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ivf_centroids_embeddings",
+    oracle="""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS vq
+               FROM embeddings),
+    seeds AS (SELECT vq, ROW_NUMBER() OVER
+                        (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              FROM v),
+    c0 AS (SELECT CAST(rn - 1 AS INT) AS cid, vq AS c FROM seeds WHERE rn <= 8),
+    a1 AS (SELECT v.vec_id, v.vq, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_dot_product(v.vq, c.c) DESC, c.cid) AS rn
+           FROM v CROSS JOIN c0 c),
+    asn1 AS (SELECT vec_id, vq, cid FROM a1 WHERE rn = 1),
+    m1 AS (SELECT cid, dim,
+                  CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+           FROM (SELECT cid, UNNEST(generate_series(1, len(vq))) AS dim,
+                        UNNEST(vq) AS qv
+                 FROM asn1)
+           GROUP BY cid, dim),
+    c0d AS (SELECT cid, UNNEST(generate_series(1, len(c))) AS dim,
+                   UNNEST(c) AS val
+            FROM c0),
+    c1 AS (SELECT cid, list(COALESCE(m1.val, c0d.val) ORDER BY dim) AS c
+           FROM c0d LEFT JOIN m1 USING (cid, dim) GROUP BY cid),
+    a2 AS (SELECT v.vec_id, v.vq, c.cid,
+                  ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_dot_product(v.vq, c.c) DESC, c.cid) AS rn
+           FROM v CROSS JOIN c1 c),
+    asn2 AS (SELECT vec_id, vq, cid FROM a2 WHERE rn = 1),
+    m2 AS (SELECT cid, dim,
+                  CAST(FLOOR(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+           FROM (SELECT cid, UNNEST(generate_series(1, len(vq))) AS dim,
+                        UNNEST(vq) AS qv
+                 FROM asn2)
+           GROUP BY cid, dim),
+    c1d AS (SELECT cid, UNNEST(generate_series(1, len(c))) AS dim,
+                   UNNEST(c) AS val
+            FROM c1)
+    SELECT cid, CAST(c1d.dim - 1 AS INT) AS dim,
+           COALESCE(m2.val, c1d.val) AS val_micro
+    FROM c1d LEFT JOIN m2 USING (cid, dim)
+    """,
+)
+def ivf_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer fit (integer Lloyd, k=8, 2 iterations)
+    over the embeddings table, emitted as (cid, dim, micro-int
+    component) rows. The fit itself is fully distributed — each Lloyd
+    step is one narrow integer-dot assignment pass plus one
+    map-combinable groupBy-sum, and only k x dim values ever reach
+    the driver — so this scales to any corpus while staying
+    bit-identical across partitionings (exact int64 dots,
+    floor(sum/n) means; see test_textops.py layout-independence pin).
+    The oracle replays the identical integer Lloyd in DuckDB:
+    md5-ordered seeds, max-dot/min-cid assignment, floor-mean
+    update, empty cells keeping their previous centroid."""
+    cent = OpSim.ivf_fit_centroids(
+        t(spark, sf_dir, "embeddings"), dim=64, k=8, iterations=2, micro=True
+    )
+    rows = [
+        (cid, d, int(v))
+        for cid, row in enumerate(cent)
+        for d, v in enumerate(row)
+    ]
+    return spark.createDataFrame(rows, "cid int, dim int, val_micro bigint")
+
+
 # ---------------------------------------------------------------------------
 # Registry order: the driver's correctness gate walks the registry in
 # iteration order (round-1 evidence: exactly the first 50 entries got
@@ -4373,6 +4442,7 @@ _FIRST = [
     # Block 1 — round-9 additions (never had a driver row).
     "duplicate_spans_keep_first_docs",
     "clicks_to_purchases_events",
+    "ivf_centroids_embeddings",
     # Block 2 — the 43 queries absent from both CORRECTNESS_r07 and
     # CORRECTNESS_r08 (last driver-green: round 6; bodies verified
     # bit-identical since by the round-7 and round-8 judges).
