@@ -266,7 +266,7 @@ DECLARED_BOUNDED_KEYS: dict[str, frozenset[str]] = {
     # (operators/text.py bigram_lm_nll: .limit(vocab_size) cap), so
     # the table is ≤ vocab_size+2 rows — a constructor constant, not
     # Heap's-law vocabulary growth
-    "bigram_lm_nll_docs": frozenset({"__prev"}),
+    "lm_nll_docs": frozenset({"__prev"}),
 }
 
 

@@ -1709,70 +1709,70 @@ _LM_CTE = r"""
 
 
 @query(
-    "unigram_lm_nll_docs",
+    "lm_nll_docs",
     oracle=_LM_CTE
     + """
-    SELECT doc_id, n_tokens, nll_micro,
-           CAST(nll_micro // n_tokens AS BIGINT) AS avg_nll_micro
-    FROM per
+    , bnorm AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm),
+      p0 AS (SELECT doc_id,
+                    CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS prev_raw,
+                    tk[i] AS cur_raw
+             FROM bnorm, UNNEST(generate_series(1, len(tk))) AS u(i)),
+      m AS (SELECT doc_id,
+                   CASE WHEN prev_raw = '<s>' THEN '<s>'
+                        WHEN prev_raw IN (SELECT term FROM vocab) THEN prev_raw
+                        ELSE '<unk>' END AS prev,
+                   CASE WHEN cur_raw IN (SELECT term FROM vocab) THEN cur_raw
+                        ELSE '<unk>' END AS cur
+            FROM p0),
+      bg AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb
+             FROM m GROUP BY prev, cur),
+      ctx AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cc FROM bg GROUP BY prev),
+      sc AS (SELECT doc_id,
+                    CAST(FLOOR(-ln(CAST(COALESCE(cb, 0) + 1 AS DOUBLE)
+                                   / CAST(cc + v + 1 AS DOUBLE))
+                               * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                         AS BIGINT) AS tt
+             FROM m LEFT JOIN bg USING (prev, cur)
+                    JOIN ctx USING (prev) CROSS JOIN vs),
+      bper AS (SELECT doc_id, CAST(SUM(tt) AS BIGINT) AS bi_nll_micro,
+                      CAST(SUM(tt) // COUNT(*) AS BIGINT) AS bi_avg_nll_micro
+               FROM sc GROUP BY doc_id)
+    SELECT per.doc_id, per.n_tokens,
+           per.nll_micro AS uni_nll_micro,
+           CAST(per.nll_micro // per.n_tokens AS BIGINT) AS uni_avg_nll_micro,
+           bper.bi_nll_micro, bper.bi_avg_nll_micro
+    FROM per JOIN bper USING (doc_id)
     """,
 )
-def unigram_lm_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document NLL under a corpus-trained add-one unigram LM
-    (CCNet-style perplexity quality signal): top-10k-token vocab +
-    single unk type, per-token micro-nat quantization so every
-    total is an exact integer the oracle reproduces. Two
-    map-combinable corpus shuffles (token counts; per-doc sum), LM
-    and params broadcast, vocab cap as TakeOrderedAndProject."""
+def lm_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NLL under BOTH corpus-trained add-one LMs in one
+    oracle row (round-9 merge of unigram_lm_nll_docs +
+    bigram_lm_nll_docs; the operators are unchanged): the CCNet-style
+    unigram perplexity signal (top-10k vocab + single unk type) next
+    to the context-aware bigram signal (map-side indexed-array pairs,
+    '<s>' start symbol, vocab mapping by broadcast join). Per-token
+    NLLs quantize to integer micro-nats BEFORE summing on both
+    engines, so every total is exact. The facet join keys on doc_id —
+    both sides arrive already aggregated by doc_id, so the join
+    distributes at any corpus size (no broadcast of a corpus-sized
+    side). The shared oracle CTE reuses one vocabulary (identical
+    top-k definition in both models)."""
     docs = t(spark, sf_dir, "documents")
-    return OpText.unigram_lm_nll(docs, "text", "doc_id", vocab_size=10000)
-
-
-@query(
-    "bigram_lm_nll_docs",
-    oracle=r"""
-    WITH norm AS (SELECT doc_id,
-                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
-                  FROM documents),
-         cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c
-                 FROM (SELECT UNNEST(tk) AS term FROM norm) GROUP BY term),
-         vocab AS (SELECT term FROM cnt ORDER BY c DESC, term LIMIT 10000),
-         vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
-         p0 AS (SELECT doc_id,
-                       CASE WHEN i = 1 THEN '<s>' ELSE tk[i-1] END AS prev_raw,
-                       tk[i] AS cur_raw
-                FROM norm, UNNEST(generate_series(1, len(tk))) AS u(i)),
-         m AS (SELECT doc_id,
-                      CASE WHEN prev_raw = '<s>' THEN '<s>'
-                           WHEN prev_raw IN (SELECT term FROM vocab) THEN prev_raw
-                           ELSE '<unk>' END AS prev,
-                      CASE WHEN cur_raw IN (SELECT term FROM vocab) THEN cur_raw
-                           ELSE '<unk>' END AS cur
-               FROM p0),
-         bg AS (SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS cb
-                FROM m GROUP BY prev, cur),
-         ctx AS (SELECT prev, CAST(SUM(cb) AS BIGINT) AS cc FROM bg GROUP BY prev),
-         sc AS (SELECT doc_id,
-                       CAST(FLOOR(-ln(CAST(COALESCE(cb, 0) + 1 AS DOUBLE)
-                                      / CAST(cc + v + 1 AS DOUBLE))
-                                  * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
-                            AS BIGINT) AS t
-                FROM m LEFT JOIN bg USING (prev, cur)
-                       JOIN ctx USING (prev) CROSS JOIN vs)
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(t) AS BIGINT) AS nll_micro,
-           CAST(SUM(t) // COUNT(*) AS BIGINT) AS avg_nll_micro
-    FROM sc GROUP BY doc_id
-    """,
-)
-def bigram_lm_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document NLL under a corpus-trained add-one BIGRAM LM —
-    the context-aware quality signal next to `unigram_lm_nll_docs`:
-    pairs built map-side (indexed array transform, no lag window),
-    vocab mapping by broadcast join, bounded model tables, exact
-    integer micro-nat totals."""
-    docs = t(spark, sf_dir, "documents")
-    return OpText.bigram_lm_nll(docs, "text", "doc_id", vocab_size=10000)
+    uni = OpText.unigram_lm_nll(docs, "text", "doc_id", vocab_size=10000)
+    bi = OpText.bigram_lm_nll(docs, "text", "doc_id", vocab_size=10000)
+    return uni.select(
+        "doc_id",
+        "n_tokens",
+        F.col("nll_micro").alias("uni_nll_micro"),
+        F.col("avg_nll_micro").alias("uni_avg_nll_micro"),
+    ).join(
+        bi.select(
+            "doc_id",
+            F.col("nll_micro").alias("bi_nll_micro"),
+            F.col("avg_nll_micro").alias("bi_avg_nll_micro"),
+        ),
+        "doc_id",
+    )
 
 
 @query(
@@ -4443,6 +4443,7 @@ _FIRST = [
     "duplicate_spans_keep_first_docs",
     "clicks_to_purchases_events",
     "ivf_centroids_embeddings",
+    "lm_nll_docs",
     # Block 2 — the 43 queries absent from both CORRECTNESS_r07 and
     # CORRECTNESS_r08 (last driver-green: round 6; bodies verified
     # bit-identical since by the round-7 and round-8 judges).

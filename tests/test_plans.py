@@ -220,7 +220,10 @@ def test_unigram_lm_broadcasts_model_two_data_shuffles(spark, sf_dir):
     # cap is a TakeOrderedAndProject, never a global sort
     # (the vocab cap's TakeOrderedAndProject runs inside the eager
     # count-table checkpoint job, so it is not in the final plan)
-    df = QUERIES["unigram_lm_nll_docs"](spark, sf_dir)
+    from data_frame_spark.operators import text as OpText
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = OpText.unigram_lm_nll(docs, "text", "doc_id", vocab_size=10000)
     plan = C.simple_plan(df)
     assert C.uses_broadcast_join(df)
     assert not C.data_sized_partitionless_windows(df)
@@ -380,7 +383,7 @@ def test_no_code_forced_data_sized_broadcasts(spark, sf_dir):
         "salted_join_segment_revenue",
         "dsir_importance_docs",
         "cms_token_counts",
-        "bigram_lm_nll_docs",
+        "lm_nll_docs",
         "grid_quantiles_price",
         "kmv_set_ops_users",
         "near_dup_clusters_docs",
@@ -568,8 +571,13 @@ def test_grid_quantiles_sketch_plan(spark, sf_dir):
 
 def test_bigram_lm_vocab_joins_broadcast(spark, sf_dir):
     # vocab mapping must reach the pair stream as broadcast joins
-    # (map-side), never a shuffle of the corpus on the token key
-    df = QUERIES["bigram_lm_nll_docs"](spark, sf_dir)
+    # (map-side), never a shuffle of the corpus on the token key —
+    # pinned on the operator directly so the assertion survives
+    # registry merges (lm_nll_docs composes this with the unigram LM)
+    from data_frame_spark.operators import text as OpText
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = OpText.bigram_lm_nll(docs, "text", "doc_id", vocab_size=10000)
     assert C.uses_broadcast_join(df)
     assert C.data_sized_partitionless_windows(df) == []
 
