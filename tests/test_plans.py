@@ -395,6 +395,27 @@ def test_no_code_forced_data_sized_broadcasts(spark, sf_dir):
         assert not bad, f"{name}: {bad}"
 
 
+def test_declared_broadcast_fingerprints_match_current_plans(spark, sf_dir):
+    # every DECLARED_BROADCAST_OK fingerprint must match its query's
+    # CURRENT plan 1:1 (round-8 advice): fingerprints encode plan-text
+    # shapes, so Spark-formatting or fixture drift would otherwise rot
+    # silently — either as an unmatched flag (false alarm) or as an
+    # unused fingerprint (a stale declaration waiting to forgive the
+    # wrong broadcast)
+    for name, decls in C.DECLARED_BROADCAST_OK.items():
+        with C.scale_planner(spark):
+            df = QUERIES[name](spark, sf_dir)
+            flagged = C._data_sized_broadcast_nodes(
+                df, bounded_names=C.DECLARED_BOUNDED_KEYS.get(name, frozenset())
+            )
+            bad = C.broadcasts_for_query(name, df)
+        assert not bad, f"{name}: flagged broadcasts no fingerprint matches: {bad}"
+        assert len(flagged) == len(decls), (
+            f"{name}: {len(decls)} declared fingerprints but "
+            f"{len(flagged)} flagged broadcasts — stale declaration"
+        )
+
+
 def test_interval_join_is_shuffle_equi_join(spark, sf_dir):
     # the attribution interval join must plan as a hash-partitioned
     # equi-join on user_id with the time bounds as residual
