@@ -312,6 +312,9 @@ DECLARED_BROADCAST_OK: dict[str, list[tuple[str, str]]] = {
     "lsh_ann_topk_embeddings": [
         (r"vec_id#\d+L? < 3", "ANN probe batch is constant-size by contract"),
     ],
+    "ivf_ann_topk_embeddings": [
+        (r"vec_id#\d+L? < 3", "ANN probe batch is constant-size by contract"),
+    ],
     # both broadcast sides are BATCH-bounded: `canon` is the new
     # batch's distinct fingerprints (a nightly batch is an
     # operational knob, not the corpus), and `hits` is the

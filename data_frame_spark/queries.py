@@ -4357,9 +4357,11 @@ def clicks_to_purchases_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ivf_centroids_embeddings",
-    oracle="""
+# shared CTE chain: the exact integer-Lloyd IVF fit (k=8 md5-ordered
+# seeds, 2 iterations, floor-mean updates, empty cells keep previous)
+# ending in c2 = (cid, micro-int centroid list). Used by the centroid
+# query and the IVF ANN top-k built on the same quantizer.
+_IVF_CTE = """
     WITH v AS (SELECT vec_id,
                       list_transform(embedding,
                           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS vq
@@ -4397,10 +4399,20 @@ def clicks_to_purchases_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY cid, dim),
     c1d AS (SELECT cid, UNNEST(generate_series(1, len(c))) AS dim,
                    UNNEST(c) AS val
-            FROM c1)
-    SELECT cid, CAST(c1d.dim - 1 AS INT) AS dim,
-           COALESCE(m2.val, c1d.val) AS val_micro
-    FROM c1d LEFT JOIN m2 USING (cid, dim)
+            FROM c1),
+    c2 AS (SELECT cid, list(COALESCE(m2.val, c1d.val) ORDER BY dim) AS c
+           FROM c1d LEFT JOIN m2 USING (cid, dim) GROUP BY cid)
+"""
+
+
+@query(
+    "ivf_centroids_embeddings",
+    oracle=_IVF_CTE
+    + """
+    SELECT cid, CAST(dim - 1 AS INT) AS dim, val AS val_micro
+    FROM (SELECT cid, UNNEST(generate_series(1, len(c))) AS dim,
+                 UNNEST(c) AS val
+          FROM c2)
     """,
 )
 def ivf_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4426,6 +4438,69 @@ def ivf_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "cid int, dim int, val_micro bigint")
 
 
+@query(
+    "ivf_ann_topk_embeddings",
+    oracle=_IVF_CTE
+    + f"""
+    , cf AS (SELECT cid, list_transform(c, x -> CAST(x AS DOUBLE) / 1000000.0) AS f
+             FROM c2),
+    ad AS (SELECT e.vec_id, cf.cid,
+                  SUM(CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * cf.f[i]
+                                 * 1000000000.0 + 0.5) AS BIGINT)) AS dq
+           FROM embeddings e, cf, UNNEST(generate_series(1, 64)) t(i)
+           GROUP BY 1, 2),
+    bcell AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dq DESC, cid) AS rn
+                FROM ad)
+              WHERE rn = 1),
+    qprob AS (SELECT vec_id AS query_id, cid FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dq DESC, cid) AS rn
+                FROM ad WHERE vec_id < 3)
+              WHERE rn <= 2),
+    cand AS (SELECT p.query_id, b.vec_id FROM qprob p JOIN bcell b USING (cid)),
+    pairs AS (SELECT c.query_id, c.vec_id, b.embedding AS be, qe.embedding AS qe
+              FROM cand c JOIN embeddings b ON b.vec_id = c.vec_id
+                          JOIN embeddings qe ON qe.vec_id = c.query_id),
+    flat AS (SELECT query_id, vec_id, UNNEST(be) AS bv, UNNEST(qe) AS qv
+             FROM pairs),
+    dots AS (SELECT query_id, vec_id,
+                    {_DOTQ.format(a='bv', b='qv')} AS dq,
+                    {_DOTQ.format(a='bv', b='bv')} AS nb,
+                    {_DOTQ.format(a='qv', b='qv')} AS nq
+             FROM flat GROUP BY 1, 2),
+    scored AS (SELECT query_id, vec_id,
+                      (dq/1000000000.0)
+                        / (SQRT(nb/1000000000.0) * SQRT(nq/1000000000.0)) AS cosine
+               FROM dots),
+    r AS (SELECT query_id, vec_id, cosine,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, vec_id ASC) AS rank
+          FROM scored)
+    SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+    """,
+)
+def ivf_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k ANN (operators/similarity.py ivf_topk):
+    the 3-vector probe batch scans only its 2 nearest of 8 coarse
+    cells instead of the whole corpus — candidate count scales with
+    probed-cell size, not corpus size; the probe batch (an
+    operational constant) is the ONLY broadcast side. The oracle
+    replays the full pipeline exactly: the shared integer-Lloyd
+    centroid CTE, micro/1e6 float centroids (identical IEEE division
+    both sides), quantized-integer assignment dots with the same
+    (dot DESC, cid) tie-break, and the cosine_topk_embeddings
+    scoring/ranking recipe on the candidates."""
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return OpSim.ivf_topk(emb, probe, dim=64, k=5, n_cells=8, n_probe=2)
+
+
 # ---------------------------------------------------------------------------
 # Registry order: the driver's correctness gate walks the registry in
 # iteration order (round-1 evidence: exactly the first 50 entries got
@@ -4443,6 +4518,7 @@ _FIRST = [
     "duplicate_spans_keep_first_docs",
     "clicks_to_purchases_events",
     "ivf_centroids_embeddings",
+    "ivf_ann_topk_embeddings",
     "lm_nll_docs",
     # Block 2 — the 43 queries absent from both CORRECTNESS_r07 and
     # CORRECTNESS_r08 (last driver-green: round 6; bodies verified
