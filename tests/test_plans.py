@@ -69,8 +69,9 @@ def test_no_data_sized_partitionless_windows(spark, sf_dir):
         "row_range_slice",
         # single-series mean-max: slice lag, A-cumulation, and probe
         # bracketing all run through range-bucketed two-level plans
+        # (mean_max_value carries both the normal and the inverted
+        # facet since the round-9 merge)
         "mean_max_value",
-        "mean_max_inverted",
         "spline_mean_max_curve",
     ):
         df = QUERIES[name](spark, sf_dir)
