@@ -145,12 +145,14 @@ def read_gpx(spark: SparkSession, path_or_text: str) -> Frame:
         [tuple(r[f.name] for f in GPX_SCHEMA.fields) for r in rows], GPX_SCHEMA
     )
     # drop never-present optional series (mirrors the reference,
-    # which only adds series it saw)
-    present = {
-        c
-        for c in df.columns
-        if df.where(F.col(c).isNotNull()).limit(1).count() > 0
-    }
+    # which only adds series it saw) — ONE aggregate job for all
+    # columns, not a count job per column (round-9 perf fix: the
+    # per-column probes dominated the whole read at ~10 scheduler
+    # round-trips for a driver-side single-activity file)
+    counts = df.agg(
+        *[F.count(F.col(c)).alias(c) for c in df.columns]
+    ).collect()[0]
+    present = {c for c in df.columns if counts[c] > 0}
     df = df.select(*[c for c in df.columns if c in present])
     if "dst" not in df.columns and {"lat", "lon", "timestamp"} <= present:
         df = df.withColumn(
