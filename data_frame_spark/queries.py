@@ -4493,8 +4493,14 @@ def csv_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed scan out) — the round-trip works at any scale."""
     import tempfile
 
+    # per-process path: a fixed name would race a concurrent run on
+    # the same fixture (overwrite deletes part files under the other
+    # session's lazy scan); within one process the path is stable so
+    # the returned DataFrame stays readable after this call
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
-    path = os.path.join(tempfile.gettempdir(), f"dfs_csv_roundtrip{tag}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"dfs_csv_roundtrip{tag}_{os.getpid()}"
+    )
     cols = [
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_discount", "l_returnflag", "l_linestatus",
@@ -4555,7 +4561,15 @@ def gpx_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     xml = GPXSrc.write_gpx(Frame(pts, order_by=["timestamp"]), name="events-track")
     back = GPXSrc.read_gpx(spark, xml)
-    return back.df.select("timestamp", "lat", "lon", "alt")
+    # read_gpx drops never-present series (an all-NULL alt slice, or
+    # every column on an empty slice) — reinstate them as NULL so the
+    # output schema matches the oracle regardless of the fixture
+    return back.df.select(
+        *[
+            (F.col(c) if c in back.df.columns else F.lit(None).cast("double")).alias(c)
+            for c in ("timestamp", "lat", "lon", "alt")
+        ]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4579,9 +4593,11 @@ _FIRST = [
     "lm_nll_docs",
     "csv_roundtrip_lineitem",
     "gpx_roundtrip_events",
-    # Block 2 — the 43 queries absent from both CORRECTNESS_r07 and
+    # Block 2 — the 42 queries absent from both CORRECTNESS_r07 and
     # CORRECTNESS_r08 (last driver-green: round 6; bodies verified
-    # bit-identical since by the round-7 and round-8 judges).
+    # bit-identical since by the round-7 and round-8 judges;
+    # mean_max_inverted from that set was merged into mean_max_value
+    # above, so its coverage rides Block 1).
     "anti_join_parts_never_ordered",
     "asof_multi_value_lookup",
     "batch_sessions_events",

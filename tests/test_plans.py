@@ -406,7 +406,7 @@ def test_declared_broadcast_fingerprints_match_current_plans(spark, sf_dir):
     for name, decls in C.DECLARED_BROADCAST_OK.items():
         with C.scale_planner(spark):
             df = QUERIES[name](spark, sf_dir)
-            flagged = C._data_sized_broadcast_nodes(
+            flagged = C.data_sized_broadcasts(
                 df, bounded_names=C.DECLARED_BOUNDED_KEYS.get(name, frozenset())
             )
             bad = C.broadcasts_for_query(name, df)
