@@ -4572,6 +4572,69 @@ def gpx_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "haversine_track_events",
+    oracle="""
+    WITH pts AS (SELECT user_id, event_id,
+                        CAST((user_id * 7 + event_id % 97) % 17000 AS DOUBLE)/100.0 - 85.0 AS lat,
+                        CAST((user_id * 13 + event_id % 89) % 35000 AS DOUBLE)/100.0 - 175.0 AS lon
+                 FROM events WHERE event_id % 101 = 0),
+    lagged AS (SELECT user_id, event_id, lat, lon,
+                      LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
+               FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+    d AS (SELECT user_id, event_id,
+                 2.0 * 6371000.0 * ASIN(SQRT(
+                     SIN((RADIANS(lat) - RADIANS(plat))/2)
+                       * SIN((RADIANS(lat) - RADIANS(plat))/2)
+                     + COS(RADIANS(plat)) * COS(RADIANS(lat))
+                       * SIN((RADIANS(lon) - RADIANS(plon))/2)
+                       * SIN((RADIANS(lon) - RADIANS(plon))/2)
+                 )) AS dist
+          FROM lagged WHERE plat IS NOT NULL)
+    SELECT user_id, event_id, CAST(FLOOR(dist) AS BIGINT) AS dist_m
+    FROM d
+    """,
+)
+def haversine_track_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle step distances (haversine, xml-common.rkt:32-55 /
+    functions/geo.py) between consecutive points of the synthetic
+    per-user track derived from events: one whole-meter distance per
+    (user, step). Whole-meter flooring absorbs libm ULP differences
+    between engines (JVM vs DuckDB trig agree to ~1e-10 m on ~1e7 m
+    values — ten orders of magnitude inside the bucket). The lag
+    window partitions by user_id, so the track building distributes
+    at any scale — never a global-order window."""
+    from data_frame_spark.functions.geo import haversine
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").where(F.col("event_id") % 101 == 0)
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        (
+            ((F.col("user_id") * 7 + F.col("event_id") % 97) % 17000).cast("double")
+            / F.lit(100.0)
+            - F.lit(85.0)
+        ).alias("lat"),
+        (
+            ((F.col("user_id") * 13 + F.col("event_id") % 89) % 35000).cast("double")
+            / F.lit(100.0)
+            - F.lit(175.0)
+        ).alias("lon"),
+    )
+    w = W.partitionBy("user_id").orderBy("event_id")
+    stepped = pts.select(
+        "user_id",
+        "event_id",
+        haversine(
+            F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+        ).alias("dist"),
+    )
+    return stepped.where(F.col("dist").isNotNull()).select(
+        "user_id", "event_id", F.floor(F.col("dist")).cast("long").alias("dist_m")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry order: the driver's correctness gate walks the registry in
 # iteration order (round-1 evidence: exactly the first 50 entries got
@@ -4593,6 +4656,7 @@ _FIRST = [
     "lm_nll_docs",
     "csv_roundtrip_lineitem",
     "gpx_roundtrip_events",
+    "haversine_track_events",
     # Block 2 — the 42 queries absent from both CORRECTNESS_r07 and
     # CORRECTNESS_r08 (last driver-green: round 6; bodies verified
     # bit-identical since by the round-7 and round-8 judges;
