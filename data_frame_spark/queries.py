@@ -419,29 +419,14 @@ def weighted_stats_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "quantiles_extendedprice",
+    "quantiles_price_and_value",
     oracle="""
-    WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+    WITH p AS (SELECT CAST(UNNEST([0.0, 0.25, 0.5, 0.75, 1.0]) AS DOUBLE) AS p),
+         s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
                WHERE l_extendedprice IS NOT NULL),
          r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) - 1 AS rn FROM s),
          n AS (SELECT COUNT(*) AS c FROM s),
-         p AS (SELECT CAST(UNNEST([0.0, 0.25, 0.5, 0.75, 1.0]) AS DOUBLE) AS p)
-    SELECT p.p, r.x AS quantile
-    FROM p CROSS JOIN n JOIN r
-      ON r.rn = GREATEST(CAST(CEIL(p.p * n.c) AS BIGINT) - 1, 0)
-    """,
-)
-def quantiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-quantile, unweighted (statistics.rkt:84-118): empirical
-    inverse CDF at the default 0/.25/.5/.75/1 fractions."""
-    li = t(spark, sf_dir, "lineitem")
-    return OpStats.quantiles(li, "l_extendedprice")
-
-
-@query(
-    "weighted_quantiles_value",
-    oracle="""
-    WITH o AS (SELECT (epoch_ns(ts)//1000)/1000000.0 AS w, value AS v,
+         o AS (SELECT (epoch_ns(ts)//1000)/1000000.0 AS w, value AS v,
                       ts, event_id FROM events),
          dw AS (SELECT v,
                        COALESCE(w - LAG(w) OVER (ORDER BY ts, event_id), w) AS wd
@@ -452,21 +437,36 @@ def quantiles_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
          d2 AS (SELECT x, wq FROM d WHERE wq > 0),
          cum AS (SELECT x, SUM(wq) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cw
                  FROM d2),
-         tot AS (SELECT SUM(wq) AS W FROM d2),
-         p AS (SELECT CAST(UNNEST([0.0, 0.25, 0.5, 0.75, 1.0]) AS DOUBLE) AS p)
-    SELECT p.p, MIN(cum.x) AS quantile
+         tot AS (SELECT SUM(wq) AS W FROM d2)
+    SELECT p.p, r.x AS quantile, FALSE AS weighted
+    FROM p CROSS JOIN n JOIN r
+      ON r.rn = GREATEST(CAST(CEIL(p.p * n.c) AS BIGINT) - 1, 0)
+    UNION ALL
+    SELECT p.p, MIN(cum.x) AS quantile, TRUE AS weighted
     FROM p CROSS JOIN tot JOIN cum ON cum.cw >= p.p * tot.W
     GROUP BY p.p
     """,
 )
-def weighted_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-quantile with weight series (statistics.rkt:84-118): weights
-    are deltas of cumulative elapsed time (first row keeps its raw
-    weight)."""
+def quantiles_price_and_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df-quantile, both variants in one oracle row (round-9 merge of
+    quantiles_extendedprice + weighted_quantiles_value; the operators
+    are unchanged): the unweighted empirical inverse CDF over
+    lineitem prices (statistics.rkt:84-118, default 0/.25/.5/.75/1
+    fractions) next to the weighted variant over event values, with
+    weights = deltas of cumulative elapsed time (first row keeps its
+    raw weight). Both run the range-bucketed distributed-exact
+    quantile primitives — no global sort or partitionless window."""
+    li = t(spark, sf_dir, "lineitem")
+    uq = OpStats.quantiles(li, "l_extendedprice")
     ev = t(spark, sf_dir, "events").withColumn(
         "w", F.col("ts_us") / F.lit(1000000.0)
     )
-    return OpStats.weighted_quantiles(ev, "value", "w", order_by=["ts_ns", "event_id"])
+    wq = OpStats.weighted_quantiles(
+        ev, "value", "w", order_by=["ts_ns", "event_id"]
+    )
+    return uq.withColumn("weighted", F.lit(False)).unionByName(
+        wq.withColumn("weighted", F.lit(True))
+    )
 
 
 _TRUNC_Q5 = """CASE WHEN l_quantity/5.0 < 0
@@ -2314,7 +2314,7 @@ def grid_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable grid-quantile sketch of l_extendedprice per return
     flag: quantiles WITHOUT a sort — two map-combinable passes and a
     read-out on the aggregate-sized bin-count monoid. The scale path
-    next to the exact `quantiles_extendedprice` (reference
+    next to the exact `quantiles_price_and_value` (reference
     `df-quantile`, `statistics.rkt`)."""
     li = t(spark, sf_dir, "lineitem")
     return OpSketch.grid_quantiles(
@@ -4651,6 +4651,7 @@ _FIRST = [
     # Block 1 — round-9 additions (never had a driver row).
     "duplicate_spans_keep_first_docs",
     "clicks_to_purchases_events",
+    "quantiles_price_and_value",
     "ivf_centroids_embeddings",
     "ivf_ann_topk_embeddings",
     "lm_nll_docs",
@@ -4687,7 +4688,6 @@ _FIRST = [
     "mean_max_value",
     "near_dup_clusters_docs",
     "pairwise_corr_lineitem",
-    "quantiles_extendedprice",
     "rdp_simplify_user_series",
     "row_range_slice",
     "salted_join_segment_revenue",
@@ -4701,7 +4701,6 @@ _FIRST = [
     "top_revenue_orders",
     "valid_only_drop_na",
     "weighted_histogram_value",
-    "weighted_quantiles_value",
     "weighted_stats_value",
     "zipf_fit_tokens",
 ]

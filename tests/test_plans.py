@@ -52,7 +52,7 @@ def test_asof_join_is_single_sort_no_join(spark, sf_dir):
 
 
 def test_quantile_probe_join_is_broadcast(spark, sf_dir):
-    df = QUERIES["quantiles_extendedprice"](spark, sf_dir)
+    df = QUERIES["quantiles_price_and_value"](spark, sf_dir)
     assert C.uses_broadcast_join(df)
 
 
@@ -61,8 +61,7 @@ def test_no_data_sized_partitionless_windows(spark, sf_dir):
     # range-bucketed two-level windows; a partitionless window may only
     # appear above an aggregate (bucket-offset tables), never on raw data
     for name in (
-        "quantiles_extendedprice",
-        "weighted_quantiles_value",
+        "quantiles_price_and_value",
         "weighted_stats_value",
         "weighted_histogram_value",
         "histogram_quantity",
