@@ -4635,6 +4635,76 @@ def haversine_track_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tcx_roundtrip_events",
+    oracle="""
+    SELECT CAST((epoch_ns(ts)//1000)//1000000 AS DOUBLE) AS "timestamp",
+           CAST((user_id * 7 + event_id % 97) % 17000 AS DOUBLE)/100.0 - 85.0 AS lat,
+           CAST((user_id * 13 + event_id % 89) % 35000 AS DOUBLE)/100.0 - 175.0 AS lon,
+           value AS alt,
+           CAST(user_id % 150 + 40 AS DOUBLE) AS hr,
+           CAST(event_id AS DOUBLE) AS dst
+    FROM events WHERE event_id % 101 = 0
+    """,
+)
+def tcx_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TCX ingest round-trip (df-read/tcx tcx.rkt:199-281): a
+    deterministic TCX document synthesized from the events slice
+    (repr doubles, whole-second ISO-8601 times — both exact by
+    construction) goes through the namespace-aware parser; the
+    oracle computes the same track from the table, so any parsing
+    loss (Position, AltitudeMeters, HeartRateBpm/Value,
+    DistanceMeters, Time) breaks the hash. TCX is a single-activity
+    format — generation/parse are deliberately driver-side, the
+    distributed bulk path being the same mapInPandas pattern as
+    sources/gpx.py parse_many."""
+    from data_frame_spark.sources import tcx as TCXSrc
+    from data_frame_spark.sources.gpx import seconds_to_iso
+
+    ev = t(spark, sf_dir, "events").where(F.col("event_id") % 101 == 0)
+    rows = ev.select(
+        F.expr("ts_us div 1000000").alias("sec"),
+        (
+            ((F.col("user_id") * 7 + F.col("event_id") % 97) % 17000).cast("double")
+            / F.lit(100.0)
+            - F.lit(85.0)
+        ).alias("lat"),
+        (
+            ((F.col("user_id") * 13 + F.col("event_id") % 89) % 35000).cast("double")
+            / F.lit(100.0)
+            - F.lit(175.0)
+        ).alias("lon"),
+        F.col("value").alias("alt"),
+        (F.col("user_id") % 150 + 40).cast("double").alias("hr"),
+        F.col("event_id").cast("double").alias("dst"),
+    ).orderBy("sec").collect()
+    pts = []
+    for r in rows:
+        alt = "" if r["alt"] is None else f"<AltitudeMeters>{r['alt']!r}</AltitudeMeters>"
+        pts.append(
+            f"<Trackpoint><Time>{seconds_to_iso(float(r['sec']))}</Time>"
+            f"<Position><LatitudeDegrees>{r['lat']!r}</LatitudeDegrees>"
+            f"<LongitudeDegrees>{r['lon']!r}</LongitudeDegrees></Position>"
+            f"{alt}<DistanceMeters>{r['dst']!r}</DistanceMeters>"
+            f"<HeartRateBpm><Value>{r['hr']!r}</Value></HeartRateBpm></Trackpoint>"
+        )
+    start = seconds_to_iso(float(rows[0]["sec"])) if rows else "1970-01-01T00:00:00Z"
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<TrainingCenterDatabase xmlns="http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2">'
+        '<Activities><Activity Sport="Other"><Id>events-track</Id>'
+        f'<Lap StartTime="{start}"><Track>{"".join(pts)}</Track></Lap>'
+        "</Activity></Activities></TrainingCenterDatabase>"
+    )
+    back = TCXSrc.read_tcx(spark, xml)
+    return back.df.select(
+        *[
+            (F.col(c) if c in back.df.columns else F.lit(None).cast("double")).alias(c)
+            for c in ("timestamp", "lat", "lon", "alt", "hr", "dst")
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry order: the driver's correctness gate walks the registry in
 # iteration order (round-1 evidence: exactly the first 50 entries got
@@ -4657,6 +4727,7 @@ _FIRST = [
     "lm_nll_docs",
     "csv_roundtrip_lineitem",
     "gpx_roundtrip_events",
+    "tcx_roundtrip_events",
     "haversine_track_events",
     # Block 2 — the 42 queries absent from both CORRECTNESS_r07 and
     # CORRECTNESS_r08 (last driver-green: round 6; bodies verified

@@ -88,11 +88,12 @@ def read_tcx_multiple(spark: SparkSession, path_or_text: str) -> list[Frame]:
         )
         from pyspark.sql import functions as F
 
-        present = {
-            c for c in df.columns
-            if df.where(F.col(c).isNotNull()).limit(1).count() > 0
-        }
-        df = df.select(*[c for c in df.columns if c in present])
+        # one aggregate job for all columns, not a count job per
+        # column (same round-9 perf fix as sources/gpx.py read_gpx)
+        counts = df.agg(
+            *[F.count(F.col(c)).alias(c) for c in df.columns]
+        ).collect()[0]
+        df = df.select(*[c for c in df.columns if counts[c] > 0])
         frames.append(Frame(df, properties=props, order_by=["timestamp"]))
     return frames
 
