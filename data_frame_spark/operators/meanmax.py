@@ -83,6 +83,7 @@ def mean_max(
     partition_by: Sequence[str] = (),
     slice_scale: int | None = None,
     tiebreak_col: str | None = None,
+    inverted_durations: Sequence[int] | None = None,
 ) -> DataFrame:
     """``df-mean-max`` (meanmax.rkt:262-269). Returns
     (duration, best_mean, start_pos) per duration with at least one
@@ -98,8 +99,19 @@ def mean_max(
     ``tiebreak_col``: secondary sort key for inputs with duplicate x
     values (lap-swim expansion emits coincident segment end/start
     points whose A-curve order matters — end must cumulate first).
+
+    ``inverted_durations``: when set (a subset of ``durations``), the
+    result ALSO carries the #:inverted? facet for those durations and
+    gains a boolean ``inverted`` column — both facets come from ONE
+    shared pipeline and ONE aggregate (a lexicographic max AND min
+    struct in the same groupBy, exploded to two rows), so asking for
+    both costs one pass instead of two full mean-max builds.
     """
     durations = list(durations or default_durations())
+    if inverted_durations is not None:
+        missing = set(inverted_durations) - set(durations)
+        if missing:
+            raise ValueError(f"inverted_durations not in durations: {missing}")
     spark = df.sparkSession
     pcols = list(partition_by)
 
@@ -113,7 +125,8 @@ def mean_max(
     okeys = ["__x", "__tb"] if tiebreak_col else ["__x"]
     if not pcols:
         return _mean_max_global(
-            spark, pts, okeys, durations, inverted, slice_scale
+            spark, pts, okeys, durations, inverted, slice_scale,
+            inverted_durations,
         )
     ow = Window.partitionBy(*pcols).orderBy(*okeys)
     # slice ENDING at this sample; A = cumulative area at this sample
@@ -175,6 +188,8 @@ def mean_max(
         "pos",
         ((a_end - F.col("__A_start")) / F.col("duration")).alias("__mean"),
     )
+    if inverted_durations is not None:
+        return _best_both_facets(means, pcols, inverted_durations)
     return _best_by_duration(means, pcols, inverted)
 
 
@@ -355,6 +370,42 @@ def _interp_a(k, x0, A0, x1, A1):
     )
 
 
+def _best_both_facets(means, pcols, inverted_durations) -> DataFrame:
+    """Both the normal and the #:inverted? pick from ONE aggregate:
+    the lexicographic max(struct(mean, -pos)) AND min(struct(mean,
+    pos)) run in the same groupBy, then explode into the
+    (inverted=false, inverted=true) facet rows — never a second pass
+    over the means (a plain union of two _best_by_duration branches
+    would duplicate the entire upstream window chain in the plan,
+    which is exactly the two-pipeline cost this path removes)."""
+    agg = means.groupBy(*pcols, "duration").agg(
+        F.max(
+            F.struct(F.col("__mean").alias("m"), (-F.col("pos")).alias("p"))
+        ).alias("__bx"),
+        F.min(
+            F.struct(F.col("__mean").alias("m"), F.col("pos").alias("p"))
+        ).alias("__bn"),
+    )
+    facets = F.array(
+        F.struct(
+            F.col("__bx.m").alias("best_mean"),
+            (-F.col("__bx.p")).alias("pos"),
+            F.lit(False).alias("inverted"),
+        ),
+        F.struct(
+            F.col("__bn.m").alias("best_mean"),
+            F.col("__bn.p").alias("pos"),
+            F.lit(True).alias("inverted"),
+        ),
+    )
+    inv = [float(d) for d in inverted_durations]
+    return (
+        agg.select(*pcols, "duration", F.explode(facets).alias("__f"))
+        .select(*pcols, "duration", "__f.best_mean", "__f.pos", "__f.inverted")
+        .where(~F.col("inverted") | F.col("duration").isin(inv))
+    )
+
+
 def _best_by_duration(means, pcols, inverted: bool) -> DataFrame:
     """Best mean per duration, ties keeping the earliest position
     (meanmax.rkt maybe-update strict comparison) — as ONE map-side
@@ -378,7 +429,8 @@ def _best_by_duration(means, pcols, inverted: bool) -> DataFrame:
 
 
 def _mean_max_global(
-    spark, pts, okeys, durations, inverted, slice_scale
+    spark, pts, okeys, durations, inverted, slice_scale,
+    inverted_durations=None,
 ) -> DataFrame:
     """Single-series (``partition_by=()``) path with ZERO
     partitionless windows: every globally-ordered pass is a
@@ -392,9 +444,10 @@ def _mean_max_global(
     inside [xmin, xmax] by the window-fits filter."""
     row = pts.agg(F.min("__x").alias("lo"), F.max("__x").alias("hi")).collect()[0]
     if row["hi"] is None:
-        return spark.createDataFrame(
-            [], "duration double, best_mean double, pos double"
-        )
+        schema = "duration double, best_mean double, pos double"
+        if inverted_durations is not None:
+            schema += ", inverted boolean"
+        return spark.createDataFrame([], schema)
     lo, xmax = float(row["lo"]), float(row["hi"])
     boundaries = D.width_boundaries(lo, xmax, D._n_buckets(pts))
     sliced = _global_A_table(pts, okeys, slice_scale, boundaries)
@@ -432,6 +485,8 @@ def _mean_max_global(
         "pos",
         ((a_end - F.col("__A_start")) / F.col("duration")).alias("__mean"),
     )
+    if inverted_durations is not None:
+        return _best_both_facets(means, [], inverted_durations)
     return _best_by_duration(means, [], inverted)
 
 

@@ -1162,12 +1162,9 @@ def mean_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").withColumn(
         "x", F.col("ts_us") / F.lit(1000000.0)
     )
-    mm = OpMM.mean_max(ev, "value", "x", durations=_MM_DURS, slice_scale=6)
-    mi = OpMM.mean_max(
-        ev, "value", "x", durations=[3600, 86400], inverted=True, slice_scale=6
-    )
-    return mm.withColumn("inverted", F.lit(False)).unionByName(
-        mi.withColumn("inverted", F.lit(True))
+    return OpMM.mean_max(
+        ev, "value", "x", durations=_MM_DURS, slice_scale=6,
+        inverted_durations=[3600, 86400],
     )
 
 
