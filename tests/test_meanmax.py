@@ -189,3 +189,42 @@ def test_global_mean_max_matches_bruteforce(spark, pts, inverted):
     for d in want:
         assert got[d][0] == pytest.approx(want[d][0], rel=1e-9, abs=1e-9)
         assert got[d][1] == pytest.approx(want[d][1], abs=1e-12)
+
+
+@given(_series)
+@hyp_settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_both_facets_equal_two_separate_runs(spark, pts):
+    # the shared-pipeline faceted path (inverted_durations=) must be
+    # bit-identical to running the normal and inverted pipelines
+    # separately — pins the round-9 one-aggregate explode rewrite
+    durations = [7, 31, 110]
+    inv = [31, 110]
+    df = spark.createDataFrame(pts, ["x", "y"])
+    both = MM.mean_max(
+        df, "y", "x", durations, slice_scale=6, inverted_durations=inv
+    ).collect()
+    normal = {
+        r["duration"]: (r["best_mean"], r["pos"])
+        for r in MM.mean_max(df, "y", "x", durations, slice_scale=6).collect()
+    }
+    inverted = {
+        r["duration"]: (r["best_mean"], r["pos"])
+        for r in MM.mean_max(
+            df, "y", "x", inv, inverted=True, slice_scale=6
+        ).collect()
+    }
+    got_n = {r["duration"]: (r["best_mean"], r["pos"]) for r in both if not r["inverted"]}
+    got_i = {r["duration"]: (r["best_mean"], r["pos"]) for r in both if r["inverted"]}
+    assert got_n == normal
+    assert got_i == inverted
+
+
+def test_both_facets_rejects_unknown_inverted_duration(spark):
+    df = spark.createDataFrame([(0.0, 1.0), (10.0, 2.0)], ["x", "y"])
+    with pytest.raises(ValueError):
+        MM.mean_max(df, "y", "x", [7], inverted_durations=[31])
