@@ -109,6 +109,11 @@ def mean_max(
     """
     durations = list(durations or default_durations())
     if inverted_durations is not None:
+        if inverted:
+            raise ValueError(
+                "inverted= and inverted_durations= are mutually exclusive: "
+                "the faceted result always carries the normal (max) facet"
+            )
         missing = set(inverted_durations) - set(durations)
         if missing:
             raise ValueError(f"inverted_durations not in durations: {missing}")

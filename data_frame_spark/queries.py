@@ -4516,12 +4516,34 @@ def csv_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared synthetic-track derivation (gpx/tcx round-trips + haversine):
+# integer-arithmetic lat/lon from (user_id, event_id) — exact identical
+# doubles on both engines. ONE definition; the oracles interpolate the
+# SQL twins so the three track queries can never drift apart.
+_TRACK_LAT_SQL = "CAST((user_id * 7 + event_id % 97) % 17000 AS DOUBLE)/100.0 - 85.0"
+_TRACK_LON_SQL = "CAST((user_id * 13 + event_id % 89) % 35000 AS DOUBLE)/100.0 - 175.0"
+
+
+def _track_lat_lon() -> tuple:
+    lat = (
+        ((F.col("user_id") * 7 + F.col("event_id") % 97) % 17000).cast("double")
+        / F.lit(100.0)
+        - F.lit(85.0)
+    )
+    lon = (
+        ((F.col("user_id") * 13 + F.col("event_id") % 89) % 35000).cast("double")
+        / F.lit(100.0)
+        - F.lit(175.0)
+    )
+    return lat, lon
+
+
 @query(
     "gpx_roundtrip_events",
-    oracle="""
+    oracle=f"""
     SELECT CAST((epoch_ns(ts)//1000)//1000000 AS DOUBLE) AS "timestamp",
-           CAST((user_id * 7 + event_id % 97) % 17000 AS DOUBLE)/100.0 - 85.0 AS lat,
-           CAST((user_id * 13 + event_id % 89) % 35000 AS DOUBLE)/100.0 - 175.0 AS lon,
+           {_TRACK_LAT_SQL} AS lat,
+           {_TRACK_LON_SQL} AS lon,
            value AS alt
     FROM events WHERE event_id % 101 = 0
     """,
@@ -4542,18 +4564,11 @@ def gpx_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_frame_spark.sources import gpx as GPXSrc
 
     ev = t(spark, sf_dir, "events").where(F.col("event_id") % 101 == 0)
+    _lat, _lon = _track_lat_lon()
     pts = ev.select(
         F.expr("ts_us div 1000000").cast("double").alias("timestamp"),
-        (
-            ((F.col("user_id") * 7 + F.col("event_id") % 97) % 17000).cast("double")
-            / F.lit(100.0)
-            - F.lit(85.0)
-        ).alias("lat"),
-        (
-            ((F.col("user_id") * 13 + F.col("event_id") % 89) % 35000).cast("double")
-            / F.lit(100.0)
-            - F.lit(175.0)
-        ).alias("lon"),
+        _lat.alias("lat"),
+        _lon.alias("lon"),
         F.col("value").alias("alt"),
     )
     xml = GPXSrc.write_gpx(Frame(pts, order_by=["timestamp"]), name="events-track")
@@ -4571,10 +4586,10 @@ def gpx_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "haversine_track_events",
-    oracle="""
+    oracle=f"""
     WITH pts AS (SELECT user_id, event_id,
-                        CAST((user_id * 7 + event_id % 97) % 17000 AS DOUBLE)/100.0 - 85.0 AS lat,
-                        CAST((user_id * 13 + event_id % 89) % 35000 AS DOUBLE)/100.0 - 175.0 AS lon
+                        {_TRACK_LAT_SQL} AS lat,
+                        {_TRACK_LON_SQL} AS lon
                  FROM events WHERE event_id % 101 = 0),
     lagged AS (SELECT user_id, event_id, lat, lon,
                       LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon
@@ -4605,19 +4620,12 @@ def haversine_track_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = t(spark, sf_dir, "events").where(F.col("event_id") % 101 == 0)
+    _lat, _lon = _track_lat_lon()
     pts = ev.select(
         "user_id",
         "event_id",
-        (
-            ((F.col("user_id") * 7 + F.col("event_id") % 97) % 17000).cast("double")
-            / F.lit(100.0)
-            - F.lit(85.0)
-        ).alias("lat"),
-        (
-            ((F.col("user_id") * 13 + F.col("event_id") % 89) % 35000).cast("double")
-            / F.lit(100.0)
-            - F.lit(175.0)
-        ).alias("lon"),
+        _lat.alias("lat"),
+        _lon.alias("lon"),
     )
     w = W.partitionBy("user_id").orderBy("event_id")
     stepped = pts.select(
@@ -4634,10 +4642,10 @@ def haversine_track_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tcx_roundtrip_events",
-    oracle="""
+    oracle=f"""
     SELECT CAST((epoch_ns(ts)//1000)//1000000 AS DOUBLE) AS "timestamp",
-           CAST((user_id * 7 + event_id % 97) % 17000 AS DOUBLE)/100.0 - 85.0 AS lat,
-           CAST((user_id * 13 + event_id % 89) % 35000 AS DOUBLE)/100.0 - 175.0 AS lon,
+           {_TRACK_LAT_SQL} AS lat,
+           {_TRACK_LON_SQL} AS lon,
            value AS alt,
            CAST(user_id % 150 + 40 AS DOUBLE) AS hr,
            CAST(event_id AS DOUBLE) AS dst
@@ -4659,18 +4667,11 @@ def tcx_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_frame_spark.sources.gpx import seconds_to_iso
 
     ev = t(spark, sf_dir, "events").where(F.col("event_id") % 101 == 0)
+    _lat, _lon = _track_lat_lon()
     rows = ev.select(
         F.expr("ts_us div 1000000").alias("sec"),
-        (
-            ((F.col("user_id") * 7 + F.col("event_id") % 97) % 17000).cast("double")
-            / F.lit(100.0)
-            - F.lit(85.0)
-        ).alias("lat"),
-        (
-            ((F.col("user_id") * 13 + F.col("event_id") % 89) % 35000).cast("double")
-            / F.lit(100.0)
-            - F.lit(175.0)
-        ).alias("lon"),
+        _lat.alias("lat"),
+        _lon.alias("lon"),
         F.col("value").alias("alt"),
         (F.col("user_id") % 150 + 40).cast("double").alias("hr"),
         F.col("event_id").cast("double").alias("dst"),
@@ -4726,11 +4727,13 @@ _FIRST = [
     "gpx_roundtrip_events",
     "tcx_roundtrip_events",
     "haversine_track_events",
-    # Block 2 — the 42 queries absent from both CORRECTNESS_r07 and
-    # CORRECTNESS_r08 (last driver-green: round 6; bodies verified
-    # bit-identical since by the round-7 and round-8 judges;
-    # mean_max_inverted from that set was merged into mean_max_value
-    # above, so its coverage rides Block 1).
+    # Block 2 — the 40 remaining queries absent from both
+    # CORRECTNESS_r07 and CORRECTNESS_r08 (last driver-green: round 6;
+    # bodies verified bit-identical since by the round-7 and round-8
+    # judges). Three names from that 43-strong set were merged into
+    # Block-1 rows this round and ride their coverage there:
+    # mean_max_inverted -> mean_max_value, and quantiles_extendedprice
+    # + weighted_quantiles_value -> quantiles_price_and_value.
     "anti_join_parts_never_ordered",
     "asof_multi_value_lookup",
     "batch_sessions_events",

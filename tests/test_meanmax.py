@@ -228,3 +228,9 @@ def test_both_facets_rejects_unknown_inverted_duration(spark):
     df = spark.createDataFrame([(0.0, 1.0), (10.0, 2.0)], ["x", "y"])
     with pytest.raises(ValueError):
         MM.mean_max(df, "y", "x", [7], inverted_durations=[31])
+
+
+def test_both_facets_rejects_inverted_flag_conflict(spark):
+    df = spark.createDataFrame([(0.0, 1.0), (10.0, 2.0)], ["x", "y"])
+    with pytest.raises(ValueError):
+        MM.mean_max(df, "y", "x", [7], inverted=True, inverted_durations=[7])
