@@ -551,3 +551,190 @@ def label_centroids(
         ).alias("centroid"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): memory-bounded ANN for corpora whose raw
+# vectors don't fit the cluster. Codebooks quantize each of m
+# subspaces to k centroids; a vector stores m small codes instead of
+# dim floats (m bytes vs dim*4 at k<=256 — a 32x shrink for 64-dim
+# float32 at m=8), and search scans the compressed codes with
+# asymmetric distances (query vs centroid lookup). The reference has
+# no ANN surface; this is the net-new scale path next to
+# lsh_ann_topk/ivf_topk. All arithmetic is micro-quantized int64
+# (products <= 4e12, sums << 2^53), so fits, codes, and distances are
+# layout-independent and SQL-oracle reproducible — the same exactness
+# contract as the integer-Lloyd IVF fit above.
+# ---------------------------------------------------------------------------
+
+
+def _sqdist_micro(vq: Column, cent: list[int]) -> Column:
+    """Exact integer squared L2 distance between a micro-quantized
+    vector column and a micro-int centroid literal."""
+    carr = F.array(*[F.lit(int(x)) for x in cent])
+    zero = F.lit(0).cast("long")
+    return F.aggregate(
+        F.zip_with(vq, carr, lambda a, b: (a - b) * (a - b)),
+        zero,
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_l2_micro(vq: Column, cents: list[list[int]]) -> Column:
+    """Index of the nearest centroid by integer squared L2 distance;
+    ties break toward the smaller index."""
+    scores = F.array(
+        *[
+            F.struct(
+                _sqdist_micro(vq, c).alias("d"),
+                F.lit(j).cast("int").alias("cid"),
+            )
+            for j, c in enumerate(cents)
+        ]
+    )
+    return F.array_sort(scores)[0]["cid"]
+
+
+def pq_fit(
+    base: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    micro: bool = False,
+) -> list[list[list[float]]] | list[list[list[int]]]:
+    """Fit m per-subspace codebooks of k centroids each (k-means with
+    min-L2 assignment — the PQ objective, unlike the dot-max IVF
+    coarse quantizer). Seeds are the k vectors with smallest
+    (md5(vec_id), vec_id) — the same reproducible order as
+    ivf_fit_centroids; means are floor(sum/n) over exact integer
+    sums; empty cells keep their previous centroid. Each Lloyd step
+    per subspace is one narrow assignment pass plus one
+    map-combinable groupBy-sum; only m*k*(dim/m) integers ever reach
+    the driver, so fitting scales to any corpus."""
+    import math
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    qdf = base.select(
+        F.col(id_col).alias("__id"), quantize_vec(F.col(vec_col)).alias("__vq")
+    )
+    seed_rows = (
+        qdf.orderBy(md5_order(F.col("__id")), F.col("__id")).limit(k).collect()
+    )
+    books: list[list[list[int]]] = []
+    for j in range(m):
+        lo = j * sub
+        cents = [list(map(int, r["__vq"][lo : lo + sub])) for r in seed_rows]
+        sj = qdf.select(F.slice("__vq", lo + 1, sub).alias("__sv"))
+        for _ in range(iterations):
+            assigned = sj.select(
+                _argmin_l2_micro(F.col("__sv"), cents).alias("__cid"), "__sv"
+            )
+            rows = (
+                assigned.groupBy("__cid")
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    *[
+                        F.sum(F.element_at("__sv", i + 1)).alias(f"s{i}")
+                        for i in range(sub)
+                    ],
+                )
+                .collect()
+            )
+            for r in rows:
+                n = r["__n"]
+                cents[r["__cid"]] = [
+                    int(math.floor(r[f"s{i}"] / n)) for i in range(sub)
+                ]
+        books.append(cents)
+    if micro:
+        return books
+    return [[[c / 1e6 for c in cent] for cent in book] for book in books]
+
+
+def pq_encode(
+    base: DataFrame,
+    codebooks: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress each vector to its m nearest-centroid codes
+    (array<int>). A narrow map-only pass — ZERO shuffles at any
+    corpus size; the micro-quantized vector is projected into a real
+    column first so the m subspace argmins slice one materialized
+    array instead of re-evaluating the quantization per subspace
+    (interpreted higher-order lambdas sit outside codegen CSE — the
+    round-7 text.py lesson). ``codebooks`` must be the MICRO integer
+    form (pq_fit(micro=True))."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = base.select(
+        F.col(id_col), quantize_vec(F.col(vec_col)).alias("__vq")
+    )
+    codes = F.array(
+        *[
+            _argmin_l2_micro(F.slice("__vq", j * sub + 1, sub), codebooks[j])
+            for j in range(m)
+        ]
+    )
+    return q.select(id_col, codes.alias("codes"))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: each query scans the COMPRESSED
+    code table (m ints per vector, not dim floats) and scores
+    sum_j ||q_j − codebook[j][code_j]||² in exact integer micro²
+    units. The query batch (an operational constant) is the only
+    broadcast side; ranking is a per-query row_number that
+    WindowGroupLimit prunes map-side (~k rows per query reach the
+    exchange). Output: (query_id, vec_id, adc_dist_micro2, rank),
+    rank 1 = nearest, ties toward the smaller vec_id."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = queries.select(
+        F.col(query_id_col), quantize_vec(F.col(vec_col)).alias("__qv")
+    )
+    joined = codes.crossJoin(F.broadcast(q))
+    cbs = [
+        F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in codebooks[j]])
+        for j in range(m)
+    ]
+    zero = F.lit(0).cast("long")
+    parts = [
+        F.aggregate(
+            F.zip_with(
+                F.slice("__qv", j * sub + 1, sub),
+                F.element_at(cbs[j], F.col("codes")[j] + 1),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        for j in range(m)
+    ]
+    dist = parts[0]
+    for p in parts[1:]:
+        dist = dist + p
+    scored = joined.select(
+        query_id_col, id_col, dist.alias("adc_dist_micro2")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist_micro2").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "adc_dist_micro2", F.col("__rk").alias("rank"))
+    )

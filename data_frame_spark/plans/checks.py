@@ -315,6 +315,9 @@ DECLARED_BROADCAST_OK: dict[str, list[tuple[str, str]]] = {
     "ivf_ann_topk_embeddings": [
         (r"vec_id#\d+L? < 3", "ANN probe batch is constant-size by contract"),
     ],
+    "pq_adc_topk_embeddings": [
+        (r"vec_id#\d+L? < 3", "ANN probe batch is constant-size by contract"),
+    ],
     # both broadcast sides are BATCH-bounded: `canon` is the new
     # batch's distinct fingerprints (a nightly batch is an
     # operational knob, not the corpus), and `hits` is the

@@ -938,27 +938,54 @@ def _fits_sql() -> str:
             sel("slr", [slr_a, slr_b], r=slr_r),
         ]
     )
+    # the 'exp facet (value ~ a*e^(b*day) + c over events, the
+    # reference's miny<0.1 shift) — round-9 merge of the former
+    # exp_fit_value_hour row; expressions verbatim from that oracle,
+    # CTEs renamed to coexist with the lineitem moment CTEs
+    exp_branch = f"""
+    SELECT 'exp' AS kind,
+           ROUND(EXP((sxxy * sylny - sxy * sxylny) / (sey * sxxy - sxy * sxy)), 6) AS c0,
+           ROUND((sey * sxylny - sxy * sylny) / (sey * sxxy - sxy * sxy), 6) AS c1,
+           ROUND((SELECT CASE WHEN miny < 0.1 THEN miny - 0.1 ELSE 0.0 END FROM emn), 6) AS c2,
+           CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS r
+    FROM em
+    """
     return f"""
     WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
                       CAST(l_extendedprice AS DOUBLE) AS y
                FROM lineitem
                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
-         m AS (SELECT {moms} FROM d)
-    {branches}
+         m AS (SELECT {moms} FROM d),
+         ed AS (SELECT (epoch_ns(ts)//1000)/1000000.0/86400.0 AS x,
+                       CAST(value AS DOUBLE) AS y
+                FROM events WHERE value IS NOT NULL),
+         emn AS (SELECT MIN(y) AS miny FROM ed),
+         es AS (SELECT x,
+                       y + (CASE WHEN emn.miny < 0.1 THEN -emn.miny + 0.1 ELSE 0.0 END) AS y1
+                FROM ed CROSS JOIN emn),
+         em AS (SELECT {_fsum('x*x*y1')} AS sxxy, {_fsum('x*y1')} AS sxy,
+                       {_fsum('y1*LN(y1)')} AS sylny, {_fsum('x*y1*LN(y1)')} AS sxylny,
+                       {_fsum('y1')} AS sey
+                FROM es)
+    {branches} UNION ALL {exp_branch}
     """
 
 
-@query("fits_price_qty", oracle=_fits_sql())
-def fits_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("fits_family", oracle=_fits_sql())
+def fits_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The df-least-squares-fit family + simple-linear-regression in
     one pass (least-squares-fit.rkt:34-41,156-196; slr.rkt:32-39):
     ONE distributed scale-4-quantized moment aggregate over lineitem,
     then Cramer / closed-form coefficient math on the driver — the
     identical expression tree the SQL oracle evaluates.
 
-    Rows: (kind, c0..c3, r) for linear, log, poly2, poly3, power, slr.
-    poly3 exercises the arbitrary-degree Vandermonde path
-    (least-squares-fit.rkt:34-41 solves any degree)."""
+    Rows: (kind, c0..c3, r) for linear, log, poly2, poly3, power, slr
+    — plus the 'exp kind (least-squares-fit.rkt:96-121, value ~
+    a*e^(b*day) + c over events with the reference's miny<0.1 shift;
+    round-9 merge of the former exp_fit_value_hour row — the operator
+    path is unchanged). poly3 exercises the arbitrary-degree
+    Vandermonde path (least-squares-fit.rkt:34-41 solves any
+    degree)."""
     import math
 
     li = t(spark, sf_dir, "lineitem")
@@ -1016,6 +1043,15 @@ def fits_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("power", round(pwr_a, 6), round(pwr_b, 6), None, None, None),
         ("slr", slr_a, slr_b, None, None, slr_r),
     ]
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("ts_us") / F.lit(1000000.0) / F.lit(86400.0)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    efit = OpFit.least_squares_fit(ev, "x", "y", mode="exp")
+    ea, eb, ec = efit.coefficients
+    rows.append(
+        ("exp", round(ea, 6), round(eb, 6), round(float(ec), 6), None, None)
+    )
     return spark.createDataFrame(
         rows, "kind string, c0 double, c1 double, c2 double, c3 double, r double"
     )
@@ -3504,41 +3540,6 @@ def winnowed_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "exp_fit_value_hour",
-    oracle=f"""
-    WITH d AS (SELECT (epoch_ns(ts)//1000)/1000000.0/86400.0 AS x,
-                      CAST(value AS DOUBLE) AS y
-               FROM events WHERE value IS NOT NULL),
-         mn AS (SELECT MIN(y) AS miny FROM d),
-         s AS (SELECT x,
-                      y + (CASE WHEN mn.miny < 0.1 THEN -mn.miny + 0.1 ELSE 0.0 END) AS y1
-               FROM d CROSS JOIN mn),
-         m AS (SELECT {_fsum('x*x*y1')} AS sxxy, {_fsum('x*y1')} AS sxy,
-                      {_fsum('y1*LN(y1)')} AS sylny, {_fsum('x*y1*LN(y1)')} AS sxylny,
-                      {_fsum('y1')} AS sy
-               FROM s)
-    SELECT ROUND(EXP((sxxy * sylny - sxy * sxylny) / (sy * sxxy - sxy * sxy)), 6) AS a,
-           ROUND((sy * sxylny - sxy * sylny) / (sy * sxxy - sxy * sxy), 6) AS b,
-           ROUND((SELECT CASE WHEN miny < 0.1 THEN miny - 0.1 ELSE 0.0 END FROM mn), 6) AS c
-    FROM m
-    """,
-)
-def exp_fit_value_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-least-squares-fit mode='exp (least-squares-fit.rkt:96-121,
-    the equal-weight variant): value ~ a*e^(b*day) + c with the
-    reference's miny<0.1 shift; outputs rounded to 6 decimals."""
-    ev = t(spark, sf_dir, "events").select(
-        (F.col("ts_us") / F.lit(1000000.0) / F.lit(86400.0)).alias("x"),
-        F.col("value").alias("y"),
-    )
-    fit = OpFit.least_squares_fit(ev, "x", "y", mode="exp")
-    a, b, c = fit.coefficients
-    return spark.createDataFrame(
-        [(round(a, 6), round(b, 6), round(float(c), 6))], ["a", "b", "c"]
-    )
-
-
-@query(
     "asof_multi_value_lookup",
     oracle="""
     WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
@@ -4469,6 +4470,99 @@ def ivf_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pq_adc_topk_embeddings",
+    oracle="""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding,
+                          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS vq
+               FROM embeddings),
+    seeds AS (SELECT vq, ROW_NUMBER() OVER
+                        (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+              FROM v),
+    c0 AS (SELECT 0 AS j, CAST(rn - 1 AS INT) AS cid, vq[1:32] AS c
+           FROM seeds WHERE rn <= 8
+           UNION ALL
+           SELECT 1, CAST(rn - 1 AS INT), vq[33:64] FROM seeds WHERE rn <= 8),
+    sv AS (SELECT vec_id, 0 AS j, vq[1:32] AS s FROM v
+           UNION ALL
+           SELECT vec_id, 1, vq[33:64] FROM v),
+    ad AS (SELECT sv.vec_id, sv.j, c.cid,
+                  CAST(SUM((sv.s[t.i] - c.c[t.i]) * (sv.s[t.i] - c.c[t.i]))
+                       AS BIGINT) AS d2
+           FROM sv JOIN c0 c ON c.j = sv.j,
+                UNNEST(generate_series(1, 32)) t(i)
+           GROUP BY 1, 2, 3),
+    asn AS (SELECT vec_id, j, cid FROM (
+              SELECT vec_id, j, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                        ORDER BY d2, cid) AS rn
+              FROM ad)
+            WHERE rn = 1),
+    msum AS (SELECT a.j, a.cid, t.i AS dim,
+                    CAST(FLOOR(CAST(SUM(sv.s[t.i]) AS DOUBLE) / COUNT(*))
+                         AS BIGINT) AS val
+             FROM asn a JOIN sv ON sv.vec_id = a.vec_id AND sv.j = a.j,
+                  UNNEST(generate_series(1, 32)) t(i)
+             GROUP BY 1, 2, 3),
+    c0d AS (SELECT j, cid, UNNEST(generate_series(1, 32)) AS dim,
+                   UNNEST(c) AS val
+            FROM c0),
+    c1 AS (SELECT c0d.j, c0d.cid,
+                  list(COALESCE(m.val, c0d.val) ORDER BY dim) AS c
+           FROM c0d LEFT JOIN msum m USING (j, cid, dim)
+           GROUP BY 1, 2),
+    encd AS (SELECT sv.vec_id, sv.j, c.cid,
+                    CAST(SUM((sv.s[t.i] - c.c[t.i]) * (sv.s[t.i] - c.c[t.i]))
+                         AS BIGINT) AS d2
+             FROM sv JOIN c1 c ON c.j = sv.j,
+                  UNNEST(generate_series(1, 32)) t(i)
+             GROUP BY 1, 2, 3),
+    enc AS (SELECT vec_id, j, cid FROM (
+              SELECT vec_id, j, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                        ORDER BY d2, cid) AS rn
+              FROM encd)
+            WHERE rn = 1),
+    adc AS (SELECT qs.vec_id AS query_id, e.vec_id,
+                   CAST(SUM((qs.s[t.i] - c.c[t.i]) * (qs.s[t.i] - c.c[t.i]))
+                        AS BIGINT) AS adc_dist_micro2
+            FROM sv qs
+            JOIN enc e ON e.j = qs.j
+            JOIN c1 c ON c.j = e.j AND c.cid = e.cid,
+                 UNNEST(generate_series(1, 32)) t(i)
+            WHERE qs.vec_id < 3
+            GROUP BY 1, 2),
+    r AS (SELECT query_id, vec_id, adc_dist_micro2,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist_micro2, vec_id) AS rank
+          FROM adc)
+    SELECT query_id, vec_id, adc_dist_micro2, rank FROM r WHERE rank <= 5
+    """,
+)
+def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end (operators/similarity.py
+    pq_fit/pq_encode/pq_adc_topk — a net-new scale surface, no
+    reference counterpart): m=2 codebooks of 8 centroids fit with one
+    min-L2 integer-Lloyd step per subspace, every vector compressed
+    to 2 codes (a ~128x shrink of a 64-dim float32 vector), and the
+    3-probe query batch scanning the COMPRESSED codes with exact
+    integer asymmetric distances. At 100 TB the corpus never holds
+    raw vectors in the search path — codes are m small ints per row —
+    the fit collects only m*k*(dim/m) integers, encode is a narrow
+    zero-shuffle pass, and ranking is a per-query WindowGroupLimit-
+    pruned row_number. The oracle replays the whole pipeline in SQL:
+    same md5-ordered seeds, min-(d2, cid) assignments, floor means,
+    and integer ADC sums."""
+    emb = t(spark, sf_dir, "embeddings")
+    books = OpSim.pq_fit(emb, dim=64, m=2, k=8, iterations=1, micro=True)
+    codes = OpSim.pq_encode(emb, books)
+    probe = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return OpSim.pq_adc_topk(codes, probe, books, k=5)
+
+
+@query(
     "csv_roundtrip_lineitem",
     oracle="""
     SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -4720,8 +4814,10 @@ _FIRST = [
     "duplicate_spans_keep_first_docs",
     "clicks_to_purchases_events",
     "quantiles_price_and_value",
+    "fits_family",
     "ivf_centroids_embeddings",
     "ivf_ann_topk_embeddings",
+    "pq_adc_topk_embeddings",
     "lm_nll_docs",
     "csv_roundtrip_lineitem",
     "gpx_roundtrip_events",
@@ -4749,8 +4845,6 @@ _FIRST = [
     "equal_range_count",
     "event_derived_series",
     "exact_dedup_documents",
-    "exp_fit_value_hour",
-    "fits_price_qty",
     "group_samples_value_user",
     "histogram_quantity",
     "incremental_dedup_batch",

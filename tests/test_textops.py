@@ -801,3 +801,85 @@ def test_bigram_lm_detects_word_salad_unigram_cannot(spark):
           unigram_lm_nll(df, "text", "doc_id", vocab_size=100).collect()}
     assert un[1] == un[2]          # unigram is blind to order
     assert bi[1] < bi[2]           # bigram is not
+
+
+def test_pq_fit_layout_independent_and_deterministic(spark):
+    # integer-Lloyd per subspace: identical codebooks under any
+    # partitioning (same exactness contract as the IVF fit)
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    b1 = SIM.pq_fit(base.coalesce(1), dim=8, m=2, k=4, iterations=2, micro=True)
+    b2 = SIM.pq_fit(base.repartition(7), dim=8, m=2, k=4, iterations=2, micro=True)
+    assert b1 == b2
+    assert len(b1) == 2 and len(b1[0]) == 4 and len(b1[0][0]) == 4
+    with pytest.raises(ValueError):
+        SIM.pq_fit(base, dim=8, m=3)
+
+
+def test_pq_encode_matches_numpy_argmin(spark):
+    import random
+
+    import numpy as np
+
+    rng = random.Random(3)
+    dim, m, sub = 6, 3, 2
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(50)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    books = SIM.pq_fit(base, dim=dim, m=m, k=4, iterations=1, micro=True)
+    got = {r["vec_id"]: list(r["codes"]) for r in
+           SIM.pq_encode(base, books).collect()}
+    for vid, vec in rows:
+        vq = np.floor(np.array(vec, dtype=np.float64) * 1e6 + 0.5).astype(np.int64)
+        want = []
+        for j in range(m):
+            s = vq[j * sub:(j + 1) * sub]
+            d = [int(((s - np.array(c, dtype=np.int64)) ** 2).sum())
+                 for c in books[j]]
+            want.append(d.index(min(d)))  # ties -> smaller cid
+        assert got[vid] == want, vid
+
+
+def test_pq_adc_topk_exact_integer_distances_and_recall(spark):
+    import random
+
+    import numpy as np
+
+    rng = random.Random(5)
+    dim, m, sub, k = 12, 3, 4, 5
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(150)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(q, rows[q * 17][1]) for q in range(5)], ["query_id", "embedding"]
+    )
+    books = SIM.pq_fit(base, dim=dim, m=m, k=8, iterations=2, micro=True)
+    codes = SIM.pq_encode(base, books)
+    out = SIM.pq_adc_topk(codes, queries, books, k=k).collect()
+    # distances must equal the numpy integer ADC exactly
+    code_map = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    for r in out:
+        qvec = np.floor(
+            np.array(rows[r["query_id"] * 17][1], dtype=np.float64) * 1e6 + 0.5
+        ).astype(np.int64)
+        want = 0
+        for j in range(m):
+            c = np.array(books[j][code_map[r["vec_id"]][j]], dtype=np.int64)
+            want += int(((qvec[j * sub:(j + 1) * sub] - c) ** 2).sum())
+        assert r["adc_dist_micro2"] == want
+    # ranks are 1..k per query, and recall vs the exact L2 scan is usable
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for q, rs in per_q.items():
+        assert sorted(rk for rk, _ in rs) == list(range(1, k + 1))
+    allv = np.array([v for _, v in rows], dtype=np.float64)
+    hits = 0
+    for q in range(5):
+        qv = np.array(rows[q * 17][1], dtype=np.float64)
+        exact = set(np.argsort(((allv - qv) ** 2).sum(axis=1),
+                               kind="stable")[:k].tolist())
+        got = {v for _, v in per_q[q]}
+        hits += len(exact & got)
+    assert hits / (5 * k) >= 0.4
