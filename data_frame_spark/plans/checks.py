@@ -241,13 +241,10 @@ _OUTPUT_RE = re.compile(r"output=\[(.*?)\]")
 #: declared here (e.g. a token vocabulary) stays flagged.
 DECLARED_BOUNDED_KEYS: dict[str, frozenset[str]] = {
     # histogram bin tables: bin count = ceil(range/width), both caller
-    # constants — adding rows never adds bins (operators/histogram.py)
-    "histogram_quantity": frozenset({"bucket"}),
-    "weighted_histogram_value": frozenset({"bucket"}),
-    "combine_histograms_returnflag": frozenset({"bucket"}),
-    # factor histogram over event_type: attribute domain (enum of
-    # event kinds), not corpus-sized; documented in the query
-    "string_histogram_event_type": frozenset({"bucket", "event_type"}),
+    # constants — adding rows never adds bins (operators/histogram.py);
+    # the string facet groups by event_type, an attribute domain (enum
+    # of event kinds), not corpus-sized
+    "histogram_family": frozenset({"bucket", "event_type"}),
     # mixture strata = language codes — attribute domain (~hundreds),
     # grows with the language inventory, not the corpus
     "temperature_mixture_weights": frozenset({"stratum"}),

@@ -475,35 +475,105 @@ _TRUNC_Q5 = """CASE WHEN l_quantity/5.0 < 0
 
 
 @query(
-    "histogram_quantity",
+    "histogram_family",
     oracle=f"""
-    WITH b AS (SELECT {_TRUNC_Q5} AS bucket, COUNT(*) AS count
-               FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
-         rng AS (SELECT UNNEST(generate_series((SELECT MIN(bucket) FROM b),
-                                               (SELECT MAX(bucket) FROM b))) AS bucket),
-         f AS (SELECT rng.bucket, rng.bucket * 5.0 AS bucket_start,
-                      COALESCE(b.count, 0) AS count
-               FROM rng LEFT JOIN b ON rng.bucket = b.bucket),
-         k AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM f
-               WHERE CAST(count AS DOUBLE) / (SELECT SUM(count) FROM f) > 0.05),
-         keep AS (SELECT COALESCE(k.lo, (SELECT MIN(bucket) FROM f)) AS lo,
-                         COALESCE(k.hi, (SELECT MAX(bucket) FROM f)) AS hi
-                  FROM k)
-    SELECT f.bucket, f.bucket_start, f.count,
-           CAST(f.count AS DOUBLE) / (SELECT SUM(count) FROM f) AS norm_count,
-           CASE WHEN f.bucket BETWEEN keep.lo AND keep.hi
-                THEN f.count * 100.0 / (SELECT SUM(count) FROM f) END AS pct,
-           f.bucket BETWEEN keep.lo AND keep.hi AS in_trim
-    FROM f CROSS JOIN keep
+    SELECT 'numeric' AS facet, CAST(n.bucket AS VARCHAR) AS bucket,
+           n.bucket_start, CAST(n.count AS DOUBLE) AS count,
+           CAST(NULL AS DOUBLE) AS count_2, n.norm_count, n.pct, n.in_trim
+    FROM (
+      WITH b AS (SELECT {_TRUNC_Q5} AS bucket, COUNT(*) AS count
+                 FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
+           rng AS (SELECT UNNEST(generate_series((SELECT MIN(bucket) FROM b),
+                                                 (SELECT MAX(bucket) FROM b))) AS bucket),
+           f AS (SELECT rng.bucket, rng.bucket * 5.0 AS bucket_start,
+                        COALESCE(b.count, 0) AS count
+                 FROM rng LEFT JOIN b ON rng.bucket = b.bucket),
+           k AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM f
+                 WHERE CAST(count AS DOUBLE) / (SELECT SUM(count) FROM f) > 0.05),
+           keep AS (SELECT COALESCE(k.lo, (SELECT MIN(bucket) FROM f)) AS lo,
+                           COALESCE(k.hi, (SELECT MAX(bucket) FROM f)) AS hi
+                    FROM k)
+      SELECT f.bucket, f.bucket_start, f.count,
+             CAST(f.count AS DOUBLE) / (SELECT SUM(count) FROM f) AS norm_count,
+             CASE WHEN f.bucket BETWEEN keep.lo AND keep.hi
+                  THEN f.count * 100.0 / (SELECT SUM(count) FROM f) END AS pct,
+             f.bucket BETWEEN keep.lo AND keep.hi AS in_trim
+      FROM f CROSS JOIN keep
+    ) n
+    UNION ALL
+    SELECT 'weighted' AS facet, CAST(w.bucket AS VARCHAR) AS bucket,
+           w.bucket_start, w.count,
+           CAST(NULL AS DOUBLE) AS count_2, CAST(NULL AS DOUBLE) AS norm_count,
+           CAST(NULL AS DOUBLE) AS pct, CAST(NULL AS BOOLEAN) AS in_trim
+    FROM ({_W_EVENTS}
+      , f AS (SELECT dx, dy FROM d
+              WHERE dx IS NOT NULL AND dy IS NOT NULL),
+      b AS (SELECT CASE WHEN dy/10.0 < 0 THEN CAST(-FLOOR(-(dy/10.0)) AS BIGINT)
+                        ELSE CAST(FLOOR(dy/10.0) AS BIGINT) END AS bucket,
+                   {_fsum('dx')} AS count
+            FROM f GROUP BY 1),
+      rng AS (SELECT UNNEST(generate_series((SELECT MIN(bucket) FROM b),
+                                            (SELECT MAX(bucket) FROM b))) AS bucket)
+      SELECT rng.bucket, rng.bucket * 10.0 AS bucket_start,
+             COALESCE(b.count, 0.0) AS count
+      FROM rng LEFT JOIN b ON rng.bucket = b.bucket
+    ) w
+    UNION ALL
+    SELECT 'string' AS facet, s.bucket, CAST(NULL AS DOUBLE) AS bucket_start,
+           CAST(s.count AS DOUBLE) AS count,
+           CAST(NULL AS DOUBLE) AS count_2, CAST(NULL AS DOUBLE) AS norm_count,
+           CAST(NULL AS DOUBLE) AS pct, CAST(NULL AS BOOLEAN) AS in_trim
+    FROM (
+      SELECT event_type AS bucket, COUNT(*) AS count
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1
+    ) s
+    UNION ALL
+    SELECT 'combined' AS facet, CAST(c.bucket AS VARCHAR) AS bucket,
+           c.bucket_start, CAST(c.count_1 AS DOUBLE) AS count,
+           CAST(c.count_2 AS DOUBLE) AS count_2, CAST(NULL AS DOUBLE) AS norm_count,
+           CAST(NULL AS DOUBLE) AS pct, CAST(NULL AS BOOLEAN) AS in_trim
+    FROM (
+      WITH hr0 AS (SELECT {_TRUNC_Q5} AS bucket, COUNT(*) AS count
+                   FROM lineitem WHERE l_returnflag = 'R' AND {_TRUNC_Q5} != 0
+                   GROUP BY 1),
+           hn0 AS (SELECT {_TRUNC_Q5} AS bucket, COUNT(*) AS count
+                   FROM lineitem WHERE l_returnflag = 'N' AND {_TRUNC_Q5} != 0
+                   GROUP BY 1),
+           rr AS (SELECT UNNEST(generate_series((SELECT MIN(bucket) FROM hr0),
+                                                (SELECT MAX(bucket) FROM hr0))) AS bucket),
+           rn AS (SELECT UNNEST(generate_series((SELECT MIN(bucket) FROM hn0),
+                                                (SELECT MAX(bucket) FROM hn0))) AS bucket),
+           hr AS (SELECT rr.bucket, COALESCE(hr0.count, 0) AS count
+                  FROM rr LEFT JOIN hr0 ON rr.bucket = hr0.bucket),
+           hn AS (SELECT rn.bucket, COALESCE(hn0.count, 0) AS count
+                  FROM rn LEFT JOIN hn0 ON rn.bucket = hn0.bucket)
+      SELECT COALESCE(hr.bucket, hn.bucket) AS bucket,
+             COALESCE(hr.bucket, hn.bucket) * 5.0 AS bucket_start,
+             COALESCE(hr.count, 0) AS count_1,
+             COALESCE(hn.count, 0) AS count_2
+      FROM hr FULL OUTER JOIN hn ON hr.bucket = hn.bucket
+    ) c
     """,
 )
-def histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The numeric df-histogram family in one result
-    (histogram.rkt:37-204): gap-filled counts + normalize-histogram
-    shares (histogram.rkt:302-311) + #:as-percentage? with
-    trim-histogram-outliers (histogram.rkt:98-155; pct NULL outside
-    the kept [lo,hi] bucket range, strict-> keep predicate with
-    full-range fallback)."""
+def histogram_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole df-histogram surface in one oracle row (round-9 merge
+    of histogram_quantity + weighted_histogram_value +
+    string_histogram_event_type + combine_histograms_returnflag; the
+    operators are unchanged).
+
+    Facets: 'numeric' = gap-filled counts (histogram.rkt:37-204) +
+    normalize-histogram shares (histogram.rkt:302-311) +
+    #:as-percentage? with trim-histogram-outliers
+    (histogram.rkt:98-155; pct NULL outside the kept [lo,hi] range);
+    'weighted' = (Δw, midpoint) samples binned by midpoint, counts are
+    Δw sums (histogram.rkt:53-66); 'string' = bucket-by-value
+    (histogram.rkt:49-51); 'combined' = combine-histograms
+    (histogram.rkt:302-334), two histograms aligned on the merged
+    bucket set, zero-filled.
+
+    Numeric buckets ride as strings so all four facets share one
+    schema; BIGINT counts ride as doubles (exact below 2^53)."""
+    _dnull = F.lit(None).cast("double")
     li = t(spark, sf_dir, "lineitem")
     h = OpHist.histogram(li, "l_quantity", width=5.0)
     nrm = OpHist.normalize_histogram(h).select(
@@ -513,86 +583,45 @@ def histogram_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, "l_quantity", width=5.0, as_percentage=True, trim_outliers=0.05
     ).select("bucket", F.col("count").alias("pct"))
     # histogram frames are aggregate-sized -> broadcast joins
-    return (
+    numeric = (
         h.join(F.broadcast(nrm), "bucket")
         .join(F.broadcast(tp), "bucket", "left")
         .select(
-            "bucket", "bucket_start", "count", "norm_count", "pct",
+            F.lit("numeric").alias("facet"),
+            F.col("bucket").cast("string").alias("bucket"),
+            "bucket_start",
+            F.col("count").cast("double").alias("count"),
+            _dnull.alias("count_2"),
+            "norm_count",
+            "pct",
             F.col("pct").isNotNull().alias("in_trim"),
         )
     )
-
-
-@query(
-    "weighted_histogram_value",
-    oracle=_W_EVENTS
-    + f"""
-    , f AS (SELECT dx, dy FROM d
-            WHERE dx IS NOT NULL AND dy IS NOT NULL),
-    b AS (SELECT CASE WHEN dy/10.0 < 0 THEN CAST(-FLOOR(-(dy/10.0)) AS BIGINT)
-                      ELSE CAST(FLOOR(dy/10.0) AS BIGINT) END AS bucket,
-                 {_fsum('dx')} AS count
-          FROM f GROUP BY 1),
-    rng AS (SELECT UNNEST(generate_series((SELECT MIN(bucket) FROM b),
-                                          (SELECT MAX(bucket) FROM b))) AS bucket)
-    SELECT rng.bucket, rng.bucket * 10.0 AS bucket_start,
-           COALESCE(b.count, 0.0) AS count
-    FROM rng LEFT JOIN b ON rng.bucket = b.bucket
-    """,
-)
-def weighted_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-histogram weighted: (Δw, midpoint) samples binned by
-    midpoint, counts are Δw sums (histogram.rkt:53-66)."""
     ev = t(spark, sf_dir, "events").withColumn(
         "w", F.col("ts_us") / F.lit(1000000.0)
     )
-    return OpHist.weighted_histogram(
+    weighted = OpHist.weighted_histogram(
         ev, "value", "w", order_by=["ts_ns", "event_id"], width=10.0
+    ).select(
+        F.lit("weighted").alias("facet"),
+        F.col("bucket").cast("string").alias("bucket"),
+        "bucket_start",
+        F.col("count").cast("double").alias("count"),
+        _dnull.alias("count_2"),
+        _dnull.alias("norm_count"),
+        _dnull.alias("pct"),
+        F.lit(None).cast("boolean").alias("in_trim"),
     )
-
-
-@query(
-    "string_histogram_event_type",
-    oracle="""
-    SELECT event_type AS bucket, COUNT(*) AS count
-    FROM events WHERE event_type IS NOT NULL GROUP BY 1
-    """,
-)
-def string_histogram_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-histogram on string samples: bucket = value
-    (histogram.rkt:49-51)."""
-    ev = t(spark, sf_dir, "events")
-    return OpHist.string_histogram(ev, "event_type")
-
-
-@query(
-    "combine_histograms_returnflag",
-    oracle=f"""
-    WITH hr0 AS (SELECT {_TRUNC_Q5} AS bucket, COUNT(*) AS count
-                 FROM lineitem WHERE l_returnflag = 'R' AND {_TRUNC_Q5} != 0
-                 GROUP BY 1),
-         hn0 AS (SELECT {_TRUNC_Q5} AS bucket, COUNT(*) AS count
-                 FROM lineitem WHERE l_returnflag = 'N' AND {_TRUNC_Q5} != 0
-                 GROUP BY 1),
-         rr AS (SELECT UNNEST(generate_series((SELECT MIN(bucket) FROM hr0),
-                                              (SELECT MAX(bucket) FROM hr0))) AS bucket),
-         rn AS (SELECT UNNEST(generate_series((SELECT MIN(bucket) FROM hn0),
-                                              (SELECT MAX(bucket) FROM hn0))) AS bucket),
-         hr AS (SELECT rr.bucket, COALESCE(hr0.count, 0) AS count
-                FROM rr LEFT JOIN hr0 ON rr.bucket = hr0.bucket),
-         hn AS (SELECT rn.bucket, COALESCE(hn0.count, 0) AS count
-                FROM rn LEFT JOIN hn0 ON rn.bucket = hn0.bucket)
-    SELECT COALESCE(hr.bucket, hn.bucket) AS bucket,
-           COALESCE(hr.bucket, hn.bucket) * 5.0 AS bucket_start,
-           COALESCE(hr.count, 0) AS count_1,
-           COALESCE(hn.count, 0) AS count_2
-    FROM hr FULL OUTER JOIN hn ON hr.bucket = hn.bucket
-    """,
-)
-def combine_histograms_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """combine-histograms (histogram.rkt:302-334): align two
-    histograms on the merged bucket set, zero-filled."""
-    li = t(spark, sf_dir, "lineitem")
+    strings = OpHist.string_histogram(ev, "event_type").select(
+        F.lit("string").alias("facet"),
+        "bucket",
+        _dnull.alias("bucket_start"),
+        F.col("count").cast("double").alias("count"),
+        _dnull.alias("count_2"),
+        _dnull.alias("norm_count"),
+        _dnull.alias("pct"),
+        F.lit(None).cast("boolean").alias("in_trim"),
+    )
     h1 = OpHist.histogram(
         li.where(F.col("l_returnflag") == "R"), "l_quantity", width=5.0,
         include_zeroes=False,
@@ -601,7 +630,19 @@ def combine_histograms_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame
         li.where(F.col("l_returnflag") == "N"), "l_quantity", width=5.0,
         include_zeroes=False,
     )
-    return OpHist.combine_histograms(h1, h2)
+    combined = OpHist.combine_histograms(h1, h2).select(
+        F.lit("combined").alias("facet"),
+        F.col("bucket").cast("string").alias("bucket"),
+        "bucket_start",
+        F.col("count_1").cast("double").alias("count"),
+        F.col("count_2").cast("double").alias("count_2"),
+        _dnull.alias("norm_count"),
+        _dnull.alias("pct"),
+        F.lit(None).cast("boolean").alias("in_trim"),
+    )
+    return (
+        numeric.unionByName(weighted).unionByName(strings).unionByName(combined)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4823,20 +4864,24 @@ _FIRST = [
     "gpx_roundtrip_events",
     "tcx_roundtrip_events",
     "haversine_track_events",
-    # Block 2 — the 40 remaining queries absent from both
+    "histogram_family",
+    # Block 2 — the 34 remaining queries absent from both
     # CORRECTNESS_r07 and CORRECTNESS_r08 (last driver-green: round 6;
     # bodies verified bit-identical since by the round-7 and round-8
-    # judges). Three names from that 43-strong set were merged into
+    # judges). Nine names from that 43-strong set were merged into
     # Block-1 rows this round and ride their coverage there:
-    # mean_max_inverted -> mean_max_value, and quantiles_extendedprice
-    # + weighted_quantiles_value -> quantiles_price_and_value.
+    # mean_max_inverted -> mean_max_value; quantiles_extendedprice
+    # + weighted_quantiles_value -> quantiles_price_and_value;
+    # fits_price_qty + exp_fit_value_hour -> fits_family;
+    # histogram_quantity + weighted_histogram_value +
+    # string_histogram_event_type + combine_histograms_returnflag
+    # -> histogram_family.
     "anti_join_parts_never_ordered",
     "asof_multi_value_lookup",
     "batch_sessions_events",
     "byte_features_docs",
     "canonical_docs_by_quality",
     "cartesian_region_nation",
-    "combine_histograms_returnflag",
     "csv_read_fixture",
     "describe_lineitem",
     "dsir_importance_docs",
@@ -4846,7 +4891,6 @@ _FIRST = [
     "event_derived_series",
     "exact_dedup_documents",
     "group_samples_value_user",
-    "histogram_quantity",
     "incremental_dedup_batch",
     "interpolated_lookup_value",
     "lsh_ann_topk_embeddings",
@@ -4862,12 +4906,16 @@ _FIRST = [
     "simhash_docs",
     "spline_mean_max_curve",
     "stream_windows_hourly",
-    "string_histogram_event_type",
     "top_revenue_orders",
     "valid_only_drop_na",
-    "weighted_histogram_value",
     "weighted_stats_value",
     "zipf_fit_tokens",
+    # Block 3 — backfill: the histogram-family merge freed three
+    # slots, spent on round-8-green queries that would otherwise be
+    # due again in round 10 (shortens the next rotation).
+    "pack_chunks_256",
+    "pricing_summary",
+    "gopher_repetition_docs",
 ]
 
 # A retired name left in _FIRST must fail loudly: _order silently drops

@@ -63,8 +63,7 @@ def test_no_data_sized_partitionless_windows(spark, sf_dir):
     for name in (
         "quantiles_price_and_value",
         "weighted_stats_value",
-        "weighted_histogram_value",
-        "histogram_quantity",
+        "histogram_family",
         "row_range_slice",
         # single-series mean-max: slice lag, A-cumulation, and probe
         # bracketing all run through range-bucketed two-level plans
