@@ -3106,45 +3106,7 @@ def _lsh_cte(num_planes: int = 4, dim: int = 64, n_flips: int = 2) -> str:
 
 
 @query(
-    "embedding_near_dup_pairs",
-    oracle=_lsh_cte() + """
-    , cand AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
-               FROM probes a JOIN homes c ON a.bucket = c.home
-               WHERE a.vec_id < c.vec_id),
-      pd AS (SELECT cd.id_a, cd.id_b,
-                    SUM(CAST(FLOOR(CAST(ea.e[i] AS DOUBLE)
-                                   * CAST(ec.e[i] AS DOUBLE)
-                                   * 1000000000.0 + 0.5) AS BIGINT)) AS dq
-             FROM cand cd, vecs ea, vecs ec,
-                  UNNEST(generate_series(1, 64)) t(i)
-             WHERE ea.vec_id = cd.id_a AND ec.vec_id = cd.id_b
-             GROUP BY 1, 2),
-      scored AS (SELECT p.id_a, p.id_b,
-                        (p.dq / 1000000000.0) / (na.nn * nb.nn) AS cosine
-                 FROM pd p
-                 JOIN norms na ON na.vec_id = p.id_a
-                 JOIN norms nb ON nb.vec_id = p.id_b)
-    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
-    """,
-)
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via sign-LSH buckets +
-    exact verify (cosine >= 0.4 — the synthetic embeddings are near-
-    uniform, so 0.4 marks the unusually-close pairs). The scale path
-    for embedding dedup; multi-probe (Hamming<=1 candidates) lifts
-    recall without an all-pairs stage. Everything is md5-derived and
-    integer-quantized, so the DuckDB oracle reproduces buckets AND
-    cosines exactly — no rows-only concession."""
-    emb = t(spark, sf_dir, "embeddings")
-    # planes=4 + 3 probes ≈ 3/16 of all pairs as candidates — higher
-    # recall per candidate than the old planes=2 single-probe (1/4)
-    return OpSim.embedding_near_dup(
-        emb, dim=64, threshold=0.4, num_planes=4, num_probes=3
-    )
-
-
-@query(
-    "embedding_dup_clusters",
+    "embedding_dedup_family",
     oracle=_lsh_cte().replace("WITH ", "WITH RECURSIVE ", 1) + """
     , cand AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
                FROM probes a JOIN homes c ON a.bucket = c.home
@@ -3170,20 +3132,50 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
       comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
       csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
-    SELECT comp.id AS vec_id, comp.cluster_id, csize.cluster_size
+    SELECT 'pair' AS facet, id_a, id_b, cosine,
+           CAST(NULL AS BIGINT) AS cluster_size
+    FROM scored WHERE cosine >= 0.4
+    UNION ALL
+    SELECT 'cluster' AS facet, comp.id AS id_a, comp.cluster_id AS id_b,
+           CAST(NULL AS DOUBLE) AS cosine, csize.cluster_size
     FROM comp JOIN csize USING (cluster_id)
     """,
 )
-def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The same cluster-collapse terminal stage as
-    near_dup_clusters_docs, over the EMBEDDING near-dup pair source —
-    the connected-components operator composes over any verified pair
-    stream (text Jaccard or embedding cosine)."""
+def embedding_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS and their cluster collapse in
+    one oracle row (round-9 merge of embedding_near_dup_pairs +
+    embedding_dup_clusters; the operators are unchanged — and the
+    LSH+verify pair pipeline now runs ONCE, shared by both facets,
+    where the two separate queries each rebuilt it).
+
+    'pair' facet: sign-LSH buckets + exact verify (cosine >= 0.4 —
+    the synthetic embeddings are near-uniform, so 0.4 marks the
+    unusually-close pairs); multi-probe (Hamming<=1 candidates,
+    planes=4 + 3 probes ≈ 3/16 of pairs as candidates) lifts recall
+    without an all-pairs stage. Everything is md5-derived and
+    integer-quantized, so the DuckDB oracle reproduces buckets AND
+    cosines exactly. 'cluster' facet: the same connected-components
+    terminal stage as near_dup_clusters_docs over the pair stream
+    (id_b carries cluster_id)."""
     emb = t(spark, sf_dir, "embeddings")
     pairs = OpSim.embedding_near_dup(
         emb, dim=64, threshold=0.4, num_planes=4, num_probes=3
     ).localCheckpoint(eager=True)
-    return OpGraph.cluster_documents(pairs).withColumnRenamed("id", "vec_id")
+    pair_facet = pairs.select(
+        F.lit("pair").alias("facet"),
+        "id_a",
+        "id_b",
+        "cosine",
+        F.lit(None).cast("long").alias("cluster_size"),
+    )
+    cluster_facet = OpGraph.cluster_documents(pairs).select(
+        F.lit("cluster").alias("facet"),
+        F.col("id").alias("id_a"),
+        F.col("cluster_id").alias("id_b"),
+        F.lit(None).cast("double").alias("cosine"),
+        "cluster_size",
+    )
+    return pair_facet.unionByName(cluster_facet)
 
 
 @query(
@@ -4865,17 +4857,19 @@ _FIRST = [
     "tcx_roundtrip_events",
     "haversine_track_events",
     "histogram_family",
-    # Block 2 — the 34 remaining queries absent from both
+    "embedding_dedup_family",
+    # Block 2 — the 32 remaining queries absent from both
     # CORRECTNESS_r07 and CORRECTNESS_r08 (last driver-green: round 6;
     # bodies verified bit-identical since by the round-7 and round-8
-    # judges). Nine names from that 43-strong set were merged into
+    # judges). Eleven names from that 43-strong set were merged into
     # Block-1 rows this round and ride their coverage there:
     # mean_max_inverted -> mean_max_value; quantiles_extendedprice
     # + weighted_quantiles_value -> quantiles_price_and_value;
     # fits_price_qty + exp_fit_value_hour -> fits_family;
     # histogram_quantity + weighted_histogram_value +
     # string_histogram_event_type + combine_histograms_returnflag
-    # -> histogram_family.
+    # -> histogram_family; embedding_near_dup_pairs +
+    # embedding_dup_clusters -> embedding_dedup_family.
     "anti_join_parts_never_ordered",
     "asof_multi_value_lookup",
     "batch_sessions_events",
@@ -4885,8 +4879,6 @@ _FIRST = [
     "csv_read_fixture",
     "describe_lineitem",
     "dsir_importance_docs",
-    "embedding_dup_clusters",
-    "embedding_near_dup_pairs",
     "equal_range_count",
     "event_derived_series",
     "exact_dedup_documents",
@@ -4916,6 +4908,7 @@ _FIRST = [
     "pack_chunks_256",
     "pricing_summary",
     "gopher_repetition_docs",
+    "regional_revenue",
 ]
 
 # A retired name left in _FIRST must fail loudly: _order silently drops
