@@ -568,31 +568,67 @@ def label_centroids(
 # ---------------------------------------------------------------------------
 
 
-def _sqdist_micro(vq: Column, cent: list[int]) -> Column:
-    """Exact integer squared L2 distance between a micro-quantized
-    vector column and a micro-int centroid literal."""
-    carr = F.array(*[F.lit(int(x)) for x in cent])
+def _argmin_l2_matrix(vq: Column, mat: Column, k: int) -> Column:
+    """Index of the nearest of ``k`` centroids in the array-of-arrays
+    column ``mat`` by exact integer squared L2 distance; ties break
+    toward the smaller index. One zip_with over (matrix, sequence) —
+    the same py4j-economy shape as _argmin_centroid_micro — instead
+    of k independent aggregate subtrees."""
+    idx = F.expr(f"sequence(0, {k - 1})")
     zero = F.lit(0).cast("long")
-    return F.aggregate(
-        F.zip_with(vq, carr, lambda a, b: (a - b) * (a - b)),
-        zero,
-        lambda acc, x: acc + x,
+    scores = F.zip_with(
+        mat,
+        idx,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(vq, c, lambda a, b: (a - b) * (a - b)),
+                zero,
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.cast("int").alias("cid"),
+        ),
     )
+    return F.array_sort(scores)[0]["cid"]
 
 
 def _argmin_l2_micro(vq: Column, cents: list[list[int]]) -> Column:
-    """Index of the nearest centroid by integer squared L2 distance;
-    ties break toward the smaller index."""
-    scores = F.array(
-        *[
-            F.struct(
-                _sqdist_micro(vq, c).alias("d"),
-                F.lit(j).cast("int").alias("cid"),
-            )
-            for j, c in enumerate(cents)
-        ]
+    """Index of the nearest centroid literal by integer squared L2
+    distance; ties break toward the smaller index."""
+    mat = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in cents])
+    return _argmin_l2_matrix(vq, mat, len(cents))
+
+
+def _require_micro_books(codebooks) -> tuple[int, int, int]:
+    """Validate PQ codebooks and return (m, k, sub). Fails loudly on
+    the two silent-garbage inputs: float codebooks (pq_fit's DEFAULT
+    micro=False output — F.lit(int(x)) would truncate every component
+    to 0 and every code to 0) and ragged shapes."""
+    m = len(codebooks)
+    if not m or not codebooks[0]:
+        raise ValueError("codebooks must be non-empty list[m][k][sub]")
+    ks = {len(book) for book in codebooks}
+    subs = {len(cent) for book in codebooks for cent in book}
+    if len(ks) != 1 or len(subs) != 1:
+        raise ValueError(f"ragged codebooks: k per book {sorted(ks)}, sub lengths {sorted(subs)}")
+    for book in codebooks:
+        for cent in book:
+            for x in cent:
+                if not isinstance(x, int) or isinstance(x, bool):
+                    raise TypeError(
+                        "codebooks must be the MICRO integer form "
+                        "(pq_fit(micro=True)); got "
+                        f"{type(x).__name__} component {x!r}"
+                    )
+    return m, ks.pop(), subs.pop()
+
+
+def _require_len(vq: Column, n: int, what: str) -> Column:
+    """Wrap a micro-quantized vector column so a length mismatch with
+    the fitted codebooks raises at execution instead of silently
+    truncating tail dims (slice) or null-padding (zip_with)."""
+    return F.when(F.size(vq) == n, vq).otherwise(
+        F.raise_error(F.concat(F.lit(f"{what}: expected {n} dims, got "), F.size(vq).cast("string")))
     )
-    return F.array_sort(scores)[0]["cid"]
 
 
 def pq_fit(
@@ -610,10 +646,13 @@ def pq_fit(
     coarse quantizer). Seeds are the k vectors with smallest
     (md5(vec_id), vec_id) — the same reproducible order as
     ivf_fit_centroids; means are floor(sum/n) over exact integer
-    sums; empty cells keep their previous centroid. Each Lloyd step
-    per subspace is one narrow assignment pass plus one
-    map-combinable groupBy-sum; only m*k*(dim/m) integers ever reach
-    the driver, so fitting scales to any corpus."""
+    sums; empty cells keep their previous centroid. The m subspaces
+    train TOGETHER: each vector explodes into m (j, slice) rows — the
+    same total data volume as the raw vectors — so every Lloyd step
+    is ONE narrow assignment pass plus ONE map-combinable
+    groupBy((j, cid))-sum over the whole corpus, not m sequential
+    re-scans. Only m*k*(dim/m) integers ever reach the driver, so
+    fitting scales to any corpus."""
     import math
 
     if dim % m:
@@ -625,32 +664,53 @@ def pq_fit(
     seed_rows = (
         qdf.orderBy(md5_order(F.col("__id")), F.col("__id")).limit(k).collect()
     )
-    books: list[list[list[int]]] = []
-    for j in range(m):
-        lo = j * sub
-        cents = [list(map(int, r["__vq"][lo : lo + sub])) for r in seed_rows]
-        sj = qdf.select(F.slice("__vq", lo + 1, sub).alias("__sv"))
-        for _ in range(iterations):
-            assigned = sj.select(
-                _argmin_l2_micro(F.col("__sv"), cents).alias("__cid"), "__sv"
-            )
-            rows = (
-                assigned.groupBy("__cid")
-                .agg(
-                    F.count(F.lit(1)).alias("__n"),
-                    *[
-                        F.sum(F.element_at("__sv", i + 1)).alias(f"s{i}")
-                        for i in range(sub)
-                    ],
-                )
-                .collect()
-            )
-            for r in rows:
-                n = r["__n"]
-                cents[r["__cid"]] = [
-                    int(math.floor(r[f"s{i}"] / n)) for i in range(sub)
+    books: list[list[list[int]]] = [
+        [list(map(int, r["__vq"][j * sub : (j + 1) * sub])) for r in seed_rows]
+        for j in range(m)
+    ]
+    sv = qdf.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("__j"),
+                        F.slice("__vq", j * sub + 1, sub).alias("__sv"),
+                    )
+                    for j in range(m)
                 ]
-        books.append(cents)
+            )
+        ).alias("__e")
+    ).select("__e.__j", "__e.__sv")
+    for _ in range(iterations):
+        mat_by_j = F.array(
+            *[
+                F.array(*[F.array(*[F.lit(int(x)) for x in cent]) for cent in books[j]])
+                for j in range(m)
+            ]
+        )
+        assigned = sv.select(
+            "__j",
+            _argmin_l2_matrix(
+                F.col("__sv"), F.element_at(mat_by_j, F.col("__j") + 1), k
+            ).alias("__cid"),
+            "__sv",
+        )
+        rows = (
+            assigned.groupBy("__j", "__cid")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at("__sv", i + 1)).alias(f"s{i}")
+                    for i in range(sub)
+                ],
+            )
+            .collect()
+        )
+        for r in rows:
+            n = r["__n"]
+            books[r["__j"]][r["__cid"]] = [
+                int(math.floor(r[f"s{i}"] / n)) for i in range(sub)
+            ]
     if micro:
         return books
     return [[[c / 1e6 for c in cent] for cent in book] for book in books]
@@ -669,11 +729,15 @@ def pq_encode(
     array instead of re-evaluating the quantization per subspace
     (interpreted higher-order lambdas sit outside codegen CSE — the
     round-7 text.py lesson). ``codebooks`` must be the MICRO integer
-    form (pq_fit(micro=True))."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
+    form (pq_fit(micro=True)) — float codebooks raise TypeError, and
+    vectors whose length differs from the fitted m*sub raise at
+    execution instead of silently truncating/null-padding."""
+    m, _, sub = _require_micro_books(codebooks)
     q = base.select(
-        F.col(id_col), quantize_vec(F.col(vec_col)).alias("__vq")
+        F.col(id_col),
+        _require_len(
+            quantize_vec(F.col(vec_col)), m * sub, "pq_encode"
+        ).alias("__vq"),
     )
     codes = F.array(
         *[
@@ -700,11 +764,16 @@ def pq_adc_topk(
     broadcast side; ranking is a per-query row_number that
     WindowGroupLimit prunes map-side (~k rows per query reach the
     exchange). Output: (query_id, vec_id, adc_dist_micro2, rank),
-    rank 1 = nearest, ties toward the smaller vec_id."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
+    rank 1 = nearest, ties toward the smaller vec_id. ``codebooks``
+    must be the MICRO integer form (pq_fit(micro=True)) — float
+    codebooks raise TypeError; query vectors of the wrong length
+    raise at execution."""
+    m, _, sub = _require_micro_books(codebooks)
     q = queries.select(
-        F.col(query_id_col), quantize_vec(F.col(vec_col)).alias("__qv")
+        F.col(query_id_col),
+        _require_len(
+            quantize_vec(F.col(vec_col)), m * sub, "pq_adc_topk"
+        ).alias("__qv"),
     )
     joined = codes.crossJoin(F.broadcast(q))
     cbs = [

@@ -4902,9 +4902,11 @@ _FIRST = [
     "valid_only_drop_na",
     "weighted_stats_value",
     "zipf_fit_tokens",
-    # Block 3 — backfill: the histogram-family merge freed three
-    # slots, spent on round-8-green queries that would otherwise be
-    # due again in round 10 (shortens the next rotation).
+    # Block 3 — backfill: four free slots (histogram-family merge +3,
+    # embedding-dedup merge +1, fits merge +1, minus 1 consumed by the
+    # net-new pq_adc_topk_embeddings), spent on round-8-green queries
+    # that would otherwise be due again in round 10 (shortens the next
+    # rotation).
     "pack_chunks_256",
     "pricing_summary",
     "gopher_repetition_docs",

@@ -883,3 +883,36 @@ def test_pq_adc_topk_exact_integer_distances_and_recall(spark):
         got = {v for _, v in per_q[q]}
         hits += len(exact & got)
     assert hits / (5 * k) >= 0.4
+
+
+def test_pq_rejects_float_codebooks_and_wrong_dims(spark):
+    # the two silent-garbage inputs must fail LOUDLY: float codebooks
+    # (pq_fit's default micro=False output would truncate every
+    # component to 0 via int()) and vectors whose length differs from
+    # the fitted m*sub (slice would drop tail dims; zip_with would
+    # null-pad short ones)
+    import random
+
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    float_books = SIM.pq_fit(base, dim=8, m=2, k=4, iterations=1)  # micro=False
+    with pytest.raises(TypeError, match="MICRO integer form"):
+        SIM.pq_encode(base, float_books)
+    with pytest.raises(TypeError, match="MICRO integer form"):
+        SIM.pq_adc_topk(base.select("vec_id"), base, float_books)
+    with pytest.raises(ValueError, match="ragged"):
+        SIM.pq_encode(base, [[[1, 2], [3, 4]], [[5, 6, 7]]])
+    books = SIM.pq_fit(base, dim=8, m=2, k=4, iterations=1, micro=True)
+    short = spark.createDataFrame(
+        [(0, [0.1] * 6)], ["vec_id", "embedding"]
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="expected 8 dims, got 6"):
+        SIM.pq_encode(short, books).collect()
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="expected 8 dims, got 6"):
+        SIM.pq_adc_topk(
+            SIM.pq_encode(base, books), short.withColumnRenamed("vec_id", "query_id"), books
+        ).collect()
