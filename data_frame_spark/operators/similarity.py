@@ -310,18 +310,17 @@ def _argmin_centroid(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_sort(_centroid_scores(vec, centroids))[0]["cid"]
 
 
-def _argmin_centroid_micro(vq: Column, cent: list[list[int]]) -> Column:
-    """Nearest-centroid id by maximum INTEGER dot product between a
-    micro-quantized vector column and micro-int centroid literals —
-    exact int64 arithmetic (|v| ≤ ~1 → products ≤ 1e12, 64-dim sums
-    ≤ 6.4e13, well inside int64 AND double-exact range), so the
-    assignment is bit-identical on any engine and any partitioning.
-    Ties break toward the smaller cid."""
-    m = F.array(*[F.array(*[F.lit(int(c)) for c in row]) for row in cent])
-    idx = F.expr(f"sequence(0, {len(cent) - 1})")
+def _argmax_dot_matrix(vq: Column, mat: Column, k: int) -> Column:
+    """Nearest-of-``k``-centroids id by maximum INTEGER dot product
+    between a micro-quantized vector column and the array-of-arrays
+    centroid column ``mat`` — exact int64 arithmetic (|v| ≤ ~1 →
+    products ≤ 1e12, 64-dim sums ≤ 6.4e13, well inside int64 AND
+    double-exact range), so the assignment is bit-identical on any
+    engine and any partitioning. Ties break toward the smaller cid."""
+    idx = F.expr(f"sequence(0, {k - 1})")
     zero = F.lit(0).cast("long")
     scores = F.zip_with(
-        m,
+        mat,
         idx,
         lambda c, i: F.struct(
             (
@@ -341,6 +340,53 @@ def quantize_vec(vec: Column) -> Column:
     return F.transform(
         vec, lambda x: F.floor(x.cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     )
+
+
+def _lloyd_iterations(sv: DataFrame, books, iterations: int, sub: int, argmin) -> None:
+    """The shared integer-Lloyd refinement contract, single-sourced
+    for the IVF coarse quantizer (one codebook over the full vector)
+    and the PQ subspace fit (m codebooks over slices): ``sv`` is
+    (__j, __sv) rows, ``books`` is list[m][k][sub] micro-int
+    centroids MUTATED in place, ``argmin(vq_col, mat_col, k)`` picks
+    a cid by the caller's metric. Each iteration is ONE distributed
+    assignment pass plus ONE map-combinable groupBy((__j, __cid))
+    sum; means are floor(sum/n) of exact int64 sums (< 2^53, so the
+    division is the same bits as SQL FLOOR(CAST(s AS DOUBLE)/n) on
+    any engine); empty cells keep their previous centroid. Only
+    m*k*sub integers ever reach the driver per iteration."""
+    import math
+
+    m, k = len(books), len(books[0])
+    for _ in range(iterations):
+        mat_by_j = F.array(
+            *[
+                F.array(*[F.array(*[F.lit(int(x)) for x in cent]) for cent in books[j]])
+                for j in range(m)
+            ]
+        )
+        assigned = sv.select(
+            "__j",
+            argmin(
+                F.col("__sv"), F.element_at(mat_by_j, F.col("__j") + 1), k
+            ).alias("__cid"),
+            "__sv",
+        )
+        rows = (
+            assigned.groupBy("__j", "__cid")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at("__sv", i + 1)).alias(f"s{i}")
+                    for i in range(sub)
+                ],
+            )
+            .collect()
+        )
+        for r in rows:
+            n = r["__n"]
+            books[r["__j"]][r["__cid"]] = [
+                int(math.floor(r[f"s{i}"] / n)) for i in range(sub)
+            ]
 
 
 def ivf_fit_centroids(
@@ -367,10 +413,9 @@ def ivf_fit_centroids(
     SQL-oracle-reproducible; returned centroids are micro/1e6 floats
     (identical doubles on every engine), or the raw micro INTEGERS
     with ``micro=True`` (the exact cross-engine comparison form the
-    oracle query uses). Empty clusters keep their previous
-    centroid."""
-    import math
-
+    oracle query uses). Empty clusters keep their previous centroid.
+    Refinement is the shared _lloyd_iterations contract (the m=1
+    case — ONE codebook over the full vector, dot-max metric)."""
     qdf = base.select(
         F.col(id_col).alias("__id"), quantize_vec(F.col(vec_col)).alias("__vq")
     )
@@ -379,29 +424,10 @@ def ivf_fit_centroids(
         .limit(k)
         .collect()
     )
-    cent = [list(map(int, r["__vq"])) for r in seed_rows]
-    for _ in range(iterations):
-        assigned = qdf.select(
-            _argmin_centroid_micro(F.col("__vq"), cent).alias("__cid"), "__vq"
-        )
-        rows = (
-            assigned.groupBy("__cid")
-            .agg(
-                F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.sum(F.element_at("__vq", i + 1)).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-            )
-            .collect()
-        )
-        for r in rows:
-            n = r["__n"]
-            # floor of an exact-double division (sums < 2^53): the
-            # same bits as the SQL FLOOR(CAST(s AS DOUBLE)/n)
-            cent[r["__cid"]] = [
-                int(math.floor(r[f"s{i}"] / n)) for i in range(dim)
-            ]
+    books = [[list(map(int, r["__vq"])) for r in seed_rows]]
+    sv = qdf.select(F.lit(0).alias("__j"), F.col("__vq").alias("__sv"))
+    _lloyd_iterations(sv, books, iterations, dim, _argmax_dot_matrix)
+    cent = books[0]
     if micro:
         return cent
     return [[c / 1e6 for c in cm] for cm in cent]
@@ -572,7 +598,7 @@ def _argmin_l2_matrix(vq: Column, mat: Column, k: int) -> Column:
     """Index of the nearest of ``k`` centroids in the array-of-arrays
     column ``mat`` by exact integer squared L2 distance; ties break
     toward the smaller index. One zip_with over (matrix, sequence) —
-    the same py4j-economy shape as _argmin_centroid_micro — instead
+    the same py4j-economy shape as _argmax_dot_matrix — instead
     of k independent aggregate subtrees."""
     idx = F.expr(f"sequence(0, {k - 1})")
     zero = F.lit(0).cast("long")
@@ -651,10 +677,9 @@ def pq_fit(
     same total data volume as the raw vectors — so every Lloyd step
     is ONE narrow assignment pass plus ONE map-combinable
     groupBy((j, cid))-sum over the whole corpus, not m sequential
-    re-scans. Only m*k*(dim/m) integers ever reach the driver, so
-    fitting scales to any corpus."""
-    import math
-
+    re-scans (the shared _lloyd_iterations contract, min-L2 metric).
+    Only m*k*(dim/m) integers ever reach the driver, so fitting
+    scales to any corpus."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -681,36 +706,7 @@ def pq_fit(
             )
         ).alias("__e")
     ).select("__e.__j", "__e.__sv")
-    for _ in range(iterations):
-        mat_by_j = F.array(
-            *[
-                F.array(*[F.array(*[F.lit(int(x)) for x in cent]) for cent in books[j]])
-                for j in range(m)
-            ]
-        )
-        assigned = sv.select(
-            "__j",
-            _argmin_l2_matrix(
-                F.col("__sv"), F.element_at(mat_by_j, F.col("__j") + 1), k
-            ).alias("__cid"),
-            "__sv",
-        )
-        rows = (
-            assigned.groupBy("__j", "__cid")
-            .agg(
-                F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.sum(F.element_at("__sv", i + 1)).alias(f"s{i}")
-                    for i in range(sub)
-                ],
-            )
-            .collect()
-        )
-        for r in rows:
-            n = r["__n"]
-            books[r["__j"]][r["__cid"]] = [
-                int(math.floor(r[f"s{i}"] / n)) for i in range(sub)
-            ]
+    _lloyd_iterations(sv, books, iterations, sub, _argmin_l2_matrix)
     if micro:
         return books
     return [[[c / 1e6 for c in cent] for cent in book] for book in books]
