@@ -683,8 +683,12 @@ def pq_fit(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
+    # same hardening as pq_encode/pq_adc_topk: a base vector shorter
+    # than dim would otherwise slice short and null-pad through
+    # zip_with in _argmin_l2_matrix, silently corrupting assignments
     qdf = base.select(
-        F.col(id_col).alias("__id"), quantize_vec(F.col(vec_col)).alias("__vq")
+        F.col(id_col).alias("__id"),
+        _require_len(quantize_vec(F.col(vec_col)), dim, "pq_fit").alias("__vq"),
     )
     seed_rows = (
         qdf.orderBy(md5_order(F.col("__id")), F.col("__id")).limit(k).collect()

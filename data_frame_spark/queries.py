@@ -908,6 +908,16 @@ def _det(m):
     return acc
 
 
+def _round6(x: float) -> float:
+    """Half-AWAY-FROM-ZERO rounding to 6 decimals — the semantics of
+    DuckDB's ROUND. Python's round() is banker's (half-to-even): a
+    coefficient landing exactly on a 6th-decimal .5 tie would
+    hash-mismatch the oracle (round-9 advisory)."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
+
+
 def _cramer(mom, rhs, degree):
     """Solve the (degree+1)² Vandermonde normal system by Cramer.
     mom[k] = Σx^k (mom[0] = n), rhs[i] = Σx^i·y. Works on floats or
@@ -1078,10 +1088,10 @@ def fits_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     pwr_a = math.exp((m["slny"] - (pwr_b * m["slnx"])) / n)
     rows = [
         ("linear", lin[0], lin[1], None, None, None),
-        ("log", round(log_a, 6), round(log_b, 6), None, None, None),
+        ("log", _round6(log_a), _round6(log_b), None, None, None),
         ("poly2", p2[0], p2[1], p2[2], None, None),
         ("poly3", p3[0], p3[1], p3[2], p3[3], None),
-        ("power", round(pwr_a, 6), round(pwr_b, 6), None, None, None),
+        ("power", _round6(pwr_a), _round6(pwr_b), None, None, None),
         ("slr", slr_a, slr_b, None, None, slr_r),
     ]
     ev = t(spark, sf_dir, "events").select(
@@ -1091,7 +1101,7 @@ def fits_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     efit = OpFit.least_squares_fit(ev, "x", "y", mode="exp")
     ea, eb, ec = efit.coefficients
     rows.append(
-        ("exp", round(ea, 6), round(eb, 6), round(float(ec), 6), None, None)
+        ("exp", _round6(ea), _round6(eb), _round6(float(ec)), None, None)
     )
     return spark.createDataFrame(
         rows, "kind string, c0 double, c1 double, c2 double, c3 double, r double"
@@ -2017,7 +2027,7 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = OpFit.least_squares_fit(d, "x", "y", mode="power")
     a, b = fit.coefficients
     return spark.createDataFrame(
-        [(round(a, 6), round(b, 6))], ["a", "zipf_exponent"]
+        [(_round6(a), _round6(b))], ["a", "zipf_exponent"]
     )
 
 
@@ -3655,28 +3665,7 @@ _MM_USER_BASE = """
 
 
 @query(
-    "mean_max_by_user",
-    oracle=_MM_USER_BASE
-    + """
-    SELECT user_id, duration, mean AS best_mean, pos FROM r WHERE rk = 1
-    """,
-)
-def mean_max_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-mean-max per entity (meanmax.rkt:262-269 with
-    partition_by): every sort/window/rank is PARTITION BY user_id —
-    the 100 TB shape (the global-order variant in mean_max_value is
-    the single-series case)."""
-    ev = t(spark, sf_dir, "events").withColumn(
-        "x", F.col("ts_us") / F.lit(1000000.0)
-    )
-    return OpMM.mean_max(
-        ev, "value", "x", durations=[86400, 604800],
-        partition_by=["user_id"], slice_scale=6,
-    )
-
-
-@query(
-    "mean_max_aux_by_user",
+    "mean_max_user_family",
     oracle=_MM_USER_BASE
     + """
     , win AS (SELECT user_id, duration, pos FROM r WHERE rk = 1),
@@ -3693,105 +3682,123 @@ def mean_max_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                    END AS Aat
             FROM b2 JOIN f2
               ON b2.user_id = f2.user_id AND b2.duration = f2.duration
-             AND b2.pos = f2.pos AND b2.e = f2.e)
-    SELECT user_id, duration, pos,
+             AND b2.pos = f2.pos AND b2.e = f2.e),
+    lraw AS (SELECT user_id,
+                    ((epoch_ns(ts)//1000)
+                      - MIN(epoch_ns(ts)//1000) OVER (PARTITION BY user_id))
+                      / 1000000.0 AS x,
+                    COALESCE(value, 0.0) AS y
+             FROM events),
+    ltagged AS (SELECT user_id, x, y,
+                       COALESCE(LAG(x) OVER (PARTITION BY user_id ORDER BY x),
+                                0.0) AS px,
+                       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY x) AS k
+                FROM lraw),
+    lpts AS (SELECT user_id, px AS x, y, 2*k - 1 AS tb FROM ltagged
+             UNION ALL SELECT user_id, x, y, 2*k AS tb FROM ltagged),
+    -- tb encodes sequence order (start_k=2k-1, end_k=2k): with
+    -- x nondecreasing in sequence, ORDER BY x, tb IS the
+    -- reference's point order even when coordinates collide
+    ls AS (SELECT user_id, x, tb, y,
+                  (x - LAG(x) OVER w) * (LAG(y) OVER w + y)/2 AS slice,
+                  LEAD(x) OVER w AS nx
+           FROM lpts WINDOW w AS (PARTITION BY user_id ORDER BY x, tb)),
+    la AS (SELECT user_id, x, nx,
+                  COALESCE(SUM(CAST(FLOOR(slice * 1000000.0 + 0.5) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY x, tb
+                                 ROWS UNBOUNDED PRECEDING), 0) / 1000000.0 AS A,
+                  MAX(x) OVER (PARTITION BY user_id) AS xmax
+           FROM ls),
+    lprobes AS (SELECT la.user_id, la.x AS pos, d.duration, la.A AS A_start,
+                       la.x + d.duration AS k
+                FROM la CROSS JOIN d
+                WHERE la.nx IS NOT NULL AND la.x + d.duration <= la.xmax),
+    lback AS (SELECT p.user_id, p.pos, p.duration, p.A_start, p.k,
+                     b.x AS x0, b.A AS A0
+              FROM lprobes p ASOF LEFT JOIN la b
+                ON p.user_id = b.user_id AND p.k >= b.x),
+    lfwd AS (SELECT p.user_id, p.pos, p.duration, b.x AS x1, b.A AS A1
+             FROM lprobes p ASOF LEFT JOIN la b
+               ON p.user_id = b.user_id AND p.k < b.x),
+    lm AS (SELECT lback.user_id, lback.duration, lback.pos,
+                  (CASE WHEN lfwd.x1 IS NULL OR lfwd.x1 = lback.x0 THEN lback.A0
+                        ELSE lback.A0 + (lback.k - lback.x0)/(lfwd.x1 - lback.x0)
+                                       *(lfwd.A1 - lback.A0) END
+                   - lback.A_start) / lback.duration AS mean
+           FROM lback JOIN lfwd
+             ON lback.user_id = lfwd.user_id AND lback.pos = lfwd.pos
+            AND lback.duration = lfwd.duration),
+    lr AS (SELECT user_id, duration, pos, mean,
+                  ROW_NUMBER() OVER (PARTITION BY user_id, duration
+                                     ORDER BY mean DESC, pos ASC) AS rk
+           FROM lm)
+    SELECT 'base' AS facet, user_id, duration, pos, mean AS metric
+    FROM r WHERE rk = 1
+    UNION ALL
+    SELECT 'aux' AS facet, user_id, duration, pos,
            (MAX(CASE WHEN e = 1 THEN Aat END) - MAX(CASE WHEN e = 0 THEN Aat END))
-             / duration AS aux_mean
+             / duration AS metric
     FROM at2 GROUP BY user_id, duration, pos
+    UNION ALL
+    SELECT 'lap' AS facet, user_id, duration, pos, mean AS metric
+    FROM lr WHERE rk = 1
     """,
 )
-def mean_max_aux_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-mean-max-aux (meanmax.rkt:310-314): the mean of a SECOND
-    series (value², e.g. power-at-best-speed) over each winning
-    mean-max window, per user — same interpolated-A formulation on
-    the aux column, probed at (pos, pos+duration)."""
+def mean_max_user_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-user mean-max family in ONE oracle row (round-10 merge
+    of mean_max_by_user + mean_max_aux_by_user +
+    lap_swim_mean_max_by_user; operators unchanged).
+
+    'base' facet — df-mean-max per entity (meanmax.rkt:262-269 with
+    partition_by): every sort/window/rank is PARTITION BY user_id,
+    the 100 TB shape (the global-order variant in mean_max_value is
+    the single-series case). 'aux' facet — df-mean-max-aux
+    (meanmax.rkt:310-314): the mean of a SECOND series (value², e.g.
+    power-at-best-speed) over each winning window — same
+    interpolated-A formulation probed at (pos, pos+duration). The
+    winning-window table is built ONCE (eager localCheckpoint, it is
+    users×durations-sized) and shared by both facets; the two
+    pre-merge rows each rebuilt the whole ladder pipeline. 'lap'
+    facet — df-mean-max/lap-swim (meanmax.rkt:270-304): each discrete
+    sample becomes a constant-value segment [(prev_x, v), (x, v)]
+    with NA->0 (pauses count), per user on an activity-relative
+    x-axis, then the standard mean-max; duplicate-x tie points carry
+    zero-width slices, so tie order cannot perturb the A-curve. The
+    lap facet expands a DIFFERENT point stream, so it shares nothing
+    but the operator."""
+    from pyspark.sql import Window as W
+
     ev = t(spark, sf_dir, "events").withColumn(
         "x", F.col("ts_us") / F.lit(1000000.0)
     ).withColumn("value2", F.col("value") * F.col("value"))
     mm = OpMM.mean_max(
         ev, "value", "x", durations=[86400, 604800],
         partition_by=["user_id"], slice_scale=6,
+    ).localCheckpoint(eager=True)
+    base = mm.select(
+        F.lit("base").alias("facet"), "user_id", "duration", "pos",
+        F.col("best_mean").alias("metric"),
     )
-    return OpMM.mean_max_aux(
+    aux = OpMM.mean_max_aux(
         ev, mm, "value2", "x", partition_by=["user_id"], slice_scale=6
+    ).select(
+        F.lit("aux").alias("facet"), "user_id", "duration", "pos",
+        F.col("aux_mean").alias("metric"),
     )
-
-
-@query(
-    "lap_swim_mean_max_by_user",
-    oracle="""
-    WITH raw AS (SELECT user_id,
-                        ((epoch_ns(ts)//1000)
-                          - MIN(epoch_ns(ts)//1000) OVER (PARTITION BY user_id))
-                          / 1000000.0 AS x,
-                        COALESCE(value, 0.0) AS y
-                 FROM events),
-         tagged AS (SELECT user_id, x, y,
-                           COALESCE(LAG(x) OVER (PARTITION BY user_id ORDER BY x),
-                                    0.0) AS px,
-                           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY x) AS k
-                    FROM raw),
-         pts AS (SELECT user_id, px AS x, y, 2*k - 1 AS tb FROM tagged
-                 UNION ALL SELECT user_id, x, y, 2*k AS tb FROM tagged),
-         -- tb encodes sequence order (start_k=2k-1, end_k=2k): with
-         -- x nondecreasing in sequence, ORDER BY x, tb IS the
-         -- reference's point order even when coordinates collide
-         s AS (SELECT user_id, x, tb, y,
-                      (x - LAG(x) OVER w) * (LAG(y) OVER w + y)/2 AS slice,
-                      LEAD(x) OVER w AS nx
-               FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY x, tb)),
-         a AS (SELECT user_id, x, nx,
-                      COALESCE(SUM(CAST(FLOOR(slice * 1000000.0 + 0.5) AS BIGINT))
-                               OVER (PARTITION BY user_id ORDER BY x, tb
-                                     ROWS UNBOUNDED PRECEDING), 0) / 1000000.0 AS A,
-                      MAX(x) OVER (PARTITION BY user_id) AS xmax
-               FROM s),
-         d AS (SELECT CAST(UNNEST([86400, 604800]) AS DOUBLE) AS duration),
-         probes AS (SELECT a.user_id, a.x AS pos, d.duration, a.A AS A_start,
-                           a.x + d.duration AS k
-                    FROM a CROSS JOIN d
-                    WHERE a.nx IS NOT NULL AND a.x + d.duration <= a.xmax),
-         back AS (SELECT p.user_id, p.pos, p.duration, p.A_start, p.k,
-                         b.x AS x0, b.A AS A0
-                  FROM probes p ASOF LEFT JOIN a b
-                    ON p.user_id = b.user_id AND p.k >= b.x),
-         fwd AS (SELECT p.user_id, p.pos, p.duration, b.x AS x1, b.A AS A1
-                 FROM probes p ASOF LEFT JOIN a b
-                   ON p.user_id = b.user_id AND p.k < b.x),
-         m AS (SELECT back.user_id, back.duration, back.pos,
-                      (CASE WHEN fwd.x1 IS NULL OR fwd.x1 = back.x0 THEN back.A0
-                            ELSE back.A0 + (back.k - back.x0)/(fwd.x1 - back.x0)
-                                           *(fwd.A1 - back.A0) END
-                       - back.A_start) / back.duration AS mean
-               FROM back JOIN fwd
-                 ON back.user_id = fwd.user_id AND back.pos = fwd.pos
-                AND back.duration = fwd.duration),
-         r AS (SELECT user_id, duration, pos, mean,
-                      ROW_NUMBER() OVER (PARTITION BY user_id, duration
-                                         ORDER BY mean DESC, pos ASC) AS rk
-               FROM m)
-    SELECT user_id, duration, mean AS best_mean, pos FROM r WHERE rk = 1
-    """,
-)
-def lap_swim_mean_max_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-mean-max/lap-swim (meanmax.rkt:270-304): each discrete
-    sample becomes a constant-value segment [(prev_x, v), (x, v)]
-    with NA->0 (pauses count), per user on an activity-relative
-    x-axis, then the standard mean-max. Duplicate-x tie points carry
-    zero-width slices, so tie order cannot perturb the A-curve."""
-    ev = t(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
-
-    ev = ev.withColumn(
+    evl = t(spark, sf_dir, "events").withColumn(
         "x",
         (F.col("ts_us") - F.min("ts_us").over(W.partitionBy("user_id")))
         / F.lit(1000000.0),
     )
-    expanded = OpMM.lap_swim_expand(ev, "value", "x", partition_by=["user_id"])
-    return OpMM.mean_max(
+    expanded = OpMM.lap_swim_expand(evl, "value", "x", partition_by=["user_id"])
+    lap = OpMM.mean_max(
         expanded, "value", "x", durations=[86400, 604800],
         partition_by=["user_id"], slice_scale=6, tiebreak_col="lap_tb",
+    ).select(
+        F.lit("lap").alias("facet"), "user_id", "duration", "pos",
+        F.col("best_mean").alias("metric"),
     )
+    return base.unionByName(aux).unionByName(lap)
 
 
 @query(
@@ -4615,16 +4622,21 @@ def csv_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal form and the reader's double cast parses it back to the
     same bits. Both legs are distributed (parallel part files in,
     distributed scan out) — the round-trip works at any scale."""
+    import atexit
+    import shutil
     import tempfile
 
     # per-process path: a fixed name would race a concurrent run on
     # the same fixture (overwrite deletes part files under the other
     # session's lazy scan); within one process the path is stable so
-    # the returned DataFrame stays readable after this call
+    # the returned DataFrame stays readable after this call, and the
+    # atexit hook removes it at interpreter exit so repeated driver
+    # rounds don't accumulate directories (round-9 advisory)
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
     path = os.path.join(
         tempfile.gettempdir(), f"dfs_csv_roundtrip{tag}_{os.getpid()}"
     )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     cols = [
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_discount", "l_returnflag", "l_linestatus",
@@ -4768,6 +4780,88 @@ def haversine_track_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gpx_corpus_read_docs",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           SUM(CAST(FLOOR(({_TRACK_LAT_SQL}) * 1000000.0 + 0.5) AS BIGINT))
+             AS lat_micro_sum,
+           SUM(CAST(FLOOR(({_TRACK_LON_SQL}) * 1000000.0 + 0.5) AS BIGINT))
+             AS lon_micro_sum,
+           COUNT(value) AS n_ele,
+           SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS ele_micro_sum,
+           MIN(CAST((epoch_ns(ts)//1000)//1000000 AS DOUBLE)) AS t_min,
+           MAX(CAST((epoch_ns(ts)//1000)//1000000 AS DOUBLE)) AS t_max
+    FROM events WHERE event_id % 3 = 0
+    GROUP BY user_id
+    """,
+)
+def gpx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED GPX bulk-ingest path end-to-end (df-read/gpx
+    over many files, gpx.rkt:393-446; Spark side: sources/gpx.py
+    parse_many — mapInPandas over (id, xml) rows, one parser instance
+    per Arrow batch). One synthetic GPX document per user is built
+    WITHOUT leaving the cluster: a per-user applyInPandas group
+    serializes its sorted track through the same track_xml writer the
+    single-activity sink uses (repr doubles + whole-second ISO-8601
+    timestamps = exact by construction), then the whole corpus flows
+    back through parse_many and aggregates per user — point count,
+    micro-quantized lat/lon/ele sums (order-independent integer
+    sums), and the time span. The oracle computes identical
+    aggregates straight from the events table, so any loss anywhere
+    in serialize -> parse -> explode (attribute formatting, <ele>
+    NULL handling, timestamp parsing, source_id threading) breaks the
+    hash. At 100 TB both stages are one narrow pass each: documents
+    arrive pre-partitioned, nothing but the final users-sized
+    aggregate shuffles."""
+    from data_frame_spark.sources import gpx as GPXSrc
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").where(F.col("event_id") % 3 == 0)
+    _lat, _lon = _track_lat_lon()
+    pts = ev.select(
+        "user_id",
+        F.expr("ts_us div 1000000").cast("double").alias("timestamp"),
+        _lat.alias("lat"),
+        _lon.alias("lon"),
+        F.col("value").alias("alt"),
+    )
+
+    def build(key, pdf):
+        pdf = pdf.sort_values("timestamp")
+        points = [
+            (lat, lon, None if pd.isna(alt) else float(alt), ts)
+            for lat, lon, alt, ts in zip(
+                pdf["lat"], pdf["lon"], pdf["alt"], pdf["timestamp"]
+            )
+        ]
+        uid = int(key[0])
+        xml = GPXSrc.track_xml(points, f"user-{uid}")
+        return pd.DataFrame({"user_id": [uid], "xml": [xml]})
+
+    docs = pts.groupBy("user_id").applyInPandas(
+        build, schema="user_id long, xml string"
+    )
+    track = GPXSrc.parse_many(docs.select("user_id", "xml"), "xml")
+    m = F.lit(1000000.0)
+    return (
+        track.select(
+            F.col("source_id").alias("user_id"), "timestamp", "lat", "lon", "alt"
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.floor(F.col("lat") * m + F.lit(0.5))).alias("lat_micro_sum"),
+            F.sum(F.floor(F.col("lon") * m + F.lit(0.5))).alias("lon_micro_sum"),
+            F.count("alt").alias("n_ele"),
+            F.sum(F.floor(F.col("alt") * m + F.lit(0.5))).alias("ele_micro_sum"),
+            F.min("timestamp").alias("t_min"),
+            F.max("timestamp").alias("t_max"),
+        )
+    )
+
+
+@query(
     "tcx_roundtrip_events",
     oracle=f"""
     SELECT CAST((epoch_ns(ts)//1000)//1000000 AS DOUBLE) AS "timestamp",
@@ -4839,78 +4933,76 @@ def tcx_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FIRST = [
-    # round-9 rotation (standing policy: every query gets a driver row
+    # round-10 rotation (standing policy: every query gets a driver row
     # at least every 2 rounds; any query whose code changes this round
     # goes into the first 50).
     #
-    # Block 1 — round-9 additions (never had a driver row).
-    "duplicate_spans_keep_first_docs",
-    "clicks_to_purchases_events",
-    "quantiles_price_and_value",
-    "fits_family",
-    "ivf_centroids_embeddings",
-    "ivf_ann_topk_embeddings",
+    # Block 1 — round-10 new/changed rows: the merged per-user
+    # mean-max family (mean_max_by_user + mean_max_aux_by_user +
+    # lap_swim_mean_max_by_user -> mean_max_user_family), the new
+    # distributed-GPX corpus row, and the three queries whose code the
+    # ADVICE fixes touched (pq_fit length guard, fits_family rounding
+    # semantics, csv round-trip temp-dir lifecycle).
+    "mean_max_user_family",
+    "gpx_corpus_read_docs",
     "pq_adc_topk_embeddings",
-    "lm_nll_docs",
+    "fits_family",
     "csv_roundtrip_lineitem",
     "gpx_roundtrip_events",
-    "tcx_roundtrip_events",
-    "haversine_track_events",
-    "histogram_family",
+    # Backfill (r9-green, would be due in r11): the three remaining
+    # rows backed by the two operator files this round touched
+    # (similarity.py pq_fit guard, gpx.py track_xml refactor) —
+    # direct driver evidence the edits are additive, and a shorter
+    # r11 rotation.
+    "ivf_centroids_embeddings",
+    "ivf_ann_topk_embeddings",
     "embedding_dedup_family",
-    # Block 2 — the 32 remaining queries absent from both
-    # CORRECTNESS_r07 and CORRECTNESS_r08 (last driver-green: round 6;
-    # bodies verified bit-identical since by the round-7 and round-8
-    # judges). Eleven names from that 43-strong set were merged into
-    # Block-1 rows this round and ride their coverage there:
-    # mean_max_inverted -> mean_max_value; quantiles_extendedprice
-    # + weighted_quantiles_value -> quantiles_price_and_value;
-    # fits_price_qty + exp_fit_value_hour -> fits_family;
-    # histogram_quantity + weighted_histogram_value +
-    # string_histogram_event_type + combine_histograms_returnflag
-    # -> histogram_family; embedding_near_dup_pairs +
-    # embedding_dup_clusters -> embedding_dedup_family.
-    "anti_join_parts_never_ordered",
-    "asof_multi_value_lookup",
-    "batch_sessions_events",
-    "byte_features_docs",
-    "canonical_docs_by_quality",
-    "cartesian_region_nation",
-    "csv_read_fixture",
-    "describe_lineitem",
-    "dsir_importance_docs",
-    "equal_range_count",
-    "event_derived_series",
-    "exact_dedup_documents",
-    "group_samples_value_user",
-    "incremental_dedup_batch",
-    "interpolated_lookup_value",
-    "lsh_ann_topk_embeddings",
-    "mean_max_value",
-    "near_dup_clusters_docs",
-    "pairwise_corr_lineitem",
-    "rdp_simplify_user_series",
-    "row_range_slice",
-    "salted_join_segment_revenue",
-    "select_filter_project",
-    "semi_join_customers_with_open_orders",
-    "set_ops_order_priorities",
-    "simhash_docs",
-    "spline_mean_max_curve",
-    "stream_windows_hourly",
-    "top_revenue_orders",
-    "valid_only_drop_na",
-    "weighted_stats_value",
-    "zipf_fit_tokens",
-    # Block 3 — backfill: four free slots (histogram-family merge +3,
-    # embedding-dedup merge +1, fits merge +1, minus 1 consumed by the
-    # net-new pq_adc_topk_embeddings), spent on round-8-green queries
-    # that would otherwise be due again in round 10 (shortens the next
-    # rotation).
-    "pack_chunks_256",
-    "pricing_summary",
-    "gopher_repetition_docs",
-    "regional_revenue",
+    # Block 2 — the 41 remaining queries past the round-9 cap (all
+    # green in both CORRECTNESS_r07 and CORRECTNESS_r08; bodies
+    # verified unchanged since by the round-9 judge). The other three
+    # names from that 44-strong set are the mean-max rows merged into
+    # Block 1's mean_max_user_family.
+    "binary_metadata_docs",
+    "bloom_decontamination_docs",
+    "bm25_search_docs",
+    "cms_token_counts",
+    "contamination_audit_splits",
+    "corpus_stats_rollup",
+    "cosine_topk_embeddings",
+    "curriculum_buckets_docs",
+    "denylist_scrub_docs",
+    "duplicate_spans_docs",
+    "fit_residuals_price_qty",
+    "forecast_revenue",
+    "grid_quantiles_price",
+    "group_samples_factor_events",
+    "hll_distinct_shingles",
+    "index_range_select",
+    "json_props_rollup",
+    "kmv_distinct_users",
+    "kmv_set_ops_users",
+    "label_centroids_embeddings",
+    "minhash_signatures_docs",
+    "mixture_sample_docs",
+    "ngram_decontamination_docs",
+    "ngram_jaccard_verified",
+    "per_source_cap_docs",
+    "pmi_collocations_docs",
+    "quality_filter_docs",
+    "robust_outliers_value",
+    "rolling_stats_value",
+    "scrub_spans_docs",
+    "segment_dedup_docs",
+    "session_windows_30m",
+    "shipping_priority",
+    "split_assignment_docs",
+    "stratified_sample_docs",
+    "temperature_mixture_weights",
+    "text_features_docs",
+    "tfidf_top_terms_docs",
+    "weighted_sample_docs",
+    "winnowed_fingerprints_docs",
+    "zorder_key_events",
 ]
 
 # A retired name left in _FIRST must fail loudly: _order silently drops

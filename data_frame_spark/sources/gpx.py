@@ -161,6 +161,32 @@ def read_gpx(spark: SparkSession, path_or_text: str) -> Frame:
     return Frame(df, properties=props, order_by=["timestamp"])
 
 
+def track_xml(points, name: str) -> str:
+    """Pure GPX serializer shared by the driver-side ``write_gpx``
+    sink and the distributed per-group synthesis path: ``points`` is
+    an iterable of ``(lat, lon, ele, time_seconds)`` tuples (ele/time
+    may be None) already in track order. Doubles are written with
+    Python ``repr`` — the shortest round-trip form — so
+    ``parse_gpx_rows`` recovers the exact same bits."""
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1" creator="data_frame_spark">',
+        f"  <trk><name>{name}</name><trkseg>",
+    ]
+    for lat, lon, ele, ts in points:
+        if lat is None or lon is None:
+            continue
+        out.append(f'    <trkpt lat="{lat!r}" lon="{lon!r}">')
+        if ele is not None:
+            out.append(f"      <ele>{ele!r}</ele>")
+        if ts is not None:
+            out.append(f"      <time>{seconds_to_iso(ts)}</time>")
+        out.append("    </trkpt>")
+    out.append("  </trkseg></trk>")
+    out.append("</gpx>")
+    return "\n".join(out)
+
+
 def write_gpx(frame: Frame, name: str | None = None) -> str:
     """``df-write/gpx`` (gpx.rkt:161-231): Frame -> GPX XML string
     (lat/lon required; the altitude series is "calt" — corrected
@@ -171,24 +197,16 @@ def write_gpx(frame: Frame, name: str | None = None) -> str:
     cols = df.columns
     alt_col = "calt" if "calt" in cols else ("alt" if "alt" in cols else None)
     it = df.orderBy(*(frame.order_by or ["timestamp"])).toLocalIterator()
-    out = [
-        '<?xml version="1.0" encoding="UTF-8"?>',
-        '<gpx xmlns="http://www.topografix.com/GPX/1/1" version="1.1" creator="data_frame_spark">',
-        f"  <trk><name>{name or frame.get_property('name') or 'track'}</name><trkseg>",
-    ]
-    for r in it:
-        lat, lon = r["lat"], r["lon"]
-        if lat is None or lon is None:
-            continue
-        out.append(f'    <trkpt lat="{lat!r}" lon="{lon!r}">')
-        if alt_col is not None and r[alt_col] is not None:
-            out.append(f"      <ele>{r[alt_col]!r}</ele>")
-        if "timestamp" in cols and r["timestamp"] is not None:
-            out.append(f"      <time>{seconds_to_iso(r['timestamp'])}</time>")
-        out.append("    </trkpt>")
-    out.append("  </trkseg></trk>")
-    out.append("</gpx>")
-    return "\n".join(out)
+    points = (
+        (
+            r["lat"],
+            r["lon"],
+            r[alt_col] if alt_col is not None else None,
+            r["timestamp"] if "timestamp" in cols else None,
+        )
+        for r in it
+    )
+    return track_xml(points, name or frame.get_property("name") or "track")
 
 
 def parse_many(df, xml_col: str):

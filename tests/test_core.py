@@ -38,6 +38,31 @@ def test_rotation_list_names_are_live():
     assert len(q._FIRST) == len(set(q._FIRST))
 
 
+def test_bench_headline_names_are_live():
+    # the bench's fixed comparison subset must never reference a
+    # retired query — a silently shrunk subset fakes a speedup in the
+    # round-over-round headline_subset_total
+    import bench
+
+    assert set(bench.HEADLINE) <= set(bench.Q.QUERIES)
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_round6_matches_duckdb_round_semantics():
+    # fit coefficients are rounded to 6 decimals on BOTH sides of the
+    # oracle compare; Python round() is banker's (half-to-even) while
+    # DuckDB ROUND is half-away-from-zero — _round6 must match DuckDB
+    # exactly, ties included (round-9 advisory).
+    import duckdb
+
+    from data_frame_spark.queries import _round6
+
+    for v in [0.0000005, 0.0000015, -0.0000025, 1.0000035, -2.7182818,
+              3.1415925, 0.0, -0.0000005, 123.4567895]:
+        got = duckdb.sql(f"SELECT ROUND(CAST({v!r} AS DOUBLE), 6)").fetchone()[0]
+        assert _round6(v) == got, v
+
+
 def test_frame_wrapper(spark):
     fr = Frame.from_dict(
         spark, {"c0": [1, 2, 3, 4], "c1": [3, 2, 1, 0]}

@@ -90,9 +90,7 @@ def test_partitioned_meanmax_has_no_global_sort(spark, sf_dir):
     # the per-user mean-max family is the 100 TB path: every window
     # must carry PARTITION BY user_id — no partitionless window at all
     for name in (
-        "mean_max_by_user",
-        "mean_max_aux_by_user",
-        "lap_swim_mean_max_by_user",
+        "mean_max_user_family",
         "event_derived_series",
     ):
         df = QUERIES[name](spark, sf_dir)

@@ -916,3 +916,8 @@ def test_pq_rejects_float_codebooks_and_wrong_dims(spark):
         SIM.pq_adc_topk(
             SIM.pq_encode(base, books), short.withColumnRenamed("vec_id", "query_id"), books
         ).collect()
+    # fit itself must refuse short vectors too (round-9 advisory): a
+    # short base row would slice short and null-pad through zip_with,
+    # silently corrupting codebook assignment
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="expected 8 dims, got 6"):
+        SIM.pq_fit(base.union(short), dim=8, m=2, k=4, iterations=1, micro=True)
