@@ -579,6 +579,72 @@ def label_centroids(
     )
 
 
+def semantic_dedup(
+    base: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_cells: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster -> in-cell
+    pairwise prune; Abbas et al. 2023, arXiv:2303.09540): partition
+    the corpus into coarse cells with the integer-Lloyd IVF fit,
+    compute exact cosines ONLY within a cell, and drop every vector
+    that has a lower-id cell-mate at cosine >= threshold (keep-first
+    — the same convention as the span/segment dedups). Output: one
+    row per vector, (id, cell, kept, n_dups) where n_dups counts the
+    lower-id cell-mates above threshold (0 for kept rows).
+
+    100 TB shape: the in-cell pairwise stage is the published
+    algorithm's deliberate trade — work is Σ|cell|², never corpus²,
+    and ``n_cells`` scales with the corpus to hold the target cell
+    size constant — expressed as a cell-keyed equi-self-join
+    (shuffle on cell id, bounded per-task fan-out, exact verify via
+    the Arrow-batched quantized dot). The fit moves only k×dim
+    integers to the driver; there is no corpus-sized broadcast
+    anywhere. All arithmetic is the shared quantized-integer
+    contract, so cells, cosines, and keep decisions are
+    layout-independent and SQL-oracle reproducible."""
+    centroids = ivf_fit_centroids(
+        base, dim, n_cells, iterations, id_col, vec_col
+    )
+    b = ensure_parallelism(
+        base.select(
+            F.col(id_col),
+            F.col(vec_col).alias("__v"),
+            norm2(F.col(vec_col)).alias("__n"),
+            _argmin_centroid(F.col(vec_col), centroids).alias("cell"),
+        )
+    )
+    a, c = b.alias("a"), b.alias("c")
+    dup = (
+        a.join(
+            c,
+            (F.col("a.cell") == F.col("c.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"c.{id_col}").alias("__dup_id"),
+            (
+                qdot_batched(F.col("a.__v"), F.col("c.__v")).cast("double")
+                / F.lit(DOT_SCALE)
+                / (F.col("a.__n") * F.col("c.__n"))
+            ).alias("__cos"),
+        )
+        .where(F.col("__cos") >= F.lit(threshold))
+        .groupBy("__dup_id")
+        .agg(F.count(F.lit(1)).alias("n_dups"))
+    )
+    return b.join(dup, b[id_col] == dup["__dup_id"], "left").select(
+        F.col(id_col),
+        F.col("cell"),
+        F.col("n_dups").isNull().alias("kept"),
+        F.coalesce(F.col("n_dups"), F.lit(0).cast("long")).alias("n_dups"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): memory-bounded ANN for corpora whose raw
 # vectors don't fit the cluster. Codebooks quantize each of m

@@ -4446,10 +4446,12 @@ def ivf_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "cid int, dim int, val_micro bigint")
 
 
-@query(
-    "ivf_ann_topk_embeddings",
-    oracle=_IVF_CTE
-    + f"""
+# final cell assignment shared by the IVF ANN search and semantic
+# dedup oracles: float centroids = micro/1e6 (identical IEEE division
+# both engines), assignment dots quantized at 1e9 with the
+# (dot DESC, cid) tie-break — the SQL twin of _argmin_centroid over
+# ivf_fit_centroids output.
+_IVF_ASSIGN_CTE = """
     , cf AS (SELECT cid, list_transform(c, x -> CAST(x AS DOUBLE) / 1000000.0) AS f
              FROM c2),
     ad AS (SELECT e.vec_id, cf.cid,
@@ -4462,8 +4464,16 @@ def ivf_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ROW_NUMBER() OVER (PARTITION BY vec_id
                                           ORDER BY dq DESC, cid) AS rn
                 FROM ad)
-              WHERE rn = 1),
-    qprob AS (SELECT vec_id AS query_id, cid FROM (
+              WHERE rn = 1)
+"""
+
+
+@query(
+    "ivf_ann_topk_embeddings",
+    oracle=_IVF_CTE
+    + _IVF_ASSIGN_CTE
+    + f"""
+    , qprob AS (SELECT vec_id AS query_id, cid FROM (
                 SELECT vec_id, cid,
                        ROW_NUMBER() OVER (PARTITION BY vec_id
                                           ORDER BY dq DESC, cid) AS rn
@@ -4507,6 +4517,56 @@ def ivf_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return OpSim.ivf_topk(emb, probe, dim=64, k=5, n_cells=8, n_probe=2)
+
+
+@query(
+    "semantic_dedup_embeddings",
+    oracle=_IVF_CTE
+    + _IVF_ASSIGN_CTE
+    + f"""
+    , pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bcell a JOIN bcell b
+               ON a.cid = b.cid AND a.vec_id < b.vec_id),
+    pe AS (SELECT pr.id_a, pr.id_b,
+                  UNNEST(ea.embedding) AS av, UNNEST(eb.embedding) AS bv
+           FROM pr JOIN embeddings ea ON ea.vec_id = pr.id_a
+                   JOIN embeddings eb ON eb.vec_id = pr.id_b),
+    dots AS (SELECT id_a, id_b,
+                    {_DOTQ.format(a='av', b='bv')} AS dq,
+                    {_DOTQ.format(a='av', b='av')} AS na,
+                    {_DOTQ.format(a='bv', b='bv')} AS nb
+             FROM pe GROUP BY 1, 2),
+    scored AS (SELECT id_a, id_b,
+                      (dq/1000000000.0)
+                        / (SQRT(na/1000000000.0) * SQRT(nb/1000000000.0)) AS cosine
+               FROM dots),
+    dups AS (SELECT id_b AS vec_id, COUNT(*) AS n_dups
+             FROM scored WHERE cosine >= 0.4 GROUP BY 1)
+    SELECT b.vec_id, b.cid AS cell, d.n_dups IS NULL AS kept,
+           CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups
+    FROM bcell b LEFT JOIN dups d USING (vec_id)
+    """,
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication
+    (operators/similarity.py semantic_dedup; Abbas et al. 2023,
+    arXiv:2303.09540 — a net-new training-data operator, no reference
+    counterpart): the corpus partitions into 8 integer-Lloyd cells,
+    exact cosines are computed ONLY within a cell (Σ|cell|² work,
+    never corpus² — n_cells scales with the corpus to hold cell size
+    constant), and every vector with a lower-id cell-mate at cosine
+    >= 0.4 is dropped (keep-first; 0.4 is the demonstration threshold
+    for the fixture's near-uniform random embeddings, as in the other
+    embedding-dedup rows — production near-dups sit at ~0.95 where
+    chance pairs vanish). One row per vector: (vec_id, cell, kept,
+    n_dups). The oracle replays the whole pipeline: the shared
+    integer-Lloyd centroid CTE, the shared 1e9-quantized assignment
+    with (dot DESC, cid) tie-break, and the exact quantized cosine on
+    within-cell pairs."""
+    return OpSim.semantic_dedup(
+        t(spark, sf_dir, "embeddings"), dim=64, threshold=0.4, n_cells=8,
+        iterations=2,
+    )
 
 
 @query(
@@ -4956,7 +5016,9 @@ _FIRST = [
     # r11 rotation.
     "ivf_centroids_embeddings",
     "ivf_ann_topk_embeddings",
-    "embedding_dedup_family",
+    # Net-new this round: SemDeDup-style in-cell semantic dedup
+    # (composes the IVF fit + assignment the two rows above pin).
+    "semantic_dedup_embeddings",
     # Block 2 — the 41 remaining queries past the round-9 cap (all
     # green in both CORRECTNESS_r07 and CORRECTNESS_r08; bodies
     # verified unchanged since by the round-9 judge). The other three

@@ -803,6 +803,36 @@ def test_bigram_lm_detects_word_salad_unigram_cannot(spark):
     assert bi[1] < bi[2]           # bigram is not
 
 
+def test_semantic_dedup_keep_first_and_layout_independent(spark):
+    # SemDeDup: a planted exact duplicate lands in the SAME cell
+    # (identical vector -> identical assignment), scores cosine 1.0,
+    # and the HIGHER id is the one dropped (keep-first); the keep
+    # decisions are layout-independent (quantized-integer contract).
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    rows.append((100, list(rows[5][1])))  # exact dup of vec 5
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r
+        for r in SIM.semantic_dedup(
+            base, dim=8, threshold=0.99, n_cells=4, iterations=1
+        ).collect()
+    }
+    assert len(out) == 61  # one row per vector
+    assert out[5]["kept"] is True  # lower id survives
+    assert out[100]["kept"] is False and out[100]["n_dups"] >= 1
+    assert out[5]["cell"] == out[100]["cell"]
+    o2 = {
+        r["vec_id"]: (r["cell"], r["kept"], r["n_dups"])
+        for r in SIM.semantic_dedup(
+            base.repartition(7), dim=8, threshold=0.99, n_cells=4, iterations=1
+        ).collect()
+    }
+    assert o2 == {k: (v["cell"], v["kept"], v["n_dups"]) for k, v in out.items()}
+
+
 def test_pq_fit_layout_independent_and_deterministic(spark):
     # integer-Lloyd per subspace: identical codebooks under any
     # partitioning (same exactness contract as the IVF fit)
