@@ -416,8 +416,14 @@ def ivf_fit_centroids(
     oracle query uses). Empty clusters keep their previous centroid.
     Refinement is the shared _lloyd_iterations contract (the m=1
     case — ONE codebook over the full vector, dot-max metric)."""
+    # same hardening as the PQ entry points: a base vector shorter or
+    # longer than dim would otherwise null-pad/truncate through
+    # zip_with in the assignment dot, silently corrupting the fit
     qdf = base.select(
-        F.col(id_col).alias("__id"), quantize_vec(F.col(vec_col)).alias("__vq")
+        F.col(id_col).alias("__id"),
+        _require_len(
+            quantize_vec(F.col(vec_col)), dim, "ivf_fit_centroids"
+        ).alias("__vq"),
     )
     seed_rows = (
         qdf.orderBy(md5_order(F.col("__id")), F.col("__id"))
@@ -610,14 +616,25 @@ def semantic_dedup(
     centroids = ivf_fit_centroids(
         base, dim, n_cells, iterations, id_col, vec_col
     )
+    # wrong-length vectors fail loudly (same contract as the fit and
+    # the PQ entry points) instead of null-padding the assignment dot
+    # and crashing the pair kernel on a ragged numpy stack
+    v = _require_len(F.col(vec_col), dim, "semantic_dedup")
     b = ensure_parallelism(
         base.select(
             F.col(id_col),
-            F.col(vec_col).alias("__v"),
-            norm2(F.col(vec_col)).alias("__n"),
-            _argmin_centroid(F.col(vec_col), centroids).alias("cell"),
+            v.alias("__v"),
+            norm2(v).alias("__n"),
+            _argmin_centroid(v, centroids).alias("cell"),
         )
     )
+    # b feeds THREE consumers (both self-join sides + the final
+    # id-keyed left join); the per-row n_cells x dim assignment
+    # lambda is the operator's most expensive expression, so
+    # materialize the (id, vec, norm, cell) projection once instead
+    # of recomputing it per consumer — the same shared-intermediate
+    # treatment as embedding_dedup_family's pair table
+    b = b.localCheckpoint(eager=True)
     a, c = b.alias("a"), b.alias("c")
     dup = (
         a.join(

@@ -912,9 +912,14 @@ def _round6(x: float) -> float:
     """Half-AWAY-FROM-ZERO rounding to 6 decimals — the semantics of
     DuckDB's ROUND. Python's round() is banker's (half-to-even): a
     coefficient landing exactly on a 6th-decimal .5 tie would
-    hash-mismatch the oracle (round-9 advisory)."""
+    hash-mismatch the oracle (round-9 advisory). Non-finite
+    coefficients pass through unchanged, like both round() and
+    DuckDB's ROUND (a degenerate fit must emit a comparable NaN row,
+    not crash on float->int conversion)."""
     import math
 
+    if not math.isfinite(x):
+        return x
     return math.copysign(math.floor(abs(x) * 1e6 + 0.5), x) / 1e6
 
 

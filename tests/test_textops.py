@@ -831,6 +831,17 @@ def test_semantic_dedup_keep_first_and_layout_independent(spark):
         ).collect()
     }
     assert o2 == {k: (v["cell"], v["kept"], v["n_dups"]) for k, v in out.items()}
+    # a wrong-length vector fails loudly (fit guard fires first)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    short = spark.createDataFrame([(999, [0.1] * 6)], ["vec_id", "embedding"])
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="expected 8 dims, got 6"
+    ):
+        SIM.semantic_dedup(
+            base.union(short), dim=8, threshold=0.99, n_cells=4, iterations=1
+        ).collect()
 
 
 def test_pq_fit_layout_independent_and_deterministic(spark):
