@@ -74,7 +74,13 @@ HEADLINE: list[str] = [
 # the _FIRST rotation skip; fail loudly instead (pinned in
 # tests/test_core.py).
 _unknown_headline = set(HEADLINE) - set(Q.QUERIES)
-assert not _unknown_headline, f"HEADLINE names not in QUERIES: {sorted(_unknown_headline)}"
+if _unknown_headline:
+    # explicit raise, not assert: python -O strips asserts, which
+    # would silently shrink the comparison subset (mirrors the
+    # _unknown_first loud-raise in queries.py)
+    raise RuntimeError(
+        f"HEADLINE names not in QUERIES: {sorted(_unknown_headline)}"
+    )
 
 
 def bench_names() -> list[str]:

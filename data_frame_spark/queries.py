@@ -4894,8 +4894,12 @@ def gpx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build(key, pdf):
         pdf = pdf.sort_values("timestamp")
+        # plain-float coercion on ALL four fields: pandas hands back
+        # numpy scalars, and numpy>=2 repr()s them as 'np.float64(x)'
+        # which track_xml's {v!r} serialization (and the parser's
+        # float()) would choke on — exact no-op under numpy 1.x
         points = [
-            (lat, lon, None if pd.isna(alt) else float(alt), ts)
+            (float(lat), float(lon), None if pd.isna(alt) else float(alt), float(ts))
             for lat, lon, alt, ts in zip(
                 pdf["lat"], pdf["lon"], pdf["alt"], pdf["timestamp"]
             )

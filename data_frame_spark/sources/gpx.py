@@ -176,11 +176,14 @@ def track_xml(points, name: str) -> str:
     for lat, lon, ele, ts in points:
         if lat is None or lon is None:
             continue
-        out.append(f'    <trkpt lat="{lat!r}" lon="{lon!r}">')
+        # repr(float(v)) not {v!r}: callers may pass numpy scalars,
+        # whose repr under numpy>=2 is 'np.float64(x)' — unparseable
+        # by the reader; float() is bit-exact on any real input
+        out.append(f'    <trkpt lat="{repr(float(lat))}" lon="{repr(float(lon))}">')
         if ele is not None:
-            out.append(f"      <ele>{ele!r}</ele>")
+            out.append(f"      <ele>{repr(float(ele))}</ele>")
         if ts is not None:
-            out.append(f"      <time>{seconds_to_iso(ts)}</time>")
+            out.append(f"      <time>{seconds_to_iso(float(ts))}</time>")
         out.append("    </trkpt>")
     out.append("  </trkseg></trk>")
     out.append("</gpx>")

@@ -96,6 +96,24 @@ def test_partitioned_meanmax_has_no_global_sort(spark, sf_dir):
         df = QUERIES[name](spark, sf_dir)
         bad = C.partitionless_for_query(name, df)
         assert not bad, f"{name}: {bad}"
+    # the registry row eagerly localCheckpoints the winner table,
+    # severing the ladder pipeline's lineage — the check above can no
+    # longer see the mean-max windows themselves. Re-build the
+    # pre-checkpoint operator output directly so the actual ladder
+    # windows stay pinned (round-10 advice).
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators import meanmax as OpMM
+    from data_frame_spark.queries import t as load_t
+
+    ev = load_t(spark, sf_dir, "events").withColumn(
+        "x", F.col("ts_us") / F.lit(1000000.0)
+    )
+    mm = OpMM.mean_max(
+        ev, "value", "x", durations=[86400, 604800],
+        partition_by=["user_id"], slice_scale=6,
+    )
+    assert not C.data_sized_partitionless_windows(mm)
 
 
 def test_chunking_is_narrow(spark, sf_dir):
