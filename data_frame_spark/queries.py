@@ -4931,6 +4931,104 @@ def gpx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tcx_corpus_read_docs",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           SUM(CAST(FLOOR(({_TRACK_LAT_SQL}) * 1000000.0 + 0.5) AS BIGINT))
+             AS lat_micro_sum,
+           SUM(CAST(FLOOR(({_TRACK_LON_SQL}) * 1000000.0 + 0.5) AS BIGINT))
+             AS lon_micro_sum,
+           COUNT(value) AS n_alt,
+           SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS alt_micro_sum,
+           SUM(CAST(FLOOR(CAST(user_id % 150 + 40 AS DOUBLE) * 1000000.0 + 0.5)
+                    AS BIGINT)) AS hr_micro_sum,
+           SUM(CAST(FLOOR(CAST(event_id AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+             AS dst_micro_sum,
+           MIN(CAST((epoch_ns(ts)//1000)//1000000 AS DOUBLE)) AS t_min,
+           MAX(CAST((epoch_ns(ts)//1000)//1000000 AS DOUBLE)) AS t_max
+    FROM events WHERE event_id % 3 = 1
+    GROUP BY user_id
+    """,
+)
+def tcx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED TCX bulk-ingest path end-to-end (the
+    df-read/tcx/multiple surface, tcx.rkt:249-281; Spark side:
+    sources/tcx.py parse_many — mapInPandas over (id, xml) rows, one
+    parser per Arrow batch). Mirrors gpx_corpus_read_docs on a
+    disjoint event slice: one synthetic TCX activity per user is
+    built WITHOUT leaving the cluster (per-user applyInPandas group
+    serializes its sorted track through the shared tcx_xml writer —
+    repr(float) doubles + whole-second ISO-8601 times = exact by
+    construction), then the corpus flows back through parse_many and
+    aggregates per user over EVERY parsed channel (lat/lon via
+    Position, alt, HeartRateBpm/Value, DistanceMeters, Time) as
+    order-independent micro-quantized integer sums. The oracle
+    computes identical aggregates straight from the events table, so
+    any loss in serialize -> parse -> explode breaks the hash. At
+    100 TB both stages are one narrow pass each; only the final
+    users-sized aggregate shuffles."""
+    from data_frame_spark.sources import tcx as TCXSrc
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").where(F.col("event_id") % 3 == 1)
+    _lat, _lon = _track_lat_lon()
+    pts = ev.select(
+        "user_id",
+        F.expr("ts_us div 1000000").cast("double").alias("timestamp"),
+        _lat.alias("lat"),
+        _lon.alias("lon"),
+        F.col("value").alias("alt"),
+        (F.col("user_id") % 150 + 40).cast("double").alias("hr"),
+        F.col("event_id").cast("double").alias("dst"),
+    )
+
+    def build(key, pdf):
+        pdf = pdf.sort_values("timestamp")
+        points = [
+            (
+                float(ts),
+                float(lat),
+                float(lon),
+                None if pd.isna(alt) else float(alt),
+                float(hr),
+                float(dst),
+            )
+            for ts, lat, lon, alt, hr, dst in zip(
+                pdf["timestamp"], pdf["lat"], pdf["lon"], pdf["alt"],
+                pdf["hr"], pdf["dst"],
+            )
+        ]
+        uid = int(key[0])
+        xml = TCXSrc.tcx_xml(points, sport="Other", act_id=f"user-{uid}")
+        return pd.DataFrame({"user_id": [uid], "xml": [xml]})
+
+    docs = pts.groupBy("user_id").applyInPandas(
+        build, schema="user_id long, xml string"
+    )
+    track = TCXSrc.parse_many(docs.select("user_id", "xml"), "xml")
+    m = F.lit(1000000.0)
+    return (
+        track.select(
+            F.col("source_id").alias("user_id"),
+            "timestamp", "lat", "lon", "alt", "hr", "dst",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.floor(F.col("lat") * m + F.lit(0.5))).alias("lat_micro_sum"),
+            F.sum(F.floor(F.col("lon") * m + F.lit(0.5))).alias("lon_micro_sum"),
+            F.count("alt").alias("n_alt"),
+            F.sum(F.floor(F.col("alt") * m + F.lit(0.5))).alias("alt_micro_sum"),
+            F.sum(F.floor(F.col("hr") * m + F.lit(0.5))).alias("hr_micro_sum"),
+            F.sum(F.floor(F.col("dst") * m + F.lit(0.5))).alias("dst_micro_sum"),
+            F.min("timestamp").alias("t_min"),
+            F.max("timestamp").alias("t_max"),
+        )
+    )
+
+
+@query(
     "tcx_roundtrip_events",
     oracle=f"""
     SELECT CAST((epoch_ns(ts)//1000)//1000000 AS DOUBLE) AS "timestamp",
@@ -4954,7 +5052,6 @@ def tcx_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed bulk path being the same mapInPandas pattern as
     sources/gpx.py parse_many."""
     from data_frame_spark.sources import tcx as TCXSrc
-    from data_frame_spark.sources.gpx import seconds_to_iso
 
     ev = t(spark, sf_dir, "events").where(F.col("event_id") % 101 == 0)
     _lat, _lon = _track_lat_lon()
@@ -4966,23 +5063,10 @@ def tcx_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 150 + 40).cast("double").alias("hr"),
         F.col("event_id").cast("double").alias("dst"),
     ).orderBy("sec").collect()
-    pts = []
-    for r in rows:
-        alt = "" if r["alt"] is None else f"<AltitudeMeters>{r['alt']!r}</AltitudeMeters>"
-        pts.append(
-            f"<Trackpoint><Time>{seconds_to_iso(float(r['sec']))}</Time>"
-            f"<Position><LatitudeDegrees>{r['lat']!r}</LatitudeDegrees>"
-            f"<LongitudeDegrees>{r['lon']!r}</LongitudeDegrees></Position>"
-            f"{alt}<DistanceMeters>{r['dst']!r}</DistanceMeters>"
-            f"<HeartRateBpm><Value>{r['hr']!r}</Value></HeartRateBpm></Trackpoint>"
-        )
-    start = seconds_to_iso(float(rows[0]["sec"])) if rows else "1970-01-01T00:00:00Z"
-    xml = (
-        '<?xml version="1.0" encoding="UTF-8"?>'
-        '<TrainingCenterDatabase xmlns="http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2">'
-        '<Activities><Activity Sport="Other"><Id>events-track</Id>'
-        f'<Lap StartTime="{start}"><Track>{"".join(pts)}</Track></Lap>'
-        "</Activity></Activities></TrainingCenterDatabase>"
+    xml = TCXSrc.tcx_xml(
+        ((r["sec"], r["lat"], r["lon"], r["alt"], r["hr"], r["dst"]) for r in rows),
+        sport="Other",
+        act_id="events-track",
     )
     back = TCXSrc.read_tcx(spark, xml)
     return back.df.select(

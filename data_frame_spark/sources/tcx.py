@@ -104,3 +104,80 @@ def read_tcx(spark: SparkSession, path_or_text: str) -> Frame:
     if not frames:
         raise ValueError("no activities in TCX document")
     return frames[0]
+
+
+def tcx_xml(points, sport: str = "Other", act_id: str = "activity") -> str:
+    """Pure TCX serializer (inverse of the tcx.rkt:199-281 reader
+    surface) shared by driver-side round-trips and the distributed
+    per-group synthesis path: ``points`` is an iterable of
+    ``(time_seconds, lat, lon, alt, hr, dst)`` tuples (any field but
+    time may be None) already in track order. Doubles are written
+    with ``repr(float(v))`` — the shortest round-trip form, safe for
+    numpy scalars — so ``read_tcx``/``parse_many`` recover the exact
+    same bits."""
+    from data_frame_spark.sources.gpx import seconds_to_iso
+
+    pts = []
+    first_time = None
+    for ts, lat, lon, alt, hr, dst in points:
+        if ts is None:
+            continue
+        if first_time is None:
+            first_time = float(ts)
+        pos = (
+            f"<Position><LatitudeDegrees>{repr(float(lat))}</LatitudeDegrees>"
+            f"<LongitudeDegrees>{repr(float(lon))}</LongitudeDegrees></Position>"
+            if lat is not None and lon is not None
+            else ""
+        )
+        alt_s = "" if alt is None else f"<AltitudeMeters>{repr(float(alt))}</AltitudeMeters>"
+        hr_s = (
+            ""
+            if hr is None
+            else f"<HeartRateBpm><Value>{repr(float(hr))}</Value></HeartRateBpm>"
+        )
+        dst_s = "" if dst is None else f"<DistanceMeters>{repr(float(dst))}</DistanceMeters>"
+        pts.append(
+            f"<Trackpoint><Time>{seconds_to_iso(float(ts))}</Time>"
+            f"{pos}{alt_s}{dst_s}{hr_s}</Trackpoint>"
+        )
+    start = seconds_to_iso(first_time) if first_time is not None else "1970-01-01T00:00:00Z"
+    return (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<TrainingCenterDatabase xmlns="http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2">'
+        f'<Activities><Activity Sport="{sport}"><Id>{act_id}</Id>'
+        f'<Lap StartTime="{start}"><Track>{"".join(pts)}</Track></Lap>'
+        "</Activity></Activities></TrainingCenterDatabase>"
+    )
+
+
+def parse_many(df, xml_col: str):
+    """Bulk ingest (the distributed ``df-read/tcx/multiple`` path,
+    tcx.rkt:249-281): (id, xml_text) rows -> exploded track points
+    via mapInPandas — one parser instance per Arrow batch, millions
+    of activity files without leaving the cluster. All activities in
+    each document are concatenated under the same source_id (same
+    contract as sources/gpx.py parse_many)."""
+    import pandas as pd
+
+    schema = T.StructType(
+        [T.StructField("source_id", T.LongType())] + list(GPX_SCHEMA.fields)
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            out = []
+            for sid, xml_text in zip(pdf.iloc[:, 0], pdf[xml_col]):
+                root = ET.fromstring(xml_text)
+                for act in root.findall(".//t:Activity", _NS):
+                    rows, _ = _parse_activity(act)
+                    for r in rows:
+                        out.append(
+                            {
+                                "source_id": int(sid),
+                                **{f.name: r[f.name] for f in GPX_SCHEMA.fields},
+                            }
+                        )
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return df.mapInPandas(parse, schema=schema)

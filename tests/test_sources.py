@@ -138,6 +138,24 @@ def test_read_tcx(spark):
     assert rows[1]["dst"] == 55.0
 
 
+def test_tcx_xml_parse_many_roundtrip(spark):
+    # the distributed TCX bulk path: tcx_xml serializes exact doubles
+    # (repr round-trip) and parse_many recovers them bit-for-bit,
+    # threading source_id; None alt drops AltitudeMeters entirely
+    pts_a = [(1000.0, 10.5, -20.25, 99.5, 120.0, 5.0), (1001.0, 10.6, -20.26, None, 121.0, 6.0)]
+    pts_b = [(2000.0, -33.125, 151.5, 7.75, 90.0, 1.0)]
+    docs = spark.createDataFrame(
+        [(1, TCX.tcx_xml(pts_a)), (2, TCX.tcx_xml(pts_b, sport="Running"))],
+        "source_id long, xml string",
+    )
+    out = TCX.parse_many(docs, "xml").orderBy("source_id", "timestamp").collect()
+    assert [r["source_id"] for r in out] == [1, 1, 2]
+    assert [r["timestamp"] for r in out] == [1000.0, 1001.0, 2000.0]
+    assert out[0]["lat"] == 10.5 and out[0]["alt"] == 99.5 and out[0]["hr"] == 120.0
+    assert out[1]["alt"] is None and out[1]["dst"] == 6.0
+    assert out[2]["lon"] == 151.5 and out[2]["dst"] == 1.0
+
+
 def test_haversine_known_distance(spark):
     # 1 degree of latitude ~ 111.19 km on the R=6371 km sphere
     df = spark.createDataFrame([(0.0, 0.0, 1.0, 0.0)], ["lat1", "lon1", "lat2", "lon2"])
