@@ -2331,7 +2331,7 @@ _KMV_HASH = _sql_h60("user_id")
 
 
 @query(
-    "kmv_distinct_users",
+    "kmv_family",
     oracle=f"""
     WITH h AS (SELECT DISTINCT CAST(event_type AS VARCHAR) AS scope,
                                {_KMV_HASH} AS hh
@@ -2343,24 +2343,99 @@ _KMV_HASH = _sql_h60("user_id")
           FROM h),
     c AS (SELECT scope, COUNT(*) AS exact_distinct FROM h GROUP BY scope),
     kk AS (SELECT scope, MAX(hh) AS hk, COUNT(*) AS kmv_k
-           FROM r WHERE rn <= 64 GROUP BY scope)
-    SELECT kk.scope, kk.kmv_k, c.exact_distinct,
+           FROM r WHERE rn <= 64 GROUP BY scope),
+    ka AS (SELECT hh FROM r WHERE scope = 'click' AND rn <= 64),
+    kb AS (SELECT hh FROM r WHERE scope = 'view' AND rn <= 64),
+    u AS (SELECT hh FROM ka UNION SELECT hh FROM kb),
+    mr AS (SELECT hh, ROW_NUMBER() OVER (ORDER BY hh) AS rn FROM u),
+    mk AS (SELECT hh FROM mr WHERE rn <= 64),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS mn, MAX(hh) AS uk,
+                  CAST(SUM(CASE WHEN hh IN (SELECT hh FROM ka)
+                                 AND hh IN (SELECT hh FROM kb)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS inter_k
+           FROM mk),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+                  CAST(SUM(CASE WHEN cc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+           FROM (SELECT hh, COUNT(*) AS cc FROM h
+                 WHERE scope IN ('click', 'view') GROUP BY hh)),
+    f AS (SELECT mn, inter_k,
+                 CASE WHEN mn < 64 THEN CAST(mn AS DOUBLE)
+                      ELSE 63.0 / (CAST(uk AS DOUBLE) / 1152921504606846976.0)
+                 END AS uest,
+                 CAST(inter_k AS DOUBLE) / CAST(mn AS DOUBLE) AS j
+          FROM st)
+    SELECT 'scope' AS facet, kk.scope AS scope, kk.kmv_k AS kmv_k,
            CASE WHEN kk.kmv_k < 64 THEN CAST(kk.kmv_k AS DOUBLE)
                 ELSE 63.0 / (CAST(kk.hk AS DOUBLE) / 1152921504606846976.0)
-           END AS estimate
+           END AS estimate,
+           c.exact_distinct AS exact, CAST(NULL AS BIGINT) AS metric_micro
     FROM kk JOIN c USING (scope)
+    UNION ALL
+    SELECT 'union' AS facet, 'click|view' AS scope, f.mn AS kmv_k,
+           f.uest AS estimate, ex.exact_union AS exact,
+           CAST(NULL AS BIGINT) AS metric_micro
+    FROM f CROSS JOIN ex
+    UNION ALL
+    SELECT 'jaccard' AS facet, 'click|view' AS scope, f.mn AS kmv_k,
+           CAST(NULL AS DOUBLE) AS estimate, CAST(NULL AS BIGINT) AS exact,
+           CAST(FLOOR(f.j * 1000000.0 + 0.5) AS BIGINT) AS metric_micro
+    FROM f
+    UNION ALL
+    SELECT 'intersection' AS facet, 'click|view' AS scope, f.mn AS kmv_k,
+           CAST(NULL AS DOUBLE) AS estimate, ex.exact_inter AS exact,
+           CAST(FLOOR(f.j * f.uest * 1000000.0 + 0.5) AS BIGINT) AS metric_micro
+    FROM f CROSS JOIN ex
     """,
 )
-def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV distinct-user sketch per event_type plus an ALL row —
-    a cardinality estimator the gate can actually verify (md5-
-    deterministic k-mins), unlike engine-private HLL registers. The
-    exact_distinct column is the demonstration baseline; the sketch
-    path alone is the production read."""
+def kmv_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch family in ONE oracle row (round-11 merge of
+    kmv_distinct_users + kmv_set_ops_users; operators unchanged).
+
+    'scope' facet — per-event_type (plus ALL) KMV distinct-user
+    estimates (operators/sketch.py:kmv_distinct): md5-deterministic
+    k-mins, so the gate can verify a cardinality estimator exactly,
+    unlike engine-private HLL registers; exact is the demonstration
+    baseline, the sketch path alone is the production read. 'union'/
+    'jaccard'/'intersection' facets — theta-sketch set algebra over
+    the click/view min-sets (kmv_set_ops): union via the (k-1)/u_k
+    read-out on the merged min-set, Jaccard as the both-members
+    fraction of K(A∪B), intersection = J × union. The set-ops result
+    is ONE row feeding three facets, so it is localCheckpoint'd
+    (eager, sketch-sized) instead of re-running the sketch pipeline
+    per facet; per-scope k-mins prune map-side via WindowGroupLimit
+    (~k rows per group shuffle, any corpus size)."""
     ev = t(spark, sf_dir, "events")
-    return OpSketch.kmv_distinct(
+    d = OpSketch.kmv_distinct(
         ev, "user_id", group_col="event_type", k=64, include_overall=True
     )
+    s = OpSketch.kmv_set_ops(
+        ev, "user_id", "event_type", "click", "view", k=64
+    ).localCheckpoint(eager=True)
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    pair = F.concat_ws("|", "scope_a", "scope_b")
+    scope_rows = d.select(
+        F.lit("scope").alias("facet"), "scope", "kmv_k", "estimate",
+        F.col("exact_distinct").alias("exact"), nl.alias("metric_micro"),
+    )
+    union_rows = s.select(
+        F.lit("union").alias("facet"), pair.alias("scope"),
+        F.col("union_k").alias("kmv_k"),
+        F.col("union_estimate").alias("estimate"),
+        F.col("exact_union").alias("exact"), nl.alias("metric_micro"),
+    )
+    jacc_rows = s.select(
+        F.lit("jaccard").alias("facet"), pair.alias("scope"),
+        F.col("union_k").alias("kmv_k"), nd.alias("estimate"),
+        nl.alias("exact"), F.col("jaccard_micro").alias("metric_micro"),
+    )
+    inter_rows = s.select(
+        F.lit("intersection").alias("facet"), pair.alias("scope"),
+        F.col("union_k").alias("kmv_k"), nd.alias("estimate"),
+        F.col("exact_inter").alias("exact"),
+        F.col("inter_estimate_micro").alias("metric_micro"),
+    )
+    return scope_rows.unionAll(union_rows).unionAll(jacc_rows).unionAll(inter_rows)
 
 
 @query(
@@ -4169,55 +4244,6 @@ def batch_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "kmv_set_ops_users",
-    oracle=f"""
-    WITH h AS (SELECT DISTINCT CAST(event_type AS VARCHAR) AS scope,
-                               {_KMV_HASH} AS hh
-               FROM events WHERE event_type IN ('click', 'view')),
-    r AS (SELECT scope, hh,
-                 ROW_NUMBER() OVER (PARTITION BY scope ORDER BY hh) AS rn
-          FROM h),
-    ka AS (SELECT hh FROM r WHERE scope = 'click' AND rn <= 64),
-    kb AS (SELECT hh FROM r WHERE scope = 'view' AND rn <= 64),
-    u AS (SELECT hh FROM ka UNION SELECT hh FROM kb),
-    mr AS (SELECT hh, ROW_NUMBER() OVER (ORDER BY hh) AS rn FROM u),
-    mk AS (SELECT hh FROM mr WHERE rn <= 64),
-    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS mn, MAX(hh) AS uk,
-                  CAST(SUM(CASE WHEN hh IN (SELECT hh FROM ka)
-                                 AND hh IN (SELECT hh FROM kb)
-                            THEN 1 ELSE 0 END) AS BIGINT) AS inter_k
-           FROM mk),
-    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
-                  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
-           FROM (SELECT hh, COUNT(*) AS c FROM h GROUP BY hh)),
-    f AS (SELECT mn, inter_k,
-                 CASE WHEN mn < 64 THEN CAST(mn AS DOUBLE)
-                      ELSE 63.0 / (CAST(uk AS DOUBLE) / 1152921504606846976.0)
-                 END AS uest,
-                 CAST(inter_k AS DOUBLE) / CAST(mn AS DOUBLE) AS j
-          FROM st)
-    SELECT 'click' AS scope_a, 'view' AS scope_b,
-           mn AS union_k, uest AS union_estimate,
-           CAST(FLOOR(j * 1000000.0 + 0.5) AS BIGINT) AS jaccard_micro,
-           CAST(FLOOR(j * uest * 1000000.0 + 0.5) AS BIGINT) AS inter_estimate_micro,
-           ex.exact_union, ex.exact_inter
-    FROM f CROSS JOIN ex
-    """,
-)
-def kmv_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta-sketch set algebra over two scopes' KMV min-sets
-    (operators/sketch.py:kmv_set_ops): union cardinality via the
-    (k-1)/u_k read-out on the merged min-set, Jaccard as the
-    both-members fraction of K(A∪B), intersection = J × union —
-    'how many distinct users do click and view share' without ever
-    counting distincts at scale. exact_* are demonstration columns."""
-    ev = t(spark, sf_dir, "events")
-    return OpSketch.kmv_set_ops(
-        ev, "user_id", "event_type", "click", "view", k=64
-    )
-
-
-@query(
     "contamination_audit_splits",
     oracle=rf"""
     WITH u AS (SELECT doc_id, source, text,
@@ -5086,78 +5112,68 @@ def tcx_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FIRST = [
-    # round-10 rotation (standing policy: every query gets a driver row
+    # round-11 rotation (standing policy: every query gets a driver row
     # at least every 2 rounds; any query whose code changes this round
     # goes into the first 50).
     #
-    # Block 1 — round-10 new/changed rows: the merged per-user
-    # mean-max family (mean_max_by_user + mean_max_aux_by_user +
-    # lap_swim_mean_max_by_user -> mean_max_user_family), the new
-    # distributed-GPX corpus row, and the three queries whose code the
-    # ADVICE fixes touched (pq_fit length guard, fits_family rounding
-    # semantics, csv round-trip temp-dir lifecycle).
-    "mean_max_user_family",
+    # Block 1 — round-11 new/changed rows: the new distributed-TCX
+    # corpus row, the merged KMV family (kmv_distinct_users +
+    # kmv_set_ops_users -> kmv_family), the numpy-coercion-hardened
+    # GPX corpus row (kept in rotation per round-10 advice: its r10
+    # driver row hash-mismatched but never reproduced locally), and
+    # the two round-trip rows backed by the gpx.py/tcx.py serializer
+    # edits this round.
+    "tcx_corpus_read_docs",
+    "kmv_family",
     "gpx_corpus_read_docs",
-    "pq_adc_topk_embeddings",
-    "fits_family",
-    "csv_roundtrip_lineitem",
     "gpx_roundtrip_events",
-    # Backfill (r9-green, would be due in r11): the three remaining
-    # rows backed by the two operator files this round touched
-    # (similarity.py pq_fit guard, gpx.py track_xml refactor) —
-    # direct driver evidence the edits are additive, and a shorter
-    # r11 rotation.
-    "ivf_centroids_embeddings",
-    "ivf_ann_topk_embeddings",
-    # Net-new this round: SemDeDup-style in-cell semantic dedup
-    # (composes the IVF fit + assignment the two rows above pin).
-    "semantic_dedup_embeddings",
-    # Block 2 — the 41 remaining queries past the round-9 cap (all
-    # green in both CORRECTNESS_r07 and CORRECTNESS_r08; bodies
-    # verified unchanged since by the round-9 judge). The other three
-    # names from that 44-strong set are the mean-max rows merged into
-    # Block 1's mean_max_user_family.
-    "binary_metadata_docs",
-    "bloom_decontamination_docs",
-    "bm25_search_docs",
-    "cms_token_counts",
-    "contamination_audit_splits",
-    "corpus_stats_rollup",
-    "cosine_topk_embeddings",
-    "curriculum_buckets_docs",
-    "denylist_scrub_docs",
-    "duplicate_spans_docs",
-    "fit_residuals_price_qty",
-    "forecast_revenue",
-    "grid_quantiles_price",
-    "group_samples_factor_events",
-    "hll_distinct_shingles",
-    "index_range_select",
-    "json_props_rollup",
-    "kmv_distinct_users",
-    "kmv_set_ops_users",
-    "label_centroids_embeddings",
-    "minhash_signatures_docs",
-    "mixture_sample_docs",
-    "ngram_decontamination_docs",
-    "ngram_jaccard_verified",
-    "per_source_cap_docs",
-    "pmi_collocations_docs",
-    "quality_filter_docs",
-    "robust_outliers_value",
-    "rolling_stats_value",
-    "scrub_spans_docs",
-    "segment_dedup_docs",
-    "session_windows_30m",
-    "shipping_priority",
-    "split_assignment_docs",
-    "stratified_sample_docs",
-    "temperature_mixture_weights",
-    "text_features_docs",
-    "tfidf_top_terms_docs",
-    "weighted_sample_docs",
-    "winnowed_fingerprints_docs",
-    "zorder_key_events",
+    "tcx_roundtrip_events",
+    # Block 2 — the 43 remaining queries past the round-10 cap (all
+    # green in CORRECTNESS_r09; tcx_roundtrip_events above is the
+    # 44th).
+    "anti_join_parts_never_ordered",
+    "asof_multi_value_lookup",
+    "batch_sessions_events",
+    "byte_features_docs",
+    "canonical_docs_by_quality",
+    "cartesian_region_nation",
+    "clicks_to_purchases_events",
+    "csv_read_fixture",
+    "describe_lineitem",
+    "dsir_importance_docs",
+    "duplicate_spans_keep_first_docs",
+    "embedding_dedup_family",
+    "equal_range_count",
+    "event_derived_series",
+    "exact_dedup_documents",
+    "gopher_repetition_docs",
+    "group_samples_value_user",
+    "haversine_track_events",
+    "histogram_family",
+    "incremental_dedup_batch",
+    "interpolated_lookup_value",
+    "lm_nll_docs",
+    "lsh_ann_topk_embeddings",
+    "mean_max_value",
+    "near_dup_clusters_docs",
+    "pack_chunks_256",
+    "pairwise_corr_lineitem",
+    "pricing_summary",
+    "quantiles_price_and_value",
+    "rdp_simplify_user_series",
+    "regional_revenue",
+    "row_range_slice",
+    "salted_join_segment_revenue",
+    "select_filter_project",
+    "semi_join_customers_with_open_orders",
+    "set_ops_order_priorities",
+    "simhash_docs",
+    "spline_mean_max_curve",
+    "stream_windows_hourly",
+    "top_revenue_orders",
+    "valid_only_drop_na",
+    "weighted_stats_value",
+    "zipf_fit_tokens",
 ]
 
 # A retired name left in _FIRST must fail loudly: _order silently drops

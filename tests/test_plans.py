@@ -400,7 +400,7 @@ def test_no_code_forced_data_sized_broadcasts(spark, sf_dir):
         "cms_token_counts",
         "lm_nll_docs",
         "grid_quantiles_price",
-        "kmv_set_ops_users",
+        "kmv_family",
         "near_dup_clusters_docs",
         "segment_dedup_docs",
     ):
@@ -525,7 +525,7 @@ def test_ensure_parallelism_is_identity_on_wide_input(spark):
 def test_kmv_group_limits_before_exchange(spark, sf_dir):
     # the per-scope k-mins must prune with WindowGroupLimit below the
     # exchange so ~k rows per group move, not every distinct hash
-    df = QUERIES["kmv_distinct_users"](spark, sf_dir)
+    df = QUERIES["kmv_family"](spark, sf_dir)
     plan = C.simple_plan(df)
     assert "WindowGroupLimit" in plan
     assert C.count_shuffles(df) <= 6

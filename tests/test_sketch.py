@@ -370,9 +370,9 @@ def test_kmv_set_ops_one_scope_empty(spark):
     assert r["exact_union"] == 10 and r["exact_inter"] == 0
 
 
-def test_kmv_set_ops_no_partitionless_window_over_data(spark, sf_dir):
+def test_kmv_family_no_partitionless_window_over_data(spark, sf_dir):
     from data_frame_spark.plans import checks as C
     from data_frame_spark.queries import QUERIES
 
-    df = QUERIES["kmv_set_ops_users"](spark, sf_dir)
+    df = QUERIES["kmv_family"](spark, sf_dir)
     assert C.data_sized_partitionless_windows(df) == []
