@@ -197,3 +197,46 @@ def sessionize(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn(out, F.sum(new_s).over(run))
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: Sequence,
+    entity_col: str,
+    type_col: str,
+    ts_col: str,
+    out_prefix: str = "t",
+) -> DataFrame:
+    """N-step ordered funnel: per entity, the time each step was
+    FIRST completed in sequence — step k counts only strictly after
+    step k-1's completion time (the classic product-analytics funnel;
+    no reference twin — the generalization of the event-sequence
+    scans the reference's ordered fold family supports, df.rkt:
+    1056-1100, to cross-row sequential conditions).
+
+    ``steps`` is a sequence of event-type values (or (value, label)
+    pairs); the result has one row per input row with columns
+    ``{out_prefix}1..{out_prefix}N`` = the per-entity completion
+    times (NULL when the entity never reached the step). Callers
+    aggregate to per-entity rows with ``F.first``/``F.min``.
+
+    Scale shape: every step is an unordered MIN window PARTITION BY
+    the entity — ONE hash exchange on the entity key reused by all N
+    WindowExec nodes (no ORDER BY, so no per-step sort beyond the
+    partitioning); ``ts_col`` should be an exact integer timestamp
+    (ts_us) so the strict > comparisons are engine-exact.
+    """
+    if not steps:
+        raise ValueError("funnel_steps requires at least one step")
+    w = Window.partitionBy(entity_col)
+    out = df
+    prev_t = None
+    for i, step in enumerate(steps, start=1):
+        val = step[0] if isinstance(step, (tuple, list)) else step
+        cond = F.col(type_col) == F.lit(val)
+        if prev_t is not None:
+            cond = cond & F.col(prev_t).isNotNull() & (F.col(ts_col) > F.col(prev_t))
+        name = f"{out_prefix}{i}"
+        out = out.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev_t = name
+    return out

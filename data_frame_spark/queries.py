@@ -4244,6 +4244,71 @@ def batch_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_conversion_events",
+    oracle="""
+    WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS tsn
+               FROM events),
+    w1 AS (SELECT user_id, event_type, tsn,
+                  MIN(CASE WHEN event_type = 'view' THEN tsn END)
+                    OVER (PARTITION BY user_id) AS t1
+           FROM e),
+    w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+                               AND tsn > t1 THEN tsn END)
+                       OVER (PARTITION BY user_id) AS t2
+           FROM w1),
+    w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+                               AND tsn > t2 THEN tsn END)
+                       OVER (PARTITION BY user_id) AS t3
+           FROM w2),
+    u AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+          FROM w3 GROUP BY user_id)
+    SELECT user_id % 8 AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(t2 - t1) AS BIGINT) AS view_to_click_us,
+           CAST(SUM(t3 - t2) AS BIGINT) AS click_to_purchase_us
+    FROM u GROUP BY user_id % 8
+    """,
+)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase
+    (operators/window.py:funnel_steps): per user, step k counts only
+    strictly AFTER step k-1's first completion — the sequential
+    condition a naive per-type MIN gets wrong (a click before the
+    first view must not convert). Rolled up per 8-way user cohort:
+    stage survivors and exact integer-microsecond inter-stage dwell
+    sums.
+
+    100 TB shape: all three funnel steps are unordered MIN windows
+    PARTITION BY user_id — ONE hash exchange on user_id feeds every
+    WindowExec and the per-user collapse; the final cohort rollup is
+    8 rows. No global sort, no join, no data-sized window without a
+    partition key anywhere."""
+    ev = t(spark, sf_dir, "events")
+    stepped = OpWindow.funnel_steps(
+        ev.select("user_id", "event_type", F.col("ts_us").alias("tsn")),
+        steps=["view", "click", "purchase"],
+        entity_col="user_id", type_col="event_type", ts_col="tsn",
+    )
+    u = stepped.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    return (
+        u.groupBy((F.col("user_id") % 8).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("n_view"),
+            F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("n_click"),
+            F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias("n_purchase"),
+            F.sum(F.col("t2") - F.col("t1")).alias("view_to_click_us"),
+            F.sum(F.col("t3") - F.col("t2")).alias("click_to_purchase_us"),
+        )
+    )
+
+
+@query(
     "contamination_audit_splits",
     oracle=rf"""
     WITH u AS (SELECT doc_id, source, text,
@@ -5123,6 +5188,7 @@ _FIRST = [
     # driver row hash-mismatched but never reproduced locally), and
     # the two round-trip rows backed by the gpx.py/tcx.py serializer
     # edits this round.
+    "funnel_conversion_events",
     "tcx_corpus_read_docs",
     "kmv_family",
     "gpx_corpus_read_docs",

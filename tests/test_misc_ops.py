@@ -225,3 +225,42 @@ def test_sessionize_windows_are_partitioned(spark, sf_dir):
 
     df = QUERIES["batch_sessions_events"](spark, sf_dir)
     assert C.data_sized_partitionless_windows(df) == []
+
+
+def test_funnel_steps_sequential_semantics(spark):
+    import pytest
+    from data_frame_spark.operators.window import funnel_steps
+
+    rows = [
+        # user 1: click BEFORE first view must not convert; the one
+        # after does; purchase after that click converts
+        (1, "click", 5), (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: view only — t2/t3 NULL
+        (2, "view", 10), (2, "purchase", 5),
+        # user 3: click at exactly the view time (strict >) -> no conversion
+        (3, "view", 10), (3, "click", 10),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, tsn long")
+    out = funnel_steps(
+        df, ["view", "click", "purchase"], "user_id", "event_type", "tsn"
+    )
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in out.select("user_id", "t1", "t2", "t3").distinct().collect()
+    }
+    assert got[1] == (10, 20, 30)
+    assert got[2] == (10, None, None)
+    assert got[3] == (10, None, None)
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel_steps(df, [], "user_id", "event_type", "tsn")
+
+
+def test_funnel_single_entity_exchange(spark, sf_dir):
+    # all three step windows and the per-user collapse must reuse ONE
+    # user_id exchange; only the 8-row cohort rollup adds a second
+    from data_frame_spark.plans import checks as C
+    from data_frame_spark.queries import QUERIES
+
+    df = QUERIES["funnel_conversion_events"](spark, sf_dir)
+    assert C.count_shuffles(df) <= 2
+    assert C.data_sized_partitionless_windows(df) == []
