@@ -4309,6 +4309,51 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fuzzy_linkage_parts",
+    oracle="""
+    WITH a AS (SELECT p_partkey, p_name, p_brand, p_type FROM part),
+    pr AS (SELECT a.p_brand AS p_brand,
+                  levenshtein(a.p_name, b.p_name) AS d
+           FROM a JOIN a AS b
+             ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+            AND a.p_partkey < b.p_partkey)
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN d <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+           CAST(MIN(d) AS BIGINT) AS min_dist,
+           CAST(SUM(d) AS BIGINT) AS sum_dist
+    FROM pr GROUP BY p_brand
+    """,
+)
+def fuzzy_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage over part names
+    (operators/linkage.py:blocked_fuzzy_pairs): candidate pairs
+    sharing the (p_brand, p_type) blocking key are scored with
+    JVM-side Levenshtein (identical algorithm in DuckDB — verified
+    value-for-value), rolled up per brand: candidate count, <=2-edit
+    matches, min and exact integer sum of distances. The
+    entity-resolution primitive for short string keys where
+    shingle-based near-dup (minhash/simhash) degenerates.
+
+    100 TB shape: the pair space is pruned by blocking BEFORE any
+    compare — a shuffle hash equi-join on the blocking key (pinned:
+    both sides are corpus-proportional, never broadcastable), work
+    ∝ Σ block², largest task bounded by the hottest block."""
+    from data_frame_spark.operators import linkage as OpLink
+
+    part = t(spark, sf_dir, "part")
+    pairs = OpLink.blocked_fuzzy_pairs(
+        part, "p_partkey", "p_name", ["p_brand", "p_type"], max_dist=2
+    )
+    return pairs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("n_matches"),
+        F.min("dist").alias("min_dist"),
+        F.sum("dist").alias("sum_dist"),
+    )
+
+
+@query(
     "contamination_audit_splits",
     oracle=rf"""
     WITH u AS (SELECT doc_id, source, text,
@@ -5188,6 +5233,7 @@ _FIRST = [
     # driver row hash-mismatched but never reproduced locally), and
     # the two round-trip rows backed by the gpx.py/tcx.py serializer
     # edits this round.
+    "fuzzy_linkage_parts",
     "funnel_conversion_events",
     "tcx_corpus_read_docs",
     "kmv_family",

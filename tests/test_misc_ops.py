@@ -264,3 +264,39 @@ def test_funnel_single_entity_exchange(spark, sf_dir):
     df = QUERIES["funnel_conversion_events"](spark, sf_dir)
     assert C.count_shuffles(df) <= 2
     assert C.data_sized_partitionless_windows(df) == []
+
+
+def test_blocked_fuzzy_pairs_semantics(spark):
+    import pytest
+    from data_frame_spark.operators.linkage import blocked_fuzzy_pairs
+
+    rows = [
+        (1, "blue bolt", "B1"), (2, "blue bolts", "B1"), (3, "red gear", "B1"),
+        (4, "blue bolt", "B2"),  # other block: never pairs with 1/2
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    out = blocked_fuzzy_pairs(df, "id", "name", ["blk"], max_dist=2).collect()
+    got = {(r["id_a"], r["id_b"]): (r["dist"], r["is_match"]) for r in out}
+    # only within-block pairs, id_a < id_b; cross-block (1,4) absent
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 2)] == (1, True)
+    assert got[(1, 3)][1] is False
+    with pytest.raises(ValueError, match="block_cols"):
+        blocked_fuzzy_pairs(df, "id", "name", [], max_dist=2)
+
+
+def test_fuzzy_linkage_shuffle_join_never_broadcast(spark, sf_dir):
+    # record linkage joins two corpus-proportional sides: the pair
+    # join must be a shuffle hash join on the blocking key even when
+    # the planner would otherwise broadcast the (small-at-test-SF)
+    # part table, and must stay broadcast-free under the 100 TB
+    # planner simulation
+    from data_frame_spark.plans import checks as C
+    from data_frame_spark.queries import QUERIES
+
+    df = QUERIES["fuzzy_linkage_parts"](spark, sf_dir)
+    plan = C.simple_plan(df)
+    assert "ShuffledHashJoin" in plan and "BroadcastHashJoin" not in plan
+    with C.scale_planner(spark):
+        df2 = QUERIES["fuzzy_linkage_parts"](spark, sf_dir)
+        assert C.broadcasts_for_query("fuzzy_linkage_parts", df2) == []
