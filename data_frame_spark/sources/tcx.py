@@ -27,25 +27,41 @@ def _float(el):
 
 
 def _parse_trackpoint(tp) -> dict:
+    # single pass over direct children (plus bounded nested scans for
+    # Position / HeartRateBpm / Extensions) instead of one namespace
+    # find() per field + a full-descendant walk — the per-point parse
+    # cost dominates the bulk-ingest path (parse_many), where this
+    # runs millions of times per Arrow batch
     row = {f.name: None for f in GPX_SCHEMA.fields}
-    t_el = tp.find("t:Time", _NS)
-    if t_el is not None and t_el.text:
-        row["timestamp"] = iso_to_seconds(t_el.text)
-    pos = tp.find("t:Position", _NS)
-    if pos is not None:
-        row["lat"] = _float(pos.find("t:LatitudeDegrees", _NS))
-        row["lon"] = _float(pos.find("t:LongitudeDegrees", _NS))
-    row["alt"] = _float(tp.find("t:AltitudeMeters", _NS))
-    row["dst"] = _float(tp.find("t:DistanceMeters", _NS))
-    hr = tp.find("t:HeartRateBpm/t:Value", _NS)
-    row["hr"] = _float(hr)
-    row["cad"] = _float(tp.find("t:Cadence", _NS))
-    for el in tp.iter():
-        tag = el.tag.rsplit("}", 1)[-1].lower()
-        if tag == "watts":
-            row["pwr"] = _float(el)
-        elif tag == "speed":
-            row["spd"] = _float(el)
+    for el in tp:
+        tag = el.tag.rsplit("}", 1)[-1]
+        if tag == "Time":
+            if el.text:
+                row["timestamp"] = iso_to_seconds(el.text)
+        elif tag == "Position":
+            for sub in el:
+                stag = sub.tag.rsplit("}", 1)[-1]
+                if stag == "LatitudeDegrees":
+                    row["lat"] = _float(sub)
+                elif stag == "LongitudeDegrees":
+                    row["lon"] = _float(sub)
+        elif tag == "AltitudeMeters":
+            row["alt"] = _float(el)
+        elif tag == "DistanceMeters":
+            row["dst"] = _float(el)
+        elif tag == "HeartRateBpm":
+            for sub in el:
+                if sub.tag.rsplit("}", 1)[-1] == "Value":
+                    row["hr"] = _float(sub)
+        elif tag == "Cadence":
+            row["cad"] = _float(el)
+        elif tag == "Extensions":
+            for sub in el.iter():
+                stag = sub.tag.rsplit("}", 1)[-1].lower()
+                if stag == "watts":
+                    row["pwr"] = _float(sub)
+                elif stag == "speed":
+                    row["spd"] = _float(sub)
     return row
 
 
