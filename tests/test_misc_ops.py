@@ -300,3 +300,24 @@ def test_fuzzy_linkage_shuffle_join_never_broadcast(spark, sf_dir):
     with C.scale_planner(spark):
         df2 = QUERIES["fuzzy_linkage_parts"](spark, sf_dir)
         assert C.broadcasts_for_query("fuzzy_linkage_parts", df2) == []
+
+
+def test_retention_single_user_pass(spark, sf_dir):
+    # dedup + cohort derivation fold into ONE user-keyed shuffle
+    # (map-side partial collect_set, calendar-bounded per-user sets);
+    # only the grid rollup and the weeks²-bounded cohort-size window
+    # follow
+    from data_frame_spark.plans import checks as C
+    from data_frame_spark.queries import QUERIES
+
+    df = QUERIES["retention_cohorts_events"](spark, sf_dir)
+    assert C.count_shuffles(df) <= 3
+    assert C.partitionless_for_query("retention_cohorts_events", df) == []
+    # week-0 cell of every cohort retains 100% by construction
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        if r["wk_offset"] == 0:
+            assert r["n_users"] == r["cohort_size"]
+            assert r["retention_micro"] == 1000000
+        assert 0 <= r["retention_micro"] <= 1000000
