@@ -53,3 +53,68 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list,
+    entity_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_us",
+) -> DataFrame:
+    """Streaming twin of ``operators/window.py:funnel_steps``: per
+    entity, the first time each step was completed strictly after the
+    previous step, maintained in the state store (N longs per entity)
+    and re-emitted per micro-batch in ``update`` mode.
+
+    Within a batch, rows fold in event-time order, so any
+    intra-batch arrival order is handled; ACROSS batches the fold
+    assumes event time progresses with arrival (the same in-order
+    contract as ``running_user_stats`` — an out-of-order step-1 event
+    arriving after a later step-2 event was already rejected cannot
+    retroactively convert it; exact any-order reprocessing is the
+    batch operator's job).
+
+    Scale: state is N longs per entity — far below any session
+    buffer; the single groupBy(entity) feeds the state store exactly
+    like the batch plan's one hash exchange.
+    """
+    if not steps:
+        raise ValueError("streaming_funnel requires at least one step")
+    n = len(steps)
+    out_schema = f"{entity_col} long, " + ", ".join(f"t{i+1} long" for i in range(n))
+    state_schema = ", ".join(f"t{i+1} long" for i in range(n))
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (entity,) = key
+        ts = list(state.get) if state.exists else [None] * n
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for et, tv in zip(pdf[type_col], pdf[ts_col]):
+                tv = int(tv)
+                # consider the event for EVERY step slot its type
+                # matches (steps may repeat a type: view->click->click);
+                # the strictly-after guard uses the slot below, which
+                # in-order folding has already finalized for earlier
+                # timestamps
+                for i, step in enumerate(steps):
+                    if et != step:
+                        continue
+                    if i > 0 and (ts[i - 1] is None or tv <= ts[i - 1]):
+                        continue
+                    if ts[i] is None or tv < ts[i]:
+                        ts[i] = tv
+        state.update(tuple(ts))
+        yield pd.DataFrame([{entity_col: int(entity), **{f"t{i+1}": ts[i] for i in range(n)}}])
+
+    return (
+        events.select(entity_col, type_col, ts_col)
+        .groupBy(entity_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

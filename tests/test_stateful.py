@@ -189,3 +189,36 @@ def test_streaming_grid_quantiles_per_scope_calibration(spark, sf_dir):
         ).collect()
     }
     assert latest == batch
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir):
+    from data_frame_spark.operators.window import funnel_steps
+    from data_frame_spark.streaming.stateful import streaming_funnel
+
+    stream = W.stream_events(spark, sf_dir, watermark="1 hour")
+    out = streaming_funnel(stream, ["view", "click", "purchase"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    latest = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in spark.table("t_funnel").collect()
+    }
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts_us").alias("tsn")
+    )
+    batch = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_steps(
+            ev, ["view", "click", "purchase"], "user_id", "event_type", "tsn"
+        )
+        .select("user_id", "t1", "t2", "t3")
+        .distinct()
+        .collect()
+    }
+    assert latest == batch
