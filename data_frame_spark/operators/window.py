@@ -214,11 +214,11 @@ def funnel_steps(
     scans the reference's ordered fold family supports, df.rkt:
     1056-1100, to cross-row sequential conditions).
 
-    ``steps`` is a sequence of event-type values (or (value, label)
-    pairs); the result has one row per input row with columns
-    ``{out_prefix}1..{out_prefix}N`` = the per-entity completion
-    times (NULL when the entity never reached the step). Callers
-    aggregate to per-entity rows with ``F.first``/``F.min``.
+    ``steps`` is a sequence of event-type values; the result has one
+    row per input row with columns ``{out_prefix}1..{out_prefix}N`` =
+    the per-entity completion times (NULL when the entity never
+    reached the step). Callers aggregate to per-entity rows with
+    ``F.first``/``F.min``.
 
     Scale shape: every step is an unordered MIN window PARTITION BY
     the entity — ONE hash exchange on the entity key reused by all N
@@ -232,8 +232,7 @@ def funnel_steps(
     out = df
     prev_t = None
     for i, step in enumerate(steps, start=1):
-        val = step[0] if isinstance(step, (tuple, list)) else step
-        cond = F.col(type_col) == F.lit(val)
+        cond = F.col(type_col) == F.lit(step)
         if prev_t is not None:
             cond = cond & F.col(prev_t).isNotNull() & (F.col(ts_col) > F.col(prev_t))
         name = f"{out_prefix}{i}"

@@ -5006,12 +5006,18 @@ def roundtrip_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 150 + 40).cast("double").alias("hr"),
         F.col("event_id").cast("double").alias("dst"),
     )
+    # ONE scan feeds both serializer legs: collect the ordered slice
+    # once, then re-wrap it as a driver-local relation for write_gpx
+    # (so the df-write/gpx sink still runs end-to-end — its
+    # toLocalIterator walks a LocalTableScan, not a second parquet
+    # job) and feed tcx_xml straight from the same rows
+    rows = pts.orderBy("timestamp").collect()
+    local = spark.createDataFrame(rows, pts.schema) if rows else pts.limit(0)
     gxml = GPXSrc.write_gpx(
-        Frame(pts.select("timestamp", "lat", "lon", "alt"), order_by=["timestamp"]),
+        Frame(local.select("timestamp", "lat", "lon", "alt"), order_by=["timestamp"]),
         name="events-track",
     )
     gback = GPXSrc.read_gpx(spark, gxml)
-    rows = pts.orderBy("timestamp").collect()
     txml = TCXSrc.tcx_xml(
         (
             (r["timestamp"], r["lat"], r["lon"], r["alt"], r["hr"], r["dst"])

@@ -55,7 +55,12 @@ def _parse_trackpoint(tp) -> dict:
                     row["hr"] = _float(sub)
         elif tag == "Cadence":
             row["cad"] = _float(el)
-        elif tag == "Extensions":
+        else:
+            # Watts/Speed live under Extensions/TPX in spec-shaped
+            # files, but devices also emit them bare under the
+            # trackpoint — scan any unmatched child's subtree so both
+            # placements parse (the pre-round-11 full-descendant walk
+            # accepted both; keep that contract)
             for sub in el.iter():
                 stag = sub.tag.rsplit("}", 1)[-1].lower()
                 if stag == "watts":

@@ -88,8 +88,15 @@ def streaming_funnel(
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         (entity,) = key
         ts = list(state.get) if state.exists else [None] * n
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col, kind="mergesort")
+        # a group arrives as an ITERATOR of Arrow-sized chunks in
+        # arbitrary order — the funnel fold is order-sensitive, so
+        # materialize the whole micro-batch group and sort ONCE
+        # (unlike the order-insensitive running sums above); per-group
+        # micro-batch volume bounds the memory, same as any
+        # applyInPandas group
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values(ts_col, kind="mergesort")
             for et, tv in zip(pdf[type_col], pdf[ts_col]):
                 tv = int(tv)
                 # consider the event for EVERY step slot its type

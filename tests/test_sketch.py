@@ -372,7 +372,15 @@ def test_kmv_set_ops_one_scope_empty(spark):
 
 def test_kmv_family_no_partitionless_window_over_data(spark, sf_dir):
     from data_frame_spark.plans import checks as C
-    from data_frame_spark.queries import QUERIES
+    from data_frame_spark.operators.sketch import kmv_set_ops
+    from data_frame_spark.queries import QUERIES, t
 
     df = QUERIES["kmv_family"](spark, sf_dir)
     assert C.data_sized_partitionless_windows(df) == []
+    # the registry row eagerly localCheckpoints the set-ops result,
+    # severing the sketch pipeline's lineage — re-build the
+    # pre-checkpoint operator output so ITS windows stay pinned too
+    # (same round-10-advice pattern as the mean-max family)
+    ev = t(spark, sf_dir, "events")
+    s = kmv_set_ops(ev, "user_id", "event_type", "click", "view", k=64)
+    assert C.data_sized_partitionless_windows(s) == []

@@ -156,6 +156,29 @@ def test_tcx_xml_parse_many_roundtrip(spark):
     assert out[2]["lon"] == 151.5 and out[2]["dst"] == 1.0
 
 
+def test_tcx_watts_speed_both_placements(spark):
+    # Watts/Speed parse from Extensions/TPX (spec shape) AND bare
+    # under the trackpoint (device shape) — the pre-round-11
+    # full-descendant walk accepted both; pinned so the single-pass
+    # parser keeps that contract
+    ns = "http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2"
+    xml = (
+        '<?xml version="1.0"?>'
+        f'<TrainingCenterDatabase xmlns="{ns}"><Activities>'
+        '<Activity Sport="Biking"><Id>x</Id><Lap StartTime="2020-01-01T00:00:00Z"><Track>'
+        "<Trackpoint><Time>2020-01-01T00:00:00Z</Time>"
+        "<Extensions><TPX><Watts>250</Watts><Speed>8.5</Speed></TPX></Extensions>"
+        "</Trackpoint>"
+        "<Trackpoint><Time>2020-01-01T00:00:01Z</Time>"
+        "<Watts>300</Watts><Speed>9.5</Speed>"
+        "</Trackpoint>"
+        "</Track></Lap></Activity></Activities></TrainingCenterDatabase>"
+    )
+    rows = TCX.read_tcx(spark, xml).df.orderBy("timestamp").collect()
+    assert [r["pwr"] for r in rows] == [250.0, 300.0]
+    assert [r["spd"] for r in rows] == [8.5, 9.5]
+
+
 def test_haversine_known_distance(spark):
     # 1 degree of latitude ~ 111.19 km on the R=6371 km sphere
     df = spark.createDataFrame([(0.0, 0.0, 1.0, 0.0)], ["lat1", "lon1", "lat2", "lon2"])
