@@ -321,3 +321,61 @@ def test_retention_single_user_pass(spark, sf_dir):
             assert r["n_users"] == r["cohort_size"]
             assert r["retention_micro"] == 1000000
         assert 0 <= r["retention_micro"] <= 1000000
+
+
+# ---------------------------------------------------------------------------
+# Property: distributed funnel == brute-force sequential fold on
+# arbitrary event streams (any per-user event mix, duplicate
+# timestamps, types outside the step list).
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings as hyp_settings, strategies as st
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),        # user
+        st.sampled_from(["view", "click", "purchase", "other"]),
+        st.integers(min_value=0, max_value=40),       # ts
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _brute_funnel(rows, steps):
+    out = {}
+    for uid in {r[0] for r in rows}:
+        ts = [None] * len(steps)
+        for i, s in enumerate(steps):
+            lo = ts[i - 1] if i else None
+            if i and lo is None:
+                break
+            cand = [
+                tv for (u, et, tv) in rows
+                if u == uid and et == s and (lo is None or tv > lo)
+            ]
+            ts[i] = min(cand) if cand else None
+        out[uid] = tuple(ts)
+    return out
+
+
+@given(_events)
+@hyp_settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_funnel_matches_bruteforce(spark, rows):
+    from data_frame_spark.operators.window import funnel_steps
+
+    steps = ["view", "click", "purchase"]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, tsn long")
+    got = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_steps(df, steps, "user_id", "event_type", "tsn")
+        .select("user_id", "t1", "t2", "t3")
+        .distinct()
+        .collect()
+    }
+    assert got == _brute_funnel(rows, steps)
