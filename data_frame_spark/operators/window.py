@@ -206,6 +206,7 @@ def funnel_steps(
     type_col: str,
     ts_col: str,
     out_prefix: str = "t",
+    within: int | None = None,
 ) -> DataFrame:
     """N-step ordered funnel: per entity, the time each step was
     FIRST completed in sequence — step k counts only strictly after
@@ -218,16 +219,22 @@ def funnel_steps(
     row per input row with columns ``{out_prefix}1..{out_prefix}N`` =
     the per-entity completion times (NULL when the entity never
     reached the step). Callers aggregate to per-entity rows with
-    ``F.first``/``F.min``.
+    ``F.first``/``F.min``. ``within`` additionally requires step k
+    to land no more than ``within`` ts-units after step k-1 (the
+    conversion-window form: "purchased within 7 days of clicking");
+    each dwell bound applies per hop, not to the whole chain.
 
     Scale shape: every step is an unordered MIN window PARTITION BY
     the entity — ONE hash exchange on the entity key reused by all N
     WindowExec nodes (no ORDER BY, so no per-step sort beyond the
     partitioning); ``ts_col`` should be an exact integer timestamp
-    (ts_us) so the strict > comparisons are engine-exact.
+    (ts_us) so the strict > / window-bound comparisons are
+    engine-exact.
     """
     if not steps:
         raise ValueError("funnel_steps requires at least one step")
+    if within is not None and within <= 0:
+        raise ValueError("funnel_steps within must be a positive ts delta")
     w = Window.partitionBy(entity_col)
     out = df
     prev_t = None
@@ -235,6 +242,8 @@ def funnel_steps(
         cond = F.col(type_col) == F.lit(step)
         if prev_t is not None:
             cond = cond & F.col(prev_t).isNotNull() & (F.col(ts_col) > F.col(prev_t))
+            if within is not None:
+                cond = cond & (F.col(ts_col) <= F.col(prev_t) + F.lit(int(within)))
         name = f"{out_prefix}{i}"
         out = out.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
         prev_t = name

@@ -61,6 +61,7 @@ def streaming_funnel(
     entity_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts_us",
+    within: int | None = None,
 ) -> DataFrame:
     """Streaming twin of ``operators/window.py:funnel_steps``: per
     entity, the first time each step was completed strictly after the
@@ -81,6 +82,8 @@ def streaming_funnel(
     """
     if not steps:
         raise ValueError("streaming_funnel requires at least one step")
+    if within is not None and within <= 0:
+        raise ValueError("streaming_funnel within must be a positive ts delta")
     n = len(steps)
     out_schema = f"{entity_col} long, " + ", ".join(f"t{i+1} long" for i in range(n))
     state_schema = ", ".join(f"t{i+1} long" for i in range(n))
@@ -107,7 +110,11 @@ def streaming_funnel(
                 for i, step in enumerate(steps):
                     if et != step:
                         continue
-                    if i > 0 and (ts[i - 1] is None or tv <= ts[i - 1]):
+                    if i > 0 and (
+                        ts[i - 1] is None
+                        or tv <= ts[i - 1]
+                        or (within is not None and tv > ts[i - 1] + within)
+                    ):
                         continue
                     if ts[i] is None or tv < ts[i]:
                         ts[i] = tv

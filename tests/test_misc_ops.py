@@ -342,7 +342,7 @@ _events = st.lists(
 )
 
 
-def _brute_funnel(rows, steps):
+def _brute_funnel(rows, steps, within=None):
     out = {}
     for uid in {r[0] for r in rows}:
         ts = [None] * len(steps)
@@ -352,30 +352,126 @@ def _brute_funnel(rows, steps):
                 break
             cand = [
                 tv for (u, et, tv) in rows
-                if u == uid and et == s and (lo is None or tv > lo)
+                if u == uid and et == s
+                and (lo is None or (tv > lo and (within is None or tv <= lo + within)))
             ]
             ts[i] = min(cand) if cand else None
         out[uid] = tuple(ts)
     return out
 
 
-@given(_events)
+@given(_events, st.sampled_from([None, 3, 10]))
 @hyp_settings(
-    max_examples=10,
+    max_examples=15,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_funnel_matches_bruteforce(spark, rows):
+def test_funnel_matches_bruteforce(spark, rows, within):
     from data_frame_spark.operators.window import funnel_steps
 
     steps = ["view", "click", "purchase"]
     df = spark.createDataFrame(rows, "user_id long, event_type string, tsn long")
     got = {
         r["user_id"]: (r["t1"], r["t2"], r["t3"])
-        for r in funnel_steps(df, steps, "user_id", "event_type", "tsn")
+        for r in funnel_steps(
+            df, steps, "user_id", "event_type", "tsn", within=within
+        )
         .select("user_id", "t1", "t2", "t3")
         .distinct()
         .collect()
     }
-    assert got == _brute_funnel(rows, steps)
+    assert got == _brute_funnel(rows, steps, within)
+
+
+def _brute_lev(a, b):
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1])
+            )
+        prev = cur
+    return prev[n]
+
+
+_recs = st.lists(
+    st.tuples(
+        st.text(alphabet="abcd ", min_size=0, max_size=6),   # name
+        st.integers(min_value=0, max_value=2),               # block
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(_recs)
+@hyp_settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_blocked_fuzzy_matches_bruteforce(spark, recs):
+    from data_frame_spark.operators.linkage import blocked_fuzzy_pairs
+
+    rows = [(i, name, blk) for i, (name, blk) in enumerate(recs)]
+    df = spark.createDataFrame(rows, "id long, name string, blk int")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in blocked_fuzzy_pairs(df, "id", "name", ["blk"]).collect()
+    }
+    expect = {
+        (a[0], b[0]): _brute_lev(a[1], b[1])
+        for a in rows
+        for b in rows
+        if a[0] < b[0] and a[2] == b[2]
+    }
+    assert got == expect
+
+
+_visits = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),   # user
+        st.integers(min_value=0, max_value=6),   # week
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(_visits)
+@hyp_settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_retention_matrix_matches_bruteforce(spark, visits):
+    # same collect_set/array_min/explode/rollup shape as the registry
+    # row, pinned against a dict-fold reference on arbitrary streams
+    from pyspark.sql import Window
+    from collections import Counter
+
+    df = spark.createDataFrame(visits, "user_id long, wk long")
+    peruser = df.groupBy("user_id").agg(F.collect_set("wk").alias("wks"))
+    c = peruser.select(
+        F.array_min("wks").alias("cohort"), F.explode("wks").alias("wk")
+    )
+    got = {
+        (r["cohort"], r["wk_offset"]): r["n"]
+        for r in c.groupBy(
+            "cohort", (F.col("wk") - F.col("cohort")).alias("wk_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    first = {}
+    for u, w in visits:
+        first[u] = min(first.get(u, w), w)
+    cells = Counter()
+    for u, w in set(visits):
+        cells[(first[u], w - first[u])] += 1
+    assert got == dict(cells)
