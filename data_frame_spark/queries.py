@@ -4243,33 +4243,54 @@ def batch_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "funnel_conversion_events",
-    oracle="""
-    WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS tsn
-               FROM events),
-    w1 AS (SELECT user_id, event_type, tsn,
+def _funnel_oracle_chain(sfx: str, bound: str) -> str:
+    """One funnel window chain (w1->w2->w3->per-user collapse) for
+    the oracle; ``bound`` is the per-hop conversion-window predicate
+    template with {prev} substituted per step ('' = unbounded)."""
+    b2 = bound.format(prev="t1")
+    b3 = bound.format(prev="t2")
+    return f"""
+    w1{sfx} AS (SELECT user_id, event_type, tsn,
                   MIN(CASE WHEN event_type = 'view' THEN tsn END)
                     OVER (PARTITION BY user_id) AS t1
            FROM e),
-    w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
-                               AND tsn > t1 THEN tsn END)
+    w2{sfx} AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+                               AND tsn > t1 {b2} THEN tsn END)
                        OVER (PARTITION BY user_id) AS t2
-           FROM w1),
-    w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
-                               AND tsn > t2 THEN tsn END)
+           FROM w1{sfx}),
+    w3{sfx} AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+                               AND tsn > t2 {b3} THEN tsn END)
                        OVER (PARTITION BY user_id) AS t3
-           FROM w2),
-    u AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
-          FROM w3 GROUP BY user_id)
-    SELECT user_id % 8 AS cohort,
+           FROM w2{sfx}),
+    u{sfx} AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+          FROM w3{sfx} GROUP BY user_id)"""
+
+
+def _funnel_oracle_rollup(facet: str, sfx: str) -> str:
+    return f"""
+    SELECT '{facet}' AS facet, user_id % 8 AS cohort,
            CAST(COUNT(*) AS BIGINT) AS n_users,
            CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
            CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
            CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
            CAST(SUM(t2 - t1) AS BIGINT) AS view_to_click_us,
            CAST(SUM(t3 - t2) AS BIGINT) AS click_to_purchase_us
-    FROM u GROUP BY user_id % 8
+    FROM u{sfx} GROUP BY user_id % 8"""
+
+
+_FUNNEL_7D_US = 7 * 86400 * 1000000
+
+
+@query(
+    "funnel_conversion_events",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS tsn
+               FROM events),
+    {_funnel_oracle_chain("a", "")},
+    {_funnel_oracle_chain("b", f"AND tsn <= {{prev}} + {_FUNNEL_7D_US}")}
+    {_funnel_oracle_rollup("all", "a")}
+    UNION ALL
+    {_funnel_oracle_rollup("7d", "b")}
     """,
 )
 def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4277,35 +4298,45 @@ def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/window.py:funnel_steps): per user, step k counts only
     strictly AFTER step k-1's first completion — the sequential
     condition a naive per-type MIN gets wrong (a click before the
-    first view must not convert). Rolled up per 8-way user cohort:
-    stage survivors and exact integer-microsecond inter-stage dwell
-    sums.
+    first view must not convert). TWO facets: 'all' (unbounded) and
+    '7d' (each hop must convert within 7 days — funnel_steps'
+    ``within`` conversion-window form). Rolled up per 8-way user
+    cohort: stage survivors and exact integer-microsecond
+    inter-stage dwell sums.
 
-    100 TB shape: all three funnel steps are unordered MIN windows
-    PARTITION BY user_id — ONE hash exchange on user_id feeds every
-    WindowExec and the per-user collapse; the final cohort rollup is
-    8 rows. No global sort, no join, no data-sized window without a
-    partition key anywhere."""
+    100 TB shape: each facet's three funnel steps are unordered MIN
+    windows PARTITION BY user_id — ONE hash exchange on user_id per
+    facet feeds every WindowExec and the per-user collapse; the final
+    cohort rollup is 8 rows per facet. No global sort, no join, no
+    data-sized window without a partition key anywhere."""
     ev = t(spark, sf_dir, "events")
-    stepped = OpWindow.funnel_steps(
-        ev.select("user_id", "event_type", F.col("ts_us").alias("tsn")),
-        steps=["view", "click", "purchase"],
-        entity_col="user_id", type_col="event_type", ts_col="tsn",
-    )
-    u = stepped.groupBy("user_id").agg(
-        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
-    )
-    return (
-        u.groupBy((F.col("user_id") % 8).alias("cohort"))
-        .agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("n_view"),
-            F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("n_click"),
-            F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias("n_purchase"),
-            F.sum(F.col("t2") - F.col("t1")).alias("view_to_click_us"),
-            F.sum(F.col("t3") - F.col("t2")).alias("click_to_purchase_us"),
+
+    def facet(name: str, within: int | None) -> DataFrame:
+        stepped = OpWindow.funnel_steps(
+            ev.select("user_id", "event_type", F.col("ts_us").alias("tsn")),
+            steps=["view", "click", "purchase"],
+            entity_col="user_id", type_col="event_type", ts_col="tsn",
+            within=within,
         )
-    )
+        u = stepped.groupBy("user_id").agg(
+            F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+        )
+        return (
+            u.groupBy((F.col("user_id") % 8).alias("cohort"))
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("n_view"),
+                F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("n_click"),
+                F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias(
+                    "n_purchase"
+                ),
+                F.sum(F.col("t2") - F.col("t1")).alias("view_to_click_us"),
+                F.sum(F.col("t3") - F.col("t2")).alias("click_to_purchase_us"),
+            )
+            .select(F.lit(name).alias("facet"), "*")
+        )
+
+    return facet("all", None).unionAll(facet("7d", _FUNNEL_7D_US))
 
 
 @query(

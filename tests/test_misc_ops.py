@@ -256,13 +256,14 @@ def test_funnel_steps_sequential_semantics(spark):
 
 
 def test_funnel_single_entity_exchange(spark, sf_dir):
-    # all three step windows and the per-user collapse must reuse ONE
-    # user_id exchange; only the 8-row cohort rollup adds a second
+    # per facet, all three step windows and the per-user collapse
+    # must reuse ONE user_id exchange; only the 8-row cohort rollup
+    # adds a second — 2 facets ('all' + '7d') x 2 shuffles
     from data_frame_spark.plans import checks as C
     from data_frame_spark.queries import QUERIES
 
     df = QUERIES["funnel_conversion_events"](spark, sf_dir)
-    assert C.count_shuffles(df) <= 2
+    assert C.count_shuffles(df) <= 4
     assert C.data_sized_partitionless_windows(df) == []
 
 
