@@ -77,3 +77,24 @@ def test_frame_ref_out_of_range(spark):
     fr = Frame.from_dict(spark, {"a": [1, 2]}).set_sorted("a")
     with pytest.raises(IndexError):
         fr.ref(5)
+
+
+def test_round11_operators_on_empty_input(spark):
+    # empty DataFrames flow through the round-11 operators without
+    # errors: funnel (no rows -> no step times), linkage (no pairs),
+    # TCX serialize/parse (empty track round-trips to zero points)
+    from data_frame_spark.operators.linkage import blocked_fuzzy_pairs
+    from data_frame_spark.operators.window import funnel_steps
+    from data_frame_spark.sources import tcx as TCX
+
+    empty_ev = spark.createDataFrame([], "user_id long, event_type string, tsn long")
+    assert (
+        funnel_steps(empty_ev, ["view", "click"], "user_id", "event_type", "tsn")
+        .count()
+        == 0
+    )
+    empty_rec = spark.createDataFrame([], "id long, name string, blk string")
+    assert blocked_fuzzy_pairs(empty_rec, "id", "name", ["blk"]).count() == 0
+    xml = TCX.tcx_xml([])
+    docs = spark.createDataFrame([(1, xml)], "source_id long, xml string")
+    assert TCX.parse_many(docs, "xml").count() == 0
