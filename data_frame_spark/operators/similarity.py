@@ -890,3 +890,91 @@ def pq_adc_topk(
         .where(F.col("__rk") <= k)
         .select(query_id_col, id_col, "adc_dist_micro2", F.col("__rk").alias("rank"))
     )
+
+
+def ivf_pq_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    codebooks: list[list[list[int]]],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ composed ANN search (the FAISS IVFPQ shape): the IVF
+    coarse quantizer prunes the corpus to each query's ``n_probe``
+    nearest cells, then asymmetric-distance scoring runs over the
+    PQ-COMPRESSED codes of just those cells — candidate count ∝
+    probed cell sizes AND bytes scanned ∝ m ints per candidate, the
+    two pruning axes of :func:`ivf_topk` and :func:`pq_adc_topk`
+    multiplied together. Scoring/ranking semantics are identical to
+    ``pq_adc_topk`` restricted to the probed cells (pinned by test).
+
+    Scale shape: ONE narrow pass computes each base vector's cell
+    assignment and PQ codes (the quantized vector is materialized
+    once — interpreted lambdas sit outside codegen CSE); only the
+    operational-constant query batch broadcasts; ranking is a
+    per-query row_number that WindowGroupLimit prunes map-side.
+    ``codebooks`` must be the MICRO integer form (pq_fit(micro=True)).
+    """
+    m, _, sub = _require_micro_books(codebooks)
+    centroids = ivf_fit_centroids(base, dim, n_cells, iterations, id_col, vec_col)
+    bq = base.select(
+        F.col(id_col),
+        _argmin_centroid(F.col(vec_col), centroids).alias("__cell"),
+        _require_len(
+            quantize_vec(F.col(vec_col)), m * sub, "ivf_pq_topk"
+        ).alias("__vq"),
+    )
+    code_arr = F.array(
+        *[
+            _argmin_l2_micro(F.slice("__vq", j * sub + 1, sub), codebooks[j])
+            for j in range(m)
+        ]
+    )
+    b = bq.select(id_col, "__cell", code_arr.alias("codes"))
+    probes = F.transform(
+        F.slice(F.array_sort(_centroid_scores(F.col(vec_col), centroids)), 1, n_probe),
+        lambda s: s["cid"],
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        _require_len(
+            quantize_vec(F.col(vec_col)), m * sub, "ivf_pq_topk"
+        ).alias("__qv"),
+        F.explode(probes).alias("__cell"),
+    )
+    joined = b.join(F.broadcast(q), "__cell")
+    cbs = [
+        F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in codebooks[j]])
+        for j in range(m)
+    ]
+    zero = F.lit(0).cast("long")
+    parts = [
+        F.aggregate(
+            F.zip_with(
+                F.slice("__qv", j * sub + 1, sub),
+                F.element_at(cbs[j], F.col("codes")[j] + 1),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        for j in range(m)
+    ]
+    dist = parts[0]
+    for p in parts[1:]:
+        dist = dist + p
+    scored = joined.select(query_id_col, id_col, dist.alias("adc_dist_micro2"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist_micro2").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "adc_dist_micro2", F.col("__rk").alias("rank"))
+    )

@@ -962,3 +962,66 @@ def test_pq_rejects_float_codebooks_and_wrong_dims(spark):
     # silently corrupting codebook assignment
     with pytest.raises((SparkRuntimeException, Py4JJavaError), match="expected 8 dims, got 6"):
         SIM.pq_fit(base.union(short), dim=8, m=2, k=4, iterations=1, micro=True)
+
+
+def test_ivf_pq_topk_matches_adc_on_probed_cells(spark):
+    # the composed IVF-PQ search must equal pq_adc_topk restricted to
+    # each query's probed cells — the composition adds pruning, never
+    # different scoring; plus layout independence of the whole stack
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(13)
+    dim, m, k = 8, 2, 4
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(120)]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = spark.createDataFrame(
+        [(q, rows[q * 23][1]) for q in range(3)], ["query_id", "embedding"]
+    )
+    books = SIM.pq_fit(base, dim=dim, m=m, k=4, iterations=2, micro=True)
+    out = SIM.ivf_pq_topk(
+        base, queries, dim=dim, codebooks=books, k=k,
+        n_cells=6, n_probe=2, iterations=2,
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["adc_dist_micro2"])
+        for r in out.collect()
+    }
+    # reference: same centroids/probes via the module's own exprs,
+    # then the verified pq_adc_topk on each query's probed subset
+    cents = SIM.ivf_fit_centroids(base, dim, 6, 2)
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in base.select(
+            "vec_id", SIM._argmin_centroid(F.col("embedding"), cents).alias("cell")
+        ).collect()
+    }
+    probes = F.transform(
+        F.slice(F.array_sort(SIM._centroid_scores(F.col("embedding"), cents)), 1, 2),
+        lambda s: s["cid"],
+    )
+    qprobes = {}
+    for r in queries.select("query_id", probes.alias("p")).collect():
+        qprobes[r["query_id"]] = set(r["p"])
+    codes = SIM.pq_encode(base, books)
+    expect = {}
+    for q in range(3):
+        keep = [v for v, c in cells.items() if c in qprobes[q]]
+        sub_codes = codes.where(F.col("vec_id").isin(keep))
+        ref = SIM.pq_adc_topk(
+            sub_codes, queries.where(F.col("query_id") == q), books, k=k
+        )
+        for r in ref.collect():
+            expect[(q, r["rank"])] = (r["vec_id"], r["adc_dist_micro2"])
+    assert got == expect
+    # layout independence
+    out2 = SIM.ivf_pq_topk(
+        base.repartition(7), queries, dim=dim, codebooks=books, k=k,
+        n_cells=6, n_probe=2, iterations=2,
+    )
+    got2 = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["adc_dist_micro2"])
+        for r in out2.collect()
+    }
+    assert got2 == got
