@@ -197,3 +197,71 @@ def cluster_documents(
     return cc.join(sizes, "component").select(
         F.col("id"), F.col("component").alias("cluster_id"), "cluster_size"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer-exact PageRank (power iteration, damping 0.85): ranks
+    are LONGS in micro units (init 1.0 = 1_000_000 per node; the
+    ranks-sum-to-N convention), each round distributing
+    ``rank_micro div out_degree`` along every edge and recombining as
+    ``0.15 + 0.85 * Σcontrib`` in pure integer arithmetic —
+    ``150000 + (85 * Σ) div 100``. All-integer math makes the result
+    bit-identical under ANY partitioning/summation order (the same
+    exactness contract as the integer-Lloyd fits); floor division
+    leaks ≤1 micro per edge per round, a deliberate determinism/
+    precision trade documented here. Dangling nodes (no out-edges)
+    keep only their 0.15 base — the standard simple formulation; add
+    a dangling-mass redistribution upstream if required. Parallel
+    edges contribute once each (pre-``distinct`` upstream to change
+    that). No reference twin: net-new graph analytics alongside
+    :func:`connected_components`.
+
+    Scale shape: out-degrees join the edge list ONCE (one shuffle,
+    checkpointed); each round is one ranks⋈edges shuffle on the
+    source key plus one map-combinable groupBy-sum on the
+    destination — O(iterations) rounds of vertex-keyed exchanges,
+    eagerly ``localCheckpoint``-ed so the iterative lineage never
+    re-executes earlier rounds (same stance as the CC loop).
+    """
+    if iterations < 0:
+        raise ValueError("pagerank iterations must be >= 0")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ej = e.join(deg, "src").localCheckpoint(eager=True)
+    nodes = nodes.localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank_micro"))
+    for _ in range(iterations):
+        contribs = (
+            ej.join(ranks, ej["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_micro div __deg").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(150000).cast("long")
+                    + F.expr("85 * coalesce(__s, 0L) div 100")
+                ).alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -117,3 +117,47 @@ def test_cc_null_ids_dropped_not_raised(spark):
     )
     got = {(r["id"], r["component"]) for r in connected_components(df).collect()}
     assert got == {(1, 1), (2, 1)}
+
+
+def _brute_pagerank(edges, iterations):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(iterations):
+        sums = {n: 0 for n in nodes}
+        for s, d in edges:
+            sums[d] += rank[s] // deg[s]
+        rank = {n: 150000 + (85 * sums[n]) // 100 for n in nodes}
+    return rank
+
+
+def test_pagerank_matches_integer_reference_and_layout(spark):
+    import random
+
+    import pytest
+
+    from data_frame_spark.operators.graph import pagerank
+
+    rng = random.Random(21)
+    edges = list({(rng.randrange(12), rng.randrange(12)) for _ in range(40)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_micro"] for r in pagerank(df, iterations=6).collect()}
+    assert got == _brute_pagerank(edges, 6)
+    # integer arithmetic => bit-identical under any partitioning
+    got7 = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(df.repartition(7), iterations=6).collect()
+    }
+    assert got7 == got
+    # a hub receiving everything outranks a leaf; iterations=0 is init
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)], "src long, dst long"
+    )
+    ranks = {r["node"]: r["rank_micro"] for r in pagerank(star, iterations=3).collect()}
+    assert ranks[0] > ranks[1] == ranks[5]
+    init = {r["node"]: r["rank_micro"] for r in pagerank(star, iterations=0).collect()}
+    assert set(init.values()) == {1_000_000}
+    with pytest.raises(ValueError):
+        pagerank(star, iterations=-1)

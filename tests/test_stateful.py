@@ -222,3 +222,34 @@ def test_streaming_funnel_matches_batch(spark, sf_dir):
         .collect()
     }
     assert latest == batch
+    # within-bounded form: same parity through the conversion window
+    bound = 2 * 86400 * 1000000
+    out_w = streaming_funnel(
+        W.stream_events(spark, sf_dir, watermark="1 hour"),
+        ["view", "click", "purchase"],
+        within=bound,
+    )
+    qw = (
+        out_w.writeStream.format("memory")
+        .queryName("t_funnel_w")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qw.awaitTermination(120)
+    latest_w = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in spark.table("t_funnel_w").collect()
+    }
+    batch_w = {
+        r["user_id"]: (r["t1"], r["t2"], r["t3"])
+        for r in funnel_steps(
+            ev, ["view", "click", "purchase"], "user_id", "event_type", "tsn",
+            within=bound,
+        )
+        .select("user_id", "t1", "t2", "t3")
+        .distinct()
+        .collect()
+    }
+    assert latest_w == batch_w
+    assert latest_w != latest  # the bound must actually bite on this data
