@@ -248,3 +248,49 @@ def funnel_steps(
         out = out.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
         prev_t = name
     return out
+
+
+def cusum(
+    df: DataFrame,
+    value_micro_col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str],
+    target_micro: int,
+    threshold_micro: int | None = None,
+    out: str = "cusum_micro",
+) -> DataFrame:
+    """One-sided (upper) CUSUM drift statistic per key, integer-exact:
+    ``S_i = max(0, S_{i-1} + (x_i - target))`` over the declared
+    order. The recurrence LOOKS inherently sequential, but has the
+    closed form ``S_i = P_i - min_{j<=i} P_j`` with
+    ``P_i = Σ_{t<=i}(x_t - target)`` (``P_0 = 0`` — the running min
+    is floored at the empty prefix) — two ROWS-bounded windows, no
+    per-row iteration anywhere. ``value_micro_col`` must already be
+    an exact integer (micro-quantized) series so both windows are
+    engine-exact and order-stable; with ``threshold_micro`` an
+    ``alarm`` flag marks rows whose statistic exceeds it (the
+    change-point detector read-out).
+
+    Scale shape: both windows are PARTITION BY the entity key with
+    ROWS UNBOUNDED PRECEDING frames — one hash exchange + per-key
+    sort shared by the cumulation and the running min; at 100 TB the
+    sort is per-user and distributed (the same contract as
+    rolling_stats/sessionize: ``partition_by`` required non-empty).
+    """
+    if not partition_by:
+        raise ValueError("cusum requires partition_by (scale contract)")
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.sum(F.col(value_micro_col) - F.lit(int(target_micro))).over(w)
+    out_df = df.withColumn("__p", p).withColumn(
+        out,
+        F.col("__p") - F.least(F.min("__p").over(w), F.lit(0).cast("long")),
+    ).drop("__p")
+    if threshold_micro is not None:
+        out_df = out_df.withColumn(
+            "alarm", F.col(out) > F.lit(int(threshold_micro))
+        )
+    return out_df

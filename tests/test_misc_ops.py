@@ -476,3 +476,50 @@ def test_retention_matrix_matches_bruteforce(spark, visits):
     for u, w in set(visits):
         cells[(first[u], w - first[u])] += 1
     assert got == dict(cells)
+
+
+def _brute_cusum(vals, target):
+    s, out = 0, []
+    for v in vals:
+        s = max(0, s + (v - target))
+        out.append(s)
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),       # key
+            st.integers(min_value=-50, max_value=50),    # value micro
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@hyp_settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cusum_matches_sequential_reference(spark, rows):
+    # the windowed closed form (prefix - floored running-min prefix)
+    # must equal the sequential recurrence max(0, S + (x - target))
+    import pytest
+
+    from data_frame_spark.operators.window import cusum
+
+    rows = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "k long, i long, v long")
+    out = cusum(
+        df, "v", order_by=["i"], partition_by=["k"],
+        target_micro=3, threshold_micro=20,
+    )
+    got = {(r["k"], r["i"]): (r["cusum_micro"], r["alarm"]) for r in out.collect()}
+    for k in {r[0] for r in rows}:
+        seq = [(i, v) for kk, i, v in rows if kk == k]
+        expect = _brute_cusum([v for _, v in seq], 3)
+        for (i, _), s in zip(seq, expect):
+            assert got[(k, i)] == (s, s > 20), (k, i)
+    with pytest.raises(ValueError, match="partition_by"):
+        cusum(df, "v", ["i"], [], target_micro=0)
