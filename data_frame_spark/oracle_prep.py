@@ -1,0 +1,92 @@
+"""Round-12 oracle wiring prep: exact DuckDB twins for operators that
+landed this round WITHOUT registry slots (the `_FIRST` window is at
+its 50-query cap holding this round's rotation).
+
+Each builder here returns the ORACLE SQL a future `@query` row will
+use verbatim; `tests/test_oracle_prep.py` proves bit-equality against
+the Spark operators on the real sf0.001 tables NOW, so registration
+next round is pure wiring. Both twins replay integer arithmetic only
+(the integer-Lloyd / integer-PageRank exactness contract): every
+division is on positive longs, where Spark's ``div`` (truncate) and
+DuckDB's ``//`` (floor) agree.
+"""
+
+from __future__ import annotations
+
+CUSUM_TARGET_MICRO = 500_000
+CUSUM_THRESHOLD_MICRO = 5_000_000
+
+
+def cusum_oracle_sql(
+    target_micro: int = CUSUM_TARGET_MICRO,
+    threshold_micro: int = CUSUM_THRESHOLD_MICRO,
+) -> str:
+    """DuckDB twin of ``operators/window.py:cusum`` over the events
+    table: micro-quantized value, per-user (ts, event_id) order. The
+    closed form S_i = P_i - min(0, min_{j<=i} P_j) is replayed with
+    the same two ROWS-unbounded windows the Spark plan uses."""
+    return f"""
+    WITH x AS (SELECT event_id, user_id, ts,
+                      CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)
+                          - {int(target_micro)} AS d
+               FROM events WHERE value IS NOT NULL),
+         p AS (SELECT event_id, user_id, ts,
+                      SUM(d) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS pre
+               FROM x),
+         m AS (SELECT event_id, user_id,
+                      pre - LEAST(MIN(pre) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id
+                                                 ROWS UNBOUNDED PRECEDING),
+                                  CAST(0 AS BIGINT)) AS cusum_micro
+               FROM p)
+    SELECT event_id, user_id, cusum_micro,
+           cusum_micro > {int(threshold_micro)} AS alarm
+    FROM m
+    """
+
+
+PAGERANK_SUPP_OFFSET = 1_000_000
+
+
+def pagerank_edges_sql() -> str:
+    """The part<->supplier co-occurrence graph both engines use:
+    distinct (l_partkey, l_suppkey) pairs from lineitem, supplier ids
+    offset into a disjoint node-id space, both edge directions (so no
+    node is dangling and rank circulates)."""
+    return f"""
+    b AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+                          CAST(l_suppkey + {PAGERANK_SUPP_OFFSET} AS BIGINT) AS dst
+          FROM lineitem),
+    e AS (SELECT src, dst FROM b UNION ALL SELECT dst AS src, src AS dst FROM b)
+    """
+
+
+def pagerank_oracle_sql(iterations: int = 4) -> str:
+    """DuckDB twin of ``operators/graph.py:pagerank`` on the
+    part<->supplier graph: the power iteration unrolled into
+    ``iterations`` chained CTE pairs (contribution groupBy-sum, then
+    the 0.15 + 0.85-damped integer recombination) — the same
+    replay-the-integer-loop recipe as the Lloyd oracles."""
+    if iterations < 1:
+        raise ValueError("pagerank_oracle_sql needs >= 1 iteration")
+    parts = [
+        "WITH " + pagerank_edges_sql().strip().rstrip(),
+        """nodes AS (SELECT DISTINCT src AS node FROM e
+               UNION SELECT DISTINCT dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""c{i} AS (SELECT e.dst AS node, SUM(r.r // g.d) AS s
+           FROM e JOIN deg g USING (src)
+                  JOIN r{i - 1} r ON r.node = e.src
+           GROUP BY e.dst),
+    r{i} AS (SELECT n.node,
+                    CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+             FROM nodes n LEFT JOIN c{i} c USING (node))"""
+        )
+    body = ",\n    ".join(parts)
+    return f"{body}\n    SELECT node, r AS rank_micro FROM r{iterations}"

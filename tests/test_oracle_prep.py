@@ -1,0 +1,75 @@
+"""Round-12 wiring prep: prove the DuckDB oracle twins in
+``data_frame_spark/oracle_prep.py`` are bit-identical to the Spark
+operators on the REAL sf0.001 tables, before any registry slot opens.
+These are the exact SQL strings a future ``@query`` row will carry —
+registration becomes pure wiring once the `_FIRST` window rotates."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from data_frame_spark import oracle_prep as OP
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb.connect()
+    for t in ("events", "lineitem"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    yield c
+    c.close()
+
+
+def test_cusum_oracle_matches_spark(spark, sf_dir, con):
+    from data_frame_spark.operators import window as OpW
+
+    ev = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("v_micro"),
+        )
+    )
+    out = OpW.cusum(
+        ev,
+        "v_micro",
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+        target_micro=OP.CUSUM_TARGET_MICRO,
+        threshold_micro=OP.CUSUM_THRESHOLD_MICRO,
+    ).select("event_id", "user_id", "cusum_micro", "alarm")
+    got = {
+        r["event_id"]: (r["user_id"], r["cusum_micro"], r["alarm"])
+        for r in out.collect()
+    }
+    want = {
+        eid: (uid, cs, al)
+        for eid, uid, cs, al in con.execute(OP.cusum_oracle_sql()).fetchall()
+    }
+    assert len(got) > 100
+    assert got == want
+
+
+def test_pagerank_oracle_matches_spark(spark, sf_dir, con):
+    from data_frame_spark.operators.graph import pagerank
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    b = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey") + OP.PAGERANK_SUPP_OFFSET).cast("long").alias("dst"),
+    ).distinct()
+    edges = b.unionAll(b.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    got = {
+        r["node"]: r["rank_micro"] for r in pagerank(edges, iterations=4).collect()
+    }
+    want = dict(con.execute(OP.pagerank_oracle_sql(iterations=4)).fetchall())
+    assert len(got) > 100
+    assert got == want
