@@ -13,6 +13,8 @@ DuckDB's ``//`` (floor) agree.
 
 from __future__ import annotations
 
+from data_frame_spark.operators.text import TOKEN_PATTERN
+
 CUSUM_TARGET_MICRO = 500_000
 CUSUM_THRESHOLD_MICRO = 5_000_000
 
@@ -56,10 +58,10 @@ def pagerank_edges_sql() -> str:
     offset into a disjoint node-id space, both edge directions (so no
     node is dangling and rank circulates)."""
     return f"""
-    b AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
+    b AS MATERIALIZED (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS src,
                           CAST(l_suppkey + {PAGERANK_SUPP_OFFSET} AS BIGINT) AS dst
           FROM lineitem),
-    e AS (SELECT src, dst FROM b UNION ALL SELECT dst AS src, src AS dst FROM b)
+    e AS MATERIALIZED (SELECT src, dst FROM b UNION ALL SELECT dst AS src, src AS dst FROM b)
     """
 
 
@@ -73,9 +75,9 @@ def pagerank_oracle_sql(iterations: int = 4) -> str:
         raise ValueError("pagerank_oracle_sql needs >= 1 iteration")
     parts = [
         "WITH " + pagerank_edges_sql().strip().rstrip(),
-        """nodes AS (SELECT DISTINCT src AS node FROM e
+        """nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
                UNION SELECT DISTINCT dst FROM e),
-    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
     r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)""",
     ]
     for i in range(1, iterations + 1):
@@ -90,3 +92,55 @@ def pagerank_oracle_sql(iterations: int = 4) -> str:
         )
     body = ",\n    ".join(parts)
     return f"{body}\n    SELECT node, r AS rank_micro FROM r{iterations}"
+
+
+def bpe_oracle_sql(n_merges: int = 12) -> str:
+    """DuckDB twin of ``operators/bpe.py:bpe_fit`` over the documents
+    table: the merge loop unrolled into (pair-stats, argmax, merge)
+    CTE triples — the fold replayed with ``list_reduce`` over a
+    list-of-lists accumulator (DuckDB slice bounds are INCLUSIVE, so
+    dropping the accumulator tail is ``[:-2]``), the best pair
+    cross-joined in so the lambda can capture it. Every CTE is
+    MATERIALIZED: each w{k} is referenced twice (pair stats + the
+    next merge), so DuckDB's default inlining re-expands the whole
+    prefix per level — 2^n_merges recomputation (measured: 264 s →
+    0.2 s at sf0.001 with 12 merges). Valid while the
+    corpus sustains ``n_merges`` merges above bpe_fit's ``min_count``
+    (the Spark side should raise if fit stops early, keeping the
+    contract loud); columns quoted — left/right are SQL keywords."""
+    if n_merges < 1:
+        raise ValueError("bpe_oracle_sql needs >= 1 merge")
+    eow = "</w>"
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT list_append(list_transform(generate_series(1, len(word)),
+                                        i -> word[i]), '{eow}') AS syms,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT UNNEST(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS word
+            FROM documents)
+      GROUP BY word)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT u.pr.l AS l, u.pr.r AS r, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM w{k - 1}, UNNEST(CASE WHEN len(syms) < 2 THEN []
+           ELSE list_transform(generate_series(1, len(syms) - 1),
+                i -> {{'l': syms[i], 'r': syms[i + 1]}}) END) AS u(pr)
+      GROUP BY 1, 2),
+    s{k} AS MATERIALIZED (SELECT l, r, cnt FROM p{k}
+             ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+    w{k} AS MATERIALIZED (
+      SELECT CASE WHEN len(syms) < 2 THEN syms
+                  ELSE list_reduce(list_transform(syms, x -> [x]),
+                       (acc, x) -> CASE WHEN acc[-1] = s{k}.l AND x[1] = s{k}.r
+                                        THEN acc[:-2] || [s{k}.l || s{k}.r]
+                                        ELSE acc || x END) END AS syms, n
+      FROM w{k - 1} CROSS JOIN s{k})"""
+        )
+    finals = "\n    UNION ALL ".join(
+        f'SELECT CAST({k - 1} AS BIGINT) AS rank, l AS "left", r AS "right",'
+        f" cnt AS pair_n FROM s{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + finals

@@ -18,7 +18,7 @@ from data_frame_spark import oracle_prep as OP
 @pytest.fixture(scope="module")
 def con(sf_dir):
     c = duckdb.connect()
-    for t in ("events", "lineitem"):
+    for t in ("events", "lineitem", "documents"):
         p = os.path.join(sf_dir, f"{t}.parquet")
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     yield c
@@ -72,4 +72,17 @@ def test_pagerank_oracle_matches_spark(spark, sf_dir, con):
     }
     want = dict(con.execute(OP.pagerank_oracle_sql(iterations=4)).fetchall())
     assert len(got) > 100
+    assert got == want
+
+
+def test_bpe_oracle_matches_spark(spark, sf_dir, con):
+    from data_frame_spark.operators.bpe import bpe_fit
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_n"])
+        for r in bpe_fit(docs, n_merges=12).orderBy("rank").collect()
+    ]
+    want = sorted(con.execute(OP.bpe_oracle_sql(n_merges=12)).fetchall())
+    assert len(got) == 12  # corpus sustains every merge (oracle contract)
     assert got == want
