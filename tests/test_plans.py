@@ -653,3 +653,21 @@ def test_classifier_rejects_vocab_window(spark, sf_dir):
     w = Window.orderBy(F.col("c").desc(), F.col("term"))
     ranked = cnt.select(F.row_number().over(w).alias("x"), "c")
     assert C.data_sized_partitionless_windows(ranked) != []
+
+
+def test_bpe_encode_broadcasts_vocab_no_corpus_shuffle_for_join(spark, sf_dir):
+    # encode's join of the posexploded corpus against the word->syms
+    # map must be a broadcast (the map is vocabulary-bounded), with
+    # the only corpus-sized exchanges being the id-keyed reassembly
+    # groupBy and the final slim id left-join — never a shuffle of
+    # the word stream for the lookup itself
+    import os
+
+    from data_frame_spark.operators.bpe import bpe_encode
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    enc = bpe_encode(docs, [("t", "h"), ("e", "</w>")])
+    plan = C.simple_plan(enc)
+    assert "BroadcastHashJoin" in plan
+    assert C.count_shuffles(enc) <= 3
+    assert not C.data_sized_partitionless_windows(enc)
