@@ -132,3 +132,71 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CUSUM_OUT_SCHEMA = "user_id long, event_id long, cusum_micro long, alarm boolean"
+CUSUM_STATE_SCHEMA = "prefix long, runmin long"
+
+
+def streaming_cusum(
+    events: DataFrame,
+    target_micro: int,
+    threshold_micro: int | None = None,
+    entity_col: str = "user_id",
+    ts_col: str = "ts_us",
+    id_col: str = "event_id",
+    value_col: str = "value_micro",
+) -> DataFrame:
+    """Streaming twin of ``operators/window.py:cusum``: the per-key
+    drift statistic maintained at ingest with TWO longs of state —
+    the running prefix sum P and the running min of (0, P…) — since
+    S_i = P_i − min(0, min_{j<=i} P_j). Emits one row per event with
+    the statistic and the threshold alarm, exactly the batch
+    operator's read-out (parity pinned in tests/test_stateful.py).
+
+    Order contract: rows are folded in (ts, id) order WITHIN each
+    delivery after concatenating the chunked group iterator ONCE
+    (the round-11 chunk lesson); cross-batch late data needs the
+    caller's watermark, same stance as streaming_funnel. All-integer
+    state — bit-identical to the batch closed form on in-order input.
+    """
+    tgt = int(target_micro)
+    thr = None if threshold_micro is None else int(threshold_micro)
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (uid,) = key
+        prefix, runmin = state.get if state.exists else (0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        rows = []
+        for eid, v in zip(pdf[id_col], pdf[value_col]):
+            if pd.isna(v):
+                continue
+            prefix += int(v) - tgt
+            if prefix < runmin:
+                runmin = prefix
+            s = prefix - runmin if runmin < 0 else prefix
+            rows.append(
+                {
+                    "user_id": int(uid),
+                    "event_id": int(eid),
+                    "cusum_micro": s,
+                    "alarm": None if thr is None else bool(s > thr),
+                }
+            )
+        state.update((prefix, runmin))
+        yield pd.DataFrame(
+            rows, columns=["user_id", "event_id", "cusum_micro", "alarm"]
+        )
+
+    return (
+        events.select(entity_col, ts_col, id_col, value_col)
+        .groupBy(entity_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=CUSUM_OUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -253,3 +253,51 @@ def test_streaming_funnel_matches_batch(spark, sf_dir):
     }
     assert latest_w == batch_w
     assert latest_w != latest  # the bound must actually bite on this data
+
+
+def test_streaming_cusum_matches_batch_closed_form(spark, sf_dir):
+    from data_frame_spark.operators.window import cusum
+    from data_frame_spark.streaming.stateful import streaming_cusum
+
+    stream = W.stream_events(spark, sf_dir, watermark="1 hour").where(
+        F.col("value").isNotNull()
+    ).withColumn(
+        "value_micro", F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    )
+    out = streaming_cusum(stream, target_micro=500_000, threshold_micro=5_000_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_cusum")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["user_id"], r["cusum_micro"], r["alarm"])
+        for r in spark.table("t_cusum").collect()
+    }
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long").alias("value_micro"),
+        )
+    )
+    batch = cusum(
+        ev,
+        "value_micro",
+        order_by=["ts_us", "event_id"],
+        partition_by=["user_id"],
+        target_micro=500_000,
+        threshold_micro=5_000_000,
+    )
+    expect = {
+        r["event_id"]: (r["user_id"], r["cusum_micro"], r["alarm"])
+        for r in batch.collect()
+    }
+    assert len(got) > 100
+    assert got == expect
