@@ -89,6 +89,7 @@ def bpe_fit(
     text_col: str = "text",
     n_merges: int = 50,
     min_count: int = 2,
+    strict: bool = False,
 ) -> DataFrame:
     """Learn a BPE merge list from the corpus: per iteration, count
     every adjacent symbol pair weighted by word frequency (overlap
@@ -96,6 +97,10 @@ def bpe_fit(
     pair by (count DESC, left ASC, right ASC), and collapse it in the
     word table. Stops early when no pair reaches ``min_count``.
     Returns (rank, left, right, pair_n) — the tokenizer artifact.
+
+    ``strict=True`` raises instead when the corpus stops early — the
+    contract an exactly-``n_merges``-row oracle replay needs (the
+    DuckDB twin in oracle_prep.py always emits n_merges rows).
 
     Scale shape: ``word_counts`` is the only corpus-sized stage; each
     iteration is one explode+groupBy and one TakeOrdered(1) on the
@@ -120,6 +125,11 @@ def bpe_fit(
             .collect()
         )
         if not best or best[0]["cnt"] < min_count:
+            if strict:
+                raise ValueError(
+                    f"bpe_fit(strict=True): corpus sustains only {rank} of "
+                    f"{n_merges} merges at min_count={min_count}"
+                )
             break
         l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         merges.append((rank, l, r, cnt))
@@ -144,10 +154,13 @@ def bpe_encode(
     table, one tiny job per merge), so unseen words still segment
     exactly as the BPE algorithm dictates instead of falling back.
 
-    Scale shape: one pass tokenizes and posexplodes words; the
-    word→symbols map is a vocabulary-bounded broadcast join (never a
-    corpus-sized shuffle side); per-doc reassembly is one groupBy on
-    the id with an array_sort — no window, no driver loop over data.
+    Scale shape: TWO corpus passes — one tokenize scan to discover
+    the distinct vocabulary, one tokenize+posexplode scan as the join
+    probe (re-scanning is deliberately cheaper at scale than
+    persisting the exploded word stream); the word→symbols map is a
+    vocabulary-bounded broadcast join (never a corpus-sized shuffle
+    side); per-doc reassembly is one groupBy on the id with an
+    array_sort — no window, no driver loop over data.
     The merge list itself is an operational constant (≤ n_merges
     rows), collected like the quantile boundary literals.
     """

@@ -134,7 +134,6 @@ def streaming_funnel(
     )
 
 
-CUSUM_OUT_SCHEMA = "user_id long, event_id long, cusum_micro long, alarm boolean"
 CUSUM_STATE_SCHEMA = "prefix long, runmin long"
 
 
@@ -152,7 +151,12 @@ def streaming_cusum(
     the running prefix sum P and the running min of (0, P…) — since
     S_i = P_i − min(0, min_{j<=i} P_j). Emits one row per event with
     the statistic and the threshold alarm, exactly the batch
-    operator's read-out (parity pinned in tests/test_stateful.py).
+    operator's read-out INCLUDING null-value rows: a null before any
+    value yields a null statistic, a null after values carries the
+    current statistic forward — the same read-outs the batch window
+    pipeline produces (parity pinned unfiltered in
+    tests/test_stateful.py). State is created only once a non-null
+    value arrives, so the null-leading case costs no state-store row.
 
     Order contract: rows are folded in (ts, id) order WITHIN each
     delivery after concatenating the chunked group iterator ONCE
@@ -162,39 +166,45 @@ def streaming_cusum(
     """
     tgt = int(target_micro)
     thr = None if threshold_micro is None else int(threshold_micro)
+    out_schema = (
+        f"{entity_col} long, {id_col} long, cusum_micro long, alarm boolean"
+    )
+    cols = [entity_col, id_col, "cusum_micro", "alarm"]
 
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         (uid,) = key
-        prefix, runmin = state.get if state.exists else (0, 0)
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+        seen = state.exists
+        prefix, runmin = state.get if seen else (0, 0)
         rows = []
-        for eid, v in zip(pdf[id_col], pdf[value_col]):
-            if pd.isna(v):
-                continue
-            prefix += int(v) - tgt
-            if prefix < runmin:
-                runmin = prefix
-            s = prefix - runmin if runmin < 0 else prefix
-            rows.append(
-                {
-                    "user_id": int(uid),
-                    "event_id": int(eid),
-                    "cusum_micro": s,
-                    "alarm": None if thr is None else bool(s > thr),
-                }
-            )
-        state.update((prefix, runmin))
-        yield pd.DataFrame(
-            rows, columns=["user_id", "event_id", "cusum_micro", "alarm"]
-        )
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values([ts_col, id_col], kind="mergesort")
+            for eid, v in zip(pdf[id_col], pdf[value_col]):
+                if pd.isna(v):
+                    # batch twin: SUM/MIN windows skip nulls, so the row
+                    # reads the current statistic (null before any value)
+                    s = prefix - runmin if seen else None
+                else:
+                    seen = True
+                    prefix += int(v) - tgt
+                    if prefix < runmin:
+                        runmin = prefix
+                    s = prefix - runmin
+                alarm = None if (thr is None or s is None) else bool(s > thr)
+                rows.append(
+                    {entity_col: uid, id_col: eid, "cusum_micro": s, "alarm": alarm}
+                )
+        if seen:
+            state.update((prefix, runmin))
+        yield pd.DataFrame(rows, columns=cols)
 
     return (
         events.select(entity_col, ts_col, id_col, value_col)
         .groupBy(entity_col)
         .applyInPandasWithState(
             update,
-            outputStructType=CUSUM_OUT_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=CUSUM_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,

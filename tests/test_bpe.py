@@ -121,3 +121,12 @@ def test_bpe_fit_zero_merges_and_word_counts(spark):
     assert bpe_fit(df, n_merges=0).count() == 0
     wc = {r["word"]: r["n"] for r in word_counts(df).collect()}
     assert wc == {"aa": 2, "bb": 1}
+
+
+def test_bpe_fit_strict_raises_on_early_stop(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a b",)], ["text"])  # no pair reaches 2
+    assert bpe_fit(df, n_merges=3).count() == 0
+    with _pytest.raises(ValueError, match="sustains only 0 of 3"):
+        bpe_fit(df, n_merges=3, strict=True)

@@ -259,9 +259,9 @@ def test_streaming_cusum_matches_batch_closed_form(spark, sf_dir):
     from data_frame_spark.operators.window import cusum
     from data_frame_spark.streaming.stateful import streaming_cusum
 
-    stream = W.stream_events(spark, sf_dir, watermark="1 hour").where(
-        F.col("value").isNotNull()
-    ).withColumn(
+    # UNFILTERED: null-value rows must parity-match too (null statistic
+    # before any value, carried-forward statistic after)
+    stream = W.stream_events(spark, sf_dir, watermark="1 hour").withColumn(
         "value_micro", F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
     )
     out = streaming_cusum(stream, target_micro=500_000, threshold_micro=5_000_000)
@@ -279,7 +279,6 @@ def test_streaming_cusum_matches_batch_closed_form(spark, sf_dir):
     }
     ev = (
         t(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
         .select(
             "event_id",
             "user_id",
@@ -301,3 +300,54 @@ def test_streaming_cusum_matches_batch_closed_form(spark, sf_dir):
     }
     assert len(got) > 100
     assert got == expect
+
+
+def test_streaming_cusum_null_rows_match_batch(spark, tmp_path):
+    # nulls BEFORE any value read out as null statistic; nulls AFTER
+    # carry the current statistic — exactly the batch window read-outs
+    from data_frame_spark.operators.window import cusum
+    from data_frame_spark.streaming.stateful import streaming_cusum
+
+    rows = [
+        (1, 1, 10, None),
+        (1, 2, 20, 1.5),
+        (1, 3, 30, None),
+        (1, 4, 40, 0.2),
+        (2, 5, 10, None),  # user 2: nulls only -> all-null statistics
+        (2, 6, 20, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_us long, value double"
+    ).withColumn(
+        "value_micro", F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+    )
+    src = str(tmp_path / "ev")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = streaming_cusum(stream, target_micro=500_000, threshold_micro=600_000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_cusum_null")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["event_id"]: (r["cusum_micro"], r["alarm"])
+        for r in spark.table("t_cusum_null").collect()
+    }
+    batch = cusum(
+        df,
+        "value_micro",
+        order_by=["ts_us", "event_id"],
+        partition_by=["user_id"],
+        target_micro=500_000,
+        threshold_micro=600_000,
+    )
+    expect = {
+        r["event_id"]: (r["cusum_micro"], r["alarm"]) for r in batch.collect()
+    }
+    assert got == expect
+    assert got[1] == (None, None) and got[5] == (None, None)
+    assert got[3] == got[2]  # null after a value carries the statistic
