@@ -5152,8 +5152,8 @@ def haversine_track_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS lon_micro_sum,
            COUNT(value) AS n_ele,
            SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS ele_micro_sum,
-           MIN(CAST((epoch_ns(ts)//1000)//1000000 AS DOUBLE)) AS t_min,
-           MAX(CAST((epoch_ns(ts)//1000)//1000000 AS DOUBLE)) AS t_max
+           MIN(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_min,
+           MAX(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_max
     FROM events WHERE event_id % 3 = 0
     GROUP BY user_id
     """,
@@ -5221,9 +5221,62 @@ def gpx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("lon") * m + F.lit(0.5))).alias("lon_micro_sum"),
             F.count("alt").alias("n_ele"),
             F.sum(F.floor(F.col("alt") * m + F.lit(0.5))).alias("ele_micro_sum"),
-            F.min("timestamp").alias("t_min"),
-            F.max("timestamp").alias("t_max"),
+            # BIGINT whole seconds (timestamps are whole-second by
+            # construction): removes every DOUBLE from the hashed output
+            # so a double-canonicalization difference can't flip the hash.
+            F.min("timestamp").cast("long").alias("t_min"),
+            F.max("timestamp").cast("long").alias("t_max"),
         )
+    )
+
+
+@query(
+    "gpx_corpus_direct_docs",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_points,
+           SUM(CAST(FLOOR(({_TRACK_LAT_SQL}) * 1000000.0 + 0.5) AS BIGINT))
+             AS lat_micro_sum,
+           SUM(CAST(FLOOR(({_TRACK_LON_SQL}) * 1000000.0 + 0.5) AS BIGINT))
+             AS lon_micro_sum,
+           COUNT(value) AS n_ele,
+           SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS ele_micro_sum,
+           MIN(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_min,
+           MAX(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_max
+    FROM events WHERE event_id % 3 = 0
+    GROUP BY user_id
+    """,
+)
+def gpx_corpus_direct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTROL row for the round-11/12 driver-gate investigation
+    (VERDICT r11 'Next round' #1b): computes the IDENTICAL per-user
+    aggregates as gpx_corpus_read_docs — same event slice, same
+    synthetic track expressions, same micro-quantized sums, same
+    BIGINT whole-second time span, same oracle SQL — but WITHOUT the
+    serialize -> parse_many XML round trip. If this row is green at
+    the driver while gpx_corpus_read_docs stays red, the divergence
+    is localized inside track_xml/parse_many under the driver's
+    worker environment; if this row also reds, the driver's
+    fixture/canon side diverges from local DuckDB. Temporary: retire
+    once the corpus rows are adjudicated."""
+    ev = t(spark, sf_dir, "events").where(F.col("event_id") % 3 == 0)
+    _lat, _lon = _track_lat_lon()
+    pts = ev.select(
+        "user_id",
+        F.expr("ts_us div 1000000").cast("double").alias("timestamp"),
+        _lat.alias("lat"),
+        _lon.alias("lon"),
+        F.col("value").alias("alt"),
+    )
+    m = F.lit(1000000.0)
+    return pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.floor(F.col("lat") * m + F.lit(0.5))).alias("lat_micro_sum"),
+        F.sum(F.floor(F.col("lon") * m + F.lit(0.5))).alias("lon_micro_sum"),
+        F.count("alt").alias("n_ele"),
+        F.sum(F.floor(F.col("alt") * m + F.lit(0.5))).alias("ele_micro_sum"),
+        F.min("timestamp").cast("long").alias("t_min"),
+        F.max("timestamp").cast("long").alias("t_max"),
     )
 
 
@@ -5242,8 +5295,8 @@ def gpx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT)) AS hr_micro_sum,
            SUM(CAST(FLOOR(CAST(event_id AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
              AS dst_micro_sum,
-           MIN(CAST((epoch_ns(ts)//1000)//1000000 AS DOUBLE)) AS t_min,
-           MAX(CAST((epoch_ns(ts)//1000)//1000000 AS DOUBLE)) AS t_max
+           MIN(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_min,
+           MAX(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_max
     FROM events WHERE event_id % 3 = 1
     GROUP BY user_id
     """,
@@ -5319,8 +5372,9 @@ def tcx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("alt") * m + F.lit(0.5))).alias("alt_micro_sum"),
             F.sum(F.floor(F.col("hr") * m + F.lit(0.5))).alias("hr_micro_sum"),
             F.sum(F.floor(F.col("dst") * m + F.lit(0.5))).alias("dst_micro_sum"),
-            F.min("timestamp").alias("t_min"),
-            F.max("timestamp").alias("t_max"),
+            # BIGINT whole seconds — see gpx_corpus_read_docs.
+            F.min("timestamp").cast("long").alias("t_min"),
+            F.max("timestamp").cast("long").alias("t_max"),
         )
     )
 
