@@ -56,7 +56,10 @@ HEADLINE: list[str] = [
     "hll_distinct_shingles",
     "cosine_topk_embeddings",
     "lsh_ann_topk_embeddings",
-    "ivf_ann_topk_embeddings",
+    # round-12: ivf_ann_topk_embeddings merged into ivf_family
+    # (+centroids and ivf-pq facets on one shared coarse fit) — the
+    # headline total gains the extra facets' cost from r12 on.
+    "ivf_family",
     "zorder_key_events",
     "session_windows_30m",
     "dsir_importance_docs",

@@ -454,13 +454,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: base vectors partition into ``n_cells``
     coarse cells; each query scans only its ``n_probe`` nearest
     cells. The inverted-file counterpart of :func:`lsh_ann_topk` —
     candidate count ∝ probed cell sizes, not corpus size. Same
-    exact-cosine scoring and deterministic tie-broken ranking."""
-    centroids = ivf_fit_centroids(base, dim, n_cells, iterations, id_col, vec_col)
+    exact-cosine scoring and deterministic tie-broken ranking.
+    ``centroids`` (the FLOAT micro/1e6 form of ivf_fit_centroids)
+    skips the fit when a caller already holds one — e.g. a query
+    sharing the quantizer across search variants."""
+    if centroids is None:
+        centroids = ivf_fit_centroids(base, dim, n_cells, iterations, id_col, vec_col)
     b = base.select(
         id_col,
         F.col(vec_col).alias("__bv"),
@@ -831,6 +836,41 @@ def pq_encode(
     return q.select(id_col, codes.alias("codes"))
 
 
+def _adc_dist(
+    codebooks: list[list[list[int]]], qv_col: str, codes_col: str = "codes"
+) -> Column:
+    """Summed per-subspace squared-L2 asymmetric distance between a
+    micro-quantized query-vector column and a PQ code column, against
+    literal micro-integer codebooks. The ONE ADC recipe shared by
+    :func:`pq_adc_topk` and :func:`ivf_pq_topk` — their scoring is
+    pinned equal by test, so the expression must never drift apart.
+    Exact int64 arithmetic throughout (micro components ≤ ~1e6 →
+    squared diffs ≤ 4e12, 32-term sums ≤ 1.3e14 < 2^63)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cbs = [
+        F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in codebooks[j]])
+        for j in range(m)
+    ]
+    zero = F.lit(0).cast("long")
+    parts = [
+        F.aggregate(
+            F.zip_with(
+                F.slice(qv_col, j * sub + 1, sub),
+                F.element_at(cbs[j], F.col(codes_col)[j] + 1),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        for j in range(m)
+    ]
+    dist = parts[0]
+    for p in parts[1:]:
+        dist = dist + p
+    return dist
+
+
 def pq_adc_topk(
     codes: DataFrame,
     queries: DataFrame,
@@ -859,28 +899,8 @@ def pq_adc_topk(
         ).alias("__qv"),
     )
     joined = codes.crossJoin(F.broadcast(q))
-    cbs = [
-        F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in codebooks[j]])
-        for j in range(m)
-    ]
-    zero = F.lit(0).cast("long")
-    parts = [
-        F.aggregate(
-            F.zip_with(
-                F.slice("__qv", j * sub + 1, sub),
-                F.element_at(cbs[j], F.col("codes")[j] + 1),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            zero,
-            lambda acc, x: acc + x,
-        )
-        for j in range(m)
-    ]
-    dist = parts[0]
-    for p in parts[1:]:
-        dist = dist + p
     scored = joined.select(
-        query_id_col, id_col, dist.alias("adc_dist_micro2")
+        query_id_col, id_col, _adc_dist(codebooks, "__qv").alias("adc_dist_micro2")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist_micro2").asc(), F.col(id_col).asc()
@@ -904,6 +924,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ composed ANN search (the FAISS IVFPQ shape): the IVF
     coarse quantizer prunes the corpus to each query's ``n_probe``
@@ -919,10 +940,12 @@ def ivf_pq_topk(
     once — interpreted lambdas sit outside codegen CSE); only the
     operational-constant query batch broadcasts; ranking is a
     per-query row_number that WindowGroupLimit prunes map-side.
-    ``codebooks`` must be the MICRO integer form (pq_fit(micro=True)).
-    """
+    ``codebooks`` must be the MICRO integer form (pq_fit(micro=True));
+    ``centroids`` (float micro/1e6 form) skips the coarse fit when the
+    caller already holds one."""
     m, _, sub = _require_micro_books(codebooks)
-    centroids = ivf_fit_centroids(base, dim, n_cells, iterations, id_col, vec_col)
+    if centroids is None:
+        centroids = ivf_fit_centroids(base, dim, n_cells, iterations, id_col, vec_col)
     bq = base.select(
         F.col(id_col),
         _argmin_centroid(F.col(vec_col), centroids).alias("__cell"),
@@ -949,27 +972,9 @@ def ivf_pq_topk(
         F.explode(probes).alias("__cell"),
     )
     joined = b.join(F.broadcast(q), "__cell")
-    cbs = [
-        F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in codebooks[j]])
-        for j in range(m)
-    ]
-    zero = F.lit(0).cast("long")
-    parts = [
-        F.aggregate(
-            F.zip_with(
-                F.slice("__qv", j * sub + 1, sub),
-                F.element_at(cbs[j], F.col("codes")[j] + 1),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            zero,
-            lambda acc, x: acc + x,
-        )
-        for j in range(m)
-    ]
-    dist = parts[0]
-    for p in parts[1:]:
-        dist = dist + p
-    scored = joined.select(query_id_col, id_col, dist.alias("adc_dist_micro2"))
+    scored = joined.select(
+        query_id_col, id_col, _adc_dist(codebooks, "__qv").alias("adc_dist_micro2")
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("adc_dist_micro2").asc(), F.col(id_col).asc()
     )

@@ -309,7 +309,7 @@ DECLARED_BROADCAST_OK: dict[str, list[tuple[str, str]]] = {
     "lsh_ann_topk_embeddings": [
         (r"vec_id#\d+L? < 3", "ANN probe batch is constant-size by contract"),
     ],
-    "ivf_ann_topk_embeddings": [
+    "ivf_family": [
         (r"vec_id#\d+L? < 3", "ANN probe batch is constant-size by contract"),
     ],
     "pq_adc_topk_embeddings": [

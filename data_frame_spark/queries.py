@@ -2892,47 +2892,6 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "duplicate_spans_docs",
-    oracle=r"""
-    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-                  FROM documents),
-         toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm
-                  WHERE len(string_split(t, ' ')) >= 5),
-         wins AS (SELECT doc_id, i AS pos,
-                         md5(array_to_string(tk[i+1:i+5], ' ')) AS h
-                  FROM toks, UNNEST(generate_series(0, len(tk) - 5)) u(i)),
-         dups AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
-         sp AS (SELECT doc_id, pos FROM wins JOIN dups USING (h)),
-         b AS (SELECT doc_id, pos,
-                      CASE WHEN LAG(pos) OVER w IS NULL
-                                OR pos > LAG(pos) OVER w + 5
-                           THEN 1 ELSE 0 END AS brk
-               FROM sp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         g AS (SELECT doc_id, pos,
-                      SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                                     ROWS UNBOUNDED PRECEDING) AS grp
-               FROM b)
-    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-           CAST(MAX(pos) + 5 AS BIGINT) AS span_end,
-           CAST(COUNT(*) AS BIGINT) AS n_windows
-    FROM g GROUP BY doc_id, grp
-    """,
-)
-def duplicate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate-span detection (ExactSubstr, Lee et al. 2022,
-    relaxed to 5-token sliding windows): every maximal document
-    region whose every 5-token window recurs verbatim anywhere in
-    the corpus — the dedup pass that catches boilerplate straddling
-    segment_dedup_docs' fixed segment boundaries. Sliding windows
-    from the doc-keyed shingle shuffle; duplicated hashes by
-    map-combinable count; mark-back via SHUFFLE left-semi on the
-    hash (corpus-proportional set — never broadcast, pinned);
-    per-document gaps-and-islands merge."""
-    docs = t(spark, sf_dir, "documents")
-    return OpDedup.duplicate_spans(docs, "text", "doc_id", k=5)
-
-
-@query(
     "duplicate_spans_keep_first_docs",
     oracle=r"""
     WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -2997,13 +2956,16 @@ _SPANS_CTE = r"""
                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
                                      ROWS UNBOUNDED PRECEDING) AS grp
                FROM b),
-         spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 5 AS span_end
-                   FROM g GROUP BY doc_id, grp)
+         spans AS MATERIALIZED (SELECT doc_id,
+                                       MIN(pos) AS span_start,
+                                       MAX(pos) + 5 AS span_end,
+                                       COUNT(*) AS n_windows
+                                FROM g GROUP BY doc_id, grp)
 """
 
 
 @query(
-    "scrub_spans_docs",
+    "spans_family",
     oracle=_SPANS_CTE
     + r""",
          kill AS (SELECT doc_id, UNNEST(generate_series(span_start, span_end - 1)) AS pos
@@ -3021,27 +2983,65 @@ _SPANS_CTE = r"""
          base AS (SELECT doc_id,
                          CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
                   FROM norm)
-    SELECT b.doc_id, b.n_tokens,
-           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
-           md5(COALESCE(r.kept, '')) AS kept_text_md5
+    SELECT 'spans' AS facet, doc_id,
+           CAST(span_start AS BIGINT) AS span_start,
+           CAST(span_end AS BIGINT) AS span_end,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS n_kept,
+           CAST(NULL AS VARCHAR) AS kept_text_md5
+    FROM spans
+    UNION ALL
+    SELECT 'scrub', b.doc_id,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           b.n_tokens,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT),
+           md5(COALESCE(r.kept, ''))
     FROM base b LEFT JOIN re r ON b.doc_id = r.doc_id
     """,
 )
-def scrub_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The scrub step after duplicate-span detection (ExactSubstr's
-    'remove every duplicated substring'): cut each flagged 5-token
-    duplicate region out of the text and reassemble the survivors in
-    order. Span table explodes to a (doc, position) kill-list —
-    bounded by flagged tokens, never broadcast — meeting the
-    doc-keyed token stream in a shuffle left-anti join; reassembly
-    state is bounded by document length (operators/dedup.py
-    scrub_spans)."""
+def spans_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span dedup end-to-end on ONE shared span pipeline —
+    two facets (round-12 merge of duplicate_spans_docs +
+    scrub_spans_docs):
+
+    - 'spans': exact duplicate-span detection (Lee et al. 2022,
+      relaxed to 5-token sliding windows) — every maximal document
+      region whose every 5-token window recurs verbatim anywhere in
+      the corpus. Sliding windows from the doc-keyed shingle shuffle;
+      duplicated hashes by map-combinable count; mark-back via
+      SHUFFLE left-semi on the hash (corpus-proportional set — never
+      broadcast, pinned in test_plans); per-document gaps-and-islands
+      merge.
+    - 'scrub': the scrub step (ExactSubstr's 'remove every duplicated
+      substring') — the flagged regions cut out of the text and
+      survivors reassembled in order; the span table explodes to a
+      (doc, position) kill-list bounded by flagged tokens, meeting
+      the doc-keyed token stream in a shuffle left-anti join.
+
+    The span table is built ONCE and eagerly localCheckpoint'd (two
+    facet consumers; pre-checkpoint plan shape pinned at operator
+    level in test_plans.py). The oracle shares the spans CTE
+    (MATERIALIZED — referenced by both the facet output and the
+    kill-list) between both legs."""
     docs = t(spark, sf_dir, "documents")
-    spans = OpDedup.duplicate_spans(docs, "text", "doc_id", k=5)
-    out = OpDedup.scrub_spans(docs, spans, "text", "doc_id")
-    return out.select(
-        "doc_id", "n_tokens", "n_kept", F.md5("kept_text").alias("kept_text_md5")
+    spans = OpDedup.duplicate_spans(docs, "text", "doc_id", k=5).localCheckpoint(
+        eager=True
     )
+    scrub = OpDedup.scrub_spans(docs, spans, "text", "doc_id")
+    nb = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
+    s_leg = spans.select(
+        F.lit("spans").alias("facet"), "doc_id", "span_start", "span_end",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        nb.alias("n_tokens"), nb.alias("n_kept"), ns.alias("kept_text_md5"),
+    )
+    c_leg = scrub.select(
+        F.lit("scrub").alias("facet"), "doc_id", nb.alias("span_start"),
+        nb.alias("span_end"), nb.alias("n_windows"), "n_tokens", "n_kept",
+        F.md5("kept_text").alias("kept_text_md5"),
+    )
+    return s_leg.unionByName(c_leg)
 
 
 @query(
@@ -4655,37 +4655,57 @@ _IVF_CTE = """
 """
 
 
-@query(
-    "ivf_centroids_embeddings",
-    oracle=_IVF_CTE
-    + """
-    SELECT cid, CAST(dim - 1 AS INT) AS dim, val AS val_micro
-    FROM (SELECT cid, UNNEST(generate_series(1, len(c))) AS dim,
-                 UNNEST(c) AS val
-          FROM c2)
-    """,
-)
-def ivf_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantizer fit (integer Lloyd, k=8, 2 iterations)
-    over the embeddings table, emitted as (cid, dim, micro-int
-    component) rows. The fit itself is fully distributed — each Lloyd
-    step is one narrow integer-dot assignment pass plus one
-    map-combinable groupBy-sum, and only k x dim values ever reach
-    the driver — so this scales to any corpus while staying
-    bit-identical across partitionings (exact int64 dots,
-    floor(sum/n) means; see test_textops.py layout-independence pin).
-    The oracle replays the identical integer Lloyd in DuckDB:
-    md5-ordered seeds, max-dot/min-cid assignment, floor-mean
-    update, empty cells keeping their previous centroid."""
-    cent = OpSim.ivf_fit_centroids(
-        t(spark, sf_dir, "embeddings"), dim=64, k=8, iterations=2, micro=True
-    )
-    rows = [
-        (cid, d, int(v))
-        for cid, row in enumerate(cent)
-        for d, v in enumerate(row)
-    ]
-    return spark.createDataFrame(rows, "cid int, dim int, val_micro bigint")
+# PQ fit/encode replay on the shared v/seeds CTEs, renamed p* so it
+# composes with _IVF_CTE inside ONE oracle (the ivf_family pq facet):
+# the same m=2/k=8/one-Lloyd-iteration pipeline as the
+# pq_adc_topk_embeddings oracle, ending in pc1 = per-subspace
+# codebooks and penc = every vector's PQ codes.
+_PQ_CTE = """
+    , pc0 AS (SELECT 0 AS j, CAST(rn - 1 AS INT) AS cid, vq[1:32] AS c
+              FROM seeds WHERE rn <= 8
+              UNION ALL
+              SELECT 1, CAST(rn - 1 AS INT), vq[33:64] FROM seeds WHERE rn <= 8),
+    psv AS (SELECT vec_id, 0 AS j, vq[1:32] AS s FROM v
+            UNION ALL
+            SELECT vec_id, 1, vq[33:64] FROM v),
+    pad AS (SELECT psv.vec_id, psv.j, c.cid,
+                   CAST(SUM((psv.s[t.i] - c.c[t.i]) * (psv.s[t.i] - c.c[t.i]))
+                        AS BIGINT) AS d2
+            FROM psv JOIN pc0 c ON c.j = psv.j,
+                 UNNEST(generate_series(1, 32)) t(i)
+            GROUP BY 1, 2, 3),
+    pasn AS (SELECT vec_id, j, cid FROM (
+               SELECT vec_id, j, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                         ORDER BY d2, cid) AS rn
+               FROM pad)
+             WHERE rn = 1),
+    pmsum AS (SELECT a.j, a.cid, t.i AS dim,
+                     CAST(FLOOR(CAST(SUM(psv.s[t.i]) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS val
+              FROM pasn a JOIN psv ON psv.vec_id = a.vec_id AND psv.j = a.j,
+                   UNNEST(generate_series(1, 32)) t(i)
+              GROUP BY 1, 2, 3),
+    pc0d AS (SELECT j, cid, UNNEST(generate_series(1, 32)) AS dim,
+                    UNNEST(c) AS val
+             FROM pc0),
+    pc1 AS (SELECT pc0d.j, pc0d.cid,
+                   list(COALESCE(m.val, pc0d.val) ORDER BY dim) AS c
+            FROM pc0d LEFT JOIN pmsum m USING (j, cid, dim)
+            GROUP BY 1, 2),
+    pencd AS (SELECT psv.vec_id, psv.j, c.cid,
+                     CAST(SUM((psv.s[t.i] - c.c[t.i]) * (psv.s[t.i] - c.c[t.i]))
+                          AS BIGINT) AS d2
+              FROM psv JOIN pc1 c ON c.j = psv.j,
+                   UNNEST(generate_series(1, 32)) t(i)
+              GROUP BY 1, 2, 3),
+    penc AS (SELECT vec_id, j, cid FROM (
+               SELECT vec_id, j, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                         ORDER BY d2, cid) AS rn
+               FROM pencd)
+             WHERE rn = 1)
+"""
 
 
 # final cell assignment shared by the IVF ANN search and semantic
@@ -4711,9 +4731,10 @@ _IVF_ASSIGN_CTE = """
 
 
 @query(
-    "ivf_ann_topk_embeddings",
+    "ivf_family",
     oracle=_IVF_CTE
     + _IVF_ASSIGN_CTE
+    + _PQ_CTE
     + f"""
     , qprob AS (SELECT vec_id AS query_id, cid FROM (
                 SELECT vec_id, cid,
@@ -4739,26 +4760,110 @@ _IVF_ASSIGN_CTE = """
     r AS (SELECT query_id, vec_id, cosine,
                  ROW_NUMBER() OVER (PARTITION BY query_id
                                     ORDER BY cosine DESC, vec_id ASC) AS rank
-          FROM scored)
-    SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+          FROM scored),
+    padc AS (SELECT qs.vec_id AS query_id, e.vec_id,
+                    CAST(SUM((qs.s[t.i] - c.c[t.i]) * (qs.s[t.i] - c.c[t.i]))
+                         AS BIGINT) AS adc_dist_micro2
+             FROM psv qs
+             JOIN cand ca ON ca.query_id = qs.vec_id
+             JOIN penc e ON e.vec_id = ca.vec_id AND e.j = qs.j
+             JOIN pc1 c ON c.j = e.j AND c.cid = e.cid,
+                  UNNEST(generate_series(1, 32)) t(i)
+             GROUP BY 1, 2),
+    pr AS (SELECT query_id, vec_id, adc_dist_micro2,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist_micro2, vec_id) AS rank
+           FROM padc),
+    centout AS (SELECT cid, CAST(dim - 1 AS INT) AS dim, val AS val_micro
+                FROM (SELECT cid, UNNEST(generate_series(1, len(c))) AS dim,
+                             UNNEST(c) AS val
+                      FROM c2))
+    SELECT 'centroids' AS facet, cid, dim, val_micro,
+           CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS vec_id,
+           CAST(NULL AS DOUBLE) AS cosine, CAST(NULL AS BIGINT) AS rank,
+           CAST(NULL AS BIGINT) AS adc_dist_micro2
+    FROM centout
+    UNION ALL
+    SELECT 'ann', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+           query_id, vec_id, cosine, rank, CAST(NULL AS BIGINT)
+    FROM r WHERE rank <= 5
+    UNION ALL
+    SELECT 'pq', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+           query_id, vec_id, CAST(NULL AS DOUBLE), rank, adc_dist_micro2
+    FROM pr WHERE rank <= 5
     """,
 )
-def ivf_ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k ANN (operators/similarity.py ivf_topk):
-    the 3-vector probe batch scans only its 2 nearest of 8 coarse
-    cells instead of the whole corpus — candidate count scales with
-    probed-cell size, not corpus size; the probe batch (an
-    operational constant) is the ONLY broadcast side. The oracle
-    replays the full pipeline exactly: the shared integer-Lloyd
-    centroid CTE, micro/1e6 float centroids (identical IEEE division
-    both sides), quantized-integer assignment dots with the same
-    (dot DESC, cid) tie-break, and the cosine_topk_embeddings
-    scoring/ranking recipe on the candidates."""
+def ivf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF quantizer family on ONE shared coarse fit — three
+    facets (round-12 merge of ivf_centroids_embeddings +
+    ivf_ann_topk_embeddings, plus the round-11 ivf_pq_topk operator's
+    first driver row):
+
+    - 'centroids': the integer-Lloyd coarse-quantizer fit (k=8, 2
+      iterations) emitted as (cid, dim, micro-int component) rows —
+      each Lloyd step is one narrow integer-dot assignment pass plus
+      one map-combinable groupBy-sum; only k x dim values ever reach
+      the driver, so the fit scales to any corpus while staying
+      bit-identical across partitionings.
+    - 'ann': IVF approximate top-k (operators/similarity.py
+      ivf_topk) — the 3-vector probe batch scans only its 2 nearest
+      of 8 cells; candidate count scales with probed-cell size, not
+      corpus size; the probe batch (an operational constant) is the
+      ONLY broadcast side.
+    - 'pq': IVF-PQ composed search (ivf_pq_topk, the FAISS IVFPQ
+      shape) — the same probed cells scanned by exact integer
+      asymmetric distance over PQ-COMPRESSED codes (m=2 ints per
+      candidate instead of 64 floats); scoring pinned equal to
+      pq_adc_topk on the probed cells by test_textops.
+
+    The quantizer is fit ONCE (micro integers) and shared by all
+    three facets via the operators' centroids= parameter — the float
+    form is micro/1e6, identical IEEE doubles on every engine. The
+    oracle replays everything: the shared integer-Lloyd CTE,
+    1e9-quantized assignment dots with (dot DESC, cid) tie-break, the
+    exact-cosine candidate scoring, and the renamed p* PQ fit/encode
+    replay joined to the SAME probed-candidate set."""
     emb = t(spark, sf_dir, "embeddings")
+    cent_micro = OpSim.ivf_fit_centroids(
+        emb, dim=64, k=8, iterations=2, micro=True
+    )
+    cent_float = [[c / 1e6 for c in row] for row in cent_micro]
+    rows = [
+        (cid, d, int(v))
+        for cid, row in enumerate(cent_micro)
+        for d, v in enumerate(row)
+    ]
+    cent_df = spark.createDataFrame(rows, "cid int, dim int, val_micro bigint")
     probe = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return OpSim.ivf_topk(emb, probe, dim=64, k=5, n_cells=8, n_probe=2)
+    ann = OpSim.ivf_topk(
+        emb, probe, dim=64, k=5, n_cells=8, n_probe=2, centroids=cent_float
+    )
+    books = OpSim.pq_fit(emb, dim=64, m=2, k=8, iterations=1, micro=True)
+    pq = OpSim.ivf_pq_topk(
+        emb, probe, dim=64, codebooks=books, k=5, n_cells=8, n_probe=2,
+        centroids=cent_float,
+    )
+    ni = F.lit(None).cast("int")
+    nb = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    c_leg = cent_df.select(
+        F.lit("centroids").alias("facet"), "cid", "dim", "val_micro",
+        nb.alias("query_id"), nb.alias("vec_id"), nd.alias("cosine"),
+        nb.alias("rank"), nb.alias("adc_dist_micro2"),
+    )
+    a_leg = ann.select(
+        F.lit("ann").alias("facet"), ni.alias("cid"), ni.alias("dim"),
+        nb.alias("val_micro"), "query_id", "vec_id", "cosine",
+        F.col("rank").cast("long").alias("rank"), nb.alias("adc_dist_micro2"),
+    )
+    p_leg = pq.select(
+        F.lit("pq").alias("facet"), ni.alias("cid"), ni.alias("dim"),
+        nb.alias("val_micro"), "query_id", "vec_id", nd.alias("cosine"),
+        F.col("rank").cast("long").alias("rank"), "adc_dist_micro2",
+    )
+    return c_leg.unionByName(a_leg).unionByName(p_leg)
 
 
 @query(

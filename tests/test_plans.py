@@ -671,3 +671,25 @@ def test_bpe_encode_broadcasts_vocab_no_corpus_shuffle_for_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert C.count_shuffles(enc) <= 3
     assert not C.data_sized_partitionless_windows(enc)
+
+
+def test_duplicate_spans_prechk_shuffle_semi_no_broadcast(spark, sf_dir):
+    # spans_family eagerly localCheckpoints the span table (two facet
+    # consumers), which severs lineage for registry-level plan
+    # inspection — so pin the PRE-checkpoint shape at operator level
+    # (standing rule since r11): the duplicated-hash mark-back must be
+    # a SHUFFLE left-semi equi-join (the hash set is
+    # corpus-proportional — broadcasting it would ship the whole
+    # duplicate census to every executor), the island merge runs in
+    # doc-keyed windows, and nothing is a data-sized partitionless
+    # window
+    import os
+
+    from data_frame_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    spans = duplicate_spans(docs, "text", "doc_id", k=5)
+    plan = C.simple_plan(spans)
+    assert "ShuffledHashJoin" in plan and "LeftSemi" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert not C.data_sized_partitionless_windows(spans)
