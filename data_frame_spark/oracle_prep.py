@@ -43,7 +43,8 @@ def cusum_oracle_sql(
                                                  ROWS UNBOUNDED PRECEDING),
                                   CAST(0 AS BIGINT)) AS cusum_micro
                FROM p)
-    SELECT event_id, user_id, cusum_micro,
+    SELECT event_id, user_id,
+           CAST(cusum_micro AS BIGINT) AS cusum_micro,
            cusum_micro > {int(threshold_micro)} AS alarm
     FROM m
     """
