@@ -147,6 +147,8 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "bpe_tokens",
+    vocab_broadcast: bool | str = "auto",
+    broadcast_max_words: int = 2_000_000,
 ) -> DataFrame:
     """Encode the corpus with a learned merge list: (id, subword
     array) per row, empty array for token-free documents. OOV-safe:
@@ -157,12 +159,22 @@ def bpe_encode(
     Scale shape: TWO corpus passes — one tokenize scan to discover
     the distinct vocabulary, one tokenize+posexplode scan as the join
     probe (re-scanning is deliberately cheaper at scale than
-    persisting the exploded word stream); the word→symbols map is a
-    vocabulary-bounded broadcast join (never a corpus-sized shuffle
-    side); per-doc reassembly is one groupBy on the id with an
-    array_sort — no window, no driver loop over data.
-    The merge list itself is an operational constant (≤ n_merges
-    rows), collected like the quantile boundary literals.
+    persisting the exploded word stream); per-doc reassembly is one
+    groupBy on the id with an array_sort — no window, no driver loop
+    over data. The merge list itself is an operational constant
+    (≤ n_merges rows), collected like the quantile boundary literals.
+
+    The word→symbols lookup is SIZE-GATED (round-11 advisory):
+    "vocabulary-bounded" is a soft bound — a web corpus's
+    distinct-token table (typos, IDs, URLs surviving TOKEN_PATTERN)
+    can reach 10^8 rows, past broadcast practicality. With the
+    default ``vocab_broadcast="auto"`` the checkpointed vocab is
+    counted (one cheap job on the materialized table) and broadcast
+    only when ≤ ``broadcast_max_words``; above the gate — or with
+    ``vocab_broadcast=False`` — the lookup is a pinned SHUFFLE_HASH
+    equi-join on the word, the same no-corpus-broadcast discipline as
+    ngram_contamination. ``True`` forces the broadcast for callers
+    that know their vocabulary is small.
     """
     if isinstance(merges, DataFrame):
         mrows = merges.orderBy("rank").select("left", "right").collect()
@@ -179,11 +191,17 @@ def bpe_encode(
         "word", _char_split(F.col("word")).alias("syms")
     )
     vocab = vocab.localCheckpoint(eager=True)
+    if vocab_broadcast == "auto":
+        # count on the eagerly-materialized checkpoint: no rescan
+        vocab_broadcast = vocab.count() <= broadcast_max_words
     for l, r in mlist:
         vocab = vocab.select(
             "word", _merge_pair(F.col("syms"), l, r).alias("syms")
         ).localCheckpoint(eager=True)
-    joined = wordsdf.join(F.broadcast(vocab), "word")
+    if vocab_broadcast:
+        joined = wordsdf.join(F.broadcast(vocab), "word")
+    else:
+        joined = wordsdf.join(vocab.hint("shuffle_hash"), "word")
     assembled = (
         joined.groupBy(id_col)
         .agg(

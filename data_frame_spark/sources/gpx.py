@@ -212,10 +212,18 @@ def write_gpx(frame: Frame, name: str | None = None) -> str:
     return track_xml(points, name or frame.get_property("name") or "track")
 
 
-def parse_many(df, xml_col: str):
+def parse_many(df, xml_col: str, id_col: str | None = None):
     """Bulk ingest: (id, xml_text) rows -> exploded track points via
-    mapInPandas (millions of files, one parser instance per batch)."""
+    mapInPandas (millions of files, one parser instance per batch).
+    ``id_col`` names the source-id column explicitly; when omitted it
+    defaults to the FIRST column (the historical contract — but a
+    caller passing extra or reordered columns would silently thread
+    wrong source_ids, round-11 advisory, so name it)."""
     import pandas as pd
+
+    if id_col is None:
+        id_col = df.columns[0]
+    df = df.select(id_col, xml_col)
 
     schema = T.StructType(
         [T.StructField("source_id", T.LongType())] + list(GPX_SCHEMA.fields)
@@ -224,7 +232,7 @@ def parse_many(df, xml_col: str):
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             out = []
-            for sid, xml_text in zip(pdf.iloc[:, 0], pdf[xml_col]):
+            for sid, xml_text in zip(pdf[id_col], pdf[xml_col]):
                 rows, _ = parse_gpx_rows(xml_text)
                 for r in rows:
                     out.append(

@@ -172,14 +172,22 @@ def tcx_xml(points, sport: str = "Other", act_id: str = "activity") -> str:
     )
 
 
-def parse_many(df, xml_col: str):
+def parse_many(df, xml_col: str, id_col: str | None = None):
     """Bulk ingest (the distributed ``df-read/tcx/multiple`` path,
     tcx.rkt:249-281): (id, xml_text) rows -> exploded track points
     via mapInPandas — one parser instance per Arrow batch, millions
     of activity files without leaving the cluster. All activities in
     each document are concatenated under the same source_id (same
-    contract as sources/gpx.py parse_many)."""
+    contract as sources/gpx.py parse_many). ``id_col`` names the
+    source-id column explicitly; omitted it defaults to the FIRST
+    column (historical contract — a caller passing extra or
+    reordered columns would silently thread wrong source_ids,
+    round-11 advisory, so name it)."""
     import pandas as pd
+
+    if id_col is None:
+        id_col = df.columns[0]
+    df = df.select(id_col, xml_col)
 
     schema = T.StructType(
         [T.StructField("source_id", T.LongType())] + list(GPX_SCHEMA.fields)
@@ -188,7 +196,7 @@ def parse_many(df, xml_col: str):
     def parse(batches):
         for pdf in batches:
             out = []
-            for sid, xml_text in zip(pdf.iloc[:, 0], pdf[xml_col]):
+            for sid, xml_text in zip(pdf[id_col], pdf[xml_col]):
                 root = ET.fromstring(xml_text)
                 for act in root.findall(".//t:Activity", _NS):
                     rows, _ = _parse_activity(act)

@@ -30,8 +30,15 @@ def _update_user_state(
     else:
         n, value_sum, ema = 0, 0.0, None
     alpha = 0.1
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts_us", kind="mergesort")
+    # the EMA fold is ORDER-SENSITIVE and a group arrives as an
+    # iterator of Arrow-sized chunks in arbitrary order — sorting each
+    # chunk separately could diverge whenever a group's micro-batch
+    # spans multiple chunks; materialize the group and sort ONCE (the
+    # same fix streaming_funnel/streaming_cusum got in round 11,
+    # backported per round-12 advisory)
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        pdf = pd.concat(chunks).sort_values("ts_us", kind="mergesort")
         for v in pdf["value"]:
             n += 1
             value_sum += float(v)

@@ -671,6 +671,19 @@ def test_bpe_encode_broadcasts_vocab_no_corpus_shuffle_for_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert C.count_shuffles(enc) <= 3
     assert not C.data_sized_partitionless_windows(enc)
+    # the size gate's other branch (round-11 advisory): a vocabulary
+    # past broadcast practicality must fall back to a pinned
+    # SHUFFLE_HASH equi-join on the word — never a broadcast of a
+    # 10^8-row distinct-token table, never a sort-merge surprise
+    enc2 = bpe_encode(docs, [("t", "h")], vocab_broadcast=False)
+    plan2 = C.simple_plan(enc2)
+    assert "ShuffledHashJoin" in plan2
+    assert C.count_shuffles(enc2) <= 6
+    assert not C.data_sized_partitionless_windows(enc2)
+    # the auto gate trips to the same shuffle plan when the count
+    # exceeds the cap
+    enc3 = bpe_encode(docs, [("t", "h")], broadcast_max_words=1)
+    assert "ShuffledHashJoin" in C.simple_plan(enc3)
 
 
 def test_duplicate_spans_prechk_shuffle_semi_no_broadcast(spark, sf_dir):
