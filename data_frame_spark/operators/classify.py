@@ -1,0 +1,95 @@
+"""Hashed linear text-classifier INFERENCE — the fastText-style
+quality-filter scoring pass every large training-data pipeline runs
+(Joulin et al. 2016, "Bag of Tricks for Efficient Text
+Classification", applied as in CCNet/GPT-3-style quality filtering:
+a linear model over hashed bag-of-words features scores each
+document; documents below threshold are dropped).
+
+Training the model is out of scope (a tiny-supervised problem that
+does not need a cluster); INFERENCE over a 100 TB corpus is the
+Spark-shaped part, and it is embarrassingly map-side: the trained
+weight vector is an operational constant (a few KB–MB literal), so
+each token's contribution is one array lookup inside codegen — no
+join, no broadcast, no vocabulary-sized anything. The only shuffle
+is the final doc-keyed aggregate.
+
+Exactness contract: weights are integer MICRO units and the decision
+avoids division entirely — ``mean(w) + bias >= threshold`` is
+evaluated as ``Σw + bias·n >= threshold·n`` (exact int64 for any
+corpus: |w| ≤ ~1e6 micro, n ≤ doc length), so Spark and a SQL oracle
+agree bit-for-bit with no truncate-vs-floor division hazard on
+negative sums.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _weights_literal(weights_micro: list[int]) -> Column:
+    """The weight vector as ONE SQL literal (array<bigint>) — the
+    py4j-economy trick shared with similarity._centroid_matrix."""
+    body = ", ".join(f"{int(w)}L" for w in weights_micro)
+    return F.expr(f"array({body})")
+
+
+def linear_text_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights_micro: list[int],
+    bias_micro: int = 0,
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Score every document with a hashed bag-of-words linear model
+    and emit the keep/drop verdict.
+
+    Features are unigrams hashed into ``len(weights_micro)`` buckets
+    with the repo's cross-engine ``hash60`` (md5-derived — identical
+    in Spark and DuckDB); a document's score is the mean bucket
+    weight plus bias, and ``keep`` is ``mean + bias >= threshold``
+    evaluated in cross-multiplied integer form (no division — see
+    module docstring). Documents whose text yields no tokens produce
+    no row (the same contract as dsir_importance: no evidence, no
+    score — callers wanting pass-through compose with a left join).
+
+    Output: ``(id_col, n_tokens, score_sum_micro, keep)``.
+
+    100 TB shape: tokenize + hash + weight lookup are ONE map-side
+    codegen stage over the corpus scan (the weight literal lives in
+    the plan, not in a join side); the doc-keyed aggregate is the
+    single shuffle, map-combinable. Nothing scales with the
+    vocabulary and nothing reaches the driver.
+    """
+    from data_frame_spark.functions.texthash import hash60
+    from data_frame_spark.operators.text import tokens
+
+    b = len(weights_micro)
+    if b < 1:
+        raise ValueError("linear_text_classifier needs a non-empty weight vector")
+    warr = _weights_literal(weights_micro)
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    )
+    scored = tok.select(
+        "__id",
+        F.element_at(
+            warr, ((hash60(F.col("__tok")) % F.lit(b)) + F.lit(1)).cast("int")
+        ).alias("__w"),
+    )
+    agg = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("__w").alias("score_sum_micro"),
+    )
+    nb, tb = int(bias_micro), int(threshold_micro)
+    return agg.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        "score_sum_micro",
+        (
+            F.col("score_sum_micro") + F.lit(nb) * F.col("n_tokens")
+            >= F.lit(tb) * F.col("n_tokens")
+        ).alias("keep"),
+    )

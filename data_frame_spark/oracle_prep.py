@@ -145,3 +145,50 @@ def bpe_oracle_sql(n_merges: int = 12) -> str:
         for k in range(1, n_merges + 1)
     )
     return "WITH " + ",\n    ".join(parts) + "\n    " + finals
+
+
+# ---------------------------------------------------------------------------
+# Round-13 prep: fastText-style hashed linear classifier inference
+# (operators/classify.py). Weights are a DETERMINISTIC operational
+# constant shared verbatim by both engines (Knuth multiplicative
+# constant spread over [-1e6, 1e6] micro) — a stand-in for a trained
+# quality model, which at inference time is a constant either way.
+# ---------------------------------------------------------------------------
+
+CLASSIFIER_WEIGHTS_MICRO = [
+    ((i * 2654435761) % 2000001) - 1000000 for i in range(64)
+]
+CLASSIFIER_BIAS_MICRO = 250_000
+CLASSIFIER_THRESHOLD_MICRO = 0
+
+
+def classifier_oracle_sql(
+    weights_micro: list[int] | None = None,
+    bias_micro: int = CLASSIFIER_BIAS_MICRO,
+    threshold_micro: int = CLASSIFIER_THRESHOLD_MICRO,
+) -> str:
+    """DuckDB twin of ``operators/classify.py:linear_text_classifier``
+    over the documents table: same whitespace tokenization as the
+    dsir oracle, same md5-derived hash60 bucket, the weight vector as
+    a literal BIGINT list, and the division-free cross-multiplied
+    keep verdict (no truncate-vs-floor hazard on negative sums)."""
+    from data_frame_spark.functions.texthash import sql_hash60
+
+    w = weights_micro if weights_micro is not None else CLASSIFIER_WEIGHTS_MICRO
+    b = len(w)
+    lit = "[" + ", ".join(f"CAST({int(x)} AS BIGINT)" for x in w) + "]"
+    nb, tb = int(bias_micro), int(threshold_micro)
+    return rf"""
+    WITH norm AS (SELECT doc_id,
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                  FROM documents),
+    tok AS (SELECT doc_id, UNNEST(tk) AS token FROM norm),
+    wv AS (SELECT doc_id, ({lit})[(({sql_hash60("token")}) % {b}) + 1] AS w
+           FROM tok),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(w) AS BIGINT) AS score_sum_micro
+            FROM wv GROUP BY doc_id)
+    SELECT doc_id, n_tokens, score_sum_micro,
+           (score_sum_micro + {nb} * n_tokens) >= ({tb} * n_tokens) AS keep
+    FROM agg
+    """

@@ -310,7 +310,10 @@ DECLARED_BROADCAST_OK: dict[str, list[tuple[str, str]]] = {
         (r"vec_id#\d+L? < 3", "ANN probe batch is constant-size by contract"),
     ],
     "ivf_family": [
+        # TWO probe-batch broadcasts — one per search facet (ann and
+        # ivf-pq), both the same constant-size 3-vector query batch
         (r"vec_id#\d+L? < 3", "ANN probe batch is constant-size by contract"),
+        (r"vec_id#\d+L? < 3", "IVF-PQ probe batch is constant-size by contract"),
     ],
     "pq_adc_topk_embeddings": [
         (r"vec_id#\d+L? < 3", "ANN probe batch is constant-size by contract"),

@@ -86,3 +86,30 @@ def test_bpe_oracle_matches_spark(spark, sf_dir, con):
     want = sorted(con.execute(OP.bpe_oracle_sql(n_merges=12)).fetchall())
     assert len(got) == 12  # corpus sustains every merge (oracle contract)
     assert got == want
+
+
+def test_classifier_oracle_matches_spark(spark, sf_dir, con):
+    from data_frame_spark.operators.classify import linear_text_classifier
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = linear_text_classifier(
+        docs,
+        "text",
+        "doc_id",
+        OP.CLASSIFIER_WEIGHTS_MICRO,
+        bias_micro=OP.CLASSIFIER_BIAS_MICRO,
+        threshold_micro=OP.CLASSIFIER_THRESHOLD_MICRO,
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_sum_micro"], r["keep"])
+        for r in out.collect()
+    }
+    want = {
+        did: (n, s, k)
+        for did, n, s, k in con.execute(OP.classifier_oracle_sql()).fetchall()
+    }
+    assert len(got) > 50
+    # the verdict must discriminate (not all-keep / all-drop)
+    kept = sum(1 for v in got.values() if v[2])
+    assert 0 < kept < len(got)
+    assert got == want

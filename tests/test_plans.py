@@ -706,3 +706,21 @@ def test_duplicate_spans_prechk_shuffle_semi_no_broadcast(spark, sf_dir):
     assert "ShuffledHashJoin" in plan and "LeftSemi" in plan
     assert "BroadcastHashJoin" not in plan
     assert not C.data_sized_partitionless_windows(spans)
+
+
+def test_linear_classifier_is_single_shuffle_map_side(spark, sf_dir):
+    # the trained weight vector is a PLAN LITERAL, so scoring is pure
+    # map-side codegen over the corpus scan: no join of any kind, no
+    # broadcast, no window — the doc-keyed aggregate is the only
+    # exchange. This is what makes the quality-filter pass viable as
+    # one narrow stage at 100 TB.
+    import os
+
+    from data_frame_spark.operators.classify import linear_text_classifier
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = linear_text_classifier(docs, "text", "doc_id", [100, -200, 300])
+    plan = C.simple_plan(out)
+    assert C.count_shuffles(out) == 1
+    assert "Join" not in plan
+    assert not C.data_sized_partitionless_windows(out)
