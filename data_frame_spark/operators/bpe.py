@@ -176,6 +176,13 @@ def bpe_encode(
     ngram_contamination. ``True`` forces the broadcast for callers
     that know their vocabulary is small.
     """
+    if not (vocab_broadcast is True or vocab_broadcast is False
+            or vocab_broadcast == "auto"):
+        # any other string is truthy and would silently FORCE the
+        # broadcast, bypassing the size gate this parameter exists for
+        raise ValueError(
+            f"vocab_broadcast must be True, False or 'auto', got {vocab_broadcast!r}"
+        )
     if isinstance(merges, DataFrame):
         mrows = merges.orderBy("rank").select("left", "right").collect()
         mlist = [(r["left"], r["right"]) for r in mrows]

@@ -50,9 +50,10 @@ def linear_text_classifier(
     in Spark and DuckDB); a document's score is the mean bucket
     weight plus bias, and ``keep`` is ``mean + bias >= threshold``
     evaluated in cross-multiplied integer form (no division — see
-    module docstring). Documents whose text yields no tokens produce
-    no row (the same contract as dsir_importance: no evidence, no
-    score — callers wanting pass-through compose with a left join).
+    module docstring). Documents whose text yields no NON-EMPTY
+    tokens — including empty and whitespace-only text, whose
+    split-tokenization is [''] — produce no row (no evidence, no
+    score; callers wanting pass-through compose with a left join).
 
     Output: ``(id_col, n_tokens, score_sum_micro, keep)``.
 
@@ -72,6 +73,12 @@ def linear_text_classifier(
     tok = df.select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(F.col(text_col))).alias("__tok"),
+    ).where(
+        # tokens('') is [''] (split semantics, both engines): an
+        # empty/whitespace-only document would otherwise score the
+        # ''-bucket's weight and get a fabricated verdict — drop empty
+        # tokens so such documents honor the no-tokens-no-row contract
+        F.col("__tok") != F.lit("")
     )
     scored = tok.select(
         "__id",

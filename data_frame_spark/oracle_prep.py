@@ -184,7 +184,7 @@ def classifier_oracle_sql(
                   FROM documents),
     tok AS (SELECT doc_id, UNNEST(tk) AS token FROM norm),
     wv AS (SELECT doc_id, ({lit})[(({sql_hash60("token")}) % {b}) + 1] AS w
-           FROM tok),
+           FROM tok WHERE token <> ''),
     agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
                    CAST(SUM(w) AS BIGINT) AS score_sum_micro
             FROM wv GROUP BY doc_id)
