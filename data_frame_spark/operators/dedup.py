@@ -550,6 +550,75 @@ def scrub_spans(
     )
 
 
+def contamination_containment(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    min_shared: int = 1,
+    broadcast: bool | str = True,
+) -> DataFrame:
+    """CONTAINMENT-scored decontamination — the graded form of
+    :func:`ngram_contamination` (the public recipe behind
+    GPT-3/PaLM-style "dirty vs clean" bucketing: a training document
+    is judged by WHAT FRACTION of its n-grams appear in an eval
+    document, not just whether any one does):
+
+        containment(d, b) = |ngrams(d) ∩ ngrams(b)| / |ngrams(d)|
+
+    over DISTINCT hashed n-grams. Output one row per colliding pair:
+    ``(doc_id, bench_id, shared_ngrams, doc_ngrams,
+    containment_micro)`` with ``containment_micro`` the exact
+    integer ``shared*1e6 div total`` (both positive, so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree) — 1e6
+    means every distinct n-gram of the training document appears in
+    that benchmark document. Threshold downstream (e.g. ≥ 800000 =
+    "dirty" at 80%).
+
+    Scale shape: both sides reduce to distinct hashed-n-gram rows
+    (doc-keyed shuffles); the per-document n-gram total rides a
+    doc-partitioned window on the SAME distinct relation (no second
+    corpus scan); the collision equi-join obeys the same
+    ``broadcast`` tri-state contract as ngram_contamination (True =
+    fixed eval suite broadcast; False = pinned SHUFFLE_HASH for
+    corpus-proportional "benchmarks"; 'auto' = Catalyst). Work ∝
+    collisions, never |corpus|×|benchmark|.
+    """
+    if broadcast not in (True, False, "auto"):
+        raise ValueError(f"broadcast must be True, False, or 'auto', got {broadcast!r}")
+    cd = (
+        shingle_rows(corpus, text_col, id_col, n=n)
+        .select(F.col("__id").alias("doc_id"), F.md5(F.col("__shingle")).alias("__h"))
+        .distinct()
+    )
+    cdt = cd.withColumn(
+        "doc_ngrams", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    b = (
+        shingle_rows(benchmark, text_col, id_col, n=n)
+        .select(F.col("__id").alias("bench_id"), F.md5(F.col("__shingle")).alias("__h"))
+        .distinct()
+    )
+    if broadcast is True:
+        b = F.broadcast(b)
+    elif broadcast is False:
+        b = b.hint("shuffle_hash")
+    return (
+        cdt.join(b, "__h")
+        .groupBy("doc_id", "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("shared_ngrams"),
+            F.max("doc_ngrams").alias("doc_ngrams"),
+        )
+        .where(F.col("shared_ngrams") >= F.lit(min_shared))
+        .withColumn(
+            "containment_micro",
+            F.expr("CAST(shared_ngrams * 1000000 AS BIGINT) div doc_ngrams"),
+        )
+    )
+
+
 def split_contamination_audit(
     df: DataFrame,
     text_col: str = "text",

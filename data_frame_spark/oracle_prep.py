@@ -192,3 +192,36 @@ def classifier_oracle_sql(
            (score_sum_micro + {nb} * n_tokens) >= ({tb} * n_tokens) AS keep
     FROM agg
     """
+
+
+def containment_oracle_sql(n: int = 13, min_shared: int = 1) -> str:
+    """DuckDB twin of ``operators/dedup.py:contamination_containment``
+    over the documents table with the every-50th-doc benchmark split
+    (the ngram_decontamination_docs fixture convention): distinct
+    hashed n-grams per side (whole-doc shingle for documents shorter
+    than n tokens — the shingle_rows contract), per-document totals,
+    collision counts, and the exact integer containment score
+    (both operands positive, so ``//`` matches Spark's ``div``)."""
+    return rf"""
+    WITH norm AS (SELECT doc_id,
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                  FROM documents),
+         sh AS (SELECT doc_id,
+                       CASE WHEN len(tk) < {n} THEN [array_to_string(tk, ' ')]
+                            ELSE list_transform(generate_series(1, len(tk)-{n - 1}),
+                                                i -> array_to_string(tk[i:i+{n - 1}], ' '))
+                       END AS sg
+                FROM norm),
+         cg AS (SELECT doc_id, UNNEST(list_distinct(list_transform(sg, s -> md5(s)))) AS h
+                FROM sh),
+         ct AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS doc_ngrams
+                FROM cg GROUP BY doc_id),
+         bg AS (SELECT doc_id AS bench_id, h FROM cg WHERE doc_id % 50 = 0)
+    SELECT c.doc_id, b.bench_id,
+           CAST(COUNT(*) AS BIGINT) AS shared_ngrams,
+           ct.doc_ngrams,
+           CAST((COUNT(*) * 1000000) // ct.doc_ngrams AS BIGINT) AS containment_micro
+    FROM cg c JOIN bg b ON c.h = b.h JOIN ct ON ct.doc_id = c.doc_id
+    GROUP BY c.doc_id, b.bench_id, ct.doc_ngrams
+    HAVING COUNT(*) >= {int(min_shared)}
+    """

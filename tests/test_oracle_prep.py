@@ -113,3 +113,28 @@ def test_classifier_oracle_matches_spark(spark, sf_dir, con):
     kept = sum(1 for v in got.values() if v[2])
     assert 0 < kept < len(got)
     assert got == want
+
+
+def test_containment_oracle_matches_spark(spark, sf_dir, con):
+    from data_frame_spark.operators.dedup import contamination_containment
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    out = contamination_containment(docs, bench, "text", "doc_id", n=13)
+    got = {
+        (r["doc_id"], r["bench_id"]): (
+            r["shared_ngrams"], r["doc_ngrams"], r["containment_micro"]
+        )
+        for r in out.collect()
+    }
+    want = {
+        (d, b): (s, t, c)
+        for d, b, s, t, c in con.execute(OP.containment_oracle_sql()).fetchall()
+    }
+    assert len(got) > 5
+    # the benchmark docs themselves contain 100% of their own n-grams
+    selfs = [v for (d, b), v in got.items() if d == b]
+    assert selfs and all(c == 1_000_000 for _, _, c in selfs)
+    # and the score must discriminate (some partial overlaps)
+    assert any(c < 1_000_000 for _, _, c in got.values())
+    assert got == want

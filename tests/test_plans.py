@@ -724,3 +724,28 @@ def test_linear_classifier_is_single_shuffle_map_side(spark, sf_dir):
     assert C.count_shuffles(out) == 1
     assert "Join" not in plan
     assert not C.data_sized_partitionless_windows(out)
+
+
+def test_containment_broadcast_contract_and_partitioned_window(spark, sf_dir):
+    # same tri-state join contract as ngram_contamination: True
+    # broadcasts the fixed eval suite's hash set (corpus n-grams drop
+    # map-side), False pins a SHUFFLE_HASH equi-join for
+    # corpus-proportional "benchmarks"; the per-doc n-gram total is a
+    # doc-PARTITIONED window on the distinct relation (never
+    # partitionless, never a second corpus scan)
+    import os
+
+    from data_frame_spark.operators.dedup import contamination_containment
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    out = contamination_containment(docs, bench, "text", "doc_id", n=13)
+    assert "BroadcastHashJoin" in C.simple_plan(out)
+    assert not C.data_sized_partitionless_windows(out)
+    out2 = contamination_containment(
+        docs, bench, "text", "doc_id", n=13, broadcast=False
+    )
+    plan2 = C.simple_plan(out2)
+    assert "ShuffledHashJoin" in plan2
+    assert not C.data_sized_partitionless_windows(out2)
