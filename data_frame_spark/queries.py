@@ -5251,12 +5251,13 @@ def haversine_track_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT user_id,
            COUNT(*) AS n_points,
-           SUM(CAST(FLOOR(({_TRACK_LAT_SQL}) * 1000000.0 + 0.5) AS BIGINT))
-             AS lat_micro_sum,
-           SUM(CAST(FLOOR(({_TRACK_LON_SQL}) * 1000000.0 + 0.5) AS BIGINT))
-             AS lon_micro_sum,
+           CAST(SUM(CAST(FLOOR(({_TRACK_LAT_SQL}) * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS lat_micro_sum,
+           CAST(SUM(CAST(FLOOR(({_TRACK_LON_SQL}) * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS lon_micro_sum,
            COUNT(value) AS n_ele,
-           SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS ele_micro_sum,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS ele_micro_sum,
            MIN(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_min,
            MAX(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_max
     FROM events WHERE event_id % 3 = 0
@@ -5340,12 +5341,13 @@ def gpx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT user_id,
            COUNT(*) AS n_points,
-           SUM(CAST(FLOOR(({_TRACK_LAT_SQL}) * 1000000.0 + 0.5) AS BIGINT))
-             AS lat_micro_sum,
-           SUM(CAST(FLOOR(({_TRACK_LON_SQL}) * 1000000.0 + 0.5) AS BIGINT))
-             AS lon_micro_sum,
+           CAST(SUM(CAST(FLOOR(({_TRACK_LAT_SQL}) * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS lat_micro_sum,
+           CAST(SUM(CAST(FLOOR(({_TRACK_LON_SQL}) * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS lon_micro_sum,
            COUNT(value) AS n_ele,
-           SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS ele_micro_sum,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS ele_micro_sum,
            MIN(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_min,
            MAX(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_max
     FROM events WHERE event_id % 3 = 0
@@ -5390,16 +5392,17 @@ def gpx_corpus_direct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT user_id,
            COUNT(*) AS n_points,
-           SUM(CAST(FLOOR(({_TRACK_LAT_SQL}) * 1000000.0 + 0.5) AS BIGINT))
-             AS lat_micro_sum,
-           SUM(CAST(FLOOR(({_TRACK_LON_SQL}) * 1000000.0 + 0.5) AS BIGINT))
-             AS lon_micro_sum,
+           CAST(SUM(CAST(FLOOR(({_TRACK_LAT_SQL}) * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS lat_micro_sum,
+           CAST(SUM(CAST(FLOOR(({_TRACK_LON_SQL}) * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS lon_micro_sum,
            COUNT(value) AS n_alt,
-           SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS alt_micro_sum,
-           SUM(CAST(FLOOR(CAST(user_id % 150 + 40 AS DOUBLE) * 1000000.0 + 0.5)
-                    AS BIGINT)) AS hr_micro_sum,
-           SUM(CAST(FLOOR(CAST(event_id AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
-             AS dst_micro_sum,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS alt_micro_sum,
+           CAST(SUM(CAST(FLOOR(CAST(user_id % 150 + 40 AS DOUBLE) * 1000000.0 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS hr_micro_sum,
+           CAST(SUM(CAST(FLOOR(CAST(event_id AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS dst_micro_sum,
            MIN(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_min,
            MAX(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_max
     FROM events WHERE event_id % 3 = 1

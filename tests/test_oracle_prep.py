@@ -138,3 +138,23 @@ def test_containment_oracle_matches_spark(spark, sf_dir, con):
     # and the score must discriminate (some partial overlaps)
     assert any(c < 1_000_000 for _, _, c in got.values())
     assert got == want
+
+
+def test_corpus_row_oracles_are_integer_through_pandas(con):
+    # the round-11/12 driver reds' root cause: SUM(CAST(.. AS BIGINT))
+    # returns HUGEINT, which pandas coerces to float64 while the Spark
+    # side is non-null int64 — value-equal, dtype-different, hash-red
+    # under a str-cell canon. Pin every corpus-row oracle column to a
+    # non-float pandas dtype (the Spark sides are all non-null
+    # long/bigint). tools/check_dtypes.py runs the same gate
+    # registry-wide.
+    from data_frame_spark import queries as Q
+
+    for name in (
+        "gpx_corpus_read_docs",
+        "tcx_corpus_read_docs",
+        "gpx_corpus_direct_docs",
+    ):
+        df = con.execute(Q.ORACLE[name]).df()
+        floats = [c for c, d in df.dtypes.items() if d.kind == "f"]
+        assert not floats, f"{name}: float64-coerced columns {floats}"
