@@ -239,6 +239,79 @@ def audio_metadata(df: DataFrame, bin_col: str, id_col: str = "doc_id") -> DataF
     )
 
 
+WAVEFORM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("abs_sum", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def audio_waveform_features(
+    df: DataFrame, bin_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL waveform feature extraction for 16-bit PCM mono WAV
+    payloads — the audio-quality signals a training-data pipeline
+    filters on (silence, clipping, energy), decoded with the stdlib
+    ``wave`` reader + numpy (no codec library). Emits integer-exact
+    stats per payload: sample count, signed sum, absolute sum
+    (energy proxy), peak |sample| (clipping detector at 32767/32768),
+    and strict zero crossings (``s[i-1] * s[i] < 0`` — zeros never
+    count, so the stat is sign-sequence exact, not threshold-fuzzy).
+    Non-WAV, corrupt, non-16-bit or non-mono payloads quarantine as
+    ``ok=false`` rows (same stance as audio_metadata; stereo ZCR
+    over interleaved frames would be channel-soup, so it is refused
+    rather than mis-computed).
+
+    Scale shape: one narrow Arrow-batched ``mapInPandas`` pass —
+    payload bytes never shuffle; a few longs per row come out."""
+    import io
+    import wave
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, payload in zip(pdf[id_col], pdf[bin_col]):
+                row = {
+                    "doc_id": int(i), "n_samples": None, "sample_sum": None,
+                    "abs_sum": None, "peak_abs": None,
+                    "zero_crossings": None, "ok": False,
+                }
+                try:
+                    if payload is not None and bytes(payload[:4]) == b"RIFF":
+                        with wave.open(io.BytesIO(bytes(payload))) as w:
+                            if w.getsampwidth() == 2 and w.getnchannels() == 1:
+                                raw = w.readframes(w.getnframes())
+                                s = np.frombuffer(raw, dtype="<i2").astype(
+                                    np.int64
+                                )
+                                row.update(
+                                    n_samples=int(s.size),
+                                    sample_sum=int(s.sum()),
+                                    abs_sum=int(np.abs(s).sum()),
+                                    peak_abs=int(np.abs(s).max()) if s.size else 0,
+                                    zero_crossings=int(
+                                        ((s[:-1] * s[1:]) < 0).sum()
+                                    ) if s.size > 1 else 0,
+                                    ok=True,
+                                )
+                except Exception:
+                    pass  # quarantine row stays ok=False
+                out.append(row)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in WAVEFORM_SCHEMA.fields]
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        extract, schema=WAVEFORM_SCHEMA
+    )
+
+
 RESIZE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

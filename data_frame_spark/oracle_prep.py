@@ -225,3 +225,76 @@ def containment_oracle_sql(n: int = 13, min_shared: int = 1) -> str:
     GROUP BY c.doc_id, b.bench_id, ct.doc_ngrams
     HAVING COUNT(*) >= {int(min_shared)}
     """
+
+
+def wav_corpus_oracle_sql() -> str:
+    """DuckDB twin of the future wav_corpus_features row: per-user
+    waveform stats computed straight from the events slice that the
+    Spark side turns into REAL 16-bit PCM WAV blobs (stdlib wave
+    write -> audio_waveform_features decode). Sample derivation is
+    pure positive-integer arithmetic, order is (event_id) per user,
+    and every SUM output carries the OUTER BIGINT cast (HUGEINT ->
+    float64 pandas-coercion rule, round 12)."""
+    return """
+    WITH x AS (SELECT user_id, event_id,
+                      ((user_id * 31 + event_id * 7919) % 65536) - 32768 AS s
+               FROM events WHERE event_id % 3 = 2),
+         l AS (SELECT user_id, s,
+                      LAG(s) OVER (PARTITION BY user_id ORDER BY event_id) AS p
+               FROM x)
+    SELECT user_id AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sample_sum,
+           CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+           CAST(SUM(CASE WHEN p * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           TRUE AS ok
+    FROM l GROUP BY user_id
+    """
+
+
+def wav_corpus_spark(spark, sf_dir):
+    """The Spark side the future registry row will use verbatim: one
+    synthetic mono 16-bit 8 kHz WAV per user, built WITHOUT leaving
+    the cluster (per-user applyInPandas group writes the stdlib wave
+    container over samples derived from event integers, ordered by
+    event_id), decoded back through the REAL
+    audio_waveform_features reader. Disjoint event slice
+    (event_id % 3 = 2) from the gpx/tcx corpus rows."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.multimodal import audio_waveform_features
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_id") % 3 == 2)
+        .select(
+            "user_id",
+            "event_id",
+            (((F.col("user_id") * 31 + F.col("event_id") * 7919) % 65536) - 65536 // 2)
+            .cast("long")
+            .alias("s"),
+        )
+    )
+
+    def build(key, pdf):
+        pdf = pdf.sort_values("event_id")
+        samples = pdf["s"].to_numpy().astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.tobytes())
+        return pd.DataFrame({"user_id": [int(key[0])], "payload": [buf.getvalue()]})
+
+    docs = ev.groupBy("user_id").applyInPandas(
+        build, schema="user_id long, payload binary"
+    )
+    return audio_waveform_features(docs, "payload", "user_id")

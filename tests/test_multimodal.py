@@ -97,3 +97,45 @@ def test_resize_image_stub_raises_without_pil(spark, binary_df):
     assert [f.name for f in out.schema.fields] == ["doc_id", "width", "height", "png"]
     with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
         out.collect()
+
+
+def _wav_bytes(samples, channels=1, rate=8000):
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_audio_waveform_features_known_values(spark):
+    from data_frame_spark.operators.multimodal import audio_waveform_features
+
+    # 5 samples: crossings at (-2,3) and (4,-1); the 0 breaks the
+    # (0,-1) pair strictly (zeros never count)
+    wav = _wav_bytes([-2, 3, 4, -1, 0])
+    df = spark.createDataFrame([(1, wav)], "doc_id long, payload binary")
+    (r,) = audio_waveform_features(df, "payload").collect()
+    assert (
+        r["n_samples"], r["sample_sum"], r["abs_sum"],
+        r["peak_abs"], r["zero_crossings"], r["ok"],
+    ) == (5, 4, 10, 4, 2, True)
+
+
+def test_audio_waveform_features_quarantines_stereo_and_junk(spark):
+    from data_frame_spark.operators.multimodal import audio_waveform_features
+
+    stereo = _wav_bytes([1, -1, 2, -2], channels=2)
+    df = spark.createDataFrame(
+        [(1, stereo), (2, b"not a wav"), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r["ok"] for r in
+            audio_waveform_features(df, "payload").collect()}
+    assert rows == {1: False, 2: False, 3: False}

@@ -158,3 +158,24 @@ def test_corpus_row_oracles_are_integer_through_pandas(con):
         df = con.execute(Q.ORACLE[name]).df()
         floats = [c for c, d in df.dtypes.items() if d.kind == "f"]
         assert not floats, f"{name}: float64-coerced columns {floats}"
+
+
+def test_wav_corpus_oracle_matches_spark(spark, sf_dir, con):
+    out = OP.wav_corpus_spark(spark, sf_dir)
+    got = {
+        r["doc_id"]: (
+            r["n_samples"], r["sample_sum"], r["abs_sum"],
+            r["peak_abs"], r["zero_crossings"], r["ok"],
+        )
+        for r in out.collect()
+    }
+    want = {
+        d: (n, ss, ab, pk, zc, ok)
+        for d, n, ss, ab, pk, zc, ok in con.execute(
+            OP.wav_corpus_oracle_sql()
+        ).fetchall()
+    }
+    assert len(got) > 10
+    assert all(v[5] for v in got.values())  # every synthetic WAV decodes
+    assert any(v[4] > 0 for v in got.values())  # crossings actually occur
+    assert got == want
