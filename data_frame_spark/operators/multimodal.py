@@ -42,6 +42,9 @@ def sniff_format(bin_col: Column) -> Column:
         ("1A45DFA3", "webm"),
     ]:
         expr = F.when(head.startswith(magic), F.lit(fmt)).otherwise(expr)
+    # ISO BMFF (mp4/mov): the magic is 'ftyp' at byte offset 4, after
+    # the first box's length word — hex positions 9..16 of the head
+    expr = F.when(F.substring(head, 9, 8) == "66747970", F.lit("mp4")).otherwise(expr)
     return expr
 
 
@@ -309,6 +312,101 @@ def audio_waveform_features(
 
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
         extract, schema=WAVEFORM_SCHEMA
+    )
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("major_brand", T.StringType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("duration_units", T.LongType()),
+        T.StructField("duration_us", T.LongType()),
+        T.StructField("n_tracks", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Walk ISO BMFF boxes in data[start:end): yields
+    (type_bytes, payload_start, box_end). Handles 64-bit largesize
+    (size==1) and to-end boxes (size==0); bails on malformed sizes."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(data[off:off + 4], "big")
+        typ = data[off + 4:off + 8]
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                return
+            size = int.from_bytes(data[off + 8:off + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            return
+        yield typ, off + hdr, off + size
+        off += size
+
+
+def video_metadata(df: DataFrame, bin_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Video container metadata over an opaque binary column — REAL
+    (no codec library) for ISO BMFF (mp4/mov) payloads via stdlib
+    box walking: the ``ftyp`` major brand, the ``moov/mvhd`` movie
+    timescale + duration (version 0 and 1 layouts), the exact
+    integer-microsecond duration, and the ``trak`` count. Non-BMFF
+    or malformed payloads come back ``ok=false`` (quarantine, same
+    stance as audio_metadata); actual frame decoding needs ffmpeg
+    and stays behind the sample_frames index plumbing.
+
+    Scale shape: one narrow Arrow-batched ``mapInPandas`` pass —
+    payload bytes never shuffle; a few longs per row come out."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, payload in zip(pdf[id_col], pdf[bin_col]):
+                row = {
+                    "doc_id": int(i), "format": None, "major_brand": None,
+                    "timescale": None, "duration_units": None,
+                    "duration_us": None, "n_tracks": None, "ok": False,
+                }
+                try:
+                    data = bytes(payload) if payload is not None else b""
+                    if len(data) >= 12 and data[4:8] == b"ftyp":
+                        brand = data[8:12].decode("ascii", "replace").strip()
+                        ts = dur = None
+                        n_tracks = 0
+                        for typ, ps, pe in _iter_boxes(data, 0, len(data)):
+                            if typ != b"moov":
+                                continue
+                            for t2, p2, e2 in _iter_boxes(data, ps, pe):
+                                if t2 == b"trak":
+                                    n_tracks += 1
+                                elif t2 == b"mvhd" and e2 - p2 >= 4:
+                                    ver = data[p2]
+                                    if ver == 1 and e2 - p2 >= 32:
+                                        ts = int.from_bytes(data[p2 + 20:p2 + 24], "big")
+                                        dur = int.from_bytes(data[p2 + 24:p2 + 32], "big")
+                                    elif ver == 0 and e2 - p2 >= 24:
+                                        ts = int.from_bytes(data[p2 + 12:p2 + 16], "big")
+                                        dur = int.from_bytes(data[p2 + 16:p2 + 20], "big")
+                        if ts:
+                            row.update(
+                                format="mp4", major_brand=brand,
+                                timescale=ts, duration_units=dur,
+                                duration_us=(dur * 1_000_000) // ts,
+                                n_tracks=n_tracks, ok=True,
+                            )
+                except Exception:
+                    pass  # quarantine row stays ok=False
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in VIDEO_SCHEMA.fields])
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        extract, schema=VIDEO_SCHEMA
     )
 
 

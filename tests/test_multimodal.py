@@ -139,3 +139,67 @@ def test_audio_waveform_features_quarantines_stereo_and_junk(spark):
     rows = {r["doc_id"]: r["ok"] for r in
             audio_waveform_features(df, "payload").collect()}
     assert rows == {1: False, 2: False, 3: False}
+
+
+def _box(typ, payload):
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def _mp4_bytes(timescale=1000, duration=90_000, n_tracks=2, version=0):
+    if version == 0:
+        mvhd = bytes([0, 0, 0, 0]) + (0).to_bytes(4, "big") * 2 \
+            + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big") \
+            + b"\x00" * 76
+    else:
+        mvhd = bytes([1, 0, 0, 0]) + (0).to_bytes(8, "big") * 2 \
+            + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big") \
+            + b"\x00" * 76
+    moov = _box(b"mvhd", mvhd) + b"".join(
+        _box(b"trak", b"\x00" * 8) for _ in range(n_tracks)
+    )
+    return _box(b"ftyp", b"isom" + b"\x00" * 8) + _box(b"moov", moov)
+
+
+def test_video_metadata_parses_mvhd_v0_and_v1(spark):
+    from data_frame_spark.operators.multimodal import video_metadata
+
+    df = spark.createDataFrame(
+        [
+            (1, _mp4_bytes(timescale=1000, duration=90_000, n_tracks=2)),
+            (2, _mp4_bytes(timescale=600, duration=1_234, n_tracks=1, version=1)),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in video_metadata(df, "payload").collect()}
+    r1 = rows[1]
+    assert (r1["format"], r1["major_brand"], r1["timescale"],
+            r1["duration_units"], r1["duration_us"], r1["n_tracks"],
+            r1["ok"]) == ("mp4", "isom", 1000, 90_000, 90_000_000, 2, True)
+    r2 = rows[2]
+    assert (r2["timescale"], r2["duration_units"],
+            r2["duration_us"], r2["n_tracks"]) == (600, 1234, 2_056_666, 1)
+
+
+def test_video_metadata_quarantines_junk(spark):
+    from data_frame_spark.operators.multimodal import video_metadata
+
+    df = spark.createDataFrame(
+        [(1, b"RIFF not a video"), (2, b"\x00\x00\x00\x08ftyp"), (3, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r["ok"] for r in
+            video_metadata(df, "payload").collect()}
+    assert rows == {1: False, 2: False, 3: False}
+
+
+def test_sniff_format_detects_mp4(spark):
+    from data_frame_spark.operators.multimodal import sniff_format
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, _mp4_bytes()), (2, b"\x89PNG\r\n\x1a\n123")],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["f"] for r in
+           df.select("doc_id", sniff_format(F.col("payload")).alias("f")).collect()}
+    assert got == {1: "mp4", 2: "png"}
