@@ -329,6 +329,37 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 60) -> DataFr
     )
 
 
+def _hashed_ngrams(
+    df: DataFrame, text_col: str, id_col: str, n: int, out_id: str
+) -> DataFrame:
+    """DISTINCT ``(out_id, __h)`` hashed n-gram relation — the shared
+    collision-join side builder for the contamination family (one
+    definition so the hashing/normalization of ngram_contamination
+    and contamination_containment can never drift apart)."""
+    return (
+        shingle_rows(df, text_col, id_col, n=n)
+        .select(F.col("__id").alias(out_id), F.md5(F.col("__shingle")).alias("__h"))
+        .distinct()
+    )
+
+
+def _bench_join_side(b: DataFrame, broadcast: bool | str) -> DataFrame:
+    """The contamination family's tri-state join contract applied to
+    the benchmark-side relation: True broadcasts (fixed eval suite),
+    False pins a ShuffledHashJoin — not just "no broadcast hint",
+    because at small SF Catalyst's size estimate would still elect to
+    broadcast a corpus-derived side, exactly the plan shape the
+    100 TB contract forbids for split-vs-split audits — and 'auto'
+    leaves the choice to Catalyst + AQE."""
+    if broadcast not in (True, False, "auto"):
+        raise ValueError(f"broadcast must be True, False, or 'auto', got {broadcast!r}")
+    if broadcast is True:
+        return F.broadcast(b)
+    if broadcast is False:
+        return b.hint("shuffle_hash")
+    return b
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -364,24 +395,12 @@ def ngram_contamination(
       hash-partition on ``__h``; work stays ∝ collisions.
     * ``'auto'`` — no hint; Catalyst + AQE choose from size stats.
     """
-    if broadcast not in (True, False, "auto"):
-        raise ValueError(f"broadcast must be True, False, or 'auto', got {broadcast!r}")
     c = shingle_rows(corpus, text_col, id_col, n=n).select(
         F.col("__id").alias("doc_id"), F.md5(F.col("__shingle")).alias("__h")
     )
-    b = (
-        shingle_rows(benchmark, text_col, id_col, n=n)
-        .select(F.col("__id").alias("bench_id"), F.md5(F.col("__shingle")).alias("__h"))
-        .distinct()
+    b = _bench_join_side(
+        _hashed_ngrams(benchmark, text_col, id_col, n, "bench_id"), broadcast
     )
-    if broadcast is True:
-        b = F.broadcast(b)
-    elif broadcast is False:
-        # pin a ShuffledHashJoin (not just "no broadcast hint"):
-        # at small SF Catalyst's size estimate would still elect to
-        # broadcast a corpus-derived side, which is exactly the plan
-        # shape the 100 TB contract forbids for split-vs-split audits
-        b = b.hint("shuffle_hash")
     return (
         c.join(b, "__h")
         .select("doc_id", "bench_id", "__h")
@@ -585,25 +604,13 @@ def contamination_containment(
     corpus-proportional "benchmarks"; 'auto' = Catalyst). Work ∝
     collisions, never |corpus|×|benchmark|.
     """
-    if broadcast not in (True, False, "auto"):
-        raise ValueError(f"broadcast must be True, False, or 'auto', got {broadcast!r}")
-    cd = (
-        shingle_rows(corpus, text_col, id_col, n=n)
-        .select(F.col("__id").alias("doc_id"), F.md5(F.col("__shingle")).alias("__h"))
-        .distinct()
-    )
+    cd = _hashed_ngrams(corpus, text_col, id_col, n, "doc_id")
     cdt = cd.withColumn(
         "doc_ngrams", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    b = (
-        shingle_rows(benchmark, text_col, id_col, n=n)
-        .select(F.col("__id").alias("bench_id"), F.md5(F.col("__shingle")).alias("__h"))
-        .distinct()
+    b = _bench_join_side(
+        _hashed_ngrams(benchmark, text_col, id_col, n, "bench_id"), broadcast
     )
-    if broadcast is True:
-        b = F.broadcast(b)
-    elif broadcast is False:
-        b = b.hint("shuffle_hash")
     return (
         cdt.join(b, "__h")
         .groupBy("doc_id", "bench_id")

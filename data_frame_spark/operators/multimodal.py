@@ -32,7 +32,14 @@ from pyspark.sql import types as T
 def sniff_format(bin_col: Column) -> Column:
     """Container format from magic bytes — pure Column expression."""
     head = F.upper(F.hex(F.substring(bin_col, 1, 8)))
-    expr = F.lit("unknown")
+    # ISO BMFF (mp4/mov): 'ftyp' at byte offset 4, after the first
+    # box's length word — hex positions 9..16. Seeded FIRST so it has
+    # the LOWEST precedence: a RIFF/PNG prefix is an exact position-0
+    # magic and must win over a length word that merely happens to
+    # spell 'ftyp' (round-12 review finding)
+    expr = F.when(
+        F.substring(head, 9, 8) == "66747970", F.lit("mp4")
+    ).otherwise(F.lit("unknown"))
     for magic, fmt in [
         ("89504E47", "png"),
         ("FFD8FF", "jpeg"),
@@ -42,10 +49,19 @@ def sniff_format(bin_col: Column) -> Column:
         ("1A45DFA3", "webm"),
     ]:
         expr = F.when(head.startswith(magic), F.lit(fmt)).otherwise(expr)
-    # ISO BMFF (mp4/mov): the magic is 'ftyp' at byte offset 4, after
-    # the first box's length word — hex positions 9..16 of the head
-    expr = F.when(F.substring(head, 9, 8) == "66747970", F.lit("mp4")).otherwise(expr)
     return expr
+
+
+def _safe_id(i) -> int | None:
+    """Row id as a nullable long for the quarantine extractors: a
+    NULL id (or a NaN from pandas null-floating) must produce a
+    quarantine row, not crash the task — int(None)/int(nan) raises
+    OUTSIDE the extractors' per-row try blocks (round-12 review
+    finding)."""
+    try:
+        return int(i)
+    except (TypeError, ValueError):
+        return None
 
 
 def attach_metadata(df: DataFrame, bin_col: str, out_col: str = "meta") -> DataFrame:
@@ -212,7 +228,7 @@ def audio_metadata(df: DataFrame, bin_col: str, id_col: str = "doc_id") -> DataF
             out = []
             for i, payload in zip(pdf[id_col], pdf[bin_col]):
                 row = {
-                    "doc_id": int(i), "format": None, "channels": None,
+                    "doc_id": _safe_id(i), "format": None, "channels": None,
                     "sample_rate": None, "sample_width": None,
                     "n_frames": None, "duration_us": None, "ok": False,
                 }
@@ -281,7 +297,7 @@ def audio_waveform_features(
             out = []
             for i, payload in zip(pdf[id_col], pdf[bin_col]):
                 row = {
-                    "doc_id": int(i), "n_samples": None, "sample_sum": None,
+                    "doc_id": _safe_id(i), "n_samples": None, "sample_sum": None,
                     "abs_sum": None, "peak_abs": None,
                     "zero_crossings": None, "ok": False,
                 }
@@ -369,7 +385,7 @@ def video_metadata(df: DataFrame, bin_col: str, id_col: str = "doc_id") -> DataF
             out = []
             for i, payload in zip(pdf[id_col], pdf[bin_col]):
                 row = {
-                    "doc_id": int(i), "format": None, "major_brand": None,
+                    "doc_id": _safe_id(i), "format": None, "major_brand": None,
                     "timescale": None, "duration_units": None,
                     "duration_us": None, "n_tracks": None, "ok": False,
                 }
@@ -393,13 +409,21 @@ def video_metadata(df: DataFrame, bin_col: str, id_col: str = "doc_id") -> DataF
                                     elif ver == 0 and e2 - p2 >= 24:
                                         ts = int.from_bytes(data[p2 + 12:p2 + 16], "big")
                                         dur = int.from_bytes(data[p2 + 16:p2 + 20], "big")
-                        if ts:
-                            row.update(
-                                format="mp4", major_brand=brand,
-                                timescale=ts, duration_units=dur,
-                                duration_us=(dur * 1_000_000) // ts,
-                                n_tracks=n_tracks, ok=True,
-                            )
+                        # range-check before update: a corrupt mvhd
+                        # (e.g. 0xFF.. duration bytes) would pass the
+                        # try block here but overflow LongType at
+                        # Arrow serialization — OUTSIDE the except —
+                        # crashing the whole task instead of
+                        # quarantining (round-12 review finding)
+                        if ts and dur is not None and dur < (1 << 62):
+                            dur_us = (dur * 1_000_000) // ts
+                            if dur_us < (1 << 63):
+                                row.update(
+                                    format="mp4", major_brand=brand,
+                                    timescale=ts, duration_units=dur,
+                                    duration_us=dur_us,
+                                    n_tracks=n_tracks, ok=True,
+                                )
                 except Exception:
                     pass  # quarantine row stays ok=False
                 out.append(row)

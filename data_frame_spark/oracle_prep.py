@@ -265,7 +265,6 @@ def wav_corpus_spark(spark, sf_dir):
     import io
     import wave
 
-    import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
 

@@ -203,3 +203,50 @@ def test_sniff_format_detects_mp4(spark):
     got = {r["doc_id"]: r["f"] for r in
            df.select("doc_id", sniff_format(F.col("payload")).alias("f")).collect()}
     assert got == {1: "mp4", 2: "png"}
+
+
+def test_video_metadata_quarantines_corrupt_64bit_duration(spark):
+    # a corrupt mvhd v1 with 0xFF.. duration bytes must quarantine,
+    # not overflow LongType at Arrow serialization (outside the
+    # per-row try) and kill the task (round-12 review finding)
+    from data_frame_spark.operators.multimodal import video_metadata
+
+    mvhd = bytes([1, 0, 0, 0]) + (0).to_bytes(8, "big") * 2 \
+        + (1000).to_bytes(4, "big") + b"\xff" * 8 + b"\x00" * 76
+    payload = _box(b"ftyp", b"isom" + b"\x00" * 8) + _box(
+        b"moov", _box(b"mvhd", mvhd)
+    )
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    (r,) = video_metadata(df, "payload").collect()
+    assert r["ok"] is False
+
+
+def test_sniff_format_riff_beats_accidental_ftyp(spark):
+    # a RIFF container whose little-endian size word spells 'ftyp'
+    # must sniff as riff — position-0 magics outrank the offset-4
+    # box-type check (round-12 review finding)
+    from data_frame_spark.operators.multimodal import sniff_format
+    from pyspark.sql import functions as F
+
+    payload = b"RIFF" + b"ftyp" + b"WAVE1234"
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    (r,) = df.select(sniff_format(F.col("payload")).alias("f")).collect()
+    assert r["f"] == "riff"
+
+
+def test_extractors_quarantine_null_id(spark):
+    # int(None) raised OUTSIDE the per-row try in all three binary
+    # extractors; a NULL id must yield a quarantine row, not a task
+    # failure (round-12 review finding)
+    from data_frame_spark.operators.multimodal import (
+        audio_metadata,
+        audio_waveform_features,
+        video_metadata,
+    )
+
+    df = spark.createDataFrame(
+        [(None, b"junk payload")], "doc_id long, payload binary"
+    )
+    for op in (audio_metadata, audio_waveform_features, video_metadata):
+        (r,) = op(df, "payload").collect()
+        assert r["ok"] is False and r["doc_id"] is None
