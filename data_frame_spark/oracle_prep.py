@@ -297,3 +297,82 @@ def wav_corpus_spark(spark, sf_dir):
         build, schema="user_id long, payload binary"
     )
     return audio_waveform_features(docs, "payload", "user_id")
+
+
+def video_corpus_oracle_sql() -> str:
+    """DuckDB twin of the future video_corpus_features row: per-user
+    container metadata computed straight from the events slice the
+    Spark side turns into REAL ISO BMFF payloads (box-packed mvhd +
+    trak boxes -> video_metadata stdlib box walk). 40 movie-units
+    per event at timescale 1000 (25 fps frame-duration flavor);
+    track count is a small user-derived constant. All-integer
+    outputs with the outer-BIGINT-cast discipline."""
+    return """
+    WITH x AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events WHERE event_id % 3 = 0
+               GROUP BY user_id)
+    SELECT user_id AS doc_id,
+           'mp4' AS format,
+           'isom' AS major_brand,
+           CAST(1000 AS BIGINT) AS timescale,
+           CAST(40 * n AS BIGINT) AS duration_units,
+           CAST(40000 * n AS BIGINT) AS duration_us,
+           CAST(1 + user_id % 3 AS BIGINT) AS n_tracks,
+           TRUE AS ok
+    FROM x
+    """
+
+
+def _mp4_box(typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def mp4_bytes(timescale: int, duration: int, n_tracks: int) -> bytes:
+    """Minimal valid ISO BMFF payload (ftyp + moov{mvhd v0 + trak*})
+    — the deterministic synthetic-video builder shared by the corpus
+    prep row and the multimodal tests."""
+    mvhd = (
+        bytes([0, 0, 0, 0])
+        + (0).to_bytes(4, "big") * 2
+        + int(timescale).to_bytes(4, "big")
+        + int(duration).to_bytes(4, "big")
+        + b"\x00" * 76
+    )
+    moov = _mp4_box(b"mvhd", mvhd) + b"".join(
+        _mp4_box(b"trak", b"\x00" * 8) for _ in range(n_tracks)
+    )
+    return _mp4_box(b"ftyp", b"isom" + b"\x00" * 8) + _mp4_box(b"moov", moov)
+
+
+def video_corpus_spark(spark, sf_dir):
+    """The Spark side the future registry row will use verbatim: one
+    synthetic ISO BMFF container per user built WITHOUT leaving the
+    cluster (mapInPandas over the per-user event counts packs
+    ftyp/moov/mvhd/trak boxes), then parsed back through the REAL
+    stdlib box walker (multimodal.video_metadata)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.multimodal import video_metadata
+
+    counts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_id") % 3 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].astype("int64"),
+                    "payload": [
+                        mp4_bytes(1000, 40 * int(n), 1 + int(u) % 3)
+                        for u, n in zip(pdf["user_id"], pdf["n"])
+                    ],
+                }
+            )
+
+    docs = counts.mapInPandas(build, schema="user_id long, payload binary")
+    return video_metadata(docs, "payload", "user_id")

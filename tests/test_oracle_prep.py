@@ -179,3 +179,24 @@ def test_wav_corpus_oracle_matches_spark(spark, sf_dir, con):
     assert all(v[5] for v in got.values())  # every synthetic WAV decodes
     assert any(v[4] > 0 for v in got.values())  # crossings actually occur
     assert got == want
+
+
+def test_video_corpus_oracle_matches_spark(spark, sf_dir, con):
+    out = OP.video_corpus_spark(spark, sf_dir)
+    got = {
+        r["doc_id"]: (
+            r["format"], r["major_brand"], r["timescale"],
+            r["duration_units"], r["duration_us"], r["n_tracks"], r["ok"],
+        )
+        for r in out.collect()
+    }
+    want = {
+        d: (f, b, ts, du, us, nt, ok)
+        for d, f, b, ts, du, us, nt, ok in con.execute(
+            OP.video_corpus_oracle_sql()
+        ).fetchall()
+    }
+    assert len(got) > 10
+    assert all(v[6] for v in got.values())  # every synthetic mp4 parses
+    assert len({v[5] for v in got.values()}) == 3  # track counts vary
+    assert got == want
