@@ -376,3 +376,60 @@ def video_corpus_spark(spark, sf_dir):
 
     docs = counts.mapInPandas(build, schema="user_id long, payload binary")
     return video_metadata(docs, "payload", "user_id")
+
+
+def binary_corpus_family_oracle_sql() -> str:
+    """Facet union of the wav + video corpus twins (the r13
+    registration shape): NULL-superset columns, every integral output
+    outer-BIGINT-cast inside the facet legs. Nullable-on-both-sides
+    columns coerce to float64 together under a pandas canon — the
+    green pattern (kmv_family precedent), unlike the corpus-row
+    HUGEINT split this file's round-12 notes document."""
+    wav = wav_corpus_oracle_sql().strip().rstrip()
+    vid = video_corpus_oracle_sql().strip().rstrip()
+    return f"""
+    WITH wavf AS ({wav}),
+         vidf AS ({vid})
+    SELECT 'wav' AS facet, doc_id,
+           n_samples, sample_sum, abs_sum, peak_abs, zero_crossings,
+           CAST(NULL AS VARCHAR) AS format,
+           CAST(NULL AS VARCHAR) AS major_brand,
+           CAST(NULL AS BIGINT) AS timescale,
+           CAST(NULL AS BIGINT) AS duration_units,
+           CAST(NULL AS BIGINT) AS duration_us,
+           CAST(NULL AS BIGINT) AS n_tracks,
+           ok
+    FROM wavf
+    UNION ALL
+    SELECT 'video', doc_id,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           format, major_brand, timescale, duration_units, duration_us,
+           n_tracks, ok
+    FROM vidf
+    """
+
+
+def binary_corpus_family_spark(spark, sf_dir):
+    """Spark side of the r13 binary_corpus_family row: the wav and
+    video corpus pipelines on their disjoint slices, facet-unioned
+    with NULL-superset columns matching the oracle."""
+    from pyspark.sql import functions as F
+
+    nb = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
+    wav = wav_corpus_spark(spark, sf_dir).select(
+        F.lit("wav").alias("facet"), "doc_id",
+        "n_samples", "sample_sum", "abs_sum", "peak_abs", "zero_crossings",
+        ns.alias("format"), ns.alias("major_brand"), nb.alias("timescale"),
+        nb.alias("duration_units"), nb.alias("duration_us"),
+        nb.alias("n_tracks"), "ok",
+    )
+    vid = video_corpus_spark(spark, sf_dir).select(
+        F.lit("video").alias("facet"), "doc_id",
+        nb.alias("n_samples"), nb.alias("sample_sum"), nb.alias("abs_sum"),
+        nb.alias("peak_abs"), nb.alias("zero_crossings"),
+        "format", "major_brand", "timescale", "duration_units",
+        "duration_us", "n_tracks", "ok",
+    )
+    return wav.unionByName(vid)

@@ -200,3 +200,18 @@ def test_video_corpus_oracle_matches_spark(spark, sf_dir, con):
     assert all(v[6] for v in got.values())  # every synthetic mp4 parses
     assert len({v[5] for v in got.values()}) == 3  # track counts vary
     assert got == want
+
+
+def test_binary_corpus_family_oracle_matches_spark(spark, sf_dir, con):
+    out = OP.binary_corpus_family_spark(spark, sf_dir)
+    cols = out.columns
+    got = {
+        (r["facet"], r["doc_id"]): tuple(r[c] for c in cols[2:])
+        for r in out.collect()
+    }
+    want = {
+        (row[0], row[1]): tuple(row[2:])
+        for row in con.execute(OP.binary_corpus_family_oracle_sql()).fetchall()
+    }
+    assert len(got) > 20 and len({f for f, _ in got}) == 2
+    assert got == want
