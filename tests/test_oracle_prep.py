@@ -215,3 +215,18 @@ def test_binary_corpus_family_oracle_matches_spark(spark, sf_dir, con):
     }
     assert len(got) > 20 and len({f for f, _ in got}) == 2
     assert got == want
+
+
+def test_xml_corpus_family_oracle_matches_spark(spark, sf_dir, con):
+    out = OP.xml_corpus_family_spark(spark, sf_dir)
+    cols = out.columns
+    got = {
+        (r["facet"], r["user_id"]): tuple(r[c] for c in cols[2:])
+        for r in out.collect()
+    }
+    want = {
+        (row[0], row[1]): tuple(row[2:])
+        for row in con.execute(OP.xml_corpus_family_oracle_sql()).fetchall()
+    }
+    assert len(got) > 20 and len({f for f, _ in got}) == 2
+    assert got == want
