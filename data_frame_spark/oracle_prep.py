@@ -435,58 +435,7 @@ def binary_corpus_family_spark(spark, sf_dir):
     return wav.unionByName(vid)
 
 
-def xml_corpus_family_oracle_sql() -> str:
-    """Facet union of the two registered XML corpus twins — the r13
-    merge shape (both rows rotate past-cap after their round-12
-    re-adjudication, so merging frees one checked slot). Reuses the
-    registered oracle strings verbatim; imports deferred (queries.py
-    imports this module at top level)."""
-    from data_frame_spark import queries as Q
-
-    g = Q.ORACLE["gpx_corpus_read_docs"].strip().rstrip()
-    t = Q.ORACLE["tcx_corpus_read_docs"].strip().rstrip()
-    return f"""
-    WITH gf AS ({g}),
-         tf AS ({t})
-    SELECT 'gpx' AS facet, user_id, n_points,
-           lat_micro_sum, lon_micro_sum,
-           n_ele, ele_micro_sum,
-           CAST(NULL AS BIGINT) AS n_alt, CAST(NULL AS BIGINT) AS alt_micro_sum,
-           CAST(NULL AS BIGINT) AS hr_micro_sum,
-           CAST(NULL AS BIGINT) AS dst_micro_sum,
-           t_min, t_max
-    FROM gf
-    UNION ALL
-    SELECT 'tcx', user_id, n_points,
-           lat_micro_sum, lon_micro_sum,
-           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
-           n_alt, alt_micro_sum, hr_micro_sum, dst_micro_sum,
-           t_min, t_max
-    FROM tf
-    """
-
-
-def xml_corpus_family_spark(spark, sf_dir):
-    """Spark side of the r13 xml_corpus_family merge: the two
-    registered corpus pipelines (serialize -> parse_many -> aggregate
-    on disjoint event slices), facet-unioned with NULL-superset
-    columns matching the oracle."""
-    from pyspark.sql import functions as F
-
-    from data_frame_spark import queries as Q
-
-    nb = F.lit(None).cast("long")
-    g = Q.QUERIES["gpx_corpus_read_docs"](spark, sf_dir).select(
-        F.lit("gpx").alias("facet"), "user_id", "n_points",
-        "lat_micro_sum", "lon_micro_sum", "n_ele", "ele_micro_sum",
-        nb.alias("n_alt"), nb.alias("alt_micro_sum"),
-        nb.alias("hr_micro_sum"), nb.alias("dst_micro_sum"),
-        "t_min", "t_max",
-    )
-    t = Q.QUERIES["tcx_corpus_read_docs"](spark, sf_dir).select(
-        F.lit("tcx").alias("facet"), "user_id", "n_points",
-        "lat_micro_sum", "lon_micro_sum", nb.alias("n_ele"),
-        nb.alias("ele_micro_sum"), "n_alt", "alt_micro_sum",
-        "hr_micro_sum", "dst_micro_sum", "t_min", "t_max",
-    )
-    return g.unionByName(t)
+# (xml_corpus_family_oracle_sql / xml_corpus_family_spark lived here
+# in round 12 as the pre-proven merge shape; lifted verbatim into the
+# registered xml_corpus_family row in queries.py in round 13 — the
+# parity test now pins the registered row directly.)

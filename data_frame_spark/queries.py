@@ -5246,9 +5246,10 @@ def haversine_track_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "gpx_corpus_read_docs",
-    oracle=f"""
+# Oracle twin of the GPX corpus leg — registered standalone in
+# rounds 10-12 (driver-green in CORRECTNESS_r12 after the HUGEINT
+# adjudication), merged into xml_corpus_family in round 13.
+_GPX_CORPUS_ORACLE = f"""
     SELECT user_id,
            COUNT(*) AS n_points,
            CAST(SUM(CAST(FLOOR(({_TRACK_LAT_SQL}) * 1000000.0 + 0.5) AS BIGINT))
@@ -5262,8 +5263,9 @@ def haversine_track_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_max
     FROM events WHERE event_id % 3 = 0
     GROUP BY user_id
-    """,
-)
+    """
+
+
 def gpx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DISTRIBUTED GPX bulk-ingest path end-to-end (df-read/gpx
     over many files, gpx.rkt:393-446; Spark side: sources/gpx.py
@@ -5336,60 +5338,17 @@ def gpx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "gpx_corpus_direct_docs",
-    oracle=f"""
-    SELECT user_id,
-           COUNT(*) AS n_points,
-           CAST(SUM(CAST(FLOOR(({_TRACK_LAT_SQL}) * 1000000.0 + 0.5) AS BIGINT))
-                AS BIGINT) AS lat_micro_sum,
-           CAST(SUM(CAST(FLOOR(({_TRACK_LON_SQL}) * 1000000.0 + 0.5) AS BIGINT))
-                AS BIGINT) AS lon_micro_sum,
-           COUNT(value) AS n_ele,
-           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-             AS ele_micro_sum,
-           MIN(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_min,
-           MAX(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_max
-    FROM events WHERE event_id % 3 = 0
-    GROUP BY user_id
-    """,
-)
-def gpx_corpus_direct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CONTROL row for the round-11/12 driver-gate investigation
-    (VERDICT r11 'Next round' #1b): computes the IDENTICAL per-user
-    aggregates as gpx_corpus_read_docs — same event slice, same
-    synthetic track expressions, same micro-quantized sums, same
-    BIGINT whole-second time span, same oracle SQL — but WITHOUT the
-    serialize -> parse_many XML round trip. If this row is green at
-    the driver while gpx_corpus_read_docs stays red, the divergence
-    is localized inside track_xml/parse_many under the driver's
-    worker environment; if this row also reds, the driver's
-    fixture/canon side diverges from local DuckDB. Temporary: retire
-    once the corpus rows are adjudicated."""
-    ev = t(spark, sf_dir, "events").where(F.col("event_id") % 3 == 0)
-    _lat, _lon = _track_lat_lon()
-    pts = ev.select(
-        "user_id",
-        F.expr("ts_us div 1000000").cast("double").alias("timestamp"),
-        _lat.alias("lat"),
-        _lon.alias("lon"),
-        F.col("value").alias("alt"),
-    )
-    m = F.lit(1000000.0)
-    return pts.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_points"),
-        F.sum(F.floor(F.col("lat") * m + F.lit(0.5))).alias("lat_micro_sum"),
-        F.sum(F.floor(F.col("lon") * m + F.lit(0.5))).alias("lon_micro_sum"),
-        F.count("alt").alias("n_ele"),
-        F.sum(F.floor(F.col("alt") * m + F.lit(0.5))).alias("ele_micro_sum"),
-        F.min("timestamp").cast("long").alias("t_min"),
-        F.max("timestamp").cast("long").alias("t_max"),
-    )
+# (The gpx_corpus_direct_docs CONTROL row — identical aggregates
+# with no XML round trip — lived here rounds 12 only. The round-12
+# gate adjudicated all three corpus rows green with the HUGEINT
+# root cause fixed, so the control was retired in round 13 per the
+# r12 verdict order #2.)
 
 
-@query(
-    "tcx_corpus_read_docs",
-    oracle=f"""
+# Oracle twin of the TCX corpus leg — registered standalone in
+# rounds 11-12 (driver-green in CORRECTNESS_r12), merged into
+# xml_corpus_family in round 13.
+_TCX_CORPUS_ORACLE = f"""
     SELECT user_id,
            COUNT(*) AS n_points,
            CAST(SUM(CAST(FLOOR(({_TRACK_LAT_SQL}) * 1000000.0 + 0.5) AS BIGINT))
@@ -5407,8 +5366,9 @@ def gpx_corpus_direct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            MAX(CAST((epoch_ns(ts)//1000)//1000000 AS BIGINT)) AS t_max
     FROM events WHERE event_id % 3 = 1
     GROUP BY user_id
-    """,
-)
+    """
+
+
 def tcx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DISTRIBUTED TCX bulk-ingest path end-to-end (the
     df-read/tcx/multiple surface, tcx.rkt:249-281; Spark side:
@@ -5485,6 +5445,64 @@ def tcx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("timestamp").cast("long").alias("t_max"),
         )
     )
+
+
+_XML_CORPUS_FAMILY_ORACLE = f"""
+    WITH gf AS ({_GPX_CORPUS_ORACLE.strip().rstrip()}),
+         tf AS ({_TCX_CORPUS_ORACLE.strip().rstrip()})
+    SELECT 'gpx' AS facet, user_id, n_points,
+           lat_micro_sum, lon_micro_sum,
+           n_ele, ele_micro_sum,
+           CAST(NULL AS BIGINT) AS n_alt, CAST(NULL AS BIGINT) AS alt_micro_sum,
+           CAST(NULL AS BIGINT) AS hr_micro_sum,
+           CAST(NULL AS BIGINT) AS dst_micro_sum,
+           t_min, t_max
+    FROM gf
+    UNION ALL
+    SELECT 'tcx', user_id, n_points,
+           lat_micro_sum, lon_micro_sum,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           n_alt, alt_micro_sum, hr_micro_sum, dst_micro_sum,
+           t_min, t_max
+    FROM tf
+    """
+
+
+@query("xml_corpus_family", oracle=_XML_CORPUS_FAMILY_ORACLE)
+def xml_corpus_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both DISTRIBUTED XML bulk-ingest paths end-to-end on one row —
+    facets 'gpx' and 'tcx' (round-13 merge of gpx_corpus_read_docs +
+    tcx_corpus_read_docs, both driver-green in CORRECTNESS_r12 after
+    the round-12 HUGEINT adjudication; merge shape proven in
+    tests/test_oracle_prep.py last round before lifting here):
+
+    - 'gpx': one synthetic GPX per user (event slice %3==0)
+      serialized in-cluster through track_xml, read back through
+      sources/gpx.py parse_many (mapInPandas), aggregated per user.
+    - 'tcx': the mirror on the disjoint %3==1 slice through tcx_xml /
+      sources/tcx.py parse_many, with the extra HR/Distance channels.
+
+    NULL-superset facet union: each leg's absent channels are typed
+    NULL columns, nullable on BOTH engines (the kmv_family dtype
+    pattern — both sides pandas-coerce together). At 100 TB each leg
+    is serialize + parse as two narrow passes; only the final
+    users-sized aggregates shuffle, and the union is plan-level (no
+    extra exchange)."""
+    nb = F.lit(None).cast("long")
+    g = gpx_corpus_read_docs(spark, sf_dir).select(
+        F.lit("gpx").alias("facet"), "user_id", "n_points",
+        "lat_micro_sum", "lon_micro_sum", "n_ele", "ele_micro_sum",
+        nb.alias("n_alt"), nb.alias("alt_micro_sum"),
+        nb.alias("hr_micro_sum"), nb.alias("dst_micro_sum"),
+        "t_min", "t_max",
+    )
+    x = tcx_corpus_read_docs(spark, sf_dir).select(
+        F.lit("tcx").alias("facet"), "user_id", "n_points",
+        "lat_micro_sum", "lon_micro_sum", nb.alias("n_ele"),
+        nb.alias("ele_micro_sum"), "n_alt", "alt_micro_sum",
+        "hr_micro_sum", "dst_micro_sum", "t_min", "t_max",
+    )
+    return g.unionByName(x)
 
 
 from data_frame_spark import oracle_prep as _OP
@@ -5580,71 +5598,76 @@ def bpe_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FIRST = [
-    # round-12 rotation (standing policy: every query gets a driver row
+    # round-13 rotation (standing policy: every query gets a driver row
     # at least every 2 rounds; any query whose code changes this round
     # goes into the first 50).
     #
-    # Block 1 — round-12 new/changed rows: the two driver-red XML
-    # corpus rows (re-adjudicated with all-BIGINT outputs) and their
-    # new no-XML control row, the two merge rows (ivf_family =
-    # ivf_centroids + ivf_ann + the new ivf-pq facet; spans_family =
-    # duplicate_spans + scrub_spans), and the three rows whose oracles
-    # were proven in tests/test_oracle_prep.py last round.
-    "gpx_corpus_read_docs",
-    "tcx_corpus_read_docs",
-    "gpx_corpus_direct_docs",
-    "ivf_family",
+    # Block 1 — round-13 new/changed rows (slot math in
+    # docs/PLANS.md §"Round-13 rotation"): the xml corpus merge, the
+    # three registrations pre-proven in tests/test_oracle_prep.py last
+    # round (classifier, containment, binary corpus family),
+    # spans_family (changed: gains the keep_first facet folded in from
+    # the retired duplicate_spans_keep_first_docs row), and the two
+    # past-cap merges that fund the slots (dedup_batch_family =
+    # exact_dedup_documents + incremental_dedup_batch;
+    # join_filters_family = semi_join_customers_with_open_orders +
+    # anti_join_parts_never_ordered) plus bpe_family (= bpe_fit_docs +
+    # the new encode facet).
+    "xml_corpus_family",
+    # "classifier_quality_docs",           # registered later this round
+    # "containment_decontamination_docs",  # registered later this round
+    # "binary_corpus_family",              # registered later this round
     "spans_family",
-    "cusum_drift_events",
-    "pagerank_part_supplier",
-    "bpe_fit_docs",
-    # Block 2 — the 42 queries past the round-11 cap (all green in
-    # CORRECTNESS_r10; the other 4 of the 46 were merged into
-    # ivf_family / spans_family above). pq_adc_topk_embeddings and
-    # semantic_dedup_embeddings also cover this round's similarity.py
-    # refactor (_adc_dist factoring, centroids= parameter).
-    "binary_metadata_docs",
-    "bloom_decontamination_docs",
-    "bm25_search_docs",
-    "cms_token_counts",
-    "contamination_audit_splits",
-    "corpus_stats_rollup",
-    "cosine_topk_embeddings",
-    "csv_roundtrip_lineitem",
-    "curriculum_buckets_docs",
-    "denylist_scrub_docs",
-    "fit_residuals_price_qty",
-    "fits_family",
-    "forecast_revenue",
-    "grid_quantiles_price",
-    "group_samples_factor_events",
-    "hll_distinct_shingles",
-    "index_range_select",
-    "json_props_rollup",
-    "label_centroids_embeddings",
-    "mean_max_user_family",
-    "minhash_signatures_docs",
-    "mixture_sample_docs",
-    "ngram_decontamination_docs",
-    "ngram_jaccard_verified",
-    "per_source_cap_docs",
-    "pmi_collocations_docs",
-    "pq_adc_topk_embeddings",
-    "quality_filter_docs",
-    "robust_outliers_value",
-    "rolling_stats_value",
-    "segment_dedup_docs",
-    "semantic_dedup_embeddings",
-    "session_windows_30m",
-    "shipping_priority",
-    "split_assignment_docs",
-    "stratified_sample_docs",
-    "temperature_mixture_weights",
-    "text_features_docs",
-    "tfidf_top_terms_docs",
-    "weighted_sample_docs",
-    "winnowed_fingerprints_docs",
-    "zorder_key_events",
+    # "dedup_batch_family",                # registered later this round
+    # "join_filters_family",               # registered later this round
+    # "bpe_family",                        # registered later this round
+    # Block 2 — the 42 rotated queries past the round-12 cap (all
+    # green in CORRECTNESS_r11; of the 48 past-cap, 5 were merged into
+    # the family rows above and select_filter_project is the one
+    # documented CARRY — last green r11, AST-stable since, named in
+    # docs/PLANS.md per the never-silent-skip rule).
+    "asof_multi_value_lookup",
+    "batch_sessions_events",
+    "byte_features_docs",
+    "canonical_docs_by_quality",
+    "cartesian_region_nation",
+    "clicks_to_purchases_events",
+    "csv_read_fixture",
+    "describe_lineitem",
+    "dsir_importance_docs",
+    "embedding_dedup_family",
+    "equal_range_count",
+    "event_derived_series",
+    "funnel_conversion_events",
+    "fuzzy_linkage_parts",
+    "gopher_repetition_docs",
+    "group_samples_value_user",
+    "haversine_track_events",
+    "histogram_family",
+    "interpolated_lookup_value",
+    "kmv_family",
+    "lm_nll_docs",
+    "lsh_ann_topk_embeddings",
+    "mean_max_value",
+    "near_dup_clusters_docs",
+    "pack_chunks_256",
+    "pairwise_corr_lineitem",
+    "pricing_summary",
+    "quantiles_price_and_value",
+    "rdp_simplify_user_series",
+    "regional_revenue",
+    "retention_cohorts_events",
+    "roundtrip_family",
+    "row_range_slice",
+    "salted_join_segment_revenue",
+    "set_ops_order_priorities",
+    "simhash_docs",
+    "spline_mean_max_curve",
+    "stream_windows_hourly",
+    "top_revenue_orders",
+    "valid_only_drop_na",
+    "weighted_stats_value",
+    "zipf_fit_tokens",
 ]
 
 # A retired name left in _FIRST must fail loudly: _order silently drops

@@ -144,20 +144,24 @@ def test_corpus_row_oracles_are_integer_through_pandas(con):
     # the round-11/12 driver reds' root cause: SUM(CAST(.. AS BIGINT))
     # returns HUGEINT, which pandas coerces to float64 while the Spark
     # side is non-null int64 — value-equal, dtype-different, hash-red
-    # under a str-cell canon. Pin every corpus-row oracle column to a
-    # non-float pandas dtype (the Spark sides are all non-null
-    # long/bigint). tools/check_dtypes.py runs the same gate
+    # under a str-cell canon. The corpus rows merged into
+    # xml_corpus_family in round 13; the family's NULL-superset facet
+    # columns are nullable on BOTH engines (they coerce to float64
+    # together — the kmv_family green pattern), so the float-free pin
+    # now applies to the columns that are NON-NULL in both facets.
+    # tools/check_dtypes.py runs the full dtype-parity gate
     # registry-wide.
     from data_frame_spark import queries as Q
 
-    for name in (
-        "gpx_corpus_read_docs",
-        "tcx_corpus_read_docs",
-        "gpx_corpus_direct_docs",
-    ):
-        df = con.execute(Q.ORACLE[name]).df()
-        floats = [c for c, d in df.dtypes.items() if d.kind == "f"]
-        assert not floats, f"{name}: float64-coerced columns {floats}"
+    df = con.execute(Q.ORACLE["xml_corpus_family"]).df()
+    both_facets_non_null = [
+        "user_id", "n_points", "lat_micro_sum", "lon_micro_sum",
+        "t_min", "t_max",
+    ]
+    floats = [
+        c for c in both_facets_non_null if df.dtypes[c].kind == "f"
+    ]
+    assert not floats, f"xml_corpus_family: float64-coerced columns {floats}"
 
 
 def test_wav_corpus_oracle_matches_spark(spark, sf_dir, con):
@@ -218,7 +222,11 @@ def test_binary_corpus_family_oracle_matches_spark(spark, sf_dir, con):
 
 
 def test_xml_corpus_family_oracle_matches_spark(spark, sf_dir, con):
-    out = OP.xml_corpus_family_spark(spark, sf_dir)
+    # pins the REGISTERED row (lifted here from oracle_prep in round
+    # 13) — Spark facet union vs the DuckDB facet-union oracle
+    from data_frame_spark import queries as Q
+
+    out = Q.QUERIES["xml_corpus_family"](spark, sf_dir)
     cols = out.columns
     got = {
         (r["facet"], r["user_id"]): tuple(r[c] for c in cols[2:])
@@ -226,7 +234,7 @@ def test_xml_corpus_family_oracle_matches_spark(spark, sf_dir, con):
     }
     want = {
         (row[0], row[1]): tuple(row[2:])
-        for row in con.execute(OP.xml_corpus_family_oracle_sql()).fetchall()
+        for row in con.execute(Q.ORACLE["xml_corpus_family"]).fetchall()
     }
     assert len(got) > 20 and len({f for f, _ in got}) == 2
     assert got == want
