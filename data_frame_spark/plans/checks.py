@@ -298,6 +298,13 @@ DECLARED_BROADCAST_OK: dict[str, list[tuple[str, str]]] = {
     "ngram_decontamination_docs": [
         (r"bench_id#\d+", "benchmark eval suite is fixed-size by contract"),
     ],
+    # same contract, graded containment form: the broadcast side is
+    # the fixed eval suite's distinct 13-gram hashes (the %50 split
+    # stands in for it in the fixture) — corpus-proportional splits
+    # must pass broadcast=False (pinned in test_plans.py)
+    "containment_decontamination_docs": [
+        (r"bench_id#\d+", "benchmark eval suite is fixed-size by contract"),
+    ],
     # the broadcast side is the ANN QUERY BATCH (the fixture's
     # vec_id < 3 probe set): top-k search broadcasts the k probe
     # vectors onto the corpus, never the reverse — batch size is an

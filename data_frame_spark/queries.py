@@ -5589,6 +5589,84 @@ def bpe_fit_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fit(docs, n_merges=12, strict=True)
 
 
+@query("classifier_quality_docs", oracle=_OP.classifier_oracle_sql())
+def classifier_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality-classifier INFERENCE over
+    the documents corpus (operators/classify.py, Joulin et al. 2016
+    applied as CCNet/GPT-3-style quality filtering; no reference
+    counterpart — the reference's text stack stops at counting). The
+    trained weight vector is an operational constant living in the
+    PLAN (array literal), so scoring is one map-side codegen stage
+    over the corpus scan: tokenize, md5-derived hash60 bucket, array
+    lookup. The only shuffle is the doc-keyed aggregate; the verdict
+    is the division-free cross-multiplied integer form (no
+    truncate-vs-floor hazard on negative sums). Oracle proven
+    bit-identical in tests/test_oracle_prep.py before registration.
+    Documents with no non-empty tokens produce no row (no evidence,
+    no verdict)."""
+    from data_frame_spark.operators.classify import linear_text_classifier
+
+    docs = t(spark, sf_dir, "documents")
+    return linear_text_classifier(
+        docs,
+        "text",
+        "doc_id",
+        _OP.CLASSIFIER_WEIGHTS_MICRO,
+        bias_micro=_OP.CLASSIFIER_BIAS_MICRO,
+        threshold_micro=_OP.CLASSIFIER_THRESHOLD_MICRO,
+    )
+
+
+@query(
+    "containment_decontamination_docs",
+    oracle=_OP.containment_oracle_sql(n=13, min_shared=1),
+)
+def containment_decontamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style GRADED decontamination (operators/dedup.py
+    contamination_containment): every (training doc, benchmark doc)
+    colliding pair scored by the fraction of the training document's
+    distinct 13-gram hashes that appear in the benchmark doc —
+    containment_micro = shared*1e6 div total, exact integers both
+    engines. The every-50th-doc split plays the fixed eval suite
+    (the ngram_decontamination_docs fixture convention), so the
+    benchmark hash side broadcasts by contract (MBs at any corpus
+    scale — declared in plans/checks.py); the corpus side reduces to
+    distinct doc-keyed n-gram hashes whose per-doc totals ride a
+    window on the SAME relation, never a second scan. Work ∝
+    collisions. Oracle proven bit-identical in
+    tests/test_oracle_prep.py before registration."""
+    from data_frame_spark.operators.dedup import contamination_containment
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return contamination_containment(docs, bench, "text", "doc_id", n=13)
+
+
+@query("binary_corpus_family", oracle=_OP.binary_corpus_family_oracle_sql())
+def binary_corpus_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both REAL binary multimodal decode paths end-to-end on one row
+    — facets 'wav' and 'video' (pre-merged and parity-proven in
+    oracle_prep / tests/test_oracle_prep.py last round):
+
+    - 'wav': one synthetic mono 16-bit PCM WAV per user built
+      in-cluster (applyInPandas packs the stdlib wave container over
+      event-derived integer samples), decoded back through
+      multimodal.audio_waveform_features (stdlib wave + struct) into
+      integer waveform stats (energy/peak/zero-crossings).
+    - 'video': one synthetic ISO BMFF container per user (mapInPandas
+      packs ftyp/moov/mvhd/trak boxes), parsed back through
+      multimodal.video_metadata's real box walker (brand, timescale,
+      exact-µs duration, track count).
+
+    The oracle computes identical aggregates straight from the events
+    slices (disjoint %3 slices from the XML corpus rows), so any loss
+    in pack -> decode breaks the hash. NULL-superset facet union,
+    nullable on both engines. At 100 TB each leg is one narrow
+    mapInPandas pass over pre-partitioned payloads; only the
+    users-sized aggregates shuffle."""
+    return _OP.binary_corpus_family_spark(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # Registry order: the driver's correctness gate walks the registry in
 # iteration order (round-1 evidence: exactly the first 50 entries got
@@ -5614,9 +5692,9 @@ _FIRST = [
     # anti_join_parts_never_ordered) plus bpe_family (= bpe_fit_docs +
     # the new encode facet).
     "xml_corpus_family",
-    # "classifier_quality_docs",           # registered later this round
-    # "containment_decontamination_docs",  # registered later this round
-    # "binary_corpus_family",              # registered later this round
+    "classifier_quality_docs",
+    "containment_decontamination_docs",
+    "binary_corpus_family",
     "spans_family",
     # "dedup_batch_family",                # registered later this round
     # "join_filters_family",               # registered later this round
