@@ -2891,58 +2891,18 @@ def segment_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "duplicate_spans_keep_first_docs",
-    oracle=r"""
-    WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
-                  FROM documents),
-         toks AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm
-                  WHERE len(string_split(t, ' ')) >= 5),
-         wins AS (SELECT doc_id, i AS pos,
-                         md5(array_to_string(tk[i+1:i+5], ' ')) AS h
-                  FROM toks, UNNEST(generate_series(0, len(tk) - 5)) u(i)),
-         rnk AS (SELECT doc_id, pos,
-                        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
-                        COUNT(*) OVER (PARTITION BY h) AS c
-                 FROM wins),
-         sp AS (SELECT doc_id, pos FROM rnk WHERE c >= 2 AND rn > 1),
-         b AS (SELECT doc_id, pos,
-                      CASE WHEN LAG(pos) OVER w IS NULL
-                                OR pos > LAG(pos) OVER w + 5
-                           THEN 1 ELSE 0 END AS brk
-               FROM sp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         g AS (SELECT doc_id, pos,
-                      SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-                                     ROWS UNBOUNDED PRECEDING) AS grp
-               FROM b)
-    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-           CAST(MAX(pos) + 5 AS BIGINT) AS span_end,
-           CAST(COUNT(*) AS BIGINT) AS n_windows
-    FROM g GROUP BY doc_id, grp
-    """,
-)
-def duplicate_spans_keep_first_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The keep-ONE-copy duplicate-span policy — what production
-    ExactSubstr pipelines actually run (Lee et al. 2022 §4: scrub
-    every copy except one): each duplicated 5-token window's FIRST
-    corpus-wide occurrence (deterministic (doc_id, pos) order, the
-    oracle's ROW_NUMBER twin) is NOT flagged, so scrubbing the spans
-    leaves exactly one copy of every duplicated region. The
-    first-occurrence winner is a map-combinable MIN(struct) aggregate
-    keyed by the window hash — never a row_number window over a
-    potentially 10^9-occurrence boilerplate hash — joined back with
-    the same shuffle equi-join discipline as the flag-all path
-    (operators/dedup.py:449, keep_first=True)."""
-    docs = t(spark, sf_dir, "documents")
-    return OpDedup.duplicate_spans(docs, "text", "doc_id", k=5, keep_first=True)
-
+# (duplicate_spans_keep_first_docs — the keep-ONE-copy policy row —
+# was registered standalone rounds 8-12; round 13 folded it into
+# spans_family as the 'keep_first' facet below: it shares the entire
+# spans pipeline, operator contract unchanged, operator-level tests
+# in test_textops.py/test_pipeline.py untouched.)
 
 _SPANS_CTE = r"""
     WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
                   FROM documents),
          toks0 AS (SELECT doc_id, string_split(t, ' ') AS tk FROM norm
                    WHERE len(string_split(t, ' ')) >= 5),
-         wins AS (SELECT doc_id, i AS pos,
+         wins AS MATERIALIZED (SELECT doc_id, i AS pos,
                          md5(array_to_string(tk[i+1:i+5], ' ')) AS h
                   FROM toks0, UNNEST(generate_series(0, len(tk) - 5)) u(i)),
          dups AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
@@ -2960,7 +2920,26 @@ _SPANS_CTE = r"""
                                        MIN(pos) AS span_start,
                                        MAX(pos) + 5 AS span_end,
                                        COUNT(*) AS n_windows
-                                FROM g GROUP BY doc_id, grp)
+                                FROM g GROUP BY doc_id, grp),
+         rnk AS (SELECT doc_id, pos,
+                        ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+                        COUNT(*) OVER (PARTITION BY h) AS c
+                 FROM wins),
+         spk AS (SELECT doc_id, pos FROM rnk WHERE c >= 2 AND rn > 1),
+         bk AS (SELECT doc_id, pos,
+                       CASE WHEN LAG(pos) OVER wk IS NULL
+                                 OR pos > LAG(pos) OVER wk + 5
+                            THEN 1 ELSE 0 END AS brk
+                FROM spk WINDOW wk AS (PARTITION BY doc_id ORDER BY pos)),
+         gk AS (SELECT doc_id, pos,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS grp
+                FROM bk),
+         spans_k AS (SELECT doc_id,
+                            MIN(pos) AS span_start,
+                            MAX(pos) + 5 AS span_end,
+                            COUNT(*) AS n_windows
+                     FROM gk GROUP BY doc_id, grp)
 """
 
 
@@ -2998,6 +2977,14 @@ _SPANS_CTE = r"""
            CAST(COALESCE(r.n_kept, 0) AS BIGINT),
            md5(COALESCE(r.kept, ''))
     FROM base b LEFT JOIN re r ON b.doc_id = r.doc_id
+    UNION ALL
+    SELECT 'keep_first', doc_id,
+           CAST(span_start AS BIGINT),
+           CAST(span_end AS BIGINT),
+           CAST(n_windows AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR)
+    FROM spans_k
     """,
 )
 def spans_family(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3019,16 +3006,30 @@ def spans_family(spark: SparkSession, sf_dir: str) -> DataFrame:
       (doc, position) kill-list bounded by flagged tokens, meeting
       the doc-keyed token stream in a shuffle left-anti join.
 
-    The span table is built ONCE and eagerly localCheckpoint'd (two
-    facet consumers; pre-checkpoint plan shape pinned at operator
-    level in test_plans.py). The oracle shares the spans CTE
-    (MATERIALIZED — referenced by both the facet output and the
-    kill-list) between both legs."""
+    - 'keep_first': the keep-ONE-copy policy — what production
+      ExactSubstr pipelines actually run (Lee et al. 2022 §4: scrub
+      every copy except one): each duplicated window's FIRST
+      corpus-wide occurrence (deterministic (doc_id, pos) order, the
+      oracle's ROW_NUMBER twin) is NOT flagged. The first-occurrence
+      winner is a map-combinable MIN(struct) aggregate keyed by the
+      window hash — never a row_number window over a potentially
+      10^9-occurrence boilerplate hash (operators/dedup.py
+      keep_first=True; folded in from the standalone
+      duplicate_spans_keep_first_docs row in round 13).
+
+    The flag-all span table is built ONCE and eagerly
+    localCheckpoint'd (two facet consumers; pre-checkpoint plan shape
+    pinned at operator level in test_plans.py). The keep_first facet
+    re-derives windows (its dup aggregate carries the extra
+    first-occurrence MIN, so the shuffles differ) — one extra narrow
+    corpus pass, nothing driver-side. The oracle shares the
+    MATERIALIZED wins/spans CTEs across all three legs."""
     docs = t(spark, sf_dir, "documents")
     spans = OpDedup.duplicate_spans(docs, "text", "doc_id", k=5).localCheckpoint(
         eager=True
     )
     scrub = OpDedup.scrub_spans(docs, spans, "text", "doc_id")
+    keep = OpDedup.duplicate_spans(docs, "text", "doc_id", k=5, keep_first=True)
     nb = F.lit(None).cast("long")
     ns = F.lit(None).cast("string")
     s_leg = spans.select(
@@ -3041,7 +3042,12 @@ def spans_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb.alias("span_end"), nb.alias("n_windows"), "n_tokens", "n_kept",
         F.md5("kept_text").alias("kept_text_md5"),
     )
-    return s_leg.unionByName(c_leg)
+    k_leg = keep.select(
+        F.lit("keep_first").alias("facet"), "doc_id", "span_start", "span_end",
+        F.col("n_windows").cast("long").alias("n_windows"),
+        nb.alias("n_tokens"), nb.alias("n_kept"), ns.alias("kept_text_md5"),
+    )
+    return s_leg.unionByName(c_leg).unionByName(k_leg)
 
 
 @query(
