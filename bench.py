@@ -42,7 +42,11 @@ HEADLINE: list[str] = [
     "regional_revenue",
     "top_revenue_orders",
     "shipping_priority",
-    "exact_dedup_documents",
+    # round-13: exact_dedup_documents merged into dedup_batch_family
+    # (+ the incremental nightly-ingest facet on the same row) — the
+    # headline total gains the incremental facet's cost from r13 on
+    # (expected ~+0.5-1 s of composition shift, like the r12 ivf note).
+    "dedup_batch_family",
     "near_dup_clusters_docs",
     "minhash_signatures_docs",
     "ngram_jaccard_verified",

@@ -334,7 +334,7 @@ DECLARED_BROADCAST_OK: dict[str, list[tuple[str, str]]] = {
     # fingerprint (the left-semi join) is listed first because its
     # subtree CONTAINS the canon aggregate — the matcher tries
     # declared order but backtracks, so order is cosmetic.
-    "incremental_dedup_batch": [
+    "dedup_batch_family": [
         (
             r"BroadcastHashJoin \[fingerprint#\d+\], \[fingerprint#\d+\], LeftSemi",
             "hits = store ⋉ canon left-semi output, ≤ |canon| (batch-bounded)",

@@ -750,24 +750,59 @@ def set_ops_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "exact_dedup_documents",
+    "dedup_batch_family",
     oracle="""
-    SELECT SUBSTR(text, 1, 40) AS text_prefix, COUNT(*) AS dup_count,
-           MIN(doc_id) AS keep_id
-    FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+    WITH fp AS (SELECT doc_id, SUBSTR(text, 1, 40) AS fingerprint
+                FROM documents),
+         ex AS (SELECT fingerprint, MIN(doc_id) AS keep_id,
+                       CAST(COUNT(*) AS BIGINT) AS dup_count
+                FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1),
+         store AS (SELECT fingerprint FROM fp WHERE doc_id % 3 = 0),
+         batch AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 3 <> 0),
+         canon AS (SELECT fingerprint, MIN(doc_id) AS keep_id,
+                          CAST(COUNT(*) AS BIGINT) AS dup_count
+                   FROM batch GROUP BY fingerprint),
+         inc AS (SELECT c.fingerprint, c.keep_id, c.dup_count
+                 FROM canon c LEFT JOIN store s ON c.fingerprint = s.fingerprint
+                 WHERE s.fingerprint IS NULL)
+    SELECT 'exact' AS facet, fingerprint, keep_id, dup_count FROM ex
+    UNION ALL
+    SELECT 'incremental', fingerprint, keep_id, dup_count FROM inc
     """,
 )
-def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate groups on the documents table (keyed on a
-    40-char prefix so the synthetic corpus actually collides): the
-    content hash-groupBy underlying exact dedup; keep_id = canonical
-    row, the rest are drop candidates."""
+def dedup_batch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup in both deployment modes on one row — facets
+    'exact' and 'incremental' (round-13 merge of exact_dedup_documents
+    + incremental_dedup_batch, the batch-update twin pair; both
+    driver-green through r11, identical output shape so no NULL
+    superset needed):
+
+    - 'exact': whole-corpus exact-duplicate groups keyed on a 40-char
+      prefix (the synthetic corpus's collision key) — ONE
+      map-combinable hash groupBy; keep_id = canonical row.
+    - 'incremental': the nightly-snapshot form — docs with doc_id%3==0
+      play the already-ingested store (as its fingerprint table), the
+      rest the incoming batch; output = the batch's canonical new
+      fingerprints (in-batch dedup minus store hits). The store side
+      is only ever STREAMED through a broadcast left-semi probe of the
+      batch's fingerprints — never shuffled — so yesterday's 100 TB
+      corpus costs one fingerprint-table scan
+      (operators/dedup.py:74; broadcast sides are batch-bounded,
+      declared in plans/checks.py)."""
     docs = t(spark, sf_dir, "documents")
-    return (
-        docs.groupBy(F.substring("text", 1, 40).alias("text_prefix"))
+    fp = F.substring("text", 1, 40)
+    exact = (
+        docs.groupBy(fp.alias("fingerprint"))
         .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("keep_id"))
         .where(F.col("dup_count") > 1)
+        .select(F.lit("exact").alias("facet"), "fingerprint", "keep_id", "dup_count")
     )
+    store = docs.where(F.col("doc_id") % 3 == 0).select(fp.alias("fingerprint"))
+    batch = docs.where(F.col("doc_id") % 3 != 0)
+    inc = OpDedup.incremental_dedup_keys(batch, store, fp, "doc_id").select(
+        F.lit("incremental").alias("facet"), "fingerprint", "keep_id", "dup_count"
+    )
+    return exact.unionByName(inc)
 
 
 @query(
@@ -805,36 +840,9 @@ def canonical_docs_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("n_dups") >= 2)
 
 
-@query(
-    "incremental_dedup_batch",
-    oracle="""
-    WITH fp AS (SELECT doc_id, SUBSTR(text, 1, 40) AS fingerprint
-                FROM documents),
-         store AS (SELECT fingerprint FROM fp WHERE doc_id % 3 = 0),
-         batch AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 3 <> 0),
-         canon AS (SELECT fingerprint, MIN(doc_id) AS keep_id,
-                          CAST(COUNT(*) AS BIGINT) AS dup_count
-                   FROM batch GROUP BY fingerprint)
-    SELECT c.fingerprint, c.keep_id, c.dup_count
-    FROM canon c LEFT JOIN store s ON c.fingerprint = s.fingerprint
-    WHERE s.fingerprint IS NULL
-    """,
-)
-def incremental_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Nightly-snapshot ingest dedup: docs with doc_id%3==0 play the
-    already-ingested store (as its fingerprint table), the rest are
-    the incoming batch; output = the batch's canonical new
-    fingerprints (in-batch dedup minus store hits). The store side
-    is only ever streamed through a broadcast left-semi probe —
-    never shuffled — so yesterday's 100 TB corpus costs one
-    fingerprint-table scan."""
-    docs = t(spark, sf_dir, "documents")
-    fp = F.substring("text", 1, 40)
-    # a real store is already distinct; duplicates would not change
-    # the semi/anti semantics anyway, so no store-side dedup shuffle
-    store = docs.where(F.col("doc_id") % 3 == 0).select(fp.alias("fingerprint"))
-    batch = docs.where(F.col("doc_id") % 3 != 0)
-    return OpDedup.incremental_dedup_keys(batch, store, fp, "doc_id")
+# (incremental_dedup_batch merged into dedup_batch_family above in
+# round 13 — the 'incremental' facet; its plan contract stays pinned
+# at operator level in test_plans.py.)
 
 
 @query(
@@ -5702,7 +5710,7 @@ _FIRST = [
     "containment_decontamination_docs",
     "binary_corpus_family",
     "spans_family",
-    # "dedup_batch_family",                # registered later this round
+    "dedup_batch_family",
     # "join_filters_family",               # registered later this round
     # "bpe_family",                        # registered later this round
     # Block 2 — the 42 rotated queries past the round-12 cap (all

@@ -280,8 +280,18 @@ def test_heavy_hitters_gate_is_mapside_filter(spark, sf_dir):
 def test_incremental_dedup_store_never_shuffles(spark, sf_dir):
     # the fingerprint store must be the STREAMED side of a broadcast
     # left-semi probe — a store-side Exchange would re-shuffle
-    # yesterday's whole corpus every night
-    df = QUERIES["incremental_dedup_batch"](spark, sf_dir)
+    # yesterday's whole corpus every night. Pinned at OPERATOR level
+    # (the registry row merged into dedup_batch_family in round 13;
+    # this is the same construction its 'incremental' facet uses).
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators import dedup as OpDedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = F.substring("text", 1, 40)
+    store = docs.where(F.col("doc_id") % 3 == 0).select(fp.alias("fingerprint"))
+    batch = docs.where(F.col("doc_id") % 3 != 0)
+    df = OpDedup.incremental_dedup_keys(batch, store, fp, "doc_id")
     plan = C.simple_plan(df)
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert plan.count("BroadcastHashJoin") >= 2  # semi probe + anti join
