@@ -702,35 +702,49 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "semi_join_customers_with_open_orders",
+    "join_filters_family",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
+    SELECT 'semi' AS facet, CAST(c_custkey AS BIGINT) AS key_id,
+           c_name AS name
+    FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
-    """,
-)
-def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left-semi join (set membership)."""
-    cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
-    return OpJoins.semi_join(
-        cust, orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey"
-    ).select("c_custkey", "c_name")
-
-
-@query(
-    "anti_join_parts_never_ordered",
-    oracle="""
-    SELECT p_partkey, p_name FROM part
+    UNION ALL
+    SELECT 'anti', CAST(p_partkey AS BIGINT), p_name
+    FROM part
     WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 48)
     """,
 )
-def anti_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left-anti join (set difference by key)."""
+def join_filters_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both filtering joins on one row — facets 'semi' (set
+    membership: customers with at least one open order) and 'anti'
+    (set difference: parts never ordered in quantity > 48). Round-13
+    merge of semi_join_customers_with_open_orders +
+    anti_join_parts_never_ordered, both driver-green through r11;
+    keys cast to BIGINT on both engines so the facet union has one
+    key dtype. Each facet is a single equi-join whose filter pushes
+    into the probe-side scan; Catalyst/AQE picks broadcast at small
+    SF and key-partitions on a real cluster (no code-forced
+    broadcasts — df.rkt has no join surface, the reference filters
+    row-by-row; SURVEY §2.3)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    semi = OpJoins.semi_join(
+        cust, orders.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey"
+    ).select(
+        F.lit("semi").alias("facet"),
+        F.col("c_custkey").cast("long").alias("key_id"),
+        F.col("c_name").alias("name"),
+    )
     part = t(spark, sf_dir, "part")
     li = t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 48)
-    return OpJoins.anti_join(
+    anti = OpJoins.anti_join(
         part, li.select(F.col("l_partkey").alias("p_partkey")), on="p_partkey"
-    ).select("p_partkey", "p_name")
+    ).select(
+        F.lit("anti").alias("facet"),
+        F.col("p_partkey").cast("long").alias("key_id"),
+        F.col("p_name").alias("name"),
+    )
+    return semi.unionByName(anti)
 
 
 @query(
@@ -5711,7 +5725,7 @@ _FIRST = [
     "binary_corpus_family",
     "spans_family",
     "dedup_batch_family",
-    # "join_filters_family",               # registered later this round
+    "join_filters_family",
     # "bpe_family",                        # registered later this round
     # Block 2 — the 42 rotated queries past the round-12 cap (all
     # green in CORRECTNESS_r11; of the 48 past-cap, 5 were merged into
