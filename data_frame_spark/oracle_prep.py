@@ -162,6 +162,101 @@ CLASSIFIER_BIAS_MICRO = 250_000
 CLASSIFIER_THRESHOLD_MICRO = 0
 
 
+def bpe_family_oracle_sql(n_merges: int = 12) -> str:
+    """DuckDB twin of the round-13 ``bpe_family`` row: the
+    :func:`bpe_oracle_sql` merge-loop replay with the WORD column
+    carried through every level (the fit-only chain dropped it), so
+    the final level doubles as the word -> subwords vocabulary that
+    the encode facet joins the corpus back onto. Facets:
+
+    - 'fit': one row per learned merge (rank, left, right, pair_n) —
+      identical values to bpe_oracle_sql by construction.
+    - 'encode': per-document subword stream (n_subwords +
+      order-preserving md5 over the concatenated subwords), replaying
+      ``operators/bpe.py:bpe_encode``'s vocabulary join: corpus words
+      in position order joined to the fully-merged vocab, reassembled
+      per document; token-free documents emit (0, md5('')).
+
+    Same MATERIALIZED discipline (every w{k} referenced twice);
+    position explode uses generate_series(1, len(wl)) which is empty
+    in DuckDB when len(wl) = 0 (no inverted-sequence hazard — that
+    trap is Spark's sequence()). Every integral SUM output carries
+    the outer BIGINT cast; the NULL-superset facet columns are
+    nullable on both engines."""
+    if n_merges < 1:
+        raise ValueError("bpe_family_oracle_sql needs >= 1 merge")
+    eow = "</w>"
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT word,
+             list_append(list_transform(generate_series(1, len(word)),
+                                        i -> word[i]), '{eow}') AS syms,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT UNNEST(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS word
+            FROM documents)
+      GROUP BY word)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+      SELECT u.pr.l AS l, u.pr.r AS r, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM w{k - 1}, UNNEST(CASE WHEN len(syms) < 2 THEN []
+           ELSE list_transform(generate_series(1, len(syms) - 1),
+                i -> {{'l': syms[i], 'r': syms[i + 1]}}) END) AS u(pr)
+      GROUP BY 1, 2),
+    s{k} AS MATERIALIZED (SELECT l, r, cnt FROM p{k}
+             ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+    w{k} AS MATERIALIZED (
+      SELECT word,
+             CASE WHEN len(syms) < 2 THEN syms
+                  ELSE list_reduce(list_transform(syms, x -> [x]),
+                       (acc, x) -> CASE WHEN acc[-1] = s{k}.l AND x[1] = s{k}.r
+                                        THEN acc[:-2] || [s{k}.l || s{k}.r]
+                                        ELSE acc || x END) END AS syms, n
+      FROM w{k - 1} CROSS JOIN s{k})"""
+        )
+    parts.append(
+        f"""tok AS (
+      SELECT doc_id, i AS pos, wl[i] AS word
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS wl
+            FROM documents),
+           UNNEST(generate_series(1, len(wl))) u(i)),
+    encagg AS (
+      SELECT t.doc_id,
+             CAST(SUM(len(v.syms)) AS BIGINT) AS n_subwords,
+             md5(string_agg(array_to_string(v.syms, ' '), ' ' ORDER BY t.pos))
+               AS tokens_md5
+      FROM tok t JOIN w{n_merges} v USING (word)
+      GROUP BY t.doc_id),
+    encf AS (
+      SELECT d.doc_id,
+             COALESCE(a.n_subwords, CAST(0 AS BIGINT)) AS n_subwords,
+             COALESCE(a.tokens_md5, md5('')) AS tokens_md5
+      FROM documents d LEFT JOIN encagg a USING (doc_id))"""
+    )
+    fit_rows = "\n    UNION ALL ".join(
+        f"SELECT 'fit' AS facet, CAST({k - 1} AS BIGINT) AS rank,"
+        f' l AS "left", r AS "right", cnt AS pair_n,'
+        f" CAST(NULL AS BIGINT) AS doc_id,"
+        f" CAST(NULL AS BIGINT) AS n_subwords,"
+        f" CAST(NULL AS VARCHAR) AS tokens_md5 FROM s{k}"
+        for k in range(1, n_merges + 1)
+    )
+    enc_rows = (
+        "SELECT 'encode', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),"
+        " CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),"
+        " doc_id, n_subwords, tokens_md5 FROM encf"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + fit_rows
+        + "\n    UNION ALL "
+        + enc_rows
+    )
+
+
 def classifier_oracle_sql(
     weights_micro: list[int] | None = None,
     bias_micro: int = CLASSIFIER_BIAS_MICRO,
