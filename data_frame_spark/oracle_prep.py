@@ -423,16 +423,34 @@ def _mp4_box(typ: bytes, payload: bytes) -> bytes:
 
 
 def mp4_bytes(timescale: int, duration: int, n_tracks: int) -> bytes:
-    """Minimal valid ISO BMFF payload (ftyp + moov{mvhd v0 + trak*})
-    — the deterministic synthetic-video builder shared by the corpus
-    prep row and the multimodal tests."""
-    mvhd = (
-        bytes([0, 0, 0, 0])
-        + (0).to_bytes(4, "big") * 2
-        + int(timescale).to_bytes(4, "big")
-        + int(duration).to_bytes(4, "big")
-        + b"\x00" * 76
-    )
+    """Minimal valid ISO BMFF payload (ftyp + moov{mvhd + trak*}) —
+    the deterministic synthetic-video builder shared by the corpus
+    prep row and the multimodal tests. Durations past the mvhd v0
+    32-bit field get the v1 layout (64-bit duration) instead of
+    crashing the executor task with to_bytes OverflowError — the
+    builder must never be the thing that kills a task the reader's
+    quarantine path was hardened for (round-12 advisory)."""
+    timescale, duration = int(timescale), int(duration)
+    if duration < 0 or timescale < 0:
+        raise ValueError("mp4_bytes needs non-negative timescale/duration")
+    if duration < (1 << 32) and timescale < (1 << 32):
+        mvhd = (
+            bytes([0, 0, 0, 0])
+            + (0).to_bytes(4, "big") * 2
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+            + b"\x00" * 76
+        )
+    else:
+        if timescale >= (1 << 32) or duration >= (1 << 64):
+            raise ValueError("duration/timescale past the mvhd v1 range")
+        mvhd = (
+            bytes([1, 0, 0, 0])
+            + (0).to_bytes(8, "big") * 2
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(8, "big")
+            + b"\x00" * 76
+        )
     moov = _mp4_box(b"mvhd", mvhd) + b"".join(
         _mp4_box(b"trak", b"\x00" * 8) for _ in range(n_tracks)
     )

@@ -47,6 +47,31 @@ def test_classifier_skips_empty_and_whitespace_docs(spark):
     assert {r["doc_id"] for r in rows} == {4}
 
 
+def test_classifier_at_realistic_bucket_count(spark):
+    # 2^16 buckets — the advertised "few KB-MB" weight regime. The
+    # weight vector must ride the plan as ONE Literal node (not a
+    # multi-MB parsed SQL string, round-12 advisory), and the scoring
+    # must stay exact: expectations recomputed from the operator's
+    # own hash
+    from data_frame_spark.functions.texthash import hash60
+
+    b = 1 << 16
+    w = [((i * 2654435761) % 2_000_001) - 1_000_000 for i in range(b)]
+    toks = ["alpha", "beta", "gamma", "alpha"]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = linear_text_classifier(df, "text", "doc_id", w).collect()
+    buckets = {
+        r["t"]: r["b"]
+        for r in spark.createDataFrame([(t,) for t in set(toks)], "t string")
+        .select("t", (hash60(F.col("t")) % b).alias("b"))
+        .collect()
+    }
+    s = sum(w[buckets[t]] for t in toks)
+    assert [(r["doc_id"], r["n_tokens"], r["score_sum_micro"]) for r in out] == [
+        (1, 4, s)
+    ]
+
+
 def test_classifier_rejects_empty_weights(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):

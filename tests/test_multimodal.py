@@ -180,6 +180,33 @@ def test_video_metadata_parses_mvhd_v0_and_v1(spark):
             r2["duration_us"], r2["n_tracks"]) == (600, 1234, 2_056_666, 1)
 
 
+def test_mp4_bytes_builder_switches_to_mvhd_v1_past_32_bits(spark):
+    # the synthetic builder must never crash an executor task with a
+    # to_bytes OverflowError when an event count pushes the v0 duration
+    # field past 2^32 — it emits the v1 (64-bit) layout instead, which
+    # the real box walker already parses (round-12 advisory)
+    import pytest
+
+    from data_frame_spark.operators.multimodal import video_metadata
+    from data_frame_spark.oracle_prep import mp4_bytes
+
+    big = (1 << 32) + 12_345  # overflows the v0 4-byte duration
+    df = spark.createDataFrame(
+        [(1, mp4_bytes(1_000_000, big, 2)), (2, mp4_bytes(1000, 90_000, 1))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in video_metadata(df, "payload").collect()}
+    r1 = rows[1]
+    assert r1["ok"] and r1["duration_units"] == big
+    assert r1["duration_us"] == (big * 1_000_000) // 1_000_000
+    r2 = rows[2]  # the v0 path is unchanged
+    assert r2["ok"] and r2["duration_units"] == 90_000
+    with pytest.raises(ValueError):
+        mp4_bytes(1000, -1, 1)
+    with pytest.raises(ValueError):
+        mp4_bytes(1000, 1 << 64, 1)
+
+
 def test_video_metadata_quarantines_junk(spark):
     from data_frame_spark.operators.multimodal import video_metadata
 

@@ -65,6 +65,26 @@ Empirical 10x scale-up slopes for the five most expensive queries are
 recorded in [SCALE_PROBE.md](SCALE_PROBE.md) (round 6): no
 super-linear time slope.
 
+Reading caveats (round-12/13 advisories):
+
+- **Bench headline composition discontinuities.** The fixed
+  28-query `bench.py` HEADLINE subset changed members twice: round 12
+  replaced `ivf_ann_topk_embeddings` with the heavier `ivf_family`
+  (~+3.5 s of composition shift), and round 13 replaced
+  `exact_dedup_documents` with `dedup_batch_family` (+ the
+  incremental facet, expected ~+0.5-1 s). BENCH_r12+/r13+ headline
+  totals are therefore not directly comparable to earlier rounds'
+  without those composition deltas.
+- **Checkpointed rows cover the post-checkpoint plan.** Rows whose
+  registered callable eagerly `localCheckpoint`s an intermediate
+  (`spans_family`'s span table; `bpe_family`'s fit/vocab iterations;
+  the kmv and mean-max families) sever lineage at build time, so
+  THIS ledger's shuffle/broadcast columns for them describe the
+  post-checkpoint plan only. The pre-checkpoint shapes are pinned at
+  OPERATOR level in `tests/test_plans.py` (e.g.
+  `test_duplicate_spans_prechk_shuffle_semi_no_broadcast`, the
+  bpe_encode two-branch pins).
+
 | query | shuffles | guard | tiny | partitionless | broadcast | bcast data-sized |
 |---|---|---|---|---|---|---|
 """
