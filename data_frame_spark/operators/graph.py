@@ -265,3 +265,152 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge list — the
+    standard local-clustering signal (how interconnected a node's
+    neighborhood is; in a near-dup graph, high triangle density marks
+    template families rather than chance pairs). No reference twin:
+    net-new graph analytics alongside :func:`connected_components`.
+
+    Algorithm: the degree-ordered orientation (Cohen 2009 / Suri &
+    Vassilvitskii 2011 "Counting Triangles and the Curse of the Last
+    Reducer"). Every undirected edge is oriented from its LOWER-
+    (degree, id) endpoint to its higher one, making the oriented
+    out-neighborhood of any vertex O(sqrt(m)) even on a power-law
+    graph; wedges are then built by self-joining oriented edges on
+    their apex and closed by probing the oriented edge set. This is
+    THE scale trick: the naive formulation joins the full
+    neighborhood of every hub (the "last reducer" that gets the
+    celebrity node), the oriented one provably bounds every join key.
+
+    Exactness: counts are integers; dedup/orientation are pure
+    equality logic — bit-identical on any engine and partitioning.
+
+    Scale shape: one degree aggregate + three hash-partitioned
+    equi-joins (apex join, closing-edge probe), every one
+    map-combinable or AQE-splittable; no window, no collect, nothing
+    driver-side. Output: (node, triangles) for every vertex of the
+    input (vertices in no triangle report 0).
+    """
+    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    und = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .where(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+    )
+    nodes = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    # orient each edge from the lower (degree, id) endpoint to the
+    # higher one; the (degree, id) total order breaks degree ties
+    du = deg.select(F.col("node").alias("u"), F.col("__d").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("__d").alias("__dv"))
+    lo_first = und.join(du, "u").join(dv, "v")
+    oriented = lo_first.select(
+        F.when(
+            (F.col("__du") < F.col("__dv"))
+            | ((F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+        )
+        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+        .alias("e")
+    ).select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    oriented = oriented.localCheckpoint(eager=True)
+    # wedges: two oriented edges sharing an apex s -> (t1, t2), t1 < t2;
+    # a triangle exists iff the (t1, t2) closing edge is oriented too
+    e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("t1"))
+    e2 = oriented.select(F.col("s").alias("a"), F.col("t").alias("t2"))
+    wedges = e1.join(e2, "a").where(F.col("t1") < F.col("t2"))
+    closing = oriented.select(
+        F.col("s").alias("t1"), F.col("t").alias("t2")
+    ).unionAll(oriented.select(F.col("t").alias("t1"), F.col("s").alias("t2"))).where(
+        F.col("t1") < F.col("t2")
+    ).distinct()
+    tri = wedges.join(closing, ["t1", "t2"])
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("t1").alias("node")))
+        .unionAll(tri.select(F.col("t2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0).cast("long")).alias("triangles")
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    DETERMINISTIC tie-break — community detection over an edge list
+    (communities = densely connected groups, a different signal from
+    :func:`connected_components`' pure reachability). No reference
+    twin: net-new graph analytics.
+
+    Every node starts labeled with its own id; each round every node
+    adopts the most frequent label among its in-neighbors, ties
+    broken toward the SMALLEST label — argmax over the integer pair
+    (count DESC, label ASC), so the result after exactly
+    ``iterations`` rounds is bit-identical on any engine and any
+    partitioning (classic async LPA is run-order-dependent; the
+    synchronous + total-order form is the reproducible variant, the
+    same determinism stance as the integer-Lloyd fits). Supply both
+    edge directions for undirected semantics (a node with no
+    in-edges keeps its label).
+
+    Scale shape per round: one labels⋈edges shuffle on the source
+    key, one map-combinable (node, label) count, one map-combinable
+    per-node MAX(struct(count, -label)) argmax — never a
+    row_number window over a hot label; eagerly localCheckpoint-ed
+    per round (the pagerank stance) so lineage never re-expands.
+    """
+    if iterations < 0:
+        raise ValueError("label_propagation iterations must be >= 0")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
+    e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        counted = (
+            e.join(labels, e["src"] == labels["node"])
+            .select(F.col("dst"), F.col("label"))
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        best = (
+            counted.groupBy("dst")
+            .agg(F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))).alias("__m"))
+            .select(F.col("dst").alias("node"), (-F.col("__m.__nl")).alias("label"))
+        )
+        labels = (
+            nodes.join(best.withColumnRenamed("label", "__bl"), "node", "left")
+            .select("node", F.coalesce("__bl", F.col("node")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

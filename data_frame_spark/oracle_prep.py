@@ -552,3 +552,120 @@ def binary_corpus_family_spark(spark, sf_dir):
 # in round 12 as the pre-proven merge shape; lifted verbatim into the
 # registered xml_corpus_family row in queries.py in round 13 — the
 # parity test now pins the registered row directly.)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 prep: graph analytics twins (operators/graph.py
+# triangle_count + label_propagation). Registration next round is
+# pure wiring once the _FIRST window rotates — the r12/r13 pattern.
+# ---------------------------------------------------------------------------
+
+
+def triangle_edges_sql() -> str:
+    """The parts-co-ordered graph both engines use: distinct
+    (lower, higher) part pairs appearing in the SAME order — unlike
+    the bipartite part<->supplier graph, this one actually closes
+    triangles."""
+    return """
+    pe AS MATERIALIZED (
+      SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+                      CAST(b.l_partkey AS BIGINT) AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    """
+
+
+def triangle_oracle_sql() -> str:
+    """DuckDB twin of ``operators/graph.py:triangle_count`` on the
+    parts-co-ordered graph — deliberately a DIFFERENT formulation
+    than the Spark side's degree-ordered orientation: the oracle
+    enumerates ordered triples (x < y < z with all three edges
+    present), which is correct on any undirected u<v edge list, so
+    agreement pins the orientation trick's correctness rather than
+    replaying it."""
+    return f"""
+    WITH {triangle_edges_sql().strip().rstrip()},
+    nodes AS (SELECT u AS node FROM pe UNION SELECT v FROM pe),
+    tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM pe e1
+            JOIN pe e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN pe e3 ON e3.u = e1.v AND e3.v = e2.v),
+    pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+             FROM (SELECT x AS node FROM tri
+                   UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri)
+             GROUP BY node)
+    SELECT n.node, COALESCE(p.triangles, CAST(0 AS BIGINT)) AS triangles
+    FROM nodes n LEFT JOIN pern p USING (node)
+    """
+
+
+def triangle_spark(spark, sf_dir):
+    """The Spark side the future registry row will use verbatim:
+    build the parts-co-ordered edge list (one orderkey-keyed
+    self-join, pair blowup bounded by order size) and run the
+    degree-ordered triangle counter."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.graph import triangle_count
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", F.col("l_partkey").cast("long").alias("p")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.p") < F.col("b.p")),
+    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    return triangle_count(pairs)
+
+
+def lpa_oracle_sql(iterations: int = 4) -> str:
+    """DuckDB twin of ``operators/graph.py:label_propagation`` on the
+    bidirectional part<->supplier graph (the pagerank fixture): the
+    synchronous min-tie-break rounds unrolled into chained CTE pairs
+    — count (node, label) in-neighbor votes, then the deterministic
+    (count DESC, label ASC) argmax via ROW_NUMBER (the single-node
+    equivalent of the Spark side's map-combinable MAX(struct))."""
+    if iterations < 1:
+        raise ValueError("lpa_oracle_sql needs >= 1 iteration")
+    parts = [
+        "WITH " + pagerank_edges_sql().strip().rstrip(),
+        """nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
+               UNION SELECT DISTINCT dst FROM e),
+    l0 AS (SELECT node, node AS label FROM nodes)""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""c{i} AS (SELECT e.dst AS node, l.label,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM e JOIN l{i - 1} l ON l.node = e.src
+            GROUP BY 1, 2),
+    l{i} AS MATERIALIZED (
+      SELECT n.node, COALESCE(b.label, n.node) AS label
+      FROM nodes n LEFT JOIN (
+        SELECT node, label FROM (
+          SELECT node, label,
+                 ROW_NUMBER() OVER (PARTITION BY node
+                                    ORDER BY c DESC, label ASC) AS rn
+          FROM c{i}) WHERE rn = 1) b USING (node))"""
+        )
+    body = ",\n    ".join(parts)
+    return f"{body}\n    SELECT node, label FROM l{iterations}"
+
+
+def lpa_spark(spark, sf_dir):
+    """The Spark side the future registry row will use verbatim —
+    identical edge construction to pagerank_part_supplier."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.graph import label_propagation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey") + PAGERANK_SUPP_OFFSET).cast("long").alias("dst"),
+    ).distinct()
+    edges = b.unionAll(b.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return label_propagation(edges, iterations=4)

@@ -161,3 +161,74 @@ def test_pagerank_matches_integer_reference_and_layout(spark):
     assert set(init.values()) == {1_000_000}
     with pytest.raises(ValueError):
         pagerank(star, iterations=-1)
+
+
+def _brute_triangles(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    adj = {n: set() for n in nodes}
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    counts = {n: 0 for n in nodes}
+    for u, v in und:
+        for w in adj[u] & adj[v]:
+            # iterating edges, the triangle {u, v, w} increments its
+            # third corner w exactly once per OWN edge — so summed
+            # over all edges every node gets exactly its triangle count
+            counts[w] += 1
+    return counts
+
+
+def test_triangle_count_matches_brute_force_and_layout(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(14), rng.randrange(14)) for _ in range(45)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from data_frame_spark.operators.graph import triangle_count
+
+    got = {r["node"]: r["triangles"] for r in triangle_count(df).collect()}
+    assert got == _brute_triangles(edges)
+    got5 = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(df.repartition(5)).collect()
+    }
+    assert got5 == got  # pure integer logic: layout-independent
+    # a 4-clique: every node in C(3,2)=3 triangles; pendant in none
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)] + [(0, 9)]
+    kdf = spark.createDataFrame(k4, "src long, dst long")
+    kt = {r["node"]: r["triangles"] for r in triangle_count(kdf).collect()}
+    assert kt == {0: 3, 1: 3, 2: 3, 3: 3, 9: 0}
+
+
+def test_label_propagation_semantics_and_layout(spark):
+    import pytest
+
+    from data_frame_spark.operators.graph import label_propagation
+
+    # two 3-cliques joined by one bridge edge: after enough rounds the
+    # min label of each clique wins locally; labels are deterministic
+    cl = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    und = cl + [(b, a) for a, b in cl]
+    df = spark.createDataFrame(und, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=4).collect()}
+    # clique {0,1,2} settles on its minimum
+    assert got[0] == got[1] == got[2] == 0
+    # 11 and 12 are structurally interchangeable (both see {10, twin}),
+    # so the synchronous deterministic rounds must label them alike
+    assert got[12] == got[11]
+    # layout independence (synchronous + deterministic tie-break)
+    got9 = {
+        r["node"]: r["label"]
+        for r in label_propagation(df.repartition(9), iterations=4).collect()
+    }
+    assert got9 == got
+    # iterations=0 = identity labeling; no in-edges keeps own label
+    one_way = spark.createDataFrame([(1, 2)], "src long, dst long")
+    init = {r["node"]: r["label"] for r in label_propagation(one_way, iterations=2).collect()}
+    assert init[1] == 1 and init[2] == 1
+    zero = {r["node"]: r["label"] for r in label_propagation(df, iterations=0).collect()}
+    assert all(n == l for n, l in zero.items())
+    with pytest.raises(ValueError):
+        label_propagation(df, iterations=-1)
