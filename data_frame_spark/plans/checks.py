@@ -344,6 +344,81 @@ DECLARED_BROADCAST_OK: dict[str, list[tuple[str, str]]] = {
             "canon = the ingest batch's distinct fingerprints",
         ),
     ],
+    # ------------------------------------------------------------------
+    # localCheckpoint/createDataFrame relations plan as RDDScanExec,
+    # which the bounded-leaf classifier deliberately does NOT bless
+    # blanket-style (round-13 review: a checkpointed corpus-sized
+    # relation is physically indistinguishable from a parallelized
+    # literal). Every RDD-backed broadcast below is bounded by an
+    # OPERATIONAL constant and declared individually.
+    # ------------------------------------------------------------------
+    # bpe_encode's word→symbols lookup: broadcast only when the
+    # runtime size gate passes (auto = count on the checkpointed
+    # vocab ≤ 2M words; above the gate or with vocab_broadcast=False
+    # it is a pinned SHUFFLE_HASH join — both branches plan-tested)
+    "bpe_family": [
+        (
+            r"Scan ExistingRDD\[word#\d+,syms#\d+",
+            "vocab broadcast is runtime-size-gated (≤ broadcast_max_words)",
+        ),
+    ],
+    # the unigram LM table is TakeOrdered(vocab_size) checkpointed —
+    # ≤ vocab_size rows by construction; both facets' lookup joins and
+    # the shared-params leg each broadcast it once
+    "lm_nll_docs": [
+        (r"Scan ExistingRDD\[__term#\d+,__c#\d+L?\]",
+         "LM vocab = top-vocab_size term table (limit-bounded)"),
+        (r"Scan ExistingRDD\[__term#\d+,__c#\d+L?\]",
+         "LM vocab = top-vocab_size term table (limit-bounded)"),
+        (r"Scan ExistingRDD\[__term#\d+,__c#\d+L?\]",
+         "LM vocab = top-vocab_size term table (limit-bounded)"),
+    ],
+    # the exact-quantile probe fraction tables: len(fractions)-row
+    # driver literals (one per facet)
+    "quantiles_price_and_value": [
+        (r"Scan ExistingRDD\[p#\d+\]", "probe fractions are a constant literal"),
+        (r"Scan ExistingRDD\[p#\d+\]", "probe fractions are a constant literal"),
+    ],
+    "curriculum_buckets_docs": [
+        (r"Scan ExistingRDD\[p#\d+\]", "bucket fractions are a constant literal"),
+    ],
+    # per-stratum/source/scope threshold tables: one row per stratum
+    # (a bounded label domain), collected like the quantile boundaries
+    "stratified_sample_docs": [
+        (r"Scan ExistingRDD\[__s#\d+,__m#\d+",
+         "per-stratum hash thresholds: one row per stratum"),
+    ],
+    "per_source_cap_docs": [
+        (r"Scan ExistingRDD\[__g#\d+,__m#\d+",
+         "per-source cap thresholds: one row per source"),
+    ],
+    "mixture_sample_docs": [
+        (r"Scan ExistingRDD\[__s#\d+,__m#\d+",
+         "per-component mixture thresholds: one row per component"),
+    ],
+    "robust_outliers_value": [
+        (r"Scan ExistingRDD\[scope#\d+,__med#\d+",
+         "per-scope median/MAD: one row per scope"),
+    ],
+    # the CMS sketch relation is depth×width counters — a plan-time
+    # constant shape regardless of corpus size
+    "cms_token_counts": [
+        (r"Scan ExistingRDD\[row#\d+,bucket#\d+L?,cnt#\d+L?\]",
+         "CMS sketch = depth×width counter table (constant shape)"),
+    ],
+    # the bloom filter's bit positions / hash set derive from the
+    # BENCHMARK side only (fixed eval suite by contract, as in
+    # ngram_decontamination_docs)
+    "bloom_decontamination_docs": [
+        (r"Scan ExistingRDD\[__pos#\d+L?\]",
+         "bloom bit positions of the fixed benchmark suite"),
+        (r"Scan ExistingRDD\[__pos#\d+L?\]",
+         "bloom bit positions of the fixed benchmark suite"),
+        (r"Scan ExistingRDD\[__pos#\d+L?\]",
+         "bloom bit positions of the fixed benchmark suite"),
+        (r"Scan ExistingRDD\[__h#\d+\]",
+         "benchmark n-gram hash set (fixed eval suite by contract)"),
+    ],
 }
 
 
@@ -487,14 +562,22 @@ def _bounded_first_aggregates(
             found_any = True
             return
         if name.startswith(
-            ("LocalTableScan", "OneRowRelation", "EmptyRelation", "RDDScan")
+            ("LocalTableScan", "OneRowRelation", "EmptyRelation")
         ):
             # driver-side literal relation (offset lookup tables,
-            # createDataFrame constants — RDDScanExec is the
-            # parallelized-local-rows form, e.g. quantile probe
-            # fraction tables) — constant-sized
+            # createDataFrame constants) — constant-sized
             found_any = True
             return
+        # RDDScanExec is deliberately NOT in the bounded tuple: it is
+        # the physical form of BOTH parallelized-local-rows literals
+        # AND localCheckpoint outputs, and the two are
+        # indistinguishable at the node level (verified: same class,
+        # same nodeName, same rdd class). Blessing it blanket-style
+        # let a checkpointed CORPUS-VOCABULARY-sized broadcast report
+        # bcast-data-sized = 0 (round-13 review finding) — exactly
+        # the bug class this classifier exists to catch. Genuinely
+        # literal RDD-backed relations carry counted
+        # DECLARED_BROADCAST_OK entries instead.
         if name.startswith("Range"):
             # spark.range(...) — bounds are plan-time constants (the
             # bucket spines in operators.distributed), never data-sized

@@ -204,7 +204,10 @@ def test_mp4_bytes_builder_switches_to_mvhd_v1_past_32_bits(spark):
     with pytest.raises(ValueError):
         mp4_bytes(1000, -1, 1)
     with pytest.raises(ValueError):
-        mp4_bytes(1000, 1 << 64, 1)
+        # the reader's parseable ceiling, not the v1 field width: the
+        # walker quarantines durations >= 2^62, so the builder must
+        # refuse them loudly rather than emit contract-violating bytes
+        mp4_bytes(1000, 1 << 62, 1)
 
 
 def test_video_metadata_quarantines_junk(spark):

@@ -240,21 +240,12 @@ def test_xml_corpus_family_oracle_matches_spark(spark, sf_dir, con):
     assert got == want
 
 
-@pytest.fixture(scope="module")
-def con_li(sf_dir):
-    c = duckdb.connect()
-    p = os.path.join(sf_dir, "lineitem.parquet")
-    c.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{p}'")
-    yield c
-    c.close()
-
-
-def test_triangle_oracle_matches_spark(spark, sf_dir, con_li):
+def test_triangle_oracle_matches_spark(spark, sf_dir, con):
     got = {
         r["node"]: r["triangles"]
         for r in OP.triangle_spark(spark, sf_dir).collect()
     }
-    want = dict(con_li.execute(OP.triangle_oracle_sql()).fetchall())
+    want = dict(con.execute(OP.triangle_oracle_sql()).fetchall())
     assert len(got) > 100
     assert any(v > 0 for v in got.values())  # the graph closes triangles
     # counts must discriminate (per-order cliques of different sizes)
@@ -262,12 +253,12 @@ def test_triangle_oracle_matches_spark(spark, sf_dir, con_li):
     assert got == want
 
 
-def test_lpa_oracle_matches_spark(spark, sf_dir, con_li):
+def test_lpa_oracle_matches_spark(spark, sf_dir, con):
     got = {
         r["node"]: r["label"]
         for r in OP.lpa_spark(spark, sf_dir).collect()
     }
-    want = dict(con_li.execute(OP.lpa_oracle_sql(iterations=4)).fetchall())
+    want = dict(con.execute(OP.lpa_oracle_sql(iterations=4)).fetchall())
     assert len(got) > 100
     # propagation actually happened: most nodes no longer self-label
     moved = sum(1 for n, l in got.items() if n != l)
