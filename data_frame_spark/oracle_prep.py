@@ -349,21 +349,17 @@ def wav_corpus_oracle_sql() -> str:
     """
 
 
-def wav_corpus_spark(spark, sf_dir):
-    """The Spark side the future registry row will use verbatim: one
-    synthetic mono 16-bit 8 kHz WAV per user, built WITHOUT leaving
-    the cluster (per-user applyInPandas group writes the stdlib wave
-    container over samples derived from event integers, ordered by
-    event_id), decoded back through the REAL
-    audio_waveform_features reader. Disjoint event slice
-    (event_id % 3 = 2) from the gpx/tcx corpus rows."""
+def wav_docs(spark, sf_dir):
+    """One synthetic mono 16-bit 8 kHz WAV per user, built WITHOUT
+    leaving the cluster (per-user applyInPandas group writes the
+    stdlib wave container over samples derived from event integers,
+    ordered by event_id). Disjoint event slice (event_id % 3 = 2)
+    from the gpx/tcx corpus rows. Returns (user_id, payload)."""
     import io
     import wave
 
     import pandas as pd
     from pyspark.sql import functions as F
-
-    from data_frame_spark.operators.multimodal import audio_waveform_features
 
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -388,10 +384,74 @@ def wav_corpus_spark(spark, sf_dir):
             w.writeframes(samples.tobytes())
         return pd.DataFrame({"user_id": [int(key[0])], "payload": [buf.getvalue()]})
 
-    docs = ev.groupBy("user_id").applyInPandas(
+    return ev.groupBy("user_id").applyInPandas(
         build, schema="user_id long, payload binary"
     )
-    return audio_waveform_features(docs, "payload", "user_id")
+
+
+def wav_corpus_spark(spark, sf_dir):
+    """The Spark side the registered binary_corpus_family 'wav' facet
+    uses verbatim: :func:`wav_docs` decoded back through the REAL
+    audio_waveform_features reader."""
+    from data_frame_spark.operators.multimodal import audio_waveform_features
+
+    return audio_waveform_features(wav_docs(spark, sf_dir), "payload", "user_id")
+
+
+def binary_ingest_spark(spark, sf_dir):
+    """The Spark side of a future binary-INGEST registry row — the
+    one multimodal surface without a driver row: a directory of media
+    FILES read back through Spark's ``binaryFile`` source
+    (sources/binaryfiles.py read_binary_dir — planning-time glob, one
+    file one row). The corpus of per-user WAVs is materialized to a
+    per-process temp directory by the EXECUTOR tasks (mapInPandas
+    side-effect writing to shared storage — the same shared-FS
+    assumption every file sink makes; local[N] shares /tmp), then
+    ingested fresh: path-glob select, user id parsed from the file
+    name, payloads decoded through the REAL audio_waveform_features
+    reader. The oracle computes identical aggregates straight from
+    the events table (wav_corpus_oracle_sql), so any loss in
+    write-files -> glob -> whole-file-read -> decode breaks the
+    hash."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.multimodal import audio_waveform_features
+    from data_frame_spark.sources.binaryfiles import read_binary_dir
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"dfs_binary_ingest{tag}_{os.getpid()}"
+    )
+    os.makedirs(path, exist_ok=True)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
+    def dump(batches):
+        n = 0
+        for pdf in batches:
+            for uid, payload in zip(pdf["user_id"], pdf["payload"]):
+                with open(
+                    os.path.join(path, f"user_{int(uid):010d}.wav"), "wb"
+                ) as fh:
+                    fh.write(bytes(payload))
+            n += len(pdf)
+        yield pd.DataFrame({"n": [n]})
+
+    # one job materializes the file corpus (idempotent: fixed names,
+    # whole-file rewrites)
+    wav_docs(spark, sf_dir).mapInPandas(dump, "n long").agg(F.sum("n")).collect()
+    ingest = read_binary_dir(spark, path, glob="*.wav").select(
+        F.regexp_extract(F.col("path"), r"user_(\d+)\.wav$", 1)
+        .cast("long")
+        .alias("user_id"),
+        F.col("content"),
+    )
+    return audio_waveform_features(ingest, "content", "user_id")
 
 
 def video_corpus_oracle_sql() -> str:
@@ -674,3 +734,61 @@ def lpa_spark(spark, sf_dir):
     ).distinct()
     edges = b.unionAll(b.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return label_propagation(edges, iterations=4)
+
+
+def orc_roundtrip_oracle_sql() -> str:
+    """DuckDB twin of the future orc_roundtrip_lineitem row: the SAME
+    lineitem slice read straight from parquet — any loss in the
+    hive-partitioned ORC write -> read round trip (column types,
+    partition-column reconstruction, row coverage) breaks the hash.
+    Disjoint slice (% 32 = 1) from csv_roundtrip_lineitem's."""
+    return """
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_quantity, l_extendedprice, l_discount,
+           l_returnflag, l_linestatus
+    FROM lineitem WHERE l_orderkey % 32 = 1
+    """
+
+
+def orc_roundtrip_spark(spark, sf_dir):
+    """The Spark side the future registry row will use verbatim:
+    write a lineitem slice as a hive-partitioned ORC table
+    (sources/orc.py write_orc — partition keys shuffled together so
+    each partition is a few files), read it back (partition column
+    reconstructed from directory names), and return the typed
+    columns. ORC is binary-exact — unlike the CSV round trip there is
+    no text-formatting leg — so the row pins partition-column
+    round-tripping and scan correctness. Temp path per process with
+    atexit cleanup (the csv_roundtrip recipe)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.sources.orc import read_orc, write_orc
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"dfs_orc_roundtrip{tag}_{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    cols = [
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_returnflag", "l_linestatus",
+    ]
+    sl = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_orderkey") % 32 == 1)
+        .select(cols)
+    )
+    write_orc(sl, path, partition_cols=["l_returnflag"])
+    back = read_orc(spark, path)
+    return back.select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_quantity", "l_extendedprice", "l_discount",
+        F.col("l_returnflag").cast("string").alias("l_returnflag"),
+        "l_linestatus",
+    )

@@ -264,3 +264,35 @@ def test_lpa_oracle_matches_spark(spark, sf_dir, con):
     moved = sum(1 for n, l in got.items() if n != l)
     assert moved > len(got) // 2
     assert got == want
+
+
+def test_orc_roundtrip_oracle_matches_spark(spark, sf_dir, con):
+    out = OP.orc_roundtrip_spark(spark, sf_dir)
+    cols = out.columns
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(con.execute(OP.orc_roundtrip_oracle_sql()).fetchall())
+    assert len(got) > 50
+    assert got == want
+
+
+def test_binary_ingest_oracle_matches_spark(spark, sf_dir, con):
+    # the binaryFile directory-ingest surface end-to-end: executor-written
+    # WAV files -> planning-time glob -> whole-file rows -> real decode;
+    # same aggregates as the in-plan wav corpus, so the twin is shared
+    out = OP.binary_ingest_spark(spark, sf_dir)
+    got = {
+        r["doc_id"]: (
+            r["n_samples"], r["sample_sum"], r["abs_sum"],
+            r["peak_abs"], r["zero_crossings"], r["ok"],
+        )
+        for r in out.collect()
+    }
+    want = {
+        d: (n, ss, ab, pk, zc, ok)
+        for d, n, ss, ab, pk, zc, ok in con.execute(
+            OP.wav_corpus_oracle_sql()
+        ).fetchall()
+    }
+    assert len(got) > 10
+    assert all(v[5] for v in got.values())
+    assert got == want
