@@ -759,3 +759,54 @@ def test_containment_broadcast_contract_and_partitioned_window(spark, sf_dir):
     plan2 = C.simple_plan(out2)
     assert "ShuffledHashJoin" in plan2
     assert not C.data_sized_partitionless_windows(out2)
+
+
+def test_triangle_count_plan_is_oriented_and_broadcast_free(spark, sf_dir):
+    # the degree-ordered orientation is only worth its name if the
+    # plan stays hash-partitioned equi-joins with no forced broadcast
+    # (a 100 TB edge list has no broadcastable side) and no
+    # partitionless window anywhere
+    from data_frame_spark.operators.graph import triangle_count
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", F.col("l_partkey").cast("long").alias("p")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.p") < F.col("b.p")),
+    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    with C.scale_planner(spark):
+        df = triangle_count(pairs)
+        assert C.broadcasts_for_query("__triangle_op__", df) == []
+    plan = C.simple_plan(df)
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    assert not C.data_sized_partitionless_windows(df)
+
+
+def test_label_propagation_round_is_vertex_keyed(spark, sf_dir):
+    # each LPA round must be: one labels⋈edges equi-join + two
+    # map-combinable aggregates — never a row_number window over a
+    # potentially hot label, never a forced broadcast
+    from data_frame_spark.operators.graph import label_propagation
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bset = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).cast("long").alias("dst"),
+    ).distinct()
+    edges = bset.unionAll(
+        bset.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    with C.scale_planner(spark):
+        df = label_propagation(edges, iterations=1)
+        assert C.broadcasts_for_query("__lpa_op__", df) == []
+    plan = C.simple_plan(df)
+    assert "Window" not in plan  # argmax is MAX(struct), not row_number
+    assert not C.data_sized_partitionless_windows(df)
+    # post-checkpoint round plan: join + (dst,label) count + per-node
+    # argmax + the nodes left-join = a bounded handful of exchanges
+    assert C.count_shuffles(df) <= 5
