@@ -1,6 +1,8 @@
-"""Round-12 oracle wiring prep: exact DuckDB twins for operators that
-landed this round WITHOUT registry slots (the `_FIRST` window is at
-its 50-query cap holding this round's rotation).
+"""Oracle wiring prep: exact DuckDB twins for operators that land
+WITHOUT registry slots (the `_FIRST` window is at its 50-query cap
+holding the current rotation). Started round 12; each round's
+registrations lift their SQL from here verbatim and the next round's
+candidates take their place.
 
 Each builder here returns the ORACLE SQL a future `@query` row will
 use verbatim; `tests/test_oracle_prep.py` proves bit-equality against
