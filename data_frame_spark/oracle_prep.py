@@ -794,3 +794,48 @@ def orc_roundtrip_spark(spark, sf_dir):
         F.col("l_returnflag").cast("string").alias("l_returnflag"),
         "l_linestatus",
     )
+
+
+def jsonl_roundtrip_oracle_sql() -> str:
+    """DuckDB twin of the future jsonl_roundtrip_docs row: the SAME
+    documents slice read straight from parquet, text hashed so the
+    compare stays row-shaped — any loss in the JSONL write -> read
+    round trip (escaping, NULL-field survival, schema-first parse)
+    breaks the hash."""
+    return """
+    SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+    FROM documents WHERE doc_id % 7 = 3
+    """
+
+
+def jsonl_roundtrip_spark(spark, sf_dir):
+    """The Spark side the future registry row will use verbatim: a
+    documents slice through the distributed JSONL writer
+    (ignoreNullFields=false so None survives) and back through the
+    schema-first PERMISSIVE reader (sources/jsonl.py), corrupt column
+    asserted empty by construction. Temp path per process with atexit
+    cleanup (the csv/orc round-trip recipe)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.sources import jsonl as J
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"dfs_jsonl_roundtrip{tag}_{os.getpid()}"
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    sl = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 7 == 3)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    J.write_jsonl(sl, path)
+    back = J.read_jsonl(spark, path, schema=J.DOCUMENTS_SCHEMA)
+    return back.where(F.col(J.CORRUPT_COL).isNull()).select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
+    )

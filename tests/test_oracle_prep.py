@@ -296,3 +296,12 @@ def test_binary_ingest_oracle_matches_spark(spark, sf_dir, con):
     assert len(got) > 10
     assert all(v[5] for v in got.values())
     assert got == want
+
+
+def test_jsonl_roundtrip_oracle_matches_spark(spark, sf_dir, con):
+    out = OP.jsonl_roundtrip_spark(spark, sf_dir)
+    cols = out.columns
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(con.execute(OP.jsonl_roundtrip_oracle_sql()).fetchall())
+    assert len(got) > 30
+    assert got == want
