@@ -304,29 +304,11 @@ def triangle_count(
         .where(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
         .distinct()
     )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("__d"))
-    )
-    # deg's grouping output IS the distinct node set — no second
-    # endpoint-list distinct (review finding)
-    nodes = deg.select("node")
-    # orient each edge from the lower (degree, id) endpoint to the
-    # higher one; the (degree, id) total order breaks degree ties
-    du = deg.select(F.col("node").alias("u"), F.col("__d").alias("__du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("__d").alias("__dv"))
-    lo_first = und.join(du, "u").join(dv, "v")
-    oriented = lo_first.select(
-        F.when(
-            (F.col("__du") < F.col("__dv"))
-            | ((F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))),
-            F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
-        )
-        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
-        .alias("e")
-    ).select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    oriented, nodes = _oriented_edges(und)
+    # checkpoint AFTER orientation: the degree-attach/orientation plan
+    # shape itself is pinned on _oriented_edges in test_plans.py (the
+    # post-checkpoint plan no longer shows it — round-13 review
+    # finding)
     oriented = oriented.localCheckpoint(eager=True)
     # wedges: two oriented edges sharing an apex s -> (t1, t2), t1 < t2;
     # a triangle exists iff the (t1, t2) closing edge is oriented too
@@ -349,6 +331,35 @@ def triangle_count(
     return nodes.join(per_node, "node", "left").select(
         "node", F.coalesce("triangles", F.lit(0).cast("long")).alias("triangles")
     )
+
+
+def _oriented_edges(und: DataFrame):
+    """Degree-ordered orientation, PRE-checkpoint: attach endpoint
+    degrees via two hash equi-joins and point each undirected (u < v)
+    edge from its lower-(degree, id) endpoint to the higher one — the
+    (degree, id) total order breaks degree ties. Returns
+    ``(oriented (s, t), nodes)``; nodes is deg's grouping output (the
+    exact distinct node set, no second endpoint distinct)."""
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__d"))
+    )
+    nodes = deg.select("node")
+    du = deg.select(F.col("node").alias("u"), F.col("__d").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("__d").alias("__dv"))
+    lo_first = und.join(du, "u").join(dv, "v")
+    oriented = lo_first.select(
+        F.when(
+            (F.col("__du") < F.col("__dv"))
+            | ((F.col("__du") == F.col("__dv")) & (F.col("u") < F.col("v"))),
+            F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+        )
+        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+        .alias("e")
+    ).select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    return oriented, nodes
 
 
 def label_propagation(
@@ -395,20 +406,31 @@ def label_propagation(
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     for _ in range(iterations):
-        counted = (
-            e.join(labels, e["src"] == labels["node"])
-            .select(F.col("dst"), F.col("label"))
-            .groupBy("dst", "label")
-            .agg(F.count(F.lit(1)).alias("__c"))
-        )
-        best = (
-            counted.groupBy("dst")
-            .agg(F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))).alias("__m"))
-            .select(F.col("dst").alias("node"), (-F.col("__m.__nl")).alias("label"))
-        )
-        labels = (
-            nodes.join(best.withColumnRenamed("label", "__bl"), "node", "left")
-            .select("node", F.coalesce("__bl", F.col("node")).alias("label"))
-            .localCheckpoint(eager=True)
-        )
+        # checkpoint AFTER the round: the per-round plan shape itself
+        # is pinned on _lpa_round in test_plans.py (the returned
+        # frame's plan is checkpoint-truncated, so asserting on it
+        # would be vacuous — round-13 review finding)
+        labels = _lpa_round(e, nodes, labels).localCheckpoint(eager=True)
     return labels
+
+
+def _lpa_round(e: DataFrame, nodes: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round, PRE-checkpoint: labels⋈edges on the
+    source key, map-combinable (node, label) vote count, map-combinable
+    per-node MAX(struct(count, -label)) argmax (never a row_number
+    window over a potentially hot label), keep-own-label left join."""
+    counted = (
+        e.join(labels, e["src"] == labels["node"])
+        .select(F.col("dst"), F.col("label"))
+        .groupBy("dst", "label")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    best = (
+        counted.groupBy("dst")
+        .agg(F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))).alias("__m"))
+        .select(F.col("dst").alias("node"), (-F.col("__m.__nl")).alias("label"))
+    )
+    return (
+        nodes.join(best.withColumnRenamed("label", "__bl"), "node", "left")
+        .select("node", F.coalesce("__bl", F.col("node")).alias("label"))
+    )

@@ -415,9 +415,7 @@ def binary_ingest_spark(spark, sf_dir):
     the events table (wav_corpus_oracle_sql), so any loss in
     write-files -> glob -> whole-file-read -> decode breaks the
     hash."""
-    import atexit
     import os
-    import shutil
     import tempfile
 
     import pandas as pd
@@ -426,26 +424,29 @@ def binary_ingest_spark(spark, sf_dir):
     from data_frame_spark.operators.multimodal import audio_waveform_features
     from data_frame_spark.sources.binaryfiles import read_binary_dir
 
-    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
-    path = os.path.join(
-        tempfile.gettempdir(), f"dfs_binary_ingest{tag}_{os.getpid()}"
-    )
+    # clean=True: a stale corpus from an earlier fixture shape (same
+    # PID) would otherwise survive into the *.wav glob as extra rows
+    path = _prep_tmp_dir("binary_ingest", sf_dir, clean=True)
     os.makedirs(path, exist_ok=True)
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
 
     def dump(batches):
         n = 0
         for pdf in batches:
             for uid, payload in zip(pdf["user_id"], pdf["payload"]):
-                with open(
-                    os.path.join(path, f"user_{int(uid):010d}.wav"), "wb"
-                ) as fh:
+                final = os.path.join(path, f"user_{int(uid):010d}.wav")
+                # temp-file + rename: task retries / speculative
+                # attempts must never interleave bytes into the final
+                # name a concurrent glob could read (round-13 review —
+                # real sinks get this from the commit protocol)
+                fd, tmp = tempfile.mkstemp(dir=path, suffix=".part")
+                with os.fdopen(fd, "wb") as fh:
                     fh.write(bytes(payload))
+                os.replace(tmp, final)
             n += len(pdf)
         yield pd.DataFrame({"n": [n]})
 
-    # one job materializes the file corpus (idempotent: fixed names,
-    # whole-file rewrites)
+    # one job materializes the file corpus (idempotent: fixed final
+    # names, atomic whole-file replaces)
     wav_docs(spark, sf_dir).mapInPandas(dump, "n long").agg(F.sum("n")).collect()
     ingest = read_binary_dir(spark, path, glob="*.wav").select(
         F.regexp_extract(F.col("path"), r"user_(\d+)\.wav$", 1)
@@ -738,6 +739,31 @@ def lpa_spark(spark, sf_dir):
     return label_propagation(edges, iterations=4)
 
 
+def _prep_tmp_dir(name: str, sf_dir: str, clean: bool = False) -> str:
+    """Per-process temp path for round-trip rows (the csv_roundtrip
+    recipe, factored — round-13 review found it copy-pasted four
+    times): a fixed name would race a concurrent run on the same
+    fixture; within one process the path is stable so returned
+    DataFrames stay readable after the call; atexit removes it at
+    interpreter exit so repeated driver rounds don't accumulate
+    directories. ``clean=True`` pre-clears the directory so stale
+    files from an earlier fixture shape can't leak into glob-based
+    readers. (queries.py's csv_roundtrip_lineitem keeps its inline
+    copy until that row next rotates into the checked window — its
+    decorated body is AST-pinned while past-cap.)"""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"dfs_{name}{tag}_{os.getpid()}")
+    if clean:
+        shutil.rmtree(path, ignore_errors=True)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def orc_roundtrip_oracle_sql() -> str:
     """DuckDB twin of the future orc_roundtrip_lineitem row: the SAME
     lineitem slice read straight from parquet — any loss in the
@@ -762,20 +788,11 @@ def orc_roundtrip_spark(spark, sf_dir):
     no text-formatting leg — so the row pins partition-column
     round-tripping and scan correctness. Temp path per process with
     atexit cleanup (the csv_roundtrip recipe)."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from data_frame_spark.sources.orc import read_orc, write_orc
 
-    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
-    path = os.path.join(
-        tempfile.gettempdir(), f"dfs_orc_roundtrip{tag}_{os.getpid()}"
-    )
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    path = _prep_tmp_dir("orc_roundtrip", sf_dir)
     cols = [
         "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_discount", "l_returnflag", "l_linestatus",
@@ -815,20 +832,11 @@ def jsonl_roundtrip_spark(spark, sf_dir):
     schema-first PERMISSIVE reader (sources/jsonl.py), corrupt column
     asserted empty by construction. Temp path per process with atexit
     cleanup (the csv/orc round-trip recipe)."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from data_frame_spark.sources import jsonl as J
 
-    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
-    path = os.path.join(
-        tempfile.gettempdir(), f"dfs_jsonl_roundtrip{tag}_{os.getpid()}"
-    )
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    path = _prep_tmp_dir("jsonl_roundtrip", sf_dir)
     sl = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .where(F.col("doc_id") % 7 == 3)

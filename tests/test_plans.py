@@ -762,11 +762,12 @@ def test_containment_broadcast_contract_and_partitioned_window(spark, sf_dir):
 
 
 def test_triangle_count_plan_is_oriented_and_broadcast_free(spark, sf_dir):
-    # the degree-ordered orientation is only worth its name if the
-    # plan stays hash-partitioned equi-joins with no forced broadcast
-    # (a 100 TB edge list has no broadcastable side) and no
-    # partitionless window anywhere
-    from data_frame_spark.operators.graph import triangle_count
+    # triangle_count checkpoints `oriented` eagerly, so the returned
+    # frame's plan only shows the wedge/closing/per-node stage — pin
+    # BOTH stages on their pre-checkpoint expressions (round-13 review:
+    # asserting only on the final frame left the degree-attach joins
+    # uninspected)
+    from data_frame_spark.operators.graph import _oriented_edges, triangle_count
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
@@ -778,19 +779,36 @@ def test_triangle_count_plan_is_oriented_and_broadcast_free(spark, sf_dir):
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.p") < F.col("b.p")),
     ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    und = (
+        pairs.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
     with C.scale_planner(spark):
+        ori, _nodes = _oriented_edges(und)
+        # the orientation stage: two hash equi-joins, nothing forced
+        assert C.broadcasts_for_query("__triangle_orient__", ori) == []
+        oplan = C.simple_plan(ori)
+        assert "BroadcastNestedLoop" not in oplan and "Cartesian" not in oplan
+        assert "Window" not in oplan
         df = triangle_count(pairs)
         assert C.broadcasts_for_query("__triangle_op__", df) == []
     plan = C.simple_plan(df)
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
     assert not C.data_sized_partitionless_windows(df)
+    assert not C.data_sized_partitionless_windows(ori)
 
 
 def test_label_propagation_round_is_vertex_keyed(spark, sf_dir):
     # each LPA round must be: one labels⋈edges equi-join + two
     # map-combinable aggregates — never a row_number window over a
-    # potentially hot label, never a forced broadcast
-    from data_frame_spark.operators.graph import label_propagation
+    # potentially hot label, never a forced broadcast. Pinned on the
+    # PRE-checkpoint round body (_lpa_round): the operator's returned
+    # frame is checkpoint-truncated to an RDD scan, so asserting on it
+    # is vacuous (round-13 review finding)
+    from data_frame_spark.operators.graph import _lpa_round
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -798,15 +816,19 @@ def test_label_propagation_round_is_vertex_keyed(spark, sf_dir):
         F.col("l_partkey").cast("long").alias("src"),
         (F.col("l_suppkey") + 1_000_000).cast("long").alias("dst"),
     ).distinct()
-    edges = bset.unionAll(
+    e = bset.unionAll(
         bset.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
     with C.scale_planner(spark):
-        df = label_propagation(edges, iterations=1)
-        assert C.broadcasts_for_query("__lpa_op__", df) == []
-    plan = C.simple_plan(df)
+        rnd = _lpa_round(e, nodes, labels)
+        assert C.broadcasts_for_query("__lpa_round__", rnd) == []
+        plan = C.simple_plan(rnd)
     assert "Window" not in plan  # argmax is MAX(struct), not row_number
-    assert not C.data_sized_partitionless_windows(df)
-    # post-checkpoint round plan: join + (dst,label) count + per-node
-    # argmax + the nodes left-join = a bounded handful of exchanges
-    assert C.count_shuffles(df) <= 5
+    assert "partial_max" in plan and "partial_count" in plan  # map-combinable
+    assert not C.data_sized_partitionless_windows(rnd)
