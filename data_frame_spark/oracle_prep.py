@@ -633,13 +633,19 @@ def triangle_edges_sql() -> str:
     """The parts-co-ordered graph both engines use: distinct
     (lower, higher) part pairs appearing in the SAME order — unlike
     the bipartite part<->supplier graph, this one actually closes
-    triangles."""
+    triangles. The every-10th-order slice keeps each kept order's
+    part CLIQUE intact (so triangles are guaranteed) while cutting
+    the fixture graph's edge density ~10x and its wedge count ~100x:
+    the UNSLICED sf0.1 graph is pathologically dense (avg degree
+    ~120, 41M wedges for 1.2M edges — measured), which is a property
+    of the synthetic fixture, not of the operator."""
     return """
     pe AS MATERIALIZED (
       SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
                       CAST(b.l_partkey AS BIGINT) AS v
       FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_orderkey % 10 = 0)
     """
 
 
@@ -677,8 +683,10 @@ def triangle_spark(spark, sf_dir):
 
     from data_frame_spark.operators.graph import triangle_count
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        "l_orderkey", F.col("l_partkey").cast("long").alias("p")
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", F.col("l_partkey").cast("long").alias("p"))
     )
     a, b = li.alias("a"), li.alias("b")
     pairs = a.join(
@@ -847,3 +855,58 @@ def jsonl_roundtrip_spark(spark, sf_dir):
     return back.where(F.col(J.CORRUPT_COL).isNull()).select(
         "doc_id", "lang", "source", "n_chars", F.md5("text").alias("text_md5")
     )
+
+
+def format_roundtrip_family_oracle_sql() -> str:
+    """Facet union of the ORC and JSONL round-trip twins — the shape
+    that lets both surfaces ride ONE r14 registry slot (facet +
+    NULL-superset columns across the two tables' schemas, nullable on
+    both engines — the xml_corpus_family recipe)."""
+    orc = orc_roundtrip_oracle_sql().strip().rstrip()
+    jl = jsonl_roundtrip_oracle_sql().strip().rstrip()
+    return f"""
+    WITH of AS ({orc}),
+         jf AS ({jl})
+    SELECT 'orc' AS facet,
+           l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_discount, l_returnflag, l_linestatus,
+           CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars,
+           CAST(NULL AS VARCHAR) AS text_md5
+    FROM of
+    UNION ALL
+    SELECT 'jsonl',
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR),
+           doc_id, lang, source, n_chars, text_md5
+    FROM jf
+    """
+
+
+def format_roundtrip_family_spark(spark, sf_dir):
+    """Spark side of the r14 format_roundtrip_family candidate: both
+    round-trip pipelines, facet-unioned with NULL-superset columns
+    matching the oracle."""
+    from pyspark.sql import functions as F
+
+    nb = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
+    o = orc_roundtrip_spark(spark, sf_dir).select(
+        F.lit("orc").alias("facet"),
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_returnflag", "l_linestatus",
+        nb.alias("doc_id"), ns.alias("lang"), ns.alias("source"),
+        nb.alias("n_chars"), ns.alias("text_md5"),
+    )
+    j = jsonl_roundtrip_spark(spark, sf_dir).select(
+        F.lit("jsonl").alias("facet"),
+        nb.alias("l_orderkey"), nb.alias("l_linenumber"),
+        nd.alias("l_quantity"), nd.alias("l_extendedprice"),
+        nd.alias("l_discount"), ns.alias("l_returnflag"),
+        ns.alias("l_linestatus"),
+        "doc_id", "lang", "source", "n_chars", "text_md5",
+    )
+    return o.unionByName(j)

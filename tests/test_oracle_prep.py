@@ -305,3 +305,17 @@ def test_jsonl_roundtrip_oracle_matches_spark(spark, sf_dir, con):
     want = sorted(con.execute(OP.jsonl_roundtrip_oracle_sql()).fetchall())
     assert len(got) > 30
     assert got == want
+
+
+def test_format_roundtrip_family_oracle_matches_spark(spark, sf_dir, con):
+    # documents view needed alongside lineitem — `con` has both
+    out = OP.format_roundtrip_family_spark(spark, sf_dir)
+    cols = out.columns
+    got = sorted(
+        tuple(r[c] for c in cols) for r in out.collect()
+    )
+    want = sorted(
+        con.execute(OP.format_roundtrip_family_oracle_sql()).fetchall()
+    )
+    assert len(got) > 80 and len({row[0] for row in got}) == 2
+    assert got == want
