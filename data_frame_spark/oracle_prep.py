@@ -910,3 +910,55 @@ def format_roundtrip_family_spark(spark, sf_dir):
         "doc_id", "lang", "source", "n_chars", "text_md5",
     )
     return o.unionByName(j)
+
+
+def bfs_oracle_sql(max_hops: int = 4) -> str:
+    """DuckDB twin of ``operators/graph.py:hop_distances`` on the
+    bidirectional part<->supplier graph, seeds = parts with
+    partkey % 100 = 0: the min-plus relaxation unrolled into chained
+    CTE pairs (propagate one hop with a MIN groupBy, then min-merge
+    with the running table) — the integer-loop replay recipe."""
+    if max_hops < 0:
+        raise ValueError("bfs_oracle_sql needs max_hops >= 0")
+    parts = [
+        "WITH " + pagerank_edges_sql().strip().rstrip(),
+        """d0 AS MATERIALIZED (
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) AS node,
+             CAST(0 AS BIGINT) AS hops
+      FROM lineitem WHERE l_partkey % 100 = 0)""",
+    ]
+    for k in range(1, max_hops + 1):
+        parts.append(
+            f"""r{k} AS (SELECT e.dst AS node, MIN(d.hops + 1) AS hops
+            FROM e JOIN d{k - 1} d ON d.node = e.src
+            GROUP BY e.dst),
+    d{k} AS MATERIALIZED (
+      SELECT node, CAST(MIN(hops) AS BIGINT) AS hops
+      FROM (SELECT node, hops FROM d{k - 1}
+            UNION ALL SELECT node, hops FROM r{k})
+      GROUP BY node)"""
+        )
+    body = ",\n    ".join(parts)
+    return f"{body}\n    SELECT node, hops FROM d{max_hops}"
+
+
+def bfs_spark(spark, sf_dir):
+    """The Spark side the future registry row will use verbatim —
+    same edge construction as pagerank_part_supplier; seeds are the
+    every-100th parts."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.graph import hop_distances
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey") + PAGERANK_SUPP_OFFSET).cast("long").alias("dst"),
+    ).distinct()
+    edges = b.unionAll(b.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (
+        li.where(F.col("l_partkey") % 100 == 0)
+        .select(F.col("l_partkey").cast("long").alias("node"))
+        .distinct()
+    )
+    return hop_distances(edges, seeds, max_hops=4)

@@ -232,3 +232,47 @@ def test_label_propagation_semantics_and_layout(spark):
     assert all(n == l for n, l in zero.items())
     with pytest.raises(ValueError):
         label_propagation(df, iterations=-1)
+
+
+def test_hop_distances_matches_brute_force_and_layout(spark):
+    import random
+    from collections import deque
+
+    from data_frame_spark.operators.graph import hop_distances
+
+    rng = random.Random(11)
+    directed = list({(rng.randrange(15), rng.randrange(15)) for _ in range(40)})
+    seeds = [0, 7]
+
+    def brute(max_hops):
+        adj = {}
+        for u, v in directed:
+            adj.setdefault(u, set()).add(v)
+        dist = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        return dist
+
+    df = spark.createDataFrame(directed, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r["node"]: r["hops"] for r in hop_distances(df, sdf, max_hops=4).collect()}
+    assert got == brute(4)
+    got3 = {
+        r["node"]: r["hops"]
+        for r in hop_distances(df.repartition(3), sdf, max_hops=4).collect()
+    }
+    assert got3 == got  # integer mins: layout-independent
+    # max_hops=0 returns exactly the seed set at distance 0
+    zero = {r["node"]: r["hops"] for r in hop_distances(df, sdf, max_hops=0).collect()}
+    assert zero == {0: 0, 7: 0}
+    import pytest
+
+    with pytest.raises(ValueError):
+        hop_distances(df, sdf, max_hops=-1)

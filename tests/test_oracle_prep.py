@@ -319,3 +319,14 @@ def test_format_roundtrip_family_oracle_matches_spark(spark, sf_dir, con):
     )
     assert len(got) > 80 and len({row[0] for row in got}) == 2
     assert got == want
+
+
+def test_bfs_oracle_matches_spark(spark, sf_dir, con):
+    got = {
+        r["node"]: r["hops"] for r in OP.bfs_spark(spark, sf_dir).collect()
+    }
+    want = dict(con.execute(OP.bfs_oracle_sql(max_hops=4)).fetchall())
+    assert len(got) > 100
+    # distances must actually spread (seeds at 0, suppliers at odd hops)
+    assert {0, 1, 2}.issubset(set(got.values()))
+    assert got == want

@@ -832,3 +832,33 @@ def test_label_propagation_round_is_vertex_keyed(spark, sf_dir):
     assert "Window" not in plan  # argmax is MAX(struct), not row_number
     assert "partial_max" in plan and "partial_count" in plan  # map-combinable
     assert not C.data_sized_partitionless_windows(rnd)
+
+
+def test_bfs_round_is_vertex_keyed_min_merge(spark, sf_dir):
+    # one min-plus relaxation (pinned PRE-checkpoint, like _lpa_round):
+    # a dists⋈edges equi-join, a map-combinable MIN on the destination,
+    # and the union min-merge — no window, no forced broadcast
+    from data_frame_spark.operators.graph import _bfs_round
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bset = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).cast("long").alias("dst"),
+    ).distinct()
+    e = bset.unionAll(
+        bset.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    dists = (
+        li.where(F.col("l_partkey") % 100 == 0)
+        .select(F.col("l_partkey").cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("hops"))
+    )
+    with C.scale_planner(spark):
+        rnd = _bfs_round(e, dists)
+        assert C.broadcasts_for_query("__bfs_round__", rnd) == []
+        plan = C.simple_plan(rnd)
+    assert "Window" not in plan
+    assert "partial_min" in plan  # both the relax and the merge combine map-side
+    assert not C.data_sized_partitionless_windows(rnd)
