@@ -706,8 +706,16 @@ def lpa_oracle_sql(iterations: int = 4) -> str:
     equivalent of the Spark side's map-combinable MAX(struct))."""
     if iterations < 1:
         raise ValueError("lpa_oracle_sql needs >= 1 iteration")
+    body = ",\n    ".join(
+        ["WITH " + pagerank_edges_sql().strip().rstrip()] + _lpa_ctes(iterations)
+    )
+    return f"{body}\n    SELECT node, label FROM l{iterations}"
+
+
+def _lpa_ctes(iterations: int) -> list[str]:
+    """The LPA round chain (assumes the pagerank ``e`` CTE is in
+    scope) — shared by lpa_oracle_sql and the graph_suite family."""
     parts = [
-        "WITH " + pagerank_edges_sql().strip().rstrip(),
         """nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e
                UNION SELECT DISTINCT dst FROM e),
     l0 AS (SELECT node, node AS label FROM nodes)""",
@@ -727,8 +735,7 @@ def lpa_oracle_sql(iterations: int = 4) -> str:
                                     ORDER BY c DESC, label ASC) AS rn
           FROM c{i}) WHERE rn = 1) b USING (node))"""
         )
-    body = ",\n    ".join(parts)
-    return f"{body}\n    SELECT node, label FROM l{iterations}"
+    return parts
 
 
 def lpa_spark(spark, sf_dir):
@@ -920,8 +927,16 @@ def bfs_oracle_sql(max_hops: int = 4) -> str:
     with the running table) — the integer-loop replay recipe."""
     if max_hops < 0:
         raise ValueError("bfs_oracle_sql needs max_hops >= 0")
+    body = ",\n    ".join(
+        ["WITH " + pagerank_edges_sql().strip().rstrip()] + _bfs_ctes(max_hops)
+    )
+    return f"{body}\n    SELECT node, hops FROM d{max_hops}"
+
+
+def _bfs_ctes(max_hops: int) -> list[str]:
+    """The BFS relaxation chain (assumes the pagerank ``e`` CTE is in
+    scope) — shared by bfs_oracle_sql and the graph_suite family."""
     parts = [
-        "WITH " + pagerank_edges_sql().strip().rstrip(),
         """d0 AS MATERIALIZED (
       SELECT DISTINCT CAST(l_partkey AS BIGINT) AS node,
              CAST(0 AS BIGINT) AS hops
@@ -938,8 +953,7 @@ def bfs_oracle_sql(max_hops: int = 4) -> str:
             UNION ALL SELECT node, hops FROM r{k})
       GROUP BY node)"""
         )
-    body = ",\n    ".join(parts)
-    return f"{body}\n    SELECT node, hops FROM d{max_hops}"
+    return parts
 
 
 def bfs_spark(spark, sf_dir):
@@ -962,3 +976,70 @@ def bfs_spark(spark, sf_dir):
         .distinct()
     )
     return hop_distances(edges, seeds, max_hops=4)
+
+
+def graph_suite_family_oracle_sql(iterations: int = 4, max_hops: int = 4) -> str:
+    """Facet union of the three prepped graph twins on their shared
+    (node, value) shape — the r14 single-slot registration candidate:
+    'triangles' (parts-co-ordered graph), 'lpa_label' and 'bfs_hops'
+    (both on the pagerank part<->supplier edges, whose CTEs appear
+    ONCE). Triangle CTE names are t-prefixed to coexist."""
+    tri_parts = f"""{triangle_edges_sql().strip().rstrip()},
+    tn AS (SELECT u AS node FROM pe UNION SELECT v FROM pe),
+    tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM pe e1
+            JOIN pe e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN pe e3 ON e3.u = e1.v AND e3.v = e2.v),
+    pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+             FROM (SELECT x AS node FROM tri
+                   UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri)
+             GROUP BY node),
+    tfin AS (SELECT n.node, COALESCE(p.triangles, CAST(0 AS BIGINT)) AS v
+             FROM tn n LEFT JOIN pern p USING (node))"""
+    body = ",\n    ".join(
+        ["WITH " + pagerank_edges_sql().strip().rstrip()]
+        + _lpa_ctes(iterations)
+        + _bfs_ctes(max_hops)
+        + [tri_parts]
+    )
+    return f"""{body}
+    SELECT 'triangles' AS facet, node, v AS value FROM tfin
+    UNION ALL
+    SELECT 'lpa_label', node, label FROM l{iterations}
+    UNION ALL
+    SELECT 'bfs_hops', node, hops FROM d{max_hops}
+    """
+
+
+def graph_suite_family_spark(spark, sf_dir):
+    """Spark side of the r14 graph_suite_family candidate: the
+    part<->supplier edge list is built ONCE for the LPA and BFS
+    facets; the triangle facet runs on its own parts-co-ordered
+    graph. All three outputs share (node, BIGINT value)."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.graph import hop_distances, label_propagation
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey") + PAGERANK_SUPP_OFFSET).cast("long").alias("dst"),
+    ).distinct()
+    edges = b.unionAll(b.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (
+        li.where(F.col("l_partkey") % 100 == 0)
+        .select(F.col("l_partkey").cast("long").alias("node"))
+        .distinct()
+    )
+    tri = triangle_spark(spark, sf_dir).select(
+        F.lit("triangles").alias("facet"), "node",
+        F.col("triangles").alias("value"),
+    )
+    lpa = label_propagation(edges, iterations=4).select(
+        F.lit("lpa_label").alias("facet"), "node", F.col("label").alias("value")
+    )
+    bfs = hop_distances(edges, seeds, max_hops=4).select(
+        F.lit("bfs_hops").alias("facet"), "node", F.col("hops").alias("value")
+    )
+    return tri.unionByName(lpa).unionByName(bfs)

@@ -330,3 +330,16 @@ def test_bfs_oracle_matches_spark(spark, sf_dir, con):
     # distances must actually spread (seeds at 0, suppliers at odd hops)
     assert {0, 1, 2}.issubset(set(got.values()))
     assert got == want
+
+
+def test_graph_suite_family_oracle_matches_spark(spark, sf_dir, con):
+    out = OP.graph_suite_family_spark(spark, sf_dir)
+    got = {
+        (r["facet"], r["node"]): r["value"] for r in out.collect()
+    }
+    want = {
+        (f, n): v
+        for f, n, v in con.execute(OP.graph_suite_family_oracle_sql()).fetchall()
+    }
+    assert len(got) > 300 and len({f for f, _ in got}) == 3
+    assert got == want
