@@ -649,6 +649,28 @@ def triangle_edges_sql() -> str:
     """
 
 
+def _tri_ctes() -> str:
+    """The ordered-triple triangle chain (ends in ``tfin``: every
+    node with its COALESCE'd count) — shared by triangle_oracle_sql
+    and the graph_suite family so the two twins can never pin
+    different graphs. CTE names (pe/tn/tri/pern/tfin) are disjoint
+    from the LPA (nodes/l*/c*) and BFS (d*/r*) chains by
+    inspection."""
+    return f"""{triangle_edges_sql().strip().rstrip()},
+    tn AS (SELECT u AS node FROM pe UNION SELECT v FROM pe),
+    tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM pe e1
+            JOIN pe e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN pe e3 ON e3.u = e1.v AND e3.v = e2.v),
+    pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+             FROM (SELECT x AS node FROM tri
+                   UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri)
+             GROUP BY node),
+    tfin AS (SELECT n.node, COALESCE(p.triangles, CAST(0 AS BIGINT)) AS triangles
+             FROM tn n LEFT JOIN pern p USING (node))"""
+
+
 def triangle_oracle_sql() -> str:
     """DuckDB twin of ``operators/graph.py:triangle_count`` on the
     parts-co-ordered graph — deliberately a DIFFERENT formulation
@@ -658,19 +680,8 @@ def triangle_oracle_sql() -> str:
     agreement pins the orientation trick's correctness rather than
     replaying it."""
     return f"""
-    WITH {triangle_edges_sql().strip().rstrip()},
-    nodes AS (SELECT u AS node FROM pe UNION SELECT v FROM pe),
-    tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
-            FROM pe e1
-            JOIN pe e2 ON e2.u = e1.u AND e2.v > e1.v
-            JOIN pe e3 ON e3.u = e1.v AND e3.v = e2.v),
-    pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
-             FROM (SELECT x AS node FROM tri
-                   UNION ALL SELECT y FROM tri
-                   UNION ALL SELECT z FROM tri)
-             GROUP BY node)
-    SELECT n.node, COALESCE(p.triangles, CAST(0 AS BIGINT)) AS triangles
-    FROM nodes n LEFT JOIN pern p USING (node)
+    WITH {_tri_ctes()}
+    SELECT node, triangles FROM tfin
     """
 
 
@@ -738,20 +749,40 @@ def _lpa_ctes(iterations: int) -> list[str]:
     return parts
 
 
-def lpa_spark(spark, sf_dir):
-    """The Spark side the future registry row will use verbatim —
-    identical edge construction to pagerank_part_supplier."""
+def _part_supplier_edges(spark, sf_dir):
+    """The bidirectional part<->supplier fixture edges — ONE
+    definition shared by the LPA/BFS twins and the graph_suite family
+    (identical construction to pagerank_part_supplier; round-13
+    review: three inline copies had crept in)."""
     from pyspark.sql import functions as F
-
-    from data_frame_spark.operators.graph import label_propagation
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     b = li.select(
         F.col("l_partkey").cast("long").alias("src"),
         (F.col("l_suppkey") + PAGERANK_SUPP_OFFSET).cast("long").alias("dst"),
     ).distinct()
-    edges = b.unionAll(b.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return label_propagation(edges, iterations=4)
+    return b.unionAll(b.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _part_seeds(spark, sf_dir):
+    """The every-100th-part BFS seed set (mirrors bfs_oracle_sql's
+    d0)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_partkey") % 100 == 0)
+        .select(F.col("l_partkey").cast("long").alias("node"))
+        .distinct()
+    )
+
+
+def lpa_spark(spark, sf_dir):
+    """The Spark side the future registry row will use verbatim —
+    identical edge construction to pagerank_part_supplier."""
+    from data_frame_spark.operators.graph import label_propagation
+
+    return label_propagation(_part_supplier_edges(spark, sf_dir), iterations=4)
 
 
 def _prep_tmp_dir(name: str, sf_dir: str, clean: bool = False) -> str:
@@ -960,22 +991,11 @@ def bfs_spark(spark, sf_dir):
     """The Spark side the future registry row will use verbatim —
     same edge construction as pagerank_part_supplier; seeds are the
     every-100th parts."""
-    from pyspark.sql import functions as F
-
     from data_frame_spark.operators.graph import hop_distances
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    b = li.select(
-        F.col("l_partkey").cast("long").alias("src"),
-        (F.col("l_suppkey") + PAGERANK_SUPP_OFFSET).cast("long").alias("dst"),
-    ).distinct()
-    edges = b.unionAll(b.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    seeds = (
-        li.where(F.col("l_partkey") % 100 == 0)
-        .select(F.col("l_partkey").cast("long").alias("node"))
-        .distinct()
+    return hop_distances(
+        _part_supplier_edges(spark, sf_dir), _part_seeds(spark, sf_dir), max_hops=4
     )
-    return hop_distances(edges, seeds, max_hops=4)
 
 
 def graph_suite_family_oracle_sql(iterations: int = 4, max_hops: int = 4) -> str:
@@ -983,28 +1003,18 @@ def graph_suite_family_oracle_sql(iterations: int = 4, max_hops: int = 4) -> str
     (node, value) shape — the r14 single-slot registration candidate:
     'triangles' (parts-co-ordered graph), 'lpa_label' and 'bfs_hops'
     (both on the pagerank part<->supplier edges, whose CTEs appear
-    ONCE). Triangle CTE names are t-prefixed to coexist."""
-    tri_parts = f"""{triangle_edges_sql().strip().rstrip()},
-    tn AS (SELECT u AS node FROM pe UNION SELECT v FROM pe),
-    tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
-            FROM pe e1
-            JOIN pe e2 ON e2.u = e1.u AND e2.v > e1.v
-            JOIN pe e3 ON e3.u = e1.v AND e3.v = e2.v),
-    pern AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
-             FROM (SELECT x AS node FROM tri
-                   UNION ALL SELECT y FROM tri
-                   UNION ALL SELECT z FROM tri)
-             GROUP BY node),
-    tfin AS (SELECT n.node, COALESCE(p.triangles, CAST(0 AS BIGINT)) AS v
-             FROM tn n LEFT JOIN pern p USING (node))"""
+    ONCE). The triangle chain is the SHARED _tri_ctes() — the
+    standalone twin and this family can never pin different graphs;
+    its CTE names (pe/tn/tri/pern/tfin) are disjoint from the
+    LPA (nodes/l*/c*) and BFS (d*/r*) chains."""
     body = ",\n    ".join(
         ["WITH " + pagerank_edges_sql().strip().rstrip()]
         + _lpa_ctes(iterations)
         + _bfs_ctes(max_hops)
-        + [tri_parts]
+        + [_tri_ctes()]
     )
     return f"""{body}
-    SELECT 'triangles' AS facet, node, v AS value FROM tfin
+    SELECT 'triangles' AS facet, node, triangles AS value FROM tfin
     UNION ALL
     SELECT 'lpa_label', node, label FROM l{iterations}
     UNION ALL
@@ -1014,24 +1024,17 @@ def graph_suite_family_oracle_sql(iterations: int = 4, max_hops: int = 4) -> str
 
 def graph_suite_family_spark(spark, sf_dir):
     """Spark side of the r14 graph_suite_family candidate: the
-    part<->supplier edge list is built ONCE for the LPA and BFS
-    facets; the triangle facet runs on its own parts-co-ordered
-    graph. All three outputs share (node, BIGINT value)."""
+    part<->supplier edge list is MATERIALIZED once (eager checkpoint
+    here, so each facet operator's own internal distinct+checkpoint
+    runs over the small cached RDD instead of re-scanning lineitem);
+    the triangle facet runs on its own parts-co-ordered graph. All
+    three outputs share (node, BIGINT value)."""
     from pyspark.sql import functions as F
 
     from data_frame_spark.operators.graph import hop_distances, label_propagation
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    b = li.select(
-        F.col("l_partkey").cast("long").alias("src"),
-        (F.col("l_suppkey") + PAGERANK_SUPP_OFFSET).cast("long").alias("dst"),
-    ).distinct()
-    edges = b.unionAll(b.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    seeds = (
-        li.where(F.col("l_partkey") % 100 == 0)
-        .select(F.col("l_partkey").cast("long").alias("node"))
-        .distinct()
-    )
+    edges = _part_supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    seeds = _part_seeds(spark, sf_dir)
     tri = triangle_spark(spark, sf_dir).select(
         F.lit("triangles").alias("facet"), "node",
         F.col("triangles").alias("value"),

@@ -235,8 +235,9 @@ def test_label_propagation_semantics_and_layout(spark):
 
 
 def test_hop_distances_matches_brute_force_and_layout(spark):
-    import random
     from collections import deque
+
+    import pytest
 
     from data_frame_spark.operators.graph import hop_distances
 
@@ -272,7 +273,5 @@ def test_hop_distances_matches_brute_force_and_layout(spark):
     # max_hops=0 returns exactly the seed set at distance 0
     zero = {r["node"]: r["hops"] for r in hop_distances(df, sdf, max_hops=0).collect()}
     assert zero == {0: 0, 7: 0}
-    import pytest
-
     with pytest.raises(ValueError):
         hop_distances(df, sdf, max_hops=-1)
