@@ -998,7 +998,7 @@ def bfs_spark(spark, sf_dir):
     )
 
 
-def graph_suite_family_oracle_sql(iterations: int = 4, max_hops: int = 4) -> str:
+def graph_suite_family_oracle_sql(iterations: int = 3, max_hops: int = 3) -> str:
     """Facet union of the three prepped graph twins on their shared
     (node, value) shape — the r14 single-slot registration candidate:
     'triangles' (parts-co-ordered graph), 'lpa_label' and 'bfs_hops'
@@ -1035,14 +1035,18 @@ def graph_suite_family_spark(spark, sf_dir):
 
     edges = _part_supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
     seeds = _part_seeds(spark, sf_dir)
+    # 3 rounds/hops (vs the standalone twins' 4): per-round latency is
+    # job-barrier-bound on the tiny vertex tables, and three rounds
+    # already demonstrate multi-hop propagation — a ~20% row-cost trim
+    # measured at sf0.1
     tri = triangle_spark(spark, sf_dir).select(
         F.lit("triangles").alias("facet"), "node",
         F.col("triangles").alias("value"),
     )
-    lpa = label_propagation(edges, iterations=4).select(
+    lpa = label_propagation(edges, iterations=3).select(
         F.lit("lpa_label").alias("facet"), "node", F.col("label").alias("value")
     )
-    bfs = hop_distances(edges, seeds, max_hops=4).select(
+    bfs = hop_distances(edges, seeds, max_hops=3).select(
         F.lit("bfs_hops").alias("facet"), "node", F.col("hops").alias("value")
     )
     return tri.unionByName(lpa).unionByName(bfs)
