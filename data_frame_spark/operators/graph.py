@@ -304,7 +304,7 @@ def triangle_count(
         .where(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
         .distinct()
     )
-    oriented, nodes = _oriented_edges(und)
+    oriented, _nodes = _oriented_edges(und)
     # checkpoint AFTER orientation: the degree-attach/orientation plan
     # shape itself is pinned on _oriented_edges in test_plans.py (the
     # post-checkpoint plan no longer shows it — round-13 review
@@ -315,11 +315,19 @@ def triangle_count(
     e1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("t1"))
     e2 = oriented.select(F.col("s").alias("a"), F.col("t").alias("t2"))
     wedges = e1.join(e2, "a").where(F.col("t1") < F.col("t2"))
-    # the closing-edge set in u<v form is exactly `und` — orientation
-    # maps each undirected edge to one oriented row and back, so
-    # re-deriving it from `oriented` + distinct was a wasted full
-    # shuffle of the edge set (review finding)
-    closing = und.select(F.col("u").alias("t1"), F.col("v").alias("t2"))
+    # orientation is a bijection of the undirected edge set, so BOTH
+    # the closing-edge set (u<v form) and the node set re-derive from
+    # the CHECKPOINTED oriented frame — keeping any branch on `und` or
+    # `_nodes` would re-run the edge distinct + degree aggregate a
+    # second time at action time (round-13 advisory)
+    closing = oriented.select(
+        F.least("s", "t").alias("t1"), F.greatest("s", "t").alias("t2")
+    )
+    nodes = (
+        oriented.select(F.col("s").alias("node"))
+        .unionAll(oriented.select(F.col("t").alias("node")))
+        .distinct()
+    )
     tri = wedges.join(closing, ["t1", "t2"])
     per_node = (
         tri.select(F.col("a").alias("node"))

@@ -400,21 +400,22 @@ def wav_corpus_spark(spark, sf_dir):
     return audio_waveform_features(wav_docs(spark, sf_dir), "payload", "user_id")
 
 
-def binary_ingest_spark(spark, sf_dir):
+def binary_ingest_spark(spark, sf_dir, path: str | None = None):
     """The Spark side of a future binary-INGEST registry row — the
     one multimodal surface without a driver row: a directory of media
     FILES read back through Spark's ``binaryFile`` source
     (sources/binaryfiles.py read_binary_dir — planning-time glob, one
-    file one row). The corpus of per-user WAVs is materialized to a
-    per-process temp directory by the EXECUTOR tasks (mapInPandas
-    side-effect writing to shared storage — the same shared-FS
-    assumption every file sink makes; local[N] shares /tmp), then
-    ingested fresh: path-glob select, user id parsed from the file
-    name, payloads decoded through the REAL audio_waveform_features
-    reader. The oracle computes identical aggregates straight from
-    the events table (wav_corpus_oracle_sql), so any loss in
-    write-files -> glob -> whole-file-read -> decode breaks the
-    hash."""
+    file one row). The corpus of per-user WAVs is materialized by the
+    EXECUTOR tasks (mapInPandas side-effect writing to shared storage
+    — the same shared-FS assumption every file sink makes; the
+    default per-process temp directory is only shared under local[N],
+    so a real cluster must pass ``path`` pointing at shared storage —
+    round-13 advisory), then ingested fresh: path-glob select, user
+    id parsed from the file name, payloads decoded through the REAL
+    audio_waveform_features reader. The oracle computes identical
+    aggregates straight from the events table (wav_corpus_oracle_sql),
+    so any loss in write-files -> glob -> whole-file-read -> decode
+    breaks the hash."""
     import os
     import tempfile
 
@@ -426,10 +427,15 @@ def binary_ingest_spark(spark, sf_dir):
 
     # clean=True: a stale corpus from an earlier fixture shape (same
     # PID) would otherwise survive into the *.wav glob as extra rows
-    path = _prep_tmp_dir("binary_ingest", sf_dir, clean=True)
-    os.makedirs(path, exist_ok=True)
+    if path is None:
+        path = _prep_tmp_dir("binary_ingest", sf_dir, clean=True)
 
     def dump(batches):
+        # the directory is created INSIDE the task (not on the
+        # driver): on a real cluster the driver's filesystem is not
+        # the executors', so a driver-side makedirs would leave every
+        # mkstemp below failing with ENOENT (round-13 advisory)
+        os.makedirs(path, exist_ok=True)
         n = 0
         for pdf in batches:
             for uid, payload in zip(pdf["user_id"], pdf["payload"]):
@@ -806,8 +812,16 @@ def _prep_tmp_dir(name: str, sf_dir: str, clean: bool = False) -> str:
     path = os.path.join(tempfile.gettempdir(), f"dfs_{name}{tag}_{os.getpid()}")
     if clean:
         shutil.rmtree(path, ignore_errors=True)
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    # register the rmtree ONCE per path: tests call this many times in
+    # one process, and stacking a duplicate handler per call grows the
+    # atexit table for the life of the interpreter (round-13 advisory)
+    if path not in _PREP_TMP_REGISTERED:
+        _PREP_TMP_REGISTERED.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
+
+
+_PREP_TMP_REGISTERED: set[str] = set()
 
 
 def orc_roundtrip_oracle_sql() -> str:

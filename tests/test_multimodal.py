@@ -191,14 +191,17 @@ def test_mp4_bytes_builder_switches_to_mvhd_v1_past_32_bits(spark):
     from data_frame_spark.oracle_prep import mp4_bytes
 
     big = (1 << 32) + 12_345  # overflows the v0 4-byte duration
+    # timescale 600 (not 1_000_000, which made the µs assertion a
+    # tautology — round-13 advisory): the v1 64-bit duration must
+    # survive the units -> µs conversion, not just round-trip the field
     df = spark.createDataFrame(
-        [(1, mp4_bytes(1_000_000, big, 2)), (2, mp4_bytes(1000, 90_000, 1))],
+        [(1, mp4_bytes(600, big, 2)), (2, mp4_bytes(1000, 90_000, 1))],
         "doc_id long, payload binary",
     )
     rows = {r["doc_id"]: r for r in video_metadata(df, "payload").collect()}
     r1 = rows[1]
     assert r1["ok"] and r1["duration_units"] == big
-    assert r1["duration_us"] == (big * 1_000_000) // 1_000_000
+    assert r1["duration_us"] == (big * 1_000_000) // 600 == 7_158_299_401_666
     r2 = rows[2]  # the v0 path is unchanged
     assert r2["ok"] and r2["duration_units"] == 90_000
     with pytest.raises(ValueError):
