@@ -375,6 +375,7 @@ def label_propagation(
     iterations: int = 4,
     src_col: str = "src",
     dst_col: str = "dst",
+    prepared: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) with a
     DETERMINISTIC tie-break — community detection over an edge list
@@ -398,14 +399,26 @@ def label_propagation(
     per-node MAX(struct(count, -label)) argmax — never a
     row_number window over a hot label; eagerly localCheckpoint-ed
     per round (the pagerank stance) so lineage never re-expands.
+
+    ``prepared=True`` skips the canonicalization (cast / null-drop /
+    distinct / checkpoint) for callers that already hold a distinct,
+    non-null, long-typed, checkpointed (src, dst) edge list — the
+    graph_suite family shares ONE such list across facets, and
+    re-distincting a million-edge relation per facet was pure waste
+    (round-14 profiling).
     """
     if iterations < 0:
         raise ValueError("label_propagation iterations must be >= 0")
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
-    e = e.localCheckpoint(eager=True)
+    if prepared:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+    else:
+        e = edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        ).where(F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
+        e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -426,21 +439,27 @@ def _lpa_round(e: DataFrame, nodes: DataFrame, labels: DataFrame) -> DataFrame:
     """One synchronous LPA round, PRE-checkpoint: labels⋈edges on the
     source key, map-combinable (node, label) vote count, map-combinable
     per-node MAX(struct(count, -label)) argmax (never a row_number
-    window over a potentially hot label), keep-own-label left join."""
+    window over a potentially hot label). Keep-own-label is a
+    ZERO-COUNT SELF-VOTE unioned into the argmax, not a left join:
+    any real vote (count >= 1) beats (0, -own), a voteless node wins
+    its own label — identical semantics, one fewer shuffle per round
+    (the nodes⋈best exchange; round-14 profiling)."""
     counted = (
         e.join(labels, e["src"] == labels["node"])
         .select(F.col("dst"), F.col("label"))
         .groupBy("dst", "label")
         .agg(F.count(F.lit(1)).alias("__c"))
     )
-    best = (
-        counted.groupBy("dst")
-        .agg(F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))).alias("__m"))
-        .select(F.col("dst").alias("node"), (-F.col("__m.__nl")).alias("label"))
+    self_votes = nodes.select(
+        F.col("node").alias("dst"),
+        F.col("node").alias("label"),
+        F.lit(0).cast("long").alias("__c"),
     )
     return (
-        nodes.join(best.withColumnRenamed("label", "__bl"), "node", "left")
-        .select("node", F.coalesce("__bl", F.col("node")).alias("label"))
+        counted.unionByName(self_votes)
+        .groupBy("dst")
+        .agg(F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))).alias("__m"))
+        .select(F.col("dst").alias("node"), (-F.col("__m.__nl")).alias("label"))
     )
 
 
@@ -451,6 +470,7 @@ def hop_distances(
     src_col: str = "src",
     dst_col: str = "dst",
     seed_col: str = "node",
+    prepared: bool = False,
 ) -> DataFrame:
     """Multi-source BFS: the minimum hop distance from ANY seed to
     every reachable node, bounded at ``max_hops`` — the provenance /
@@ -478,14 +498,24 @@ def hop_distances(
     frontier is implicit (the whole dist table relaxes each round —
     at a bounded hop count the simplicity beats frontier bookkeeping;
     a diameter-scale traversal would want delta-stepping instead).
+
+    ``prepared=True``: same contract as
+    :func:`label_propagation` — the caller holds a distinct,
+    non-null, long-typed, checkpointed edge list; skip
+    re-canonicalizing it (round-14 profiling).
     """
     if max_hops < 0:
         raise ValueError("hop_distances max_hops must be >= 0")
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
-    e = e.localCheckpoint(eager=True)
+    if prepared:
+        e = edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+    else:
+        e = edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        ).where(F.col("src").isNotNull() & F.col("dst").isNotNull()).distinct()
+        e = e.localCheckpoint(eager=True)
     dists = (
         seeds.select(F.col(seed_col).cast("long").alias("node"))
         .where(F.col("node").isNotNull())
@@ -513,4 +543,79 @@ def _bfs_round(e: DataFrame, dists: DataFrame) -> DataFrame:
         dists.unionByName(relaxed)
         .groupBy("node")
         .agg(F.min("hops").alias("hops"))
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling over an undirected edge list — the
+    density-tier primitive (which nodes survive k rounds of "drop
+    everything with fewer than k neighbors": in a near-dup graph the
+    deep cores are the template families worth special-casing, the
+    shell is incidental overlap). No reference twin: net-new graph
+    analytics alongside :func:`triangle_count`.
+
+    Semantics: exactly ``rounds`` synchronous peels — each round
+    computes degrees over the REMAINING subgraph and deletes every
+    node with degree < k (with its incident edges). The fixed round
+    count (not run-to-convergence) is the oracle contract: peeling is
+    idempotent once stable, so extra rounds are no-ops, and the
+    result after exactly N rounds is bit-identical on any engine and
+    partitioning (pure integer counts + equality logic — the LPA/BFS
+    determinism stance). The TRUE k-core needs O(degeneracy) rounds;
+    callers wanting certainty pass rounds high enough that the last
+    round deletes nothing (cheap: a stable round is two aggregates
+    over an already-shrunken edge set). Output: (node, degree) for
+    every surviving node, degree measured within the surviving
+    subgraph.
+
+    Scale shape per round: one map-combinable endpoint-degree
+    aggregate plus two vertex-keyed LEFT SEMI equi-joins (u-side,
+    v-side) — never a collected node set, never a window; AQE splits
+    any hot key. Rounds eagerly localCheckpoint (the pagerank
+    stance); the per-round plan is pinned pre-checkpoint on
+    :func:`_kcore_round` in test_plans.py. The edge set shrinks
+    monotonically, so per-round cost is bounded by the first round's.
+    """
+    if k < 0:
+        raise ValueError("k_core k must be >= 0")
+    if rounds < 0:
+        raise ValueError("k_core rounds must be >= 0")
+    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+    und = (
+        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .where(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        und = _kcore_round(und, k).localCheckpoint(eager=True)
+    return _endpoint_degrees(und)
+
+
+def _kcore_round(und: DataFrame, k: int) -> DataFrame:
+    """One synchronous peel, PRE-checkpoint: degrees over the current
+    undirected (u < v) edge set, keep-set of nodes with degree >= k,
+    and two LEFT SEMI joins restricting edges to kept endpoints."""
+    keep = _endpoint_degrees(und).where(F.col("degree") >= k).select("node")
+    return (
+        und.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+        .select("u", "v")
+    )
+
+
+def _endpoint_degrees(und: DataFrame) -> DataFrame:
+    """(node, degree) over an undirected (u < v) edge list — one
+    map-combinable aggregate over both endpoint projections."""
+    return (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
     )

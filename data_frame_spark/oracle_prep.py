@@ -696,9 +696,17 @@ def triangle_spark(spark, sf_dir):
     build the parts-co-ordered edge list (one orderkey-keyed
     self-join, pair blowup bounded by order size) and run the
     degree-ordered triangle counter."""
-    from pyspark.sql import functions as F
-
     from data_frame_spark.operators.graph import triangle_count
+
+    return triangle_count(_part_cooccur_pairs(spark, sf_dir))
+
+
+def _part_cooccur_pairs(spark, sf_dir):
+    """The parts-co-ordered edge list (u < v part pairs sharing an
+    order, every-10th order) — ONE definition shared by the triangle
+    and k-core twins so they can never pin different graphs (the
+    Spark mirror of ``triangle_edges_sql``'s ``pe`` CTE)."""
+    from pyspark.sql import functions as F
 
     li = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -706,12 +714,64 @@ def triangle_spark(spark, sf_dir):
         .select("l_orderkey", F.col("l_partkey").cast("long").alias("p"))
     )
     a, b = li.alias("a"), li.alias("b")
-    pairs = a.join(
+    return a.join(
         b,
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.p") < F.col("b.p")),
     ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-    return triangle_count(pairs)
+
+
+def _kcore_ctes(k: int, rounds: int) -> str:
+    """The bounded-peeling chain (assumes the triangle ``pe`` CTE is
+    in scope; ends in ``kfin``: surviving (node, degree) rows). CTE
+    names (ke*/kd*/kfin) are disjoint from the triangle
+    (pe/tn/tri/pern/tfin), LPA (nodes/l*/c*) and BFS (d*/r*) chains
+    by inspection — the graph_suite merge-safety contract."""
+    parts = ["ke0 AS (SELECT u, v FROM pe)"]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""kd{i} AS (SELECT node, COUNT(*) AS d
+             FROM (SELECT u AS node FROM ke{i - 1}
+                   UNION ALL SELECT v FROM ke{i - 1})
+             GROUP BY node),
+    ke{i} AS MATERIALIZED (
+      SELECT u, v FROM ke{i - 1}
+      WHERE u IN (SELECT node FROM kd{i} WHERE d >= {k})
+        AND v IN (SELECT node FROM kd{i} WHERE d >= {k}))"""
+        )
+    parts.append(
+        f"""kfin AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+             FROM (SELECT u AS node FROM ke{rounds}
+                   UNION ALL SELECT v FROM ke{rounds})
+             GROUP BY node)"""
+    )
+    return ",\n    ".join(parts)
+
+
+def kcore_oracle_sql(k: int = 5, rounds: int = 4) -> str:
+    """DuckDB twin of ``operators/graph.py:k_core`` on the
+    parts-co-ordered graph (the triangle fixture, via the SHARED
+    ``pe`` CTE): exactly ``rounds`` synchronous peels unrolled into
+    chained CTE pairs (degree count, then the both-endpoints-kept
+    edge filter) — the integer-loop replay recipe. k=5/rounds=4 on
+    this fixture cascades for three rounds and is stable by the
+    fourth (measured at sf0.01), so the row exercises BOTH the
+    multi-round cascade and the idempotent-once-stable contract."""
+    if rounds < 0:
+        raise ValueError("kcore_oracle_sql needs rounds >= 0")
+    return f"""
+    WITH {triangle_edges_sql().strip().rstrip()},
+    {_kcore_ctes(k, rounds)}
+    SELECT node, degree FROM kfin
+    """
+
+
+def kcore_spark(spark, sf_dir):
+    """The Spark side the registry row uses verbatim — the SHARED
+    parts-co-ordered edge list through operators/graph.py:k_core."""
+    from data_frame_spark.operators.graph import k_core
+
+    return k_core(_part_cooccur_pairs(spark, sf_dir), k=5, rounds=4)
 
 
 def lpa_oracle_sql(iterations: int = 4) -> str:
@@ -1039,8 +1099,8 @@ def graph_suite_family_oracle_sql(iterations: int = 3, max_hops: int = 3) -> str
 def graph_suite_family_spark(spark, sf_dir):
     """Spark side of the r14 graph_suite_family candidate: the
     part<->supplier edge list is MATERIALIZED once (eager checkpoint
-    here, so each facet operator's own internal distinct+checkpoint
-    runs over the small cached RDD instead of re-scanning lineitem);
+    here; the LPA/BFS facets take it with prepared=True — distinct by
+    construction, so per-facet re-canonicalization would be waste);
     the triangle facet runs on its own parts-co-ordered graph. All
     three outputs share (node, BIGINT value)."""
     from pyspark.sql import functions as F
@@ -1057,10 +1117,263 @@ def graph_suite_family_spark(spark, sf_dir):
         F.lit("triangles").alias("facet"), "node",
         F.col("triangles").alias("value"),
     )
-    lpa = label_propagation(edges, iterations=3).select(
+    lpa = label_propagation(edges, iterations=3, prepared=True).select(
         F.lit("lpa_label").alias("facet"), "node", F.col("label").alias("value")
     )
-    bfs = hop_distances(edges, seeds, max_hops=3).select(
+    bfs = hop_distances(edges, seeds, max_hops=3, prepared=True).select(
         F.lit("bfs_hops").alias("facet"), "node", F.col("hops").alias("value")
     )
     return tri.unionByName(lpa).unionByName(bfs)
+
+
+# ---------------------------------------------------------------------------
+# round-15 pre-proofs: slot-funding merges of r13-checked rows
+# (docs/PLANS.md §"Round-15 slot funding"). The sub-oracles are
+# verbatim copies of the standalone rows' decorated SQL — the copies
+# are drift-pinned against queries.ORACLE in tests/test_oracle_prep.py
+# while both exist; at registration the standalone rows retire and
+# these become the single source.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_7D_US = 7 * 86400 * 1000000
+
+
+def _event_funnel_leg_sqls() -> dict[str, str]:
+    """The three standalone oracles, keyed by leg — lazy-imported
+    from the (fully initialized) queries registry while the
+    standalone rows still exist, so the copies can never drift."""
+    from data_frame_spark.queries import ORACLE
+
+    return {
+        "funnel": ORACLE["funnel_conversion_events"],
+        "retention": ORACLE["retention_cohorts_events"],
+        "attrib": ORACLE["clicks_to_purchases_events"],
+    }
+
+
+#: the NULL-superset column plan: (name, producing leg). `facet` is
+#: computed; n_users is SHARED by the funnel and retention legs.
+_EVENT_FUNNEL_COLS = [
+    ("cohort", {"funnel"}),
+    ("n_users", {"funnel", "retention"}),
+    ("n_view", {"funnel"}),
+    ("n_click", {"funnel"}),
+    ("n_purchase", {"funnel"}),
+    ("view_to_click_us", {"funnel"}),
+    ("click_to_purchase_us", {"funnel"}),
+    ("cohort_week", {"retention"}),
+    ("wk_offset", {"retention"}),
+    ("cohort_size", {"retention"}),
+    ("retention_micro", {"retention"}),
+    ("user_id", {"attrib"}),
+    ("click_id", {"attrib"}),
+    ("purchase_id", {"attrib"}),
+    ("lag_seconds", {"attrib"}),
+    ("purchase_value_micro", {"attrib"}),
+]
+
+
+def event_funnel_family_oracle_sql() -> str:
+    """Facet union of the three r13-checked event-analytics oracles
+    on one NULL-superset schema (every data column BIGINT, nullable
+    on both engines) — the r15 slot-funding merge candidate (net −2).
+    Funnel rows keep their own 'all'/'7d' facet values; the other
+    legs tag 'retention' / 'attrib'."""
+    legs = _event_funnel_leg_sqls()
+
+    def proj(leg: str, facet_expr: str) -> str:
+        cols = ",\n           ".join(
+            name if leg in owners else f"CAST(NULL AS BIGINT) AS {name}"
+            for name, owners in _EVENT_FUNNEL_COLS
+        )
+        return f"SELECT {facet_expr} AS facet,\n           {cols}\n    FROM {leg}_leg"
+
+    return f"""
+    WITH funnel_leg AS (SELECT * FROM ({legs["funnel"]})),
+    retention_leg AS (SELECT * FROM ({legs["retention"]})),
+    attrib_leg AS (SELECT * FROM ({legs["attrib"]}))
+    {proj("funnel", "facet")}
+    UNION ALL
+    {proj("retention", "'retention'")}
+    UNION ALL
+    {proj("attrib", "'attrib'")}
+    """
+
+
+def event_funnel_family_spark(spark, sf_dir):
+    """Spark side of the r15 event_funnel_family candidate: the three
+    standalone pipelines (lifted bodies — funnel_steps 'all'/'7d'
+    facets, the collect_set retention matrix, the 30-minute
+    click->purchase interval join), facet-unioned with typed-NULL
+    superset columns matching the oracle."""
+    from pyspark.sql import Window, functions as F
+
+    from data_frame_spark.operators import window as OpWindow
+    from data_frame_spark.queries import t
+    from data_frame_spark.streaming.joins import clicks_to_purchases
+
+    ev = t(spark, sf_dir, "events")
+
+    def funnel_facet(name: str, within):
+        stepped = OpWindow.funnel_steps(
+            ev.select("user_id", "event_type", F.col("ts_us").alias("tsn")),
+            steps=["view", "click", "purchase"],
+            entity_col="user_id", type_col="event_type", ts_col="tsn",
+            within=within,
+        )
+        u = stepped.groupBy("user_id").agg(
+            F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+        )
+        return (
+            u.groupBy((F.col("user_id") % 8).alias("cohort"))
+            .agg(
+                F.count(F.lit(1)).alias("n_users"),
+                F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("n_view"),
+                F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("n_click"),
+                F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias(
+                    "n_purchase"
+                ),
+                F.sum(F.col("t2") - F.col("t1")).alias("view_to_click_us"),
+                F.sum(F.col("t3") - F.col("t2")).alias("click_to_purchase_us"),
+            )
+            .select(F.lit(name).alias("facet"), "*")
+        )
+
+    funnel = funnel_facet("all", None).unionAll(
+        funnel_facet("7d", _FUNNEL_7D_US)
+    )
+
+    wk = F.expr("ts_us div 604800000000")
+    peruser = (
+        ev.select("user_id", wk.alias("wk"))
+        .groupBy("user_id")
+        .agg(F.collect_set("wk").alias("wks"))
+    )
+    c = peruser.select(
+        F.array_min("wks").alias("cohort"), F.explode("wks").alias("wk")
+    )
+    g = c.groupBy(
+        F.col("cohort"), (F.col("wk") - F.col("cohort")).alias("wk_offset")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    retention = (
+        g.withColumn(
+            "cohort_size",
+            F.max(F.when(F.col("wk_offset") == 0, F.col("n_users"))).over(
+                Window.partitionBy("cohort")
+            ),
+        )
+        .select(
+            F.lit("retention").alias("facet"),
+            F.col("cohort").alias("cohort_week"),
+            "wk_offset",
+            "n_users",
+            "cohort_size",
+            F.expr("n_users * 1000000 div cohort_size").alias("retention_micro"),
+        )
+    )
+
+    attrib = clicks_to_purchases(ev, within="30 minutes").select(
+        F.lit("attrib").alias("facet"),
+        "user_id",
+        "click_id",
+        "purchase_id",
+        "lag_seconds",
+        F.floor(F.col("purchase_value") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("purchase_value_micro"),
+    )
+
+    nb = F.lit(None).cast("long")
+
+    def pad(df, leg):
+        have = set(df.columns)
+        return df.select(
+            "facet",
+            *[
+                F.col(name) if name in have else nb.alias(name)
+                for name, _owners in _EVENT_FUNNEL_COLS
+            ],
+        )
+
+    return (
+        pad(funnel, "funnel")
+        .unionByName(pad(retention, "retention"))
+        .unionByName(pad(attrib, "attrib"))
+    )
+
+
+def _meanmax_leg_sqls() -> dict[str, str]:
+    """The two standalone mean-max oracles, lazy-imported from the
+    queries registry while the standalone rows exist (same drift-free
+    contract as :func:`_event_funnel_leg_sqls`)."""
+    from data_frame_spark.queries import ORACLE
+
+    return {
+        "mm": ORACLE["mean_max_value"],
+        "spline": ORACLE["spline_mean_max_curve"],
+    }
+
+
+def meanmax_curve_family_oracle_sql() -> str:
+    """Facet union of the mean-max ladder row and the spline
+    interpolation row — the r15 slot-funding merge candidate (net −1;
+    both r13-checked). The legs share the entire integral-probe
+    pipeline conceptually but are embedded verbatim (subquery legs,
+    the format_roundtrip recipe) so the merged SQL is provably the
+    pair that was green in CORRECTNESS_r13. Superset columns:
+    duration is shared; best_mean/pos/inverted are mm-only;
+    interpolated_mean is spline-only (all nullable on both
+    engines)."""
+    legs = _meanmax_leg_sqls()
+    return f"""
+    WITH mm_leg AS (SELECT * FROM ({legs["mm"]})),
+    spline_leg AS (SELECT * FROM ({legs["spline"]}))
+    SELECT 'mm' AS facet, duration, best_mean, pos, inverted,
+           CAST(NULL AS DOUBLE) AS interpolated_mean
+    FROM mm_leg
+    UNION ALL
+    SELECT 'spline', duration, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS BOOLEAN), interpolated_mean
+    FROM spline_leg
+    """
+
+
+def meanmax_curve_family_spark(spark, sf_dir):
+    """Spark side of the r15 meanmax_curve_family candidate: the
+    mean-max ladder (+ inverted facet) and the spline-interpolated
+    curve, facet-unioned with typed-NULL superset columns. The two
+    legs run mean_max independently (same stance as the oracle's
+    verbatim legs: provably the r13-green pipelines; a shared-fit
+    variant would change the spline's knot inputs ordering
+    guarantees for zero measured win — each leg is sub-second)."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators import meanmax as OpMM
+    from data_frame_spark.operators import spline as OpSpline
+    from data_frame_spark.queries import (
+        _MM_DURS, _SPLINE_KNOTS, _SPLINE_PROBES, t,
+    )
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "x", F.col("ts_us") / F.lit(1000000.0)
+    )
+    mm = OpMM.mean_max(
+        ev, "value", "x", durations=_MM_DURS, slice_scale=6,
+        inverted_durations=[3600, 86400],
+    ).select(
+        F.lit("mm").alias("facet"), "duration", "best_mean", "pos", "inverted",
+        F.lit(None).cast("double").alias("interpolated_mean"),
+    )
+    knots = OpMM.mean_max(
+        ev, "value", "x", durations=[int(x) for x in _SPLINE_KNOTS], slice_scale=6
+    )
+    sp = OpSpline.fit_spline(knots, "duration", "best_mean")
+    probes = spark.createDataFrame([(s,) for s in _SPLINE_PROBES], ["duration"])
+    spline = probes.select(
+        F.lit("spline").alias("facet"), "duration",
+        F.lit(None).cast("double").alias("best_mean"),
+        F.lit(None).cast("double").alias("pos"),
+        F.lit(None).cast("boolean").alias("inverted"),
+        F.round(sp.predict(F.col("duration")), 6).alias("interpolated_mean"),
+    )
+    return mm.unionByName(spline)

@@ -275,3 +275,53 @@ def test_hop_distances_matches_brute_force_and_layout(spark):
     assert zero == {0: 0, 7: 0}
     with pytest.raises(ValueError):
         hop_distances(df, sdf, max_hops=-1)
+
+
+def _brute_kcore(edges, k, rounds):
+    """Sequential synchronous peel: exactly `rounds` iterations of
+    drop-nodes-with-degree<k, then surviving (node, degree)."""
+    cur = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    for _ in range(rounds):
+        deg = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        cur = {(u, v) for u, v in cur if u in keep and v in keep}
+    deg = {}
+    for u, v in cur:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    return deg
+
+
+def test_k_core_matches_brute_force_and_cascades(spark):
+    from data_frame_spark.operators.graph import k_core
+
+    # a 4-clique with a pendant chain hanging off it: at k=2 the chain
+    # peels one link per round (the cascade), the clique survives
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for rounds in (0, 1, 2, 3, 4):
+        got = {
+            r["node"]: r["degree"]
+            for r in k_core(df, k=2, rounds=rounds).collect()
+        }
+        assert got == _brute_kcore(edges, 2, rounds), rounds
+    # converged state: only the clique remains, all degrees 3
+    got = {r["node"]: r["degree"] for r in k_core(df, k=2, rounds=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # idempotence once stable (the fixed-round oracle contract)
+    assert got == {
+        r["node"]: r["degree"] for r in k_core(df, k=2, rounds=9).collect()
+    }
+    # layout-independence: same answer on a different partitioning
+    assert got == {
+        r["node"]: r["degree"]
+        for r in k_core(df.repartition(5), k=2, rounds=3).collect()
+    }
+    # k=0 keeps everything; degree reported within the (whole) graph
+    assert {
+        r["node"]: r["degree"] for r in k_core(df, k=0, rounds=2).collect()
+    } == _brute_kcore(edges, 0, 2)

@@ -343,3 +343,55 @@ def test_graph_suite_family_oracle_matches_spark(spark, sf_dir, con):
     }
     assert len(got) > 300 and len({f for f, _ in got}) == 3
     assert got == want
+
+
+def test_kcore_oracle_matches_spark(spark, sf_dir, con):
+    got = {
+        r["node"]: r["degree"]
+        for r in OP.kcore_spark(spark, sf_dir).collect()
+    }
+    want = dict(con.execute(OP.kcore_oracle_sql()).fetchall())
+    assert len(got) > 100  # a real surviving core, not a trivial wipeout
+    assert got == want
+
+
+def test_event_funnel_family_oracle_matches_spark(spark, sf_dir, con):
+    out = OP.event_funnel_family_spark(spark, sf_dir)
+    cols = [f.name for f in out.schema.fields]
+    got = sorted(
+        tuple(r[c] for c in cols) for r in out.collect()
+    )
+    want = sorted(con.execute(OP.event_funnel_family_oracle_sql()).fetchall())
+    assert len(got) > 20 and len({row[0] for row in got}) == 4
+    assert got == want
+
+
+def test_event_funnel_leg_sqls_are_the_registered_oracles():
+    # the merge's sub-oracles must stay verbatim copies of the
+    # standalone rows' decorated SQL while both exist (the drift pin;
+    # at registration the standalone rows retire)
+    from data_frame_spark.queries import ORACLE
+
+    legs = OP._event_funnel_leg_sqls()
+    assert legs["funnel"] == ORACLE["funnel_conversion_events"]
+    assert legs["retention"] == ORACLE["retention_cohorts_events"]
+    assert legs["attrib"] == ORACLE["clicks_to_purchases_events"]
+
+
+def test_meanmax_curve_family_oracle_matches_spark(spark, sf_dir, con):
+    out = OP.meanmax_curve_family_spark(spark, sf_dir)
+    cols = [f.name for f in out.schema.fields]
+    got = sorted(
+        tuple(r[c] for c in cols) for r in out.collect()
+    )
+    want = sorted(con.execute(OP.meanmax_curve_family_oracle_sql()).fetchall())
+    assert len(got) > 8 and len({row[0] for row in got}) == 2
+    assert got == want
+
+
+def test_meanmax_leg_sqls_are_the_registered_oracles():
+    from data_frame_spark.queries import ORACLE
+
+    legs = OP._meanmax_leg_sqls()
+    assert legs["mm"] == ORACLE["mean_max_value"]
+    assert legs["spline"] == ORACLE["spline_mean_max_curve"]

@@ -862,3 +862,46 @@ def test_bfs_round_is_vertex_keyed_min_merge(spark, sf_dir):
     assert "Window" not in plan
     assert "partial_min" in plan  # both the relax and the merge combine map-side
     assert not C.data_sized_partitionless_windows(rnd)
+
+
+def test_kcore_round_is_semi_join_peel(spark, sf_dir):
+    # one synchronous peel (pinned PRE-checkpoint, like _lpa_round):
+    # a map-combinable endpoint-degree aggregate plus two LEFT SEMI
+    # equi-joins — no window, no collected node set, no forced
+    # broadcast under the 100 TB planner simulation
+    from data_frame_spark.operators.graph import _kcore_round
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    und = (
+        li.select(
+            F.col("l_partkey").cast("long").alias("u"),
+            (F.col("l_suppkey") + 1_000_000).cast("long").alias("v"),
+        )
+        .distinct()
+    )
+    with C.scale_planner(spark):
+        rnd = _kcore_round(und, 5)
+        assert C.broadcasts_for_query("__kcore_round__", rnd) == []
+        plan = C.simple_plan(rnd)
+    assert "Window" not in plan
+    assert "partial_count" in plan  # the degree aggregate combines map-side
+    assert plan.count("LeftSemi") == 2  # u-side and v-side keep filters
+    assert not C.data_sized_partitionless_windows(rnd)
+
+
+def test_rollup_family_is_expand_plus_one_aggregate_per_facet(spark, sf_dir):
+    # the multi-level aggregation row must stay THE textbook Catalyst
+    # shape: one Expand node fanning rows into their grouping sets +
+    # one map-combinable partial aggregate per facet — never a join,
+    # never a window, never a self-union of the fact table per level
+    from data_frame_spark.queries import QUERIES
+
+    with C.scale_planner(spark):
+        df = QUERIES["rollup_family"](spark, sf_dir)
+        assert C.broadcasts_for_query("rollup_family", df) == []
+        plan = C.simple_plan(df)
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("Expand") == 3  # one per facet, not one per level
+    assert "partial_count" in plan
+    assert not C.data_sized_partitionless_windows(df)
