@@ -619,3 +619,85 @@ def _endpoint_degrees(und: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths, bounded Bellman-Ford —
+    the cost-aware sibling of :func:`hop_distances` (hops answer "how
+    far", weights answer "how expensive": cheapest supplier route,
+    lowest-friction provenance chain). No reference twin: net-new
+    graph analytics completing the suite.
+
+    Semantics: seeds are distance 0; each round relaxes one edge of
+    the min-plus recurrence dist(v) = min(dist(v), min over
+    in-neighbors u of dist(u) + w(u, v)). After ``max_rounds`` rounds
+    every node holds its cheapest cost over paths of <= max_rounds
+    edges (the full shortest path once max_rounds >= the shortest
+    path's hop count; Bellman-Ford needs |V|-1 rounds in the worst
+    case — callers bound it for the same reasons k_core bounds its
+    peel). Weights must be non-negative longs (micro-quantize money
+    upstream); pure integer min-plus — bit-identical on any engine
+    and partitioning. Unreachable nodes emit no row.
+
+    Scale shape per round: ONE dists⋈edges equi-join on the source
+    key + a map-combinable MIN on the destination, then the union
+    min-merge — identical exchanges to :func:`hop_distances` (the
+    weight rides the edge row); eagerly localCheckpoint-ed per round;
+    the per-round plan is pinned pre-checkpoint on
+    :func:`_sssp_round` in test_plans.py. ``prepared=True``-style
+    canonicalization is NOT skipped here: weights arrive from
+    arbitrary aggregates, so the cast/null-drop is load-bearing.
+    """
+    if max_rounds < 0:
+        raise ValueError("shortest_paths max_rounds must be >= 0")
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & F.col("w").isNotNull()
+        )
+        .localCheckpoint(eager=True)
+    )
+    dists = (
+        seeds.select(F.col(seed_col).cast("long").alias("node"))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        dists = _sssp_round(e, dists).localCheckpoint(eager=True)
+    return dists
+
+
+def _sssp_round(e: DataFrame, dists: DataFrame) -> DataFrame:
+    """One weighted min-plus relaxation, PRE-checkpoint: reached
+    in-neighbor costs propagate one edge (map-combinable MIN on the
+    destination), then min-merge with the running table — the
+    :func:`_bfs_round` shape with the weight riding the edge row."""
+    relaxed = (
+        e.join(dists, e["src"] == dists["node"])
+        .select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist"))
+    )
+    return (
+        dists.unionByName(relaxed)
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist"))
+    )

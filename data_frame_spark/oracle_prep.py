@@ -1377,3 +1377,82 @@ def meanmax_curve_family_spark(spark, sf_dir):
         F.round(sp.predict(F.col("duration")), 6).alias("interpolated_mean"),
     )
     return mm.unionByName(spline)
+
+
+def sssp_edges_sql() -> str:
+    """The WEIGHTED part<->supplier graph both engines use for the
+    shortest-paths twin: per distinct (part, supplier) pair the
+    cheapest observed lineitem extended price in exact cents, both
+    directions. CTE names (sw/we) disjoint from every other chain."""
+    return f"""
+    sw AS MATERIALIZED (
+      SELECT CAST(l_partkey AS BIGINT) AS src,
+             CAST(l_suppkey + {PAGERANK_SUPP_OFFSET} AS BIGINT) AS dst,
+             CAST(MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2),
+    we AS MATERIALIZED (SELECT src, dst, w FROM sw
+          UNION ALL SELECT dst AS src, src AS dst, w FROM sw)
+    """
+
+
+def sssp_oracle_sql(max_rounds: int = 4) -> str:
+    """DuckDB twin of ``operators/graph.py:shortest_paths`` on the
+    weighted part<->supplier graph, seeds = every-100th part: the
+    bounded Bellman-Ford min-plus relaxation unrolled into chained
+    CTE pairs (the bfs recipe with the weight riding the edge row).
+    CTE names (sd*/sr*) disjoint from every other chain."""
+    if max_rounds < 0:
+        raise ValueError("sssp_oracle_sql needs max_rounds >= 0")
+    parts = ["WITH " + sssp_edges_sql().strip().rstrip()] + _sssp_ctes(max_rounds)
+    body = ",\n    ".join(parts)
+    return f"{body}\n    SELECT node, dist FROM sd{max_rounds}"
+
+
+def _sssp_ctes(max_rounds: int) -> list[str]:
+    """The weighted relaxation chain (assumes ``we`` is in scope) —
+    shared by sssp_oracle_sql and any future graph-family facet."""
+    parts = [
+        """sd0 AS MATERIALIZED (
+      SELECT DISTINCT CAST(l_partkey AS BIGINT) AS node,
+             CAST(0 AS BIGINT) AS dist
+      FROM lineitem WHERE l_partkey % 100 = 0)""",
+    ]
+    for k in range(1, max_rounds + 1):
+        parts.append(
+            f"""sr{k} AS (SELECT e.dst AS node, MIN(d.dist + e.w) AS dist
+            FROM we e JOIN sd{k - 1} d ON d.node = e.src
+            GROUP BY e.dst),
+    sd{k} AS MATERIALIZED (
+      SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+      FROM (SELECT node, dist FROM sd{k - 1}
+            UNION ALL SELECT node, dist FROM sr{k})
+      GROUP BY node)"""
+        )
+    return parts
+
+
+def sssp_spark(spark, sf_dir):
+    """The Spark side the future registry row will use verbatim —
+    cheapest-cents weighted edges (both directions) through
+    operators/graph.py:shortest_paths, every-100th-part seeds."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.graph import shortest_paths
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sw = (
+        li.groupBy(
+            F.col("l_partkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + PAGERANK_SUPP_OFFSET).cast("long").alias("dst"),
+        )
+        .agg(
+            F.min(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("w")
+        )
+    )
+    we = sw.unionAll(
+        sw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return shortest_paths(we, _part_seeds(spark, sf_dir), max_rounds=4)

@@ -325,3 +325,40 @@ def test_k_core_matches_brute_force_and_cascades(spark):
     assert {
         r["node"]: r["degree"] for r in k_core(df, k=0, rounds=2).collect()
     } == _brute_kcore(edges, 0, 2)
+
+
+def test_shortest_paths_matches_brute_force(spark):
+    from data_frame_spark.operators.graph import shortest_paths
+
+    # weighted diamond + a far tail: the cheap 2-hop route (1-2-4,
+    # cost 3) must beat the direct heavy edge (1-4, cost 10), and the
+    # bound must truncate (node 6 needs 3 hops from seed 1)
+    edges = [(1, 2, 1), (2, 4, 2), (1, 4, 10), (1, 3, 4), (3, 4, 1),
+             (4, 5, 1), (5, 6, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+
+    def brute(rounds):
+        dist = {1: 0}
+        for _ in range(rounds):
+            nxt = dict(dist)
+            for u, v, w in edges:
+                if u in dist and dist[u] + w < nxt.get(v, 1 << 60):
+                    nxt[v] = dist[u] + w
+            dist = nxt
+        return dist
+
+    for rounds in (0, 1, 2, 3, 4):
+        got = {
+            r["node"]: r["dist"]
+            for r in shortest_paths(df, seeds, max_rounds=rounds).collect()
+        }
+        assert got == brute(rounds), rounds
+    # the cheap multi-hop route won, and truncation happened at r=2
+    assert brute(2)[4] == 3 and 6 not in brute(2) and brute(4)[6] == 5
+    # layout-independence
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(df.repartition(5), seeds, max_rounds=4).collect()
+    }
+    assert got == brute(4)

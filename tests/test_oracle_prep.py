@@ -395,3 +395,14 @@ def test_meanmax_leg_sqls_are_the_registered_oracles():
     legs = OP._meanmax_leg_sqls()
     assert legs["mm"] == ORACLE["mean_max_value"]
     assert legs["spline"] == ORACLE["spline_mean_max_curve"]
+
+
+def test_sssp_oracle_matches_spark(spark, sf_dir, con):
+    got = {
+        r["node"]: r["dist"] for r in OP.sssp_spark(spark, sf_dir).collect()
+    }
+    want = dict(con.execute(OP.sssp_oracle_sql(max_rounds=4)).fetchall())
+    assert len(got) > 100
+    # seeds at 0; weighted costs actually accumulate over multi-hop paths
+    assert 0 in set(got.values()) and max(got.values()) > 0
+    assert got == want

@@ -905,3 +905,34 @@ def test_rollup_family_is_expand_plus_one_aggregate_per_facet(spark, sf_dir):
     assert plan.count("Expand") == 3  # one per facet, not one per level
     assert "partial_count" in plan
     assert not C.data_sized_partitionless_windows(df)
+
+
+def test_sssp_round_is_vertex_keyed_min_merge(spark, sf_dir):
+    # one weighted min-plus relaxation (pinned PRE-checkpoint, the
+    # _bfs_round shape with the weight riding the edge row): a
+    # dists⋈edges equi-join, a map-combinable MIN on the destination,
+    # and the union min-merge — no window, no forced broadcast
+    from data_frame_spark.operators.graph import _sssp_round
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bset = li.groupBy(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).cast("long").alias("dst"),
+    ).agg(F.min(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("w"))
+    e = bset.unionAll(
+        bset.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    dists = (
+        li.where(F.col("l_partkey") % 100 == 0)
+        .select(F.col("l_partkey").cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+    )
+    with C.scale_planner(spark):
+        rnd = _sssp_round(e, dists)
+        assert C.broadcasts_for_query("__sssp_round__", rnd) == []
+        plan = C.simple_plan(rnd)
+    assert "Window" not in plan
+    assert "partial_min" in plan  # both the relax and the merge combine map-side
+    assert not C.data_sized_partitionless_windows(rnd)
