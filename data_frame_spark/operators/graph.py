@@ -658,19 +658,36 @@ def shortest_paths(
     """
     if max_rounds < 0:
         raise ValueError("shortest_paths max_rounds must be >= 0")
-    e = (
-        edges.select(
-            F.col(src_col).cast("long").alias("src"),
-            F.col(dst_col).cast("long").alias("dst"),
-            F.col(weight_col).cast("long").alias("w"),
-        )
-        .where(
-            F.col("src").isNotNull()
-            & F.col("dst").isNotNull()
-            & F.col("w").isNotNull()
-        )
-        .localCheckpoint(eager=True)
+    # the non-negative-weight contract is ENFORCED, not just stated: a
+    # negative weight makes bounded min-plus return walk costs, not
+    # distances. Folded into the canonicalizing expression (the
+    # connected_components raise_error recipe) so the check rides the
+    # edge-materialization job — zero extra jobs, zero extra scans.
+    _NEG_MSG = (
+        f"shortest_paths: {weight_col} contains negative weights; "
+        "min-plus distances require non-negative edge costs"
     )
+    w = F.col(weight_col).cast("long")
+    try:
+        e = (
+            edges.select(
+                F.col(src_col).cast("long").alias("src"),
+                F.col(dst_col).cast("long").alias("dst"),
+                F.when(w < 0, F.raise_error(F.lit(_NEG_MSG)).cast("long"))
+                .otherwise(w)
+                .alias("w"),
+            )
+            .where(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & F.col("w").isNotNull()
+            )
+            .localCheckpoint(eager=True)
+        )
+    except Exception as exc:  # surface the folded weight check
+        if "negative weights" in str(exc):
+            raise ValueError(_NEG_MSG) from None
+        raise
     dists = (
         seeds.select(F.col(seed_col).cast("long").alias("node"))
         .where(F.col("node").isNotNull())

@@ -426,7 +426,12 @@ def binary_ingest_spark(spark, sf_dir, path: str | None = None):
     from data_frame_spark.sources.binaryfiles import read_binary_dir
 
     # clean=True: a stale corpus from an earlier fixture shape (same
-    # PID) would otherwise survive into the *.wav glob as extra rows
+    # PID) would otherwise survive into the *.wav glob as extra rows.
+    # An EXPLICIT path gets no rmtree and no atexit (this code must
+    # not delete storage it doesn't own) — so the caller's contract
+    # is a directory that starts empty/nonexistent and is cleaned by
+    # the caller; stale user_*.wav files there would survive into the
+    # glob exactly like the local stale-corpus case (round-14 review).
     if path is None:
         path = _prep_tmp_dir("binary_ingest", sf_dir, clean=True)
 
@@ -1286,12 +1291,15 @@ def event_funnel_family_spark(spark, sf_dir):
     nb = F.lit(None).cast("long")
 
     def pad(df, leg):
-        have = set(df.columns)
+        # NULL-pad by the SAME owner sets the oracle projects from —
+        # padding by df.columns would let a leg accidentally carrying
+        # a same-named extra column pass real values where the oracle
+        # emits NULL (round-14 review)
         return df.select(
             "facet",
             *[
-                F.col(name) if name in have else nb.alias(name)
-                for name, _owners in _EVENT_FUNNEL_COLS
+                F.col(name) if leg in owners else nb.alias(name)
+                for name, owners in _EVENT_FUNNEL_COLS
             ],
         )
 

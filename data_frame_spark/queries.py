@@ -5895,7 +5895,7 @@ _FIRST = [
     # tests/test_oracle_prep.py last round (graph_suite_family =
     # triangles + LPA + BFS facets; format_roundtrip_family = ORC +
     # JSONL round-trip facets) and the two rows built AND proven this
-    # round (kcore_part_supplier, rollup_family).
+    # round (kcore_parts_cooccur, rollup_family).
     "graph_suite_family",
     "format_roundtrip_family",
     "kcore_parts_cooccur",

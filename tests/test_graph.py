@@ -362,3 +362,14 @@ def test_shortest_paths_matches_brute_force(spark):
         for r in shortest_paths(df.repartition(5), seeds, max_rounds=4).collect()
     }
     assert got == brute(4)
+
+
+def test_shortest_paths_rejects_negative_weights(spark):
+    import pytest
+
+    from data_frame_spark.operators.graph import shortest_paths
+
+    df = spark.createDataFrame([(1, 2, 3), (2, 3, -1)], "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="negative weights"):
+        shortest_paths(df, seeds, max_rounds=2)
