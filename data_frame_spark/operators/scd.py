@@ -1,0 +1,90 @@
+"""Type-2 slowly-changing-dimension application (SCD2) — the
+warehouse/CDC primitive the reference's in-memory frame never needs
+(its ``df-set!`` mutates in place, ``/root/reference/private/df.rkt``
+179-182) but any durable dimension table does: apply a batch of
+timestamped attribute updates to a dimension snapshot and emit
+EFFECTIVE-DATED versions (valid_from / valid_to / is_current), with
+no-op updates collapsed so a version row exists only where the
+tracked attributes actually changed.
+
+Semantics (batch form, deterministic):
+
+* every snapshot row is a version at ``snapshot_ts``; every update
+  row is a version at its own timestamp;
+* per key, versions order by ``(ts, tracked...)`` — a TOTAL order,
+  so same-timestamp updates resolve identically on any engine and
+  partitioning (the integer-Lloyd determinism stance);
+* consecutive versions with identical tracked attributes collapse
+  into the earlier row (change detection via LAG over the tracked
+  struct);
+* ``valid_from`` = the surviving version's ts, ``valid_to`` = the
+  NEXT surviving version's ts (NULL ⇒ ``is_current``).
+
+Scale shape: ONE hash exchange on the key feeds both window passes
+(the lag-based change filter and the lead-based effective dating —
+same partition key, Spark reuses the partitioning and only re-sorts),
+then everything is narrow. No global window, no join, no collect;
+a hot key costs one sorted partition-range, bounded by that key's
+version count (update batches, not corpus size).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    snapshot: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    tracked_cols: Sequence[str],
+    ts_col: str,
+    snapshot_ts: int = 0,
+) -> DataFrame:
+    """Apply ``updates`` (key, tracked..., ts long) to ``snapshot``
+    (key, tracked...) and return effective-dated versions:
+    ``(key, tracked..., valid_from, valid_to, is_current)``.
+
+    ``ts`` values must be longs strictly greater than ``snapshot_ts``
+    for real updates (equal-to-snapshot timestamps would interleave
+    with the baseline version; enforced by contract, asserted by the
+    caller's fixture). NULL-keyed or NULL-ts rows are rejected loudly
+    — silently dropping them would emit a dimension missing versions.
+    """
+    tracked = list(tracked_cols)
+    if not tracked:
+        raise ValueError("scd2_apply needs at least one tracked column")
+    key = F.col(key_col)
+    base = snapshot.select(
+        key.cast("long").alias("__k"),
+        *[F.col(c) for c in tracked],
+        F.lit(int(snapshot_ts)).cast("long").alias("__ts"),
+    )
+    ups = updates.select(
+        key.cast("long").alias("__k"),
+        *[F.col(c) for c in tracked],
+        F.col(ts_col).cast("long").alias("__ts"),
+    )
+    versions = base.unionByName(ups).where(
+        F.col("__k").isNotNull() & F.col("__ts").isNotNull()
+    )
+    order = [F.col("__ts")] + [F.col(c) for c in tracked]
+    w = Window.partitionBy("__k").orderBy(*order)
+    attrs = F.struct(*[F.col(c) for c in tracked])
+    changed = versions.withColumn("__prev", F.lag(attrs).over(w)).where(
+        F.col("__prev").isNull() | (F.col("__prev") != attrs)
+    )
+    w2 = Window.partitionBy("__k").orderBy(*order)
+    return (
+        changed.withColumn("__next_ts", F.lead("__ts").over(w2))
+        .select(
+            F.col("__k").alias(key_col),
+            *tracked,
+            F.col("__ts").alias("valid_from"),
+            F.col("__next_ts").alias("valid_to"),
+            F.col("__next_ts").isNull().alias("is_current"),
+        )
+    )

@@ -1464,3 +1464,63 @@ def sssp_spark(spark, sf_dir):
         sw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     return shortest_paths(we, _part_seeds(spark, sf_dir), max_rounds=4)
+
+
+def scd2_oracle_sql() -> str:
+    """DuckDB twin of ``operators/scd.py:scd2_apply`` on the customer
+    dimension: the snapshot is version ts=0 per customer; the update
+    batch is one row per (customer, order day) carrying
+    MAX(o_orderpriority) as the new segment value (deterministic
+    same-ts collapse); windows replay the same (ts, tracked) total
+    order, LAG change filter and LEAD effective dating."""
+    return """
+    WITH scd_base AS (
+      SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg,
+             CAST(0 AS BIGINT) AS ts
+      FROM customer),
+    scd_ups AS (
+      SELECT CAST(o_custkey AS BIGINT) AS k, MAX(o_orderpriority) AS seg,
+             epoch_ns(o_orderdate)//1000 AS ts
+      FROM orders GROUP BY o_custkey, o_orderdate),
+    scd_v AS (SELECT * FROM scd_base UNION ALL SELECT * FROM scd_ups),
+    scd_chg AS (
+      SELECT k, seg, ts,
+             LAG(seg) OVER (PARTITION BY k ORDER BY ts, seg) AS prev
+      FROM scd_v),
+    scd_kept AS (
+      SELECT k, seg, ts FROM scd_chg WHERE prev IS NULL OR prev <> seg)
+    SELECT k AS c_custkey, seg AS c_mktsegment,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY k ORDER BY ts, seg) AS valid_to,
+           LEAD(ts) OVER (PARTITION BY k ORDER BY ts, seg) IS NULL
+               AS is_current
+    FROM scd_kept
+    """
+
+
+def scd2_spark(spark, sf_dir):
+    """The Spark side the future registry row will use verbatim —
+    customer snapshot + per-(customer, order-day) MAX-priority update
+    batch through operators/scd.py:scd2_apply."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.scd import scd2_apply
+    from data_frame_spark.queries import t
+
+    # t() pins session timezone UTC, so the TIMESTAMP_NTZ ->
+    # timestamp cast below extracts the same epoch micros DuckDB's
+    # epoch_ns sees (the load_table events recipe)
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ups = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderpriority").alias("c_mktsegment"))
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "c_mktsegment",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts"),
+        )
+    )
+    return scd2_apply(
+        cust, ups, "c_custkey", ["c_mktsegment"], "ts", snapshot_ts=0
+    )

@@ -18,7 +18,7 @@ from data_frame_spark import oracle_prep as OP
 @pytest.fixture(scope="module")
 def con(sf_dir):
     c = duckdb.connect()
-    for t in ("events", "lineitem", "documents"):
+    for t in ("events", "lineitem", "documents", "customer", "orders"):
         p = os.path.join(sf_dir, f"{t}.parquet")
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     yield c
@@ -406,3 +406,19 @@ def test_sssp_oracle_matches_spark(spark, sf_dir, con):
     # seeds at 0; weighted costs actually accumulate over multi-hop paths
     assert 0 in set(got.values()) and max(got.values()) > 0
     assert got == want
+
+
+def test_scd2_oracle_matches_spark(spark, sf_dir, con):
+    out = OP.scd2_spark(spark, sf_dir)
+    cols = [f.name for f in out.schema.fields]
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(con.execute(OP.scd2_oracle_sql()).fetchall())
+    assert len(got) > 100
+    assert got == want
+    # real SCD2 structure: exactly one current row per key, and the
+    # change-collapse actually dropped some no-op updates
+    by_key = {}
+    for k, _seg, _vf, vt, cur in got:
+        assert cur == (vt is None)
+        by_key.setdefault(k, []).append(cur)
+    assert all(sum(flags) == 1 for flags in by_key.values())

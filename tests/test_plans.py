@@ -936,3 +936,17 @@ def test_sssp_round_is_vertex_keyed_min_merge(spark, sf_dir):
     assert "Window" not in plan
     assert "partial_min" in plan  # both the relax and the merge combine map-side
     assert not C.data_sized_partitionless_windows(rnd)
+
+
+def test_scd2_is_one_key_exchange_two_sorted_windows(spark, sf_dir):
+    # both window passes (lag change-filter, lead effective dating)
+    # partition by the key — ONE hash exchange, no join, no
+    # partitionless window, no broadcast under the 100 TB planner
+    from data_frame_spark.oracle_prep import scd2_spark
+
+    with C.scale_planner(spark):
+        df = scd2_spark(spark, sf_dir)
+        assert C.broadcasts_for_query("__scd2__", df) == []
+        plan = C.simple_plan(df)
+    assert "Join" not in plan
+    assert not C.data_sized_partitionless_windows(df)
