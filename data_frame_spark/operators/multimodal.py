@@ -481,3 +481,119 @@ def resize_image(
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
         kernel, schema=RESIZE_SCHEMA
     )
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("bit_depth", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+#: PNG color type -> sample channels (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+#: JPEG SOF markers (baseline/extended/progressive/lossless + the
+#: arithmetic variants); NOT C4/C8/CC, which are DHT/JPG/DAC
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def _parse_png(data: bytes):
+    """(width, height, bit_depth, n_channels) from the IHDR chunk —
+    the spec REQUIRES IHDR first, so malformed orderings quarantine."""
+    if len(data) < 33 or data[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    if data[12:16] != b"IHDR" or int.from_bytes(data[8:12], "big") != 13:
+        return None
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    depth, color = data[24], data[25]
+    ch = _PNG_CHANNELS.get(color)
+    if w == 0 or h == 0 or ch is None:
+        return None
+    return w, h, depth, ch
+
+
+def _parse_jpeg(data: bytes):
+    """(width, height, bit_depth, n_channels) from the first SOF
+    marker segment — the standard marker walk (length-prefixed
+    segments; standalone RST/TEM/SOI/EOI markers carry no length)."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    off = 2
+    while off + 4 <= len(data):
+        if data[off] != 0xFF:
+            return None
+        marker = data[off + 1]
+        if marker == 0xFF:  # fill byte
+            off += 1
+            continue
+        if marker in (0x01, *range(0xD0, 0xD8)):  # TEM/RSTn: standalone
+            off += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seglen = int.from_bytes(data[off + 2:off + 4], "big")
+        if seglen < 2 or off + 2 + seglen > len(data):
+            return None
+        if marker in _JPEG_SOF:
+            seg = data[off + 4:off + 2 + seglen]
+            if len(seg) < 6:
+                return None
+            depth = seg[0]
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ch = seg[5]
+            if w == 0 or h == 0 or ch == 0:
+                return None
+            return w, h, depth, ch
+        off += 2 + seglen
+    return None
+
+
+def image_metadata(df: DataFrame, bin_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Image metadata over an opaque binary column — REAL (no codec
+    library) for PNG (IHDR chunk: width/height/bit depth/channels
+    from the color type) and JPEG (the SOF marker walk: precision,
+    dimensions, component count). Non-image or malformed payloads
+    come back ``ok=false`` (quarantine, the audio/video stance);
+    pixel decoding stays behind the PIL-gated ``decode_image``.
+
+    Scale shape: one narrow Arrow-batched ``mapInPandas`` pass —
+    payload bytes never shuffle; a few longs per row come out."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, payload in zip(pdf[id_col], pdf[bin_col]):
+                row = {
+                    "doc_id": _safe_id(i), "format": None, "width": None,
+                    "height": None, "bit_depth": None, "n_channels": None,
+                    "ok": False,
+                }
+                try:
+                    data = bytes(payload) if payload is not None else b""
+                    parsed, fmt = _parse_png(data), "png"
+                    if parsed is None:
+                        parsed, fmt = _parse_jpeg(data), "jpeg"
+                    if parsed is not None:
+                        w, h, depth, ch = parsed
+                        row.update(
+                            format=fmt, width=w, height=h, bit_depth=depth,
+                            n_channels=ch, ok=True,
+                        )
+                except Exception:
+                    pass  # quarantine row already in place
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_META_SCHEMA])
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        extract, schema=IMAGE_META_SCHEMA
+    )

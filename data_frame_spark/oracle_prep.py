@@ -1524,3 +1524,181 @@ def scd2_spark(spark, sf_dir):
     return scd2_apply(
         cust, ups, "c_custkey", ["c_mktsegment"], "ts", snapshot_ts=0
     )
+
+
+def _index_ops_leg_sqls() -> dict[str, str]:
+    """The two standalone ordered-index oracles (drift-free lazy
+    import — the _event_funnel_leg_sqls contract)."""
+    from data_frame_spark.queries import ORACLE
+
+    return {
+        "slice": ORACLE["row_range_slice"],
+        "equal_range": ORACLE["equal_range_count"],
+    }
+
+
+def index_ops_family_oracle_sql() -> str:
+    """Facet union of the row-range slice and equal-range rows — the
+    r15 slot-funding merge candidate #3 (net −1; both r13-checked).
+    l_quantity is the SHARED column (the slice facet's row value, the
+    equal-range facet's group key — same double type); n/first_key
+    are equal-range-only, l_orderkey/l_linenumber slice-only, all
+    nullable on both engines via the facet union."""
+    legs = _index_ops_leg_sqls()
+    return f"""
+    WITH slice_leg AS (SELECT * FROM ({legs["slice"]})),
+    er_leg AS (SELECT * FROM ({legs["equal_range"]}))
+    SELECT 'slice' AS facet, l_orderkey, l_linenumber, l_quantity,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS first_key
+    FROM slice_leg
+    UNION ALL
+    SELECT 'equal_range', CAST(NULL AS BIGINT), CAST(NULL AS INTEGER),
+           l_quantity, n, first_key
+    FROM er_leg
+    """
+
+
+def index_ops_family_spark(spark, sf_dir):
+    """Spark side of the r15 index_ops_family candidate: the lifted
+    row_range + equal-range pipelines, facet-unioned with typed-NULL
+    superset columns matching the oracle."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators import window as OpWindow
+    from data_frame_spark.queries import t
+
+    li = t(spark, sf_dir, "lineitem")
+    nb = F.lit(None).cast("long")
+    sl = OpWindow.row_range(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        ["l_orderkey", "l_linenumber"], 100, 120,
+    ).select(
+        F.lit("slice").alias("facet"),
+        "l_orderkey", "l_linenumber", "l_quantity",
+        nb.alias("n"), nb.alias("first_key"),
+    )
+    er = (
+        li.where(F.col("l_quantity").isin(1.0, 25.0, 50.0))
+        .groupBy("l_quantity")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("l_orderkey").alias("first_key"))
+        .select(
+            F.lit("equal_range").alias("facet"),
+            nb.alias("l_orderkey"),
+            F.lit(None).cast("int").alias("l_linenumber"),
+            "l_quantity", "n", "first_key",
+        )
+    )
+    return sl.unionByName(er)
+
+
+def png_bytes(width: int, height: int) -> bytes:
+    """Minimal VALID 8-bit grayscale PNG (signature + IHDR + one
+    zlib-compressed IDAT of zero scanlines + IEND, all CRCs real) —
+    the deterministic synthetic-image builder shared by the corpus
+    prep row and the multimodal tests. Loud-validation stance
+    (mp4_bytes): the builder must never emit contract-violating bytes
+    or kill an executor task."""
+    import struct
+    import zlib
+
+    width, height = int(width), int(height)
+    if not (1 <= width <= 0xFFFF and 1 <= height <= 0xFFFF):
+        raise ValueError("png_bytes needs 1 <= width/height <= 65535")
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            len(payload).to_bytes(4, "big") + typ + payload
+            + zlib.crc32(typ + payload).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + b"\x00" * width) * height  # filter 0 + zero pixels
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 1))
+        + chunk(b"IEND", b"")
+    )
+
+
+def jpeg_bytes(width: int, height: int, n_channels: int = 3) -> bytes:
+    """Minimal JPEG HEADER STREAM (SOI + JFIF APP0 + SOF0 + EOI) —
+    structurally valid for metadata walkers (which read dimensions
+    from the first SOF segment, the image_metadata contract); carries
+    no entropy-coded scan, so it is a metadata fixture, not a
+    renderable image (documented, the multimodal PIL stance)."""
+    width, height, n_channels = int(width), int(height), int(n_channels)
+    if not (1 <= width <= 0xFFFF and 1 <= height <= 0xFFFF):
+        raise ValueError("jpeg_bytes needs 1 <= width/height <= 65535")
+    if not (1 <= n_channels <= 4):
+        raise ValueError("jpeg_bytes needs 1 <= n_channels <= 4")
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big")
+    sof += bytes([n_channels])
+    for c in range(n_channels):
+        sof += bytes([c + 1, 0x11, 0])  # id, 1x1 sampling, quant table 0
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + (2 + len(app0)).to_bytes(2, "big") + app0
+        + b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+        + b"\xff\xd9"
+    )
+
+
+def image_corpus_oracle_sql() -> str:
+    """DuckDB twin of the future image_corpus_features row: per-user
+    image metadata computed straight from the events slice the Spark
+    side turns into REAL payloads (even users a valid zlib/CRC PNG,
+    odd users a JFIF+SOF0 header stream -> image_metadata's stdlib
+    walkers). Disjoint event slice (event_id % 3 = 1) from the wav
+    (= 2) and video (= 0) corpus rows. All-integer outputs with the
+    outer-BIGINT-cast discipline."""
+    return """
+    WITH x AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+               FROM events WHERE event_id % 3 = 1
+               GROUP BY user_id)
+    SELECT user_id AS doc_id,
+           CASE WHEN user_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+           CAST(16 + n % 240 AS BIGINT) AS width,
+           CAST(16 + user_id % 100 AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT)
+               AS n_channels,
+           TRUE AS ok
+    FROM x
+    """
+
+
+def image_corpus_spark(spark, sf_dir):
+    """The Spark side the future registry row will use verbatim: one
+    synthetic image per user built WITHOUT leaving the cluster
+    (mapInPandas over per-user event counts packs PNG containers for
+    even users, JPEG header streams for odd), then parsed back
+    through the REAL stdlib walkers (multimodal.image_metadata)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.multimodal import image_metadata
+
+    counts = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_id") % 3 == 1)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for u, n in zip(pdf["user_id"], pdf["n"]):
+                u, n = int(u), int(n)
+                w, h = 16 + n % 240, 16 + u % 100
+                payloads.append(
+                    png_bytes(w, h) if u % 2 == 0 else jpeg_bytes(w, h, 3)
+                )
+            yield pd.DataFrame(
+                {"user_id": pdf["user_id"].astype("int64"), "payload": payloads}
+            )
+
+    docs = counts.mapInPandas(build, schema="user_id long, payload binary")
+    return image_metadata(docs, "payload", "user_id")

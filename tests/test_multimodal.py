@@ -283,3 +283,67 @@ def test_extractors_quarantine_null_id(spark):
     for op in (audio_metadata, audio_waveform_features, video_metadata):
         (r,) = op(df, "payload").collect()
         assert r["ok"] is False and r["doc_id"] is None
+
+
+def test_image_metadata_parses_png_jpeg_and_quarantines(spark):
+    from data_frame_spark.operators.multimodal import image_metadata
+    from data_frame_spark.oracle_prep import jpeg_bytes, png_bytes
+
+    rows = [
+        (1, png_bytes(320, 200)),
+        (2, jpeg_bytes(64, 48, 3)),
+        (3, jpeg_bytes(65535, 1, 1)),   # field-width extremes
+        (4, b"\x89PNG\r\n\x1a\nJUNK"),  # truncated PNG: quarantine
+        (5, b"\xff\xd8\xff\xd9"),       # JPEG with no SOF: quarantine
+        (6, None),                       # NULL payload: quarantine
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in image_metadata(df, "payload").collect()}
+    r1 = got[1]
+    assert (r1["format"], r1["width"], r1["height"], r1["bit_depth"],
+            r1["n_channels"], r1["ok"]) == ("png", 320, 200, 8, 1, True)
+    r2 = got[2]
+    assert (r2["format"], r2["width"], r2["height"], r2["n_channels"],
+            r2["ok"]) == ("jpeg", 64, 48, 3, True)
+    r3 = got[3]
+    assert (r3["width"], r3["height"], r3["ok"]) == (65535, 1, True)
+    assert not got[4]["ok"] and not got[5]["ok"] and not got[6]["ok"]
+
+
+def test_image_builders_reject_contract_violations(spark):
+    import pytest
+
+    from data_frame_spark.oracle_prep import jpeg_bytes, png_bytes
+
+    for bad in (0, 65536, -1):
+        with pytest.raises(ValueError):
+            png_bytes(bad, 10)
+        with pytest.raises(ValueError):
+            jpeg_bytes(10, bad)
+    with pytest.raises(ValueError):
+        jpeg_bytes(10, 10, 0)
+
+
+def test_png_builder_emits_decodable_bytes():
+    # the PNG must be REAL (zlib stream + CRCs), not just a parseable
+    # header: re-walk the chunks and inflate the IDAT
+    import zlib
+
+    from data_frame_spark.oracle_prep import png_bytes
+
+    data = png_bytes(20, 5)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    off, chunks, idat = 8, [], b""
+    while off < len(data):
+        ln = int.from_bytes(data[off:off + 4], "big")
+        typ = data[off + 4:off + 8]
+        payload = data[off + 8:off + 8 + ln]
+        crc = int.from_bytes(data[off + 8 + ln:off + 12 + ln], "big")
+        assert crc == zlib.crc32(typ + payload), typ
+        chunks.append(typ)
+        if typ == b"IDAT":
+            idat += payload
+        off += 12 + ln
+    assert chunks == [b"IHDR", b"IDAT", b"IEND"]
+    raw = zlib.decompress(idat)
+    assert len(raw) == 5 * (1 + 20)  # filter byte + width, per scanline

@@ -422,3 +422,30 @@ def test_scd2_oracle_matches_spark(spark, sf_dir, con):
         assert cur == (vt is None)
         by_key.setdefault(k, []).append(cur)
     assert all(sum(flags) == 1 for flags in by_key.values())
+
+
+def test_index_ops_family_oracle_matches_spark(spark, sf_dir, con):
+    out = OP.index_ops_family_spark(spark, sf_dir)
+    cols = [f.name for f in out.schema.fields]
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(con.execute(OP.index_ops_family_oracle_sql()).fetchall())
+    assert len(got) > 20 and len({row[0] for row in got}) == 2
+    assert got == want
+
+
+def test_index_ops_leg_sqls_are_the_registered_oracles():
+    from data_frame_spark.queries import ORACLE
+
+    legs = OP._index_ops_leg_sqls()
+    assert legs["slice"] == ORACLE["row_range_slice"]
+    assert legs["equal_range"] == ORACLE["equal_range_count"]
+
+
+def test_image_corpus_oracle_matches_spark(spark, sf_dir, con):
+    out = OP.image_corpus_spark(spark, sf_dir)
+    cols = [f.name for f in out.schema.fields]
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(con.execute(OP.image_corpus_oracle_sql()).fetchall())
+    assert len(got) > 10 and len({row[1] for row in got}) == 2
+    assert all(row[-1] for row in got)  # every payload parsed ok
+    assert got == want
