@@ -551,7 +551,7 @@ def _bfs_round(e: DataFrame, dists: DataFrame) -> DataFrame:
 def k_core(
     edges: DataFrame,
     k: int,
-    rounds: int = 4,
+    rounds: int | None = 4,
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
@@ -569,10 +569,12 @@ def k_core(
     idempotent once stable, so extra rounds are no-ops, and the
     result after exactly N rounds is bit-identical on any engine and
     partitioning (pure integer counts + equality logic — the LPA/BFS
-    determinism stance). The TRUE k-core needs O(degeneracy) rounds;
-    callers wanting certainty pass rounds high enough that the last
-    round deletes nothing (cheap: a stable round is two aggregates
-    over an already-shrunken edge set). Output: (node, degree) for
+    determinism stance). ``rounds=None`` peels to convergence instead
+    (the TRUE k-core): edge counts shrink monotonically, so the
+    count-equality fixpoint test is exact and costs one tiny
+    aggregate per round that doubles as the checkpoint job — use it
+    when the caller needs the invariant rather than the replayable
+    round count. Output: (node, degree) for
     every surviving node, degree measured within the surviving
     subgraph.
 
@@ -586,8 +588,8 @@ def k_core(
     """
     if k < 0:
         raise ValueError("k_core k must be >= 0")
-    if rounds < 0:
-        raise ValueError("k_core rounds must be >= 0")
+    if rounds is not None and rounds < 0:
+        raise ValueError("k_core rounds must be >= 0 (or None for to-convergence)")
     a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
     und = (
         edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
@@ -595,9 +597,25 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
-        und = _kcore_round(und, k).localCheckpoint(eager=True)
-    return _endpoint_degrees(und)
+    if rounds is not None:
+        for _ in range(rounds):
+            und = _kcore_round(und, k).localCheckpoint(eager=True)
+        return _endpoint_degrees(und)
+    # rounds=None: the TRUE k-core — peel until a round deletes
+    # nothing. Edge counts are monotonically non-increasing, so
+    # count-equality IS set-equality here (no signature needed, unlike
+    # the connected_components fixpoint whose edge sets can churn at
+    # constant size); one tiny count aggregate per round, and it
+    # doubles as the job that materializes the round's checkpoint.
+    n_old = und.count()
+    while True:
+        stepped = _kcore_round(und, k).localCheckpoint(eager=True)
+        n_new = stepped.count()
+        und.unpersist()
+        und = stepped
+        if n_new == n_old:
+            return _endpoint_degrees(und)
+        n_old = n_new
 
 
 def _kcore_round(und: DataFrame, k: int) -> DataFrame:

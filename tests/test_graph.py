@@ -373,3 +373,18 @@ def test_shortest_paths_rejects_negative_weights(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     with pytest.raises(ValueError, match="negative weights"):
         shortest_paths(df, seeds, max_rounds=2)
+
+
+def test_k_core_to_convergence_equals_long_fixed_run(spark):
+    from data_frame_spark.operators.graph import k_core
+
+    # chain peels one link per round at k=2: convergence must walk
+    # all the way down and match a generously-bounded fixed run
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 7), (7, 8)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    conv = {r["node"]: r["degree"] for r in k_core(df, k=2, rounds=None).collect()}
+    fixed = {r["node"]: r["degree"] for r in k_core(df, k=2, rounds=20).collect()}
+    assert conv == fixed == {1: 3, 2: 3, 3: 3, 4: 3}
+    # a wipeout (k above max degree) converges to the empty core
+    assert k_core(df, k=9, rounds=None).count() == 0
