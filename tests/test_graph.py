@@ -388,3 +388,23 @@ def test_k_core_to_convergence_equals_long_fixed_run(spark):
     assert conv == fixed == {1: 3, 2: 3, 3: 3, 4: 3}
     # a wipeout (k above max degree) converges to the empty core
     assert k_core(df, k=9, rounds=None).count() == 0
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(st.integers(0, 10_000))
+def test_k_core_random_graphs_match_brute_peel(spark, seed):
+    from data_frame_spark.operators.graph import k_core
+
+    rng = random.Random(seed)
+    n = rng.randint(2, 25)
+    m = rng.randint(1, 50)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [(u, v) for u, v in edges if u != v] or [(0, 1)]
+    k = rng.randint(1, 4)
+    rounds = rng.randint(0, 3)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["degree"]
+        for r in k_core(df, k=k, rounds=rounds).collect()
+    }
+    assert got == _brute_kcore(edges, k, rounds), (seed, k, rounds)
