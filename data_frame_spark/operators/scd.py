@@ -88,3 +88,61 @@ def scd2_apply(
             F.col("__next_ts").isNull().alias("is_current"),
         )
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Snapshot reconciliation — classify every key as ``added``
+    (only in ``new``), ``removed`` (only in ``old``) or ``changed``
+    (present in both with any compared column differing, NULL-safe);
+    unchanged keys emit NO row, so the output is proportional to the
+    drift, not the table. The audit primitive for "what did this
+    pipeline run actually change" — pairs with :func:`scd2_apply`
+    (diff two snapshots, then effective-date the changes).
+
+    Output: key columns + ``change`` + ``old_<c>`` / ``new_<c>`` for
+    every compared column (NULL on the absent side).
+
+    Scale shape: ONE key-partitioned full-outer equi-join (sort-merge
+    at corpus size — neither side is broadcastable and none is
+    forced), then a narrow classify-and-filter. Duplicate keys on
+    either side are a caller bug that would cross-multiply; keys are
+    asserted unique upstream by contract (the dimension-table
+    invariant).
+    """
+    keys = list(key_cols)
+    comps = list(compare_cols)
+    if not keys:
+        raise ValueError("table_diff needs at least one key column")
+    if not comps:
+        raise ValueError("table_diff needs at least one compare column")
+    o = old.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(f"old_{c}") for c in comps],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k).alias(k) for k in keys],
+        *[F.col(c).alias(f"new_{c}") for c in comps],
+        F.lit(True).alias("__in_new"),
+    )
+    j = o.join(n, keys, "full_outer")
+    differs = None
+    for c in comps:
+        d = ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(*keys, "change", *[f"old_{c}" for c in comps],
+                *[f"new_{c}" for c in comps])
+    )

@@ -1702,3 +1702,62 @@ def image_corpus_spark(spark, sf_dir):
 
     docs = counts.mapInPandas(build, schema="user_id long, payload binary")
     return image_metadata(docs, "payload", "user_id")
+
+
+def table_diff_oracle_sql() -> str:
+    """DuckDB twin of ``operators/scd.py:table_diff`` on the customer
+    dimension vs a deterministically drifted snapshot: custkey % 11 = 0
+    rows removed, % 7 = 0 rows re-segmented, supplier-derived rows
+    (key-offset into a disjoint id space) added. Full-outer join +
+    NULL-safe classify, unchanged keys dropped."""
+    return """
+    WITH td_old AS (
+      SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg
+      FROM customer),
+    td_new AS (
+      SELECT k, CASE WHEN k % 7 = 0 THEN 'RESEGMENTED' ELSE seg END AS seg
+      FROM td_old WHERE k % 11 <> 0
+      UNION ALL
+      SELECT CAST(s_suppkey + 10000000 AS BIGINT), 'SUPPLIER'
+      FROM supplier),
+    j AS (
+      SELECT COALESCE(o.k, n.k) AS c_custkey,
+             o.seg AS old_seg, n.seg AS new_seg,
+             o.k IS NOT NULL AS in_old, n.k IS NOT NULL AS in_new
+      FROM td_old o FULL OUTER JOIN td_new n ON o.k = n.k)
+    SELECT c_custkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN old_seg IS DISTINCT FROM new_seg THEN 'changed'
+           END AS change,
+           old_seg AS old_c_mktsegment, new_seg AS new_c_mktsegment
+    FROM j
+    WHERE (CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN old_seg IS DISTINCT FROM new_seg THEN 'changed'
+           END) IS NOT NULL
+    """
+
+
+def table_diff_spark(spark, sf_dir):
+    """The Spark side the future registry row will use verbatim —
+    the same drifted snapshot through operators/scd.py:table_diff."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.scd import table_diff
+
+    old = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "c_mktsegment"
+    )
+    new = old.where(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("RESEGMENTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    ).unionByName(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+            (F.col("s_suppkey") + 10_000_000).cast("long").alias("c_custkey"),
+            F.lit("SUPPLIER").alias("c_mktsegment"),
+        )
+    )
+    return table_diff(old, new, ["c_custkey"], ["c_mktsegment"])

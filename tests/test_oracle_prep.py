@@ -18,7 +18,7 @@ from data_frame_spark import oracle_prep as OP
 @pytest.fixture(scope="module")
 def con(sf_dir):
     c = duckdb.connect()
-    for t in ("events", "lineitem", "documents", "customer", "orders"):
+    for t in ("events", "lineitem", "documents", "customer", "orders", "supplier"):
         p = os.path.join(sf_dir, f"{t}.parquet")
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     yield c
@@ -448,4 +448,14 @@ def test_image_corpus_oracle_matches_spark(spark, sf_dir, con):
     want = sorted(con.execute(OP.image_corpus_oracle_sql()).fetchall())
     assert len(got) > 10 and len({row[1] for row in got}) == 2
     assert all(row[-1] for row in got)  # every payload parsed ok
+    assert got == want
+
+
+def test_table_diff_oracle_matches_spark(spark, sf_dir, con):
+    out = OP.table_diff_spark(spark, sf_dir)
+    cols = [f.name for f in out.schema.fields]
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(con.execute(OP.table_diff_oracle_sql()).fetchall())
+    kinds = {row[1] for row in got}
+    assert kinds == {"added", "removed", "changed"}
     assert got == want

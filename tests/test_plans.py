@@ -950,3 +950,18 @@ def test_scd2_is_one_key_exchange_two_sorted_windows(spark, sf_dir):
         plan = C.simple_plan(df)
     assert "Join" not in plan
     assert not C.data_sized_partitionless_windows(df)
+
+
+def test_table_diff_is_one_full_outer_key_join(spark, sf_dir):
+    # snapshot reconciliation must be ONE key-partitioned full-outer
+    # equi-join + narrow classify — no window, and neither
+    # corpus-proportional side broadcast under the 100 TB planner
+    from data_frame_spark.oracle_prep import table_diff_spark
+
+    with C.scale_planner(spark):
+        df = table_diff_spark(spark, sf_dir)
+        assert C.broadcasts_for_query("__table_diff__", df) == []
+        plan = C.simple_plan(df)
+    assert "Window" not in plan
+    assert plan.count("FullOuter") == 1
+    assert not C.data_sized_partitionless_windows(df)

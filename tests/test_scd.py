@@ -107,3 +107,44 @@ def test_scd2_random_batches_match_brute(spark):
         assert got == _brute_scd2(snapshot, updates), seed
 
     go()
+
+
+def test_table_diff_classifies_and_drops_unchanged(spark):
+    from data_frame_spark.operators.scd import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "A", 10), (2, "B", None), (3, "C", 30), (4, "D", 40)],
+        "k long, seg string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "A", 10),          # unchanged: no row
+         (2, "B", None),        # NULL == NULL is unchanged (null-safe)
+         (3, "X", 30),          # changed (seg)
+         (5, "E", None)],       # added; 4 removed
+        "k long, seg string, v long",
+    )
+    got = sorted(
+        (r["k"], r["change"], r["old_seg"], r["new_seg"], r["old_v"], r["new_v"])
+        for r in table_diff(old, new, ["k"], ["seg", "v"]).collect()
+    )
+    assert got == [
+        (3, "changed", "C", "X", 30, 30),
+        (4, "removed", "D", None, 40, None),
+        (5, "added", None, "E", None, None),
+    ]
+    # NULL -> value on a compared column is a change, not noise
+    new2 = spark.createDataFrame([(2, "B", 7)], "k long, seg string, v long")
+    out2 = {
+        r["k"]: r["change"]
+        for r in table_diff(
+            old.where("k = 2"), new2, ["k"], ["seg", "v"]
+        ).collect()
+    }
+    assert out2 == {2: "changed"}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="compare column"):
+        table_diff(old, new, ["k"], [])
+    with pytest.raises(ValueError, match="key column"):
+        table_diff(old, new, [], ["seg"])
