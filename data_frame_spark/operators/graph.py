@@ -609,7 +609,11 @@ def k_core(
     # doubles as the job that materializes the round's checkpoint.
     n_old = und.count()
     while True:
-        stepped = _kcore_round(und, k).localCheckpoint(eager=True)
+        # LAZY checkpoint + count: the count IS the job that
+        # materializes the round (an eager checkpoint would launch its
+        # own job and make the count a redundant second one per round
+        # — round-14 review)
+        stepped = _kcore_round(und, k).localCheckpoint(eager=False)
         n_new = stepped.count()
         und.unpersist()
         und = stepped

@@ -51,26 +51,41 @@ def scd2_apply(
     ``ts`` values must be longs strictly greater than ``snapshot_ts``
     for real updates (equal-to-snapshot timestamps would interleave
     with the baseline version; enforced by contract, asserted by the
-    caller's fixture). NULL-keyed or NULL-ts rows are rejected loudly
-    — silently dropping them would emit a dimension missing versions.
+    caller's fixture). NULL or non-castable keys/timestamps raise
+    (folded raise_error, zero extra jobs) — silently dropping them
+    would emit a dimension missing versions.
     """
     tracked = list(tracked_cols)
     if not tracked:
         raise ValueError("scd2_apply needs at least one tracked column")
+    # NULL or non-castable keys/timestamps are REJECTED, not dropped —
+    # a silently vanished version row emits a dimension missing
+    # history. Folded into the canonicalizing expressions (the
+    # shortest_paths raise_error recipe): zero extra jobs.
+    _BAD = (
+        f"scd2_apply: {key_col}/{ts_col} contain NULLs or values that "
+        "do not cast to long; supply numeric keys and long timestamps"
+    )
+
+    def guard(col):
+        return (
+            F.when(col.cast("long").isNull(),
+                   F.raise_error(F.lit(_BAD)).cast("long"))
+            .otherwise(col.cast("long"))
+        )
+
     key = F.col(key_col)
     base = snapshot.select(
-        key.cast("long").alias("__k"),
+        guard(key).alias("__k"),
         *[F.col(c) for c in tracked],
         F.lit(int(snapshot_ts)).cast("long").alias("__ts"),
     )
     ups = updates.select(
-        key.cast("long").alias("__k"),
+        guard(key).alias("__k"),
         *[F.col(c) for c in tracked],
-        F.col(ts_col).cast("long").alias("__ts"),
+        guard(F.col(ts_col)).alias("__ts"),
     )
-    versions = base.unionByName(ups).where(
-        F.col("__k").isNotNull() & F.col("__ts").isNotNull()
-    )
+    versions = base.unionByName(ups)
     order = [F.col("__ts")] + [F.col(c) for c in tracked]
     w = Window.partitionBy("__k").orderBy(*order)
     attrs = F.struct(*[F.col(c) for c in tracked])

@@ -1564,29 +1564,24 @@ def index_ops_family_spark(spark, sf_dir):
     superset columns matching the oracle."""
     from pyspark.sql import functions as F
 
-    from data_frame_spark.operators import window as OpWindow
-    from data_frame_spark.queries import t
+    # reuse the REGISTERED standalone pipelines (no inline copy — the
+    # Spark side mirrors the oracle side's registry reuse, so neither
+    # leg can drift from the row it merges; round-14 review). At
+    # registration the retiring bodies move here, the same snapshot
+    # motion as the leg SQL.
+    from data_frame_spark.queries import QUERIES
 
-    li = t(spark, sf_dir, "lineitem")
     nb = F.lit(None).cast("long")
-    sl = OpWindow.row_range(
-        li.select("l_orderkey", "l_linenumber", "l_quantity"),
-        ["l_orderkey", "l_linenumber"], 100, 120,
-    ).select(
+    sl = QUERIES["row_range_slice"](spark, sf_dir).select(
         F.lit("slice").alias("facet"),
         "l_orderkey", "l_linenumber", "l_quantity",
         nb.alias("n"), nb.alias("first_key"),
     )
-    er = (
-        li.where(F.col("l_quantity").isin(1.0, 25.0, 50.0))
-        .groupBy("l_quantity")
-        .agg(F.count(F.lit(1)).alias("n"), F.min("l_orderkey").alias("first_key"))
-        .select(
-            F.lit("equal_range").alias("facet"),
-            nb.alias("l_orderkey"),
-            F.lit(None).cast("int").alias("l_linenumber"),
-            "l_quantity", "n", "first_key",
-        )
+    er = QUERIES["equal_range_count"](spark, sf_dir).select(
+        F.lit("equal_range").alias("facet"),
+        nb.alias("l_orderkey"),
+        F.lit(None).cast("int").alias("l_linenumber"),
+        "l_quantity", "n", "first_key",
     )
     return sl.unionByName(er)
 

@@ -148,3 +148,16 @@ def test_table_diff_classifies_and_drops_unchanged(spark):
         table_diff(old, new, ["k"], [])
     with pytest.raises(ValueError, match="key column"):
         table_diff(old, new, [], ["seg"])
+
+
+def test_scd2_rejects_null_and_noncastable_keys(spark):
+    from data_frame_spark.operators.scd import scd2_apply
+
+    snap = spark.createDataFrame([("CUST-001", "A")], "k string, seg string")
+    ups = spark.createDataFrame([("CUST-001", "B", 5)], "k string, seg string, ts long")
+    with pytest.raises(Exception, match="do not cast to long"):
+        scd2_apply(snap, ups, "k", ["seg"], "ts").collect()
+    snap2 = spark.createDataFrame([(1, "A")], "k long, seg string")
+    ups2 = spark.createDataFrame([(1, "B", None)], "k long, seg string, ts long")
+    with pytest.raises(Exception, match="do not cast to long"):
+        scd2_apply(snap2, ups2, "k", ["seg"], "ts").collect()
