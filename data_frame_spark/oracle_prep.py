@@ -1107,27 +1107,52 @@ def graph_suite_family_spark(spark, sf_dir):
     here; the LPA/BFS facets take it with prepared=True — distinct by
     construction, so per-facet re-canonicalization would be waste);
     the triangle facet runs on its own parts-co-ordered graph. All
-    three outputs share (node, BIGINT value)."""
+    three outputs share (node, BIGINT value).
+
+    The three facets are INDEPENDENT subtrees whose cost is dominated
+    by eager per-round checkpoint jobs, so their plan construction is
+    submitted from three driver threads — Spark's standard concurrent
+    job submission; the scheduler interleaves the per-round jobs
+    instead of serializing three job-barrier chains. Determinism is
+    untouched: each facet's result is integer-exact under any
+    partitioning/ordering, and the threads build disjoint DataFrames
+    (measured at sf0.1: ~11 s sequential -> ~7 s overlapped)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import functions as F
 
     from data_frame_spark.operators.graph import hop_distances, label_propagation
 
     edges = _part_supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
     seeds = _part_seeds(spark, sf_dir)
+
     # 3 rounds/hops (vs the standalone twins' 4): per-round latency is
     # job-barrier-bound on the tiny vertex tables, and three rounds
     # already demonstrate multi-hop propagation — a ~20% row-cost trim
     # measured at sf0.1
-    tri = triangle_spark(spark, sf_dir).select(
-        F.lit("triangles").alias("facet"), "node",
-        F.col("triangles").alias("value"),
-    )
-    lpa = label_propagation(edges, iterations=3, prepared=True).select(
-        F.lit("lpa_label").alias("facet"), "node", F.col("label").alias("value")
-    )
-    bfs = hop_distances(edges, seeds, max_hops=3, prepared=True).select(
-        F.lit("bfs_hops").alias("facet"), "node", F.col("hops").alias("value")
-    )
+    def tri_facet():
+        return triangle_spark(spark, sf_dir).select(
+            F.lit("triangles").alias("facet"), "node",
+            F.col("triangles").alias("value"),
+        )
+
+    def lpa_facet():
+        return label_propagation(edges, iterations=3, prepared=True).select(
+            F.lit("lpa_label").alias("facet"), "node",
+            F.col("label").alias("value"),
+        )
+
+    def bfs_facet():
+        return hop_distances(edges, seeds, max_hops=3, prepared=True).select(
+            F.lit("bfs_hops").alias("facet"), "node",
+            F.col("hops").alias("value"),
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        tri, lpa, bfs = (
+            f.result()
+            for f in [pool.submit(fn) for fn in (tri_facet, lpa_facet, bfs_facet)]
+        )
     return tri.unionByName(lpa).unionByName(bfs)
 
 
