@@ -408,3 +408,37 @@ def test_k_core_random_graphs_match_brute_peel(spark, seed):
         for r in k_core(df, k=k, rounds=rounds).collect()
     }
     assert got == _brute_kcore(edges, k, rounds), (seed, k, rounds)
+
+
+def test_cooccurrence_graph_weights_and_threshold(spark):
+    from data_frame_spark.operators.graph import cooccurrence_graph
+
+    rows = [
+        ("g1", 1), ("g1", 2), ("g1", 3),
+        ("g2", 1), ("g2", 2),
+        ("g2", 2),            # duplicate (group, item): must not inflate
+        ("g3", 2), ("g3", 1),  # order within group is irrelevant
+        ("g4", 9),             # singleton group: no pairs
+        (None, 5), ("g5", None),  # null group/item dropped
+    ]
+    df = spark.createDataFrame(rows, "grp string, item long")
+    got = {
+        (r["u"], r["v"]): r["weight"]
+        for r in cooccurrence_graph(df, "grp", "item").collect()
+    }
+    assert got == {(1, 2): 3, (1, 3): 1, (2, 3): 1}
+    thr = {
+        (r["u"], r["v"]): r["weight"]
+        for r in cooccurrence_graph(df, "grp", "item", min_count=2).collect()
+    }
+    assert thr == {(1, 2): 3}
+    # composes with the suite: the thresholded graph feeds k_core etc.
+    from data_frame_spark.operators.graph import triangle_count
+
+    tri = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(
+            cooccurrence_graph(df, "grp", "item"), "u", "v"
+        ).collect()
+    }
+    assert tri == {1: 1, 2: 1, 3: 1}
