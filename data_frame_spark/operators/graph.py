@@ -204,6 +204,8 @@ def pagerank(
     iterations: int = 10,
     src_col: str = "src",
     dst_col: str = "dst",
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """Integer-exact PageRank (power iteration, damping 0.85): ranks
     are LONGS in micro units (init 1.0 = 1_000_000 per node; the
@@ -220,6 +222,14 @@ def pagerank(
     edges contribute once each (pre-``distinct`` upstream to change
     that). No reference twin: net-new graph analytics alongside
     :func:`connected_components`.
+
+    ``seeds`` switches to PERSONALIZED PageRank (seed-restart):
+    initial mass 1.0 (= 1_000_000 micro) on seed nodes only, and the
+    0.15 restart base paid only to seeds — relevance-from-here for
+    recommendations / provenance blast-radius, vs the global
+    centrality of the classic form. Same integer arithmetic, same
+    exactness contract; the seed indicator is attached to the node
+    table ONCE (a setup-time left join, never per-iteration).
 
     Scale shape: out-degrees join the edge list ONCE (one shuffle,
     checkpointed); each round is one ranks⋈edges shuffle on the
@@ -241,30 +251,54 @@ def pagerank(
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     ej = e.join(deg, "src").localCheckpoint(eager=True)
+    if seeds is None:
+        nodes = nodes.select(
+            "node", F.lit(150000).cast("long").alias("__base"),
+            F.lit(1_000_000).cast("long").alias("__init"),
+        )
+    else:
+        sd = (
+            seeds.select(F.col(seed_col).cast("long").alias("node"))
+            .where(F.col("node").isNotNull())
+            .distinct()
+            .select("node", F.lit(True).alias("__is_seed"))
+        )
+        is_seed = F.col("__is_seed").isNotNull() & F.col("__is_seed")
+        nodes = nodes.join(sd, "node", "left").select(
+            "node",
+            F.when(is_seed, F.lit(150000)).otherwise(F.lit(0))
+            .cast("long").alias("__base"),
+            F.when(is_seed, F.lit(1_000_000)).otherwise(F.lit(0))
+            .cast("long").alias("__init"),
+        )
     nodes = nodes.localCheckpoint(eager=True)
-    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank_micro"))
-    # contribution-less nodes keep only the 0.15 base — expressed as a
-    # ZERO-CONTRIBUTION row per node unioned into the existing sum
-    # aggregate instead of a per-iteration nodes⋈contribs left join:
-    # identical arithmetic (sum + 0 = coalesce(sum, 0)), one fewer
-    # shuffle per iteration (the LPA self-vote recipe, round 14)
-    zero = nodes.select("node", F.lit(0).cast("long").alias("__c"))
+    ranks = nodes.select("node", F.col("__init").alias("rank_micro"))
+    # contribution-less nodes keep only their restart base — expressed
+    # as a ZERO-CONTRIBUTION row per node unioned into the existing
+    # sum aggregate instead of a per-iteration nodes⋈contribs left
+    # join: identical arithmetic (sum + 0 = coalesce(sum, 0)), one
+    # fewer shuffle per iteration (the LPA self-vote recipe, round
+    # 14). The zero rows also carry the node's base (MAX-combined:
+    # contribution rows carry 0), so the per-node restart needs no
+    # join either.
+    zero = nodes.select(
+        "node", F.lit(0).cast("long").alias("__c"), F.col("__base").alias("__b")
+    )
     for _ in range(iterations):
         contribs = (
             ej.join(ranks, ej["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_micro div __deg").alias("__c"),
+                F.lit(0).cast("long").alias("__b"),
             )
             .unionByName(zero)
             .groupBy("node")
-            .agg(F.sum("__c").alias("__s"))
+            .agg(F.sum("__c").alias("__s"), F.max("__b").alias("__base"))
         )
         ranks = contribs.select(
             "node",
-            (
-                F.lit(150000).cast("long") + F.expr("85 * __s div 100")
-            ).alias("rank_micro"),
+            (F.col("__base") + F.expr("85 * __s div 100")).alias("rank_micro"),
         ).localCheckpoint(eager=True)
     return ranks
 

@@ -1781,3 +1781,55 @@ def table_diff_spark(spark, sf_dir):
         )
     )
     return table_diff(old, new, ["c_custkey"], ["c_mktsegment"])
+
+
+def ppr_oracle_sql(iterations: int = 4) -> str:
+    """DuckDB twin of personalized PageRank (``pagerank`` with
+    ``seeds=``) on the part<->supplier graph, seeds = every-100th
+    part: the pagerank replay with the restart base and initial mass
+    paid only to seeds. CTE names (pnodes/pp*/pc*) disjoint from the
+    classic chain (nodes/r*/c*)."""
+    if iterations < 1:
+        raise ValueError("ppr_oracle_sql needs >= 1 iteration")
+    parts = [
+        "WITH " + pagerank_edges_sql().strip().rstrip(),
+        """pnodes AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN node % 100 = 0 AND node < 1000000
+                  THEN CAST(150000 AS BIGINT) ELSE CAST(0 AS BIGINT)
+             END AS base,
+             CASE WHEN node % 100 = 0 AND node < 1000000
+                  THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT)
+             END AS init
+      FROM (SELECT DISTINCT src AS node FROM e
+            UNION SELECT DISTINCT dst FROM e)),
+    pdeg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    pp0 AS (SELECT node, init AS r FROM pnodes)""",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""pc{i} AS (SELECT e.dst AS node, SUM(r.r // g.d) AS s
+           FROM e JOIN pdeg g USING (src)
+                  JOIN pp{i - 1} r ON r.node = e.src
+           GROUP BY e.dst),
+    pp{i} AS (SELECT n.node,
+                    CAST(n.base + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+             FROM pnodes n LEFT JOIN pc{i} c USING (node))"""
+        )
+    body = ",\n    ".join(parts)
+    return f"{body}\n    SELECT node, r AS rank_micro FROM pp{iterations}"
+
+
+def ppr_spark(spark, sf_dir):
+    """The Spark side a future registry row will use verbatim —
+    seed-restart pagerank on the shared fixture edges, every-100th
+    part seeds (the BFS seed set: parts only, hence the
+    ``node < 1000000`` guard in the oracle's seed predicate — the
+    supplier offset keeps seed arithmetic unambiguous)."""
+    from data_frame_spark.operators.graph import pagerank
+
+    return pagerank(
+        _part_supplier_edges(spark, sf_dir),
+        iterations=4,
+        seeds=_part_seeds(spark, sf_dir),
+    )

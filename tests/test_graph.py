@@ -442,3 +442,36 @@ def test_cooccurrence_graph_weights_and_threshold(spark):
         ).collect()
     }
     assert tri == {1: 1, 2: 1, 3: 1}
+
+
+def test_personalized_pagerank_brute_force(spark):
+    from data_frame_spark.operators.graph import pagerank
+
+    # star: 1 <-> 2, 1 <-> 3 (both directions), seed = {2}
+    edges = [(1, 2), (2, 1), (1, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(2,)], "node long")
+
+    def brute(iters):
+        deg = {1: 2, 2: 1, 3: 1}
+        base = {1: 0, 2: 150000, 3: 0}
+        r = {1: 0, 2: 1_000_000, 3: 0}
+        for _ in range(iters):
+            c = {n: 0 for n in deg}
+            for u, v in edges:
+                c[v] += r[u] // deg[u]
+            r = {n: base[n] + 85 * c[n] // 100 for n in deg}
+        return r
+
+    for iters in (0, 1, 2, 3):
+        got = {
+            r["node"]: r["rank_micro"]
+            for r in pagerank(df, iterations=iters, seeds=seeds).collect()
+        }
+        assert got == brute(iters), iters
+    # classic path unchanged by the refactor: uniform base everywhere
+    classic = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(df, iterations=2).collect()
+    }
+    assert set(classic) == {1, 2, 3} and all(v > 150000 for v in classic.values())

@@ -459,3 +459,21 @@ def test_table_diff_oracle_matches_spark(spark, sf_dir, con):
     kinds = {row[1] for row in got}
     assert kinds == {"added", "removed", "changed"}
     assert got == want
+
+
+def test_ppr_oracle_matches_spark(spark, sf_dir, con):
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in OP.ppr_spark(spark, sf_dir).collect()
+    }
+    want = dict(con.execute(OP.ppr_oracle_sql(iterations=4)).fetchall())
+    assert len(got) > 100
+    # personalization is real: non-seed-reachable mass stays 0 only if
+    # disconnected — on this connected fixture every node ends > 0 by
+    # hop 2+, but ranks must SKEW toward seeds (seed mean > global)
+    seeds = {n for n in got if n % 100 == 0 and n < 1_000_000}
+    assert seeds
+    seed_mean = sum(got[n] for n in seeds) / len(seeds)
+    global_mean = sum(got.values()) / len(got)
+    assert seed_mean > global_mean
+    assert got == want
