@@ -263,13 +263,21 @@ def pagerank(
             .distinct()
             .select("node", F.lit(True).alias("__is_seed"))
         )
-        is_seed = F.col("__is_seed").isNotNull() & F.col("__is_seed")
-        nodes = nodes.join(sd, "node", "left").select(
-            "node",
-            F.when(is_seed, F.lit(150000)).otherwise(F.lit(0))
-            .cast("long").alias("__base"),
-            F.when(is_seed, F.lit(1_000_000)).otherwise(F.lit(0))
-            .cast("long").alias("__init"),
+        # edge-less seeds stay in the node table (union, not just a
+        # join onto edge endpoints): a seed with no edges keeps its
+        # restart mass and appears in the output instead of silently
+        # vanishing (round-14 review). F.when treats a NULL condition
+        # as false, so the bare indicator suffices.
+        nodes = (
+            nodes.unionByName(sd.select("node")).distinct()
+            .join(sd, "node", "left")
+            .select(
+                "node",
+                F.when(F.col("__is_seed"), F.lit(150000)).otherwise(F.lit(0))
+                .cast("long").alias("__base"),
+                F.when(F.col("__is_seed"), F.lit(1_000_000)).otherwise(F.lit(0))
+                .cast("long").alias("__init"),
+            )
         )
     nodes = nodes.localCheckpoint(eager=True)
     ranks = nodes.select("node", F.col("__init").alias("rank_micro"))
@@ -803,10 +811,31 @@ def cooccurrence_graph(
     """
     if min_count < 1:
         raise ValueError("cooccurrence_graph min_count must be >= 1")
+    # item ids must be orderable longs for the u < v pair form. String
+    # items (terms) hash deterministically via xxhash64 — callers keep
+    # their own id->term mapping when they need to read edges back; a
+    # silent cast('long') on terms would NULL every row out (round-14
+    # review). Non-castable NUMERIC junk raises via the folded
+    # raise_error recipe instead of vanishing.
+    from pyspark.sql.types import StringType
+
+    item = F.col(item_col)
+    if isinstance(df.schema[item_col].dataType, StringType):
+        item_id = F.xxhash64(item)
+    else:
+        _BAD = (
+            f"cooccurrence_graph: {item_col} contains values that do "
+            "not cast to long; use numeric or string item ids"
+        )
+        item_id = (
+            F.when(item.isNotNull() & item.cast("long").isNull(),
+                   F.raise_error(F.lit(_BAD)).cast("long"))
+            .otherwise(item.cast("long"))
+        )
     base = (
         df.select(
             F.col(group_col).alias("__g"),
-            F.col(item_col).cast("long").alias("__i"),
+            item_id.alias("__i"),
         )
         .where(F.col("__g").isNotNull() & F.col("__i").isNotNull())
         .distinct()

@@ -1793,12 +1793,12 @@ def ppr_oracle_sql(iterations: int = 4) -> str:
         raise ValueError("ppr_oracle_sql needs >= 1 iteration")
     parts = [
         "WITH " + pagerank_edges_sql().strip().rstrip(),
-        """pnodes AS MATERIALIZED (
+        f"""pnodes AS MATERIALIZED (
       SELECT node,
-             CASE WHEN node % 100 = 0 AND node < 1000000
+             CASE WHEN node % 100 = 0 AND node < {PAGERANK_SUPP_OFFSET}
                   THEN CAST(150000 AS BIGINT) ELSE CAST(0 AS BIGINT)
              END AS base,
-             CASE WHEN node % 100 = 0 AND node < 1000000
+             CASE WHEN node % 100 = 0 AND node < {PAGERANK_SUPP_OFFSET}
                   THEN CAST(1000000 AS BIGINT) ELSE CAST(0 AS BIGINT)
              END AS init
       FROM (SELECT DISTINCT src AS node FROM e

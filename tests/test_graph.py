@@ -475,3 +475,36 @@ def test_personalized_pagerank_brute_force(spark):
         for r in pagerank(df, iterations=2).collect()
     }
     assert set(classic) == {1, 2, 3} and all(v > 150000 for v in classic.values())
+
+
+def test_cooccurrence_graph_hashes_string_items(spark):
+    from data_frame_spark.operators.graph import cooccurrence_graph
+
+    df = spark.createDataFrame(
+        [("d1", "apple"), ("d1", "pear"), ("d2", "apple"), ("d2", "pear")],
+        "doc string, term string",
+    )
+    got = {
+        (r["u"], r["v"]): r["weight"]
+        for r in cooccurrence_graph(df, "doc", "term").collect()
+    }
+    # one (apple, pear) edge co-occurring in both docs — ids are the
+    # deterministic xxhash64 of the terms
+    assert list(got.values()) == [2]
+    (u, v), = got.keys()
+    assert u < v and u != 0
+
+
+def test_ppr_keeps_edgeless_seeds(spark):
+    from data_frame_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = spark.createDataFrame([(2,), (99,)], "node long")  # 99 has no edges
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(df, iterations=2, seeds=seeds).collect()
+    }
+    # the edge-less seed keeps its restart base and stays in the output
+    assert got[99] == 150000
+    assert set(got) == {1, 2, 99}
