@@ -161,3 +161,53 @@ def test_scd2_rejects_null_and_noncastable_keys(spark):
     ups2 = spark.createDataFrame([(1, "B", None)], "k long, seg string, ts long")
     with pytest.raises(Exception, match="do not cast to long"):
         scd2_apply(snap2, ups2, "k", ["seg"], "ts").collect()
+
+
+def _brute_diff(old_rows, new_rows):
+    o = {k: (seg, v) for k, seg, v in old_rows}
+    n = {k: (seg, v) for k, seg, v in new_rows}
+    out = []
+    for k in set(o) | set(n):
+        if k not in o:
+            out.append((k, "added", None, n[k][0], None, n[k][1]))
+        elif k not in n:
+            out.append((k, "removed", o[k][0], None, o[k][1], None))
+        elif o[k] != n[k]:
+            out.append((k, "changed", o[k][0], n[k][0], o[k][1], n[k][1]))
+    return sorted(out, key=lambda r: r[0])
+
+
+def test_table_diff_random_snapshots_match_brute(spark):
+    import random
+
+    from hypothesis import given, settings, strategies as st
+
+    from data_frame_spark.operators.scd import table_diff
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(st.integers(0, 10_000))
+    def go(seed):
+        rng = random.Random(seed)
+
+        def snap():
+            return [
+                (k, rng.choice(["A", "B", None]), rng.choice([1, 2, None]))
+                for k in rng.sample(range(10), rng.randint(0, 8))
+            ]
+
+        old_rows, new_rows = snap(), snap()
+        old = spark.createDataFrame(old_rows, "k long, seg string, v long") \
+            if old_rows else spark.createDataFrame([], "k long, seg string, v long")
+        new = spark.createDataFrame(new_rows, "k long, seg string, v long") \
+            if new_rows else spark.createDataFrame([], "k long, seg string, v long")
+        got = sorted(
+            (
+                (r["k"], r["change"], r["old_seg"], r["new_seg"],
+                 r["old_v"], r["new_v"])
+                for r in table_diff(old, new, ["k"], ["seg", "v"]).collect()
+            ),
+            key=lambda r: r[0],
+        )
+        assert got == _brute_diff(old_rows, new_rows), seed
+
+    go()
