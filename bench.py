@@ -37,6 +37,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: list casually; a changed subset breaks comparability and must be
 #: called out in the round notes. Merged rows keep their merged name
 #: (mean_max_user_family absorbed the former mean_max_by_user).
+# round-14 composition note: the HEADLINE subset is UNCHANGED this
+# round (no member merged or renamed), so headline_subset_total stays
+# directly comparable to r13. The FULL-registry total gains the four
+# new rows (graph_suite_family ~8-12 s of genuinely new iterative
+# graph work, format_roundtrip_family ~1.4 s, kcore_parts_cooccur
+# ~2.9 s, rollup_family ~1.4 s) — expect ~+15-18 s of pure
+# composition shift on top of r13's 146.6 s; per-query values are the
+# comparable unit there.
 HEADLINE: list[str] = [
     "pricing_summary",
     "regional_revenue",
