@@ -37,14 +37,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: list casually; a changed subset breaks comparability and must be
 #: called out in the round notes. Merged rows keep their merged name
 #: (mean_max_user_family absorbed the former mean_max_by_user).
-# round-14 composition note: the HEADLINE subset is UNCHANGED this
-# round (no member merged or renamed), so headline_subset_total stays
-# directly comparable to r13. The FULL-registry total gains the four
-# new rows (graph_suite_family ~8-12 s of genuinely new iterative
-# graph work, format_roundtrip_family ~1.4 s, kcore_parts_cooccur
-# ~2.9 s, rollup_family ~1.4 s) — expect ~+15-18 s of pure
-# composition shift on top of r13's 146.6 s; per-query values are the
-# comparable unit there.
+# round-15 composition note: mean_max_value + spline_mean_max_curve
+# retired into meanmax_curve_family (slot-funding merge, their SQL
+# verbatim), so the HEADLINE subset swaps those two names for the
+# family row. The family runs BOTH legs' pipelines, so the subset
+# total is comparable to r14 (same work, one name); r15-start
+# same-session control: the two standalone rows summed 9.1 s. The
+# FULL-registry total
+# gains the five new registrations (sssp/scd2/table_diff/image/ppr,
+# ~+6-8 s of genuinely new work) and loses the nine standalone rows'
+# separate session overheads (−9 rows of ~0.3-3 s each); per-query
+# values are the comparable unit there.
 HEADLINE: list[str] = [
     "pricing_summary",
     "regional_revenue",
@@ -76,11 +79,13 @@ HEADLINE: list[str] = [
     "session_windows_30m",
     "dsir_importance_docs",
     "stratified_sample_docs",
-    "mean_max_value",
+    # round-15: mean_max_value + spline_mean_max_curve merged into
+    # meanmax_curve_family (both legs' pipelines run on the one row,
+    # so the subset keeps measuring the same work under one name)
+    "meanmax_curve_family",
     "mean_max_user_family",
     "histogram_family",
     "quantiles_price_and_value",
-    "spline_mean_max_curve",
 ]
 
 
@@ -163,20 +168,39 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    # The driver captures only an output TAIL; round 5's single long
-    # line grew past the capture window and lost its head (BENCH_r05
-    # parsed: null). Emit the big per-query dict on its own line FIRST,
-    # then a short final summary line that always survives truncation.
-    print(
-        json.dumps(
-            {
-                "per_query": timings,
-                "runs_per_query": RUNS,
-                "agg": "min",
-                "action": "full_row_hash",
-            }
+    emit_json(timings, sf_val, RUNS)
+
+
+def emit_json(timings: dict[str, float], sf_val, runs: int) -> None:
+    """Print the machine-readable bench lines (factored out so the
+    emission shape is unit-testable without a Spark run).
+
+    The driver captures only an output TAIL; round 5's single long
+    line grew past the capture window and lost its head (BENCH_r05
+    parsed: null), and by round 14 the one-line per-query dict for
+    100 queries outgrew the tail again (the r13-vs-r14 comparison
+    recovered only 9 overlapping queries — r14 verdict #5). So: the
+    per-query dict goes out SPLIT across multiple short JSON lines
+    (each well under 1 KB), then the short final summary line that
+    always survives truncation. Reassembly: merge the "queries"
+    dicts of every line carrying "per_query_part" (parts are
+    disjoint; "parts" gives the expected count)."""
+    names = list(timings)
+    CHUNK = 18  # ~30 bytes/entry -> ~600-byte lines
+    parts = [names[i:i + CHUNK] for i in range(0, len(names), CHUNK)]
+    for idx, part in enumerate(parts, start=1):
+        print(
+            json.dumps(
+                {
+                    "per_query_part": idx,
+                    "parts": len(parts),
+                    "runs_per_query": runs,
+                    "agg": "min",
+                    "action": "full_row_hash",
+                    "queries": {n: timings[n] for n in part},
+                }
+            )
         )
-    )
     headline = [n for n in HEADLINE if n in timings]
     print(
         json.dumps(

@@ -233,10 +233,12 @@ def pagerank(
 
     Scale shape: out-degrees join the edge list ONCE (one shuffle,
     checkpointed); each round is one ranks⋈edges shuffle on the
-    source key plus one map-combinable groupBy-sum on the
-    destination — O(iterations) rounds of vertex-keyed exchanges,
-    eagerly ``localCheckpoint``-ed so the iterative lineage never
-    re-executes earlier rounds (same stance as the CC loop).
+    source key, one map-combinable groupBy-sum on the destination,
+    and one vertex-keyed nodes⋈contribs left join restoring
+    contribution-less nodes — O(iterations) rounds of vertex-keyed
+    exchanges, eagerly ``localCheckpoint``-ed so the iterative
+    lineage never re-executes earlier rounds (same stance as the CC
+    loop).
     """
     if iterations < 0:
         raise ValueError("pagerank iterations must be >= 0")
@@ -281,33 +283,37 @@ def pagerank(
         )
     nodes = nodes.localCheckpoint(eager=True)
     ranks = nodes.select("node", F.col("__init").alias("rank_micro"))
-    # contribution-less nodes keep only their restart base — expressed
-    # as a ZERO-CONTRIBUTION row per node unioned into the existing
-    # sum aggregate instead of a per-iteration nodes⋈contribs left
-    # join: identical arithmetic (sum + 0 = coalesce(sum, 0)), one
-    # fewer shuffle per iteration (the LPA self-vote recipe, round
-    # 14). The zero rows also carry the node's base (MAX-combined:
-    # contribution rows carry 0), so the per-node restart needs no
-    # join either.
-    zero = nodes.select(
-        "node", F.lit(0).cast("long").alias("__c"), F.col("__base").alias("__b")
-    )
+    # contribution-less nodes keep only their restart base via a
+    # per-iteration nodes⋈contribs LEFT join (coalesce(Σ, 0)). The
+    # round-14 zero-contribution-union variant (one fewer shuffle per
+    # iteration on paper) was A/B'd against this shape in one session
+    # at sf0.1, min-of-3, bit-identical outputs: join 4.45 s vs union
+    # 4.88 s on the part<->supplier fixture — the union's extra
+    # aggregate volume (a zero row per node, plus the __b column
+    # through every exchange) costs more than the saved join at this
+    # density, so the join shape is kept (r15; docs/PLANS.md
+    # §"Round-15 PageRank A/B"). The nodes side is a checkpointed
+    # vertex table joined on its key — vertex-keyed, never a
+    # data-sized broadcast under the scale planner.
     for _ in range(iterations):
         contribs = (
             ej.join(ranks, ej["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_micro div __deg").alias("__c"),
-                F.lit(0).cast("long").alias("__b"),
             )
-            .unionByName(zero)
             .groupBy("node")
-            .agg(F.sum("__c").alias("__s"), F.max("__b").alias("__base"))
+            .agg(F.sum("__c").alias("__s"))
         )
-        ranks = contribs.select(
-            "node",
-            (F.col("__base") + F.expr("85 * __s div 100")).alias("rank_micro"),
-        ).localCheckpoint(eager=True)
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.col("__base") + F.expr("85 * coalesce(__s, 0) div 100"))
+                .alias("rank_micro"),
+            )
+            .localCheckpoint(eager=True)
+        )
     return ranks
 
 
@@ -657,7 +663,10 @@ def k_core(
         # — round-14 review)
         stepped = _kcore_round(und, k).localCheckpoint(eager=False)
         n_new = stepped.count()
-        und.unpersist()
+        # no per-round unpersist: DataFrame.unpersist is a no-op for
+        # localCheckpoint'd frames (checkpoint RDD blocks are released
+        # by the ContextCleaner when the old frame is GC'd — r14
+        # advice); rebinding `und` drops the only reference
         und = stepped
         if n_new == n_old:
             return _endpoint_degrees(und)
@@ -817,21 +826,35 @@ def cooccurrence_graph(
     # silent cast('long') on terms would NULL every row out (round-14
     # review). Non-castable NUMERIC junk raises via the folded
     # raise_error recipe instead of vanishing.
-    from pyspark.sql.types import StringType
+    from pyspark.sql.types import FractionalType, StringType
 
     item = F.col(item_col)
-    if isinstance(df.schema[item_col].dataType, StringType):
+    dtype = df.schema[item_col].dataType
+    if isinstance(dtype, StringType):
         item_id = F.xxhash64(item)
     else:
         _BAD = (
             f"cooccurrence_graph: {item_col} contains values that do "
             "not cast to long; use numeric or string item ids"
         )
-        item_id = (
-            F.when(item.isNotNull() & item.cast("long").isNull(),
-                   F.raise_error(F.lit(_BAD)).cast("long"))
-            .otherwise(item.cast("long"))
+        item_id = F.when(
+            item.isNotNull() & item.cast("long").isNull(),
+            F.raise_error(F.lit(_BAD)).cast("long"),
         )
+        if isinstance(dtype, FractionalType):
+            # fractional ids that are not whole numbers would silently
+            # truncate via cast('long') and collapse distinct items
+            # into one id (r14 advice) — raise loudly instead
+            _BAD_FRAC = (
+                f"cooccurrence_graph: {item_col} contains non-integer "
+                "fractional values that would truncate under "
+                "cast('long'); round or re-key the item ids first"
+            )
+            item_id = item_id.when(
+                item.isNotNull() & (item.cast("long") != item),
+                F.raise_error(F.lit(_BAD_FRAC)).cast("long"),
+            )
+        item_id = item_id.otherwise(item.cast("long"))
     base = (
         df.select(
             F.col(group_col).alias("__g"),

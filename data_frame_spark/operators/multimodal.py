@@ -540,6 +540,10 @@ def _parse_jpeg(data: bytes):
             continue
         if marker == 0xD9:  # EOI before any SOF
             return None
+        if marker == 0xDA:  # SOS before any SOF: a valid JPEG puts
+            return None  # SOF first; walking entropy-coded bytes as
+            # marker segments could misread a stray FF Cx as an SOF
+            # and emit garbage dimensions with ok=true (r14 advice)
         seglen = int.from_bytes(data[off + 2:off + 4], "big")
         if seglen < 2 or off + 2 + seglen > len(data):
             return None

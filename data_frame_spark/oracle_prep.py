@@ -1168,17 +1168,166 @@ def graph_suite_family_spark(spark, sf_dir):
 _FUNNEL_7D_US = 7 * 86400 * 1000000
 
 
-def _event_funnel_leg_sqls() -> dict[str, str]:
-    """The three standalone oracles, keyed by leg — lazy-imported
-    from the (fully initialized) queries registry while the
-    standalone rows still exist, so the copies can never drift."""
-    from data_frame_spark.queries import ORACLE
+#: Literal snapshot of the family oracle exactly as drift-pinned
+#: against the three standalone rows' r13-green SQL (the
+#: registration motion in docs/PLANS.md: printed from the lazy
+#: composition while funnel_conversion_events /
+#: retention_cohorts_events / clicks_to_purchases_events still
+#: existed, then frozen here as the single source).
+EVENT_FUNNEL_FAMILY_ORACLE = """\
 
-    return {
-        "funnel": ORACLE["funnel_conversion_events"],
-        "retention": ORACLE["retention_cohorts_events"],
-        "attrib": ORACLE["clicks_to_purchases_events"],
-    }
+    WITH funnel_leg AS (SELECT * FROM (
+    WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS tsn
+               FROM events),
+    
+    w1a AS (SELECT user_id, event_type, tsn,
+                  MIN(CASE WHEN event_type = 'view' THEN tsn END)
+                    OVER (PARTITION BY user_id) AS t1
+           FROM e),
+    w2a AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+                               AND tsn > t1  THEN tsn END)
+                       OVER (PARTITION BY user_id) AS t2
+           FROM w1a),
+    w3a AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+                               AND tsn > t2  THEN tsn END)
+                       OVER (PARTITION BY user_id) AS t3
+           FROM w2a),
+    ua AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+          FROM w3a GROUP BY user_id),
+    
+    w1b AS (SELECT user_id, event_type, tsn,
+                  MIN(CASE WHEN event_type = 'view' THEN tsn END)
+                    OVER (PARTITION BY user_id) AS t1
+           FROM e),
+    w2b AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+                               AND tsn > t1 AND tsn <= t1 + 604800000000 THEN tsn END)
+                       OVER (PARTITION BY user_id) AS t2
+           FROM w1b),
+    w3b AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+                               AND tsn > t2 AND tsn <= t2 + 604800000000 THEN tsn END)
+                       OVER (PARTITION BY user_id) AS t3
+           FROM w2b),
+    ub AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+          FROM w3b GROUP BY user_id)
+    
+    SELECT 'all' AS facet, user_id % 8 AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(t2 - t1) AS BIGINT) AS view_to_click_us,
+           CAST(SUM(t3 - t2) AS BIGINT) AS click_to_purchase_us
+    FROM ua GROUP BY user_id % 8
+    UNION ALL
+    
+    SELECT '7d' AS facet, user_id % 8 AS cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(t2 - t1) AS BIGINT) AS view_to_click_us,
+           CAST(SUM(t3 - t2) AS BIGINT) AS click_to_purchase_us
+    FROM ub GROUP BY user_id % 8
+    )),
+    retention_leg AS (SELECT * FROM (
+    WITH e AS (SELECT user_id, (epoch_ns(ts)//1000) // 604800000000 AS wk
+               FROM events),
+    a AS (SELECT DISTINCT user_id, wk FROM e),
+    c AS (SELECT user_id, wk,
+                 MIN(wk) OVER (PARTITION BY user_id) AS cohort
+          FROM a),
+    g AS (SELECT cohort, wk - cohort AS wk_offset,
+                 CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM c GROUP BY cohort, wk - cohort),
+    s AS (SELECT *, MAX(CASE WHEN wk_offset = 0 THEN n_users END)
+                      OVER (PARTITION BY cohort) AS cohort_size
+          FROM g)
+    SELECT cohort AS cohort_week, wk_offset, n_users, cohort_size,
+           n_users * 1000000 // cohort_size AS retention_micro
+    FROM s
+    )),
+    attrib_leg AS (SELECT * FROM (
+    WITH e AS (SELECT user_id, event_id, event_type, value,
+                      epoch_ns(ts)//1000 AS ts_us
+               FROM events),
+    c AS (SELECT user_id, event_id AS click_id, ts_us AS click_us
+          FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us, value
+          FROM e WHERE event_type = 'purchase')
+    SELECT c.user_id, c.click_id, p.purchase_id,
+           p.purchase_us//1000000 - c.click_us//1000000 AS lag_seconds,
+           CAST(FLOOR(p.value * 1e6 + 0.5) AS BIGINT) AS purchase_value_micro
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.purchase_us >= c.click_us
+     AND p.purchase_us <= c.click_us + 1800000000
+    ))
+    SELECT facet AS facet,
+           cohort,
+           n_users,
+           n_view,
+           n_click,
+           n_purchase,
+           view_to_click_us,
+           click_to_purchase_us,
+           CAST(NULL AS BIGINT) AS cohort_week,
+           CAST(NULL AS BIGINT) AS wk_offset,
+           CAST(NULL AS BIGINT) AS cohort_size,
+           CAST(NULL AS BIGINT) AS retention_micro,
+           CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS BIGINT) AS click_id,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS BIGINT) AS lag_seconds,
+           CAST(NULL AS BIGINT) AS purchase_value_micro
+    FROM funnel_leg
+    UNION ALL
+    SELECT 'retention' AS facet,
+           CAST(NULL AS BIGINT) AS cohort,
+           n_users,
+           CAST(NULL AS BIGINT) AS n_view,
+           CAST(NULL AS BIGINT) AS n_click,
+           CAST(NULL AS BIGINT) AS n_purchase,
+           CAST(NULL AS BIGINT) AS view_to_click_us,
+           CAST(NULL AS BIGINT) AS click_to_purchase_us,
+           cohort_week,
+           wk_offset,
+           cohort_size,
+           retention_micro,
+           CAST(NULL AS BIGINT) AS user_id,
+           CAST(NULL AS BIGINT) AS click_id,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS BIGINT) AS lag_seconds,
+           CAST(NULL AS BIGINT) AS purchase_value_micro
+    FROM retention_leg
+    UNION ALL
+    SELECT 'attrib' AS facet,
+           CAST(NULL AS BIGINT) AS cohort,
+           CAST(NULL AS BIGINT) AS n_users,
+           CAST(NULL AS BIGINT) AS n_view,
+           CAST(NULL AS BIGINT) AS n_click,
+           CAST(NULL AS BIGINT) AS n_purchase,
+           CAST(NULL AS BIGINT) AS view_to_click_us,
+           CAST(NULL AS BIGINT) AS click_to_purchase_us,
+           CAST(NULL AS BIGINT) AS cohort_week,
+           CAST(NULL AS BIGINT) AS wk_offset,
+           CAST(NULL AS BIGINT) AS cohort_size,
+           CAST(NULL AS BIGINT) AS retention_micro,
+           user_id,
+           click_id,
+           purchase_id,
+           lag_seconds,
+           purchase_value_micro
+    FROM attrib_leg
+    """
+
+
+def event_funnel_family_oracle_sql() -> str:
+    """Facet union of the three r13-checked event-analytics oracles
+    on one NULL-superset schema (every data column BIGINT, nullable
+    on both engines) — registered r15 (slot-funding merge, net −2).
+    Funnel rows keep their own 'all'/'7d' facet values; the other
+    legs tag 'retention' / 'attrib'."""
+    return EVENT_FUNNEL_FAMILY_ORACLE
 
 
 #: the NULL-superset column plan: (name, producing leg). `facet` is
@@ -1203,39 +1352,15 @@ _EVENT_FUNNEL_COLS = [
 ]
 
 
-def event_funnel_family_oracle_sql() -> str:
-    """Facet union of the three r13-checked event-analytics oracles
-    on one NULL-superset schema (every data column BIGINT, nullable
-    on both engines) — the r15 slot-funding merge candidate (net −2).
-    Funnel rows keep their own 'all'/'7d' facet values; the other
-    legs tag 'retention' / 'attrib'."""
-    legs = _event_funnel_leg_sqls()
+def event_funnel_leg(spark, sf_dir, leg: str):
+    """One leg of event_funnel_family, pre-union — the three
+    standalone bodies moved here verbatim at registration. Exposed
+    per-leg so the plan pins (tests/test_misc_ops.py) keep asserting
+    each leg's own shuffle budget, not the union's sum.
 
-    def proj(leg: str, facet_expr: str) -> str:
-        cols = ",\n           ".join(
-            name if leg in owners else f"CAST(NULL AS BIGINT) AS {name}"
-            for name, owners in _EVENT_FUNNEL_COLS
-        )
-        return f"SELECT {facet_expr} AS facet,\n           {cols}\n    FROM {leg}_leg"
-
-    return f"""
-    WITH funnel_leg AS (SELECT * FROM ({legs["funnel"]})),
-    retention_leg AS (SELECT * FROM ({legs["retention"]})),
-    attrib_leg AS (SELECT * FROM ({legs["attrib"]}))
-    {proj("funnel", "facet")}
-    UNION ALL
-    {proj("retention", "'retention'")}
-    UNION ALL
-    {proj("attrib", "'attrib'")}
-    """
-
-
-def event_funnel_family_spark(spark, sf_dir):
-    """Spark side of the r15 event_funnel_family candidate: the three
-    standalone pipelines (lifted bodies — funnel_steps 'all'/'7d'
-    facets, the collect_set retention matrix, the 30-minute
-    click->purchase interval join), facet-unioned with typed-NULL
-    superset columns matching the oracle."""
+    - 'funnel': funnel_steps 'all'/'7d' facets per 8-way user cohort.
+    - 'retention': the collect_set weekly retention matrix.
+    - 'attrib': the 30-minute click->purchase interval join."""
     from pyspark.sql import Window, functions as F
 
     from data_frame_spark.operators import window as OpWindow
@@ -1244,74 +1369,99 @@ def event_funnel_family_spark(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
 
-    def funnel_facet(name: str, within):
-        stepped = OpWindow.funnel_steps(
-            ev.select("user_id", "event_type", F.col("ts_us").alias("tsn")),
-            steps=["view", "click", "purchase"],
-            entity_col="user_id", type_col="event_type", ts_col="tsn",
-            within=within,
-        )
-        u = stepped.groupBy("user_id").agg(
-            F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
-        )
-        return (
-            u.groupBy((F.col("user_id") % 8).alias("cohort"))
-            .agg(
-                F.count(F.lit(1)).alias("n_users"),
-                F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("n_view"),
-                F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("n_click"),
-                F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias(
-                    "n_purchase"
-                ),
-                F.sum(F.col("t2") - F.col("t1")).alias("view_to_click_us"),
-                F.sum(F.col("t3") - F.col("t2")).alias("click_to_purchase_us"),
+    if leg == "funnel":
+        def funnel_facet(name: str, within):
+            stepped = OpWindow.funnel_steps(
+                ev.select("user_id", "event_type", F.col("ts_us").alias("tsn")),
+                steps=["view", "click", "purchase"],
+                entity_col="user_id", type_col="event_type", ts_col="tsn",
+                within=within,
             )
-            .select(F.lit(name).alias("facet"), "*")
+            u = stepped.groupBy("user_id").agg(
+                F.min("t1").alias("t1"), F.min("t2").alias("t2"),
+                F.min("t3").alias("t3"),
+            )
+            return (
+                u.groupBy((F.col("user_id") % 8).alias("cohort"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_users"),
+                    F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias(
+                        "n_view"
+                    ),
+                    F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias(
+                        "n_click"
+                    ),
+                    F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias(
+                        "n_purchase"
+                    ),
+                    F.sum(F.col("t2") - F.col("t1")).alias("view_to_click_us"),
+                    F.sum(F.col("t3") - F.col("t2")).alias("click_to_purchase_us"),
+                )
+                .select(F.lit(name).alias("facet"), "*")
+            )
+
+        return funnel_facet("all", None).unionAll(
+            funnel_facet("7d", _FUNNEL_7D_US)
         )
 
-    funnel = funnel_facet("all", None).unionAll(
-        funnel_facet("7d", _FUNNEL_7D_US)
-    )
-
-    wk = F.expr("ts_us div 604800000000")
-    peruser = (
-        ev.select("user_id", wk.alias("wk"))
-        .groupBy("user_id")
-        .agg(F.collect_set("wk").alias("wks"))
-    )
-    c = peruser.select(
-        F.array_min("wks").alias("cohort"), F.explode("wks").alias("wk")
-    )
-    g = c.groupBy(
-        F.col("cohort"), (F.col("wk") - F.col("cohort")).alias("wk_offset")
-    ).agg(F.count(F.lit(1)).alias("n_users"))
-    retention = (
-        g.withColumn(
-            "cohort_size",
-            F.max(F.when(F.col("wk_offset") == 0, F.col("n_users"))).over(
-                Window.partitionBy("cohort")
-            ),
+    if leg == "retention":
+        wk = F.expr("ts_us div 604800000000")
+        peruser = (
+            ev.select("user_id", wk.alias("wk"))
+            .groupBy("user_id")
+            .agg(F.collect_set("wk").alias("wks"))
         )
-        .select(
-            F.lit("retention").alias("facet"),
-            F.col("cohort").alias("cohort_week"),
-            "wk_offset",
-            "n_users",
-            "cohort_size",
-            F.expr("n_users * 1000000 div cohort_size").alias("retention_micro"),
+        c = peruser.select(
+            F.array_min("wks").alias("cohort"), F.explode("wks").alias("wk")
         )
-    )
+        g = c.groupBy(
+            F.col("cohort"), (F.col("wk") - F.col("cohort")).alias("wk_offset")
+        ).agg(F.count(F.lit(1)).alias("n_users"))
+        return (
+            g.withColumn(
+                "cohort_size",
+                F.max(F.when(F.col("wk_offset") == 0, F.col("n_users"))).over(
+                    Window.partitionBy("cohort")
+                ),
+            )
+            .select(
+                F.lit("retention").alias("facet"),
+                F.col("cohort").alias("cohort_week"),
+                "wk_offset",
+                "n_users",
+                "cohort_size",
+                F.expr("n_users * 1000000 div cohort_size").alias(
+                    "retention_micro"
+                ),
+            )
+        )
 
-    attrib = clicks_to_purchases(ev, within="30 minutes").select(
-        F.lit("attrib").alias("facet"),
-        "user_id",
-        "click_id",
-        "purchase_id",
-        "lag_seconds",
-        F.floor(F.col("purchase_value") * 1e6 + F.lit(0.5))
-        .cast("long")
-        .alias("purchase_value_micro"),
-    )
+    if leg == "attrib":
+        return clicks_to_purchases(ev, within="30 minutes").select(
+            F.lit("attrib").alias("facet"),
+            "user_id",
+            "click_id",
+            "purchase_id",
+            "lag_seconds",
+            F.floor(F.col("purchase_value") * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("purchase_value_micro"),
+        )
+
+    raise ValueError(f"unknown event_funnel leg: {leg!r}")
+
+
+def event_funnel_family_spark(spark, sf_dir):
+    """Spark side of the registered event_funnel_family row: the three
+    standalone pipelines (funnel_steps 'all'/'7d' facets, the
+    collect_set retention matrix, the 30-minute click->purchase
+    interval join), facet-unioned with typed-NULL superset columns
+    matching the oracle."""
+    from pyspark.sql import functions as F
+
+    funnel = event_funnel_leg(spark, sf_dir, "funnel")
+    retention = event_funnel_leg(spark, sf_dir, "retention")
+    attrib = event_funnel_leg(spark, sf_dir, "attrib")
 
     nb = F.lit(None).cast("long")
 
@@ -1335,32 +1485,89 @@ def event_funnel_family_spark(spark, sf_dir):
     )
 
 
-def _meanmax_leg_sqls() -> dict[str, str]:
-    """The two standalone mean-max oracles, lazy-imported from the
-    queries registry while the standalone rows exist (same drift-free
-    contract as :func:`_event_funnel_leg_sqls`)."""
-    from data_frame_spark.queries import ORACLE
+#: Literal snapshot (same registration motion) of the facet union of
+#: the mean-max ladder row and the spline interpolation row, exactly
+#: the pair that was green in CORRECTNESS_r13.
+MEANMAX_CURVE_FAMILY_ORACLE = """\
 
-    return {
-        "mm": ORACLE["mean_max_value"],
-        "spline": ORACLE["spline_mean_max_curve"],
-    }
-
-
-def meanmax_curve_family_oracle_sql() -> str:
-    """Facet union of the mean-max ladder row and the spline
-    interpolation row — the r15 slot-funding merge candidate (net −1;
-    both r13-checked). The legs share the entire integral-probe
-    pipeline conceptually but are embedded verbatim (subquery legs,
-    the format_roundtrip recipe) so the merged SQL is provably the
-    pair that was green in CORRECTNESS_r13. Superset columns:
-    duration is shared; best_mean/pos/inverted are mm-only;
-    interpolated_mean is spline-only (all nullable on both
-    engines)."""
-    legs = _meanmax_leg_sqls()
-    return f"""
-    WITH mm_leg AS (SELECT * FROM ({legs["mm"]})),
-    spline_leg AS (SELECT * FROM ({legs["spline"]}))
+    WITH mm_leg AS (SELECT * FROM (
+    WITH pts AS (SELECT (epoch_ns(ts)//1000)/1000000.0 AS x, value AS y
+                 FROM events WHERE value IS NOT NULL),
+         s AS (SELECT x, y,
+                      (x - LAG(x) OVER w) * (LAG(y) OVER w + y)/2 AS slice,
+                      LEAD(x) OVER w AS nx
+               FROM pts WINDOW w AS (ORDER BY x)),
+         a AS (SELECT x, nx,
+                      COALESCE(SUM(CAST(FLOOR(slice * 1000000.0 + 0.5) AS BIGINT))
+                               OVER (ORDER BY x ROWS UNBOUNDED PRECEDING), 0) / 1000000.0 AS A,
+                      MAX(x) OVER () AS xmax
+               FROM s),
+         d AS (SELECT CAST(UNNEST([60, 300, 900, 3600, 14400, 86400]) AS DOUBLE) AS duration),
+         probes AS (SELECT a.x AS pos, d.duration, a.A AS A_start,
+                           a.x + d.duration AS k
+                    FROM a CROSS JOIN d
+                    WHERE a.nx IS NOT NULL AND a.x + d.duration <= a.xmax),
+         back AS (SELECT p.pos, p.duration, p.A_start, p.k, b.x AS x0, b.A AS A0
+                  FROM probes p ASOF LEFT JOIN a b ON p.k >= b.x),
+         fwd AS (SELECT p.pos, p.duration, b.x AS x1, b.A AS A1
+                 FROM probes p ASOF LEFT JOIN a b ON p.k < b.x),
+         m AS (SELECT back.duration, back.pos,
+                      (CASE WHEN fwd.x1 IS NULL OR fwd.x1 = back.x0 THEN back.A0
+                            ELSE back.A0 + (back.k - back.x0)/(fwd.x1 - back.x0)
+                                           *(fwd.A1 - back.A0) END
+                       - back.A_start) / back.duration AS mean
+               FROM back JOIN fwd
+                 ON back.pos = fwd.pos AND back.duration = fwd.duration),
+         r AS (SELECT duration, pos, mean,
+                      ROW_NUMBER() OVER (PARTITION BY duration
+                                         ORDER BY mean DESC, pos ASC) AS rk
+               FROM m),
+         ri AS (SELECT duration, pos, mean,
+                       ROW_NUMBER() OVER (PARTITION BY duration
+                                          ORDER BY mean ASC, pos ASC) AS rk
+                FROM m WHERE duration IN (3600.0, 86400.0))
+    SELECT duration, mean AS best_mean, pos, FALSE AS inverted
+    FROM r WHERE rk = 1
+    UNION ALL
+    SELECT duration, mean AS best_mean, pos, TRUE AS inverted
+    FROM ri WHERE rk = 1
+    )),
+    spline_leg AS (SELECT * FROM (
+    WITH pts AS (SELECT (epoch_ns(ts)//1000)/1000000.0 AS x, value AS y
+                 FROM events WHERE value IS NOT NULL),
+         s AS (SELECT x, y,
+                      (x - LAG(x) OVER w) * (LAG(y) OVER w + y)/2 AS slice,
+                      LEAD(x) OVER w AS nx
+               FROM pts WINDOW w AS (ORDER BY x)),
+         a AS (SELECT x, nx,
+                      COALESCE(SUM(CAST(FLOOR(slice * 1000000.0 + 0.5) AS BIGINT))
+                               OVER (ORDER BY x ROWS UNBOUNDED PRECEDING), 0) / 1000000.0 AS A,
+                      MAX(x) OVER () AS xmax
+               FROM s),
+         d AS (SELECT CAST(UNNEST([60, 300, 900, 3600, 14400]) AS DOUBLE) AS duration),
+         probes AS (SELECT a.x AS pos, d.duration, a.A AS A_start,
+                           a.x + d.duration AS k
+                    FROM a CROSS JOIN d
+                    WHERE a.nx IS NOT NULL AND a.x + d.duration <= a.xmax),
+         back AS (SELECT p.pos, p.duration, p.A_start, p.k, b.x AS x0, b.A AS A0
+                  FROM probes p ASOF LEFT JOIN a b ON p.k >= b.x),
+         fwd AS (SELECT p.pos, p.duration, b.x AS x1, b.A AS A1
+                 FROM probes p ASOF LEFT JOIN a b ON p.k < b.x),
+         mm AS (SELECT back.duration, back.pos,
+                      (CASE WHEN fwd.x1 IS NULL OR fwd.x1 = back.x0 THEN back.A0
+                            ELSE back.A0 + (back.k - back.x0)/(fwd.x1 - back.x0)
+                                           *(fwd.A1 - back.A0) END
+                       - back.A_start) / back.duration AS mean
+               FROM back JOIN fwd
+                 ON back.pos = fwd.pos AND back.duration = fwd.duration),
+         best AS (SELECT duration, mean,
+                      ROW_NUMBER() OVER (PARTITION BY duration
+                                         ORDER BY mean DESC, pos ASC) AS rk
+               FROM mm),
+         knots AS (SELECT
+            MAX(CASE WHEN duration = 60.0 THEN mean END) AS y0, MAX(CASE WHEN duration = 300.0 THEN mean END) AS y1, MAX(CASE WHEN duration = 900.0 THEN mean END) AS y2, MAX(CASE WHEN duration = 3600.0 THEN mean END) AS y3, MAX(CASE WHEN duration = 14400.0 THEN mean END) AS y4
+            FROM best WHERE rk = 1)
+    SELECT 90.0 AS duration, ROUND(((0.875 * y0) + (0.125 * y1) + (((-0.205078125 * 0.0) + (-0.123046875 * ((0.0006160943704741883 * (6.0 * (((y2 - y1) / 600.0) - ((y1 - y0) / 240.0)))) + (-5.83975706610605e-05 * (6.0 * (((y3 - y2) / 2700.0) - ((y2 - y1) / 600.0)))) + (5.83975706610605e-06 * (6.0 * (((y4 - y3) / 10800.0) - ((y3 - y2) / 2700.0))))))) * 9600.0)), 6) AS interpolated_mean FROM knots UNION ALL SELECT 450.0 AS duration, ROUND(((0.75 * y1) + (0.25 * y2) + (((-0.328125 * ((0.0006160943704741883 * (6.0 * (((y2 - y1) / 600.0) - ((y1 - y0) / 240.0)))) + (-5.83975706610605e-05 * (6.0 * (((y3 - y2) / 2700.0) - ((y2 - y1) / 600.0)))) + (5.83975706610605e-06 * (6.0 * (((y4 - y3) / 10800.0) - ((y3 - y2) / 2700.0)))))) + (-0.234375 * ((-5.83975706610605e-05 * (6.0 * (((y2 - y1) / 600.0) - ((y1 - y0) / 240.0)))) + (0.0001635131978509694 * (6.0 * (((y3 - y2) / 2700.0) - ((y2 - y1) / 600.0)))) + (-1.635131978509694e-05 * (6.0 * (((y4 - y3) / 10800.0) - ((y3 - y2) / 2700.0))))))) * 60000.0)), 6) AS interpolated_mean FROM knots UNION ALL SELECT 1800.0 AS duration, ROUND(((0.6666666666666666 * y2) + (0.3333333333333333 * y3) + (((-0.3703703703703704 * ((-5.83975706610605e-05 * (6.0 * (((y2 - y1) / 600.0) - ((y1 - y0) / 240.0)))) + (0.0001635131978509694 * (6.0 * (((y3 - y2) / 2700.0) - ((y2 - y1) / 600.0)))) + (-1.635131978509694e-05 * (6.0 * (((y4 - y3) / 10800.0) - ((y3 - y2) / 2700.0)))))) + (-0.2962962962962963 * ((5.83975706610605e-06 * (6.0 * (((y2 - y1) / 600.0) - ((y1 - y0) / 240.0)))) + (-1.635131978509694e-05 * (6.0 * (((y3 - y2) / 2700.0) - ((y2 - y1) / 600.0)))) + (3.867216901554673e-05 * (6.0 * (((y4 - y3) / 10800.0) - ((y3 - y2) / 2700.0))))))) * 1215000.0)), 6) AS interpolated_mean FROM knots UNION ALL SELECT 7200.0 AS duration, ROUND(((0.6666666666666666 * y3) + (0.3333333333333333 * y4) + (((-0.3703703703703704 * ((5.83975706610605e-06 * (6.0 * (((y2 - y1) / 600.0) - ((y1 - y0) / 240.0)))) + (-1.635131978509694e-05 * (6.0 * (((y3 - y2) / 2700.0) - ((y2 - y1) / 600.0)))) + (3.867216901554673e-05 * (6.0 * (((y4 - y3) / 10800.0) - ((y3 - y2) / 2700.0)))))) + (-0.2962962962962963 * 0.0)) * 19440000.0)), 6) AS interpolated_mean FROM knots))
     SELECT 'mm' AS facet, duration, best_mean, pos, inverted,
            CAST(NULL AS DOUBLE) AS interpolated_mean
     FROM mm_leg
@@ -1369,6 +1576,15 @@ def meanmax_curve_family_oracle_sql() -> str:
            CAST(NULL AS BOOLEAN), interpolated_mean
     FROM spline_leg
     """
+
+
+def meanmax_curve_family_oracle_sql() -> str:
+    """Facet union of the mean-max ladder row and the spline
+    interpolation row — registered r15 (slot-funding merge, net −1).
+    Superset columns: duration is shared; best_mean/pos/inverted are
+    mm-only; interpolated_mean spline-only (all nullable on both
+    engines)."""
+    return MEANMAX_CURVE_FAMILY_ORACLE
 
 
 def meanmax_curve_family_spark(spark, sf_dir):
@@ -1551,28 +1767,22 @@ def scd2_spark(spark, sf_dir):
     )
 
 
-def _index_ops_leg_sqls() -> dict[str, str]:
-    """The two standalone ordered-index oracles (drift-free lazy
-    import — the _event_funnel_leg_sqls contract)."""
-    from data_frame_spark.queries import ORACLE
+#: Literal snapshot (same registration motion) of the row-range
+#: slice + equal-range facet union, exactly the r13-green pair.
+INDEX_OPS_FAMILY_ORACLE = """\
 
-    return {
-        "slice": ORACLE["row_range_slice"],
-        "equal_range": ORACLE["equal_range_count"],
-    }
-
-
-def index_ops_family_oracle_sql() -> str:
-    """Facet union of the row-range slice and equal-range rows — the
-    r15 slot-funding merge candidate #3 (net −1; both r13-checked).
-    l_quantity is the SHARED column (the slice facet's row value, the
-    equal-range facet's group key — same double type); n/first_key
-    are equal-range-only, l_orderkey/l_linenumber slice-only, all
-    nullable on both engines via the facet union."""
-    legs = _index_ops_leg_sqls()
-    return f"""
-    WITH slice_leg AS (SELECT * FROM ({legs["slice"]})),
-    er_leg AS (SELECT * FROM ({legs["equal_range"]}))
+    WITH slice_leg AS (SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity FROM (
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS pos
+      FROM lineitem)
+    WHERE pos >= 100 AND pos < 120
+    )),
+    er_leg AS (SELECT * FROM (
+    SELECT l_quantity, COUNT(*) AS n, MIN(l_orderkey) AS first_key
+    FROM lineitem WHERE l_quantity IN (1.0, 25.0, 50.0)
+    GROUP BY l_quantity
+    ))
     SELECT 'slice' AS facet, l_orderkey, l_linenumber, l_quantity,
            CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS first_key
     FROM slice_leg
@@ -1583,30 +1793,52 @@ def index_ops_family_oracle_sql() -> str:
     """
 
 
+def index_ops_family_oracle_sql() -> str:
+    """Facet union of the row-range slice and equal-range rows —
+    registered r15 (slot-funding merge, net −1). l_quantity is the
+    SHARED column (slice row value / equal-range group key);
+    n/first_key equal-range-only, l_orderkey/l_linenumber slice-only,
+    all nullable on both engines via the facet union."""
+    return INDEX_OPS_FAMILY_ORACLE
+
+
 def index_ops_family_spark(spark, sf_dir):
-    """Spark side of the r15 index_ops_family candidate: the lifted
-    row_range + equal-range pipelines, facet-unioned with typed-NULL
-    superset columns matching the oracle."""
+    """Spark side of the registered index_ops_family row: the two
+    standalone bodies moved here verbatim at registration (the same
+    snapshot motion as the leg SQL — pre-registration this reused the
+    then-registered rows, so neither leg could drift):
+
+    - 'slice': #:start/#:stop row-range semantics
+      (/root/reference/private/df.rkt:811-818) over the frame's
+      declared order via operators/window.py:row_range.
+    - 'equal_range': df-equal-range / df-all-indices-of
+      (/root/reference/private/df.rkt:450-465) — the duplicate-run of
+      a key value, as a filter+group."""
     from pyspark.sql import functions as F
 
-    # reuse the REGISTERED standalone pipelines (no inline copy — the
-    # Spark side mirrors the oracle side's registry reuse, so neither
-    # leg can drift from the row it merges; round-14 review). At
-    # registration the retiring bodies move here, the same snapshot
-    # motion as the leg SQL.
-    from data_frame_spark.queries import QUERIES
+    from data_frame_spark.operators import window as OpWindow
+    from data_frame_spark.queries import t
 
+    li = t(spark, sf_dir, "lineitem")
     nb = F.lit(None).cast("long")
-    sl = QUERIES["row_range_slice"](spark, sf_dir).select(
+    sl = OpWindow.row_range(
+        li.select("l_orderkey", "l_linenumber", "l_quantity"),
+        ["l_orderkey", "l_linenumber"], 100, 120,
+    ).select(
         F.lit("slice").alias("facet"),
         "l_orderkey", "l_linenumber", "l_quantity",
         nb.alias("n"), nb.alias("first_key"),
     )
-    er = QUERIES["equal_range_count"](spark, sf_dir).select(
-        F.lit("equal_range").alias("facet"),
-        nb.alias("l_orderkey"),
-        F.lit(None).cast("int").alias("l_linenumber"),
-        "l_quantity", "n", "first_key",
+    er = (
+        li.where(F.col("l_quantity").isin(1.0, 25.0, 50.0))
+        .groupBy("l_quantity")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("l_orderkey").alias("first_key"))
+        .select(
+            F.lit("equal_range").alias("facet"),
+            nb.alias("l_orderkey"),
+            F.lit(None).cast("int").alias("l_linenumber"),
+            "l_quantity", "n", "first_key",
+        )
     )
     return sl.unionByName(er)
 

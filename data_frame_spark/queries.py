@@ -307,23 +307,6 @@ def event_derived_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "row_range_slice",
-    oracle="""
-    SELECT l_orderkey, l_linenumber, l_quantity FROM (
-      SELECT l_orderkey, l_linenumber, l_quantity,
-             ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS pos
-      FROM lineitem)
-    WHERE pos >= 100 AND pos < 120
-    """,
-)
-def row_range_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """#:start/#:stop row-range semantics (df.rkt:811-818) over the
-    frame's declared order."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
-    return OpWindow.row_range(li, ["l_orderkey", "l_linenumber"], 100, 120)
-
-
 # ---------------------------------------------------------------------------
 # Lookup / as-of family (SURVEY §2.3)
 # ---------------------------------------------------------------------------
@@ -745,22 +728,6 @@ def join_filters_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").alias("name"),
     )
     return semi.unionByName(anti)
-
-
-@query(
-    "set_ops_order_priorities",
-    oracle="""
-    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
-    INTERSECT
-    SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
-    """,
-)
-def set_ops_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """intersect (distinct set semantics, as in SQL INTERSECT)."""
-    orders = t(spark, sf_dir, "orders")
-    f = orders.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
-    o = orders.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
-    return f.intersect(o)
 
 
 @query(
@@ -1220,68 +1187,6 @@ from data_frame_spark.operators import meanmax as OpMM
 _MM_DURS = [60, 300, 900, 3600, 14400, 86400]
 
 
-@query(
-    "mean_max_value",
-    oracle=f"""
-    WITH pts AS (SELECT (epoch_ns(ts)//1000)/1000000.0 AS x, value AS y
-                 FROM events WHERE value IS NOT NULL),
-         s AS (SELECT x, y,
-                      (x - LAG(x) OVER w) * (LAG(y) OVER w + y)/2 AS slice,
-                      LEAD(x) OVER w AS nx
-               FROM pts WINDOW w AS (ORDER BY x)),
-         a AS (SELECT x, nx,
-                      COALESCE(SUM(CAST(FLOOR(slice * 1000000.0 + 0.5) AS BIGINT))
-                               OVER (ORDER BY x ROWS UNBOUNDED PRECEDING), 0) / 1000000.0 AS A,
-                      MAX(x) OVER () AS xmax
-               FROM s),
-         d AS (SELECT CAST(UNNEST({_MM_DURS}) AS DOUBLE) AS duration),
-         probes AS (SELECT a.x AS pos, d.duration, a.A AS A_start,
-                           a.x + d.duration AS k
-                    FROM a CROSS JOIN d
-                    WHERE a.nx IS NOT NULL AND a.x + d.duration <= a.xmax),
-         back AS (SELECT p.pos, p.duration, p.A_start, p.k, b.x AS x0, b.A AS A0
-                  FROM probes p ASOF LEFT JOIN a b ON p.k >= b.x),
-         fwd AS (SELECT p.pos, p.duration, b.x AS x1, b.A AS A1
-                 FROM probes p ASOF LEFT JOIN a b ON p.k < b.x),
-         m AS (SELECT back.duration, back.pos,
-                      (CASE WHEN fwd.x1 IS NULL OR fwd.x1 = back.x0 THEN back.A0
-                            ELSE back.A0 + (back.k - back.x0)/(fwd.x1 - back.x0)
-                                           *(fwd.A1 - back.A0) END
-                       - back.A_start) / back.duration AS mean
-               FROM back JOIN fwd
-                 ON back.pos = fwd.pos AND back.duration = fwd.duration),
-         r AS (SELECT duration, pos, mean,
-                      ROW_NUMBER() OVER (PARTITION BY duration
-                                         ORDER BY mean DESC, pos ASC) AS rk
-               FROM m),
-         ri AS (SELECT duration, pos, mean,
-                       ROW_NUMBER() OVER (PARTITION BY duration
-                                          ORDER BY mean ASC, pos ASC) AS rk
-                FROM m WHERE duration IN (3600.0, 86400.0))
-    SELECT duration, mean AS best_mean, pos, FALSE AS inverted
-    FROM r WHERE rk = 1
-    UNION ALL
-    SELECT duration, mean AS best_mean, pos, TRUE AS inverted
-    FROM ri WHERE rk = 1
-    """,
-)
-def mean_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-mean-max (meanmax.rkt:262-269): best windowed average of
-    event value over durations from 1 min to 1 day, window extent
-    measured on the elapsed-seconds axis — plus, in the same oracle
-    row, the #:inverted? facet (meanmax.rkt:145: smallest windowed
-    average is best, pace/vertical-oscillation semantics) over the
-    1h/1d durations (round-9 merge of mean_max_inverted into this
-    query; the operator and both code paths are unchanged)."""
-    ev = t(spark, sf_dir, "events").withColumn(
-        "x", F.col("ts_us") / F.lit(1000000.0)
-    )
-    return OpMM.mean_max(
-        ev, "value", "x", durations=_MM_DURS, slice_scale=6,
-        inverted_durations=[3600, 86400],
-    )
-
-
 # ---------------------------------------------------------------------------
 # Scatter prep / RDP / spline (SURVEY §2.9, scatter.rkt, rdp-simplify.rkt)
 # ---------------------------------------------------------------------------
@@ -1387,114 +1292,6 @@ def rdp_simplify_user_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPLINE_KNOTS = [60.0, 300.0, 900.0, 3600.0, 14400.0]
 _SPLINE_PROBES = [90.0, 450.0, 1800.0, 7200.0]
-
-
-def _spline_oracle() -> str:
-    """Natural-cubic-spline oracle over the 5-knot mean-max curve.
-
-    The knot x's are literal durations, so the tridiagonal second-
-    derivative system has a CONSTANT matrix; its inverse is embedded
-    as literals and m1..m3 become linear combinations of the data-
-    dependent rhs. Probe positions are literals too, so each probe's
-    segment weights (a, b, a³-a, b³-b, h²/6) are constants. Outputs
-    ROUND(...,6): the driver solves the same system via numpy LU,
-    which agrees with this closed form to ~1e-12."""
-    xs = _SPLINE_KNOTS
-    h = [xs[i + 1] - xs[i] for i in range(4)]
-    A = [
-        [2 * (h[0] + h[1]), h[1], 0.0],
-        [h[1], 2 * (h[1] + h[2]), h[2]],
-        [0.0, h[2], 2 * (h[2] + h[3])],
-    ]
-    det = _det(A)
-    inv = [
-        [_det([[A[r][c] for c in range(3) if c != j] for r in range(3) if r != i])
-         * ((-1) ** (i + j)) / det
-         for i in range(3)]
-        for j in range(3)
-    ]  # inv[j][i] = cofactor transpose -> A^{-1}[j][i]... built as adjugate/det
-    # rhs_j in terms of knot columns y0..y4 (j = 1..3)
-    rhs = [
-        f"(6.0 * (((y{j + 1} - y{j}) / {h[j]!r}) - ((y{j} - y{j - 1}) / {h[j - 1]!r})))"
-        for j in range(1, 4)
-    ]
-    m = ["0.0"]
-    for i in range(3):
-        terms = " + ".join(f"({inv[i][j]!r} * {rhs[j]})" for j in range(3))
-        m.append(f"({terms})")
-    m.append("0.0")
-    probes_sql = []
-    for xv in _SPLINE_PROBES:
-        i = max(0, min(3, next(k for k in range(4) if xv < xs[k + 1])))
-        a = (xs[i + 1] - xv) / h[i]
-        b = (xv - xs[i]) / h[i]
-        seg = (
-            f"(({a!r} * y{i}) + ({b!r} * y{i + 1}) + "
-            f"((({(a ** 3 - a)!r} * {m[i]}) + ({(b ** 3 - b)!r} * {m[i + 1]}))"
-            f" * {(h[i] * h[i] / 6.0)!r}))"
-        )
-        probes_sql.append(
-            f"SELECT {xv!r} AS duration, ROUND({seg}, 6) AS interpolated_mean FROM knots"
-        )
-    durs = "[" + ", ".join(str(int(x)) for x in xs) + "]"
-    mm_cte = f"""
-    WITH pts AS (SELECT (epoch_ns(ts)//1000)/1000000.0 AS x, value AS y
-                 FROM events WHERE value IS NOT NULL),
-         s AS (SELECT x, y,
-                      (x - LAG(x) OVER w) * (LAG(y) OVER w + y)/2 AS slice,
-                      LEAD(x) OVER w AS nx
-               FROM pts WINDOW w AS (ORDER BY x)),
-         a AS (SELECT x, nx,
-                      COALESCE(SUM(CAST(FLOOR(slice * 1000000.0 + 0.5) AS BIGINT))
-                               OVER (ORDER BY x ROWS UNBOUNDED PRECEDING), 0) / 1000000.0 AS A,
-                      MAX(x) OVER () AS xmax
-               FROM s),
-         d AS (SELECT CAST(UNNEST({durs}) AS DOUBLE) AS duration),
-         probes AS (SELECT a.x AS pos, d.duration, a.A AS A_start,
-                           a.x + d.duration AS k
-                    FROM a CROSS JOIN d
-                    WHERE a.nx IS NOT NULL AND a.x + d.duration <= a.xmax),
-         back AS (SELECT p.pos, p.duration, p.A_start, p.k, b.x AS x0, b.A AS A0
-                  FROM probes p ASOF LEFT JOIN a b ON p.k >= b.x),
-         fwd AS (SELECT p.pos, p.duration, b.x AS x1, b.A AS A1
-                 FROM probes p ASOF LEFT JOIN a b ON p.k < b.x),
-         mm AS (SELECT back.duration, back.pos,
-                      (CASE WHEN fwd.x1 IS NULL OR fwd.x1 = back.x0 THEN back.A0
-                            ELSE back.A0 + (back.k - back.x0)/(fwd.x1 - back.x0)
-                                           *(fwd.A1 - back.A0) END
-                       - back.A_start) / back.duration AS mean
-               FROM back JOIN fwd
-                 ON back.pos = fwd.pos AND back.duration = fwd.duration),
-         best AS (SELECT duration, mean,
-                      ROW_NUMBER() OVER (PARTITION BY duration
-                                         ORDER BY mean DESC, pos ASC) AS rk
-               FROM mm),
-         knots AS (SELECT
-            {", ".join(f"MAX(CASE WHEN duration = {x!r} THEN mean END) AS y{i}" for i, x in enumerate(xs))}
-            FROM best WHERE rk = 1)
-    """
-    return mm_cte + " UNION ALL ".join(probes_sql)
-
-
-@query("spline_mean_max_curve", oracle=_spline_oracle())
-def spline_mean_max_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """spline (spline.rkt:163-192) over the mean-max table: fit the
-    (duration, best_mean) curve (5 knots collected — aggregate-sized,
-    the same judgement the reference makes), evaluate distributed at
-    probe durations via the Column expression. ROUND(...,6) — the
-    oracle solves the constant tridiagonal system in closed form,
-    numpy uses LU; they agree to ~1e-12."""
-    ev = t(spark, sf_dir, "events").withColumn(
-        "x", F.col("ts_us") / F.lit(1000000.0)
-    )
-    mm = OpMM.mean_max(
-        ev, "value", "x", durations=[int(x) for x in _SPLINE_KNOTS], slice_scale=6
-    )
-    sp = OpSpline.fit_spline(mm, "duration", "best_mean")
-    probes = spark.createDataFrame([(s,) for s in _SPLINE_PROBES], ["duration"])
-    return probes.withColumn(
-        "interpolated_mean", F.round(sp.predict(F.col("duration")), 6)
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -3599,39 +3396,6 @@ def index_range_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "equal_range_count",
-    oracle="""
-    SELECT l_quantity, COUNT(*) AS n, MIN(l_orderkey) AS first_key
-    FROM lineitem WHERE l_quantity IN (1.0, 25.0, 50.0)
-    GROUP BY l_quantity
-    """,
-)
-def equal_range_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df-equal-range / df-all-indices-of (df.rkt:450-465): the
-    duplicate-run of a key value, as a filter+group."""
-    li = t(spark, sf_dir, "lineitem")
-    return (
-        li.where(F.col("l_quantity").isin(1.0, 25.0, 50.0))
-        .groupBy("l_quantity")
-        .agg(F.count(F.lit(1)).alias("n"), F.min("l_orderkey").alias("first_key"))
-    )
-
-
-@query(
-    "cartesian_region_nation",
-    oracle="""
-    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
-    """,
-)
-def cartesian_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """for*/data-frame (private/for-df.rkt:27-62): nested-product
-    construction == crossJoin."""
-    region = t(spark, sf_dir, "region").select("r_name")
-    nation = t(spark, sf_dir, "nation").select("n_name")
-    return region.crossJoin(nation)
-
-
-@query(
     "simhash_docs",
     oracle=r"""
     WITH toks AS (SELECT doc_id,
@@ -3859,8 +3623,8 @@ def mean_max_user_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     'base' facet — df-mean-max per entity (meanmax.rkt:262-269 with
     partition_by): every sort/window/rank is PARTITION BY user_id,
-    the 100 TB shape (the global-order variant in mean_max_value is
-    the single-series case). 'aux' facet — df-mean-max-aux
+    the 100 TB shape (the global-order variant in
+    meanmax_curve_family's 'mm' facet is the single-series case). 'aux' facet — df-mean-max-aux
     (meanmax.rkt:310-314): the mean of a SECOND series (value², e.g.
     power-at-best-speed) over each winning window — same
     interpolated-A formulation probed at (pos, pos+duration). The
@@ -4271,102 +4035,6 @@ def batch_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _funnel_oracle_chain(sfx: str, bound: str) -> str:
-    """One funnel window chain (w1->w2->w3->per-user collapse) for
-    the oracle; ``bound`` is the per-hop conversion-window predicate
-    template with {prev} substituted per step ('' = unbounded)."""
-    b2 = bound.format(prev="t1")
-    b3 = bound.format(prev="t2")
-    return f"""
-    w1{sfx} AS (SELECT user_id, event_type, tsn,
-                  MIN(CASE WHEN event_type = 'view' THEN tsn END)
-                    OVER (PARTITION BY user_id) AS t1
-           FROM e),
-    w2{sfx} AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
-                               AND tsn > t1 {b2} THEN tsn END)
-                       OVER (PARTITION BY user_id) AS t2
-           FROM w1{sfx}),
-    w3{sfx} AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
-                               AND tsn > t2 {b3} THEN tsn END)
-                       OVER (PARTITION BY user_id) AS t3
-           FROM w2{sfx}),
-    u{sfx} AS (SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
-          FROM w3{sfx} GROUP BY user_id)"""
-
-
-def _funnel_oracle_rollup(facet: str, sfx: str) -> str:
-    return f"""
-    SELECT '{facet}' AS facet, user_id % 8 AS cohort,
-           CAST(COUNT(*) AS BIGINT) AS n_users,
-           CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
-           CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
-           CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
-           CAST(SUM(t2 - t1) AS BIGINT) AS view_to_click_us,
-           CAST(SUM(t3 - t2) AS BIGINT) AS click_to_purchase_us
-    FROM u{sfx} GROUP BY user_id % 8"""
-
-
-_FUNNEL_7D_US = 7 * 86400 * 1000000
-
-
-@query(
-    "funnel_conversion_events",
-    oracle=f"""
-    WITH e AS (SELECT user_id, event_type, epoch_ns(ts)//1000 AS tsn
-               FROM events),
-    {_funnel_oracle_chain("a", "")},
-    {_funnel_oracle_chain("b", f"AND tsn <= {{prev}} + {_FUNNEL_7D_US}")}
-    {_funnel_oracle_rollup("all", "a")}
-    UNION ALL
-    {_funnel_oracle_rollup("7d", "b")}
-    """,
-)
-def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered conversion funnel view -> click -> purchase
-    (operators/window.py:funnel_steps): per user, step k counts only
-    strictly AFTER step k-1's first completion — the sequential
-    condition a naive per-type MIN gets wrong (a click before the
-    first view must not convert). TWO facets: 'all' (unbounded) and
-    '7d' (each hop must convert within 7 days — funnel_steps'
-    ``within`` conversion-window form). Rolled up per 8-way user
-    cohort: stage survivors and exact integer-microsecond
-    inter-stage dwell sums.
-
-    100 TB shape: each facet's three funnel steps are unordered MIN
-    windows PARTITION BY user_id — ONE hash exchange on user_id per
-    facet feeds every WindowExec and the per-user collapse; the final
-    cohort rollup is 8 rows per facet. No global sort, no join, no
-    data-sized window without a partition key anywhere."""
-    ev = t(spark, sf_dir, "events")
-
-    def facet(name: str, within: int | None) -> DataFrame:
-        stepped = OpWindow.funnel_steps(
-            ev.select("user_id", "event_type", F.col("ts_us").alias("tsn")),
-            steps=["view", "click", "purchase"],
-            entity_col="user_id", type_col="event_type", ts_col="tsn",
-            within=within,
-        )
-        u = stepped.groupBy("user_id").agg(
-            F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
-        )
-        return (
-            u.groupBy((F.col("user_id") % 8).alias("cohort"))
-            .agg(
-                F.count(F.lit(1)).alias("n_users"),
-                F.sum(F.when(F.col("t1").isNotNull(), 1).otherwise(0)).alias("n_view"),
-                F.sum(F.when(F.col("t2").isNotNull(), 1).otherwise(0)).alias("n_click"),
-                F.sum(F.when(F.col("t3").isNotNull(), 1).otherwise(0)).alias(
-                    "n_purchase"
-                ),
-                F.sum(F.col("t2") - F.col("t1")).alias("view_to_click_us"),
-                F.sum(F.col("t3") - F.col("t2")).alias("click_to_purchase_us"),
-            )
-            .select(F.lit(name).alias("facet"), "*")
-        )
-
-    return facet("all", None).unionAll(facet("7d", _FUNNEL_7D_US))
-
-
 @query(
     "fuzzy_linkage_parts",
     oracle="""
@@ -4409,76 +4077,6 @@ def fuzzy_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("n_matches"),
         F.min("dist").alias("min_dist"),
         F.sum("dist").alias("sum_dist"),
-    )
-
-
-@query(
-    "retention_cohorts_events",
-    oracle="""
-    WITH e AS (SELECT user_id, (epoch_ns(ts)//1000) // 604800000000 AS wk
-               FROM events),
-    a AS (SELECT DISTINCT user_id, wk FROM e),
-    c AS (SELECT user_id, wk,
-                 MIN(wk) OVER (PARTITION BY user_id) AS cohort
-          FROM a),
-    g AS (SELECT cohort, wk - cohort AS wk_offset,
-                 CAST(COUNT(*) AS BIGINT) AS n_users
-          FROM c GROUP BY cohort, wk - cohort),
-    s AS (SELECT *, MAX(CASE WHEN wk_offset = 0 THEN n_users END)
-                      OVER (PARTITION BY cohort) AS cohort_size
-          FROM g)
-    SELECT cohort AS cohort_week, wk_offset, n_users, cohort_size,
-           n_users * 1000000 // cohort_size AS retention_micro
-    FROM s
-    """,
-)
-def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly retention cohort matrix: each user joins the cohort of
-    their first active week; each (cohort, week-offset) cell counts
-    the cohort's users still active that many weeks later, with the
-    retention rate as an exact integer-micro fraction of the
-    cohort's week-0 size. The per-entity-over-time rollup every
-    product/events pipeline runs; no reference twin (the reference
-    has no group-by — SURVEY §2.4 maps its fold family to Catalyst
-    aggregation, and this is that generalization over two derived
-    keys).
-
-    100 TB shape: ONE user-keyed shuffle does dedup AND the cohort
-    key — collect_set(wk) with map-side partial sets (per-user set
-    size is CALENDAR-bounded: ≤ the number of weeks the corpus spans,
-    independent of corpus volume), cohort = array_min in-row, then
-    one (cohort, offset) rollup — all key-partitioned, no global
-    sort; the trailing cohort-size window runs over the
-    weeks²-bounded grid, never the data (allowed by the
-    aggregate-input exemption in plans/checks.py)."""
-    from pyspark.sql import Window
-
-    ev = t(spark, sf_dir, "events")
-    wk = F.expr("ts_us div 604800000000")
-    peruser = (
-        ev.select("user_id", wk.alias("wk"))
-        .groupBy("user_id")
-        .agg(F.collect_set("wk").alias("wks"))
-    )
-    c = peruser.select(
-        F.array_min("wks").alias("cohort"), F.explode("wks").alias("wk")
-    )
-    g = (
-        c.groupBy(F.col("cohort"), (F.col("wk") - F.col("cohort")).alias("wk_offset"))
-        .agg(F.count(F.lit(1)).alias("n_users"))
-    )
-    s = g.withColumn(
-        "cohort_size",
-        F.max(F.when(F.col("wk_offset") == 0, F.col("n_users"))).over(
-            Window.partitionBy("cohort")
-        ),
-    )
-    return s.select(
-        F.col("cohort").alias("cohort_week"),
-        "wk_offset",
-        "n_users",
-        "cohort_size",
-        F.expr("n_users * 1000000 div cohort_size").alias("retention_micro"),
     )
 
 
@@ -4588,51 +4186,6 @@ def dsir_importance_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # round-9 additions
 # ---------------------------------------------------------------------------
-
-
-@query(
-    "clicks_to_purchases_events",
-    oracle="""
-    WITH e AS (SELECT user_id, event_id, event_type, value,
-                      epoch_ns(ts)//1000 AS ts_us
-               FROM events),
-    c AS (SELECT user_id, event_id AS click_id, ts_us AS click_us
-          FROM e WHERE event_type = 'click'),
-    p AS (SELECT user_id, event_id AS purchase_id, ts_us AS purchase_us, value
-          FROM e WHERE event_type = 'purchase')
-    SELECT c.user_id, c.click_id, p.purchase_id,
-           p.purchase_us//1000000 - c.click_us//1000000 AS lag_seconds,
-           CAST(FLOOR(p.value * 1e6 + 0.5) AS BIGINT) AS purchase_value_micro
-    FROM c JOIN p
-      ON c.user_id = p.user_id
-     AND p.purchase_us >= c.click_us
-     AND p.purchase_us <= c.click_us + 1800000000
-    """,
-)
-def clicks_to_purchases_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Attribution interval join: every (click, purchase) pair by the
-    same user with the purchase within 30 minutes AFTER the click —
-    the batch form of the stream-stream time-interval join
-    (streaming/joins.py:70; the stream==batch parity test pins the
-    watermarked streaming path to this exact output). The equi-key
-    keeps the join hash-partitioned by user at any scale (state
-    bounded by watermark + interval on streams, an ordinary shuffle
-    equi-join in batch — never a broadcast of a corpus-sized side).
-    Timestamps compare in exact micros on both engines
-    (``load_table`` ts == ``epoch_ns(ts)//1000``); lag is whole
-    seconds via matching floor divisions."""
-    from data_frame_spark.streaming.joins import clicks_to_purchases
-
-    out = clicks_to_purchases(t(spark, sf_dir, "events"), within="30 minutes")
-    return out.select(
-        "user_id",
-        "click_id",
-        "purchase_id",
-        "lag_seconds",
-        F.floor(F.col("purchase_value") * 1e6 + F.lit(0.5))
-        .cast("long")
-        .alias("purchase_value_micro"),
-    )
 
 
 # shared CTE chain: the exact integer-Lloyd IVF fit (k=8 md5-ordered
@@ -5578,8 +5131,11 @@ def pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations) on the bidirectional part<->supplier co-occurrence
     graph from lineitem (supplier ids offset +1e6 into a disjoint
     node space; both edge directions so no node dangles). Each
-    iteration is ONE vertex-keyed shuffle plus a map-combinable
-    contribution sum on integer micro-ranks (r//deg truncating
+    iteration is a vertex-keyed ranks⋈edges shuffle, a
+    map-combinable contribution sum, and a vertex-keyed left join
+    restoring contribution-less nodes (the shape the r15
+    same-session A/B kept over the r14 zero-contribution union —
+    operators/graph.py) on integer micro-ranks (r//deg truncating
     division, 0.15 + 0.85-damped recombination in integers) —
     bit-identical under any partitioning, eagerly checkpointed per
     round so the plan never re-expands. The oracle unrolls the same
@@ -5878,6 +5434,237 @@ def rollup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-15 registrations: slot-funding family merges (docs/PLANS.md
+# §"Round-15 slot funding" — each family's oracle is the LITERAL
+# snapshot of its parents' r13-green SQL, frozen in oracle_prep
+# before the standalone rows retired) + the five pre-proven surfaces
+# those merges fund.
+# ---------------------------------------------------------------------------
+
+
+@query("event_funnel_family", oracle=_OP.event_funnel_family_oracle_sql())
+def event_funnel_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three event-analytics pipelines on ONE row — facets
+    'all'/'7d' (the ordered view->click->purchase funnel per 8-way
+    user cohort, unbounded and 7-day conversion windows via
+    operators/window.py:funnel_steps), 'retention' (the weekly
+    retention cohort matrix with exact integer-micro rates) and
+    'attrib' (every click->purchase pair within 30 minutes — the
+    batch form of the stream-stream interval join,
+    streaming/joins.py; the stream==batch parity test pins the
+    watermarked path to this output). NULL-superset facet union,
+    every data column BIGINT, nullable on both engines. Merged from
+    funnel_conversion_events + retention_cohorts_events +
+    clicks_to_purchases_events (all r13-green; oracle = their SQL
+    verbatim, drift-pinned before retirement).
+
+    No reference twin (the reference has no group-by/join surface —
+    SURVEY §2.4/§2.7 map its fold family to Catalyst aggregation).
+    At 100 TB: every leg is user-keyed — the funnel's step windows
+    and per-user collapse reuse ONE user_id exchange per facet, the
+    retention leg folds dedup + cohort into one user-keyed
+    collect_set (per-user set size calendar-bounded), and the
+    attribution join is a hash-partitioned equi-join on user_id with
+    the time bounds residual (never a broadcast). Per-leg shuffle
+    budgets and broadcast-freedom pinned in tests/test_misc_ops.py /
+    tests/test_plans.py on the pre-union legs
+    (oracle_prep.event_funnel_leg)."""
+    return _OP.event_funnel_family_spark(spark, sf_dir)
+
+
+@query("meanmax_curve_family", oracle=_OP.meanmax_curve_family_oracle_sql())
+def meanmax_curve_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-series mean-max surface on ONE row — facets 'mm'
+    (df-mean-max, meanmax.rkt:262-269: best windowed average of
+    event value over 1-min..1-day durations on the elapsed-seconds
+    axis, plus the #:inverted? 1h/1d facet, meanmax.rkt:145) and
+    'spline' (spline.rkt:163-192: the natural cubic spline fitted to
+    the 5-knot mean-max curve, evaluated distributed at probe
+    durations, ROUND(...,6) — the oracle solves the constant
+    tridiagonal system in closed form, numpy uses LU; they agree to
+    ~1e-12). Merged from mean_max_value + spline_mean_max_curve
+    (both r13-green; oracle = their SQL verbatim, drift-pinned
+    before retirement). Each leg runs mean_max independently — the
+    legs are provably the r13-green pipelines, and each is
+    sub-second.
+
+    At 100 TB: slice lag, A-cumulation and probe bracketing all run
+    through range-bucketed two-level window plans (no data-sized
+    partitionless window — pinned in tests/test_plans.py); the
+    spline's 5-knot collect is aggregate-output-sized, the same
+    judgement the reference makes."""
+    return _OP.meanmax_curve_family_spark(spark, sf_dir)
+
+
+@query("index_ops_family", oracle=_OP.index_ops_family_oracle_sql())
+def index_ops_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered-index row surface on ONE row — facets 'slice'
+    (#:start/#:stop row-range semantics over the frame's declared
+    order, df.rkt:811-818, via operators/window.py:row_range) and
+    'equal_range' (df-equal-range / df-all-indices-of,
+    df.rkt:450-465: the duplicate-run of a key value as a
+    filter+group). Merged from row_range_slice + equal_range_count
+    (both r13-green; oracle = their SQL verbatim, drift-pinned
+    before retirement). l_quantity is the shared column; the rest
+    NULL-pad per facet.
+
+    At 100 TB: the slice's global ROW_NUMBER runs as range-bucketed
+    two-level windows (pinned partitionless-free in
+    tests/test_plans.py); the equal-range leg is a pushed-down
+    IN-filter + one map-combinable aggregate."""
+    return _OP.index_ops_family_spark(spark, sf_dir)
+
+
+_SET_OPS_FAMILY_ORACLE = """
+    WITH cart_leg AS (
+      SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n),
+    so_leg AS (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'cartesian' AS facet, r_name, n_name,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM cart_leg
+    UNION ALL
+    SELECT 'set_ops', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           o_orderpriority
+    FROM so_leg
+"""
+
+
+@query("set_ops_family", oracle=_SET_OPS_FAMILY_ORACLE)
+def set_ops_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two set-algebra construction rows on ONE row — facets
+    'cartesian' (for*/data-frame nested-product construction ==
+    crossJoin, /root/reference/private/for-df.rkt:27-62) and
+    'set_ops' (SQL INTERSECT distinct set semantics over order
+    priorities, SURVEY §2.7). Merged from cartesian_region_nation +
+    set_ops_order_priorities (both r13-green; the legs are the
+    standalone bodies verbatim). NULL-superset facet union, all
+    columns VARCHAR-nullable on both engines.
+
+    At 100 TB: the cartesian leg is the bounded demo of an
+    explicitly-requested product (5x25 dimension rows — the only
+    sanctioned cartesian in the registry); INTERSECT is one
+    hash-partitioned distinct-aggregate join on the value key."""
+    region = t(spark, sf_dir, "region").select("r_name")
+    nation = t(spark, sf_dir, "nation").select("n_name")
+    ns = F.lit(None).cast("string")
+    cart = region.crossJoin(nation).select(
+        F.lit("cartesian").alias("facet"), "r_name", "n_name",
+        ns.alias("o_orderpriority"),
+    )
+    orders = t(spark, sf_dir, "orders")
+    fside = orders.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    oside = orders.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    so = fside.intersect(oside).select(
+        F.lit("set_ops").alias("facet"), ns.alias("r_name"),
+        ns.alias("n_name"), "o_orderpriority",
+    )
+    return cart.unionByName(so)
+
+
+@query("sssp_cheapest_route", oracle=_OP.sssp_oracle_sql(max_rounds=4))
+def sssp_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded weighted single-source shortest paths
+    (operators/graph.py:shortest_paths, Bellman-Ford min-plus
+    relaxation, 4 rounds) on the cheapest-cents part<->supplier
+    graph: edge weight = MIN observed lineitem extended price in
+    exact integer cents per distinct (part, supplier) pair, both
+    directions; seeds = every-100th part at distance 0. Oracle: the
+    relaxation unrolled into chained CTE pairs (sd*/sr*, the BFS
+    recipe with the weight riding the edge row). Non-negative
+    weights enforced loudly (negative-cycle safety).
+
+    No reference twin: net-new graph analytics. At 100 TB each round
+    is one vertex-keyed min-plus join + map-combinable MIN aggregate
+    over the DISTINCT weighted edge set (bounded by |parts x
+    suppliers| co-occurrence, not lineitem volume), eager per-round
+    checkpoints, fixed round count — bit-identical on any engine or
+    layout (integer dist, exact MIN)."""
+    return _OP.sssp_spark(spark, sf_dir)
+
+
+@query("scd2_customer_dim", oracle=_OP.scd2_oracle_sql())
+def scd2_customer_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension versioning
+    (operators/scd.py:scd2_apply) of the customer dimension: the
+    snapshot is version ts=0 per customer; the update batch is one
+    row per (customer, order-day) carrying MAX(o_orderpriority) as
+    the new tracked value (deterministic same-ts collapse); output =
+    effective-dated versions (valid_from, valid_to, is_current) with
+    consecutive-duplicate changes collapsed via the LAG change
+    filter and LEAD effective dating. Oracle replays the same (ts,
+    tracked) total order in DuckDB windows.
+
+    The warehouse-dimension primitive the reference's single-frame
+    model has no twin for (its df-add-derived! is row-wise, SURVEY
+    §2.5). At 100 TB: ONE key exchange on the business key feeds
+    both window passes (change filter + dating) — no join, no
+    collect, no data-sized partitionless window (pinned in
+    tests/test_scd.py)."""
+    return _OP.scd2_spark(spark, sf_dir)
+
+
+@query("table_diff_customers", oracle=_OP.table_diff_oracle_sql())
+def table_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/scd.py:table_diff): the
+    customer dimension vs a deterministically drifted copy (every
+    11th key removed, every 7th re-segmented, supplier-derived rows
+    key-offset into a disjoint id space added) classified into
+    added/removed/changed by key — NULL-safe value compares,
+    unchanged keys dropped so the output is proportional to drift,
+    not table size. Oracle: the same full-outer join + IS DISTINCT
+    FROM classify in DuckDB.
+
+    The dataset-versioning audit primitive (did yesterday's corpus
+    rebuild change anything it shouldn't?). At 100 TB: ONE
+    key-partitioned full-outer shuffle join — plan-pinned
+    broadcast-free (tests/test_scd.py); output ∝ drift."""
+    return _OP.table_diff_spark(spark, sf_dir)
+
+
+@query("image_corpus_features", oracle=_OP.image_corpus_oracle_sql())
+def image_corpus_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image metadata extraction over an opaque binary column
+    (operators/multimodal.py:image_metadata): one synthetic image
+    per user built WITHOUT leaving the cluster (mapInPandas packs a
+    REAL zlib/CRC PNG for even users, a JFIF+SOF0 header stream for
+    odd users, dimensions derived from the events %3=1 slice —
+    disjoint from the wav/video corpus slices), then parsed back
+    through the REAL stdlib IHDR/SOF walkers into
+    format/width/height/bit_depth/n_channels (+quarantine flag).
+    The oracle computes the same integers straight from the events
+    slice, so any loss in pack -> walk breaks the hash.
+
+    The multimodal-metadata leg of the training-data story (PIL
+    decode stays a documented stub; the walkers are real byte
+    readers). At 100 TB: one narrow Arrow-batched mapInPandas per
+    leg over pre-partitioned payloads; only the users-sized
+    aggregate shuffles."""
+    return _OP.image_corpus_spark(spark, sf_dir)
+
+
+@query("ppr_part_seeds", oracle=_OP.ppr_oracle_sql(iterations=4))
+def ppr_part_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py:pagerank with
+    ``seeds=``) on the shared part<->supplier co-purchase graph:
+    restart base and initial mass paid only to the every-100th-part
+    seed set (edge-less seeds keep their restart base — the r14
+    review fix), exact integer-micro arithmetic, 4 iterations.
+    Oracle: the pagerank replay with a seed-predicate base
+    (pnodes/pp*/pc* chains, disjoint from the classic row's
+    nodes/r*/c*).
+
+    The seeded-relevance primitive (what's near THESE documents) on
+    top of the classic row's machinery. At 100 TB: identical shape
+    to pagerank_part_supplier — vertex-keyed contribution shuffles
+    and restore-join, eager per-iteration checkpoints, no windows,
+    no data-sized broadcasts."""
+    return _OP.ppr_spark(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Registry order: the driver's correctness gate walks the registry in
 # iteration order (round-1 evidence: exactly the first 50 entries got
 # CORRECTNESS rows). Queries that have never had a green driver row —
@@ -5886,70 +5673,82 @@ def rollup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FIRST = [
-    # round-14 rotation (standing policy: every query gets a driver row
-    # at least every 2 rounds; any query whose code changes this round
-    # goes into the first 50).
+    # round-15 rotation (standing policy: every query gets a driver
+    # row at least every 2 rounds; any query whose code changes this
+    # round goes into the first 50). Slot math in docs/PLANS.md
+    # §"Round-15 slot funding": the 50 r13-checked rows rotate in,
+    # minus the 9 retired into the four family merges (event_funnel_
+    # family net −2, meanmax_curve_family / index_ops_family /
+    # set_ops_family net −1 each), plus those 4 families, plus the 5
+    # pre-proven registrations the merges fund = exactly 50; the 50
+    # r14-checked rows go past-cap with zero carries.
     #
-    # Block 1 — round-14 new rows (slot math in docs/PLANS.md
-    # §"Round-14 rotation"): the two registrations pre-proven in
-    # tests/test_oracle_prep.py last round (graph_suite_family =
-    # triangles + LPA + BFS facets; format_roundtrip_family = ORC +
-    # JSONL round-trip facets) and the two rows built AND proven this
-    # round (kcore_parts_cooccur, rollup_family).
-    "graph_suite_family",
-    "format_roundtrip_family",
-    "kcore_parts_cooccur",
-    "rollup_family",
-    # Block 2 — the 46 rotated queries past the round-13 cap (all
-    # green in CORRECTNESS_r12 except select_filter_project, the
-    # documented r13 CARRY — last driver-green r11, AST-stable since,
-    # leading the rotation per docs/PLANS.md).
-    "select_filter_project",
-    "binary_metadata_docs",
-    "bloom_decontamination_docs",
-    "bm25_search_docs",
-    "cms_token_counts",
-    "contamination_audit_splits",
-    "corpus_stats_rollup",
-    "cosine_topk_embeddings",
-    "csv_roundtrip_lineitem",
-    "curriculum_buckets_docs",
-    "cusum_drift_events",
-    "denylist_scrub_docs",
-    "fit_residuals_price_qty",
-    "fits_family",
-    "forecast_revenue",
-    "grid_quantiles_price",
-    "group_samples_factor_events",
-    "hll_distinct_shingles",
-    "index_range_select",
-    "ivf_family",
-    "json_props_rollup",
-    "label_centroids_embeddings",
-    "mean_max_user_family",
-    "minhash_signatures_docs",
-    "mixture_sample_docs",
-    "ngram_decontamination_docs",
-    "ngram_jaccard_verified",
+    # Block 1 — round-15 new rows (never driver-checked): the four
+    # slot-funding families (oracles = the parents' r13-green SQL
+    # verbatim, snapshot-pinned) and the five surfaces pre-proven in
+    # tests/test_oracle_prep.py last round.
+    "event_funnel_family",
+    "meanmax_curve_family",
+    "index_ops_family",
+    "set_ops_family",
+    "sssp_cheapest_route",
+    "scd2_customer_dim",
+    "table_diff_customers",
+    "image_corpus_features",
+    "ppr_part_seeds",
+    # Block 1b — code changed this round: the r15 same-session A/B
+    # reverted pagerank's iteration to the left-join shape
+    # (operators/graph.py), so this r14-green row re-enters per the
+    # standing policy. That makes 51 names for 50 driver slots — the
+    # documented CARRY is zipf_fit_tokens (last green r13, AST-stable
+    # since, smallest-risk row; leads the r16 rotation — the r13
+    # select_filter_project precedent, never a silent skip).
     "pagerank_part_supplier",
-    "per_source_cap_docs",
-    "pmi_collocations_docs",
-    "pq_adc_topk_embeddings",
-    "quality_filter_docs",
-    "robust_outliers_value",
-    "rolling_stats_value",
-    "segment_dedup_docs",
-    "semantic_dedup_embeddings",
-    "session_windows_30m",
-    "shipping_priority",
-    "split_assignment_docs",
-    "stratified_sample_docs",
-    "temperature_mixture_weights",
-    "text_features_docs",
-    "tfidf_top_terms_docs",
-    "weighted_sample_docs",
-    "winnowed_fingerprints_docs",
-    "zorder_key_events",
+    # Block 2 — the remaining surviving r13-checked rows (all green
+    # in CORRECTNESS_r13; last driver row exactly 2 rounds old).
+    # zipf_fit_tokens is the documented CARRY and is OMITTED here
+    # (the r13 select_filter_project mechanics: a carry is expressed
+    # by omission so _FIRST stays exactly the 50 driver slots).
+    "asof_multi_value_lookup",
+    "batch_sessions_events",
+    "binary_corpus_family",
+    "bpe_family",
+    "byte_features_docs",
+    "canonical_docs_by_quality",
+    "classifier_quality_docs",
+    "containment_decontamination_docs",
+    "csv_read_fixture",
+    "dedup_batch_family",
+    "describe_lineitem",
+    "dsir_importance_docs",
+    "embedding_dedup_family",
+    "event_derived_series",
+    "fuzzy_linkage_parts",
+    "gopher_repetition_docs",
+    "group_samples_value_user",
+    "haversine_track_events",
+    "histogram_family",
+    "interpolated_lookup_value",
+    "join_filters_family",
+    "kmv_family",
+    "lm_nll_docs",
+    "lsh_ann_topk_embeddings",
+    "near_dup_clusters_docs",
+    "pack_chunks_256",
+    "pairwise_corr_lineitem",
+    "pricing_summary",
+    "quantiles_price_and_value",
+    "rdp_simplify_user_series",
+    "regional_revenue",
+    "roundtrip_family",
+    "salted_join_segment_revenue",
+    "simhash_docs",
+    "spans_family",
+    "stream_windows_hourly",
+    "top_revenue_orders",
+    "valid_only_drop_na",
+    "weighted_stats_value",
+    "xml_corpus_family",
 ]
 
 # A retired name left in _FIRST must fail loudly: _order silently drops

@@ -117,3 +117,30 @@ def test_frame_parity_shims(spark):
     fwd = [r["c0"] for r in fr.iter_rows()]
     rev = [r["c0"] for r in fr.iter_rows(reverse=True)]
     assert fwd == [1, 2, 3, 4] and rev == [4, 3, 2, 1]
+
+
+def test_bench_emission_lines_survive_tail_capture(capsys):
+    # r14 verdict #5: the one-line per-query dict outgrew the
+    # driver's output-tail capture. Pin the fixed shape: every
+    # emitted line is short (<1 KB), the per-query parts reassemble
+    # to the full timing dict, and the LAST line is the short
+    # summary the driver parses.
+    import json
+
+    import bench
+
+    timings = {f"query_{i:03d}_with_a_long_name": i / 7.0 for i in range(100)}
+    bench.emit_json(timings, 0.1, 2)
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert all(len(ln) < 1024 for ln in lines)
+    parsed = [json.loads(ln) for ln in lines]
+    parts = [p for p in parsed if "per_query_part" in p]
+    assert len(parts) == parts[0]["parts"]
+    merged = {}
+    for p in parts:
+        assert not set(p["queries"]) & set(merged)  # disjoint
+        merged.update(p["queries"])
+    assert merged == {k: round(v, 10) for k, v in timings.items()} or merged == timings
+    summary = parsed[-1]
+    assert summary["metric"] == "headline_queries_total"
+    assert summary["n_queries"] == 100 and len(summary["queries"]) == 10

@@ -508,3 +508,26 @@ def test_ppr_keeps_edgeless_seeds(spark):
     # the edge-less seed keeps its restart base and stays in the output
     assert got[99] == 150000
     assert set(got) == {1, 2, 99}
+
+
+def test_cooccurrence_graph_raises_on_fractional_item_ids(spark):
+    # r14 advice: fractional doubles (3.2, 3.9) used to truncate via
+    # cast('long') and collapse into one item id — must raise loudly
+    import pytest
+
+    from data_frame_spark.operators.graph import cooccurrence_graph
+
+    df = spark.createDataFrame(
+        [("g", 3.2), ("g", 3.9)], "grp string, item double"
+    )
+    with pytest.raises(Exception, match="non-integer fractional"):
+        cooccurrence_graph(df, "grp", "item").collect()
+    # whole-number doubles are exact under cast('long'): still fine
+    ok = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0)], "grp string, item double"
+    )
+    got = {
+        (r["u"], r["v"]): r["weight"]
+        for r in cooccurrence_graph(ok, "grp", "item").collect()
+    }
+    assert got == {(1, 2): 1}

@@ -258,11 +258,13 @@ def test_funnel_steps_sequential_semantics(spark):
 def test_funnel_single_entity_exchange(spark, sf_dir):
     # per facet, all three step windows and the per-user collapse
     # must reuse ONE user_id exchange; only the 8-row cohort rollup
-    # adds a second — 2 facets ('all' + '7d') x 2 shuffles
+    # adds a second — 2 facets ('all' + '7d') x 2 shuffles. Pinned on
+    # the pre-union funnel leg of event_funnel_family (the r15 merge
+    # of funnel_conversion_events) so the budget stays per-leg.
+    from data_frame_spark.oracle_prep import event_funnel_leg
     from data_frame_spark.plans import checks as C
-    from data_frame_spark.queries import QUERIES
 
-    df = QUERIES["funnel_conversion_events"](spark, sf_dir)
+    df = event_funnel_leg(spark, sf_dir, "funnel")
     assert C.count_shuffles(df) <= 4
     assert C.data_sized_partitionless_windows(df) == []
 
@@ -308,12 +310,15 @@ def test_retention_single_user_pass(spark, sf_dir):
     # (map-side partial collect_set, calendar-bounded per-user sets);
     # only the grid rollup and the weeks²-bounded cohort-size window
     # follow
+    # pinned on the pre-union retention leg of event_funnel_family
+    # (the r15 merge of retention_cohorts_events) so the budget
+    # stays per-leg
+    from data_frame_spark.oracle_prep import event_funnel_leg
     from data_frame_spark.plans import checks as C
-    from data_frame_spark.queries import QUERIES
 
-    df = QUERIES["retention_cohorts_events"](spark, sf_dir)
+    df = event_funnel_leg(spark, sf_dir, "retention")
     assert C.count_shuffles(df) <= 3
-    assert C.partitionless_for_query("retention_cohorts_events", df) == []
+    assert C.partitionless_for_query("event_funnel_family", df) == []
     # week-0 cell of every cohort retains 100% by construction
     rows = df.collect()
     assert rows

@@ -347,3 +347,17 @@ def test_png_builder_emits_decodable_bytes():
     assert chunks == [b"IHDR", b"IDAT", b"IEND"]
     raw = zlib.decompress(idat)
     assert len(raw) == 5 * (1 + 20)  # filter byte + width, per scanline
+
+
+def test_image_metadata_quarantines_sos_before_sof(spark):
+    # r14 advice: a malformed JPEG with SOS (FF DA) before any SOF
+    # must quarantine, not walk entropy-coded bytes as segments (a
+    # stray FF C0 pair inside the scan read as garbage dimensions)
+    from data_frame_spark.operators.multimodal import image_metadata
+
+    scan = b"\xff\xda" + (12).to_bytes(2, "big") + b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+    fake_sof = b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08\x00\x10\x00\x10\x03" + b"\x01\x11\x00\x02\x11\x00\x03\x11\x00"
+    data = b"\xff\xd8" + scan + fake_sof + b"\xff\xd9"
+    df = spark.createDataFrame([(1, data)], "doc_id long, payload binary")
+    row, = image_metadata(df, "payload").collect()
+    assert row["ok"] is False and row["width"] is None

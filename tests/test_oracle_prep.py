@@ -366,16 +366,18 @@ def test_event_funnel_family_oracle_matches_spark(spark, sf_dir, con):
     assert got == want
 
 
-def test_event_funnel_leg_sqls_are_the_registered_oracles():
-    # the merge's sub-oracles must stay verbatim copies of the
-    # standalone rows' decorated SQL while both exist (the drift pin;
-    # at registration the standalone rows retire)
+def test_family_registrations_use_the_snapshot_oracles():
+    # r15 registration: the standalone parents retired, so the old
+    # verbatim-copy drift pins retired with them. What remains to
+    # pin: the REGISTERED family oracles are exactly the literal
+    # snapshot constants frozen from the parents' r13-green SQL (if
+    # someone inlines or regenerates an oracle, this catches the
+    # registration drifting from the proven snapshot).
     from data_frame_spark.queries import ORACLE
 
-    legs = OP._event_funnel_leg_sqls()
-    assert legs["funnel"] == ORACLE["funnel_conversion_events"]
-    assert legs["retention"] == ORACLE["retention_cohorts_events"]
-    assert legs["attrib"] == ORACLE["clicks_to_purchases_events"]
+    assert ORACLE["event_funnel_family"] == OP.EVENT_FUNNEL_FAMILY_ORACLE
+    assert ORACLE["meanmax_curve_family"] == OP.MEANMAX_CURVE_FAMILY_ORACLE
+    assert ORACLE["index_ops_family"] == OP.INDEX_OPS_FAMILY_ORACLE
 
 
 def test_meanmax_curve_family_oracle_matches_spark(spark, sf_dir, con):
@@ -387,14 +389,6 @@ def test_meanmax_curve_family_oracle_matches_spark(spark, sf_dir, con):
     want = sorted(con.execute(OP.meanmax_curve_family_oracle_sql()).fetchall())
     assert len(got) > 8 and len({row[0] for row in got}) == 2
     assert got == want
-
-
-def test_meanmax_leg_sqls_are_the_registered_oracles():
-    from data_frame_spark.queries import ORACLE
-
-    legs = OP._meanmax_leg_sqls()
-    assert legs["mm"] == ORACLE["mean_max_value"]
-    assert legs["spline"] == ORACLE["spline_mean_max_curve"]
 
 
 def test_sssp_oracle_matches_spark(spark, sf_dir, con):
@@ -431,14 +425,6 @@ def test_index_ops_family_oracle_matches_spark(spark, sf_dir, con):
     want = sorted(con.execute(OP.index_ops_family_oracle_sql()).fetchall())
     assert len(got) > 20 and len({row[0] for row in got}) == 2
     assert got == want
-
-
-def test_index_ops_leg_sqls_are_the_registered_oracles():
-    from data_frame_spark.queries import ORACLE
-
-    legs = OP._index_ops_leg_sqls()
-    assert legs["slice"] == ORACLE["row_range_slice"]
-    assert legs["equal_range"] == ORACLE["equal_range_count"]
 
 
 def test_image_corpus_oracle_matches_spark(spark, sf_dir, con):

@@ -64,13 +64,14 @@ def test_no_data_sized_partitionless_windows(spark, sf_dir):
         "quantiles_price_and_value",
         "weighted_stats_value",
         "histogram_family",
-        "row_range_slice",
-        # single-series mean-max: slice lag, A-cumulation, and probe
-        # bracketing all run through range-bucketed two-level plans
-        # (mean_max_value carries both the normal and the inverted
-        # facet since the round-9 merge)
-        "mean_max_value",
-        "spline_mean_max_curve",
+        # r15 merges: the slice leg (row_range's global ROW_NUMBER)
+        # rides index_ops_family; single-series mean-max (slice lag,
+        # A-cumulation, probe bracketing — normal + inverted facets)
+        # and the spline leg ride meanmax_curve_family. All still
+        # range-bucketed two-level plans, now pinned on the family
+        # rows.
+        "index_ops_family",
+        "meanmax_curve_family",
     ):
         df = QUERIES[name](spark, sf_dir)
         bad = C.partitionless_for_query(name, df)
@@ -445,12 +446,17 @@ def test_interval_join_is_shuffle_equi_join(spark, sf_dir):
     # the attribution interval join must plan as a hash-partitioned
     # equi-join on user_id with the time bounds as residual
     # conditions — at 100 TB neither side is broadcastable and the
-    # state/shuffle must distribute by the key
+    # state/shuffle must distribute by the key. Pinned on the
+    # pre-union attrib leg of event_funnel_family (the r15 merge of
+    # clicks_to_purchases_events) so the pin sees the join itself,
+    # not the facet union.
+    from data_frame_spark.oracle_prep import event_funnel_leg
+
     with C.scale_planner(spark):
-        df = QUERIES["clicks_to_purchases_events"](spark, sf_dir)
+        df = event_funnel_leg(spark, sf_dir, "attrib")
         plan = C.simple_plan(df)
         assert "BroadcastExchange" not in plan
-        assert not C.broadcasts_for_query("clicks_to_purchases_events", df)
+        assert not C.broadcasts_for_query("event_funnel_family", df)
     # equi-join, not a cartesian/range-only join
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
 
