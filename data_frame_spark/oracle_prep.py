@@ -1587,34 +1587,51 @@ def meanmax_curve_family_oracle_sql() -> str:
     return MEANMAX_CURVE_FAMILY_ORACLE
 
 
-def meanmax_curve_family_spark(spark, sf_dir):
-    """Spark side of the r15 meanmax_curve_family candidate: the
-    mean-max ladder (+ inverted facet) and the spline-interpolated
-    curve, facet-unioned with typed-NULL superset columns. The two
-    legs run mean_max independently (same stance as the oracle's
-    verbatim legs: provably the r13-green pipelines; a shared-fit
-    variant would change the spline's knot inputs ordering
-    guarantees for zero measured win — each leg is sub-second)."""
+def meanmax_curve_ladder(spark, sf_dir):
+    """The SHARED mean-max ladder both facets of meanmax_curve_family
+    read, PRE-checkpoint — exposed so tests/test_plans.py can pin the
+    ladder's own window plan (the registered row checkpoints it,
+    which truncates the lineage the partitionless walk needs)."""
     from pyspark.sql import functions as F
 
     from data_frame_spark.operators import meanmax as OpMM
-    from data_frame_spark.operators import spline as OpSpline
-    from data_frame_spark.queries import (
-        _MM_DURS, _SPLINE_KNOTS, _SPLINE_PROBES, t,
-    )
+    from data_frame_spark.queries import _MM_DURS, t
 
     ev = t(spark, sf_dir, "events").withColumn(
         "x", F.col("ts_us") / F.lit(1000000.0)
     )
-    mm = OpMM.mean_max(
+    return OpMM.mean_max(
         ev, "value", "x", durations=_MM_DURS, slice_scale=6,
         inverted_durations=[3600, 86400],
-    ).select(
+    )
+
+
+def meanmax_curve_family_spark(spark, sf_dir):
+    """Spark side of the registered meanmax_curve_family row: ONE
+    mean-max ladder (full duration set + inverted facet), eagerly
+    checkpointed (a durations-sized table), feeds BOTH facets — the
+    'mm' rows directly, and the 'spline' knots as the
+    inverted=false subset at the knot durations. The r13 standalone
+    rows built the ladder twice (the spline row refit its own
+    5-duration ladder); since the per-duration winners are computed
+    independently and integer-exactly, the subset read is
+    bit-identical to the dedicated build — proven by the unchanged
+    snapshot oracle AND a same-session A/B at sf0.1 (shared 5.36 s
+    vs two-ladders 8.92 s, min-of-3, identical outputs —
+    docs/PLANS.md §"Round-15 meanmax shared ladder")."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators import spline as OpSpline
+    from data_frame_spark.queries import _SPLINE_KNOTS, _SPLINE_PROBES
+
+    mm = meanmax_curve_ladder(spark, sf_dir).localCheckpoint(eager=True)
+    mm_facet = mm.select(
         F.lit("mm").alias("facet"), "duration", "best_mean", "pos", "inverted",
         F.lit(None).cast("double").alias("interpolated_mean"),
     )
-    knots = OpMM.mean_max(
-        ev, "value", "x", durations=[int(x) for x in _SPLINE_KNOTS], slice_scale=6
+    knots = mm.where(
+        (~F.col("inverted"))
+        & F.col("duration").isin([float(x) for x in _SPLINE_KNOTS])
     )
     sp = OpSpline.fit_spline(knots, "duration", "best_mean")
     probes = spark.createDataFrame([(s,) for s in _SPLINE_PROBES], ["duration"])
@@ -1625,7 +1642,7 @@ def meanmax_curve_family_spark(spark, sf_dir):
         F.lit(None).cast("boolean").alias("inverted"),
         F.round(sp.predict(F.col("duration")), 6).alias("interpolated_mean"),
     )
-    return mm.unionByName(spline)
+    return mm_facet.unionByName(spline)
 
 
 def sssp_edges_sql() -> str:

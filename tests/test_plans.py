@@ -76,6 +76,15 @@ def test_no_data_sized_partitionless_windows(spark, sf_dir):
         df = QUERIES[name](spark, sf_dir)
         bad = C.partitionless_for_query(name, df)
         assert not bad, f"{name}: {bad}"
+    # meanmax_curve_family eagerly checkpoints its shared ladder
+    # (r15), which truncates the lineage the walk above can see —
+    # re-pin the PRE-checkpoint ladder directly (the round-10
+    # mean_max_user_family recipe)
+    from data_frame_spark.oracle_prep import meanmax_curve_ladder
+
+    ladder = meanmax_curve_ladder(spark, sf_dir)
+    bad = C.partitionless_for_query("meanmax_curve_family", ladder)
+    assert not bad, f"meanmax ladder: {bad}"
 
 
 def test_jaccard_verify_shuffle_budget(spark, sf_dir):
