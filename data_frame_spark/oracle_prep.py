@@ -1156,6 +1156,63 @@ def graph_suite_family_spark(spark, sf_dir):
     return tri.unionByName(lpa).unionByName(bfs)
 
 
+def graph_suite_v2_oracle_sql(
+    iterations: int = 3, max_hops: int = 3, k: int = 5, rounds: int = 4
+) -> str:
+    """r16 slot-funding candidate (pre-proven r15): graph_suite_family
+    plus the kcore row as a fourth 'kcore_degree' facet — the merge
+    the name-disjoint CTE chains (pe/tn/tri/pern/tfin vs ke*/kd*/kfin
+    vs nodes/l*/c* vs d*/r*) were written for in r14. The ``pe``
+    parts-co-ordered edge CTE appears ONCE (via _tri_ctes) and feeds
+    both the triangle and the peeling chains; kcore keeps the
+    registered row's k=5/rounds=4 contract while LPA/BFS keep the
+    family's 3-round trim."""
+    body = ",\n    ".join(
+        ["WITH " + pagerank_edges_sql().strip().rstrip()]
+        + _lpa_ctes(iterations)
+        + _bfs_ctes(max_hops)
+        + [_tri_ctes()]
+        + [_kcore_ctes(k, rounds)]
+    )
+    return f"""{body}
+    SELECT 'triangles' AS facet, node, triangles AS value FROM tfin
+    UNION ALL
+    SELECT 'lpa_label', node, label FROM l{iterations}
+    UNION ALL
+    SELECT 'bfs_hops', node, hops FROM d{max_hops}
+    UNION ALL
+    SELECT 'kcore_degree', node, degree FROM kfin
+    """
+
+
+def graph_suite_v2_spark(spark, sf_dir):
+    """Spark side of the r16 graph_suite v2 candidate: the r14 family
+    (three concurrent facets, shared materialized part<->supplier
+    edges, parts-co-ordered triangle graph) plus k-core as a FOURTH
+    concurrent facet on the SAME _part_cooccur_pairs fixture
+    (k=5/rounds=4 — the registered kcore row's exact contract, so
+    the merge only re-labels proven work)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    def suite_facets():
+        return graph_suite_family_spark(spark, sf_dir)
+
+    def kcore_facet():
+        return kcore_spark(spark, sf_dir).select(
+            F.lit("kcore_degree").alias("facet"), "node",
+            F.col("degree").alias("value"),
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        suite, kc = (
+            f.result()
+            for f in [pool.submit(fn) for fn in (suite_facets, kcore_facet)]
+        )
+    return suite.unionByName(kc)
+
+
 # ---------------------------------------------------------------------------
 # round-15 pre-proofs: slot-funding merges of r13-checked rows
 # (docs/PLANS.md §"Round-15 slot funding"). The sub-oracles are

@@ -463,3 +463,31 @@ def test_ppr_oracle_matches_spark(spark, sf_dir, con):
     global_mean = sum(got.values()) / len(got)
     assert seed_mean > global_mean
     assert got == want
+
+
+def test_graph_suite_v2_oracle_matches_spark(spark, sf_dir, con):
+    # r16 slot-funding candidate: the kcore facet folded into the
+    # graph suite (pre-proof — registration happens r16 when both
+    # parents are past-cap together, per docs/PLANS.md)
+    out = OP.graph_suite_v2_spark(spark, sf_dir)
+    cols = [f.name for f in out.schema.fields]
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(con.execute(OP.graph_suite_v2_oracle_sql()).fetchall())
+    assert len({row[0] for row in got}) == 4
+    assert got == want
+
+
+def test_graph_suite_v2_is_exactly_the_two_parents(spark, sf_dir):
+    # composition drift pin: v2 rows == the REGISTERED
+    # graph_suite_family rows + the REGISTERED kcore rows tagged
+    # 'kcore_degree' — while all three exist, the merge candidate
+    # can never drift from the rows it will absorb
+    from data_frame_spark.queries import QUERIES
+
+    v2 = sorted(map(tuple, OP.graph_suite_v2_spark(spark, sf_dir).collect()))
+    suite = [tuple(r) for r in QUERIES["graph_suite_family"](spark, sf_dir).collect()]
+    kc = [
+        ("kcore_degree", r["node"], r["degree"])
+        for r in QUERIES["kcore_parts_cooccur"](spark, sf_dir).collect()
+    ]
+    assert v2 == sorted(suite + kc)
