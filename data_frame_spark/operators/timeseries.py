@@ -1,0 +1,162 @@
+"""Regular time-bucket gap-fill with LOCF / linear interpolation.
+
+The hypertable-rollup primitive (TimescaleDB's ``time_bucket_gapfill``
++ ``locf()`` / ``interpolate()``): bucket an irregular event series
+onto a regular grid, emit EVERY bucket between each entity's first
+and last observation, and fill the empty ones from the neighboring
+observed buckets. No reference twin — the reference's series are
+always densely sampled (its GPX/TCX tracks carry a point per tick,
+SURVEY §1.2), so it never needed a gap-filling resample; this is the
+net-new time-series leg of the training-data/events story (regular
+grids are what downstream per-step models and dashboards consume).
+
+Exactness contract (the repo-wide integer discipline): values are
+quantized to integer micros BEFORE any aggregate, per-bucket means
+are floor divisions, and the linear fill is an integer lerp — every
+output is a LONG, bit-identical on any engine/partitioning, so the
+DuckDB twin hashes exactly.
+
+Scale shape: everything is keyed by the entity. One (entity, bucket)
+exchange does the per-bucket aggregate; the per-entity grid is built
+by exploding ``sequence(min_bucket, max_bucket)`` from a
+map-combinable span aggregate (grid size is CALENDAR-bounded per
+entity — the corpus can grow without widening any entity's grid);
+the observed buckets re-join the grid on the same (entity, bucket)
+key; both fill passes are entity-partitioned running frames (the
+forward pass is a DESC-ordered running frame — Spark's UNBOUNDED
+FOLLOWING frame is O(n²), the lookup.py lesson). No partitionless
+window, no broadcast, no collect.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: fills supported by :func:`time_bucket_gapfill`
+FILLS = ("locf", "linear", "null")
+
+
+def time_bucket_gapfill(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_width: int,
+    partition_by: Sequence[str],
+    fill: str = "locf",
+    value_scale: int = 6,
+) -> DataFrame:
+    """Bucket ``ts_col`` (a LONG in the caller's time unit, e.g.
+    epoch-micros) into width-``bucket_width`` buckets per entity,
+    aggregate ``value_col`` per bucket (exact integer-micro mean:
+    quantized sum floor-divided by count), then emit one row per
+    bucket from each entity's first to last observed bucket with the
+    empty buckets filled:
+
+    - ``fill='locf'``: last observed bucket's mean carries forward
+      (buckets before the first observation stay NULL — there is
+      nothing to carry; the span starts at the first observation so
+      this only happens when NULL-valued rows lead the span).
+    - ``fill='linear'``: integer lerp between the previous and next
+      observed buckets (``pv + (nv - pv) * (b - pb) div (nb - pb)``,
+      floor semantics); clamps to the nearest observed value at the
+      span edges.
+    - ``fill='null'``: gaps stay NULL (the bare resample).
+
+    Output: ``partition_by`` + ``bucket`` (LONG bucket index),
+    ``n`` (observed rows in the bucket, 0 for gaps), ``mean_micro``
+    (the observed exact mean, NULL for gaps) and ``filled_micro``
+    (the fill result). Rows whose value is NULL are dropped before
+    bucketing (the reference's valid-only stance, df.rkt:301-318).
+    """
+    if fill not in FILLS:
+        raise ValueError(f"time_bucket_gapfill fill must be one of {FILLS}")
+    if bucket_width <= 0:
+        raise ValueError("time_bucket_gapfill bucket_width must be > 0")
+    pcols = list(partition_by)
+    if not pcols:
+        # a global grid would need a partitionless fill window — the
+        # 100 TB hazard this module exists to avoid; callers bucket a
+        # literal entity in if they truly have one series
+        raise ValueError("time_bucket_gapfill needs partition_by keys")
+
+    mult = 10 ** value_scale
+    v = F.col(value_col).cast("double")
+    base = df.where(v.isNotNull() & F.col(ts_col).isNotNull()).select(
+        *pcols,
+        F.expr(f"{ts_col} div {bucket_width}").alias("bucket"),
+        F.floor(v * mult + F.lit(0.5)).cast("long").alias("__vm"),
+    )
+    agg = base.groupBy(*pcols, "bucket").agg(
+        F.sum("__vm").alias("__sm"), F.count(F.lit(1)).alias("n")
+    )
+    spans = agg.groupBy(*pcols).agg(
+        F.min("bucket").alias("__b0"), F.max("bucket").alias("__b1")
+    )
+    grid = spans.select(
+        *pcols,
+        F.explode(F.expr("sequence(__b0, __b1)")).alias("bucket"),
+    )
+    j = (
+        grid.join(agg, [*pcols, "bucket"], "left")
+        # mean BEFORE the n coalesce: NULL div NULL stays NULL for
+        # gap rows (div-by-zero never evaluates). FLOOR division, not
+        # Spark's truncating `div`: DuckDB's `//` floors, and the two
+        # differ on negative sums — correct the truncation so the
+        # twin hashes for any value sign.
+        .withColumn(
+            "mean_micro",
+            F.expr(
+                "__sm div n - IF(__sm % n != 0 AND __sm < 0, 1, 0)"
+            ),
+        )
+        .select(
+            *pcols,
+            "bucket",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            "mean_micro",
+        )
+    )
+    if fill == "null":
+        return j.withColumn("filled_micro", F.col("mean_micro"))
+
+    back = (
+        Window.partitionBy(*pcols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if fill == "locf":
+        return j.withColumn(
+            "filled_micro", F.last("mean_micro", ignorenulls=True).over(back)
+        )
+
+    # linear: carry (bucket, mean) structs from both directions; the
+    # forward pass is a DESC running frame (O(n), not the O(n²)
+    # UNBOUNDED FOLLOWING frame)
+    fwd = (
+        Window.partitionBy(*pcols)
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs = F.when(
+        F.col("mean_micro").isNotNull(),
+        F.struct(F.col("bucket").alias("b"), F.col("mean_micro").alias("v")),
+    )
+    out = (
+        j.withColumn("__p", F.last(obs, ignorenulls=True).over(back))
+        .withColumn("__n", F.last(obs, ignorenulls=True).over(fwd))
+    )
+    pv, pb = F.col("__p.v"), F.col("__p.b")
+    nv, nb = F.col("__n.v"), F.col("__n.b")
+    lerp = pv + (nv - pv) * (F.col("bucket") - pb) / (nb - pb)
+    filled = (
+        F.when(F.col("mean_micro").isNotNull(), F.col("mean_micro"))
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(F.floor(lerp).cast("long"))
+    )
+    return out.select(
+        *pcols, "bucket", "n", "mean_micro", filled.alias("filled_micro")
+    )

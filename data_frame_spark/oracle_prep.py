@@ -1156,6 +1156,86 @@ def graph_suite_family_spark(spark, sf_dir):
     return tri.unionByName(lpa).unionByName(bfs)
 
 
+GAPFILL_BUCKET_US = 86400 * 1000000  # daily buckets
+
+
+def gapfill_oracle_sql() -> str:
+    """DuckDB twin of the future gapfill_daily_value row
+    (operators/timeseries.py:time_bucket_gapfill on per-user daily
+    value buckets, 'locf' + 'linear' facets on one row). The twin
+    replays the exact integer pipeline: micro quantization before
+    the sum, floor-division mean (DuckDB's ``//`` floors — the
+    Spark side corrects its truncating ``div`` to match), the
+    generate_series grid over each user's observed span, and the
+    integer lerp through FLOOR of the same double expression. CTE
+    names (gb/ga/gs/gg/gj/gw) disjoint from every other chain."""
+    return f"""
+    WITH gb AS (SELECT user_id,
+                       (epoch_ns(ts)//1000) // {GAPFILL_BUCKET_US} AS bucket,
+                       CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vm
+                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    ga AS (SELECT user_id, bucket, SUM(vm) AS sm,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM gb GROUP BY 1, 2),
+    gs AS (SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1
+           FROM ga GROUP BY 1),
+    gg AS (SELECT user_id, UNNEST(generate_series(b0, b1)) AS bucket FROM gs),
+    gj AS (SELECT g.user_id, g.bucket, COALESCE(a.n, 0) AS n,
+                  CAST(a.sm // a.n AS BIGINT) AS mean_micro
+           FROM gg g LEFT JOIN ga a USING (user_id, bucket)),
+    gw AS (SELECT user_id, bucket, n, mean_micro,
+                  LAST_VALUE(mean_micro IGNORE NULLS) OVER wb AS lv,
+                  LAST_VALUE(CASE WHEN mean_micro IS NOT NULL THEN bucket END
+                             IGNORE NULLS) OVER wb AS pb,
+                  FIRST_VALUE(mean_micro IGNORE NULLS) OVER wf AS nv,
+                  FIRST_VALUE(CASE WHEN mean_micro IS NOT NULL THEN bucket END
+                              IGNORE NULLS) OVER wf AS nb
+           FROM gj
+           WINDOW wb AS (PARTITION BY user_id ORDER BY bucket
+                         ROWS UNBOUNDED PRECEDING),
+                  wf AS (PARTITION BY user_id ORDER BY bucket
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT 'locf' AS facet, user_id, bucket, n, mean_micro,
+           lv AS filled_micro
+    FROM gw
+    UNION ALL
+    SELECT 'linear', user_id, bucket, n, mean_micro,
+           CASE WHEN mean_micro IS NOT NULL THEN mean_micro
+                WHEN lv IS NULL THEN nv
+                WHEN nv IS NULL THEN lv
+                ELSE CAST(FLOOR(lv + (nv - lv) * (bucket - pb)
+                                     / (nb - pb)) AS BIGINT)
+           END
+    FROM gw
+    """
+
+
+def gapfill_spark(spark, sf_dir):
+    """The Spark side the future registry row will use verbatim —
+    per-user daily-bucket gap-fill of event value, both fills as
+    facets (each leg is the operator end-to-end; the grid is
+    calendar-bounded per user, so running it twice costs two small
+    entity-keyed passes)."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.timeseries import time_bucket_gapfill
+    from data_frame_spark.queries import t
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts_us").alias("tsn"), "value"
+    )
+    legs = [
+        time_bucket_gapfill(
+            ev, "tsn", "value", GAPFILL_BUCKET_US, ["user_id"], fill=fill
+        ).select(
+            F.lit(fill).alias("facet"), "user_id", "bucket", "n",
+            "mean_micro", "filled_micro",
+        )
+        for fill in ("locf", "linear")
+    ]
+    return legs[0].unionByName(legs[1])
+
+
 def graph_suite_v2_oracle_sql(
     iterations: int = 3, max_hops: int = 3, k: int = 5, rounds: int = 4
 ) -> str:

@@ -491,3 +491,17 @@ def test_graph_suite_v2_is_exactly_the_two_parents(spark, sf_dir):
         for r in QUERIES["kcore_parts_cooccur"](spark, sf_dir).collect()
     ]
     assert v2 == sorted(suite + kc)
+
+
+def test_gapfill_oracle_matches_spark(spark, sf_dir, con):
+    # r16 new-surface candidate: time-bucket gap-fill (locf + linear
+    # facets) — parity pre-proof before any registry slot opens
+    out = OP.gapfill_spark(spark, sf_dir)
+    cols = [f.name for f in out.schema.fields]
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(con.execute(OP.gapfill_oracle_sql()).fetchall())
+    assert len(got) > 100
+    # real gaps exist AND get filled (locf facet: n=0 rows with a
+    # non-null filled value)
+    assert any(r[3] == 0 and r[5] is not None for r in got if r[0] == "locf")
+    assert got == want
