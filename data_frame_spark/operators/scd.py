@@ -161,3 +161,84 @@ def table_diff(
         .select(*keys, "change", *[f"old_{c}" for c in comps],
                 *[f"new_{c}" for c in comps])
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    update_cols: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """SQL ``MERGE INTO`` semantics (SCD type-1, overwrite-in-place —
+    the durable-table analog of the reference's ``df-set!`` in-place
+    mutation, /root/reference/private/df.rkt:179-182): source rows
+    matched by key OVERWRITE the target's ``update_cols`` (including
+    with NULL — the SQL ``SET c = s.c`` contract), unmatched source
+    rows INSERT (target-only columns NULL), and rows whose
+    ``delete_col`` is true produce no output and remove their
+    matched target row (an unmatched delete is a no-op, as in
+    ``WHEN NOT MATCHED`` with no insert branch).
+
+    More than one source row per key raises loudly — SQL MERGE's
+    cardinality violation; picking one silently would make the
+    result depend on partitioning (folded raise_error on a
+    key-partitioned count, zero extra jobs).
+
+    Scale shape: one key-partitioned count window over the SOURCE
+    (batch-sized, not corpus-sized) and ONE key-partitioned
+    full-outer shuffle join; output ∝ |target| + inserts − deletes.
+    No broadcast (neither side is declared small), no collect, no
+    global window.
+    """
+    keys = list(key_cols)
+    ups = list(update_cols)
+    if not keys:
+        raise ValueError("merge_upsert needs at least one key column")
+    if not ups:
+        raise ValueError("merge_upsert needs at least one update column")
+    _DUP = (
+        "merge_upsert: more than one source row matched a key (SQL "
+        "MERGE cardinality violation); deduplicate the source batch "
+        "first"
+    )
+    dflag = (
+        F.coalesce(F.col(delete_col).cast("boolean"), F.lit(False))
+        if delete_col
+        else F.lit(False)
+    )
+    w = Window.partitionBy(*keys)
+    s = (
+        source.select(
+            *keys,
+            *[F.col(c).alias(f"__s_{c}") for c in ups],
+            dflag.alias("__del"),
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        .select(
+            *keys,
+            *[f"__s_{c}" for c in ups],
+            F.when(
+                F.col("__n") > 1,
+                F.raise_error(F.lit(_DUP)).cast("boolean"),
+            )
+            .otherwise(F.col("__del"))
+            .alias("__del"),
+            F.lit(True).alias("__s"),
+        )
+    )
+    passthrough = [c for c in target.columns if c not in keys and c not in ups]
+    j = target.withColumn("__t", F.lit(True)).join(s, keys, "full_outer")
+    return (
+        j.where(~F.coalesce(F.col("__del"), F.lit(False)))
+        .select(
+            *keys,
+            *[
+                F.when(F.col("__s").isNotNull(), F.col(f"__s_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+                for c in ups
+            ],
+            *passthrough,
+        )
+    )

@@ -1236,6 +1236,70 @@ def gapfill_spark(spark, sf_dir):
     return legs[0].unionByName(legs[1])
 
 
+def merge_upsert_oracle_sql() -> str:
+    """DuckDB twin of the future merge_upsert_customers row
+    (operators/scd.py:merge_upsert on the customer dimension): a
+    deterministic batch updates every 3rd key (prefix-tagged
+    segment), deletes every 13th, and inserts supplier-derived keys
+    offset into a disjoint id space (+1e9 — past the 10x replica
+    fixture's 90M key ceiling, where a 20M offset collided and the
+    operator's cardinality guard fired: proof the guard works) — one FULL OUTER join,
+    source-wins overwrite, delete-flag drop. CTE names (mu_*)
+    disjoint from every other chain."""
+    return """
+    WITH mu_t AS (
+      SELECT CAST(c_custkey AS BIGINT) AS k, c_mktsegment AS seg
+      FROM customer),
+    mu_s AS (
+      SELECT k, 'UPDATED_' || seg AS seg, FALSE AS del
+      FROM mu_t WHERE k % 3 = 0 AND k % 13 <> 0
+      UNION ALL
+      SELECT k, CAST(NULL AS VARCHAR), TRUE FROM mu_t WHERE k % 13 = 0
+      UNION ALL
+      SELECT CAST(s_suppkey + 1000000000 AS BIGINT), 'SUPPLIER_NEW', FALSE
+      FROM supplier),
+    mu_j AS (
+      SELECT COALESCE(t.k, s.k) AS c_custkey,
+             CASE WHEN s.k IS NOT NULL THEN s.seg ELSE t.seg END
+                 AS c_mktsegment,
+             COALESCE(s.del, FALSE) AS del
+      FROM mu_t t FULL OUTER JOIN mu_s s ON t.k = s.k)
+    SELECT c_custkey, c_mktsegment FROM mu_j WHERE NOT del
+    """
+
+
+def merge_upsert_spark(spark, sf_dir):
+    """The Spark side the future registry row will use verbatim —
+    the same deterministic update/delete/insert batch through
+    operators/scd.py:merge_upsert."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.scd import merge_upsert
+    from data_frame_spark.queries import t
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "c_mktsegment"
+    )
+    k = F.col("c_custkey")
+    upd = cust.where((k % 3 == 0) & (k % 13 != 0)).select(
+        "c_custkey",
+        F.concat(F.lit("UPDATED_"), F.col("c_mktsegment")).alias("c_mktsegment"),
+        F.lit(False).alias("del"),
+    )
+    dels = cust.where(k % 13 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit(True).alias("del"),
+    )
+    ins = t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + 1_000_000_000).cast("long").alias("c_custkey"),
+        F.lit("SUPPLIER_NEW").alias("c_mktsegment"),
+        F.lit(False).alias("del"),
+    )
+    src = upd.unionByName(dels).unionByName(ins)
+    return merge_upsert(cust, src, ["c_custkey"], ["c_mktsegment"], "del")
+
+
 def graph_suite_v2_oracle_sql(
     iterations: int = 3, max_hops: int = 3, k: int = 5, rounds: int = 4
 ) -> str:

@@ -505,3 +505,18 @@ def test_gapfill_oracle_matches_spark(spark, sf_dir, con):
     # non-null filled value)
     assert any(r[3] == 0 and r[5] is not None for r in got if r[0] == "locf")
     assert got == want
+
+
+def test_merge_upsert_oracle_matches_spark(spark, sf_dir, con):
+    # r16 new-surface candidate: MERGE INTO / SCD1 upsert — parity
+    # pre-proof before any registry slot opens
+    out = OP.merge_upsert_spark(spark, sf_dir)
+    got = sorted((r["c_custkey"], r["c_mktsegment"]) for r in out.collect())
+    want = sorted(con.execute(OP.merge_upsert_oracle_sql()).fetchall())
+    assert len(got) > 100
+    segs = {s for _, s in got if s}
+    # all three branches fire: overwrites, survivors, inserts
+    assert any(s.startswith("UPDATED_") for s in segs)
+    assert "SUPPLIER_NEW" in segs
+    assert any(not s.startswith(("UPDATED_", "SUPPLIER_NEW")) for s in segs)
+    assert got == want

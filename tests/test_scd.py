@@ -211,3 +211,69 @@ def test_table_diff_random_snapshots_match_brute(spark):
         assert got == _brute_diff(old_rows, new_rows), seed
 
     go()
+
+
+def test_merge_upsert_update_insert_delete(spark):
+    from data_frame_spark.operators.scd import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "A", 10), (2, "B", 20), (3, "C", 30)],
+        "k long, seg string, extra long",
+    )
+    source = spark.createDataFrame(
+        [(2, "B2", False), (4, "D", False), (3, None, True)],
+        "k long, seg string, del boolean",
+    )
+    got = sorted(
+        (r["k"], r["seg"], r["extra"])
+        for r in merge_upsert(target, source, ["k"], ["seg"], "del").collect()
+    )
+    # 1 untouched; 2 overwritten; 3 deleted; 4 inserted (extra NULL)
+    assert got == [(1, "A", 10), (2, "B2", 20), (4, "D", None)]
+
+
+def test_merge_upsert_null_overwrites_and_unmatched_delete_noop(spark):
+    from data_frame_spark.operators.scd import merge_upsert
+
+    target = spark.createDataFrame([(1, "A")], "k long, seg string")
+    source = spark.createDataFrame(
+        [(1, None, False), (9, "X", True)], "k long, seg string, del boolean"
+    )
+    got = [
+        (r["k"], r["seg"])
+        for r in merge_upsert(target, source, ["k"], ["seg"], "del").collect()
+    ]
+    # SET seg = s.seg overwrites with NULL; the unmatched delete (9)
+    # inserts nothing
+    assert got == [(1, None)]
+
+
+def test_merge_upsert_duplicate_source_key_raises(spark):
+    import pytest
+
+    from data_frame_spark.operators.scd import merge_upsert
+
+    target = spark.createDataFrame([(1, "A")], "k long, seg string")
+    dup = spark.createDataFrame(
+        [(1, "X"), (1, "Y")], "k long, seg string"
+    )
+    with pytest.raises(Exception, match="cardinality violation"):
+        merge_upsert(target, dup, ["k"], ["seg"]).collect()
+
+
+def test_merge_upsert_guards_and_no_delete_col(spark):
+    import pytest
+
+    from data_frame_spark.operators.scd import merge_upsert
+
+    target = spark.createDataFrame([(1, "A")], "k long, seg string")
+    source = spark.createDataFrame([(2, "B")], "k long, seg string")
+    with pytest.raises(ValueError, match="key column"):
+        merge_upsert(target, source, [], ["seg"])
+    with pytest.raises(ValueError, match="update column"):
+        merge_upsert(target, source, ["k"], [])
+    got = sorted(
+        (r["k"], r["seg"])
+        for r in merge_upsert(target, source, ["k"], ["seg"]).collect()
+    )
+    assert got == [(1, "A"), (2, "B")]
