@@ -228,7 +228,7 @@ def merge_upsert(
         )
     )
     passthrough = [c for c in target.columns if c not in keys and c not in ups]
-    j = target.withColumn("__t", F.lit(True)).join(s, keys, "full_outer")
+    j = target.join(s, keys, "full_outer")
     return (
         j.where(~F.coalesce(F.col("__del"), F.lit(False)))
         .select(

@@ -11,10 +11,18 @@ net-new time-series leg of the training-data/events story (regular
 grids are what downstream per-step models and dashboards consume).
 
 Exactness contract (the repo-wide integer discipline): values are
-quantized to integer micros BEFORE any aggregate, per-bucket means
-are floor divisions, and the linear fill is an integer lerp — every
-output is a LONG, bit-identical on any engine/partitioning, so the
-DuckDB twin hashes exactly.
+quantized to integer micros BEFORE any aggregate; every division
+uses FLOOR semantics — NEITHER engine's native integer division
+does (Spark's ``div`` and DuckDB's ``//`` BOTH truncate toward
+zero, verified live on DuckDB 1.0.0), so both the bucket index and
+the per-bucket mean carry an explicit one-row floor correction on
+both sides. The linear fill is FLOOR of a double lerp evaluated
+identically on both engines (IEEE-deterministic); its product
+``(nv - pv) * (bucket - pb)`` must stay within 2^53 — means are
+bounded by the VALUE range times 10^scale (never by corpus size),
+so this holds for any series whose values fit in ~2^53/10^scale.
+Within that domain every output is a LONG, bit-identical on any
+engine/partitioning, and the DuckDB twin hashes exactly.
 
 Scale shape: everything is keyed by the entity. One (entity, bucket)
 exchange does the per-bucket aggregate; the per-entity grid is built
@@ -55,10 +63,10 @@ def time_bucket_gapfill(
     bucket from each entity's first to last observed bucket with the
     empty buckets filled:
 
-    - ``fill='locf'``: last observed bucket's mean carries forward
-      (buckets before the first observation stay NULL — there is
-      nothing to carry; the span starts at the first observation so
-      this only happens when NULL-valued rows lead the span).
+    - ``fill='locf'``: last observed bucket's mean carries forward.
+      Each entity's span STARTS at its first observed bucket (NULL
+      values are dropped before bucketing), so the LOCF output is
+      non-NULL for every row of the span by construction.
     - ``fill='linear'``: integer lerp between the previous and next
       observed buckets (``pv + (nv - pv) * (b - pb) div (nb - pb)``,
       floor semantics); clamps to the nearest observed value at the
@@ -84,9 +92,16 @@ def time_bucket_gapfill(
 
     mult = 10 ** value_scale
     v = F.col(value_col).cast("double")
+    # FLOOR bucket index, not Spark's truncating `div`: a negative
+    # timestamp must land in the bucket BELOW zero, not share a
+    # double-width bucket 0 with positive timestamps
+    fbucket = (
+        f"{ts_col} div {bucket_width} - "
+        f"IF({ts_col} % {bucket_width} != 0 AND {ts_col} < 0, 1, 0)"
+    )
     base = df.where(v.isNotNull() & F.col(ts_col).isNotNull()).select(
         *pcols,
-        F.expr(f"{ts_col} div {bucket_width}").alias("bucket"),
+        F.expr(fbucket).alias("bucket"),
         F.floor(v * mult + F.lit(0.5)).cast("long").alias("__vm"),
     )
     agg = base.groupBy(*pcols, "bucket").agg(
@@ -103,9 +118,10 @@ def time_bucket_gapfill(
         grid.join(agg, [*pcols, "bucket"], "left")
         # mean BEFORE the n coalesce: NULL div NULL stays NULL for
         # gap rows (div-by-zero never evaluates). FLOOR division, not
-        # Spark's truncating `div`: DuckDB's `//` floors, and the two
-        # differ on negative sums — correct the truncation so the
-        # twin hashes for any value sign.
+        # Spark's truncating `div` — BOTH engines' native integer
+        # division truncates toward zero (DuckDB (-7)//2 = -3,
+        # verified live), so the oracle twin carries the SAME
+        # correction; floor is the documented contract.
         .withColumn(
             "mean_micro",
             F.expr(

@@ -1164,16 +1164,25 @@ def gapfill_oracle_sql() -> str:
     (operators/timeseries.py:time_bucket_gapfill on per-user daily
     value buckets, 'locf' + 'linear' facets on one row). The twin
     replays the exact integer pipeline: micro quantization before
-    the sum, floor-division mean (DuckDB's ``//`` floors — the
-    Spark side corrects its truncating ``div`` to match), the
-    generate_series grid over each user's observed span, and the
-    integer lerp through FLOOR of the same double expression. CTE
-    names (gb/ga/gs/gg/gj/gw) disjoint from every other chain."""
+    the sum, FLOOR-division bucket index and mean (BOTH engines'
+    native integer division truncates toward zero — DuckDB
+    (-7)//2 = -3, verified live — so BOTH sides carry the same
+    explicit floor correction; the fixture's timestamps and values
+    are positive, making the corrections no-ops here, but the twin
+    must state the operator's real semantics), the generate_series
+    grid over each user's observed span, and the lerp through FLOOR
+    of the same double expression. CTE names (gb/ga/gs/gg/gj/gw)
+    disjoint from every other chain."""
     return f"""
-    WITH gb AS (SELECT user_id,
-                       (epoch_ns(ts)//1000) // {GAPFILL_BUCKET_US} AS bucket,
-                       CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vm
-                FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    WITH gb0 AS (SELECT user_id, epoch_ns(ts)//1000 AS tsu,
+                        CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vm
+                 FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+    gb AS (SELECT user_id,
+                  tsu // {GAPFILL_BUCKET_US}
+                  - CASE WHEN tsu % {GAPFILL_BUCKET_US} <> 0 AND tsu < 0
+                         THEN 1 ELSE 0 END AS bucket,
+                  vm
+           FROM gb0),
     ga AS (SELECT user_id, bucket, SUM(vm) AS sm,
                   CAST(COUNT(*) AS BIGINT) AS n
            FROM gb GROUP BY 1, 2),
@@ -1181,7 +1190,9 @@ def gapfill_oracle_sql() -> str:
            FROM ga GROUP BY 1),
     gg AS (SELECT user_id, UNNEST(generate_series(b0, b1)) AS bucket FROM gs),
     gj AS (SELECT g.user_id, g.bucket, COALESCE(a.n, 0) AS n,
-                  CAST(a.sm // a.n AS BIGINT) AS mean_micro
+                  CAST(a.sm // a.n
+                       - CASE WHEN a.sm % a.n <> 0 AND a.sm < 0
+                              THEN 1 ELSE 0 END AS BIGINT) AS mean_micro
            FROM gg g LEFT JOIN ga a USING (user_id, bucket)),
     gw AS (SELECT user_id, bucket, n, mean_micro,
                   LAST_VALUE(mean_micro IGNORE NULLS) OVER wb AS lv,

@@ -62,8 +62,10 @@ def test_gapfill_multi_row_buckets_and_null_values(spark):
 
 
 def test_gapfill_negative_values_floor_mean(spark):
-    # floor (not truncate-toward-zero) mean on a negative sum: the
-    # DuckDB `//` parity case
+    # floor (not truncate-toward-zero) mean on a negative sum —
+    # BOTH engines' native integer division truncates (DuckDB
+    # (-7)//2 = -3, verified live), so floor is an explicit
+    # correction on BOTH sides; this pins the Spark side
     df = spark.createDataFrame(
         [(1, 0, -1.0), (1, 1, -2.0000005), (1, 25, 1.0)],
         "user long, ts long, v double",
@@ -81,6 +83,20 @@ def test_gapfill_negative_values_floor_mean(spark):
     got2 = _rows(time_bucket_gapfill(df2, "ts", "v", 10, ["user"]))
     # sum = -1000001 micro over 2 rows -> floor(-500000.5) = -500001
     assert got2 == [(1, 0, 2, -500_001, -500_001)]
+
+
+def test_gapfill_negative_timestamps_floor_bucket(spark):
+    # ts=-5 with width 10 must land in bucket -1, not share a
+    # double-width bucket 0 with ts=+5 (Spark `div` truncates;
+    # the operator floor-corrects)
+    df = spark.createDataFrame(
+        [(1, -5, 2.0), (1, 5, 4.0)], "user long, ts long, v double"
+    )
+    got = _rows(time_bucket_gapfill(df, "ts", "v", 10, ["user"]))
+    assert got == [
+        (1, -1, 1, 2_000_000, 2_000_000),
+        (1, 0, 1, 4_000_000, 4_000_000),
+    ]
 
 
 def test_gapfill_guards(spark):
@@ -140,7 +156,7 @@ def test_gapfill_matches_brute_force(spark):
             rows.append(
                 (
                     u,
-                    rng.randint(0, 400),
+                    rng.randint(-200, 400),  # negative ts: floor bucketing
                     round(rng.uniform(-50, 50), 3) if rng.random() > 0.1 else None,
                 )
             )

@@ -78,12 +78,15 @@ Reading caveats (round-12/13 advisories):
 - **Checkpointed rows cover the post-checkpoint plan.** Rows whose
   registered callable eagerly `localCheckpoint`s an intermediate
   (`spans_family`'s span table; `bpe_family`'s fit/vocab iterations;
-  the kmv and mean-max families) sever lineage at build time, so
-  THIS ledger's shuffle/broadcast columns for them describe the
-  post-checkpoint plan only. The pre-checkpoint shapes are pinned at
-  OPERATOR level in `tests/test_plans.py` (e.g.
+  the kmv and mean-max families — since r15 `meanmax_curve_family`
+  checkpoints its SHARED ladder, so its row here reads 0 shuffles)
+  sever lineage at build time, so THIS ledger's shuffle/broadcast
+  columns for them describe the post-checkpoint plan only. The
+  pre-checkpoint shapes are pinned at OPERATOR level in
+  `tests/test_plans.py` (e.g.
   `test_duplicate_spans_prechk_shuffle_semi_no_broadcast`, the
-  bpe_encode two-branch pins).
+  bpe_encode two-branch pins, and the r15
+  `oracle_prep.meanmax_curve_ladder` partitionless re-pin).
 
 | query | shuffles | guard | tiny | partitionless | broadcast | bcast data-sized |
 |---|---|---|---|---|---|---|
