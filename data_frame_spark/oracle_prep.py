@@ -1311,6 +1311,99 @@ def merge_upsert_spark(spark, sf_dir):
     return merge_upsert(cust, src, ["c_custkey"], ["c_mktsegment"], "del")
 
 
+#: decontamination_family NULL-superset column plan: (name, type,
+#: producing legs). doc_id is shared by the bloom and ngram legs.
+_DECON_COLS = [
+    ("doc_id", "BIGINT", {"bloom", "ngram"}),
+    ("n_grams", "BIGINT", {"bloom"}),
+    ("bloom_candidates", "BIGINT", {"bloom"}),
+    ("exact_hits", "BIGINT", {"bloom"}),
+    ("bloom_false_positives", "BIGINT", {"bloom"}),
+    ("bench_id", "BIGINT", {"ngram"}),
+    ("shared_ngrams", "BIGINT", {"ngram"}),
+    ("source", "VARCHAR", {"audit"}),
+    ("n_contaminated_docs", "BIGINT", {"audit"}),
+    ("n_bench_docs_hit", "BIGINT", {"audit"}),
+    ("n_pairs", "BIGINT", {"audit"}),
+    ("max_shared", "BIGINT", {"audit"}),
+]
+
+
+def _decon_leg_sqls() -> dict[str, str]:
+    """The three standalone decontamination oracles, lazy-imported
+    from the (fully initialized) queries registry while the
+    standalone rows still exist, so the copies can never drift (the
+    event_funnel recipe; at r16 registration these snapshot into a
+    literal constant and the standalone rows retire)."""
+    from data_frame_spark.queries import ORACLE
+
+    return {
+        "bloom": ORACLE["bloom_decontamination_docs"],
+        "ngram": ORACLE["ngram_decontamination_docs"],
+        "audit": ORACLE["contamination_audit_splits"],
+    }
+
+
+def decontamination_family_oracle_sql() -> str:
+    """Facet union of the three r14-checked decontamination oracles
+    on one NULL-superset schema — the r16 slot-funding merge
+    candidate (net −2, funding gapfill_daily_value +
+    merge_upsert_customers). Legs: 'bloom' (Bloom-gated exact
+    13-gram decontamination), 'ngram' (benchmark-suite shared-ngram
+    counts), 'audit' (cross-split leakage rollup)."""
+    legs = _decon_leg_sqls()
+
+    def proj(leg: str) -> str:
+        cols = ",\n           ".join(
+            name if leg in owners else f"CAST(NULL AS {typ}) AS {name}"
+            for name, typ, owners in _DECON_COLS
+        )
+        return f"SELECT '{leg}' AS facet,\n           {cols}\n    FROM {leg}_leg"
+
+    return f"""
+    WITH bloom_leg AS (SELECT * FROM ({legs["bloom"]})),
+    ngram_leg AS (SELECT * FROM ({legs["ngram"]})),
+    audit_leg AS (SELECT * FROM ({legs["audit"]}))
+    {proj("bloom")}
+    UNION ALL
+    {proj("ngram")}
+    UNION ALL
+    {proj("audit")}
+    """
+
+
+def decontamination_family_spark(spark, sf_dir):
+    """Spark side of the r16 decontamination_family candidate:
+    reuses the REGISTERED standalone pipelines (the index_ops
+    pre-registration stance — neither leg can drift from the row it
+    merges; at registration the retiring bodies move here), padded
+    by the SAME owner sets the oracle projects from."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.queries import QUERIES
+
+    legs = {
+        "bloom": QUERIES["bloom_decontamination_docs"](spark, sf_dir),
+        "ngram": QUERIES["ngram_decontamination_docs"](spark, sf_dir),
+        "audit": QUERIES["contamination_audit_splits"](spark, sf_dir),
+    }
+
+    def pad(leg: str):
+        return legs[leg].select(
+            F.lit(leg).alias("facet"),
+            *[
+                F.col(name)
+                if leg in owners
+                else F.lit(None)
+                .cast("string" if typ == "VARCHAR" else "long")
+                .alias(name)
+                for name, typ, owners in _DECON_COLS
+            ],
+        )
+
+    return pad("bloom").unionByName(pad("ngram")).unionByName(pad("audit"))
+
+
 def graph_suite_v2_oracle_sql(
     iterations: int = 3, max_hops: int = 3, k: int = 5, rounds: int = 4
 ) -> str:

@@ -520,3 +520,30 @@ def test_merge_upsert_oracle_matches_spark(spark, sf_dir, con):
     assert "SUPPLIER_NEW" in segs
     assert any(not s.startswith(("UPDATED_", "SUPPLIER_NEW")) for s in segs)
     assert got == want
+
+
+def test_decontamination_family_oracle_matches_spark(spark, sf_dir, con):
+    # r16 slot-funding merge candidate (net -2): the three
+    # decontamination rows on one NULL-superset facet union
+    out = OP.decontamination_family_spark(spark, sf_dir)
+    cols = [f.name for f in out.schema.fields]
+    got = sorted(
+        tuple(r[c] for c in cols) for r in out.collect()
+    )
+    want = sorted(
+        tuple(row) for row in con.execute(
+            OP.decontamination_family_oracle_sql()
+        ).fetchall()
+    )
+    assert len(got) > 20 and len({row[0] for row in got}) == 3
+    assert got == want
+
+
+def test_decon_leg_sqls_are_the_registered_oracles():
+    # drift pin while the standalone rows exist (snapshot at r16)
+    from data_frame_spark.queries import ORACLE
+
+    legs = OP._decon_leg_sqls()
+    assert legs["bloom"] == ORACLE["bloom_decontamination_docs"]
+    assert legs["ngram"] == ORACLE["ngram_decontamination_docs"]
+    assert legs["audit"] == ORACLE["contamination_audit_splits"]
