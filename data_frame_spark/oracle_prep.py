@@ -1404,6 +1404,60 @@ def decontamination_family_spark(spark, sf_dir):
     return pad("bloom").unionByName(pad("ngram")).unionByName(pad("audit"))
 
 
+def _binary_features_leg_sqls() -> dict[str, str]:
+    """The two standalone binary doc-level oracles, lazy-imported
+    while the rows exist (the event_funnel drift-free contract)."""
+    from data_frame_spark.queries import ORACLE
+
+    return {
+        "meta": ORACLE["binary_metadata_docs"],
+        "features": ORACLE["byte_features_docs"],
+    }
+
+
+def binary_features_family_oracle_sql() -> str:
+    """Facet union of the binary-metadata and byte-features rows —
+    the SPARE r16 slot-funding merge (net −1; both r14-checked,
+    neither in the bench HEADLINE, so the merge costs no
+    comparability). Held in reserve for an unplanned r16 slot (the
+    r15 precedent: the PageRank A/B re-entered a checked row
+    mid-round and forced a carry). n_bytes is the SHARED column,
+    unified to BIGINT in the outer projection (the metadata leg's
+    INTEGER widens; values identical)."""
+    legs = _binary_features_leg_sqls()
+    return f"""
+    WITH meta_leg AS (SELECT * FROM ({legs["meta"]})),
+    features_leg AS (SELECT * FROM ({legs["features"]}))
+    SELECT 'meta' AS facet, doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           content_md5, CAST(NULL AS DOUBLE) AS entropy
+    FROM meta_leg
+    UNION ALL
+    SELECT 'features', doc_id, CAST(n_bytes AS BIGINT),
+           CAST(NULL AS VARCHAR), entropy
+    FROM features_leg
+    """
+
+
+def binary_features_family_spark(spark, sf_dir):
+    """Spark side of the spare candidate: the registered pipelines
+    reused pre-registration (the index_ops stance), n_bytes cast
+    long on the metadata leg to the family's unified type."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.queries import QUERIES
+
+    meta = QUERIES["binary_metadata_docs"](spark, sf_dir).select(
+        F.lit("meta").alias("facet"), "doc_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"), "content_md5",
+        F.lit(None).cast("double").alias("entropy"),
+    )
+    feats = QUERIES["byte_features_docs"](spark, sf_dir).select(
+        F.lit("features").alias("facet"), "doc_id", "n_bytes",
+        F.lit(None).cast("string").alias("content_md5"), "entropy",
+    )
+    return meta.unionByName(feats)
+
+
 def graph_suite_v2_oracle_sql(
     iterations: int = 3, max_hops: int = 3, k: int = 5, rounds: int = 4
 ) -> str:

@@ -547,3 +547,25 @@ def test_decon_leg_sqls_are_the_registered_oracles():
     assert legs["bloom"] == ORACLE["bloom_decontamination_docs"]
     assert legs["ngram"] == ORACLE["ngram_decontamination_docs"]
     assert legs["audit"] == ORACLE["contamination_audit_splits"]
+
+
+def test_binary_features_family_oracle_matches_spark(spark, sf_dir, con):
+    # the SPARE r16 slot-funding merge (net -1, held in reserve)
+    out = OP.binary_features_family_spark(spark, sf_dir)
+    cols = [f.name for f in out.schema.fields]
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(
+        tuple(row) for row in con.execute(
+            OP.binary_features_family_oracle_sql()
+        ).fetchall()
+    )
+    assert len(got) > 20 and len({row[0] for row in got}) == 2
+    assert got == want
+
+
+def test_binary_features_leg_sqls_are_the_registered_oracles():
+    from data_frame_spark.queries import ORACLE
+
+    legs = OP._binary_features_leg_sqls()
+    assert legs["meta"] == ORACLE["binary_metadata_docs"]
+    assert legs["features"] == ORACLE["byte_features_docs"]
