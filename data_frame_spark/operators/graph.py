@@ -296,25 +296,30 @@ def pagerank(
     # vertex table joined on its key — vertex-keyed, never a
     # data-sized broadcast under the scale planner.
     for _ in range(iterations):
-        contribs = (
-            ej.join(ranks, ej["src"] == ranks["node"])
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_micro div __deg").alias("__c"),
-            )
-            .groupBy("node")
-            .agg(F.sum("__c").alias("__s"))
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (F.col("__base") + F.expr("85 * coalesce(__s, 0) div 100"))
-                .alias("rank_micro"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        ranks = _pagerank_round(ej, ranks, nodes).localCheckpoint(eager=True)
     return ranks
+
+
+def _pagerank_round(ej: DataFrame, ranks: DataFrame, nodes: DataFrame) -> DataFrame:
+    """One power iteration, PRE-checkpoint (exposed so the plan pin
+    in tests/test_plans.py sees the round's own shape): the
+    ranks⋈edges contribution shuffle, the map-combinable dst-sum,
+    and the vertex-keyed nodes⋈contribs left join restoring
+    contribution-less nodes' restart base."""
+    contribs = (
+        ej.join(ranks, ej["src"] == ranks["node"])
+        .select(
+            F.col("dst").alias("node"),
+            F.expr("rank_micro div __deg").alias("__c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("__c").alias("__s"))
+    )
+    return nodes.join(contribs, "node", "left").select(
+        "node",
+        (F.col("__base") + F.expr("85 * coalesce(__s, 0) div 100"))
+        .alias("rank_micro"),
+    )
 
 
 def triangle_count(

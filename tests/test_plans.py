@@ -997,3 +997,39 @@ def test_cooccurrence_graph_blowup_is_group_local(spark, sf_dir):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "partial_count" in plan  # weight combines map-side
     assert not C.data_sized_partitionless_windows(df)
+
+
+def test_pagerank_round_is_vertex_keyed_join_shape(spark, sf_dir):
+    # one power iteration (pinned PRE-checkpoint — the registered
+    # rows checkpoint each round): the ranks⋈edges contribution
+    # shuffle + map-combinable dst-sum + the vertex-keyed restore
+    # left join the r15 A/B kept — no window, no forced broadcast
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.graph import _pagerank_round
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = li.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).cast("long").alias("dst"),
+    ).distinct()
+    e = b.unionAll(b.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ej = e.join(deg, "src")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(
+            "node", F.lit(150000).cast("long").alias("__base"),
+            F.lit(1_000_000).cast("long").alias("__init"),
+        )
+    )
+    ranks = nodes.select("node", F.col("__init").alias("rank_micro"))
+    with C.scale_planner(spark):
+        rnd = _pagerank_round(ej, ranks, nodes)
+        assert C.broadcasts_for_query("__pagerank_round__", rnd) == []
+        plan = C.simple_plan(rnd)
+    assert "Window" not in plan
+    assert "partial_sum" in plan  # the contribution sum combines map-side
+    assert not C.data_sized_partitionless_windows(rnd)
