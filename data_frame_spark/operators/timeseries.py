@@ -17,12 +17,15 @@ does (Spark's ``div`` and DuckDB's ``//`` BOTH truncate toward
 zero, verified live on DuckDB 1.0.0), so both the bucket index and
 the per-bucket mean carry an explicit one-row floor correction on
 both sides. The linear fill is FLOOR of a double lerp evaluated
-identically on both engines (IEEE-deterministic); its product
-``(nv - pv) * (bucket - pb)`` must stay within 2^53 — means are
-bounded by the VALUE range times 10^scale (never by corpus size),
-so this holds for any series whose values fit in ~2^53/10^scale.
-Within that domain every output is a LONG, bit-identical on any
-engine/partitioning, and the DuckDB twin hashes exactly.
+identically on both engines (IEEE-deterministic; the slope
+numerator is cast to double BEFORE the multiply so nothing can
+wrap int64). Exactness domain: the product
+``(nv - pv) * (bucket - pb)`` within 2^53 — means are bounded by
+the VALUE range times 10^scale (never by corpus size), so this
+holds for any series whose values fit in ~2^53/10^scale; beyond
+it the lerp loses ulps consistently on both engines rather than
+diverging. Within the domain every output is a LONG, bit-identical
+on any engine/partitioning, and the DuckDB twin hashes exactly.
 
 Scale shape: everything is keyed by the entity. One (entity, bucket)
 exchange does the per-bucket aggregate; the per-entity grid is built
@@ -45,6 +48,16 @@ from pyspark.sql import functions as F
 
 #: fills supported by :func:`time_bucket_gapfill`
 FILLS = ("locf", "linear", "null")
+
+
+def floor_div_expr(num: str, den: str) -> str:
+    """SQL-expression string for FLOOR division of ``num`` by a
+    POSITIVE ``den`` — Spark's ``div`` truncates toward zero, so
+    negative non-exact quotients need the −1 correction. ONE
+    definition for every Spark call site; oracle_prep.sql_floor_div
+    is the DuckDB-dialect mirror (kept textually in sync by the
+    negative-input parity test)."""
+    return f"({num}) div ({den}) - IF(({num}) % ({den}) != 0 AND ({num}) < 0, 1, 0)"
 
 
 def time_bucket_gapfill(
@@ -95,13 +108,9 @@ def time_bucket_gapfill(
     # FLOOR bucket index, not Spark's truncating `div`: a negative
     # timestamp must land in the bucket BELOW zero, not share a
     # double-width bucket 0 with positive timestamps
-    fbucket = (
-        f"{ts_col} div {bucket_width} - "
-        f"IF({ts_col} % {bucket_width} != 0 AND {ts_col} < 0, 1, 0)"
-    )
     base = df.where(v.isNotNull() & F.col(ts_col).isNotNull()).select(
         *pcols,
-        F.expr(fbucket).alias("bucket"),
+        F.expr(floor_div_expr(ts_col, str(bucket_width))).alias("bucket"),
         F.floor(v * mult + F.lit(0.5)).cast("long").alias("__vm"),
     )
     agg = base.groupBy(*pcols, "bucket").agg(
@@ -122,12 +131,7 @@ def time_bucket_gapfill(
         # division truncates toward zero (DuckDB (-7)//2 = -3,
         # verified live), so the oracle twin carries the SAME
         # correction; floor is the documented contract.
-        .withColumn(
-            "mean_micro",
-            F.expr(
-                "__sm div n - IF(__sm % n != 0 AND __sm < 0, 1, 0)"
-            ),
-        )
+        .withColumn("mean_micro", F.expr(floor_div_expr("__sm", "n")))
         .select(
             *pcols,
             "bucket",
@@ -166,7 +170,11 @@ def time_bucket_gapfill(
     )
     pv, pb = F.col("__p.v"), F.col("__p.b")
     nv, nb = F.col("__n.v"), F.col("__n.b")
-    lerp = pv + (nv - pv) * (F.col("bucket") - pb) / (nb - pb)
+    # the slope numerator casts to DOUBLE BEFORE the multiply: a
+    # long*long product would WRAP silently past int64 on Spark
+    # (DuckDB raises), while the double product merely loses ulps
+    # past 2^53 — identically on both engines (IEEE-deterministic)
+    lerp = pv + (nv - pv).cast("double") * (F.col("bucket") - pb) / (nb - pb)
     filled = (
         F.when(F.col("mean_micro").isNotNull(), F.col("mean_micro"))
         .when(pv.isNull(), nv)

@@ -1159,6 +1159,18 @@ def graph_suite_family_spark(spark, sf_dir):
 GAPFILL_BUCKET_US = 86400 * 1000000  # daily buckets
 
 
+def sql_floor_div(num: str, den: str) -> str:
+    """DuckDB-dialect FLOOR division of ``num`` by a POSITIVE
+    ``den`` (DuckDB's ``//`` truncates toward zero, verified live:
+    (-7)//2 = -3) — the mirror of
+    operators/timeseries.py:floor_div_expr, pinned in sync by the
+    negative-input parity test in tests/test_timeseries.py."""
+    return (
+        f"({num}) // ({den}) - CASE WHEN ({num}) % ({den}) <> 0 "
+        f"AND ({num}) < 0 THEN 1 ELSE 0 END"
+    )
+
+
 def gapfill_oracle_sql() -> str:
     """DuckDB twin of the future gapfill_daily_value row
     (operators/timeseries.py:time_bucket_gapfill on per-user daily
@@ -1178,9 +1190,7 @@ def gapfill_oracle_sql() -> str:
                         CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vm
                  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
     gb AS (SELECT user_id,
-                  tsu // {GAPFILL_BUCKET_US}
-                  - CASE WHEN tsu % {GAPFILL_BUCKET_US} <> 0 AND tsu < 0
-                         THEN 1 ELSE 0 END AS bucket,
+                  {sql_floor_div("tsu", GAPFILL_BUCKET_US)} AS bucket,
                   vm
            FROM gb0),
     ga AS (SELECT user_id, bucket, SUM(vm) AS sm,
@@ -1190,9 +1200,7 @@ def gapfill_oracle_sql() -> str:
            FROM ga GROUP BY 1),
     gg AS (SELECT user_id, UNNEST(generate_series(b0, b1)) AS bucket FROM gs),
     gj AS (SELECT g.user_id, g.bucket, COALESCE(a.n, 0) AS n,
-                  CAST(a.sm // a.n
-                       - CASE WHEN a.sm % a.n <> 0 AND a.sm < 0
-                              THEN 1 ELSE 0 END AS BIGINT) AS mean_micro
+                  CAST({sql_floor_div("a.sm", "a.n")} AS BIGINT) AS mean_micro
            FROM gg g LEFT JOIN ga a USING (user_id, bucket)),
     gw AS (SELECT user_id, bucket, n, mean_micro,
                   LAST_VALUE(mean_micro IGNORE NULLS) OVER wb AS lv,
@@ -1214,7 +1222,7 @@ def gapfill_oracle_sql() -> str:
            CASE WHEN mean_micro IS NOT NULL THEN mean_micro
                 WHEN lv IS NULL THEN nv
                 WHEN nv IS NULL THEN lv
-                ELSE CAST(FLOOR(lv + (nv - lv) * (bucket - pb)
+                ELSE CAST(FLOOR(lv + CAST(nv - lv AS DOUBLE) * (bucket - pb)
                                      / (nb - pb)) AS BIGINT)
            END
     FROM gw
@@ -1395,7 +1403,8 @@ def decontamination_family_spark(spark, sf_dir):
                 F.col(name)
                 if leg in owners
                 else F.lit(None)
-                .cast("string" if typ == "VARCHAR" else "long")
+                .cast({"VARCHAR": "string", "BIGINT": "long",
+                       "DOUBLE": "double"}[typ])
                 .alias(name)
                 for name, typ, owners in _DECON_COLS
             ],

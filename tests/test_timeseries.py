@@ -177,3 +177,57 @@ def test_gapfill_plan_is_entity_keyed(spark, sf_dir):
     with C.scale_planner(spark):
         df2 = OP.gapfill_spark(spark, sf_dir)
         assert C.broadcasts_for_query("gapfill_daily_value", df2) == []
+
+
+def test_gapfill_oracle_corrections_on_negative_inputs(spark):
+    # The oracle twin's floor corrections (sql_floor_div at the
+    # bucket and mean sites) are NO-OPS on the registered fixture
+    # (positive timestamps/values), so this pins them on a synthetic
+    # events table with pre-epoch timestamps and negative values:
+    # full Spark-vs-DuckDB parity where the corrections actually fire
+    import duckdb
+
+    from data_frame_spark import oracle_prep as OP
+
+    rows = [
+        # user 1: pre-epoch bucket (ts < 0 -> bucket -1, not 0) and a
+        # negative odd-sum bucket (floor mean, not truncation)
+        (1, -40_000_000_000, -1.0),
+        (1, 20_000_000_000, -1.0),
+        (1, 30_000_000_000, -0.0000015),
+        (1, 86_400_000_000 * 2 + 5, 3.0),
+        # user 2: single negative bucket
+        (2, -1, -7.5),
+    ]
+    sdf = spark.createDataFrame(
+        [(u, ts / 1_000_000.0, v) for u, ts, v in rows],
+        "user_id long, epoch double, value double",
+    ).selectExpr(
+        "user_id", "CAST(timestamp_seconds(epoch) AS TIMESTAMP) AS ts",
+        "CAST(epoch * 1000000 AS LONG) AS tsn", "value",
+    )
+    got = sorted(
+        tuple(r)
+        for r in __import__("data_frame_spark.operators.timeseries",
+                            fromlist=["time_bucket_gapfill"])
+        .time_bucket_gapfill(
+            sdf, "tsn", "value", OP.GAPFILL_BUCKET_US, ["user_id"],
+            fill="linear",
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    pdf = sdf.select("user_id", "ts", "value").toPandas()
+    con.register("events_pd", pdf)
+    con.execute("CREATE VIEW events AS SELECT * FROM events_pd")
+    # the oracle emits both facets; keep 'linear' to match
+    want = sorted(
+        tuple(row[1:])
+        for row in con.execute(OP.gapfill_oracle_sql()).fetchall()
+        if row[0] == "linear"
+    )
+    assert got == want
+    # the corrections actually fired: a negative bucket exists, and
+    # the negative odd-sum mean floored downward
+    assert any(b < 0 for _, b, _, _, _ in got)
+    assert (1, 0, 2, -500_001, -500_001) in got
