@@ -277,3 +277,58 @@ def test_merge_upsert_guards_and_no_delete_col(spark):
         for r in merge_upsert(target, source, ["k"], ["seg"]).collect()
     )
     assert got == [(1, "A"), (2, "B")]
+
+
+def test_merge_upsert_matches_brute_randomized(spark):
+    # randomized NULL-bearing batches vs a dict-based brute model —
+    # overlapping keys, NULL overwrites, delete flags, pass-through
+    # columns on inserts (the table_diff property-test recipe)
+    import random
+
+    from hypothesis import given, settings, strategies as st
+
+    from data_frame_spark.operators.scd import merge_upsert
+
+    @settings(max_examples=8, deadline=None, derandomize=True)
+    @given(st.integers(0, 10_000))
+    def go(seed):
+        rng = random.Random(seed)
+        tgt_rows = [
+            (k, rng.choice(["A", "B", None]), rng.choice([10, 20, None]))
+            for k in rng.sample(range(12), rng.randint(0, 9))
+        ]
+        src_keys = rng.sample(range(12), rng.randint(0, 9))
+        src_rows = [
+            (k, rng.choice(["X", "Y", None]), rng.random() < 0.3)
+            for k in src_keys  # distinct keys: the cardinality contract
+        ]
+        schema_t = "k long, seg string, extra long"
+        target = (
+            spark.createDataFrame(tgt_rows, schema_t)
+            if tgt_rows else spark.createDataFrame([], schema_t)
+        )
+        schema_s = "k long, seg string, del boolean"
+        source = (
+            spark.createDataFrame(src_rows, schema_s)
+            if src_rows else spark.createDataFrame([], schema_s)
+        )
+        got = sorted(
+            (r["k"], r["seg"], r["extra"])
+            for r in merge_upsert(
+                target, source, ["k"], ["seg"], "del"
+            ).collect()
+        )
+        # brute: dict of target rows, apply source in any order
+        # (keys distinct so order is irrelevant)
+        state = {k: (seg, extra) for k, seg, extra in tgt_rows}
+        for k, seg, dele in src_rows:
+            if dele:
+                state.pop(k, None)
+            elif k in state:
+                state[k] = (seg, state[k][1])
+            else:
+                state[k] = (seg, None)
+        want = sorted((k, seg, extra) for k, (seg, extra) in state.items())
+        assert got == want, seed
+
+    go()
