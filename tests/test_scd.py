@@ -332,3 +332,32 @@ def test_merge_upsert_matches_brute_randomized(spark):
         assert got == want, seed
 
     go()
+
+
+def test_merge_upsert_composite_keys(spark):
+    from data_frame_spark.operators.scd import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "x", "A"), (1, "y", "B"), (2, "x", "C")],
+        "k1 long, k2 string, seg string",
+    )
+    source = spark.createDataFrame(
+        [(1, "y", "B2", False), (2, "y", "D", False), (1, "x", None, True)],
+        "k1 long, k2 string, seg string, del boolean",
+    )
+    got = sorted(
+        (r["k1"], r["k2"], r["seg"])
+        for r in merge_upsert(
+            target, source, ["k1", "k2"], ["seg"], "del"
+        ).collect()
+    )
+    # (1,x) deleted; (1,y) overwritten; (2,x) untouched; (2,y) inserted
+    assert got == [(1, "y", "B2"), (2, "x", "C"), (2, "y", "D")]
+    # duplicate COMPOSITE key still raises (same k1, same k2)
+    import pytest
+
+    dup = spark.createDataFrame(
+        [(1, "y", "P"), (1, "y", "Q")], "k1 long, k2 string, seg string"
+    )
+    with pytest.raises(Exception, match="cardinality violation"):
+        merge_upsert(target, dup, ["k1", "k2"], ["seg"]).collect()

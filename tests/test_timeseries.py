@@ -231,3 +231,24 @@ def test_gapfill_oracle_corrections_on_negative_inputs(spark):
     # the negative odd-sum mean floored downward
     assert any(b < 0 for _, b, _, _, _ in got)
     assert (1, 0, 2, -500_001, -500_001) in got
+
+
+def test_gapfill_composite_partition_keys(spark):
+    # grids and fills stay per-(entity, series): same user, two
+    # series names, distinct spans
+    df = spark.createDataFrame(
+        [(1, "hr", 0, 2.0), (1, "hr", 25, 4.0), (1, "spd", 5, 1.0)],
+        "user long, series string, ts long, v double",
+    )
+    got = sorted(
+        (r["user"], r["series"], r["bucket"], r["filled_micro"])
+        for r in time_bucket_gapfill(
+            df, "ts", "v", 10, ["user", "series"], fill="locf"
+        ).collect()
+    )
+    assert got == [
+        (1, "hr", 0, 2_000_000),
+        (1, "hr", 1, 2_000_000),
+        (1, "hr", 2, 4_000_000),
+        (1, "spd", 0, 1_000_000),
+    ]
