@@ -141,7 +141,14 @@ class Frame:
         position ``i`` of the declared order. Positional access is a
         test/debug shim in a distributed engine (the reference's
         binary-search machinery dissolves into predicates) — this
-        sorts and skips, never collecting more than one row."""
+        sorts and skips, never collecting more than one row.
+
+        The WRITE side (``df-set!``, df.rkt:179-182) stays a
+        documented non-goal at frame level — immutable plans — but
+        its durable-table analog is
+        ``operators/scd.py:merge_upsert`` (keyed overwrite with SQL
+        MERGE semantics): point-mutate by KEY, not by position,
+        which is the only form that survives distribution."""
         if not self.order_by:
             raise ValueError("ref requires a declared order (set_sorted)")
         row = self.df.orderBy(*self.order_by).offset(i).limit(1).collect()
