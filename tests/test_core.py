@@ -144,3 +144,27 @@ def test_bench_emission_lines_survive_tail_capture(capsys):
     summary = parsed[-1]
     assert summary["metric"] == "headline_queries_total"
     assert summary["n_queries"] == 100 and len(summary["queries"]) == 10
+
+
+def test_no_row_at_a_time_python_udfs_in_package():
+    # the 100 TB contract bans row-at-a-time Python from the hot
+    # path: every Python lane must be Arrow-batched (pandas_udf /
+    # mapInPandas / applyInPandas). Static pin: no F.udf /
+    # functions.udf / @udf anywhere in the package source; the
+    # plan-level twin is the scale ledger's row-python column
+    # (BatchEvalPython nodes), 0 for all registered queries.
+    import re
+    from pathlib import Path
+
+    import data_frame_spark
+
+    pkg = Path(data_frame_spark.__file__).parent
+    pat = re.compile(r"(?<![\w.])(F\.udf|functions\.udf)\s*\(|^\s*@udf\b",
+                     re.MULTILINE)
+    hits = [
+        f"{p.relative_to(pkg)}: {m.group(0)!r}"
+        for p in pkg.rglob("*.py")
+        for m in [pat.search(p.read_text())]
+        if m
+    ]
+    assert not hits, hits

@@ -60,6 +60,11 @@ accounting for every registered query at sf0.001. Columns:
   `DECLARED_BROADCAST_OK` entry). This column must be 0 for EVERY
   query (round-6 verdict: the contamination audit's
   corpus-proportional broadcast is exactly this bug class).
+- **row-python** — `BatchEvalPython` nodes: ROW-AT-A-TIME Python in
+  the executed plan (~10-100× slower than the Arrow-batched lanes;
+  the prompt-level ban). Arrow nodes (ArrowEvalPython, MapInPandas,
+  FlatMapGroupsInPandas) do NOT flag. Must be empty for every query;
+  the static twin is `test_no_row_at_a_time_python_udfs_in_package`.
 
 Empirical 10x scale-up slopes for the five most expensive queries are
 recorded in [SCALE_PROBE.md](SCALE_PROBE.md) (round 6): no
@@ -88,8 +93,8 @@ Reading caveats (round-12/13 advisories):
   bpe_encode two-branch pins, and the r15
   `oracle_prep.meanmax_curve_ladder` partitionless re-pin).
 
-| query | shuffles | guard | tiny | partitionless | broadcast | bcast data-sized |
-|---|---|---|---|---|---|---|
+| query | shuffles | guard | tiny | partitionless | broadcast | bcast data-sized | row-python |
+|---|---|---|---|---|---|---|---|
 """
 
 
@@ -108,11 +113,17 @@ def main() -> None:
             with C.scale_planner(spark):
                 df_scale = fn(spark, SF_DIR)
                 bd = len(C.broadcasts_for_query(name, df_scale))
+            # row-at-a-time Python (BatchEvalPython) is banned from
+            # the hot path everywhere — Arrow-batched nodes
+            # (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)
+            # are the sanctioned Python lanes
+            plan = C.simple_plan(df)
+            rowpy = "ROW-PY!" if "BatchEvalPython" in plan else ""
             rows.append(
-                f"| `{name}` | {sh} | {guard} | {tiny} | {pw} | {bc} | {bd} |"
+                f"| `{name}` | {sh} | {guard} | {tiny} | {pw} | {bc} | {bd} | {rowpy} |"
             )
         except Exception as e:  # pragma: no cover
-            rows.append(f"| `{name}` | ERROR | | | {str(e)[:40]} | | |")
+            rows.append(f"| `{name}` | ERROR | | | {str(e)[:40]} | | | |")
     out = HEADER + "\n".join(rows) + "\n"
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "docs", "SCALE_LEDGER.md")
