@@ -159,8 +159,20 @@ def test_no_row_at_a_time_python_udfs_in_package():
     import data_frame_spark
 
     pkg = Path(data_frame_spark.__file__).parent
-    pat = re.compile(r"(?<![\w.])(F\.udf|functions\.udf)\s*\(|^\s*@udf\b",
-                     re.MULTILINE)
+    # four lanes into a row-at-a-time UDF, all banned: qualified
+    # calls (F.udf / functions.udf, with or without decorator
+    # parens), bare-name imports (`from pyspark.sql.functions
+    # import udf` — the only way a bare udf() call can exist;
+    # \budf\b does NOT match pandas_udf, `_` is a word char), and
+    # session registration (spark.udf.register). Review-pass fix:
+    # the first regex missed the latter three.
+    pat = re.compile(
+        r"@?(?<![\w.])(F\.udf|functions\.udf)\b"
+        r"|from\s+pyspark\.sql\.functions\s+import\s+[^\n]*\budf\b"
+        r"|\.udf\.register\s*\("
+        r"|^\s*@udf\b",
+        re.MULTILINE,
+    )
     hits = [
         f"{p.relative_to(pkg)}: {m.group(0)!r}"
         for p in pkg.rglob("*.py")

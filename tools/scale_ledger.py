@@ -86,7 +86,10 @@ Reading caveats (round-12/13 advisories):
   the kmv and mean-max families — since r15 `meanmax_curve_family`
   checkpoints its SHARED ladder, so its row here reads 0 shuffles)
   sever lineage at build time, so THIS ledger's shuffle/broadcast
-  columns for them describe the post-checkpoint plan only. The
+  AND row-python columns for them describe the post-checkpoint plan
+  only (a BatchEvalPython node hidden behind a checkpoint would not
+  flag here — the static package test is the lineage-independent
+  half of that ban). The
   pre-checkpoint shapes are pinned at OPERATOR level in
   `tests/test_plans.py` (e.g.
   `test_duplicate_spans_prechk_shuffle_semi_no_broadcast`, the
