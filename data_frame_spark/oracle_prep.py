@@ -1467,6 +1467,55 @@ def binary_features_family_spark(spark, sf_dir):
     return meta.unionByName(feats)
 
 
+#: the TPC-H order-priority attribute domain — the EXPLICIT pivot
+#: value list (bounded by spec, not by data)
+PIVOT_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+
+
+def pivot_melt_oracle_sql() -> str:
+    """DuckDB twin of the future pivot_melt_orders row
+    (operators/reshape.py): orders pivoted to a status × priority
+    count matrix over the EXPLICIT priority domain, then melted back
+    to long — so the twin is simply the domain grid LEFT-joined to
+    the grouped counts (absent combinations stay NULL, exactly the
+    pivot's empty cells carried through the melt). CTE names (pv_*)
+    disjoint from every other chain."""
+    vals = ", ".join(f"'{v}'" for v in PIVOT_PRIORITIES)
+    return f"""
+    WITH pv_s AS (SELECT DISTINCT o_orderstatus FROM orders),
+    pv_d AS (SELECT UNNEST([{vals}]) AS o_orderpriority),
+    pv_c AS (SELECT o_orderstatus, o_orderpriority,
+                    CAST(COUNT(*) AS BIGINT) AS n
+             FROM orders GROUP BY 1, 2)
+    SELECT s.o_orderstatus, d.o_orderpriority, c.n
+    FROM pv_s s CROSS JOIN pv_d d
+    LEFT JOIN pv_c c USING (o_orderstatus, o_orderpriority)
+    """
+
+
+def pivot_melt_spark(spark, sf_dir):
+    """The Spark side the future registry row will use verbatim —
+    pivot to the wide status × priority count matrix (explicit
+    bounded domain, collect-free) and melt straight back to long,
+    proving the round trip is lossless INCLUDING the empty cells."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.reshape import melt, pivot
+    from data_frame_spark.queries import t
+
+    orders = t(spark, sf_dir, "orders")
+    wide = pivot(
+        orders, ["o_orderstatus"], "o_orderpriority",
+        PIVOT_PRIORITIES, F.count(F.lit(1)),
+    )
+    return melt(
+        wide, ["o_orderstatus"], PIVOT_PRIORITIES,
+        "o_orderpriority", "n",
+    )
+
+
 def graph_suite_v2_oracle_sql(
     iterations: int = 3, max_hops: int = 3, k: int = 5, rounds: int = 4
 ) -> str:

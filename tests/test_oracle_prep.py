@@ -569,3 +569,18 @@ def test_binary_features_leg_sqls_are_the_registered_oracles():
     legs = OP._binary_features_leg_sqls()
     assert legs["meta"] == ORACLE["binary_metadata_docs"]
     assert legs["features"] == ORACLE["byte_features_docs"]
+
+
+def test_pivot_melt_oracle_matches_spark(spark, sf_dir, con):
+    # r17 new-surface candidate: bounded-domain pivot + melt round
+    # trip — parity pre-proof before any registry slot opens
+    out = OP.pivot_melt_spark(spark, sf_dir)
+    got = sorted(
+        (r["o_orderstatus"], r["o_orderpriority"], r["n"])
+        for r in out.collect()
+    )
+    want = sorted(con.execute(OP.pivot_melt_oracle_sql()).fetchall())
+    # full grid: every (status, priority) cell exists exactly once
+    assert len(got) == len({(s, p) for s, p, _ in got})
+    assert len(got) % len(OP.PIVOT_PRIORITIES) == 0
+    assert got == want

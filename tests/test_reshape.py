@@ -1,0 +1,73 @@
+"""pivot / melt: known values, round-trip, guards, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_frame_spark.operators.reshape import melt, pivot
+
+
+def test_pivot_known_values_and_stable_schema(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "x", 2), ("a", "y", 10), ("b", "y", 5)],
+        "g string, p string, v long",
+    )
+    # 'z' is in the declared domain but absent from the data -> NULL
+    # cell, column still present (stable schema); 'w' appears in no
+    # domain and is ignored by construction
+    out = pivot(df, ["g"], "p", ["x", "y", "z"], F.sum("v"))
+    assert out.columns == ["g", "x", "y", "z"]
+    got = {r["g"]: (r["x"], r["y"], r["z"]) for r in out.collect()}
+    assert got == {"a": (3, 10, None), "b": (None, 5, None)}
+
+
+def test_pivot_ignores_out_of_domain_values(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "OTHER", 99)], "g string, p string, v long"
+    )
+    got, = pivot(df, ["g"], "p", ["x"], F.sum("v")).collect()
+    assert (got["g"], got["x"]) == ("a", 1)
+    assert "OTHER" not in pivot(df, ["g"], "p", ["x"], F.sum("v")).columns
+
+
+def test_pivot_guards(spark):
+    df = spark.createDataFrame([("a", "x", 1)], "g string, p string, v long")
+    with pytest.raises(ValueError, match="group column"):
+        pivot(df, [], "p", ["x"], F.sum("v"))
+    with pytest.raises(ValueError, match="explicit bounded values"):
+        pivot(df, ["g"], "p", [], F.sum("v"))
+    with pytest.raises(ValueError, match="distinct"):
+        pivot(df, ["g"], "p", ["x", "x"], F.sum("v"))
+
+
+def test_melt_and_pivot_round_trip(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 20), (2, 30, 40)], "k long, a long, b long"
+    )
+    long = melt(df, ["k"], ["a", "b"], "col", "val")
+    assert sorted(map(tuple, long.collect())) == [
+        (1, "a", 10), (1, "b", 20), (2, "a", 30), (2, "b", 40),
+    ]
+    back = pivot(long, ["k"], "col", ["a", "b"], F.sum("val"))
+    assert sorted(map(tuple, back.collect())) == [(1, 10, 20), (2, 30, 40)]
+    with pytest.raises(ValueError, match="value column"):
+        melt(df, ["k"], [])
+
+
+def test_pivot_is_one_combinable_exchange_and_melt_is_narrow(spark):
+    from data_frame_spark.plans import checks as C
+
+    df = spark.createDataFrame(
+        [("a", "x", 1.0)], "g string, p string, v double"
+    )
+    wide = pivot(df, ["g"], "p", ["x", "y"], F.sum("v"))
+    plan = C.simple_plan(wide)
+    # two exchanges by design: the data-sized (group, pivot) cell
+    # aggregate, then the domain-bounded pivotfirst assembly — both
+    # with map-side partials
+    assert C.count_shuffles(wide) == 2
+    assert "partial_sum" in plan and "partial_pivotfirst" in plan
+    long = melt(df, ["g"], ["v"])
+    assert C.count_shuffles(long) == 0
+    assert "Expand" in C.simple_plan(long)
