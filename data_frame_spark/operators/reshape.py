@@ -34,6 +34,17 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _q(name: str) -> Column:
+    """Resolve a LITERAL column name: backtick-quoted so names
+    containing dots (spreadsheet-shaped ingests) do not get parsed
+    as struct-field access — the sources/csv.py quoting pattern.
+    Backticks inside names are not supported (Spark's own limit)."""
+    if "`" in name:
+        raise ValueError(f"column name may not contain backticks: {name!r}")
+    return F.col(f"`{name}`")
 
 
 def pivot(
@@ -71,11 +82,18 @@ def pivot(
         )
     if len(set(vals)) != len(vals):
         raise ValueError("pivot values must be distinct")
+    collide = set(map(str, vals)) & set(groups)
+    if collide:
+        # two same-named output columns -> ambiguous downstream
+        raise ValueError(f"pivot values collide with group columns: {sorted(collide)}")
     return (
-        df.groupBy(*groups)
+        df.groupBy(*[_q(g) for g in groups])
         .pivot(pivot_col, vals)
         .agg(agg)
-        .select(*groups, *[str(v) for v in vals])
+        .select(
+            *[_q(g) for g in groups],
+            *[_q(str(v)).alias(str(v)) for v in vals],
+        )
     )
 
 
@@ -95,4 +113,14 @@ def melt(
     vals = list(value_cols)
     if not vals:
         raise ValueError("melt needs at least one value column")
-    return df.unpivot(ids, vals, var_name, value_name)
+    if {var_name, value_name} & set(ids) or var_name == value_name:
+        raise ValueError(
+            "melt var_name/value_name must not collide with id columns "
+            "or each other"
+        )
+    return df.unpivot(
+        [_q(c) for c in ids],
+        [_q(c).alias(c) for c in vals],
+        var_name,
+        value_name,
+    )

@@ -26,9 +26,34 @@ def test_pivot_ignores_out_of_domain_values(spark):
     df = spark.createDataFrame(
         [("a", "x", 1), ("a", "OTHER", 99)], "g string, p string, v long"
     )
-    got, = pivot(df, ["g"], "p", ["x"], F.sum("v")).collect()
+    out = pivot(df, ["g"], "p", ["x"], F.sum("v"))
+    got, = out.collect()
     assert (got["g"], got["x"]) == ("a", 1)
-    assert "OTHER" not in pivot(df, ["g"], "p", ["x"], F.sum("v")).columns
+    assert "OTHER" not in out.columns
+
+
+def test_reshape_handles_dotted_names_and_collisions(spark):
+    # review-pass fix: pivot values / melt columns containing dots
+    # must resolve as LITERAL names (backtick-quoted), not
+    # struct-field access; name collisions raise instead of emitting
+    # ambiguous duplicate columns
+    df = spark.createDataFrame(
+        [("a", "v1.5", 1), ("a", "v2.5", 2)], "g string, p string, v long"
+    )
+    out = pivot(df, ["g"], "p", ["v1.5", "v2.5"], F.sum("v"))
+    assert out.columns == ["g", "v1.5", "v2.5"]
+    row, = out.collect()
+    assert (row["g"], row["v1.5"], row["v2.5"]) == ("a", 1, 2)
+    back = melt(out, ["g"], ["v1.5", "v2.5"], "p", "v")
+    assert sorted(map(tuple, back.collect())) == [
+        ("a", "v1.5", 1), ("a", "v2.5", 2),
+    ]
+    with pytest.raises(ValueError, match="collide"):
+        pivot(df, ["g"], "p", ["g"], F.sum("v"))
+    with pytest.raises(ValueError, match="var_name/value_name"):
+        melt(out, ["g"], ["v1.5"], "g", "v")
+    with pytest.raises(ValueError, match="backtick"):
+        pivot(df, ["g"], "p", ["bad`name"], F.sum("v"))
 
 
 def test_pivot_guards(spark):
