@@ -86,9 +86,16 @@ def pivot(
     if collide:
         # two same-named output columns -> ambiguous downstream
         raise ValueError(f"pivot values collide with group columns: {sorted(collide)}")
+    if "`" in pivot_col:
+        # same guard as _q: backticks are Spark's own quoting limit
+        raise ValueError(f"column name may not contain backticks: {pivot_col!r}")
     return (
         df.groupBy(*[_q(g) for g in groups])
-        .pivot(pivot_col, vals)
+        # backtick-quoted like the group/value columns: GroupedData
+        # .pivot resolves the string via df.col, so a raw dotted name
+        # (the spreadsheet-ingest case this module hardens against)
+        # would parse as struct-field access (r15 ADVICE)
+        .pivot(f"`{pivot_col}`", vals)
         .agg(agg)
         .select(
             *[_q(g) for g in groups],

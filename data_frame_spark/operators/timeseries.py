@@ -103,14 +103,21 @@ def time_bucket_gapfill(
         # literal entity in if they truly have one series
         raise ValueError("time_bucket_gapfill needs partition_by keys")
 
+    if "`" in ts_col:
+        # ts_col is spliced into a SQL expression string below; quote
+        # it so dotted/spaced names resolve as literal column names
+        # (the reshape._q / sources/csv.py discipline — r15 ADVICE),
+        # and reject embedded backticks (Spark's own quoting limit)
+        raise ValueError(f"column name may not contain backticks: {ts_col!r}")
+    ts_q = f"`{ts_col}`"
     mult = 10 ** value_scale
     v = F.col(value_col).cast("double")
     # FLOOR bucket index, not Spark's truncating `div`: a negative
     # timestamp must land in the bucket BELOW zero, not share a
     # double-width bucket 0 with positive timestamps
-    base = df.where(v.isNotNull() & F.col(ts_col).isNotNull()).select(
+    base = df.where(v.isNotNull() & F.col(ts_q).isNotNull()).select(
         *pcols,
-        F.expr(floor_div_expr(ts_col, str(bucket_width))).alias("bucket"),
+        F.expr(floor_div_expr(ts_q, str(bucket_width))).alias("bucket"),
         F.floor(v * mult + F.lit(0.5)).cast("long").alias("__vm"),
     )
     agg = base.groupBy(*pcols, "bucket").agg(

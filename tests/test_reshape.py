@@ -54,6 +54,16 @@ def test_reshape_handles_dotted_names_and_collisions(spark):
         melt(out, ["g"], ["v1.5"], "g", "v")
     with pytest.raises(ValueError, match="backtick"):
         pivot(df, ["g"], "p", ["bad`name"], F.sum("v"))
+    # r15 ADVICE: a DOTTED PIVOT COLUMN itself (not just dotted
+    # values) must resolve as a literal name, not struct access
+    dotted = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2)], ["g", "p.col", "v"]
+    )
+    out2 = pivot(dotted, ["g"], "p.col", ["x", "y"], F.sum("v"))
+    row2, = out2.collect()
+    assert (row2["g"], row2["x"], row2["y"]) == ("a", 1, 2)
+    with pytest.raises(ValueError, match="backtick"):
+        pivot(dotted, ["g"], "bad`pivot", ["x"], F.sum("v"))
 
 
 def test_pivot_guards(spark):

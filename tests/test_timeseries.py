@@ -107,6 +107,20 @@ def test_gapfill_guards(spark):
         time_bucket_gapfill(df, "ts", "v", 0, ["user"])
     with pytest.raises(ValueError, match="partition_by"):
         time_bucket_gapfill(df, "ts", "v", 10, [])
+    with pytest.raises(ValueError, match="backtick"):
+        time_bucket_gapfill(df, "bad`ts", "v", 10, ["user"])
+
+
+def test_gapfill_dotted_ts_column(spark):
+    # r15 ADVICE: ts_col is spliced into a SQL expression string, so
+    # a dotted name must be backtick-quoted to resolve as a literal
+    # column, not struct-field access
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (1, 25, 3.0)], ["user", "ts.raw", "v"]
+    )
+    out = time_bucket_gapfill(df, "ts.raw", "v", 10, ["user"], fill="locf")
+    rows = {r["bucket"]: r["filled_micro"] for r in out.collect()}
+    assert rows == {0: 1_000_000, 1: 1_000_000, 2: 3_000_000}
 
 
 def _brute(rows, width, fill):
