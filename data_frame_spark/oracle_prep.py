@@ -294,7 +294,7 @@ def classifier_oracle_sql(
 def containment_oracle_sql(n: int = 13, min_shared: int = 1) -> str:
     """DuckDB twin of ``operators/dedup.py:contamination_containment``
     over the documents table with the every-50th-doc benchmark split
-    (the ngram_decontamination_docs fixture convention): distinct
+    (the decontamination_family ngram leg's fixture convention): distinct
     hashed n-grams per side (whole-doc shingle for documents shorter
     than n tokens — the shingle_rows contract), per-document totals,
     collision counts, and the exact integer containment score
@@ -1172,7 +1172,7 @@ def sql_floor_div(num: str, den: str) -> str:
 
 
 def gapfill_oracle_sql() -> str:
-    """DuckDB twin of the future gapfill_daily_value row
+    """DuckDB twin of the gapfill_daily_value row (registered r16)
     (operators/timeseries.py:time_bucket_gapfill on per-user daily
     value buckets, 'locf' + 'linear' facets on one row). The twin
     replays the exact integer pipeline: micro quantization before
@@ -1230,7 +1230,7 @@ def gapfill_oracle_sql() -> str:
 
 
 def gapfill_spark(spark, sf_dir):
-    """The Spark side the future registry row will use verbatim —
+    """The Spark side of the registered gapfill_daily_value row —
     per-user daily-bucket gap-fill of event value, both fills as
     facets (each leg is the operator end-to-end; the grid is
     calendar-bounded per user, so running it twice costs two small
@@ -1256,7 +1256,7 @@ def gapfill_spark(spark, sf_dir):
 
 
 def merge_upsert_oracle_sql() -> str:
-    """DuckDB twin of the future merge_upsert_customers row
+    """DuckDB twin of the merge_upsert_customers row (registered r16)
     (operators/scd.py:merge_upsert on the customer dimension): a
     deterministic batch updates every 3rd key (prefix-tagged
     segment), deletes every 13th, and inserts supplier-derived keys
@@ -1288,7 +1288,7 @@ def merge_upsert_oracle_sql() -> str:
 
 
 def merge_upsert_spark(spark, sf_dir):
-    """The Spark side the future registry row will use verbatim —
+    """The Spark side of the registered merge_upsert_customers row —
     the same deterministic update/delete/insert batch through
     operators/scd.py:merge_upsert."""
     from pyspark.sql import functions as F
@@ -1336,64 +1336,231 @@ _DECON_COLS = [
     ("max_shared", "BIGINT", {"audit"}),
 ]
 
+#: the bloom filter's bit-array width — the registered contract of
+#: the retired bloom_decontamination_docs row, moved here with its
+#: body at the r16 registration (deliberately small so the oracle
+#: exercises real false positives)
+_DECON_BLOOM_M = 4096
 
-def _decon_leg_sqls() -> dict[str, str]:
-    """The three standalone decontamination oracles, lazy-imported
-    from the (fully initialized) queries registry while the
-    standalone rows still exist, so the copies can never drift (the
-    event_funnel recipe; at r16 registration these snapshot into a
-    literal constant and the standalone rows retire)."""
-    from data_frame_spark.queries import ORACLE
 
-    return {
-        "bloom": ORACLE["bloom_decontamination_docs"],
-        "ngram": ORACLE["ngram_decontamination_docs"],
-        "audit": ORACLE["contamination_audit_splits"],
-    }
+#: Literal snapshot (the event_funnel registration motion) of the
+#: facet union of the three r14-green decontamination oracles,
+#: printed from the lazy composition while the standalone rows
+#: (bloom_decontamination_docs / ngram_decontamination_docs /
+#: contamination_audit_splits) still existed and byte-identity
+#: asserted against it in-session at r16 registration, then frozen
+#: here as the single source.
+DECONTAMINATION_FAMILY_ORACLE = r"""
+    WITH bloom_leg AS (SELECT * FROM (
+    WITH norm AS (SELECT doc_id,
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                  FROM documents),
+         sh AS (SELECT doc_id,
+                       CASE WHEN len(tk) < 13 THEN [array_to_string(tk, ' ')]
+                            ELSE list_transform(generate_series(1, len(tk)-12),
+                                                i -> array_to_string(tk[i:i+12], ' '))
+                       END AS sg
+                FROM norm),
+         cg AS (SELECT doc_id, UNNEST(list_distinct(list_transform(sg, s -> md5(s)))) AS h
+                FROM sh),
+         bg AS (SELECT DISTINCT h FROM cg WHERE doc_id % 50 = 0),
+         bits AS (SELECT DISTINCT pos FROM (
+                    SELECT ((CASE WHEN ascii(substr(h, 1, 1)) >= 97 THEN ascii(substr(h, 1, 1)) - 87 ELSE ascii(substr(h, 1, 1)) - 48 END) * 16777216 + (CASE WHEN ascii(substr(h, 2, 1)) >= 97 THEN ascii(substr(h, 2, 1)) - 87 ELSE ascii(substr(h, 2, 1)) - 48 END) * 1048576 + (CASE WHEN ascii(substr(h, 3, 1)) >= 97 THEN ascii(substr(h, 3, 1)) - 87 ELSE ascii(substr(h, 3, 1)) - 48 END) * 65536 + (CASE WHEN ascii(substr(h, 4, 1)) >= 97 THEN ascii(substr(h, 4, 1)) - 87 ELSE ascii(substr(h, 4, 1)) - 48 END) * 4096 + (CASE WHEN ascii(substr(h, 5, 1)) >= 97 THEN ascii(substr(h, 5, 1)) - 87 ELSE ascii(substr(h, 5, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(h, 6, 1)) >= 97 THEN ascii(substr(h, 6, 1)) - 87 ELSE ascii(substr(h, 6, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(h, 7, 1)) >= 97 THEN ascii(substr(h, 7, 1)) - 87 ELSE ascii(substr(h, 7, 1)) - 48 END) * 1) % 4096 AS pos FROM bg
+                    UNION ALL SELECT ((CASE WHEN ascii(substr(h, 8, 1)) >= 97 THEN ascii(substr(h, 8, 1)) - 87 ELSE ascii(substr(h, 8, 1)) - 48 END) * 16777216 + (CASE WHEN ascii(substr(h, 9, 1)) >= 97 THEN ascii(substr(h, 9, 1)) - 87 ELSE ascii(substr(h, 9, 1)) - 48 END) * 1048576 + (CASE WHEN ascii(substr(h, 10, 1)) >= 97 THEN ascii(substr(h, 10, 1)) - 87 ELSE ascii(substr(h, 10, 1)) - 48 END) * 65536 + (CASE WHEN ascii(substr(h, 11, 1)) >= 97 THEN ascii(substr(h, 11, 1)) - 87 ELSE ascii(substr(h, 11, 1)) - 48 END) * 4096 + (CASE WHEN ascii(substr(h, 12, 1)) >= 97 THEN ascii(substr(h, 12, 1)) - 87 ELSE ascii(substr(h, 12, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(h, 13, 1)) >= 97 THEN ascii(substr(h, 13, 1)) - 87 ELSE ascii(substr(h, 13, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(h, 14, 1)) >= 97 THEN ascii(substr(h, 14, 1)) - 87 ELSE ascii(substr(h, 14, 1)) - 48 END) * 1) % 4096 FROM bg
+                    UNION ALL SELECT ((CASE WHEN ascii(substr(h, 15, 1)) >= 97 THEN ascii(substr(h, 15, 1)) - 87 ELSE ascii(substr(h, 15, 1)) - 48 END) * 16777216 + (CASE WHEN ascii(substr(h, 16, 1)) >= 97 THEN ascii(substr(h, 16, 1)) - 87 ELSE ascii(substr(h, 16, 1)) - 48 END) * 1048576 + (CASE WHEN ascii(substr(h, 17, 1)) >= 97 THEN ascii(substr(h, 17, 1)) - 87 ELSE ascii(substr(h, 17, 1)) - 48 END) * 65536 + (CASE WHEN ascii(substr(h, 18, 1)) >= 97 THEN ascii(substr(h, 18, 1)) - 87 ELSE ascii(substr(h, 18, 1)) - 48 END) * 4096 + (CASE WHEN ascii(substr(h, 19, 1)) >= 97 THEN ascii(substr(h, 19, 1)) - 87 ELSE ascii(substr(h, 19, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(h, 20, 1)) >= 97 THEN ascii(substr(h, 20, 1)) - 87 ELSE ascii(substr(h, 20, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(h, 21, 1)) >= 97 THEN ascii(substr(h, 21, 1)) - 87 ELSE ascii(substr(h, 21, 1)) - 48 END) * 1) % 4096 FROM bg)),
+         probe AS (SELECT doc_id, h,
+                          ((CASE WHEN ascii(substr(h, 1, 1)) >= 97 THEN ascii(substr(h, 1, 1)) - 87 ELSE ascii(substr(h, 1, 1)) - 48 END) * 16777216 + (CASE WHEN ascii(substr(h, 2, 1)) >= 97 THEN ascii(substr(h, 2, 1)) - 87 ELSE ascii(substr(h, 2, 1)) - 48 END) * 1048576 + (CASE WHEN ascii(substr(h, 3, 1)) >= 97 THEN ascii(substr(h, 3, 1)) - 87 ELSE ascii(substr(h, 3, 1)) - 48 END) * 65536 + (CASE WHEN ascii(substr(h, 4, 1)) >= 97 THEN ascii(substr(h, 4, 1)) - 87 ELSE ascii(substr(h, 4, 1)) - 48 END) * 4096 + (CASE WHEN ascii(substr(h, 5, 1)) >= 97 THEN ascii(substr(h, 5, 1)) - 87 ELSE ascii(substr(h, 5, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(h, 6, 1)) >= 97 THEN ascii(substr(h, 6, 1)) - 87 ELSE ascii(substr(h, 6, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(h, 7, 1)) >= 97 THEN ascii(substr(h, 7, 1)) - 87 ELSE ascii(substr(h, 7, 1)) - 48 END) * 1) % 4096 AS p0,
+                          ((CASE WHEN ascii(substr(h, 8, 1)) >= 97 THEN ascii(substr(h, 8, 1)) - 87 ELSE ascii(substr(h, 8, 1)) - 48 END) * 16777216 + (CASE WHEN ascii(substr(h, 9, 1)) >= 97 THEN ascii(substr(h, 9, 1)) - 87 ELSE ascii(substr(h, 9, 1)) - 48 END) * 1048576 + (CASE WHEN ascii(substr(h, 10, 1)) >= 97 THEN ascii(substr(h, 10, 1)) - 87 ELSE ascii(substr(h, 10, 1)) - 48 END) * 65536 + (CASE WHEN ascii(substr(h, 11, 1)) >= 97 THEN ascii(substr(h, 11, 1)) - 87 ELSE ascii(substr(h, 11, 1)) - 48 END) * 4096 + (CASE WHEN ascii(substr(h, 12, 1)) >= 97 THEN ascii(substr(h, 12, 1)) - 87 ELSE ascii(substr(h, 12, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(h, 13, 1)) >= 97 THEN ascii(substr(h, 13, 1)) - 87 ELSE ascii(substr(h, 13, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(h, 14, 1)) >= 97 THEN ascii(substr(h, 14, 1)) - 87 ELSE ascii(substr(h, 14, 1)) - 48 END) * 1) % 4096 AS p1,
+                          ((CASE WHEN ascii(substr(h, 15, 1)) >= 97 THEN ascii(substr(h, 15, 1)) - 87 ELSE ascii(substr(h, 15, 1)) - 48 END) * 16777216 + (CASE WHEN ascii(substr(h, 16, 1)) >= 97 THEN ascii(substr(h, 16, 1)) - 87 ELSE ascii(substr(h, 16, 1)) - 48 END) * 1048576 + (CASE WHEN ascii(substr(h, 17, 1)) >= 97 THEN ascii(substr(h, 17, 1)) - 87 ELSE ascii(substr(h, 17, 1)) - 48 END) * 65536 + (CASE WHEN ascii(substr(h, 18, 1)) >= 97 THEN ascii(substr(h, 18, 1)) - 87 ELSE ascii(substr(h, 18, 1)) - 48 END) * 4096 + (CASE WHEN ascii(substr(h, 19, 1)) >= 97 THEN ascii(substr(h, 19, 1)) - 87 ELSE ascii(substr(h, 19, 1)) - 48 END) * 256 + (CASE WHEN ascii(substr(h, 20, 1)) >= 97 THEN ascii(substr(h, 20, 1)) - 87 ELSE ascii(substr(h, 20, 1)) - 48 END) * 16 + (CASE WHEN ascii(substr(h, 21, 1)) >= 97 THEN ascii(substr(h, 21, 1)) - 87 ELSE ascii(substr(h, 21, 1)) - 48 END) * 1) % 4096 AS p2
+                   FROM cg),
+         flag AS (SELECT doc_id, h,
+                         (p0 IN (SELECT pos FROM bits)
+                          AND p1 IN (SELECT pos FROM bits)
+                          AND p2 IN (SELECT pos FROM bits)) AS cand,
+                         h IN (SELECT h FROM bg) AS ex
+                  FROM probe)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS bloom_candidates,
+           CAST(SUM(CASE WHEN cand AND ex THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits,
+           CAST(SUM(CASE WHEN cand AND NOT ex THEN 1 ELSE 0 END) AS BIGINT) AS bloom_false_positives
+    FROM flag GROUP BY doc_id
+    )),
+    ngram_leg AS (SELECT * FROM (
+    WITH norm AS (SELECT doc_id,
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+                  FROM documents),
+         sh AS (SELECT doc_id,
+                       CASE WHEN len(tk) < 13 THEN [array_to_string(tk, ' ')]
+                            ELSE list_transform(generate_series(1, len(tk)-12),
+                                                i -> array_to_string(tk[i:i+12], ' '))
+                       END AS sg
+                FROM norm),
+         cg AS (SELECT doc_id, UNNEST(list_distinct(list_transform(sg, s -> md5(s)))) AS h
+                FROM sh),
+         bg AS (SELECT doc_id AS bench_id, h FROM cg WHERE doc_id % 50 = 0)
+    SELECT c.doc_id, b.bench_id, COUNT(*) AS shared_ngrams
+    FROM cg c JOIN bg b ON c.h = b.h
+    GROUP BY 1, 2
+    )),
+    audit_leg AS (SELECT * FROM (
+    WITH u AS (SELECT doc_id, source, text,
+                      CAST(((CAST(CASE WHEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),1,1)) >= 97 THEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),1,1)) - 87 ELSE ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),1,1)) - 48 END AS BIGINT)) * 72057594037927936 + (CAST(CASE WHEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),2,1)) >= 97 THEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),2,1)) - 87 ELSE ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),2,1)) - 48 END AS BIGINT)) * 4503599627370496 + (CAST(CASE WHEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),3,1)) >= 97 THEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),3,1)) - 87 ELSE ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),3,1)) - 48 END AS BIGINT)) * 281474976710656 + (CAST(CASE WHEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),4,1)) >= 97 THEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),4,1)) - 87 ELSE ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),4,1)) - 48 END AS BIGINT)) * 17592186044416 + (CAST(CASE WHEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),5,1)) >= 97 THEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),5,1)) - 87 ELSE ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),5,1)) - 48 END AS BIGINT)) * 1099511627776 + (CAST(CASE WHEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),6,1)) >= 97 THEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),6,1)) - 87 ELSE ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),6,1)) - 48 END AS BIGINT)) * 68719476736 + (CAST(CASE WHEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),7,1)) >= 97 THEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),7,1)) - 87 ELSE ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),7,1)) - 48 END AS BIGINT)) * 4294967296 + (CAST(CASE WHEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),8,1)) >= 97 THEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),8,1)) - 87 ELSE ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),8,1)) - 48 END AS BIGINT)) * 268435456 + (CAST(CASE WHEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),9,1)) >= 97 THEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),9,1)) - 87 ELSE ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),9,1)) - 48 END AS BIGINT)) * 16777216 + (CAST(CASE WHEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),10,1)) >= 97 THEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),10,1)) - 87 ELSE ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),10,1)) - 48 END AS BIGINT)) * 1048576 + (CAST(CASE WHEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),11,1)) >= 97 THEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),11,1)) - 87 ELSE ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),11,1)) - 48 END AS BIGINT)) * 65536 + (CAST(CASE WHEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),12,1)) >= 97 THEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),12,1)) - 87 ELSE ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),12,1)) - 48 END AS BIGINT)) * 4096 + (CAST(CASE WHEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),13,1)) >= 97 THEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),13,1)) - 87 ELSE ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),13,1)) - 48 END AS BIGINT)) * 256 + (CAST(CASE WHEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),14,1)) >= 97 THEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),14,1)) - 87 ELSE ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),14,1)) - 48 END AS BIGINT)) * 16 + (CAST(CASE WHEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),15,1)) >= 97 THEN ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),15,1)) - 87 ELSE ascii(substr(substr(md5(CAST((CONCAT('exp1:', CAST(doc_id AS VARCHAR))) AS VARCHAR)), 1, 15),15,1)) - 48 END AS BIGINT)) * 1) AS BIGINT) AS h
+               FROM documents),
+    s AS (SELECT doc_id, source, text,
+                 CASE WHEN h < 1037629354146162278 THEN 'train'
+                      WHEN h < 1095275429376504627 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM u),
+    norm AS (SELECT doc_id, split, source,
+                    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
+             FROM s WHERE split IN ('train', 'test')),
+    sh AS (SELECT doc_id, split, source,
+                  CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                       ELSE list_transform(generate_series(1, len(tk)-4),
+                                           i -> array_to_string(tk[i:i+4], ' '))
+                  END AS sg
+           FROM norm),
+    cg AS (SELECT doc_id, split, source,
+                  UNNEST(list_distinct(list_transform(sg, x -> md5(x)))) AS h2
+           FROM sh),
+    tr AS (SELECT doc_id, source, h2 FROM cg WHERE split = 'train'),
+    te AS (SELECT doc_id AS bench_id, h2 FROM cg WHERE split = 'test'),
+    hits AS (SELECT tr.doc_id, tr.source, te.bench_id,
+                    CAST(COUNT(*) AS BIGINT) AS shared
+             FROM tr JOIN te USING (h2) GROUP BY 1, 2, 3)
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs,
+           CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs_hit,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MAX(shared) AS BIGINT) AS max_shared
+    FROM hits GROUP BY source
+    ))
+    SELECT 'bloom' AS facet,
+           doc_id,
+           n_grams,
+           bloom_candidates,
+           exact_hits,
+           bloom_false_positives,
+           CAST(NULL AS BIGINT) AS bench_id,
+           CAST(NULL AS BIGINT) AS shared_ngrams,
+           CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS BIGINT) AS n_contaminated_docs,
+           CAST(NULL AS BIGINT) AS n_bench_docs_hit,
+           CAST(NULL AS BIGINT) AS n_pairs,
+           CAST(NULL AS BIGINT) AS max_shared
+    FROM bloom_leg
+    UNION ALL
+    SELECT 'ngram' AS facet,
+           doc_id,
+           CAST(NULL AS BIGINT) AS n_grams,
+           CAST(NULL AS BIGINT) AS bloom_candidates,
+           CAST(NULL AS BIGINT) AS exact_hits,
+           CAST(NULL AS BIGINT) AS bloom_false_positives,
+           bench_id,
+           shared_ngrams,
+           CAST(NULL AS VARCHAR) AS source,
+           CAST(NULL AS BIGINT) AS n_contaminated_docs,
+           CAST(NULL AS BIGINT) AS n_bench_docs_hit,
+           CAST(NULL AS BIGINT) AS n_pairs,
+           CAST(NULL AS BIGINT) AS max_shared
+    FROM ngram_leg
+    UNION ALL
+    SELECT 'audit' AS facet,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS n_grams,
+           CAST(NULL AS BIGINT) AS bloom_candidates,
+           CAST(NULL AS BIGINT) AS exact_hits,
+           CAST(NULL AS BIGINT) AS bloom_false_positives,
+           CAST(NULL AS BIGINT) AS bench_id,
+           CAST(NULL AS BIGINT) AS shared_ngrams,
+           source,
+           n_contaminated_docs,
+           n_bench_docs_hit,
+           n_pairs,
+           max_shared
+    FROM audit_leg
+    """
 
 
 def decontamination_family_oracle_sql() -> str:
     """Facet union of the three r14-checked decontamination oracles
-    on one NULL-superset schema — the r16 slot-funding merge
-    candidate (net −2, funding gapfill_daily_value +
+    on one NULL-superset schema — registered r16 (slot-funding
+    merge, net -2, funding gapfill_daily_value +
     merge_upsert_customers). Legs: 'bloom' (Bloom-gated exact
-    13-gram decontamination), 'ngram' (benchmark-suite shared-ngram
-    counts), 'audit' (cross-split leakage rollup)."""
-    legs = _decon_leg_sqls()
+    13-gram decontamination incl. false-positive accounting),
+    'ngram' (benchmark-suite shared-ngram counts), 'audit'
+    (cross-split leakage rollup)."""
+    return DECONTAMINATION_FAMILY_ORACLE
 
-    def proj(leg: str) -> str:
-        cols = ",\n           ".join(
-            name if leg in owners else f"CAST(NULL AS {typ}) AS {name}"
-            for name, typ, owners in _DECON_COLS
+
+def decontamination_leg(spark, sf_dir, leg: str):
+    """One leg of decontamination_family, pre-union — the three
+    standalone bodies moved here verbatim at the r16 registration
+    (the event_funnel_leg motion). Exposed per-leg so the plan pins
+    (tests/test_plans.py) keep asserting each leg's own broadcast
+    contract — the bloom/ngram legs BROADCAST the fixed eval suite;
+    the audit leg, whose both sides are corpus-proportional, is
+    pinned broadcast-free.
+
+    - 'bloom': Bloom-gated 13-gram decontamination — the benchmark's
+      m=4096-bit filter arrives as a broadcast set-bit table; only
+      bloom-positive corpus n-grams reach the exact verify, and the
+      output carries the false-positive accounting itself.
+    - 'ngram': train/test decontamination by 13-gram collision
+      (every 50th document plays the benchmark set) — a hashed
+      n-gram equi-join, work ∝ colliding n-grams.
+    - 'audit': deterministic 90/5/5 split assignment, then every
+      train document sharing a verbatim 5-token span with a test
+      document, rolled up per source via a SHUFFLE hash equi-join
+      (broadcast=False: the test split is corpus-proportional)."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators import dedup as OpDedup
+    from data_frame_spark.operators import sampling as OpSamp
+    from data_frame_spark.operators.distributed import ensure_parallelism
+    from data_frame_spark.queries import t
+
+    # the fixture parquet has ~3 row groups; ensure_parallelism
+    # spreads the md5-heavy shingle work across the configured cores
+    # ONLY when the scan has fewer partitions — a real corpus arrives
+    # with thousands of partitions and passes through shuffle-free
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+
+    if leg == "bloom":
+        bench = docs.where(F.col("doc_id") % 50 == 0)
+        return OpDedup.bloom_contamination(
+            docs, bench, "text", "doc_id", n=13, m_bits=_DECON_BLOOM_M
         )
-        return f"SELECT '{leg}' AS facet,\n           {cols}\n    FROM {leg}_leg"
 
-    return f"""
-    WITH bloom_leg AS (SELECT * FROM ({legs["bloom"]})),
-    ngram_leg AS (SELECT * FROM ({legs["ngram"]})),
-    audit_leg AS (SELECT * FROM ({legs["audit"]}))
-    {proj("bloom")}
-    UNION ALL
-    {proj("ngram")}
-    UNION ALL
-    {proj("audit")}
-    """
+    if leg == "ngram":
+        bench = docs.where(F.col("doc_id") % 50 == 0)
+        return OpDedup.ngram_contamination(docs, bench, "text", "doc_id", n=13)
+
+    if leg == "audit":
+        assigned = OpSamp.assign_splits(
+            docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+            salt="exp1",
+        )
+        return OpDedup.split_contamination_audit(
+            assigned, "text", "doc_id", "split", n=5, rollup_col="source"
+        )
+
+    raise ValueError(f"unknown decontamination leg: {leg!r}")
 
 
 def decontamination_family_spark(spark, sf_dir):
-    """Spark side of the r16 decontamination_family candidate:
-    reuses the REGISTERED standalone pipelines (the index_ops
-    pre-registration stance — neither leg can drift from the row it
-    merges; at registration the retiring bodies move here), padded
-    by the SAME owner sets the oracle projects from."""
+    """Spark side of the registered decontamination_family row: the
+    three standalone pipelines (bloom gate, benchmark n-gram
+    collision join, cross-split audit), facet-unioned with
+    typed-NULL superset columns padded by the SAME owner sets the
+    oracle projects from."""
     from pyspark.sql import functions as F
 
-    from data_frame_spark.queries import QUERIES
-
     legs = {
-        "bloom": QUERIES["bloom_decontamination_docs"](spark, sf_dir),
-        "ngram": QUERIES["ngram_decontamination_docs"](spark, sf_dir),
-        "audit": QUERIES["contamination_audit_splits"](spark, sf_dir),
+        "bloom": decontamination_leg(spark, sf_dir, "bloom"),
+        "ngram": decontamination_leg(spark, sf_dir, "ngram"),
+        "audit": decontamination_leg(spark, sf_dir, "audit"),
     }
 
     def pad(leg: str):

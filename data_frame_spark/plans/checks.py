@@ -290,13 +290,28 @@ DECLARED_BROADCAST_OK: dict[str, list[tuple[str, str]]] = {
     # the benchmark side is a FIXED eval suite (13-gram hashes of a
     # few hundred eval documents — MBs at any corpus scale); the sf
     # fixture derives it from `documents` only because the test data
-    # has no separate benchmark table. The split-vs-split audit
-    # (contamination_audit_splits) — where the side DOES scale with
-    # the corpus — uses broadcast=False and is pinned broadcast-free.
-    # Fingerprint: the benchmark-suite projection (`bench_id`) exists
-    # only in that side's shingle pipeline.
-    "ngram_decontamination_docs": [
+    # has no separate benchmark table. Since r16 the bloom + ngram
+    # legs live on the decontamination_family row (slot-funding
+    # merge), so their fingerprints are keyed to the FAMILY name —
+    # re-keyed in the same commit as the registration or the
+    # classifier would flag the family's legitimate broadcasts (the
+    # r15 PLANS warning). The family plan contains BOTH legs'
+    # broadcasts: the ngram leg's benchmark n-gram side (`bench_id`
+    # exists only in that side's shingle pipeline) plus the bloom
+    # leg's three bit-position probes and one exact-verify hash set.
+    # The audit leg — where the split side DOES scale with the
+    # corpus — uses broadcast=False and contributes NONE; pinned
+    # broadcast-free per-leg in test_plans.py.
+    "decontamination_family": [
         (r"bench_id#\d+", "benchmark eval suite is fixed-size by contract"),
+        (r"Scan ExistingRDD\[__pos#\d+L?\]",
+         "bloom bit positions of the fixed benchmark suite"),
+        (r"Scan ExistingRDD\[__pos#\d+L?\]",
+         "bloom bit positions of the fixed benchmark suite"),
+        (r"Scan ExistingRDD\[__pos#\d+L?\]",
+         "bloom bit positions of the fixed benchmark suite"),
+        (r"Scan ExistingRDD\[__h#\d+\]",
+         "benchmark n-gram hash set (fixed eval suite by contract)"),
     ],
     # same contract, graded containment form: the broadcast side is
     # the fixed eval suite's distinct 13-gram hashes (the %50 split
@@ -405,19 +420,6 @@ DECLARED_BROADCAST_OK: dict[str, list[tuple[str, str]]] = {
     "cms_token_counts": [
         (r"Scan ExistingRDD\[row#\d+,bucket#\d+L?,cnt#\d+L?\]",
          "CMS sketch = depth×width counter table (constant shape)"),
-    ],
-    # the bloom filter's bit positions / hash set derive from the
-    # BENCHMARK side only (fixed eval suite by contract, as in
-    # ngram_decontamination_docs)
-    "bloom_decontamination_docs": [
-        (r"Scan ExistingRDD\[__pos#\d+L?\]",
-         "bloom bit positions of the fixed benchmark suite"),
-        (r"Scan ExistingRDD\[__pos#\d+L?\]",
-         "bloom bit positions of the fixed benchmark suite"),
-        (r"Scan ExistingRDD\[__pos#\d+L?\]",
-         "bloom bit positions of the fixed benchmark suite"),
-        (r"Scan ExistingRDD\[__h#\d+\]",
-         "benchmark n-gram hash set (fixed eval suite by contract)"),
     ],
 }
 

@@ -3673,43 +3673,6 @@ def mean_max_user_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(aux).unionByName(lap)
 
 
-@query(
-    "ngram_decontamination_docs",
-    oracle=r"""
-    WITH norm AS (SELECT doc_id,
-                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
-                  FROM documents),
-         sh AS (SELECT doc_id,
-                       CASE WHEN len(tk) < 13 THEN [array_to_string(tk, ' ')]
-                            ELSE list_transform(generate_series(1, len(tk)-12),
-                                                i -> array_to_string(tk[i:i+12], ' '))
-                       END AS sg
-                FROM norm),
-         cg AS (SELECT doc_id, UNNEST(list_distinct(list_transform(sg, s -> md5(s)))) AS h
-                FROM sh),
-         bg AS (SELECT doc_id AS bench_id, h FROM cg WHERE doc_id % 50 = 0)
-    SELECT c.doc_id, b.bench_id, COUNT(*) AS shared_ngrams
-    FROM cg c JOIN bg b ON c.h = b.h
-    GROUP BY 1, 2
-    """,
-)
-def ngram_decontamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/test decontamination by 13-gram collision (the published
-    default): every 50th document plays the benchmark set; a corpus
-    document sharing any verbatim 13-token span with a benchmark
-    document is flagged with its overlap count. Hashed n-gram
-    equi-join — work ∝ colliding n-grams, never corpus × benchmark."""
-    # the fixture parquet has ~3 row groups; ensure_parallelism spreads
-    # the md5-heavy shingle work across the configured cores ONLY when
-    # the scan has fewer partitions — a real corpus arrives with
-    # thousands of partitions and passes through shuffle-free
-    from data_frame_spark.operators.distributed import ensure_parallelism
-
-    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
-    bench = docs.where(F.col("doc_id") % 50 == 0)
-    return OpDedup.ngram_contamination(docs, bench, "text", "doc_id", n=13)
-
-
 def _hex7(col: str, start: int) -> str:
     """DuckDB integer value of md5 hex digits [start, start+7) —
     the SQL twin of F.conv(substring(md5, start, 7), 16, 10)."""
@@ -3719,9 +3682,6 @@ def _hex7(col: str, start: int) -> str:
         f"ELSE ascii(substr({col}, {start + i}, 1)) - 48 END) * {16 ** (6 - i)}"
         for i in range(7)
     )
-
-
-_BLOOM_M = 4096
 
 
 @query(
@@ -3927,64 +3887,6 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return OpSample.temperature_weights(docs, "lang", temperature=2.0, budget=1000)
 
 
-@query(
-    "bloom_decontamination_docs",
-    oracle=r"""
-    WITH norm AS (SELECT doc_id,
-                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
-                  FROM documents),
-         sh AS (SELECT doc_id,
-                       CASE WHEN len(tk) < 13 THEN [array_to_string(tk, ' ')]
-                            ELSE list_transform(generate_series(1, len(tk)-12),
-                                                i -> array_to_string(tk[i:i+12], ' '))
-                       END AS sg
-                FROM norm),
-         cg AS (SELECT doc_id, UNNEST(list_distinct(list_transform(sg, s -> md5(s)))) AS h
-                FROM sh),
-         bg AS (SELECT DISTINCT h FROM cg WHERE doc_id % 50 = 0),
-         bits AS (SELECT DISTINCT pos FROM (
-                    SELECT ({H0}) % {M} AS pos FROM bg
-                    UNION ALL SELECT ({H1}) % {M} FROM bg
-                    UNION ALL SELECT ({H2}) % {M} FROM bg)),
-         probe AS (SELECT doc_id, h,
-                          ({H0}) % {M} AS p0,
-                          ({H1}) % {M} AS p1,
-                          ({H2}) % {M} AS p2
-                   FROM cg),
-         flag AS (SELECT doc_id, h,
-                         (p0 IN (SELECT pos FROM bits)
-                          AND p1 IN (SELECT pos FROM bits)
-                          AND p2 IN (SELECT pos FROM bits)) AS cand,
-                         h IN (SELECT h FROM bg) AS ex
-                  FROM probe)
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_grams,
-           CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS bloom_candidates,
-           CAST(SUM(CASE WHEN cand AND ex THEN 1 ELSE 0 END) AS BIGINT) AS exact_hits,
-           CAST(SUM(CASE WHEN cand AND NOT ex THEN 1 ELSE 0 END) AS BIGINT) AS bloom_false_positives
-    FROM flag GROUP BY doc_id
-    """.replace("{H0}", _hex7("h", 1))
-       .replace("{H1}", _hex7("h", 8))
-       .replace("{H2}", _hex7("h", 15))
-       .replace("{M}", str(_BLOOM_M)),
-)
-def bloom_decontamination_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-gated decontamination: the benchmark's 13-gram filter is
-    broadcast as its SET-BIT table (bounded by m=4096 bits — the
-    relational form of a broadcast bloom bit array) and only
-    bloom-positive corpus n-grams reach the exact verify. The k=3
-    probe positions are disjoint md5 hex slices, so the gate is
-    deterministic end-to-end and the oracle verifies the
-    false-positive accounting itself, not just the exact hits."""
-    from data_frame_spark.operators.distributed import ensure_parallelism
-
-    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
-    bench = docs.where(F.col("doc_id") % 50 == 0)
-    return OpDedup.bloom_contamination(
-        docs, bench, "text", "doc_id", n=13, m_bits=_BLOOM_M
-    )
-
-
 # ---------------------------------------------------------------------------
 # round-6 additions
 # ---------------------------------------------------------------------------
@@ -4077,68 +3979,6 @@ def fuzzy_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("n_matches"),
         F.min("dist").alias("min_dist"),
         F.sum("dist").alias("sum_dist"),
-    )
-
-
-@query(
-    "contamination_audit_splits",
-    oracle=rf"""
-    WITH u AS (SELECT doc_id, source, text,
-                      CAST({_sql_h60("CONCAT('exp1:', CAST(doc_id AS VARCHAR))")} AS BIGINT) AS h
-               FROM documents),
-    s AS (SELECT doc_id, source, text,
-                 CASE WHEN h < {_SPLIT_BOUNDS["train"]} THEN 'train'
-                      WHEN h < {_SPLIT_BOUNDS["val"]} THEN 'val'
-                      ELSE 'test' END AS split
-          FROM u),
-    norm AS (SELECT doc_id, split, source,
-                    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS tk
-             FROM s WHERE split IN ('train', 'test')),
-    sh AS (SELECT doc_id, split, source,
-                  CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
-                       ELSE list_transform(generate_series(1, len(tk)-4),
-                                           i -> array_to_string(tk[i:i+4], ' '))
-                  END AS sg
-           FROM norm),
-    cg AS (SELECT doc_id, split, source,
-                  UNNEST(list_distinct(list_transform(sg, x -> md5(x)))) AS h2
-           FROM sh),
-    tr AS (SELECT doc_id, source, h2 FROM cg WHERE split = 'train'),
-    te AS (SELECT doc_id AS bench_id, h2 FROM cg WHERE split = 'test'),
-    hits AS (SELECT tr.doc_id, tr.source, te.bench_id,
-                    CAST(COUNT(*) AS BIGINT) AS shared
-             FROM tr JOIN te USING (h2) GROUP BY 1, 2, 3)
-    SELECT source,
-           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_contaminated_docs,
-           CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs_hit,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(MAX(shared) AS BIGINT) AS max_shared
-    FROM hits GROUP BY source
-    """,
-)
-def contamination_audit_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-split leakage audit: assign deterministic 90/5/5 splits
-    (exact integer hash boundaries, operators/sampling.py), then flag
-    every train document sharing a verbatim 5-token span with a test
-    document, rolled up per source. The audit every training pipeline
-    should run BEFORE shipping a split: a nonzero row means the eval
-    set leaks into train.
-
-    100 TB shape: unlike the eval-suite decontamination query, BOTH
-    sides here are corpus-proportional (the test split is 5% of the
-    corpus — terabytes of 5-gram hashes at scale, far past any
-    broadcast cap), so the n-gram tables meet in a SHUFFLE hash
-    equi-join on the hash (``broadcast=False``) — work stays
-    ∝ collisions; pinned broadcast-free in tests/test_plans.py."""
-    from data_frame_spark.operators import sampling as OpSamp
-    from data_frame_spark.operators.distributed import ensure_parallelism
-
-    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
-    assigned = OpSamp.assign_splits(
-        docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}, salt="exp1"
-    )
-    return OpDedup.split_contamination_audit(
-        assigned, "text", "doc_id", "split", n=5, rollup_col="source"
     )
 
 
@@ -5240,7 +5080,7 @@ def containment_decontamination_docs(spark: SparkSession, sf_dir: str) -> DataFr
     distinct 13-gram hashes that appear in the benchmark doc —
     containment_micro = shared*1e6 div total, exact integers both
     engines. The every-50th-doc split plays the fixed eval suite
-    (the ngram_decontamination_docs fixture convention), so the
+    (the decontamination_family ngram leg's fixture convention), so the
     benchmark hash side broadcasts by contract (MBs at any corpus
     scale — declared in plans/checks.py); the corpus side reduces to
     distinct doc-keyed n-gram hashes whose per-doc totals ride a
@@ -5279,27 +5119,34 @@ def binary_corpus_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _OP.binary_corpus_family_spark(spark, sf_dir)
 
 
-@query("graph_suite_family", oracle=_OP.graph_suite_family_oracle_sql())
+@query("graph_suite_family", oracle=_OP.graph_suite_v2_oracle_sql())
 def graph_suite_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three round-13-prepped graph operators on ONE row — facets
+    """The graph operator suite on ONE row (v2 since r16) — facets
     'triangles' (degree-ordered triangle counting on the
     parts-co-ordered graph), 'lpa_label' (synchronous deterministic
     label propagation) and 'bfs_hops' (bounded multi-source BFS), the
-    latter two on the shared part<->supplier edge list, materialized
-    once. All three outputs share the (node, BIGINT value) shape.
-    Pre-merged and parity-proven in oracle_prep /
-    tests/test_oracle_prep.py last round; the oracle's triangle chain
-    is an INDEPENDENT ordered-triple enumeration (not a replay) and
-    the LPA/BFS chains are the iterations unrolled into CTE pairs.
+    latter two on the shared part<->supplier edge list materialized
+    once, plus — merged from the retired kcore_parts_cooccur row
+    (r14-green; slot-funding merge, net −1) — 'kcore_degree'
+    (bounded k-core peeling, k=5/rounds=4, on the SAME
+    parts-co-ordered graph: the shared _part_cooccur_pairs / pe CTE,
+    so the facets can never pin different graphs). All four outputs
+    share the (node, BIGINT value) shape. The merge was pre-proven
+    in r15 (parity + a composition pin asserting v2 rows == the two
+    registered parents' rows, engine-checked; the pin retired with
+    the kcore row). The oracle's triangle chain is an INDEPENDENT
+    ordered-triple enumeration (not a replay); the LPA/BFS/k-core
+    chains are the iterations unrolled into CTE pairs.
 
     No reference twin: net-new graph analytics (the reference's dedup
     story stops at pairwise filtering). At 100 TB: triangles bound
-    every join key at O(sqrt(m)) via the orientation; LPA/BFS rounds
-    are vertex-keyed shuffles + map-combinable aggregates with eager
-    per-round checkpoints — no windows, no data-sized broadcasts
-    (pinned pre-checkpoint on _oriented_edges/_lpa_round/_bfs_round in
+    every join key at O(sqrt(m)) via the orientation; LPA/BFS/k-core
+    rounds are vertex-keyed shuffles + map-combinable aggregates with
+    eager per-round checkpoints — no windows, no data-sized
+    broadcasts (pinned pre-checkpoint on
+    _oriented_edges/_lpa_round/_bfs_round/_kcore_round in
     tests/test_plans.py)."""
-    return _OP.graph_suite_family_spark(spark, sf_dir)
+    return _OP.graph_suite_v2_spark(spark, sf_dir)
 
 
 @query("format_roundtrip_family", oracle=_OP.format_roundtrip_family_oracle_sql())
@@ -5322,28 +5169,6 @@ def format_roundtrip_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB both legs are embarrassingly parallel file IO; only the
     ORC partition-key clustering shuffles."""
     return _OP.format_roundtrip_family_spark(spark, sf_dir)
-
-
-@query("kcore_parts_cooccur", oracle=_OP.kcore_oracle_sql())
-def kcore_parts_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded k-core peeling (operators/graph.py:k_core, k=5,
-    rounds=4) on the parts-co-ordered graph — the SAME edge fixture
-    as graph_suite_family's triangle facet (shared
-    _part_cooccur_pairs / pe CTE, so the two rows can never pin
-    different graphs). On this fixture the peel cascades for three
-    rounds and is stable by the fourth (measured at sf0.01), so the
-    row exercises both the multi-round cascade and the
-    idempotent-once-stable contract. Oracle: the rounds unrolled into
-    chained degree-count + both-endpoints-kept CTE pairs.
-
-    No reference twin: net-new graph analytics (density tiers over a
-    near-dup graph — deep cores are template families). At 100 TB
-    each round is one map-combinable degree aggregate + two
-    vertex-keyed LEFT SEMI joins over a monotonically shrinking edge
-    set; no windows, no collected node sets, eager per-round
-    checkpoints (pinned pre-checkpoint on _kcore_round in
-    tests/test_plans.py)."""
-    return _OP.kcore_spark(spark, sf_dir)
 
 
 _ROLLUP_FAMILY_ORACLE = f"""
@@ -5484,9 +5309,13 @@ def meanmax_curve_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     tridiagonal system in closed form, numpy uses LU; they agree to
     ~1e-12). Merged from mean_max_value + spline_mean_max_curve
     (both r13-green; oracle = their SQL verbatim, drift-pinned
-    before retirement). Each leg runs mean_max independently — the
-    legs are provably the r13-green pipelines, and each is
-    sub-second.
+    before retirement). The OUTPUT is provably the two r13-green
+    pipelines' rows, but the legs do NOT run mean_max independently:
+    both facets consume ONE shared checkpointed ladder (the winner
+    table built once in oracle_prep.meanmax_curve_family_spark —
+    same-session A/B 5.36 s vs 8.92 s for two ladder builds, outputs
+    bit-identical; r15-start control for cross-merge bench
+    comparisons: the standalone rows summed 9.1 s).
 
     At 100 TB: slice lag, A-cumulation and probe bracketing all run
     through range-bucketed two-level window plans (no data-sized
@@ -5665,6 +5494,86 @@ def ppr_part_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-16 additions: the decontamination slot-funding merge and the
+# two new surfaces it funds (docs/PLANS.md §"Round-16 slot funding")
+# ---------------------------------------------------------------------------
+
+
+@query("decontamination_family", oracle=_OP.decontamination_family_oracle_sql())
+def decontamination_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three r14-green decontamination rows on ONE row (r16
+    slot-funding merge, net −2, funding gapfill_daily_value +
+    merge_upsert_customers) — facets 'bloom' (Bloom-gated exact
+    13-gram decontamination: the benchmark's m=4096-bit filter
+    broadcasts as its set-bit table, only bloom-positive corpus
+    n-grams reach the exact verify, and the row verifies the
+    false-positive accounting itself), 'ngram' (train/test
+    decontamination by 13-gram collision — hashed n-gram equi-join,
+    work ∝ colliding n-grams) and 'audit' (deterministic 90/5/5
+    split assignment, then cross-split 5-token leakage rolled up per
+    source). NULL-superset facet union; oracle = the parents'
+    r14-green SQL verbatim, snapshot-frozen byte-identically before
+    retirement (oracle_prep.DECONTAMINATION_FAMILY_ORACLE).
+
+    At 100 TB the legs keep their OPPOSITE broadcast contracts, both
+    pinned per-leg in tests/test_plans.py: bloom/ngram broadcast the
+    FIXED eval suite (MBs at any corpus scale — the %50 fixture
+    split stands in for it); the audit, where BOTH sides are
+    corpus-proportional (the test split is 5% of the corpus), meets
+    in a shuffle hash equi-join, broadcast-free by contract."""
+    return _OP.decontamination_family_spark(spark, sf_dir)
+
+
+@query("gapfill_daily_value", oracle=_OP.gapfill_oracle_sql())
+def gapfill_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular time-bucket gap-fill (TimescaleDB's
+    time_bucket_gapfill + locf()/interpolate(), re-expressed
+    Spark-first in operators/timeseries.py): per-user daily value
+    buckets over the events table, every bucket from each user's
+    first to last observation emitted, gaps filled — facets 'locf'
+    (last observation carried forward) and 'linear' (integer lerp
+    between the bracketing observed buckets, FLOOR semantics,
+    edge-clamped). Exact integer-micro arithmetic end-to-end; both
+    the bucket index and the per-bucket mean carry an explicit
+    floor-division correction on BOTH engines (Spark `div` and
+    DuckDB `//` both truncate toward zero).
+
+    No reference twin — the reference's series are densely sampled
+    (SURVEY §1.2) so it never resamples; this is the net-new
+    time-series leg. At 100 TB: every exchange is entity-keyed; the
+    grid is calendar-bounded per entity (explode of
+    sequence(min_bucket, max_bucket) from a map-combinable span
+    aggregate); the forward fill is a DESC running frame (O(n), not
+    the O(n²) UNBOUNDED FOLLOWING); a partitionless global grid is
+    REJECTED by contract. Parity, a brute-force property test, a
+    negative-input floor-division parity pin and a 10× probe (1.6×)
+    were green in r15 pre-proofs (tests/test_timeseries.py)."""
+    return _OP.gapfill_spark(spark, sf_dir)
+
+
+@query("merge_upsert_customers", oracle=_OP.merge_upsert_oracle_sql())
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL MERGE INTO (SCD1 source-wins upsert,
+    operators/scd.py:merge_upsert) on the customer dimension — a
+    deterministic batch of updates (every custkey % 3 == 0 not
+    % 13 == 0 gets an UPDATED_ segment, NULL-bearing updates
+    overwrite), delete flags (custkey % 13 == 0 drops) and inserts
+    (suppliers offset past the key space) applied in one pass.
+    Completes the dimension-maintenance trio with scd2_customer_dim
+    (effective-dated history) and table_diff_customers (snapshot
+    reconciliation). Duplicate source keys raise loudly (cardinality
+    violation — the guard the 10× probe itself fired on a fixture
+    collision in r15, proving it live).
+
+    At 100 TB: one batch-sized source-count window + ONE
+    key-partitioned full-outer join; no broadcast, no collect.
+    Parity, branch unit tests, a randomized NULL-bearing property
+    test vs a brute-force merge, and a 10× probe (1.4×) were green
+    in r15 pre-proofs (tests/test_scd.py)."""
+    return _OP.merge_upsert_spark(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Registry order: the driver's correctness gate walks the registry in
 # iteration order (round-1 evidence: exactly the first 50 entries got
 # CORRECTNESS rows). Queries that have never had a green driver row —
@@ -5673,82 +5582,77 @@ def ppr_part_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FIRST = [
-    # round-15 rotation (standing policy: every query gets a driver
+    # round-16 rotation (standing policy: every query gets a driver
     # row at least every 2 rounds; any query whose code changes this
     # round goes into the first 50). Slot math in docs/PLANS.md
-    # §"Round-15 slot funding": the 50 r13-checked rows rotate in,
-    # minus the 9 retired into the four family merges (event_funnel_
-    # family net −2, meanmax_curve_family / index_ops_family /
-    # set_ops_family net −1 each), plus those 4 families, plus the 5
-    # pre-proven registrations the merges fund = exactly 50; the 50
-    # r14-checked rows go past-cap with zero carries.
+    # §"Round-16 slot funding": the 50 r14-checked rows rotate in,
+    # minus the 4 retired into the two family merges (graph_suite v2
+    # absorbed kcore_parts_cooccur, net −1; decontamination_family
+    # absorbed bloom/ngram/contamination_audit, net −2), plus the
+    # zipf_fit_tokens carry (r13-green, leads per the r15 note),
+    # plus the 2 registrations the merges fund = 51 — balanced to 50
+    # by OMITTING pagerank_part_supplier, the ONLY row green in BOTH
+    # r14 and r15 (its r15 A/B re-entry means the 2-round contract is
+    # satisfied through r17; not a carry — a documented within-
+    # contract omission, docs/PLANS.md §"Round-16 rotation notes").
+    # scd2_customer_dim (r15-green) RE-ENTERS because its code
+    # changed this round (the w/w2 window-spec collapse in
+    # operators/scd.py — plan-identical, but changed code rotates in
+    # by policy, the r15 pagerank precedent).
     #
-    # Block 1 — round-15 new rows (never driver-checked): the four
-    # slot-funding families (oracles = the parents' r13-green SQL
-    # verbatim, snapshot-pinned) and the five surfaces pre-proven in
-    # tests/test_oracle_prep.py last round.
-    "event_funnel_family",
-    "meanmax_curve_family",
-    "index_ops_family",
-    "set_ops_family",
-    "sssp_cheapest_route",
+    # Block 1 — the carry, then never-driver-checked / changed rows:
+    "zipf_fit_tokens",
+    "decontamination_family",
+    "gapfill_daily_value",
+    "merge_upsert_customers",
+    "graph_suite_family",
     "scd2_customer_dim",
-    "table_diff_customers",
-    "image_corpus_features",
-    "ppr_part_seeds",
-    # Block 1b — code changed this round: the r15 same-session A/B
-    # reverted pagerank's iteration to the left-join shape
-    # (operators/graph.py), so this r14-green row re-enters per the
-    # standing policy. That makes 51 names for 50 driver slots — the
-    # documented CARRY is zipf_fit_tokens (last green r13, AST-stable
-    # since, smallest-risk row; leads the r16 rotation — the r13
-    # select_filter_project precedent, never a silent skip).
-    "pagerank_part_supplier",
-    # Block 2 — the remaining surviving r13-checked rows (all green
-    # in CORRECTNESS_r13; last driver row exactly 2 rounds old).
-    # zipf_fit_tokens is the documented CARRY and is OMITTED here
-    # (the r13 select_filter_project mechanics: a carry is expressed
-    # by omission so _FIRST stays exactly the 50 driver slots).
-    "asof_multi_value_lookup",
-    "batch_sessions_events",
-    "binary_corpus_family",
-    "bpe_family",
-    "byte_features_docs",
-    "canonical_docs_by_quality",
-    "classifier_quality_docs",
-    "containment_decontamination_docs",
-    "csv_read_fixture",
-    "dedup_batch_family",
-    "describe_lineitem",
-    "dsir_importance_docs",
-    "embedding_dedup_family",
-    "event_derived_series",
-    "fuzzy_linkage_parts",
-    "gopher_repetition_docs",
-    "group_samples_value_user",
-    "haversine_track_events",
-    "histogram_family",
-    "interpolated_lookup_value",
-    "join_filters_family",
-    "kmv_family",
-    "lm_nll_docs",
-    "lsh_ann_topk_embeddings",
-    "near_dup_clusters_docs",
-    "pack_chunks_256",
-    "pairwise_corr_lineitem",
-    "pricing_summary",
-    "quantiles_price_and_value",
-    "rdp_simplify_user_series",
-    "regional_revenue",
-    "roundtrip_family",
-    "salted_join_segment_revenue",
-    "simhash_docs",
-    "spans_family",
-    "stream_windows_hourly",
-    "top_revenue_orders",
-    "valid_only_drop_na",
-    "weighted_stats_value",
-    "xml_corpus_family",
+    # Block 2 — the remaining surviving r14-checked rows (all green
+    # in CORRECTNESS_r14; last driver row exactly 2 rounds old).
+    "binary_metadata_docs",
+    "bm25_search_docs",
+    "cms_token_counts",
+    "corpus_stats_rollup",
+    "cosine_topk_embeddings",
+    "csv_roundtrip_lineitem",
+    "curriculum_buckets_docs",
+    "cusum_drift_events",
+    "denylist_scrub_docs",
+    "fit_residuals_price_qty",
+    "fits_family",
+    "forecast_revenue",
+    "format_roundtrip_family",
+    "grid_quantiles_price",
+    "group_samples_factor_events",
+    "hll_distinct_shingles",
+    "index_range_select",
+    "ivf_family",
+    "json_props_rollup",
+    "label_centroids_embeddings",
+    "mean_max_user_family",
+    "minhash_signatures_docs",
+    "mixture_sample_docs",
+    "ngram_jaccard_verified",
+    "per_source_cap_docs",
+    "pmi_collocations_docs",
+    "pq_adc_topk_embeddings",
+    "quality_filter_docs",
+    "robust_outliers_value",
+    "rolling_stats_value",
+    "rollup_family",
+    "segment_dedup_docs",
+    "select_filter_project",
+    "semantic_dedup_embeddings",
+    "session_windows_30m",
+    "shipping_priority",
+    "split_assignment_docs",
+    "stratified_sample_docs",
+    "temperature_mixture_weights",
+    "text_features_docs",
+    "tfidf_top_terms_docs",
+    "weighted_sample_docs",
+    "winnowed_fingerprints_docs",
+    "zorder_key_events",
 ]
 
 # A retired name left in _FIRST must fail loudly: _order silently drops

@@ -378,6 +378,9 @@ def test_family_registrations_use_the_snapshot_oracles():
     assert ORACLE["event_funnel_family"] == OP.EVENT_FUNNEL_FAMILY_ORACLE
     assert ORACLE["meanmax_curve_family"] == OP.MEANMAX_CURVE_FAMILY_ORACLE
     assert ORACLE["index_ops_family"] == OP.INDEX_OPS_FAMILY_ORACLE
+    # r16: frozen byte-identically from the lazy composition while
+    # the three standalone decontamination rows still existed
+    assert ORACLE["decontamination_family"] == OP.DECONTAMINATION_FAMILY_ORACLE
 
 
 def test_meanmax_curve_family_oracle_matches_spark(spark, sf_dir, con):
@@ -466,31 +469,16 @@ def test_ppr_oracle_matches_spark(spark, sf_dir, con):
 
 
 def test_graph_suite_v2_oracle_matches_spark(spark, sf_dir, con):
-    # r16 slot-funding candidate: the kcore facet folded into the
-    # graph suite (pre-proof — registration happens r16 when both
-    # parents are past-cap together, per docs/PLANS.md)
+    # REGISTERED at r16 (graph_suite_family re-pointed here; the
+    # kcore facet folded into the suite, kcore row retired — the
+    # composition pin v2 == parents retired with it after holding
+    # through the r15 pre-proof)
     out = OP.graph_suite_v2_spark(spark, sf_dir)
     cols = [f.name for f in out.schema.fields]
     got = sorted(tuple(r[c] for c in cols) for r in out.collect())
     want = sorted(con.execute(OP.graph_suite_v2_oracle_sql()).fetchall())
     assert len({row[0] for row in got}) == 4
     assert got == want
-
-
-def test_graph_suite_v2_is_exactly_the_two_parents(spark, sf_dir):
-    # composition drift pin: v2 rows == the REGISTERED
-    # graph_suite_family rows + the REGISTERED kcore rows tagged
-    # 'kcore_degree' — while all three exist, the merge candidate
-    # can never drift from the rows it will absorb
-    from data_frame_spark.queries import QUERIES
-
-    v2 = sorted(map(tuple, OP.graph_suite_v2_spark(spark, sf_dir).collect()))
-    suite = [tuple(r) for r in QUERIES["graph_suite_family"](spark, sf_dir).collect()]
-    kc = [
-        ("kcore_degree", r["node"], r["degree"])
-        for r in QUERIES["kcore_parts_cooccur"](spark, sf_dir).collect()
-    ]
-    assert v2 == sorted(suite + kc)
 
 
 def test_gapfill_oracle_matches_spark(spark, sf_dir, con):
@@ -537,16 +525,6 @@ def test_decontamination_family_oracle_matches_spark(spark, sf_dir, con):
     )
     assert len(got) > 20 and len({row[0] for row in got}) == 3
     assert got == want
-
-
-def test_decon_leg_sqls_are_the_registered_oracles():
-    # drift pin while the standalone rows exist (snapshot at r16)
-    from data_frame_spark.queries import ORACLE
-
-    legs = OP._decon_leg_sqls()
-    assert legs["bloom"] == ORACLE["bloom_decontamination_docs"]
-    assert legs["ngram"] == ORACLE["ngram_decontamination_docs"]
-    assert legs["audit"] == ORACLE["contamination_audit_splits"]
 
 
 def test_binary_features_family_oracle_matches_spark(spark, sf_dir, con):

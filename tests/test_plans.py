@@ -165,8 +165,13 @@ def test_segment_dedup_min_aggregate_not_window(spark, sf_dir):
 def test_bloom_gate_broadcasts_and_stays_doc_keyed(spark, sf_dir):
     # the bloom probes and the exact verify must all arrive as
     # BROADCAST builds (the corpus side never shuffles for the gate);
-    # the only hash exchanges are the doc-keyed shingle/aggregate ones
-    df = QUERIES["bloom_decontamination_docs"](spark, sf_dir)
+    # the only hash exchanges are the doc-keyed shingle/aggregate
+    # ones. Pinned on the family's bloom LEG (the standalone row
+    # retired into decontamination_family at r16) so the pin sees
+    # the gate itself, not the facet union.
+    from data_frame_spark.oracle_prep import decontamination_leg
+
+    df = decontamination_leg(spark, sf_dir, "bloom")
     assert C.uses_broadcast_join(df)
     assert C.count_shuffles(df) <= 10
     assert not C.data_sized_partitionless_windows(df)
@@ -386,7 +391,10 @@ def test_cc_star_round_shuffle_budget(spark):
 def test_decontamination_broadcasts_benchmark(spark, sf_dir):
     # the benchmark n-gram set must reach the corpus via broadcast —
     # the corpus is never shuffled for the contamination join
-    df = QUERIES["ngram_decontamination_docs"](spark, sf_dir)
+    # (pinned on the family's ngram leg since the r16 merge)
+    from data_frame_spark.oracle_prep import decontamination_leg
+
+    df = decontamination_leg(spark, sf_dir, "ngram")
     assert C.uses_broadcast_join(df)
 
 
@@ -397,9 +405,11 @@ def test_contamination_audit_is_broadcast_free_at_scale(spark, sf_dir):
     # the audit must NOT broadcast anything: the n-gram tables meet
     # in a pinned ShuffledHashJoin on the hash, and the source
     # roll-up join is left size-elected (shuffles at scale)
+    from data_frame_spark.oracle_prep import decontamination_leg
+
     with C.scale_planner(spark):
-        df = QUERIES["contamination_audit_splits"](spark, sf_dir)
-        assert C.broadcasts_for_query("contamination_audit_splits", df) == []
+        df = decontamination_leg(spark, sf_dir, "audit")
+        assert C.broadcasts_for_query("decontamination_family", df) == []
         plan = C.simple_plan(df)
     assert "BroadcastExchange" not in plan
     assert "ShuffledHashJoin" in plan
@@ -476,14 +486,16 @@ def test_broadcast_allowance_is_counted_not_blanket(spark, sf_dir):
     # on top must flag — declarations never turn the classifier off
     from pyspark.sql import functions as F
 
+    from data_frame_spark.oracle_prep import decontamination_leg
+
     with C.scale_planner(spark):
-        base = QUERIES["ngram_decontamination_docs"](spark, sf_dir)
-        assert C.broadcasts_for_query("ngram_decontamination_docs", base) == []
+        base = decontamination_leg(spark, sf_dir, "ngram")
+        assert C.broadcasts_for_query("decontamination_family", base) == []
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         worse = base.join(
             F.broadcast(docs.select(F.col("doc_id"))), "doc_id"
         )
-        assert C.broadcasts_for_query("ngram_decontamination_docs", worse)
+        assert C.broadcasts_for_query("decontamination_family", worse)
 
 
 def test_broadcast_classifier_catches_forced_corpus_broadcast(spark, sf_dir):
@@ -497,10 +509,12 @@ def test_broadcast_classifier_catches_forced_corpus_broadcast(spark, sf_dir):
         assert C.data_sized_broadcasts(df)
     # ...and the benchmark-suite decontamination broadcast stays
     # declared-legitimate rather than structurally blessed
+    from data_frame_spark.oracle_prep import decontamination_leg
+
     with C.scale_planner(spark):
-        ddf = QUERIES["ngram_decontamination_docs"](spark, sf_dir)
+        ddf = decontamination_leg(spark, sf_dir, "ngram")
         assert C.data_sized_broadcasts(ddf)  # raw classifier flags it
-        assert C.broadcasts_for_query("ngram_decontamination_docs", ddf) == []
+        assert C.broadcasts_for_query("decontamination_family", ddf) == []
 
 
 def test_broadcast_fingerprint_rejects_replaced_broadcast(spark, sf_dir):
@@ -513,7 +527,7 @@ def test_broadcast_fingerprint_rejects_replaced_broadcast(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with C.scale_planner(spark):
         wrong = docs.join(F.broadcast(docs.select("doc_id").distinct()), "doc_id")
-        assert C.broadcasts_for_query("ngram_decontamination_docs", wrong)
+        assert C.broadcasts_for_query("decontamination_family", wrong)
 
 
 def test_guard_census_is_structural(spark, sf_dir):
