@@ -40,10 +40,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # round-15 composition note: mean_max_value + spline_mean_max_curve
 # retired into meanmax_curve_family (slot-funding merge, their SQL
 # verbatim), so the HEADLINE subset swaps those two names for the
-# family row. The family runs BOTH legs' pipelines, so the subset
-# total is comparable to r14 (same work, one name); r15-start
-# same-session control: the two standalone rows summed 9.1 s. The
-# FULL-registry total
+# family row. The family's OUTPUT is the two legs' rows verbatim,
+# but its EXECUTION is not the sum of the standalone pipelines: both
+# facets share ONE checkpointed mean-max ladder (oracle_prep
+# meanmax_curve_family_spark; same-session A/B 5.36 s vs 8.92 s for
+# two ladder builds, outputs bit-identical — docs/PLANS.md). So the
+# r14→r15 headline delta embeds a real ~3.5 s composition speedup;
+# use the r15-start same-session control (the two standalone rows
+# summed 9.1 s; the family read 5.50 s at r15-end) as the adjustment
+# factor when comparing across the merge. The FULL-registry total
 # gains the five new registrations (sssp/scd2/table_diff/image/ppr,
 # ~+6-8 s of genuinely new work) and loses the nine standalone rows'
 # separate session overheads (−9 rows of ~0.3-3 s each); per-query
@@ -169,6 +174,46 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     emit_json(timings, sf_val, RUNS)
+    write_history(timings, sf_val, RUNS)
+
+
+def write_history(timings: dict[str, float], sf_val, runs: int) -> None:
+    """Persist the FULL per-query timing dict to a repo file
+    (docs/BENCH_HISTORY/latest.json) — r15 verdict #2: the driver
+    keeps only a ~2,000-char output tail, so the split-line emission
+    alone can never preserve all per-query numbers (BENCH_r15 kept
+    36/100); round-over-round per-query comparisons must not depend
+    on the driver capture. The driver's round-close commit picks
+    this file up; round-close snapshots are frozen alongside it as
+    docs/BENCH_HISTORY/r{N}.json. Best-effort: a read-only checkout
+    must not fail the bench."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "docs", "BENCH_HISTORY",
+        "latest.json",
+    )
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "sf": sf_val,
+                    "runs_per_query": runs,
+                    "agg": "min",
+                    "action": "full_row_hash",
+                    "n_queries": len(timings),
+                    "headline_subset_total": round(
+                        sum(timings[n] for n in HEADLINE if n in timings), 3
+                    ),
+                    "total": round(sum(timings.values()), 3),
+                    "queries": timings,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+    except OSError as e:
+        print(f"# bench history write skipped: {e}", file=sys.stderr)
 
 
 def emit_json(timings: dict[str, float], sf_val, runs: int) -> None:
