@@ -173,11 +173,11 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    emit_json(timings, sf_val, RUNS)
-    write_history(timings, sf_val, RUNS)
+    summary = emit_json(timings, sf_val, RUNS)
+    write_history(timings, summary)
 
 
-def write_history(timings: dict[str, float], sf_val, runs: int) -> None:
+def write_history(timings: dict[str, float], summary: dict) -> None:
     """Persist the FULL per-query timing dict to a repo file
     (docs/BENCH_HISTORY/latest.json) — r15 verdict #2: the driver
     keeps only a ~2,000-char output tail, so the split-line emission
@@ -194,19 +194,12 @@ def write_history(timings: dict[str, float], sf_val, runs: int) -> None:
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
+            # the summary fields are the SAME dict emit_json printed
+            # (single source — review fix: independently re-derived
+            # fields here could silently drift from the emitted line);
+            # only the full per-query dict replaces the top-10 slice
             json.dump(
-                {
-                    "sf": sf_val,
-                    "runs_per_query": runs,
-                    "agg": "min",
-                    "action": "full_row_hash",
-                    "n_queries": len(timings),
-                    "headline_subset_total": round(
-                        sum(timings[n] for n in HEADLINE if n in timings), 3
-                    ),
-                    "total": round(sum(timings.values()), 3),
-                    "queries": timings,
-                },
+                {**summary, "total": summary["value"], "queries": timings},
                 f,
                 indent=1,
                 sort_keys=True,
@@ -216,7 +209,7 @@ def write_history(timings: dict[str, float], sf_val, runs: int) -> None:
         print(f"# bench history write skipped: {e}", file=sys.stderr)
 
 
-def emit_json(timings: dict[str, float], sf_val, runs: int) -> None:
+def emit_json(timings: dict[str, float], sf_val, runs: int) -> dict:
     """Print the machine-readable bench lines (factored out so the
     emission shape is unit-testable without a Spark run).
 
@@ -247,32 +240,34 @@ def emit_json(timings: dict[str, float], sf_val, runs: int) -> None:
             )
         )
     headline = [n for n in HEADLINE if n in timings]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "sf": sf_val,
-                "n_queries": len(timings),
-                # stable round-over-round comparison: the fixed HEADLINE
-                # subset's total (the full-registry `value` inflates with
-                # every registry addition)
-                "headline_subset_total": round(
-                    sum(timings[n] for n in headline), 3
-                ),
-                "headline_n": len(headline),
-                # round-7 action change: full-row xxhash materialization
-                # (count() let Catalyst prune column work) — totals are
-                # NOT comparable to rounds <= 6, which measured less
-                "action": "full_row_hash",
-                "queries": {
-                    n: timings[n]
-                    for n in sorted(timings, key=timings.get, reverse=True)[:10]
-                },
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        # stable round-over-round comparison: the fixed HEADLINE
+        # subset's total (the full-registry `value` inflates with
+        # every registry addition)
+        "headline_subset_total": round(
+            sum(timings[n] for n in headline), 3
+        ),
+        "headline_n": len(headline),
+        # round-7 action change: full-row xxhash materialization
+        # (count() let Catalyst prune column work) — totals are
+        # NOT comparable to rounds <= 6, which measured less
+        "action": "full_row_hash",
+        "runs_per_query": runs,
+        "agg": "min",
+        "queries": {
+            n: timings[n]
+            for n in sorted(timings, key=timings.get, reverse=True)[:10]
+        },
+    }
+    print(json.dumps(summary))
+    # the history file (write_history) persists THIS dict, so the
+    # repo-committed numbers can never drift from the emitted summary
+    return summary
 
 
 if __name__ == "__main__":

@@ -103,31 +103,37 @@ def time_bucket_gapfill(
         # literal entity in if they truly have one series
         raise ValueError("time_bucket_gapfill needs partition_by keys")
 
-    if "`" in ts_col:
-        # ts_col is spliced into a SQL expression string below; quote
-        # it so dotted/spaced names resolve as literal column names
-        # (the reshape._q / sources/csv.py discipline — r15 ADVICE),
-        # and reject embedded backticks (Spark's own quoting limit)
-        raise ValueError(f"column name may not contain backticks: {ts_col!r}")
+    # EVERY caller-supplied name is backtick-quoted wherever Spark
+    # would PARSE it (select/groupBy/window/expr), so dotted or
+    # spaced names resolve as literal columns, never struct-field
+    # access — the reshape._q / sources/csv.py discipline (r15
+    # ADVICE for ts_col; review follow-up for value_col and the
+    # partition keys). Embedded backticks are Spark's own quoting
+    # limit and raise. Join-by-name lists stay UNquoted: Spark's
+    # usingColumns resolves them by exact name, not by parsing.
+    for name in (ts_col, value_col, *pcols):
+        if "`" in name:
+            raise ValueError(f"column name may not contain backticks: {name!r}")
     ts_q = f"`{ts_col}`"
+    pq = [F.col(f"`{c}`") for c in pcols]
     mult = 10 ** value_scale
-    v = F.col(value_col).cast("double")
+    v = F.col(f"`{value_col}`").cast("double")
     # FLOOR bucket index, not Spark's truncating `div`: a negative
     # timestamp must land in the bucket BELOW zero, not share a
     # double-width bucket 0 with positive timestamps
     base = df.where(v.isNotNull() & F.col(ts_q).isNotNull()).select(
-        *pcols,
+        *pq,
         F.expr(floor_div_expr(ts_q, str(bucket_width))).alias("bucket"),
         F.floor(v * mult + F.lit(0.5)).cast("long").alias("__vm"),
     )
-    agg = base.groupBy(*pcols, "bucket").agg(
+    agg = base.groupBy(*pq, F.col("bucket")).agg(
         F.sum("__vm").alias("__sm"), F.count(F.lit(1)).alias("n")
     )
-    spans = agg.groupBy(*pcols).agg(
+    spans = agg.groupBy(*pq).agg(
         F.min("bucket").alias("__b0"), F.max("bucket").alias("__b1")
     )
     grid = spans.select(
-        *pcols,
+        *pq,
         F.explode(F.expr("sequence(__b0, __b1)")).alias("bucket"),
     )
     j = (
@@ -140,7 +146,7 @@ def time_bucket_gapfill(
         # correction; floor is the documented contract.
         .withColumn("mean_micro", F.expr(floor_div_expr("__sm", "n")))
         .select(
-            *pcols,
+            *pq,
             "bucket",
             F.coalesce(F.col("n"), F.lit(0)).alias("n"),
             "mean_micro",
@@ -150,7 +156,7 @@ def time_bucket_gapfill(
         return j.withColumn("filled_micro", F.col("mean_micro"))
 
     back = (
-        Window.partitionBy(*pcols)
+        Window.partitionBy(*pq)
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -163,7 +169,7 @@ def time_bucket_gapfill(
     # forward pass is a DESC running frame (O(n), not the O(n²)
     # UNBOUNDED FOLLOWING frame)
     fwd = (
-        Window.partitionBy(*pcols)
+        Window.partitionBy(*pq)
         .orderBy(F.col("bucket").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -189,5 +195,5 @@ def time_bucket_gapfill(
         .otherwise(F.floor(lerp).cast("long"))
     )
     return out.select(
-        *pcols, "bucket", "n", "mean_micro", filled.alias("filled_micro")
+        *pq, "bucket", "n", "mean_micro", filled.alias("filled_micro")
     )
