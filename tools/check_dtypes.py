@@ -40,7 +40,11 @@ def main(names):
     for tname in TPCH_TABLES:
         p = os.path.join(SF_DIR, f"{tname}.parquet")
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {tname} AS SELECT * FROM '{p}'")
+            # driver testdata ships single parquet FILES; Spark-written
+            # scale-up fixtures (.scratch/sf1) are DIRECTORIES of part
+            # files — DuckDB needs the glob form for those
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {tname} AS SELECT * FROM '{src}'")
 
     targets = names or [n for n in Q.QUERIES if n in Q.ORACLE]
     bad = 0
