@@ -51,6 +51,15 @@ def table_hash(cols, rows):
 def main(names):
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # optional memory cap with disk spill for the heaviest twins
+    # (the banded-LSH replays can exceed RAM at the sf1 scale-up;
+    # capped + spilling they finish instead of OOM-ing the box)
+    mem = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if mem:
+        tmp = os.environ.get("SPARK_GRAFT_DUCKDB_TMP", "/tmp/duckdb_spill")
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute(f"SET temp_directory='{tmp}'")
     for tname in TPCH_TABLES:
         p = os.path.join(SF_DIR, f"{tname}.parquet")
         if os.path.exists(p):
