@@ -1580,6 +1580,74 @@ def decontamination_family_spark(spark, sf_dir):
     return pad("bloom").unionByName(pad("ngram")).unionByName(pad("audit"))
 
 
+#: psi_value_drift fixture contract (r17+ candidate): log-spaced
+#: value buckets (8 buckets from 7 edges) over the events value
+#: range, user-parity cohorts as the two populations
+PSI_EDGES = [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0]
+
+
+def psi_oracle_sql() -> str:
+    """DuckDB twin of the psi_value_drift candidate
+    (operators/drift.py:psi_drift on events: the value distribution
+    of the even-user cohort vs the odd-user cohort per event_type,
+    fixed log-spaced buckets, add-one smoothing, integer micro-nat
+    terms summed — quantize-BEFORE-sum, so the result is order-free
+    on both engines). CTE names (pd*/pterm) disjoint from every
+    other chain."""
+    n_b = len(PSI_EDGES) + 1
+    bucket = " + ".join(
+        f"(CASE WHEN value >= {e} THEN 1 ELSE 0 END)" for e in PSI_EDGES
+    )
+    return f"""
+    WITH pd0 AS (SELECT event_type, value,
+                        (user_id % 2 = 0) AS is_ref
+                 FROM events WHERE value IS NOT NULL),
+    pd1 AS (SELECT event_type, is_ref, {bucket} AS b FROM pd0),
+    pdc AS (SELECT event_type, b,
+                   SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,
+                   SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+            FROM pd1 GROUP BY 1, 2),
+    pdt AS (SELECT event_type, SUM(cr) AS n_ref, SUM(cc) AS n_cmp
+            FROM pdc GROUP BY 1),
+    pdg AS (SELECT event_type, n_ref, n_cmp,
+                   UNNEST(generate_series(0, {n_b - 1})) AS b
+            FROM pdt),
+    pdj AS (SELECT g.event_type, g.n_ref, g.n_cmp, g.b,
+                   COALESCE(c.cr, 0) AS cr, COALESCE(c.cc, 0) AS cc
+            FROM pdg g LEFT JOIN pdc c
+              ON g.event_type = c.event_type AND g.b = c.b),
+    pterm AS (SELECT event_type, n_ref, n_cmp,
+                     CAST(FLOOR((CAST(cr + 1 AS DOUBLE) / CAST(n_ref + {n_b} AS DOUBLE)
+                                 - CAST(cc + 1 AS DOUBLE) / CAST(n_cmp + {n_b} AS DOUBLE))
+                                * ln((CAST(cr + 1 AS DOUBLE) / CAST(n_ref + {n_b} AS DOUBLE))
+                                     / (CAST(cc + 1 AS DOUBLE) / CAST(n_cmp + {n_b} AS DOUBLE)))
+                                * 1000000.0 + 0.5) AS BIGINT) AS tm
+              FROM pdj)
+    SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cmp AS BIGINT) AS n_cmp,
+           CAST(SUM(tm) AS BIGINT) AS psi_micro
+    FROM pterm GROUP BY 1, 2, 3
+    """
+
+
+def psi_spark(spark, sf_dir):
+    """The Spark side the future psi_value_drift row would use
+    verbatim — even-user cohort as the reference population, odd as
+    the comparison, per event_type."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.operators.drift import psi_drift
+    from data_frame_spark.queries import t
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "cohort",
+        F.when(F.col("user_id") % 2 == 0, "ref").otherwise("cmp"),
+    )
+    return psi_drift(
+        ev, "value", "cohort", "ref", "cmp", PSI_EDGES, ["event_type"]
+    )
+
+
 def _binary_features_leg_sqls() -> dict[str, str]:
     """The two standalone binary doc-level oracles, lazy-imported
     while the rows exist (the event_funnel drift-free contract)."""
