@@ -20,10 +20,18 @@ answers "which ROWS changed"; PSI answers "did the DISTRIBUTION
 move").
 
 Exactness contract: bucket counts are exact integers from ONE
-map-combinable aggregate; the PSI itself is a FIXED double
-expression of those integers (smoothed proportions + ln), evaluated
-identically on both engines (IEEE-deterministic — the gapfill-lerp
-argument), then floor-quantized to integer micro-nats. Bucket
+map-combinable aggregate; each PER-BUCKET term is a fixed double
+expression of those integers (smoothed proportions + ln),
+round-half-up quantized to integer micro-nats, and the LONGS are
+summed — so the result is independent of partitioning and addition
+order (a double sum then one rounding would be order-dependent at
+the ulp level). The +,-,*,/ parts are IEEE-deterministic (the
+gapfill-lerp argument); ``ln`` is NOT spec'd correctly-rounded, so
+a JVM-vs-libm ulp disagreement could in principle flip one term's
+rounding when a value lands within ~1 ulp of a .5 boundary
+(probability ~1e-10 per term) — the same exposure the lm_nll and
+fits rows have carried green since r8, accepted and documented
+rather than hidden. Bucket
 edges are an EXPLICIT caller-supplied attribute-domain list (the
 pivot/reshape contract): the bucket count is plan-time bounded, the
 output schema never depends on the data, and every one of the
@@ -45,13 +53,7 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def _q(name: str) -> Column:
-    """Backtick-quoted literal column resolution (the reshape._q /
-    timeseries discipline): dotted names stay literal."""
-    if "`" in name:
-        raise ValueError(f"column name may not contain backticks: {name!r}")
-    return F.col(f"`{name}`")
+from data_frame_spark.operators.colnames import quoted as _q
 
 
 def bucket_index(col: Column, edges: Sequence[float]) -> Column:
@@ -80,14 +82,18 @@ def psi_drift(
     where ``split_col == cmp_value`` (the comparison population),
     per ``group_by`` segment, over the fixed ``bucket_edges`` grid.
 
-    Rows with NULL values and rows in neither split are ignored
-    (the valid-only stance). Groups present in only ONE split still
+    Rows with NULL or NaN values and rows in neither split are
+    ignored (the valid-only stance; without the explicit NaN drop,
+    BOTH engines sort NaN above every number and would silently
+    count NaN rows as extreme-high drift). Groups present in only
+    ONE split still
     emit a row — that is the loudest possible drift and silently
     dropping it would hide exactly the event PSI exists to catch.
 
     Output: ``group_by`` + ``n_ref``/``n_cmp`` (exact population
-    sizes) + ``psi_micro`` (PSI in integer micro-nats, floor of
-    1e``value_scale`` x the double sum).
+    sizes) + ``psi_micro`` (PSI in integer micro-nats: each bucket's
+    term round-half-up quantized at 1e-``value_scale``, the longs
+    summed — quantize-before-sum, see the module docstring).
     """
     edges = [float(e) for e in bucket_edges]
     if not edges or sorted(edges) != edges or len(set(edges)) != len(edges):
@@ -103,6 +109,19 @@ def psi_drift(
                          "column for a single global PSI)")
     if ref_value == cmp_value:
         raise ValueError("psi_drift ref_value and cmp_value must differ")
+    reserved = {"n_ref", "n_cmp", "psi_micro", "__b", "__cr", "__cc",
+                "__is_ref"}
+    collide = reserved & {*gcols, value_col, split_col}
+    if collide:
+        # the reshape collision discipline: a group column named like
+        # an output/internal column would emit ambiguous duplicates
+        # or break mid-plan with an opaque analyzer error
+        raise ValueError(
+            f"psi_drift input columns collide with reserved output/"
+            f"internal names: {sorted(collide)}"
+        )
+    if len(set(gcols)) != len(gcols):
+        raise ValueError("psi_drift group_by names must be distinct")
 
     n_buckets = len(edges) + 1
     gq = [_q(c) for c in gcols]
@@ -110,7 +129,7 @@ def psi_drift(
     s = _q(split_col)
 
     base = df.where(
-        v.isNotNull() & s.isin([ref_value, cmp_value])
+        v.isNotNull() & ~F.isnan(v) & s.isin([ref_value, cmp_value])
     ).select(
         *gq,
         bucket_index(v, edges).alias("__b"),

@@ -34,17 +34,8 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
 
-
-def _q(name: str) -> Column:
-    """Resolve a LITERAL column name: backtick-quoted so names
-    containing dots (spreadsheet-shaped ingests) do not get parsed
-    as struct-field access — the sources/csv.py quoting pattern.
-    Backticks inside names are not supported (Spark's own limit)."""
-    if "`" in name:
-        raise ValueError(f"column name may not contain backticks: {name!r}")
-    return F.col(f"`{name}`")
+from data_frame_spark.operators.colnames import quoted as _q, quoted_name
 
 
 def pivot(
@@ -86,16 +77,13 @@ def pivot(
     if collide:
         # two same-named output columns -> ambiguous downstream
         raise ValueError(f"pivot values collide with group columns: {sorted(collide)}")
-    if "`" in pivot_col:
-        # same guard as _q: backticks are Spark's own quoting limit
-        raise ValueError(f"column name may not contain backticks: {pivot_col!r}")
     return (
         df.groupBy(*[_q(g) for g in groups])
         # backtick-quoted like the group/value columns: GroupedData
         # .pivot resolves the string via df.col, so a raw dotted name
         # (the spreadsheet-ingest case this module hardens against)
         # would parse as struct-field access (r15 ADVICE)
-        .pivot(f"`{pivot_col}`", vals)
+        .pivot(quoted_name(pivot_col), vals)
         .agg(agg)
         .select(
             *[_q(g) for g in groups],

@@ -46,6 +46,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_frame_spark.operators.colnames import quoted, quoted_name
+
 #: fills supported by :func:`time_bucket_gapfill`
 FILLS = ("locf", "linear", "null")
 
@@ -104,20 +106,14 @@ def time_bucket_gapfill(
         raise ValueError("time_bucket_gapfill needs partition_by keys")
 
     # EVERY caller-supplied name is backtick-quoted wherever Spark
-    # would PARSE it (select/groupBy/window/expr), so dotted or
-    # spaced names resolve as literal columns, never struct-field
-    # access — the reshape._q / sources/csv.py discipline (r15
-    # ADVICE for ts_col; review follow-up for value_col and the
-    # partition keys). Embedded backticks are Spark's own quoting
-    # limit and raise. Join-by-name lists stay UNquoted: Spark's
+    # would PARSE it (operators/colnames.py — the shared discipline;
+    # r15 ADVICE for ts_col, review follow-up for value_col and the
+    # partition keys). Join-by-name lists stay UNquoted: Spark's
     # usingColumns resolves them by exact name, not by parsing.
-    for name in (ts_col, value_col, *pcols):
-        if "`" in name:
-            raise ValueError(f"column name may not contain backticks: {name!r}")
-    ts_q = f"`{ts_col}`"
-    pq = [F.col(f"`{c}`") for c in pcols]
+    ts_q = quoted_name(ts_col)
+    pq = [quoted(c) for c in pcols]
     mult = 10 ** value_scale
-    v = F.col(f"`{value_col}`").cast("double")
+    v = quoted(value_col).cast("double")
     # FLOOR bucket index, not Spark's truncating `div`: a negative
     # timestamp must land in the bucket BELOW zero, not share a
     # double-width bucket 0 with positive timestamps

@@ -1601,7 +1601,8 @@ def psi_oracle_sql() -> str:
     return f"""
     WITH pd0 AS (SELECT event_type, value,
                         (user_id % 2 = 0) AS is_ref
-                 FROM events WHERE value IS NOT NULL),
+                 FROM events
+                 WHERE value IS NOT NULL AND NOT isnan(value)),
     pd1 AS (SELECT event_type, is_ref, {bucket} AS b FROM pd0),
     pdc AS (SELECT event_type, b,
                    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS cr,

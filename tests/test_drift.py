@@ -18,14 +18,11 @@ def _brute_psi(rows, edges, scale=6):
     n_b = len(edges) + 1
     per = {}
     for g, is_ref, v in rows:
-        if v is None:
+        if v is None or math.isnan(v):
             continue
         b = sum(1 for e in edges if v >= e)
-        cr, cc = per.setdefault(g, {}).setdefault(b, [0, 0])
-        if is_ref:
-            per[g][b][0] += 1
-        else:
-            per[g][b][1] += 1
+        per.setdefault(g, {}).setdefault(b, [0, 0])
+        per[g][b][0 if is_ref else 1] += 1
     out = {}
     mult = 10 ** scale
     for g, buckets in per.items():
@@ -88,13 +85,18 @@ def test_psi_guards(spark):
         psi_drift(df, "v", "s", "a", "a", [5.0], ["g"])
     with pytest.raises(ValueError, match="backtick"):
         psi_drift(df, "bad`v", "s", "a", "b", [5.0], ["g"])
+    with pytest.raises(ValueError, match="reserved"):
+        psi_drift(df, "v", "s", "a", "b", [5.0], ["n_ref"])
+    with pytest.raises(ValueError, match="distinct"):
+        psi_drift(df, "v", "s", "a", "b", [5.0], ["g", "g"])
 
 
 def test_psi_dotted_names_and_null_and_foreign_splits(spark):
-    # dotted columns resolve literally; NULL values and rows in
-    # neither split are ignored
+    # dotted columns resolve literally; NULL values, NaN values
+    # (which BOTH engines would otherwise sort into the top bucket)
+    # and rows in neither split are ignored
     rows = [("g", "a", 1.0), ("g", "b", 1.0), ("g", "zzz", 99.0),
-            ("g", "a", None)]
+            ("g", "a", None), ("g", "b", float("nan"))]
     df = spark.createDataFrame(rows, ["grp.id", "split.col", "val.raw"])
     out = psi_drift(
         df, "val.raw", "split.col", "a", "b", [5.0], ["grp.id"]
@@ -122,7 +124,6 @@ def test_psi_matches_brute_randomized(spark):
             )
             for _ in range(rng.randint(1, 120))
         ]
-        # keep only groups that have at least one valid row
         df = spark.createDataFrame(
             [(g, "ref" if r else "cmp", v) for g, r, v in rows],
             "g string, s string, v double",
