@@ -29,6 +29,13 @@ from data_frame_spark import queries as Q
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: the canonical bench scale — docs/BENCH_HISTORY/latest.json records
+#: ONLY runs at this sf (r16 ADVICE: a stray sf0.01 or sf1 run used
+#: to replace the committed sf0.1 record, so round-over-round
+#: comparisons of latest.json could silently span scale factors);
+#: off-scale runs persist to latest_sf{sf}.json instead.
+CANONICAL_SF = 0.1
+
 #: FIXED representative subset whose total is comparable
 #: round-over-round (round-9 verdict #5: the full-registry total
 #: inflates with every registry addition, so rounds stopped being
@@ -185,11 +192,19 @@ def write_history(timings: dict[str, float], summary: dict) -> None:
     36/100); round-over-round per-query comparisons must not depend
     on the driver capture. The driver's round-close commit picks
     this file up; round-close snapshots are frozen alongside it as
-    docs/BENCH_HISTORY/r{N}.json. Best-effort: a read-only checkout
+    docs/BENCH_HISTORY/r{N}.json. Only a run at CANONICAL_SF may
+    touch latest.json — any other scale writes a latest_sf{sf}.json
+    sibling, so an iteration run at sf0.01/sf1 can never clobber the
+    canonical record (r16 ADVICE). Best-effort: a read-only checkout
     must not fail the bench."""
+    fname = (
+        "latest.json"
+        if summary.get("sf") == CANONICAL_SF
+        else f"latest_sf{summary.get('sf')}.json"
+    )
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "docs", "BENCH_HISTORY",
-        "latest.json",
+        fname,
     )
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)

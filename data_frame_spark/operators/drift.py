@@ -55,6 +55,13 @@ from pyspark.sql import functions as F
 
 from data_frame_spark.operators.colnames import quoted as _q
 
+#: default micro-nat quantization scale (1e-6 per term). The DuckDB
+#: twin (oracle_prep.psi_oracle_sql) derives its multiplier from THIS
+#: constant — r16 ADVICE: a hardcoded 1000000.0 on the oracle side
+#: would silently disagree if a registration ever picked a
+#: non-default ``value_scale``.
+PSI_VALUE_SCALE = 6
+
 
 def bucket_index(col: Column, edges: Sequence[float]) -> Column:
     """0-based fixed-bucket index: the number of ``edges`` at or
@@ -75,7 +82,7 @@ def psi_drift(
     cmp_value: str,
     bucket_edges: Sequence[float],
     group_by: Sequence[str],
-    value_scale: int = 6,
+    value_scale: int = PSI_VALUE_SCALE,
 ) -> DataFrame:
     """PSI of ``value_col``'s distribution between the rows where
     ``split_col == ref_value`` (the reference population) and those

@@ -15,6 +15,7 @@ DuckDB's ``//`` (floor) agree.
 
 from __future__ import annotations
 
+from data_frame_spark.operators.drift import PSI_VALUE_SCALE
 from data_frame_spark.operators.text import TOKEN_PATTERN
 
 CUSUM_TARGET_MICRO = 500_000
@@ -1622,7 +1623,7 @@ def psi_oracle_sql() -> str:
                                  - CAST(cc + 1 AS DOUBLE) / CAST(n_cmp + {n_b} AS DOUBLE))
                                 * ln((CAST(cr + 1 AS DOUBLE) / CAST(n_ref + {n_b} AS DOUBLE))
                                      / (CAST(cc + 1 AS DOUBLE) / CAST(n_cmp + {n_b} AS DOUBLE)))
-                                * 1000000.0 + 0.5) AS BIGINT) AS tm
+                                * {float(10 ** PSI_VALUE_SCALE)} + 0.5) AS BIGINT) AS tm
               FROM pdj)
     SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
            CAST(n_cmp AS BIGINT) AS n_cmp,
