@@ -1650,30 +1650,41 @@ def psi_spark(spark, sf_dir):
     )
 
 
-def _binary_features_leg_sqls() -> dict[str, str]:
-    """The two standalone binary doc-level oracles, lazy-imported
-    while the rows exist (the event_funnel drift-free contract)."""
-    from data_frame_spark.queries import ORACLE
-
-    return {
-        "meta": ORACLE["binary_metadata_docs"],
-        "features": ORACLE["byte_features_docs"],
-    }
-
-
-def binary_features_family_oracle_sql() -> str:
-    """Facet union of the binary-metadata and byte-features rows —
-    the SPARE r16 slot-funding merge (net −1; both r14-checked,
-    neither in the bench HEADLINE, so the merge costs no
-    comparability). Held in reserve for an unplanned r16 slot (the
-    r15 precedent: the PageRank A/B re-entered a checked row
-    mid-round and forced a carry). n_bytes is the SHARED column,
-    unified to BIGINT in the outer projection (the metadata leg's
-    INTEGER widens; values identical)."""
-    legs = _binary_features_leg_sqls()
-    return f"""
-    WITH meta_leg AS (SELECT * FROM ({legs["meta"]})),
-    features_leg AS (SELECT * FROM ({legs["features"]}))
+#: Literal snapshot (the event_funnel/decontamination registration
+#: motion) of the facet union of the two standalone binary doc-level
+#: oracles, printed from the lazy composition while the rows
+#: (binary_metadata_docs / byte_features_docs) still existed and
+#: byte-identity asserted against it in-session at r17 registration,
+#: then frozen here as the single source.
+BINARY_FEATURES_FAMILY_ORACLE = """
+    WITH meta_leg AS (SELECT * FROM (
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    )),
+    features_leg AS (SELECT * FROM (
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+         pos AS (SELECT doc_id, hx, n,
+                        UNNEST(generate_series(1, CAST(n AS BIGINT))) AS i
+                 FROM b),
+         ch AS (SELECT doc_id, n,
+                       strpos('0123456789ABCDEF',
+                              substr(hx, CAST(2*i-1 AS INT), 1)) - 1 AS nib
+                FROM pos),
+         hist AS (SELECT doc_id, MIN(n) AS n, nib, COUNT(*) AS c
+                  FROM ch GROUP BY doc_id, nib),
+         feat AS (SELECT doc_id,
+                         ROUND(-SUM((CAST(c AS DOUBLE) / n)
+                                    * log2(CAST(c AS DOUBLE) / n)), 9)
+                           + 0.0 AS entropy
+                  FROM hist GROUP BY doc_id, n)
+    SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_bytes,
+           COALESCE(feat.entropy, 0.0) AS entropy
+    FROM b LEFT JOIN feat ON b.doc_id = feat.doc_id
+    ))
     SELECT 'meta' AS facet, doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
            content_md5, CAST(NULL AS DOUBLE) AS entropy
     FROM meta_leg
@@ -1684,20 +1695,60 @@ def binary_features_family_oracle_sql() -> str:
     """
 
 
-def binary_features_family_spark(spark, sf_dir):
-    """Spark side of the spare candidate: the registered pipelines
-    reused pre-registration (the index_ops stance), n_bytes cast
-    long on the metadata leg to the family's unified type."""
+def binary_features_family_oracle_sql() -> str:
+    """Facet union of the binary-metadata and byte-features rows —
+    the r17 slot-funding merge (net −1, frees the r18 slot for
+    binary_file_ingest; both parents r14-checked + byte_features
+    r15-checked, neither in the bench HEADLINE, so the merge costs no
+    comparability). Pre-proven as the SPARE r16 candidate. n_bytes is
+    the SHARED column, unified to BIGINT in the outer projection (the
+    metadata leg's INTEGER widens; values identical)."""
+    return BINARY_FEATURES_FAMILY_ORACLE
+
+
+def binary_features_leg(spark, sf_dir, leg: str):
+    """One leg of binary_features_family, pre-union — the two
+    standalone bodies (queries.binary_metadata_docs /
+    queries.byte_features_docs) moved here verbatim at the r17
+    registration (the decontamination_leg motion). Exposed per-leg so
+    plan assertions can target each pipeline without the union."""
+    if leg not in ("meta", "features"):
+        raise ValueError(f"unknown binary_features leg: {leg!r}")
+
     from pyspark.sql import functions as F
 
-    from data_frame_spark.queries import QUERIES
+    from data_frame_spark.operators import multimodal as OpMulti
+    from data_frame_spark.queries import t
 
-    meta = QUERIES["binary_metadata_docs"](spark, sf_dir).select(
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "UTF-8")
+    )
+    if leg == "meta":
+        out = OpMulti.attach_metadata(docs, "payload")
+        return out.select(
+            "doc_id",
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.content_md5").alias("content_md5"),
+        )
+    out = OpMulti.byte_features(docs, "payload")
+    return out.select(
+        "doc_id", "n_bytes",
+        (F.round("entropy", 9) + F.lit(0.0)).alias("entropy"),
+    )
+
+
+def binary_features_family_spark(spark, sf_dir):
+    """Spark side of the r17 family row: the retired parents'
+    pipelines per-leg (binary_features_leg), n_bytes cast long on the
+    metadata leg to the family's unified type."""
+    from pyspark.sql import functions as F
+
+    meta = binary_features_leg(spark, sf_dir, "meta").select(
         F.lit("meta").alias("facet"), "doc_id",
         F.col("n_bytes").cast("long").alias("n_bytes"), "content_md5",
         F.lit(None).cast("double").alias("entropy"),
     )
-    feats = QUERIES["byte_features_docs"](spark, sf_dir).select(
+    feats = binary_features_leg(spark, sf_dir, "features").select(
         F.lit("features").alias("facet"), "doc_id", "n_bytes",
         F.lit(None).cast("string").alias("content_md5"), "entropy",
     )

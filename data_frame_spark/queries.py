@@ -24,7 +24,7 @@ Oracle-authoring pitfalls (learned the hard way):
 * **String positions are character-based in DuckDB** (substr/ascii
   work on code points); byte-level oracles must index bytes
   explicitly (hex-encode the payload: high nibble of byte i = hex
-  digit 2i-1 — see byte_features_docs).
+  digit 2i-1 — see binary_features_family's features leg).
 * **Bare decimal literals type as DECIMAL, not DOUBLE** — wrap
   literal arrays in ``CAST([...] AS DOUBLE[])`` when the Spark side
   computes in doubles (see the LSH hyperplanes).
@@ -3230,80 +3230,10 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Multimodal columns (binary payload + typed metadata; SURVEY §7 Phase 6)
+# Multimodal columns (binary payload + typed metadata; SURVEY §7 Phase 6):
+# binary_features_family, registered in the round-17 section below (its
+# oracle needs the _OP import) — leg bodies in oracle_prep.binary_features_leg.
 # ---------------------------------------------------------------------------
-
-from data_frame_spark.operators import multimodal as OpMulti
-
-
-@query(
-    "binary_metadata_docs",
-    oracle="""
-    SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           md5(text) AS content_md5
-    FROM documents
-    """,
-)
-def binary_metadata_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal metadata plumbing on a binary column (documents'
-    text encoded as the payload — the driver tables carry no real
-    media): size + content hash, pure Column ops."""
-    docs = t(spark, sf_dir, "documents").withColumn(
-        "payload", F.encode(F.col("text"), "UTF-8")
-    )
-    out = OpMulti.attach_metadata(docs, "payload")
-    return out.select(
-        "doc_id",
-        F.col("meta.n_bytes").alias("n_bytes"),
-        F.col("meta.content_md5").alias("content_md5"),
-    )
-
-
-@query(
-    "byte_features_docs",
-    oracle="""
-    WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
-                      octet_length(encode(text)) AS n
-               FROM documents),
-         pos AS (SELECT doc_id, hx, n,
-                        UNNEST(generate_series(1, CAST(n AS BIGINT))) AS i
-                 FROM b),
-         ch AS (SELECT doc_id, n,
-                       strpos('0123456789ABCDEF',
-                              substr(hx, CAST(2*i-1 AS INT), 1)) - 1 AS nib
-                FROM pos),
-         hist AS (SELECT doc_id, MIN(n) AS n, nib, COUNT(*) AS c
-                  FROM ch GROUP BY doc_id, nib),
-         feat AS (SELECT doc_id,
-                         ROUND(-SUM((CAST(c AS DOUBLE) / n)
-                                    * log2(CAST(c AS DOUBLE) / n)), 9)
-                           + 0.0 AS entropy
-                  FROM hist GROUP BY doc_id, n)
-    SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_bytes,
-           COALESCE(feat.entropy, 0.0) AS entropy
-    FROM b LEFT JOIN feat ON b.doc_id = feat.doc_id
-    """,
-)
-def byte_features_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched byte-histogram + entropy features over binary
-    payloads (the codec-free decode-stage plumbing, mapInPandas; the
-    16-bin histogram array itself is pytest-covered — the driver's
-    pandas canonicalizer can't factorize list cells, so the query
-    emits the scalar features). Entropy ROUND(...,9) + 0.0: numpy
-    sums bins in index order, SQL in group order — identical to well
-    under 1e-9; +0.0 normalizes a potential -0.0. The oracle indexes
-    UTF-8 BYTES (high nibble of byte i = hex digit 2i-1 of the
-    hex-encoded payload), so non-ASCII documents match the numpy
-    byte histogram exactly."""
-    docs = t(spark, sf_dir, "documents").withColumn(
-        "payload", F.encode(F.col("text"), "UTF-8")
-    )
-    out = OpMulti.byte_features(docs, "payload")
-    return out.select(
-        "doc_id", "n_bytes",
-        (F.round("entropy", 9) + F.lit(0.0)).alias("entropy"),
-    )
 
 
 # ---------------------------------------------------------------------------
@@ -5574,6 +5504,70 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-17 additions: the binary-features slot-funding merge (frees the
+# r18 slot for binary_file_ingest) and the pivot/melt reshape surface the
+# r17 free slot funds (docs/PLANS.md §"Round-17 slot funding")
+# ---------------------------------------------------------------------------
+
+
+@query("binary_features_family", oracle=_OP.binary_features_family_oracle_sql())
+def binary_features_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two multimodal doc-level rows on ONE row (r17 slot-funding
+    merge, net −1, freeing the r18 slot for binary_file_ingest) —
+    facets 'meta' (binary-column metadata plumbing: size + content
+    hash over the encoded payload, pure Column ops) and 'features'
+    (Arrow-batched byte-histogram + Shannon entropy over the payload
+    via mapInPandas — the codec-free decode-stage plumbing; the
+    16-bin histogram array itself is pytest-covered since the
+    driver's pandas canonicalizer can't factorize list cells, so the
+    facet emits the scalar features). Entropy ROUND(...,9) + 0.0:
+    numpy sums bins in index order, SQL in group order — identical to
+    well under 1e-9; +0.0 normalizes a potential -0.0. The oracle's
+    features leg indexes UTF-8 BYTES (high nibble of byte i = hex
+    digit 2i-1 of the hex-encoded payload), so non-ASCII documents
+    match the numpy byte histogram exactly. NULL-superset facet
+    union; oracle = the parents' SQL verbatim (r14/r15-green),
+    snapshot-frozen byte-identically before retirement
+    (oracle_prep.BINARY_FEATURES_FAMILY_ORACLE).
+
+    At 100 TB both legs are embarrassingly parallel per-document
+    scans — zero joins, zero exchanges before the union (the union
+    itself is plan-level, no shuffle); the features leg's Python cost
+    rides Arrow batches, not rows. Per-leg plan pins in
+    tests/test_plans.py (exchange-free meta leg; Arrow-eval features
+    leg) via oracle_prep.binary_features_leg."""
+    return _OP.binary_features_family_spark(spark, sf_dir)
+
+
+@query("pivot_melt_orders", oracle=_OP.pivot_melt_oracle_sql())
+def pivot_melt_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshape surface (operators/reshape.py pivot + melt — the
+    df-pivot/df-unpivot pair the reference's single-frame model keeps
+    implicit in its grouping helpers): orders pivoted to a
+    status × priority count matrix over the EXPLICIT TPC-H priority
+    domain (oracle_prep.PIVOT_PRIORITIES — bounded by spec, not by
+    data, so the wide schema is plan-time fixed and collect-free),
+    then melted straight back to long, proving the round trip is
+    lossless INCLUDING the empty cells (absent combinations stay
+    NULL through pivot AND melt). Oracle: the domain grid
+    LEFT-joined to the grouped counts — exactly the pivot's empty
+    cells carried through the melt.
+
+    At 100 TB: the pivot's documented two-aggregate shape
+    (operators/reshape.py module docstring, pinned in
+    tests/test_reshape.py) — ONE data-sized (status, priority) cell
+    aggregate exchange with map-side partials, then the pivotfirst
+    column-assembly exchange whose input is already reduced to
+    |statuses| × |priorities| rows (bounded by the declared domain,
+    not the data); no distinct-scan for values (the collect-free
+    contract); the melt is a pure map-side Expand, zero additional
+    exchanges. Parity + guard/round-trip/plan unit tests green since
+    the r15 pre-proof (tests/test_reshape.py); 10× probe ~1.0×
+    (fixed 15-cell output)."""
+    return _OP.pivot_melt_spark(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Registry order: the driver's correctness gate walks the registry in
 # iteration order (round-1 evidence: exactly the first 50 entries got
 # CORRECTNESS rows). Queries that have never had a green driver row —
@@ -5582,77 +5576,73 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FIRST = [
-    # round-16 rotation (standing policy: every query gets a driver
+    # round-17 rotation (standing policy: every query gets a driver
     # row at least every 2 rounds; any query whose code changes this
     # round goes into the first 50). Slot math in docs/PLANS.md
-    # §"Round-16 slot funding": the 50 r14-checked rows rotate in,
-    # minus the 4 retired into the two family merges (graph_suite v2
-    # absorbed kcore_parts_cooccur, net −1; decontamination_family
-    # absorbed bloom/ngram/contamination_audit, net −2), plus the
-    # zipf_fit_tokens carry (r13-green, leads per the r15 note),
-    # plus the 2 registrations the merges fund = 51 — balanced to 50
-    # by OMITTING pagerank_part_supplier, the ONLY row green in BOTH
-    # r14 and r15 (its r15 A/B re-entry means the 2-round contract is
-    # satisfied through r17; not a carry — a documented within-
-    # contract omission, docs/PLANS.md §"Round-16 rotation notes").
-    # scd2_customer_dim (r15-green) RE-ENTERS because its code
-    # changed this round (the w/w2 window-spec collapse in
-    # operators/scd.py — plan-identical, but changed code rotates in
-    # by policy, the r15 pagerank precedent).
+    # §"Round-17 slot funding": the r15-checked 50 rotate in, minus
+    # scd2_customer_dim (re-checked r16, contract satisfied through
+    # r18) = 49, minus byte_features_docs (retired into the
+    # binary_features_family merge) = 48, plus the family row itself
+    # and the pivot_melt_orders registration the freed slot funds
+    # = 50 exactly. binary_metadata_docs (the merge's other parent,
+    # r16-checked) RE-ENTERS EARLY via the family row — the r15
+    # pagerank precedent: early re-entry is always contract-safe.
+    # pagerank_part_supplier (r14+r15 green, the documented r16
+    # within-contract omission) is due THIS round and is in Block 2.
     #
-    # Block 1 — the carry, then never-driver-checked / changed rows:
-    "zipf_fit_tokens",
-    "decontamination_family",
-    "gapfill_daily_value",
-    "merge_upsert_customers",
-    "graph_suite_family",
-    "scd2_customer_dim",
-    # Block 2 — the remaining surviving r14-checked rows (all green
-    # in CORRECTNESS_r14; last driver row exactly 2 rounds old).
-    "binary_metadata_docs",
-    "bm25_search_docs",
-    "cms_token_counts",
-    "corpus_stats_rollup",
-    "cosine_topk_embeddings",
-    "csv_roundtrip_lineitem",
-    "curriculum_buckets_docs",
-    "cusum_drift_events",
-    "denylist_scrub_docs",
-    "fit_residuals_price_qty",
-    "fits_family",
-    "forecast_revenue",
-    "format_roundtrip_family",
-    "grid_quantiles_price",
-    "group_samples_factor_events",
-    "hll_distinct_shingles",
-    "index_range_select",
-    "ivf_family",
-    "json_props_rollup",
-    "label_centroids_embeddings",
-    "mean_max_user_family",
-    "minhash_signatures_docs",
-    "mixture_sample_docs",
-    "ngram_jaccard_verified",
-    "per_source_cap_docs",
-    "pmi_collocations_docs",
-    "pq_adc_topk_embeddings",
-    "quality_filter_docs",
-    "robust_outliers_value",
-    "rolling_stats_value",
-    "rollup_family",
-    "segment_dedup_docs",
-    "select_filter_project",
-    "semantic_dedup_embeddings",
-    "session_windows_30m",
-    "shipping_priority",
-    "split_assignment_docs",
-    "stratified_sample_docs",
-    "temperature_mixture_weights",
-    "text_features_docs",
-    "tfidf_top_terms_docs",
-    "weighted_sample_docs",
-    "winnowed_fingerprints_docs",
-    "zorder_key_events",
+    # Block 1 — never-driver-checked rows (the two r17 registrations):
+    "pivot_melt_orders",
+    "binary_features_family",
+    # Block 2 — the r15-checked rotation (last driver row exactly 2
+    # rounds old; all green in CORRECTNESS_r15).
+    "asof_multi_value_lookup",
+    "batch_sessions_events",
+    "binary_corpus_family",
+    "bpe_family",
+    "canonical_docs_by_quality",
+    "classifier_quality_docs",
+    "containment_decontamination_docs",
+    "csv_read_fixture",
+    "dedup_batch_family",
+    "describe_lineitem",
+    "dsir_importance_docs",
+    "embedding_dedup_family",
+    "event_derived_series",
+    "event_funnel_family",
+    "fuzzy_linkage_parts",
+    "gopher_repetition_docs",
+    "group_samples_value_user",
+    "haversine_track_events",
+    "histogram_family",
+    "image_corpus_features",
+    "index_ops_family",
+    "interpolated_lookup_value",
+    "join_filters_family",
+    "kmv_family",
+    "lm_nll_docs",
+    "lsh_ann_topk_embeddings",
+    "meanmax_curve_family",
+    "near_dup_clusters_docs",
+    "pack_chunks_256",
+    "pagerank_part_supplier",
+    "pairwise_corr_lineitem",
+    "ppr_part_seeds",
+    "pricing_summary",
+    "quantiles_price_and_value",
+    "rdp_simplify_user_series",
+    "regional_revenue",
+    "roundtrip_family",
+    "salted_join_segment_revenue",
+    "set_ops_family",
+    "simhash_docs",
+    "spans_family",
+    "sssp_cheapest_route",
+    "stream_windows_hourly",
+    "table_diff_customers",
+    "top_revenue_orders",
+    "valid_only_drop_na",
+    "weighted_stats_value",
+    "xml_corpus_family",
 ]
 
 # A retired name left in _FIRST must fail loudly: _order silently drops

@@ -381,6 +381,9 @@ def test_family_registrations_use_the_snapshot_oracles():
     # r16: frozen byte-identically from the lazy composition while
     # the three standalone decontamination rows still existed
     assert ORACLE["decontamination_family"] == OP.DECONTAMINATION_FAMILY_ORACLE
+    # r17: frozen byte-identically from the lazy composition while
+    # the two standalone binary doc-level rows still existed
+    assert ORACLE["binary_features_family"] == OP.BINARY_FEATURES_FAMILY_ORACLE
 
 
 def test_meanmax_curve_family_oracle_matches_spark(spark, sf_dir, con):
@@ -528,7 +531,8 @@ def test_decontamination_family_oracle_matches_spark(spark, sf_dir, con):
 
 
 def test_binary_features_family_oracle_matches_spark(spark, sf_dir, con):
-    # the SPARE r16 slot-funding merge (net -1, held in reserve)
+    # registered r17 (slot-funding merge, net -1; pre-proven as the
+    # spare r16 candidate)
     out = OP.binary_features_family_spark(spark, sf_dir)
     cols = [f.name for f in out.schema.fields]
     got = sorted(tuple(r[c] for c in cols) for r in out.collect())
@@ -541,17 +545,17 @@ def test_binary_features_family_oracle_matches_spark(spark, sf_dir, con):
     assert got == want
 
 
-def test_binary_features_leg_sqls_are_the_registered_oracles():
-    from data_frame_spark.queries import ORACLE
+def test_binary_features_leg_guard():
+    # unknown leg names fail loudly (the decontamination_leg motion)
+    import pytest
 
-    legs = OP._binary_features_leg_sqls()
-    assert legs["meta"] == ORACLE["binary_metadata_docs"]
-    assert legs["features"] == ORACLE["byte_features_docs"]
+    with pytest.raises(ValueError, match="unknown binary_features leg"):
+        OP.binary_features_leg(None, "", "nope")
 
 
 def test_pivot_melt_oracle_matches_spark(spark, sf_dir, con):
-    # r17 new-surface candidate: bounded-domain pivot + melt round
-    # trip — parity pre-proof before any registry slot opens
+    # registered r17 (the free rotation slot): bounded-domain
+    # pivot + melt round trip
     out = OP.pivot_melt_spark(spark, sf_dir)
     got = sorted(
         (r["o_orderstatus"], r["o_orderpriority"], r["n"])

@@ -149,6 +149,26 @@ def test_gopher_repetition_is_narrow(spark, sf_dir):
     assert not C.data_sized_partitionless_windows(df)
 
 
+def test_binary_features_legs_are_narrow(spark, sf_dir):
+    # both facets of binary_features_family (the r17 merge) are
+    # embarrassingly parallel per-document scans: the meta leg pure
+    # Column ops, the features leg ONE Arrow batch pass
+    # (mapInPandas) — zero exchanges on either leg, and the facet
+    # union adds none (plan-level). Pinned per-leg (the
+    # decontamination_leg motion) so the pins outlive the union.
+    from data_frame_spark.oracle_prep import binary_features_leg
+
+    meta = binary_features_leg(spark, sf_dir, "meta")
+    feats = binary_features_leg(spark, sf_dir, "features")
+    assert C.count_shuffles(meta) == 0
+    assert C.count_shuffles(feats) == 0
+    assert "MapInPandas" in C.simple_plan(feats)
+    fam = QUERIES["binary_features_family"](spark, sf_dir)
+    assert C.count_shuffles(fam) == 0
+    assert C.broadcasts_for_query("binary_features_family", fam) == []
+    assert not C.data_sized_partitionless_windows(fam)
+
+
 def test_segment_dedup_min_aggregate_not_window(spark, sf_dir):
     # corpus-wide first-occurrence must be the map-combinable MIN
     # keyed by segment hash (partial_min before the exchange), never
