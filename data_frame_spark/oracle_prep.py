@@ -1784,7 +1784,7 @@ def pivot_melt_oracle_sql() -> str:
 
 
 def pivot_melt_spark(spark, sf_dir):
-    """The Spark side the future registry row will use verbatim —
+    """The Spark side of the pivot_melt_orders row (registered r17) —
     pivot to the wide status × priority count matrix (explicit
     bounded domain, collect-free) and melt straight back to long,
     proving the round trip is lossless INCLUDING the empty cells."""
@@ -1802,6 +1802,71 @@ def pivot_melt_spark(spark, sf_dir):
         wide, ["o_orderstatus"], PIVOT_PRIORITIES,
         "o_orderpriority", "n",
     )
+
+
+def _fits_family_v2_leg_sqls() -> dict[str, str]:
+    """The two standalone fit oracles, lazy-imported while the rows
+    exist (the event_funnel/binary_features drift-free contract)."""
+    from data_frame_spark.queries import ORACLE
+
+    return {
+        "fits": ORACLE["fits_family"],
+        "residuals": ORACLE["fit_residuals_price_qty"],
+    }
+
+
+def fits_family_v2_oracle_sql() -> str:
+    """Facet union of fits_family and fit_residuals_price_qty — the
+    r18 slot-funding merge pre-specced at r17 close (net −1: both
+    parents r16-checked and OUTSIDE the bench HEADLINE, so the merge
+    costs no comparability; funds binary_file_ingest +
+    psi_value_drift, docs/PLANS.md §"Round-18 slot funding"). `kind`
+    is the SHARED column (both legs emit per-fit-kind rows); the
+    coefficient columns c0..c3/r are NULL on the residuals leg and
+    sse/n_points NULL on the fits leg."""
+    legs = _fits_family_v2_leg_sqls()
+    return f"""
+    WITH fits_leg AS (SELECT * FROM ({legs["fits"]})),
+    residuals_leg AS (SELECT * FROM ({legs["residuals"]}))
+    SELECT 'fits' AS facet, kind, c0, c1, c2, c3, r,
+           CAST(NULL AS DOUBLE) AS sse, CAST(NULL AS BIGINT) AS n_points
+    FROM fits_leg
+    UNION ALL
+    SELECT 'residuals', kind, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           sse, n_points
+    FROM residuals_leg
+    """
+
+
+def fits_family_v2_spark(spark, sf_dir):
+    """Spark side of the r18 candidate: the registered pipelines
+    reused pre-registration (the binary_features stance — at
+    registration the bodies move into a per-leg helper). Both legs
+    already share the bit-identical scale-4 quantized moment
+    discipline; whether the merged row also SHARES the first moment
+    aggregate (one whole-frame agg instead of two — the meanmax
+    precedent) is an A/B decision for the r18 registration, not this
+    pre-proof."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.queries import QUERIES
+
+    fits = QUERIES["fits_family"](spark, sf_dir).select(
+        F.lit("fits").alias("facet"), "kind", "c0", "c1", "c2", "c3", "r",
+        F.lit(None).cast("double").alias("sse"),
+        F.lit(None).cast("long").alias("n_points"),
+    )
+    res = QUERIES["fit_residuals_price_qty"](spark, sf_dir).select(
+        F.lit("residuals").alias("facet"), "kind",
+        F.lit(None).cast("double").alias("c0"),
+        F.lit(None).cast("double").alias("c1"),
+        F.lit(None).cast("double").alias("c2"),
+        F.lit(None).cast("double").alias("c3"),
+        F.lit(None).cast("double").alias("r"),
+        "sse", "n_points",
+    )
+    return fits.unionByName(res)
 
 
 def graph_suite_v2_oracle_sql(

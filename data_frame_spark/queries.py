@@ -3027,13 +3027,14 @@ def _lsh_cte(num_planes: int = 4, dim: int = 64, n_flips: int = 2) -> str:
                FROM probes a JOIN homes c ON a.bucket = c.home
                WHERE a.vec_id < c.vec_id),
       pd AS (SELECT cd.id_a, cd.id_b,
-                    SUM(CAST(FLOOR(CAST(ea.e[i] AS DOUBLE)
-                                   * CAST(ec.e[i] AS DOUBLE)
-                                   * 1000000000.0 + 0.5) AS BIGINT)) AS dq
-             FROM cand cd, vecs ea, vecs ec,
-                  UNNEST(generate_series(1, 64)) t(i)
-             WHERE ea.vec_id = cd.id_a AND ec.vec_id = cd.id_b
-             GROUP BY 1, 2),
+                    list_aggregate(list_transform(generate_series(1, 64),
+                        i -> CAST(FLOOR(CAST(ea.e[i] AS DOUBLE)
+                                        * CAST(ec.e[i] AS DOUBLE)
+                                        * 1000000000.0 + 0.5) AS BIGINT)),
+                        'sum') AS dq
+             FROM cand cd
+             JOIN vecs ea ON ea.vec_id = cd.id_a
+             JOIN vecs ec ON ec.vec_id = cd.id_b),
       scored AS (SELECT p.id_a, p.id_b,
                         (p.dq / 1000000000.0) / (na.nn * nb.nn) AS cosine
                  FROM pd p

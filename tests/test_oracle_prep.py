@@ -553,6 +553,32 @@ def test_binary_features_leg_guard():
         OP.binary_features_leg(None, "", "nope")
 
 
+def test_fits_family_v2_oracle_matches_spark(spark, sf_dir, con):
+    # the r18 slot-funding merge pre-specced at r17 close (net -1,
+    # funds binary_file_ingest + psi_value_drift)
+    out = OP.fits_family_v2_spark(spark, sf_dir)
+    cols = [f.name for f in out.schema.fields]
+    got = sorted(
+        tuple(r[c] for c in cols) for r in out.collect()
+    )
+    want = sorted(
+        tuple(row) for row in con.execute(
+            OP.fits_family_v2_oracle_sql()
+        ).fetchall()
+    )
+    # 7 fit kinds + 2 residual kinds, facet-disjoint
+    assert len(got) == 9 and len({row[0] for row in got}) == 2
+    assert got == want
+
+
+def test_fits_family_v2_leg_sqls_are_the_registered_oracles():
+    from data_frame_spark.queries import ORACLE
+
+    legs = OP._fits_family_v2_leg_sqls()
+    assert legs["fits"] == ORACLE["fits_family"]
+    assert legs["residuals"] == ORACLE["fit_residuals_price_qty"]
+
+
 def test_pivot_melt_oracle_matches_spark(spark, sf_dir, con):
     # registered r17 (the free rotation slot): bounded-domain
     # pivot + melt round trip
