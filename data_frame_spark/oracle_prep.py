@@ -1587,14 +1587,16 @@ def decontamination_family_spark(spark, sf_dir):
 PSI_EDGES = [5.0, 10.0, 20.0, 40.0, 80.0, 160.0, 320.0]
 
 
-def psi_oracle_sql() -> str:
+def psi_oracle_sql(value_scale: int = PSI_VALUE_SCALE) -> str:
     """DuckDB twin of the psi_value_drift candidate
     (operators/drift.py:psi_drift on events: the value distribution
     of the even-user cohort vs the odd-user cohort per event_type,
     fixed log-spaced buckets, add-one smoothing, integer micro-nat
     terms summed — quantize-BEFORE-sum, so the result is order-free
     on both engines). CTE names (pd*/pterm) disjoint from every
-    other chain."""
+    other chain. ``value_scale`` mirrors psi_drift's parameter so a
+    registration at a NON-default scale renders a matching twin (r17
+    review: the shared default alone only coupled the defaults)."""
     n_b = len(PSI_EDGES) + 1
     bucket = " + ".join(
         f"(CASE WHEN value >= {e} THEN 1 ELSE 0 END)" for e in PSI_EDGES
@@ -1623,7 +1625,7 @@ def psi_oracle_sql() -> str:
                                  - CAST(cc + 1 AS DOUBLE) / CAST(n_cmp + {n_b} AS DOUBLE))
                                 * ln((CAST(cr + 1 AS DOUBLE) / CAST(n_ref + {n_b} AS DOUBLE))
                                      / (CAST(cc + 1 AS DOUBLE) / CAST(n_cmp + {n_b} AS DOUBLE)))
-                                * {float(10 ** PSI_VALUE_SCALE)} + 0.5) AS BIGINT) AS tm
+                                * {float(10 ** value_scale)} + 0.5) AS BIGINT) AS tm
               FROM pdj)
     SELECT event_type, CAST(n_ref AS BIGINT) AS n_ref,
            CAST(n_cmp AS BIGINT) AS n_cmp,

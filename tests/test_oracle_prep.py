@@ -547,8 +547,6 @@ def test_binary_features_family_oracle_matches_spark(spark, sf_dir, con):
 
 def test_binary_features_leg_guard():
     # unknown leg names fail loudly (the decontamination_leg motion)
-    import pytest
-
     with pytest.raises(ValueError, match="unknown binary_features leg"):
         OP.binary_features_leg(None, "", "nope")
 
