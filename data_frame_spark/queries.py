@@ -3020,9 +3020,55 @@ def _lsh_cte(num_planes: int = 4, dim: int = 64, n_flips: int = 2) -> str:
     """
 
 
+def _cc_minlabel_ctes(rounds: int = 30) -> str:
+    """Connected components over the ``edges`` CTE as statically
+    UNROLLED min-label propagation with pointer jumping — replacing
+    the recursive-CTE transitive closure whose state is
+    Σ|component|² (id, reachable) pairs: at the sf1 scale-up the
+    cosine≥0.4 graph is one giant 19,461-node component, so the
+    closure is ~379M rows and the twin OOM'd at a 65 GB cap even
+    with disk spill (r16's documented exception; re-measured r17
+    after the dot-product fix exposed this as the remaining bomb).
+    Each round keeps ONE label per node (linear state):
+    m' = LEAST(m(x), m(m(x)), min over neighbors of m(y)) — the
+    jump term shortcuts path distance multiplicatively, so
+    convergence is O(log n) rounds (classic parallel list-ranking);
+    30 rounds covers any graph this repo can see with a 2× margin.
+    Convergence is asserted LOUDLY in-band: if the last two rounds
+    differ anywhere, a sentinel 'NONCONVERGED' facet row is emitted
+    and the hash gate goes red, instead of a silently-wrong
+    cluster."""
+    # AS MATERIALIZED on every round: each lp{k} is referenced three
+    # times by lp{k+1} (self, jump target, neighbor scan) — inlined,
+    # the plan would re-expand the whole chain per reference
+    # (exponential scan count; DuckDB ran out of file handles at 30
+    # rounds). Materialized, each round is one small (nodes)-sized
+    # intermediate.
+    parts = [
+        "lp0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS m FROM edges)"
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""lp{k} AS MATERIALIZED (SELECT a.id,
+                     LEAST(a.m, j.m, COALESCE(nb.mn, a.m)) AS m
+              FROM lp{k - 1} a
+              JOIN lp{k - 1} j ON j.id = a.m
+              LEFT JOIN (SELECT e.u AS id, MIN(b.m) AS mn
+                         FROM edges e JOIN lp{k - 1} b ON b.id = e.v
+                         GROUP BY e.u) nb ON nb.id = a.id)"""
+        )
+    parts.append(
+        f"""lpchk AS (SELECT COUNT(*) AS bad
+               FROM lp{rounds} a JOIN lp{rounds - 1} b ON a.id = b.id
+               WHERE a.m <> b.m)"""
+    )
+    parts.append(f"comp AS (SELECT id, m AS cluster_id FROM lp{rounds})")
+    return ",\n      ".join(parts)
+
+
 @query(
     "embedding_dedup_family",
-    oracle=_lsh_cte().replace("WITH ", "WITH RECURSIVE ", 1) + """
+    oracle=_lsh_cte() + """
     , cand AS (SELECT a.vec_id AS id_a, c.vec_id AS id_b
                FROM probes a JOIN homes c ON a.bucket = c.home
                WHERE a.vec_id < c.vec_id),
@@ -3035,18 +3081,17 @@ def _lsh_cte(num_planes: int = 4, dim: int = 64, n_flips: int = 2) -> str:
              FROM cand cd
              JOIN vecs ea ON ea.vec_id = cd.id_a
              JOIN vecs ec ON ec.vec_id = cd.id_b),
-      scored AS (SELECT p.id_a, p.id_b,
+      scored AS MATERIALIZED (
+                 SELECT p.id_a, p.id_b,
                         (p.dq / 1000000000.0) / (na.nn * nb.nn) AS cosine
                  FROM pd p
                  JOIN norms na ON na.vec_id = p.id_a
                  JOIN norms nb ON nb.vec_id = p.id_b),
-      edges AS (SELECT id_a AS u, id_b AS v FROM scored WHERE cosine >= 0.4
+      edges AS MATERIALIZED (
+                SELECT id_a AS u, id_b AS v FROM scored WHERE cosine >= 0.4
                 UNION ALL
                 SELECT id_b AS u, id_a AS v FROM scored WHERE cosine >= 0.4),
-      reach(id, r) AS (SELECT u, u FROM edges
-                       UNION
-                       SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
-      comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      """ + _cc_minlabel_ctes() + """,
       csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
     SELECT 'pair' AS facet, id_a, id_b, cosine,
            CAST(NULL AS BIGINT) AS cluster_size
@@ -3055,6 +3100,11 @@ def _lsh_cte(num_planes: int = 4, dim: int = 64, n_flips: int = 2) -> str:
     SELECT 'cluster' AS facet, comp.id AS id_a, comp.cluster_id AS id_b,
            CAST(NULL AS DOUBLE) AS cosine, csize.cluster_size
     FROM comp JOIN csize USING (cluster_id)
+    UNION ALL
+    SELECT 'NONCONVERGED' AS facet, CAST(bad AS BIGINT) AS id_a,
+           CAST(NULL AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS cosine,
+           CAST(NULL AS BIGINT) AS cluster_size
+    FROM lpchk WHERE bad > 0
     """,
 )
 def embedding_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
