@@ -1842,24 +1842,112 @@ def fits_family_v2_oracle_sql() -> str:
 
 
 def fits_family_v2_spark(spark, sf_dir):
-    """Spark side of the r18 candidate: the registered pipelines
-    reused pre-registration (the binary_features stance — at
-    registration the bodies move into a per-leg helper). Both legs
-    already share the bit-identical scale-4 quantized moment
-    discipline; whether the merged row also SHARES the first moment
-    aggregate (one whole-frame agg instead of two — the meanmax
-    precedent) is an A/B decision for the r18 registration, not this
-    pre-proof."""
+    """Spark side of the r18 candidate — the SHARED-MOMENT form (the
+    meanmax shared-ladder precedent): ONE 13-moment scale-4 quantized
+    lineitem aggregate feeds BOTH the seven fit rows and the residual
+    leg's linear/poly2 coefficients (fit_residuals' own moment set is
+    a bit-identical subset — same dsum expressions, same scale), then
+    the events exp aggregate and ONE residual aggregate. 3 scans vs
+    the naive composition's 4. A/B'd same-session at r17 close
+    (min-of-3, sf0.1, outputs asserted bit-identical): shared 3.21 s
+    vs composition 3.95 s — the winner is locked in here so the
+    parity test exercises the FINAL r18 registration form every suite
+    run (docs/PLANS.md §"Round-18 slot funding")."""
+    import math
+
     from pyspark.sql import functions as F
 
-    from data_frame_spark.queries import QUERIES
+    from data_frame_spark.operators import fit as OpFit
+    from data_frame_spark.queries import _cramer, _round6, dsum, t
 
-    fits = QUERIES["fits_family"](spark, sf_dir).select(
+    li = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice").cast("double")
+    d = li.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), y.alias("y")
+    )
+    X, Y = F.col("x"), F.col("y")
+    # x^k by left-associated repeated multiplication — the identical
+    # expression tree both parents (and the oracle) use
+    xpow = {1: X}
+    for k in range(2, 7):
+        xpow[k] = xpow[k - 1] * X
+    sparkexpr = {
+        "n": F.count(F.lit(1)).cast("double"),
+        **{f"sx{k}": dsum(xpow[k], 4) for k in range(1, 7)},
+        "sy": dsum(Y, 4),
+        "sy2": dsum(Y * Y, 4),
+        "sxy1": dsum(X * Y, 4),
+        "sxy2": dsum(X * X * Y, 4),
+        "sxy3": dsum(X * X * X * Y, 4),
+        "slnx": dsum(F.log(X), 4),
+        "slnx2": dsum(F.log(X) * F.log(X), 4),
+        "sylnx": dsum(Y * F.log(X), 4),
+        "slxly": dsum(F.log(X) * F.log(Y), 4),
+        "slny": dsum(F.log(Y), 4),
+    }
+    m = d.agg(*[e.alias(k) for k, e in sparkexpr.items()]).collect()[0].asDict()
+    mv = [m["n"]] + [m[f"sx{k}"] for k in range(1, 7)]
+    rhs = [m["sy"], m["sxy1"], m["sxy2"], m["sxy3"]]
+    lin = [num / den for num, den in _cramer(mv[:3], rhs[:2], 1)]
+    p2 = [num / den for num, den in _cramer(mv[:5], rhs[:3], 2)]
+    p3 = [num / den for num, den in _cramer(mv[:7], rhs[:4], 3)]
+    n, sx1, sx2s = m["n"], m["sx1"], m["sx2"]
+    covn = m["sxy1"] - ((sx1 * m["sy"]) / n)
+    vxn = sx2s - ((sx1 * sx1) / n)
+    vyn = m["sy2"] - ((m["sy"] * m["sy"]) / n)
+    slr_r = covn / math.sqrt(vxn * vyn)
+    slr_b = slr_r * math.sqrt(vyn / vxn)
+    slr_a = (m["sy"] / n) - (slr_b * (sx1 / n))
+    log_b = ((n * m["sylnx"]) - (m["sy"] * m["slnx"])) / (
+        (n * m["slnx2"]) - (m["slnx"] * m["slnx"])
+    )
+    log_a = (m["sy"] - (log_b * m["slnx"])) / n
+    pwr_b = ((n * m["slxly"]) - (m["slnx"] * m["slny"])) / (
+        (n * m["slnx2"]) - (m["slnx"] * m["slnx"])
+    )
+    pwr_a = math.exp((m["slny"] - (pwr_b * m["slnx"])) / n)
+    rows = [
+        ("linear", lin[0], lin[1], None, None, None),
+        ("log", _round6(log_a), _round6(log_b), None, None, None),
+        ("poly2", p2[0], p2[1], p2[2], None, None),
+        ("poly3", p3[0], p3[1], p3[2], p3[3], None),
+        ("power", _round6(pwr_a), _round6(pwr_b), None, None, None),
+        ("slr", slr_a, slr_b, None, None, slr_r),
+    ]
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("ts_us") / F.lit(1000000.0) / F.lit(86400.0)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    efit = OpFit.least_squares_fit(ev, "x", "y", mode="exp")
+    ea, eb, ec = efit.coefficients
+    rows.append(
+        ("exp", _round6(ea), _round6(eb), _round6(float(ec)), None, None)
+    )
+    fits = spark.createDataFrame(
+        rows,
+        "kind string, c0 double, c1 double, c2 double, c3 double, r double",
+    )
+    # residual pass on the SAME collected moments (bit-identical
+    # coefficients: fit_residuals' mv[:3]/mv[:5] are built from
+    # sx1..sx4 — the identical quantized values)
+    rl = Y - (F.lit(lin[0]) + (F.lit(lin[1]) * X))
+    rq = Y - ((F.lit(p2[0]) + (F.lit(p2[1]) * X)) + ((F.lit(p2[2]) * X) * X))
+    row = d.agg(
+        dsum(rl * rl, 4).alias("sl"),
+        dsum(rq * rq, 4).alias("sq"),
+        F.count(F.lit(1)).alias("np"),
+    ).collect()[0]
+    res = spark.createDataFrame(
+        [("linear", row["sl"], row["np"]), ("poly2", row["sq"], row["np"])],
+        "kind string, sse double, n_points long",
+    )
+    fits_p = fits.select(
         F.lit("fits").alias("facet"), "kind", "c0", "c1", "c2", "c3", "r",
         F.lit(None).cast("double").alias("sse"),
         F.lit(None).cast("long").alias("n_points"),
     )
-    res = QUERIES["fit_residuals_price_qty"](spark, sf_dir).select(
+    res_p = res.select(
         F.lit("residuals").alias("facet"), "kind",
         F.lit(None).cast("double").alias("c0"),
         F.lit(None).cast("double").alias("c1"),
@@ -1868,7 +1956,7 @@ def fits_family_v2_spark(spark, sf_dir):
         F.lit(None).cast("double").alias("r"),
         "sse", "n_points",
     )
-    return fits.unionByName(res)
+    return fits_p.unionByName(res_p)
 
 
 def graph_suite_v2_oracle_sql(
