@@ -1806,6 +1806,84 @@ def pivot_melt_spark(spark, sf_dir):
     )
 
 
+#: the dq_verify_orders candidate's rule set — EXPLICIT bounded rule
+#: list (code, never data): two rules that FIRE on the fixture
+#: (range + accepted domain) and four that pass (completeness, key
+#: uniqueness, FK integrity), plus a uniqueness rule on a repeating
+#: key so the surplus arithmetic is exercised non-vacuously.
+DQ_RULES = [
+    ("not_null", "custkey_not_null", "o_custkey"),
+    ("unique", "orderkey_unique", ["o_orderkey"]),
+    ("unique", "custkey_unique", ["o_custkey"]),
+    ("in_range", "totalprice_range", "o_totalprice", 0.0, 250000.0),
+    ("accepted_values", "status_domain", "o_orderstatus", ["O", "F"]),
+]
+
+
+def dq_oracle_sql() -> str:
+    """DuckDB twin of the dq_verify_orders candidate
+    (operators/dq.py:verify over orders + the customer FK): each rule
+    is the straightforward aggregate replay — row-local rules one
+    shared scan, uniqueness COUNT(*) − COUNT(DISTINCT-tuple) via a
+    null-safe DISTINCT subquery, FK a LEFT-join miss count over
+    non-NULL keys. CTE names (dq*) disjoint from every other chain."""
+    return """
+    WITH dqb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+                        CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                                       AND (o_totalprice < 0.0 OR o_totalprice > 250000.0)
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+                        CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                       AND o_orderstatus NOT IN ('O', 'F')
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS v_dom
+                 FROM orders),
+    dqu1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(COUNT(*) - (SELECT COUNT(*) FROM
+                          (SELECT DISTINCT o_orderkey FROM orders)) AS BIGINT) AS v
+             FROM orders),
+    dqu2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(COUNT(*) - (SELECT COUNT(*) FROM
+                          (SELECT DISTINCT o_custkey FROM orders)) AS BIGINT) AS v
+             FROM orders),
+    dqf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+            FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+              ON o.o_custkey = c.c_custkey)
+    SELECT 'custkey_not_null' AS rule_id, 'not_null' AS rule,
+           'o_custkey' AS "column", n AS n_rows, v_nn AS n_violations,
+           v_nn = 0 AS passed
+    FROM dqb
+    UNION ALL
+    SELECT 'totalprice_range', 'in_range', 'o_totalprice', n, v_rng,
+           v_rng = 0 FROM dqb
+    UNION ALL
+    SELECT 'status_domain', 'accepted_values', 'o_orderstatus', n,
+           v_dom, v_dom = 0 FROM dqb
+    UNION ALL
+    SELECT 'orderkey_unique', 'unique', 'o_orderkey', n, v, v = 0 FROM dqu1
+    UNION ALL
+    SELECT 'custkey_unique', 'unique', 'o_custkey', n, v, v = 0 FROM dqu2
+    UNION ALL
+    SELECT 'custkey_fk', 'ref_integrity', 'o_custkey', n, v, v = 0 FROM dqf
+    """
+
+
+def dq_verify_spark(spark, sf_dir):
+    """The Spark side the future dq_verify_orders row would use
+    verbatim — the DQ_RULES set over orders plus the customer FK
+    integrity rule."""
+    from data_frame_spark.operators import dq
+    from data_frame_spark.queries import t
+
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    rules = list(DQ_RULES) + [
+        ("ref_integrity", "custkey_fk", "o_custkey", customer, "c_custkey"),
+    ]
+    return dq.verify(orders, rules)
+
+
 def _fits_family_v2_leg_sqls() -> dict[str, str]:
     """The two standalone fit oracles, lazy-imported while the rows
     exist (the event_funnel/binary_features drift-free contract)."""

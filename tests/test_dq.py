@@ -1,0 +1,139 @@
+"""Deequ-style declarative data-quality verification (operators/dq.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_frame_spark.operators import dq
+from data_frame_spark.plans import checks as C
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        # id, name, age, team
+        (1, "a", 30, "x"),
+        (2, "b", 200, "x"),      # age out of range
+        (3, None, 25, "y"),      # name NULL
+        (3, "c", 40, "zz"),      # duplicate id, team outside domain
+        (4, "d", None, None),    # NULL age (not a range violation), NULL team
+        (None, "e", 10, "x"),    # NULL id
+        (None, "f", 20, "x"),    # second NULL id -> NULL keys duplicate
+    ]
+    return spark.createDataFrame(
+        rows, "id int, name string, age int, team string"
+    )
+
+
+@pytest.fixture(scope="module")
+def teams(spark):
+    return spark.createDataFrame([("x",), ("y",)], "team string")
+
+
+def _report(df):
+    return {r["rule_id"]: r.asDict() for r in df.collect()}
+
+
+def test_verify_brute_force_counts(spark, people, teams):
+    rep = _report(
+        dq.verify(
+            people,
+            [
+                ("not_null", "r1", "name"),
+                ("not_null", "r2", "id"),
+                ("in_range", "r3", "age", 0, 120),
+                ("accepted_values", "r4", "team", ["x", "y"]),
+                ("unique", "r5", ["id"]),
+                ("ref_integrity", "r6", "team", teams, "team"),
+            ],
+        )
+    )
+    assert len(rep) == 6
+    # hand-counted against the fixture rows
+    assert rep["r1"]["n_violations"] == 1 and not rep["r1"]["passed"]
+    assert rep["r2"]["n_violations"] == 2
+    # age 200 violates; NULL age does NOT (pair with not_null to forbid)
+    assert rep["r3"]["n_violations"] == 1
+    # 'zz' violates; NULL team is not an accepted_values violation
+    assert rep["r4"]["n_violations"] == 1
+    # duplicates: id=3 twice (1 surplus) + NULL id twice (NULL keys
+    # compare equal, 1 surplus) = 2
+    assert rep["r5"]["n_violations"] == 2
+    assert rep["r5"]["n_rows"] == 7
+    # non-NULL teams: x,x,y,zz,x,x -> only 'zz' unmatched
+    assert rep["r6"]["n_violations"] == 1
+    assert rep["r6"]["n_rows"] == 6
+    # every row-local rule was evaluated over the full frame
+    assert rep["r1"]["n_rows"] == rep["r3"]["n_rows"] == 7
+    assert all(
+        set(v) == {"rule_id", "rule", "column", "n_rows",
+                   "n_violations", "passed"}
+        for v in rep.values()
+    )
+
+
+def test_verify_all_green_and_vacuous(spark, teams):
+    clean = spark.createDataFrame(
+        [(1, "x"), (2, "y")], "id int, team string"
+    )
+    rep = _report(
+        dq.verify(
+            clean,
+            [
+                ("not_null", "n", "id"),
+                ("unique", "u", ["id"]),
+                ("ref_integrity", "f", "team", teams, "team"),
+            ],
+        )
+    )
+    assert all(v["passed"] and v["n_violations"] == 0 for v in rep.values())
+    empty = clean.where(F.lit(False))
+    rep0 = _report(dq.verify(empty, [("not_null", "n", "id"),
+                                     ("unique", "u", ["id"])]))
+    # vacuous pass on an empty frame, counts well-defined zeros
+    assert all(v["passed"] and v["n_rows"] == 0 for v in rep0.values())
+
+
+def test_verify_guards(spark, people, teams):
+    with pytest.raises(ValueError, match="at least one rule"):
+        dq.verify(people, [])
+    with pytest.raises(ValueError, match="unknown rule form"):
+        dq.verify(people, [("no_such", "r1", "id")])
+    with pytest.raises(ValueError, match="distinct"):
+        dq.verify(people, [("not_null", "r1", "id"),
+                           ("not_null", "r1", "name")])
+    with pytest.raises(ValueError, match="non-empty explicit value list"):
+        dq.verify(people, [("accepted_values", "r1", "team", [])])
+    with pytest.raises(ValueError, match="key columns"):
+        dq.verify(people, [("unique", "r1", [])])
+
+
+def test_verify_dotted_names(spark):
+    df = spark.createDataFrame([(1, 5)], ["a.b", "v"])
+    rep = _report(dq.verify(df, [("not_null", "r1", "a.b"),
+                                 ("unique", "r2", ["a.b"])]))
+    assert rep["r1"]["passed"] and rep["r2"]["passed"]
+
+
+def test_verify_plan_shape(spark, people, teams):
+    # the Deequ scan-sharing contract: ANY number of row-local rules
+    # = ONE whole-frame aggregate (single tiny combine exchange, the
+    # forecast_revenue shape) and an inline plan-level unpack
+    row_local = dq.verify(
+        people,
+        [("not_null", "r1", "name"), ("not_null", "r2", "id"),
+         ("in_range", "r3", "age", 0, 120),
+         ("accepted_values", "r4", "team", ["x", "y"])],
+    )
+    assert C.count_shuffles(row_local) <= 1
+    assert not C.data_sized_partitionless_windows(row_local)
+    # each unique rule adds one key-partitioned aggregate; each ref
+    # rule one key-partitioned join — bounded extras, no windows
+    full = dq.verify(
+        people,
+        [("not_null", "r1", "name"), ("unique", "r5", ["id"]),
+         ("ref_integrity", "r6", "team", teams, "team")],
+    )
+    plan = C.simple_plan(full)
+    assert C.count_shuffles(full) <= 7
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert not C.data_sized_partitionless_windows(full)

@@ -551,6 +551,22 @@ def test_binary_features_leg_guard():
         OP.binary_features_leg(None, "", "nope")
 
 
+def test_dq_verify_oracle_matches_spark(spark, sf_dir, con):
+    # r19+ new-surface candidate (pre-proven r17): Deequ-style
+    # declarative data-quality verification over orders + the
+    # customer FK — two rules fire on the fixture, four pass
+    out = OP.dq_verify_spark(spark, sf_dir)
+    cols = [f.name for f in out.schema.fields]
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(
+        tuple(row) for row in con.execute(OP.dq_oracle_sql()).fetchall()
+    )
+    assert len(got) == 6
+    fired = {row[0] for row in got if not row[-1]}
+    assert fired == {"totalprice_range", "status_domain", "custkey_unique"}
+    assert got == want
+
+
 def test_fits_family_v2_oracle_matches_spark(spark, sf_dir, con):
     # the r18 slot-funding merge pre-specced at r17 close (net -1,
     # funds binary_file_ingest + psi_value_drift)
