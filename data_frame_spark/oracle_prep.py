@@ -1884,6 +1884,65 @@ def dq_verify_spark(spark, sf_dir):
     return dq.verify(orders, rules)
 
 
+def _lookup_family_leg_sqls() -> dict[str, str]:
+    """The two standalone lookup oracles, lazy-imported while the
+    rows exist (the drift-free contract)."""
+    from data_frame_spark.queries import ORACLE
+
+    return {
+        "asof": ORACLE["asof_multi_value_lookup"],
+        "interpolated": ORACLE["interpolated_lookup_value"],
+    }
+
+
+def lookup_family_oracle_sql() -> str:
+    """Facet union of the as-of and interpolated lookup rows — the
+    r19 funding-merge candidate pre-specced at r17 close (net −1
+    WITHIN r19's due set: both parents are r17-checked, so the merge
+    frees exactly the slot dq_verify_orders needs; neither is in the
+    bench HEADLINE). `user_id` is the SHARED column; the as-of leg's
+    event ids / view values are NULL on the interpolated leg and the
+    probe/interpolated columns NULL on the as-of leg. CTE names
+    (lk*) disjoint from every other chain."""
+    legs = _lookup_family_leg_sqls()
+    return f"""
+    WITH lk_a AS (SELECT * FROM ({legs["asof"]})),
+    lk_i AS (SELECT * FROM ({legs["interpolated"]}))
+    SELECT 'asof' AS facet, user_id, event_id, view_event_id,
+           view_value, CAST(NULL AS DOUBLE) AS probe_k,
+           CAST(NULL AS DOUBLE) AS value
+    FROM lk_a
+    UNION ALL
+    SELECT 'interpolated', user_id, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), probe_k, value
+    FROM lk_i
+    """
+
+
+def lookup_family_spark(spark, sf_dir):
+    """Spark side of the r19 candidate: the registered pipelines
+    reused pre-registration (the binary_features stance — at
+    registration the bodies move into a per-leg helper)."""
+    from pyspark.sql import functions as F
+
+    from data_frame_spark.queries import QUERIES
+
+    asof = QUERIES["asof_multi_value_lookup"](spark, sf_dir).select(
+        F.lit("asof").alias("facet"), "user_id", "event_id",
+        "view_event_id", "view_value",
+        F.lit(None).cast("double").alias("probe_k"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    interp = QUERIES["interpolated_lookup_value"](spark, sf_dir).select(
+        F.lit("interpolated").alias("facet"), "user_id",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("view_event_id"),
+        F.lit(None).cast("double").alias("view_value"),
+        "probe_k", "value",
+    )
+    return asof.unionByName(interp)
+
+
 def _fits_family_v2_leg_sqls() -> dict[str, str]:
     """The two standalone fit oracles, lazy-imported while the rows
     exist (the event_funnel/binary_features drift-free contract)."""

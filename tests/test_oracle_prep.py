@@ -551,6 +551,31 @@ def test_binary_features_leg_guard():
         OP.binary_features_leg(None, "", "nope")
 
 
+def test_lookup_family_oracle_matches_spark(spark, sf_dir, con):
+    # r19 funding-merge candidate (pre-proven r17): asof +
+    # interpolated lookup on one NULL-superset row
+    out = OP.lookup_family_spark(spark, sf_dir)
+    cols = [f.name for f in out.schema.fields]
+    got = sorted(
+        tuple(r[c] for c in cols) for r in out.collect()
+    )
+    want = sorted(
+        tuple(row) for row in con.execute(
+            OP.lookup_family_oracle_sql()
+        ).fetchall()
+    )
+    assert len(got) > 20 and len({row[0] for row in got}) == 2
+    assert got == want
+
+
+def test_lookup_family_leg_sqls_are_the_registered_oracles():
+    from data_frame_spark.queries import ORACLE
+
+    legs = OP._lookup_family_leg_sqls()
+    assert legs["asof"] == ORACLE["asof_multi_value_lookup"]
+    assert legs["interpolated"] == ORACLE["interpolated_lookup_value"]
+
+
 def test_dq_verify_oracle_matches_spark(spark, sf_dir, con):
     # r19+ new-surface candidate (pre-proven r17): Deequ-style
     # declarative data-quality verification over orders + the
