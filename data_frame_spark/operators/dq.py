@@ -63,9 +63,11 @@ _ROW_LOCAL = {"not_null", "in_range", "accepted_values"}
 _FORMS = _ROW_LOCAL | {"unique", "ref_integrity"}
 
 
-def _finish(df: DataFrame) -> DataFrame:
-    """Attach the verdict column and fix the output column order."""
+def _finish(df: DataFrame, gcols: Sequence[str] = ()) -> DataFrame:
+    """Attach the verdict column and fix the output column order
+    (group columns lead, the report columns follow)."""
     return df.select(
+        *[_q(c) for c in gcols],
         "rule_id", "rule", "column", "n_rows", "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
@@ -87,11 +89,38 @@ def _row_local_violations(rule: tuple) -> Column:
     return F.when(c.isNotNull() & ~c.isin(vals), 1).otherwise(0)
 
 
-def verify(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
+def verify(
+    df: DataFrame,
+    rules: Sequence[tuple],
+    group_by: Sequence[str] = (),
+) -> DataFrame:
     """Evaluate ``rules`` against ``df`` (see the module docstring
     for the rule forms and the pass-count contract). Returns the
-    bounded one-row-per-rule report."""
+    bounded one-row-per-rule report.
+
+    With ``group_by`` (the per-SOURCE corpus-gate form — Deequ's
+    grouped analyzers): every rule is evaluated independently per
+    group and the report carries the group columns; output is
+    |groups| × |rules| rows. Row-local rules still share ONE
+    aggregate (now group-keyed, map-combinable — one exchange total
+    however many such rules); each ``unique`` rule's key aggregate
+    simply prepends the group columns (a NULL-safe composite key);
+    ``ref_integrity`` keeps the FK join and adds the group key to
+    the miss-count aggregate. Groups with zero rows don't appear
+    (there is nothing to certify — emit the domain grid upstream if
+    absence itself must alarm)."""
     rules = list(rules)
+    gcols = [str(c) for c in group_by]
+    if len(set(gcols)) != len(gcols):
+        raise ValueError("dq.verify group_by names must be distinct")
+    reserved = set(_OUT_COLS) | {"__cnt", "__fk", "__hit", "__n"}
+    collide = reserved & set(gcols)
+    if collide:
+        raise ValueError(
+            f"dq.verify group_by collides with report columns: "
+            f"{sorted(collide)}"
+        )
+    gq = [_q(c) for c in gcols]
     if not rules:
         raise ValueError("dq.verify needs at least one rule")
     ids = [r[1] for r in rules if len(r) >= 2]
@@ -117,10 +146,11 @@ def verify(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
 
     row_local = [r for r in rules if r[0] in _ROW_LOCAL]
     if row_local:
-        # ONE shared whole-frame aggregate for every row-local rule
-        # (the Deequ scan-sharing pass), then a plan-level inline
-        # unpack of the single aggregate row to per-rule rows
-        agg = df.agg(
+        # ONE shared aggregate for every row-local rule (the Deequ
+        # scan-sharing pass; group-keyed when group_by is set), then
+        # a plan-level inline unpack of each aggregate row to
+        # per-rule rows
+        agg = df.groupBy(*gq).agg(
             F.count(F.lit(1)).alias("__n"),
             *[
                 F.sum(_row_local_violations(r)).alias(f"__v{i}")
@@ -143,35 +173,41 @@ def verify(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
         )
         parts.append(
             _finish(
-                agg.select(F.explode(structs).alias("r")).select("r.*")
+                agg.select(
+                    *gq, F.explode(structs).alias("r")
+                ).select(*gq, "r.*"),
+                gcols,
             )
         )
 
     for r in rules:
         if r[0] == "unique":
             cols = [str(c) for c in r[2]]
-            grouped = df.groupBy(*[_q(c) for c in cols]).agg(
+            grouped = df.groupBy(*gq, *[_q(c) for c in cols]).agg(
                 F.count(F.lit(1)).alias("__cnt")
             )
-            rep = grouped.agg(
+            rep = grouped.groupBy(*gq).agg(
                 F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias("n_rows"),
                 F.coalesce(F.sum(F.col("__cnt") - 1), F.lit(0))
                 .cast("long")
                 .alias("n_violations"),
             ).select(
+                *gq,
                 F.lit(r[1]).alias("rule_id"),
                 F.lit("unique").alias("rule"),
                 F.lit(",".join(cols)).alias("column"),
                 "n_rows",
                 "n_violations",
             )
-            parts.append(_finish(rep))
+            parts.append(_finish(rep, gcols))
         elif r[0] == "ref_integrity":
             col, ref_df, ref_col = r[2], r[3], r[4]
-            fk = df.where(_q(col).isNotNull()).select(_q(col).alias("__fk"))
+            fk = df.where(_q(col).isNotNull()).select(
+                *gq, _q(col).alias("__fk")
+            )
             refs = ref_df.select(_q(ref_col).alias("__fk")).distinct()
             joined = fk.join(refs.withColumn("__hit", F.lit(1)), "__fk", "left")
-            rep = joined.agg(
+            rep = joined.groupBy(*gq).agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
                 F.coalesce(
                     F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)),
@@ -180,13 +216,14 @@ def verify(df: DataFrame, rules: Sequence[tuple]) -> DataFrame:
                 .cast("long")
                 .alias("n_violations"),
             ).select(
+                *gq,
                 F.lit(r[1]).alias("rule_id"),
                 F.lit("ref_integrity").alias("rule"),
                 F.lit(str(col)).alias("column"),
                 "n_rows",
                 "n_violations",
             )
-            parts.append(_finish(rep))
+            parts.append(_finish(rep, gcols))
 
     out = parts[0]
     for p in parts[1:]:

@@ -105,6 +105,8 @@ def test_verify_guards(spark, people, teams):
         dq.verify(people, [("accepted_values", "r1", "team", [])])
     with pytest.raises(ValueError, match="key columns"):
         dq.verify(people, [("unique", "r1", [])])
+    with pytest.raises(ValueError, match="collides with report columns"):
+        dq.verify(people, [("not_null", "r1", "id")], group_by=["rule_id"])
 
 
 def test_verify_dotted_names(spark):
@@ -112,6 +114,37 @@ def test_verify_dotted_names(spark):
     rep = _report(dq.verify(df, [("not_null", "r1", "a.b"),
                                  ("unique", "r2", ["a.b"])]))
     assert rep["r1"]["passed"] and rep["r2"]["passed"]
+
+
+def test_verify_by_group_brute_force(spark, people, teams):
+    # the per-source corpus-gate form: every rule evaluated
+    # independently per group, group columns leading the report
+    out = dq.verify(
+        people,
+        [
+            ("not_null", "r1", "name"),
+            ("in_range", "r3", "age", 0, 120),
+            ("unique", "r5", ["id"]),
+            ("ref_integrity", "r6", "team", teams, "team"),
+        ],
+        group_by=["team"],
+    )
+    rep = {(r["team"], r["rule_id"]): r.asDict() for r in out.collect()}
+    # team x: rows (1,a,30),(2,b,200),(None-id,e,10),(None-id,f,20)
+    assert rep[("x", "r1")]["n_violations"] == 0
+    assert rep[("x", "r3")]["n_violations"] == 1          # age 200
+    assert rep[("x", "r5")]["n_violations"] == 1          # NULL ids dup
+    assert rep[("x", "r5")]["n_rows"] == 4
+    # team y: single row with NULL name
+    assert rep[("y", "r1")]["n_violations"] == 1
+    # team zz: unmatched in ref table -> its ONE non-null fk misses
+    assert rep[("zz", "r6")]["n_violations"] == 1
+    # NULL team is its own group for row-local/unique rules
+    assert rep[(None, "r1")]["n_rows"] == 1
+    # ref rule drops NULL fks, so no NULL-team ref row exists
+    assert (None, "r6") not in rep
+    # per-group evaluation covers every (group, rule) with data
+    assert len({g for g, _ in rep}) == 4
 
 
 def test_verify_plan_shape(spark, people, teams):
