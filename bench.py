@@ -119,6 +119,24 @@ def bench_names() -> list[str]:
     return list(Q.QUERIES)
 
 
+def cpu_calib() -> float:
+    """Fixed single-core pure-Python loop (~1 s on an uncontended
+    core) — the machine-state anchor recorded alongside every bench
+    run. The r18-open adjudication measured the SAME loop at 2.92 s
+    and 0.99 s minutes apart on an idle-looking guest: host-level CPU
+    contention (invisible to guest load) swings effective CPU speed
+    up to ~3× on minute timescales, which is the whole r16→r17→r18
+    "quiet drift" story (docs/PLANS.md §"Round-18 bench
+    adjudication"). A future comparison must reject any run whose
+    calib reads are far off ~1 s rather than chase phantom
+    regressions."""
+    t0 = time.time()
+    x = 0
+    for i in range(30_000_000):
+        x += i
+    return round(time.time() - t0, 3)
+
+
 def materialize(df) -> int:
     """Run ``df`` to completion with NO column pruning: hash every
     output column into a global (count, hash-sum) aggregate. Maps
@@ -161,6 +179,7 @@ def main() -> None:
     # nothing is cached between runs (eagerly-materialized stages are
     # rebuilt too, since the plan is reconstructed from scratch).
     RUNS = 2
+    calib_pre = cpu_calib()
     timings: dict[str, float] = {}
     for name in bench_names():
         fn = Q.QUERIES[name]
@@ -180,7 +199,7 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    summary = emit_json(timings, sf_val, RUNS)
+    summary = emit_json(timings, sf_val, RUNS, calib=(calib_pre, cpu_calib()))
     write_history(timings, summary)
 
 
@@ -224,7 +243,9 @@ def write_history(timings: dict[str, float], summary: dict) -> None:
         print(f"# bench history write skipped: {e}", file=sys.stderr)
 
 
-def emit_json(timings: dict[str, float], sf_val, runs: int) -> dict:
+def emit_json(
+    timings: dict[str, float], sf_val, runs: int, calib=None
+) -> dict:
     """Print the machine-readable bench lines (factored out so the
     emission shape is unit-testable without a Spark run).
 
@@ -274,6 +295,10 @@ def emit_json(timings: dict[str, float], sf_val, runs: int) -> dict:
         "action": "full_row_hash",
         "runs_per_query": runs,
         "agg": "min",
+        # (pre, post) cpu_calib() machine-state anchor — ~1.0 s on an
+        # uncontended core; values far above flag a host-contended
+        # window whose timings must not drive round-over-round claims
+        "calib_sec": list(calib) if calib else None,
         "queries": {
             n: timings[n]
             for n in sorted(timings, key=timings.get, reverse=True)[:10]

@@ -120,6 +120,15 @@ def verify(
             f"dq.verify group_by collides with report columns: "
             f"{sorted(collide)}"
         )
+    # the shared row-local aggregate also claims __v0..__vN aliases;
+    # any "__"-prefixed group name risks an opaque duplicate-column
+    # AnalysisException downstream, so reject the whole prefix loudly
+    dunder = [c for c in gcols if c.startswith("__")]
+    if dunder:
+        raise ValueError(
+            f"dq.verify group_by names may not start with '__' "
+            f"(internal alias space): {sorted(dunder)}"
+        )
     gq = [_q(c) for c in gcols]
     if not rules:
         raise ValueError("dq.verify needs at least one rule")
@@ -136,12 +145,20 @@ def verify(
                 f"dq.verify rule {r[1]!r}: accepted_values needs a "
                 "non-empty explicit value list"
             )
+        if r[0] == "accepted_values" and any(v is None for v in list(r[3])):
+            # NULLs pass by contract (isNotNull() gates the check), so
+            # a None member can never match — worse, ~isin([..None..])
+            # is NULL for non-matching rows under three-valued logic,
+            # silently zeroing the violation count. Fail loudly.
+            raise ValueError(
+                f"dq.verify rule {r[1]!r}: accepted_values may not "
+                "contain None (NULLs already pass by contract)"
+            )
         if r[0] == "unique" and not list(r[2]):
             raise ValueError(
                 f"dq.verify rule {r[1]!r}: unique needs key columns"
             )
 
-    spark = df.sparkSession
     parts: list[DataFrame] = []
 
     row_local = [r for r in rules if r[0] in _ROW_LOCAL]

@@ -170,3 +170,83 @@ def test_verify_plan_shape(spark, people, teams):
     assert C.count_shuffles(full) <= 7
     assert "partial_count" in plan or "partial_sum" in plan
     assert not C.data_sized_partitionless_windows(full)
+
+
+def test_verify_accepted_values_none_guard(spark, people):
+    # a None member can never match (NULLs pass by contract) and
+    # under three-valued logic would silently zero the violation
+    # count for every non-matching row — r17 ADVICE, loud guard
+    with pytest.raises(ValueError, match="may not contain None"):
+        dq.verify(people, [("accepted_values", "r1", "team", ["x", None])])
+
+
+def test_verify_group_by_dunder_guard(spark, people):
+    # the shared row-local aggregate claims __v0..__vN; a dunder
+    # group name must fail loudly, not as a duplicate-column
+    # AnalysisException — r17 ADVICE
+    with pytest.raises(ValueError, match="may not start with '__'"):
+        dq.verify(people, [("not_null", "r1", "id")], group_by=["__v0"])
+    with pytest.raises(ValueError, match="may not start with '__'"):
+        dq.verify(people, [("not_null", "r1", "id")], group_by=["__anything"])
+
+
+def test_verify_by_group_randomized_property(spark, teams):
+    # brute-force randomized property for the per-group form (r17
+    # verdict surplus item: the per-group path is newer than the
+    # whole-frame path it shares code with) — every (group, rule)
+    # count re-derived sequentially in plain Python
+    import random
+    from collections import Counter, defaultdict
+
+    rnd = random.Random(20260816)
+    rows = [
+        (
+            rnd.choice([None, 0, 1, 2, 3, 4, 5]),
+            rnd.choice([None, "a", "b"]),
+            rnd.choice([None] + list(range(-5, 130, 7))),
+            rnd.choice([None, "x", "y", "z"]),
+        )
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(rows, "id int, name string, age int, team string")
+    out = dq.verify(
+        df,
+        [
+            ("not_null", "n1", "name"),
+            ("in_range", "n2", "age", 0, 120),
+            ("accepted_values", "n3", "name", ["a"]),
+            ("unique", "n4", ["id"]),
+            ("ref_integrity", "n5", "team", teams, "team"),
+        ],
+        group_by=["team"],
+    )
+    rep = {
+        (r["team"], r["rule_id"]): (r["n_rows"], r["n_violations"])
+        for r in out.collect()
+    }
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r[3]].append(r)
+    ref = {"x", "y"}
+    n_expected_rows = 0
+    for g, rs in groups.items():
+        n = len(rs)
+        assert rep[(g, "n1")] == (n, sum(1 for r in rs if r[1] is None))
+        assert rep[(g, "n2")] == (
+            n, sum(1 for r in rs if r[2] is not None and not 0 <= r[2] <= 120)
+        )
+        assert rep[(g, "n3")] == (
+            n, sum(1 for r in rs if r[1] is not None and r[1] != "a")
+        )
+        cnt = Counter(r[0] for r in rs)
+        assert rep[(g, "n4")] == (n, sum(c - 1 for c in cnt.values()))
+        fks = [r[3] for r in rs if r[3] is not None]
+        n_expected_rows += 4
+        if fks:
+            n_expected_rows += 1
+            assert rep[(g, "n5")] == (
+                len(fks), sum(1 for v in fks if v not in ref)
+            )
+        else:
+            assert (g, "n5") not in rep
+    assert len(rep) == n_expected_rows
