@@ -1807,10 +1807,11 @@ def pivot_melt_spark(spark, sf_dir):
 
 
 #: the dq_verify_orders candidate's rule set — EXPLICIT bounded rule
-#: list (code, never data): two rules that FIRE on the fixture
-#: (range + accepted domain) and four that pass (completeness, key
-#: uniqueness, FK integrity), plus a uniqueness rule on a repeating
-#: key so the surplus arithmetic is exercised non-vacuously.
+#: list (code, never data): three rules that FIRE on the fixture
+#: (range, accepted domain, and the uniqueness rule on the repeating
+#: o_custkey — the latter exercising the surplus arithmetic
+#: non-vacuously) and three that pass (completeness, o_orderkey
+#: uniqueness, FK integrity).
 DQ_RULES = [
     ("not_null", "custkey_not_null", "o_custkey"),
     ("unique", "orderkey_unique", ["o_orderkey"]),
@@ -1943,30 +1944,57 @@ def lookup_family_spark(spark, sf_dir):
     return asof.unionByName(interp)
 
 
-def _fits_family_v2_leg_sqls() -> dict[str, str]:
-    """The two standalone fit oracles, lazy-imported while the rows
-    exist (the event_funnel/binary_features drift-free contract)."""
-    from data_frame_spark.queries import ORACLE
-
-    return {
-        "fits": ORACLE["fits_family"],
-        "residuals": ORACLE["fit_residuals_price_qty"],
-    }
-
-
-def fits_family_v2_oracle_sql() -> str:
-    """Facet union of fits_family and fit_residuals_price_qty — the
-    r18 slot-funding merge pre-specced at r17 close (net −1: both
-    parents r16-checked and OUTSIDE the bench HEADLINE, so the merge
-    costs no comparability; funds binary_file_ingest +
-    psi_value_drift, docs/PLANS.md §"Round-18 slot funding"). `kind`
-    is the SHARED column (both legs emit per-fit-kind rows); the
-    coefficient columns c0..c3/r are NULL on the residuals leg and
-    sse/n_points NULL on the fits leg."""
-    legs = _fits_family_v2_leg_sqls()
-    return f"""
-    WITH fits_leg AS (SELECT * FROM ({legs["fits"]})),
-    residuals_leg AS (SELECT * FROM ({legs["residuals"]}))
+#: Literal snapshot (the binary_features/decontamination registration
+#: motion) of the facet union of the two standalone fit oracles,
+#: printed from the lazy composition while the rows (fits_family v1 /
+#: fit_residuals_price_qty) still existed and byte-identity asserted
+#: against it in-session at r18 registration, then frozen here as the
+#: single source. The moment-vocabulary SQL inside is GENERATED text
+#: (queries._fits_sql / _fit_residuals_sql at their final form) --
+#: frozen verbatim so the registered oracle can never drift.
+FITS_FAMILY_V2_ORACLE = """
+    WITH fits_leg AS (SELECT * FROM (
+    WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                      CAST(l_extendedprice AS DOUBLE) AS y
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(CAST(SUM(CAST(FLOOR((x) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sx1, CAST(CAST(SUM(CAST(FLOOR((x*x) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sx2, CAST(CAST(SUM(CAST(FLOOR((x*x*x) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sx3, CAST(CAST(SUM(CAST(FLOOR((x*x*x*x) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sx4, CAST(CAST(SUM(CAST(FLOOR((x*x*x*x*x) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sx5, CAST(CAST(SUM(CAST(FLOOR((x*x*x*x*x*x) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sx6, CAST(CAST(SUM(CAST(FLOOR((y) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sy, CAST(CAST(SUM(CAST(FLOOR((y*y) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sy2, CAST(CAST(SUM(CAST(FLOOR((x*y) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sxy1, CAST(CAST(SUM(CAST(FLOOR((x*x*y) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sxy2, CAST(CAST(SUM(CAST(FLOOR((x*x*x*y) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sxy3, CAST(CAST(SUM(CAST(FLOOR((LN(x)) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS slnx, CAST(CAST(SUM(CAST(FLOOR((LN(x)*LN(x)) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS slnx2, CAST(CAST(SUM(CAST(FLOOR((y*LN(x)) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sylnx, CAST(CAST(SUM(CAST(FLOOR((LN(x)*LN(y)) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS slxly, CAST(CAST(SUM(CAST(FLOOR((LN(y)) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS slny FROM d),
+         ed AS (SELECT (epoch_ns(ts)//1000)/1000000.0/86400.0 AS x,
+                       CAST(value AS DOUBLE) AS y
+                FROM events WHERE value IS NOT NULL),
+         emn AS (SELECT MIN(y) AS miny FROM ed),
+         es AS (SELECT x,
+                       y + (CASE WHEN emn.miny < 0.1 THEN -emn.miny + 0.1 ELSE 0.0 END) AS y1
+                FROM ed CROSS JOIN emn),
+         em AS (SELECT CAST(CAST(SUM(CAST(FLOOR((x*x*y1) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1000000.0 AS sxxy, CAST(CAST(SUM(CAST(FLOOR((x*y1) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1000000.0 AS sxy,
+                       CAST(CAST(SUM(CAST(FLOOR((y1*LN(y1)) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1000000.0 AS sylny, CAST(CAST(SUM(CAST(FLOOR((x*y1*LN(y1)) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1000000.0 AS sxylny,
+                       CAST(CAST(SUM(CAST(FLOOR((y1) * 1000000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 1000000.0 AS sey
+                FROM es)
+    SELECT 'linear' AS kind, ((sy * sx2) - (sx1 * sxy1)) / ((n * sx2) - (sx1 * sx1)) AS c0, ((n * sxy1) - (sy * sx1)) / ((n * sx2) - (sx1 * sx1)) AS c1, CAST(NULL AS DOUBLE) AS c2, CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS r FROM m UNION ALL SELECT 'log' AS kind, ROUND((sy - ((((n * sylnx) - (sy * slnx)) / ((n * slnx2) - (slnx * slnx))) * slnx)) / n, 6) AS c0, ROUND(((n * sylnx) - (sy * slnx)) / ((n * slnx2) - (slnx * slnx)), 6) AS c1, CAST(NULL AS DOUBLE) AS c2, CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS r FROM m UNION ALL SELECT 'poly2' AS kind, (((sy * ((sx2 * sx4) - (sx3 * sx3))) - (sx1 * ((sxy1 * sx4) - (sx3 * sxy2)))) + (sx2 * ((sxy1 * sx3) - (sx2 * sxy2)))) / (((n * ((sx2 * sx4) - (sx3 * sx3))) - (sx1 * ((sx1 * sx4) - (sx3 * sx2)))) + (sx2 * ((sx1 * sx3) - (sx2 * sx2)))) AS c0, (((n * ((sxy1 * sx4) - (sx3 * sxy2))) - (sy * ((sx1 * sx4) - (sx3 * sx2)))) + (sx2 * ((sx1 * sxy2) - (sxy1 * sx2)))) / (((n * ((sx2 * sx4) - (sx3 * sx3))) - (sx1 * ((sx1 * sx4) - (sx3 * sx2)))) + (sx2 * ((sx1 * sx3) - (sx2 * sx2)))) AS c1, (((n * ((sx2 * sxy2) - (sxy1 * sx3))) - (sx1 * ((sx1 * sxy2) - (sxy1 * sx2)))) + (sy * ((sx1 * sx3) - (sx2 * sx2)))) / (((n * ((sx2 * sx4) - (sx3 * sx3))) - (sx1 * ((sx1 * sx4) - (sx3 * sx2)))) + (sx2 * ((sx1 * sx3) - (sx2 * sx2)))) AS c2, CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS r FROM m UNION ALL SELECT 'poly3' AS kind, ((((sy * (((sx2 * ((sx4 * sx6) - (sx5 * sx5))) - (sx3 * ((sx3 * sx6) - (sx5 * sx4)))) + (sx4 * ((sx3 * sx5) - (sx4 * sx4))))) - (sx1 * (((sxy1 * ((sx4 * sx6) - (sx5 * sx5))) - (sx3 * ((sxy2 * sx6) - (sx5 * sxy3)))) + (sx4 * ((sxy2 * sx5) - (sx4 * sxy3)))))) + (sx2 * (((sxy1 * ((sx3 * sx6) - (sx5 * sx4))) - (sx2 * ((sxy2 * sx6) - (sx5 * sxy3)))) + (sx4 * ((sxy2 * sx4) - (sx3 * sxy3)))))) - (sx3 * (((sxy1 * ((sx3 * sx5) - (sx4 * sx4))) - (sx2 * ((sxy2 * sx5) - (sx4 * sxy3)))) + (sx3 * ((sxy2 * sx4) - (sx3 * sxy3)))))) / ((((n * (((sx2 * ((sx4 * sx6) - (sx5 * sx5))) - (sx3 * ((sx3 * sx6) - (sx5 * sx4)))) + (sx4 * ((sx3 * sx5) - (sx4 * sx4))))) - (sx1 * (((sx1 * ((sx4 * sx6) - (sx5 * sx5))) - (sx3 * ((sx2 * sx6) - (sx5 * sx3)))) + (sx4 * ((sx2 * sx5) - (sx4 * sx3)))))) + (sx2 * (((sx1 * ((sx3 * sx6) - (sx5 * sx4))) - (sx2 * ((sx2 * sx6) - (sx5 * sx3)))) + (sx4 * ((sx2 * sx4) - (sx3 * sx3)))))) - (sx3 * (((sx1 * ((sx3 * sx5) - (sx4 * sx4))) - (sx2 * ((sx2 * sx5) - (sx4 * sx3)))) + (sx3 * ((sx2 * sx4) - (sx3 * sx3)))))) AS c0, ((((n * (((sxy1 * ((sx4 * sx6) - (sx5 * sx5))) - (sx3 * ((sxy2 * sx6) - (sx5 * sxy3)))) + (sx4 * ((sxy2 * sx5) - (sx4 * sxy3))))) - (sy * (((sx1 * ((sx4 * sx6) - (sx5 * sx5))) - (sx3 * ((sx2 * sx6) - (sx5 * sx3)))) + (sx4 * ((sx2 * sx5) - (sx4 * sx3)))))) + (sx2 * (((sx1 * ((sxy2 * sx6) - (sx5 * sxy3))) - (sxy1 * ((sx2 * sx6) - (sx5 * sx3)))) + (sx4 * ((sx2 * sxy3) - (sxy2 * sx3)))))) - (sx3 * (((sx1 * ((sxy2 * sx5) - (sx4 * sxy3))) - (sxy1 * ((sx2 * sx5) - (sx4 * sx3)))) + (sx3 * ((sx2 * sxy3) - (sxy2 * sx3)))))) / ((((n * (((sx2 * ((sx4 * sx6) - (sx5 * sx5))) - (sx3 * ((sx3 * sx6) - (sx5 * sx4)))) + (sx4 * ((sx3 * sx5) - (sx4 * sx4))))) - (sx1 * (((sx1 * ((sx4 * sx6) - (sx5 * sx5))) - (sx3 * ((sx2 * sx6) - (sx5 * sx3)))) + (sx4 * ((sx2 * sx5) - (sx4 * sx3)))))) + (sx2 * (((sx1 * ((sx3 * sx6) - (sx5 * sx4))) - (sx2 * ((sx2 * sx6) - (sx5 * sx3)))) + (sx4 * ((sx2 * sx4) - (sx3 * sx3)))))) - (sx3 * (((sx1 * ((sx3 * sx5) - (sx4 * sx4))) - (sx2 * ((sx2 * sx5) - (sx4 * sx3)))) + (sx3 * ((sx2 * sx4) - (sx3 * sx3)))))) AS c1, ((((n * (((sx2 * ((sxy2 * sx6) - (sx5 * sxy3))) - (sxy1 * ((sx3 * sx6) - (sx5 * sx4)))) + (sx4 * ((sx3 * sxy3) - (sxy2 * sx4))))) - (sx1 * (((sx1 * ((sxy2 * sx6) - (sx5 * sxy3))) - (sxy1 * ((sx2 * sx6) - (sx5 * sx3)))) + (sx4 * ((sx2 * sxy3) - (sxy2 * sx3)))))) + (sy * (((sx1 * ((sx3 * sx6) - (sx5 * sx4))) - (sx2 * ((sx2 * sx6) - (sx5 * sx3)))) + (sx4 * ((sx2 * sx4) - (sx3 * sx3)))))) - (sx3 * (((sx1 * ((sx3 * sxy3) - (sxy2 * sx4))) - (sx2 * ((sx2 * sxy3) - (sxy2 * sx3)))) + (sxy1 * ((sx2 * sx4) - (sx3 * sx3)))))) / ((((n * (((sx2 * ((sx4 * sx6) - (sx5 * sx5))) - (sx3 * ((sx3 * sx6) - (sx5 * sx4)))) + (sx4 * ((sx3 * sx5) - (sx4 * sx4))))) - (sx1 * (((sx1 * ((sx4 * sx6) - (sx5 * sx5))) - (sx3 * ((sx2 * sx6) - (sx5 * sx3)))) + (sx4 * ((sx2 * sx5) - (sx4 * sx3)))))) + (sx2 * (((sx1 * ((sx3 * sx6) - (sx5 * sx4))) - (sx2 * ((sx2 * sx6) - (sx5 * sx3)))) + (sx4 * ((sx2 * sx4) - (sx3 * sx3)))))) - (sx3 * (((sx1 * ((sx3 * sx5) - (sx4 * sx4))) - (sx2 * ((sx2 * sx5) - (sx4 * sx3)))) + (sx3 * ((sx2 * sx4) - (sx3 * sx3)))))) AS c2, ((((n * (((sx2 * ((sx4 * sxy3) - (sxy2 * sx5))) - (sx3 * ((sx3 * sxy3) - (sxy2 * sx4)))) + (sxy1 * ((sx3 * sx5) - (sx4 * sx4))))) - (sx1 * (((sx1 * ((sx4 * sxy3) - (sxy2 * sx5))) - (sx3 * ((sx2 * sxy3) - (sxy2 * sx3)))) + (sxy1 * ((sx2 * sx5) - (sx4 * sx3)))))) + (sx2 * (((sx1 * ((sx3 * sxy3) - (sxy2 * sx4))) - (sx2 * ((sx2 * sxy3) - (sxy2 * sx3)))) + (sxy1 * ((sx2 * sx4) - (sx3 * sx3)))))) - (sy * (((sx1 * ((sx3 * sx5) - (sx4 * sx4))) - (sx2 * ((sx2 * sx5) - (sx4 * sx3)))) + (sx3 * ((sx2 * sx4) - (sx3 * sx3)))))) / ((((n * (((sx2 * ((sx4 * sx6) - (sx5 * sx5))) - (sx3 * ((sx3 * sx6) - (sx5 * sx4)))) + (sx4 * ((sx3 * sx5) - (sx4 * sx4))))) - (sx1 * (((sx1 * ((sx4 * sx6) - (sx5 * sx5))) - (sx3 * ((sx2 * sx6) - (sx5 * sx3)))) + (sx4 * ((sx2 * sx5) - (sx4 * sx3)))))) + (sx2 * (((sx1 * ((sx3 * sx6) - (sx5 * sx4))) - (sx2 * ((sx2 * sx6) - (sx5 * sx3)))) + (sx4 * ((sx2 * sx4) - (sx3 * sx3)))))) - (sx3 * (((sx1 * ((sx3 * sx5) - (sx4 * sx4))) - (sx2 * ((sx2 * sx5) - (sx4 * sx3)))) + (sx3 * ((sx2 * sx4) - (sx3 * sx3)))))) AS c3, CAST(NULL AS DOUBLE) AS r FROM m UNION ALL SELECT 'power' AS kind, ROUND(EXP((slny - ((((n * slxly) - (slnx * slny)) / ((n * slnx2) - (slnx * slnx))) * slnx)) / n), 6) AS c0, ROUND(((n * slxly) - (slnx * slny)) / ((n * slnx2) - (slnx * slnx)), 6) AS c1, CAST(NULL AS DOUBLE) AS c2, CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS r FROM m UNION ALL SELECT 'slr' AS kind, ((sy / n) - ((((sxy1 - ((sx1 * sy) / n)) / SQRT(((sx2 - ((sx1 * sx1) / n)) * (sy2 - ((sy * sy) / n))))) * SQRT(((sy2 - ((sy * sy) / n)) / (sx2 - ((sx1 * sx1) / n))))) * (sx1 / n))) AS c0, (((sxy1 - ((sx1 * sy) / n)) / SQRT(((sx2 - ((sx1 * sx1) / n)) * (sy2 - ((sy * sy) / n))))) * SQRT(((sy2 - ((sy * sy) / n)) / (sx2 - ((sx1 * sx1) / n))))) AS c1, CAST(NULL AS DOUBLE) AS c2, CAST(NULL AS DOUBLE) AS c3, ((sxy1 - ((sx1 * sy) / n)) / SQRT(((sx2 - ((sx1 * sx1) / n)) * (sy2 - ((sy * sy) / n))))) AS r FROM m UNION ALL 
+    SELECT 'exp' AS kind,
+           ROUND(EXP((sxxy * sylny - sxy * sxylny) / (sey * sxxy - sxy * sxy)), 6) AS c0,
+           ROUND((sey * sxylny - sxy * sylny) / (sey * sxxy - sxy * sxy), 6) AS c1,
+           ROUND((SELECT CASE WHEN miny < 0.1 THEN miny - 0.1 ELSE 0.0 END FROM emn), 6) AS c2,
+           CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS r
+    FROM em
+    
+    )),
+    residuals_leg AS (SELECT * FROM (
+    WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
+                      CAST(l_extendedprice AS DOUBLE) AS y
+               FROM lineitem
+               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(CAST(SUM(CAST(FLOOR((x) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sx1, CAST(CAST(SUM(CAST(FLOOR((x*x) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sx2, CAST(CAST(SUM(CAST(FLOOR((x*x*x) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sx3, CAST(CAST(SUM(CAST(FLOOR((x*x*x*x) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sx4, CAST(CAST(SUM(CAST(FLOOR((x*x*x*x*x) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sx5, CAST(CAST(SUM(CAST(FLOOR((x*x*x*x*x*x) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sx6, CAST(CAST(SUM(CAST(FLOOR((y) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sy, CAST(CAST(SUM(CAST(FLOOR((y*y) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sy2, CAST(CAST(SUM(CAST(FLOOR((x*y) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sxy1, CAST(CAST(SUM(CAST(FLOOR((x*x*y) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sxy2, CAST(CAST(SUM(CAST(FLOOR((x*x*x*y) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sxy3, CAST(CAST(SUM(CAST(FLOOR((LN(x)) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS slnx, CAST(CAST(SUM(CAST(FLOOR((LN(x)*LN(x)) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS slnx2, CAST(CAST(SUM(CAST(FLOOR((y*LN(x)) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sylnx, CAST(CAST(SUM(CAST(FLOOR((LN(x)*LN(y)) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS slxly, CAST(CAST(SUM(CAST(FLOOR((LN(y)) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS slny FROM d),
+         a AS (SELECT ((sy * sx2) - (sx1 * sxy1)) / ((n * sx2) - (sx1 * sx1)) AS l0, ((n * sxy1) - (sy * sx1)) / ((n * sx2) - (sx1 * sx1)) AS l1,
+                      (((sy * ((sx2 * sx4) - (sx3 * sx3))) - (sx1 * ((sxy1 * sx4) - (sx3 * sxy2)))) + (sx2 * ((sxy1 * sx3) - (sx2 * sxy2)))) / (((n * ((sx2 * sx4) - (sx3 * sx3))) - (sx1 * ((sx1 * sx4) - (sx3 * sx2)))) + (sx2 * ((sx1 * sx3) - (sx2 * sx2)))) AS q0, (((n * ((sxy1 * sx4) - (sx3 * sxy2))) - (sy * ((sx1 * sx4) - (sx3 * sx2)))) + (sx2 * ((sx1 * sxy2) - (sxy1 * sx2)))) / (((n * ((sx2 * sx4) - (sx3 * sx3))) - (sx1 * ((sx1 * sx4) - (sx3 * sx2)))) + (sx2 * ((sx1 * sx3) - (sx2 * sx2)))) AS q1, (((n * ((sx2 * sxy2) - (sxy1 * sx3))) - (sx1 * ((sx1 * sxy2) - (sxy1 * sx2)))) + (sy * ((sx1 * sx3) - (sx2 * sx2)))) / (((n * ((sx2 * sx4) - (sx3 * sx3))) - (sx1 * ((sx1 * sx4) - (sx3 * sx2)))) + (sx2 * ((sx1 * sx3) - (sx2 * sx2)))) AS q2 FROM m)
+    SELECT 'linear' AS kind, CAST(CAST(SUM(CAST(FLOOR(((y - (l0 + (l1 * x))) * (y - (l0 + (l1 * x)))) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sse,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM d CROSS JOIN a
+    UNION ALL
+    SELECT 'poly2' AS kind, CAST(CAST(SUM(CAST(FLOOR(((y - ((q0 + (q1 * x)) + ((q2 * x) * x))) * (y - ((q0 + (q1 * x)) + ((q2 * x) * x)))) * 10000.0 + 0.5) AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS sse,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM d CROSS JOIN a
+    ))
     SELECT 'fits' AS facet, kind, c0, c1, c2, c3, r,
            CAST(NULL AS DOUBLE) AS sse, CAST(NULL AS BIGINT) AS n_points
     FROM fits_leg
@@ -1976,6 +2004,19 @@ def fits_family_v2_oracle_sql() -> str:
            sse, n_points
     FROM residuals_leg
     """
+
+
+def fits_family_v2_oracle_sql() -> str:
+    """Facet union of the former fits_family v1 and
+    fit_residuals_price_qty rows — the r18 slot-funding merge
+    pre-specced at r17 close (net −1: both parents r16-checked and
+    OUTSIDE the bench HEADLINE, so the merge costs no comparability;
+    funds binary_file_ingest + psi_value_drift, docs/PLANS.md
+    §"Round-18 slot funding"). `kind` is the SHARED column (both legs
+    emit per-fit-kind rows); the coefficient columns c0..c3/r are
+    NULL on the residuals leg and sse/n_points NULL on the fits leg.
+    Returns the FROZEN snapshot (registered r18)."""
+    return FITS_FAMILY_V2_ORACLE
 
 
 def fits_family_v2_spark(spark, sf_dir):

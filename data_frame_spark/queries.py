@@ -926,258 +926,6 @@ def _cramer(mom, rhs, degree):
     return out  # list of (numerator, denominator)
 
 
-# moment vocabulary shared by both sides (scale-4 quantized sums)
-_FIT_MOMS = {
-    "n": None,  # COUNT(*)
-    **{f"sx{k}": f"x{'*x' * (k - 1)}" for k in range(1, 7)},
-    "sy": "y",
-    "sy2": "y*y",
-    "sxy1": "x*y",
-    "sxy2": "x*x*y",
-    "sxy3": "x*x*x*y",
-    "slnx": "LN(x)",
-    "slnx2": "LN(x)*LN(x)",
-    "sylnx": "y*LN(x)",
-    "slxly": "LN(x)*LN(y)",
-    "slny": "LN(y)",
-}
-
-
-def _fits_sql() -> str:
-    moms = ", ".join(
-        "CAST(COUNT(*) AS DOUBLE) AS n" if expr is None else f"{_fsum(expr, 4)} AS {name}"
-        for name, expr in _FIT_MOMS.items()
-    )
-    s = {k: _S(k) for k in _FIT_MOMS}
-    mv = [s["n"]] + [s[f"sx{k}"] for k in range(1, 7)]
-    rhs = [s["sy"], s["sxy1"], s["sxy2"], s["sxy3"]]
-
-    def sel(kind, cs, r="CAST(NULL AS DOUBLE)"):
-        cs = list(cs) + ["CAST(NULL AS DOUBLE)"] * (4 - len(cs))
-        return (
-            f"SELECT '{kind}' AS kind, {cs[0]} AS c0, {cs[1]} AS c1, "
-            f"{cs[2]} AS c2, {cs[3]} AS c3, {r} AS r FROM m"
-        )
-
-    lin = [f"{num.s} / {den.s}" for num, den in _cramer(mv[:3], rhs[:2], 1)]
-    p2 = [f"{num.s} / {den.s}" for num, den in _cramer(mv[:5], rhs[:3], 2)]
-    p3 = [f"{num.s} / {den.s}" for num, den in _cramer(mv[:7], rhs[:4], 3)]
-    # slr: r = cov/sqrt(vx*vy), beta = r*sqrt(vy/vx), alpha = ȳ-beta*x̄
-    covn = "(sxy1 - ((sx1 * sy) / n))"
-    vxn = "(sx2 - ((sx1 * sx1) / n))"
-    vyn = "(sy2 - ((sy * sy) / n))"
-    slr_r = f"({covn} / SQRT(({vxn} * {vyn})))"
-    slr_b = f"({slr_r} * SQRT(({vyn} / {vxn})))"
-    slr_a = f"((sy / n) - ({slr_b} * (sx1 / n)))"
-    log_b = "((n * sylnx) - (sy * slnx)) / ((n * slnx2) - (slnx * slnx))"
-    log_a = f"(sy - (({log_b}) * slnx)) / n"
-    pwr_b = "((n * slxly) - (slnx * slny)) / ((n * slnx2) - (slnx * slnx))"
-    pwr_a = f"EXP((slny - (({pwr_b}) * slnx)) / n)"
-    branches = " UNION ALL ".join(
-        [
-            sel("linear", lin),
-            sel("log", [f"ROUND({log_a}, 6)", f"ROUND({log_b}, 6)"]),
-            sel("poly2", p2),
-            sel("poly3", p3),
-            sel("power", [f"ROUND({pwr_a}, 6)", f"ROUND({pwr_b}, 6)"]),
-            sel("slr", [slr_a, slr_b], r=slr_r),
-        ]
-    )
-    # the 'exp facet (value ~ a*e^(b*day) + c over events, the
-    # reference's miny<0.1 shift) — round-9 merge of the former
-    # exp_fit_value_hour row; expressions verbatim from that oracle,
-    # CTEs renamed to coexist with the lineitem moment CTEs
-    exp_branch = f"""
-    SELECT 'exp' AS kind,
-           ROUND(EXP((sxxy * sylny - sxy * sxylny) / (sey * sxxy - sxy * sxy)), 6) AS c0,
-           ROUND((sey * sxylny - sxy * sylny) / (sey * sxxy - sxy * sxy), 6) AS c1,
-           ROUND((SELECT CASE WHEN miny < 0.1 THEN miny - 0.1 ELSE 0.0 END FROM emn), 6) AS c2,
-           CAST(NULL AS DOUBLE) AS c3, CAST(NULL AS DOUBLE) AS r
-    FROM em
-    """
-    return f"""
-    WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
-                      CAST(l_extendedprice AS DOUBLE) AS y
-               FROM lineitem
-               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
-         m AS (SELECT {moms} FROM d),
-         ed AS (SELECT (epoch_ns(ts)//1000)/1000000.0/86400.0 AS x,
-                       CAST(value AS DOUBLE) AS y
-                FROM events WHERE value IS NOT NULL),
-         emn AS (SELECT MIN(y) AS miny FROM ed),
-         es AS (SELECT x,
-                       y + (CASE WHEN emn.miny < 0.1 THEN -emn.miny + 0.1 ELSE 0.0 END) AS y1
-                FROM ed CROSS JOIN emn),
-         em AS (SELECT {_fsum('x*x*y1')} AS sxxy, {_fsum('x*y1')} AS sxy,
-                       {_fsum('y1*LN(y1)')} AS sylny, {_fsum('x*y1*LN(y1)')} AS sxylny,
-                       {_fsum('y1')} AS sey
-                FROM es)
-    {branches} UNION ALL {exp_branch}
-    """
-
-
-@query("fits_family", oracle=_fits_sql())
-def fits_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The df-least-squares-fit family + simple-linear-regression in
-    one pass (least-squares-fit.rkt:34-41,156-196; slr.rkt:32-39):
-    ONE distributed scale-4-quantized moment aggregate over lineitem,
-    then Cramer / closed-form coefficient math on the driver — the
-    identical expression tree the SQL oracle evaluates.
-
-    Rows: (kind, c0..c3, r) for linear, log, poly2, poly3, power, slr
-    — plus the 'exp kind (least-squares-fit.rkt:96-121, value ~
-    a*e^(b*day) + c over events with the reference's miny<0.1 shift;
-    round-9 merge of the former exp_fit_value_hour row — the operator
-    path is unchanged). poly3 exercises the arbitrary-degree
-    Vandermonde path (least-squares-fit.rkt:34-41 solves any
-    degree)."""
-    import math
-
-    li = t(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("double")
-    y = F.col("l_extendedprice").cast("double")
-    d = li.where(x.isNotNull() & y.isNotNull()).select(x.alias("x"), y.alias("y"))
-    X, Y = F.col("x"), F.col("y")
-    # x^k by left-associated repeated multiplication — the IDENTICAL
-    # expression tree the oracle's 'x*x*...*x' parses to. Math.pow is
-    # only 1-ulp accurate, and a 1-ulp difference near a .5 quantize
-    # boundary would break bit-equality (round-2 advisory).
-    xpow = {1: X}
-    for k in range(2, 7):
-        xpow[k] = xpow[k - 1] * X
-    sparkexpr = {
-        "n": F.count(F.lit(1)).cast("double"),
-        **{f"sx{k}": dsum(xpow[k], 4) for k in range(1, 7)},
-        "sy": dsum(Y, 4),
-        "sy2": dsum(Y * Y, 4),
-        "sxy1": dsum(X * Y, 4),
-        "sxy2": dsum(X * X * Y, 4),
-        "sxy3": dsum(X * X * X * Y, 4),
-        "slnx": dsum(F.log(X), 4),
-        "slnx2": dsum(F.log(X) * F.log(X), 4),
-        "sylnx": dsum(Y * F.log(X), 4),
-        "slxly": dsum(F.log(X) * F.log(Y), 4),
-        "slny": dsum(F.log(Y), 4),
-    }
-    m = d.agg(*[e.alias(k) for k, e in sparkexpr.items()]).collect()[0].asDict()
-    mv = [m["n"]] + [m[f"sx{k}"] for k in range(1, 7)]
-    rhs = [m["sy"], m["sxy1"], m["sxy2"], m["sxy3"]]
-    lin = [num / den for num, den in _cramer(mv[:3], rhs[:2], 1)]
-    p2 = [num / den for num, den in _cramer(mv[:5], rhs[:3], 2)]
-    p3 = [num / den for num, den in _cramer(mv[:7], rhs[:4], 3)]
-    n, sx1, sx2s = m["n"], m["sx1"], m["sx2"]
-    covn = m["sxy1"] - ((sx1 * m["sy"]) / n)
-    vxn = sx2s - ((sx1 * sx1) / n)
-    vyn = m["sy2"] - ((m["sy"] * m["sy"]) / n)
-    slr_r = covn / math.sqrt(vxn * vyn)
-    slr_b = slr_r * math.sqrt(vyn / vxn)
-    slr_a = (m["sy"] / n) - (slr_b * (sx1 / n))
-    log_b = ((n * m["sylnx"]) - (m["sy"] * m["slnx"])) / (
-        (n * m["slnx2"]) - (m["slnx"] * m["slnx"])
-    )
-    log_a = (m["sy"] - (log_b * m["slnx"])) / n
-    pwr_b = ((n * m["slxly"]) - (m["slnx"] * m["slny"])) / (
-        (n * m["slnx2"]) - (m["slnx"] * m["slnx"])
-    )
-    pwr_a = math.exp((m["slny"] - (pwr_b * m["slnx"])) / n)
-    rows = [
-        ("linear", lin[0], lin[1], None, None, None),
-        ("log", _round6(log_a), _round6(log_b), None, None, None),
-        ("poly2", p2[0], p2[1], p2[2], None, None),
-        ("poly3", p3[0], p3[1], p3[2], p3[3], None),
-        ("power", _round6(pwr_a), _round6(pwr_b), None, None, None),
-        ("slr", slr_a, slr_b, None, None, slr_r),
-    ]
-    ev = t(spark, sf_dir, "events").select(
-        (F.col("ts_us") / F.lit(1000000.0) / F.lit(86400.0)).alias("x"),
-        F.col("value").alias("y"),
-    )
-    efit = OpFit.least_squares_fit(ev, "x", "y", mode="exp")
-    ea, eb, ec = efit.coefficients
-    rows.append(
-        ("exp", _round6(ea), _round6(eb), _round6(float(ec)), None, None)
-    )
-    return spark.createDataFrame(
-        rows, "kind string, c0 double, c1 double, c2 double, c3 double, r double"
-    )
-
-
-def _fit_residuals_sql() -> str:
-    moms = ", ".join(
-        "CAST(COUNT(*) AS DOUBLE) AS n" if expr is None else f"{_fsum(expr, 4)} AS {name}"
-        for name, expr in _FIT_MOMS.items()
-    )
-    s = {k: _S(k) for k in _FIT_MOMS}
-    mv = [s["n"]] + [s[f"sx{k}"] for k in range(1, 7)]
-    rhs = [s["sy"], s["sxy1"], s["sxy2"]]
-    lin = [f"{num.s} / {den.s}" for num, den in _cramer(mv[:3], rhs[:2], 1)]
-    p2 = [f"{num.s} / {den.s}" for num, den in _cramer(mv[:5], rhs[:3], 2)]
-    rl = "(y - (l0 + (l1 * x)))"
-    rq = "(y - ((q0 + (q1 * x)) + ((q2 * x) * x)))"
-    return f"""
-    WITH d AS (SELECT CAST(l_quantity AS DOUBLE) AS x,
-                      CAST(l_extendedprice AS DOUBLE) AS y
-               FROM lineitem
-               WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
-         m AS (SELECT {moms} FROM d),
-         a AS (SELECT {lin[0]} AS l0, {lin[1]} AS l1,
-                      {p2[0]} AS q0, {p2[1]} AS q1, {p2[2]} AS q2 FROM m)
-    SELECT 'linear' AS kind, {_fsum(f'{rl} * {rl}', 4)} AS sse,
-           CAST(COUNT(*) AS BIGINT) AS n_points
-    FROM d CROSS JOIN a
-    UNION ALL
-    SELECT 'poly2' AS kind, {_fsum(f'{rq} * {rq}', 4)} AS sse,
-           CAST(COUNT(*) AS BIGINT) AS n_points
-    FROM d CROSS JOIN a
-    """
-
-
-@query("fit_residuals_price_qty", oracle=_fit_residuals_sql())
-def fit_residuals_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The fit RESIDUAL pass (least-squares-fit.rkt:226-229,
-    operators/fit.py:199): Σ(y − ŷ)² as a second distributed
-    aggregate after the coefficient solve — the goal function the
-    annealing refinement minimizes, here for the linear and
-    Vandermonde-poly2 fits over lineitem. Coefficients come from the
-    SAME scale-4 quantized moment aggregate as fits_price_qty (so
-    both engines hold bit-identical doubles), and ŷ is built by
-    left-associated repeated multiplication — NOT pow() — matching
-    the oracle's expression tree ulp for ulp; the squared-residual
-    sum is scale-4 floor-quantized (order-independent, exact).
-
-    100 TB shape: two map-combinable whole-frame aggregates (moments,
-    then residuals) — no shuffle wider than one row, any row count.
-    """
-    li = t(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("double")
-    y = F.col("l_extendedprice").cast("double")
-    d = li.where(x.isNotNull() & y.isNotNull()).select(x.alias("x"), y.alias("y"))
-    X, Y = F.col("x"), F.col("y")
-    xpow = {1: X, 2: X * X, 3: (X * X) * X, 4: ((X * X) * X) * X}
-    m = d.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        *[dsum(xpow[k], 4).alias(f"sx{k}") for k in range(1, 5)],
-        dsum(Y, 4).alias("sy"),
-        dsum(X * Y, 4).alias("sxy1"),
-        dsum(X * X * Y, 4).alias("sxy2"),
-    ).collect()[0].asDict()
-    mv = [m["n"]] + [m[f"sx{k}"] for k in range(1, 5)]
-    rhs = [m["sy"], m["sxy1"], m["sxy2"]]
-    l0, l1 = [num / den for num, den in _cramer(mv[:3], rhs[:2], 1)]
-    q0, q1, q2 = [num / den for num, den in _cramer(mv[:5], rhs[:3], 2)]
-    rl = Y - (F.lit(l0) + (F.lit(l1) * X))
-    rq = Y - ((F.lit(q0) + (F.lit(q1) * X)) + ((F.lit(q2) * X) * X))
-    row = d.agg(
-        dsum(rl * rl, 4).alias("sl"),
-        dsum(rq * rq, 4).alias("sq"),
-        F.count(F.lit(1)).alias("np"),
-    ).collect()[0]
-    return spark.createDataFrame(
-        [("linear", row["sl"], row["np"]), ("poly2", row["sq"], row["np"])],
-        "kind string, sse double, n_points long",
-    )
-
-
 # ---------------------------------------------------------------------------
 # Mean-max curve (SURVEY §2.4, private/meanmax.rkt — flagship custom op)
 # ---------------------------------------------------------------------------
@@ -5619,6 +5367,82 @@ def pivot_melt_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-18 additions: the fits-family slot-funding merge (v2 absorbs the
+# former fit_residuals_price_qty row, net −1) and the two queued
+# registrations the freed slots fund — binary_file_ingest +
+# psi_value_drift (docs/PLANS.md §"Round-18 slot funding"; the
+# registration queue is EMPTY after these)
+# ---------------------------------------------------------------------------
+
+
+@query("fits_family", oracle=_OP.fits_family_v2_oracle_sql())
+def fits_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-least-squares-fit family + simple-linear-regression +
+    the fit RESIDUAL pass on ONE row (r18 slot-funding merge, net −1,
+    absorbing the former fit_residuals_price_qty row; frozen oracle
+    snapshot oracle_prep.FITS_FAMILY_V2_ORACLE) — facets 'fits'
+    (least-squares-fit.rkt:34-41,96-121,156-196; slr.rkt:32-39: kinds
+    linear/log/poly2/poly3/power/slr over lineitem + the 'exp kind
+    over events with the reference's miny<0.1 shift) and 'residuals'
+    (least-squares-fit.rkt:226-229, operators/fit.py:199: Σ(y − ŷ)²
+    for the linear and Vandermonde-poly2 fits — the goal function the
+    annealing refinement minimizes).
+
+    SHARED-MOMENT form (the meanmax shared-ladder precedent, A/B'd at
+    r17 close: 3.21 s vs the 4-scan composition's 3.95 s, outputs
+    bit-identical): ONE 13-moment scale-4-quantized lineitem
+    aggregate feeds BOTH the fit coefficients and the residual leg's
+    linear/poly2 coefficients (the residuals row's former moment set
+    is a bit-identical subset — same dsum expressions, same scale),
+    then the events exp aggregate and ONE residual aggregate.
+
+    100 TB shape: three map-combinable whole-frame aggregates (no
+    shuffle wider than one row at any row count) + driver-side
+    closed-form coefficient math on the collected moment row."""
+    return _OP.fits_family_v2_spark(spark, sf_dir)
+
+
+@query("binary_file_ingest", oracle=_OP.wav_corpus_oracle_sql())
+def binary_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binaryFile directory-INGEST surface end-to-end (the one
+    multimodal surface without a driver row until r18; parity-proven
+    since r13): a corpus of per-user WAV files is materialized by
+    EXECUTOR tasks (mapInPandas side-effect, temp-file + atomic
+    rename — task retries can never interleave bytes into a name a
+    concurrent glob could read), then ingested fresh through Spark's
+    ``binaryFile`` source (sources/binaryfiles.py:read_binary_dir —
+    planning-time glob, one file one row), user id parsed from the
+    file name, payloads decoded through the REAL
+    audio_waveform_features stdlib-wave reader. The oracle computes
+    identical aggregates straight from the events table, so any loss
+    in write-files → glob → whole-file-read → decode breaks the hash.
+
+    100 TB shape: the corpus write and the ingest are both narrow
+    Arrow-batched passes; the per-user stats are one map-combinable
+    aggregate. The default corpus path is per-process temp (shared
+    only under local[N]) — a real cluster passes ``path`` on shared
+    storage (round-13 advisory, oracle_prep.binary_ingest_spark)."""
+    return _OP.binary_ingest_spark(spark, sf_dir)
+
+
+@query("psi_value_drift", oracle=_OP.psi_oracle_sql())
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index distribution drift
+    (operators/drift.py:psi_drift; full r16 pre-proof incl. sf1 hash
+    parity, shared-constant multiplier hardened r17): the events
+    value distribution of the even-user cohort (reference) vs the
+    odd-user cohort (comparison) per event_type — fixed log-spaced
+    buckets (8 from 7 edges), add-one smoothing, integer micro-nat
+    terms summed. Quantize-BEFORE-sum makes the result order-free on
+    both engines (the scale-4 dsum discipline applied to PSI terms).
+
+    100 TB shape: one group-keyed map-combinable count aggregate
+    (event_type × bucket — attribute-domain-bounded) + a bounded
+    dense-grid completion; no window, no data-sized shuffle."""
+    return _OP.psi_spark(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Registry order: the driver's correctness gate walks the registry in
 # iteration order (round-1 evidence: exactly the first 50 entries got
 # CORRECTNESS rows). Queries that have never had a green driver row —
@@ -5627,73 +5451,71 @@ def pivot_melt_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FIRST = [
-    # round-17 rotation (standing policy: every query gets a driver
+    # round-18 rotation (standing policy: every query gets a driver
     # row at least every 2 rounds; any query whose code changes this
     # round goes into the first 50). Slot math in docs/PLANS.md
-    # §"Round-17 slot funding": the r15-checked 50 rotate in, minus
-    # scd2_customer_dim (re-checked r16, contract satisfied through
-    # r18) = 49, minus byte_features_docs (retired into the
-    # binary_features_family merge) = 48, plus the family row itself
-    # and the pivot_melt_orders registration the freed slot funds
-    # = 50 exactly. binary_metadata_docs (the merge's other parent,
-    # r16-checked) RE-ENTERS EARLY via the family row — the r15
-    # pagerank precedent: early re-entry is always contract-safe.
-    # pagerank_part_supplier (r14+r15 green, the documented r16
-    # within-contract omission) is due THIS round and is in Block 2.
+    # §"Round-18 slot funding": the r16-checked 50 rotate in, minus
+    # binary_metadata_docs (retired into binary_features_family,
+    # which is r17-checked) = 49, minus the two fits parents (merged
+    # into the fits_family v2 row below) = 47, plus the family row
+    # itself and the two registrations the freed slots fund
+    # (binary_file_ingest + psi_value_drift) = 50 exactly, zero
+    # carries — and the registration queue is EMPTY after r18.
     #
-    # Block 1 — never-driver-checked rows (the two r17 registrations):
-    "pivot_melt_orders",
-    "binary_features_family",
-    # Block 2 — the r15-checked rotation (last driver row exactly 2
-    # rounds old; all green in CORRECTNESS_r15).
-    "asof_multi_value_lookup",
-    "batch_sessions_events",
-    "binary_corpus_family",
-    "bpe_family",
-    "canonical_docs_by_quality",
-    "classifier_quality_docs",
-    "containment_decontamination_docs",
-    "csv_read_fixture",
-    "dedup_batch_family",
-    "describe_lineitem",
-    "dsir_importance_docs",
-    "embedding_dedup_family",
-    "event_derived_series",
-    "event_funnel_family",
-    "fuzzy_linkage_parts",
-    "gopher_repetition_docs",
-    "group_samples_value_user",
-    "haversine_track_events",
-    "histogram_family",
-    "image_corpus_features",
-    "index_ops_family",
-    "interpolated_lookup_value",
-    "join_filters_family",
-    "kmv_family",
-    "lm_nll_docs",
-    "lsh_ann_topk_embeddings",
-    "meanmax_curve_family",
-    "near_dup_clusters_docs",
-    "pack_chunks_256",
-    "pagerank_part_supplier",
-    "pairwise_corr_lineitem",
-    "ppr_part_seeds",
-    "pricing_summary",
-    "quantiles_price_and_value",
-    "rdp_simplify_user_series",
-    "regional_revenue",
-    "roundtrip_family",
-    "salted_join_segment_revenue",
-    "set_ops_family",
-    "simhash_docs",
-    "spans_family",
-    "sssp_cheapest_route",
-    "stream_windows_hourly",
-    "table_diff_customers",
-    "top_revenue_orders",
-    "valid_only_drop_na",
-    "weighted_stats_value",
-    "xml_corpus_family",
+    # Block 1 — new/changed rows this round (the v2 family merge and
+    # the two registrations, none ever driver-checked in this form):
+    "fits_family",
+    "binary_file_ingest",
+    "psi_value_drift",
+    # Block 2 — the r16-checked rotation (last driver row exactly 2
+    # rounds old; all green in CORRECTNESS_r16).
+    "bm25_search_docs",
+    "cms_token_counts",
+    "corpus_stats_rollup",
+    "cosine_topk_embeddings",
+    "csv_roundtrip_lineitem",
+    "curriculum_buckets_docs",
+    "cusum_drift_events",
+    "decontamination_family",
+    "denylist_scrub_docs",
+    "forecast_revenue",
+    "format_roundtrip_family",
+    "gapfill_daily_value",
+    "graph_suite_family",
+    "grid_quantiles_price",
+    "group_samples_factor_events",
+    "hll_distinct_shingles",
+    "index_range_select",
+    "ivf_family",
+    "json_props_rollup",
+    "label_centroids_embeddings",
+    "mean_max_user_family",
+    "merge_upsert_customers",
+    "minhash_signatures_docs",
+    "mixture_sample_docs",
+    "ngram_jaccard_verified",
+    "per_source_cap_docs",
+    "pmi_collocations_docs",
+    "pq_adc_topk_embeddings",
+    "quality_filter_docs",
+    "robust_outliers_value",
+    "rolling_stats_value",
+    "rollup_family",
+    "scd2_customer_dim",
+    "segment_dedup_docs",
+    "select_filter_project",
+    "semantic_dedup_embeddings",
+    "session_windows_30m",
+    "shipping_priority",
+    "split_assignment_docs",
+    "stratified_sample_docs",
+    "temperature_mixture_weights",
+    "text_features_docs",
+    "tfidf_top_terms_docs",
+    "weighted_sample_docs",
+    "winnowed_fingerprints_docs",
+    "zipf_fit_tokens",
+    "zorder_key_events",
 ]
 
 # A retired name left in _FIRST must fail loudly: _order silently drops

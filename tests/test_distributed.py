@@ -236,3 +236,58 @@ def test_width_boundaries_property():
         assert all(lo < x < hi for x in out)
 
     check()
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # small domain -> value ties
+            st.integers(min_value=1, max_value=4),   # exact integer weights
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    picks=st.lists(
+        st.integers(min_value=0, max_value=10**6), min_size=1, max_size=3
+    ),
+)
+@_slow
+def test_weighted_quantiles_exact_boundary_ties(spark, rows, picks):
+    # BOUNDARY semantics (r16/r17 verdict surplus item): probs are
+    # CONSTRUCTED so p*W lands exactly on a cumulative-weight
+    # boundary, with duplicated values — the crossing predicate's
+    # (__cw >= t, prev < t) pair must pick exactly the FIRST value
+    # whose cumulation REACHES the target, and the t<=0 special case
+    # must return the first positive-weight value. Integer weights
+    # make every quantized cumulation exact, so the >= comparison is
+    # a true tie, not a float near-miss.
+    from data_frame_spark.operators.stats import weighted_quantiles
+
+    data = []
+    cum = 0.0
+    for j, (v, w) in enumerate(rows):
+        cum += float(w)
+        data.append((j, float(v), cum))
+    df = spark.createDataFrame(data, ["idx", "val", "wcum"])
+    ws = sorted((float(v), w * 10**6) for v, w in rows)
+    W = sum(w for _, w in ws)
+    cums, acc = [], 0
+    for _, w in ws:
+        acc += w
+        cums.append(acc)
+    probs = sorted({0.0, 1.0, *(cums[p % len(cums)] / W for p in picks)})
+    got = {
+        r["p"]: r["quantile"]
+        for r in weighted_quantiles(df, "val", "wcum", ["idx"], probs).collect()
+    }
+    want = {}
+    for p in probs:
+        t = p * W
+        acc = 0
+        for v, w in ws:
+            pa = acc
+            acc += w
+            if acc >= t and (pa < t or (t <= 0 and pa <= 0)):
+                want[p] = v
+                break
+    assert got == want

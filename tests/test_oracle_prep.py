@@ -384,6 +384,9 @@ def test_family_registrations_use_the_snapshot_oracles():
     # r17: frozen byte-identically from the lazy composition while
     # the two standalone binary doc-level rows still existed
     assert ORACLE["binary_features_family"] == OP.BINARY_FEATURES_FAMILY_ORACLE
+    # r18: frozen byte-identically from the lazy composition while
+    # the fits v1 + fit_residuals rows still existed
+    assert ORACLE["fits_family"] == OP.FITS_FAMILY_V2_ORACLE
 
 
 def test_meanmax_curve_family_oracle_matches_spark(spark, sf_dir, con):
@@ -579,7 +582,7 @@ def test_lookup_family_leg_sqls_are_the_registered_oracles():
 def test_dq_verify_oracle_matches_spark(spark, sf_dir, con):
     # r19+ new-surface candidate (pre-proven r17): Deequ-style
     # declarative data-quality verification over orders + the
-    # customer FK — two rules fire on the fixture, four pass
+    # customer FK — three rules fire on the fixture, three pass
     out = OP.dq_verify_spark(spark, sf_dir)
     cols = [f.name for f in out.schema.fields]
     got = sorted(tuple(r[c] for c in cols) for r in out.collect())
@@ -593,8 +596,8 @@ def test_dq_verify_oracle_matches_spark(spark, sf_dir, con):
 
 
 def test_fits_family_v2_oracle_matches_spark(spark, sf_dir, con):
-    # the r18 slot-funding merge pre-specced at r17 close (net -1,
-    # funds binary_file_ingest + psi_value_drift)
+    # registered r18 (slot-funding merge, net -1; funded
+    # binary_file_ingest + psi_value_drift)
     out = OP.fits_family_v2_spark(spark, sf_dir)
     cols = [f.name for f in out.schema.fields]
     got = sorted(
@@ -608,14 +611,6 @@ def test_fits_family_v2_oracle_matches_spark(spark, sf_dir, con):
     # 7 fit kinds + 2 residual kinds, facet-disjoint
     assert len(got) == 9 and len({row[0] for row in got}) == 2
     assert got == want
-
-
-def test_fits_family_v2_leg_sqls_are_the_registered_oracles():
-    from data_frame_spark.queries import ORACLE
-
-    legs = OP._fits_family_v2_leg_sqls()
-    assert legs["fits"] == ORACLE["fits_family"]
-    assert legs["residuals"] == ORACLE["fit_residuals_price_qty"]
 
 
 def test_pivot_melt_oracle_matches_spark(spark, sf_dir, con):
