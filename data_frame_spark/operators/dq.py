@@ -113,21 +113,20 @@ def verify(
     gcols = [str(c) for c in group_by]
     if len(set(gcols)) != len(gcols):
         raise ValueError("dq.verify group_by names must be distinct")
-    reserved = set(_OUT_COLS) | {"__cnt", "__fk", "__hit", "__n"}
-    collide = reserved & set(gcols)
-    if collide:
-        raise ValueError(
-            f"dq.verify group_by collides with report columns: "
-            f"{sorted(collide)}"
-        )
-    # the shared row-local aggregate also claims __v0..__vN aliases;
-    # any "__"-prefixed group name risks an opaque duplicate-column
-    # AnalysisException downstream, so reject the whole prefix loudly
+    # every internal alias (__cnt/__fk/__hit/__n/__v0..__vN) lives in
+    # the "__" prefix, so the prefix guard owns that whole namespace
+    # with the accurate message; _OUT_COLS are the report columns
     dunder = [c for c in gcols if c.startswith("__")]
     if dunder:
         raise ValueError(
             f"dq.verify group_by names may not start with '__' "
             f"(internal alias space): {sorted(dunder)}"
+        )
+    collide = set(_OUT_COLS) & set(gcols)
+    if collide:
+        raise ValueError(
+            f"dq.verify group_by collides with report columns: "
+            f"{sorted(collide)}"
         )
     gq = [_q(c) for c in gcols]
     if not rules:
@@ -135,17 +134,27 @@ def verify(
     ids = [r[1] for r in rules if len(r) >= 2]
     if len(ids) != len(rules) or len(set(ids)) != len(rules):
         raise ValueError("dq.verify rule_ids must be present and distinct")
+    # materialize accepted_values domains ONCE: a one-shot iterable
+    # would otherwise pass the guards (first list() consumes it) and
+    # reach _row_local_violations empty — every non-null row flagged
+    # with no error, the silent-wrong-count class the guards exist for
+    rules = [
+        ("accepted_values", r[1], r[2], list(r[3]))
+        if r[0] == "accepted_values" and len(r) >= 4
+        else r
+        for r in rules
+    ]
     for r in rules:
         if r[0] not in _FORMS:
             raise ValueError(f"dq.verify unknown rule form: {r[0]!r}")
-        if r[0] == "accepted_values" and not list(r[3]):
+        if r[0] == "accepted_values" and not r[3]:
             # an empty domain would silently flag every row — almost
             # certainly a caller bug, fail loudly instead
             raise ValueError(
                 f"dq.verify rule {r[1]!r}: accepted_values needs a "
                 "non-empty explicit value list"
             )
-        if r[0] == "accepted_values" and any(v is None for v in list(r[3])):
+        if r[0] == "accepted_values" and any(v is None for v in r[3]):
             # NULLs pass by contract (isNotNull() gates the check), so
             # a None member can never match — worse, ~isin([..None..])
             # is NULL for non-matching rows under three-valued logic,

@@ -250,3 +250,21 @@ def test_verify_by_group_randomized_property(spark, teams):
         else:
             assert (g, "n5") not in rep
     assert len(rep) == n_expected_rows
+
+
+def test_verify_accepted_values_one_shot_iterable(spark, people):
+    # r18 review finding: a generator domain must behave like its
+    # materialized list — the empty/None guards used to consume it,
+    # leaving _row_local_violations an empty isin that flagged every
+    # non-null row with no error
+    rep = _report(
+        dq.verify(
+            people,
+            [("accepted_values", "r1", "team", iter(["x", "y"]))],
+        )
+    )
+    assert rep["r1"]["n_violations"] == 1  # only 'zz'
+    with pytest.raises(ValueError, match="may not contain None"):
+        dq.verify(people, [("accepted_values", "r1", "team", iter(["x", None]))])
+    with pytest.raises(ValueError, match="non-empty explicit value list"):
+        dq.verify(people, [("accepted_values", "r1", "team", iter([]))])

@@ -387,6 +387,17 @@ def test_family_registrations_use_the_snapshot_oracles():
     # r18: frozen byte-identically from the lazy composition while
     # the fits v1 + fit_residuals rows still existed
     assert ORACLE["fits_family"] == OP.FITS_FAMILY_V2_ORACLE
+    # the registration returns the constant itself, so the equality
+    # above is circular post-retirement (r18 review finding); this
+    # checksum is the independent byte-identity link — computed from
+    # the live generator composition in the freeze session. An edit
+    # to the 13 KB literal fails HERE, not first in DuckDB parity.
+    import hashlib
+
+    assert (
+        hashlib.md5(OP.FITS_FAMILY_V2_ORACLE.encode()).hexdigest()
+        == "ef0493a1c14e2f38e6e0a6a41ffc6159"
+    )
 
 
 def test_meanmax_curve_family_oracle_matches_spark(spark, sf_dir, con):
