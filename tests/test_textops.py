@@ -1025,3 +1025,31 @@ def test_ivf_pq_topk_matches_adc_on_probed_cells(spark):
         for r in out2.collect()
     }
     assert got2 == got
+
+
+def test_recommended_planes_scale_discipline():
+    # r18 sf10 probe: fixed planes are quadratic in corpus size; the
+    # helper keeps expected bucket population at the constant target
+    from data_frame_spark.operators.similarity import recommended_planes
+
+    import pytest
+
+    # monotone non-decreasing in n
+    ns = [10, 1_000, 20_000, 200_000, 10**7, 10**10, 10**12]
+    ps = [recommended_planes(n) for n in ns]
+    assert ps == sorted(ps)
+    # bucket population n/2^p lands within [target/2, target] once
+    # n is large enough to clear the lower clamp
+    for n, p in zip(ns, ps):
+        if 4 < p < 24:
+            assert 32 <= n / 2**p <= 64
+    # the probe's two concrete operating points
+    assert recommended_planes(20_000) == 9
+    assert recommended_planes(200_000) == 12
+    # clamps
+    assert recommended_planes(1) == 4
+    assert recommended_planes(10**12) == 24
+    with pytest.raises(ValueError):
+        recommended_planes(0)
+    with pytest.raises(ValueError):
+        recommended_planes(100, target_bucket=0)
