@@ -16,6 +16,8 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from data_frame_spark.operators.colnames import quoted as _qc
 from pyspark.sql import types as T
 
 
@@ -34,9 +36,21 @@ def select_series(
     out = df
     if where is not None:
         out = out.where(where)
-    out = out.select(*cols)
+    out = out.select(*[_qc(c) if isinstance(c, str) else c for c in cols])
     if valid_only:
-        out = out.na.drop(how="any")
+        # explicit NULL/NaN conjunction instead of na.drop(): the JVM
+        # side of DataFrameNaFunctions PARSES the frame's column
+        # names, so a dotted output name broke it (r18 sweep). Same
+        # semantics — NaN counts as missing only for float/double.
+        conds = []
+        for f in out.schema.fields:
+            c = _qc(f.name)
+            cond = c.isNotNull()
+            if isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+                cond = cond & ~F.isnan(c)
+            conds.append(cond)
+        for cond in conds:
+            out = out.where(cond)
     return out
 
 
@@ -48,19 +62,19 @@ def count_na(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """
     cols = list(cols or df.columns)
     aggs = [
-        F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"na_{c}") for c in cols
+        F.count(F.when(_qc(c).isNull(), F.lit(1))).alias(f"na_{c}") for c in cols
     ]
     return df.agg(*aggs)
 
 
 def has_na(df: DataFrame, col: str) -> bool:
     """``df-has-na?``: any NULL in the series (early-exit via limit)."""
-    return df.where(F.col(col).isNull()).limit(1).count() > 0
+    return df.where(_qc(col).isNull()).limit(1).count() > 0
 
 
 def has_non_na(df: DataFrame, col: str) -> bool:
     """``df-has-non-na?`` (df.rkt:294-299)."""
-    return df.where(F.col(col).isNotNull()).limit(1).count() > 0
+    return df.where(_qc(col).isNotNull()).limit(1).count() > 0
 
 
 def drop_na(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
@@ -91,10 +105,10 @@ def describe(df: DataFrame) -> DataFrame:
     numeric = {f.name for f in df.schema.fields if isinstance(f.dataType, _NUMERIC)}
     aggs = []
     for c in df.columns:
-        aggs.append(F.count(F.col(c)).alias(f"cnt__{c}"))
-        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"na__{c}"))
+        aggs.append(F.count(_qc(c)).alias(f"cnt__{c}"))
+        aggs.append(F.count(F.when(_qc(c).isNull(), 1)).alias(f"na__{c}"))
         if c in numeric:
-            x = F.col(c).cast("double")
+            x = _qc(c).cast("double")
             n = F.count(x)
             sx = dsum(x, scale=6)
             sxx = dsum(x * x, scale=4)

@@ -37,6 +37,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_frame_spark.operators.colnames import quoted as _qc
+
 # Boundary placement only affects load BALANCE, never correctness
 # (any monotonic bucketing preserves global order), so a coarse
 # sketch is enough — accuracy 1000 keeps the boundary job cheap.
@@ -106,7 +108,7 @@ def compute_boundaries(
     — a much cheaper min/max aggregate, right for near-uniform axes
     (timestamps, sequence numbers); skew only affects balance, never
     correctness. Returns a deduplicated ascending list."""
-    c = F.col(col) if isinstance(col, str) else col
+    c = _qc(col) if isinstance(col, str) else col
     if n_buckets <= 1:
         return []
     if mode == "width":
@@ -146,7 +148,7 @@ def _bucketed(
 ):
     """Attach __bucket (monotonic in the first order column) and return
     (bucketed_df, within-bucket window ordered by the full key)."""
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    cols = [_qc(c) if isinstance(c, str) else c for c in order_by]
     if boundaries is None:
         boundaries = compute_boundaries(
             df, cols[0], n_buckets or _n_buckets(df), mode
@@ -203,7 +205,7 @@ def with_running_sum(
     ``totals`` lets a caller that already aggregated per-bucket sums
     (keyed by ``bucket_expr(order_by[0], boundaries)``) skip the
     collect job here — the job-fusion hook for multi-stat queries."""
-    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    v = _qc(value_col) if isinstance(value_col, str) else value_col
     b, w = _bucketed(df, order_by, n_buckets, boundaries)
     b = b.withColumn("__rsv", v)
     if totals is None:
@@ -255,9 +257,9 @@ def with_prev_marked(
     re-running an explode).
     """
     spark = df.sparkSession
-    ocols = [F.col(c) for c in order_by]
+    ocols = [_qc(c) for c in order_by]
     okey = F.struct(*ocols)
-    vstruct = F.struct(*[F.col(c) for c in value_cols])
+    vstruct = F.struct(*[_qc(c) for c in value_cols])
     b = df.withColumn("__bucket", bucket_expr(ocols[0], boundaries))
     asc_w = Window.partitionBy("__bucket").orderBy(*ocols).rowsBetween(
         Window.unboundedPreceding, 0
@@ -276,7 +278,7 @@ def with_prev_marked(
         "__bucket", F.last("__l", ignorenulls=True).over(wb).alias("__cl")
     )
     o = o.join(F.broadcast(carry), "__bucket", "left")
-    return o.withColumn(out, F.coalesce(F.col(out), F.col("__cl"))).drop(
+    return o.withColumn(out, F.coalesce(_qc(out), F.col("__cl"))).drop(
         "__bucket", "__cl"
     )
 
@@ -316,14 +318,14 @@ def with_lag(
     ``boundary_mode="width"`` uses the cheap min/max boundary job —
     right when the order axis is near-uniform (timestamps)."""
     b, w = _bucketed(df, order_by, n_buckets, boundaries, boundary_mode)
-    ocols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ocols = [_qc(c) if isinstance(c, str) else c for c in order_by]
     out = b.withColumn("__lrn1", F.row_number().over(w))
     for c in cols:
-        out = out.withColumn(prefix + c, F.lag(F.col(c)).over(w))
+        out = out.withColumn(prefix + c, F.lag(_qc(c)).over(w))
     # last row per bucket, map-side combinable; lead() maps it to the
     # NEXT nonempty bucket (robust to empty buckets in between)
     last = b.groupBy("__bucket").agg(
-        F.max_by(F.struct(*[F.col(c) for c in cols]), F.struct(*ocols)).alias("__last")
+        F.max_by(F.struct(*[_qc(c) for c in cols]), F.struct(*ocols)).alias("__last")
     )
     nxt_w = Window.orderBy("__bucket")
     carry = last.select(
@@ -333,8 +335,8 @@ def with_lag(
     for c in cols:
         out = out.withColumn(
             prefix + c,
-            F.when(F.col("__lrn1") == 1, F.col(f"__last.{c}")).otherwise(
-                F.col(prefix + c)
+            F.when(F.col("__lrn1") == 1, F.col("__last").getField(c)).otherwise(
+                _qc(prefix + c)
             ),
         )
     return out.drop("__bucket", "__lrn1", "__last")

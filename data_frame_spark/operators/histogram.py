@@ -31,6 +31,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_frame_spark.operators.colnames import quoted as _qc
+
 from data_frame_spark.exact import dsum
 from data_frame_spark.operators.distributed import with_lag
 
@@ -54,7 +56,7 @@ def histogram(
     ``count`` is double when ``as_percentage`` (share of total * 100),
     else long.
     """
-    x = F.col(col).cast("double")
+    x = _qc(col).cast("double")
     d = df.where(x.isNotNull())
     bucket = _trunc_div(x, width)
     if not include_zeroes:
@@ -82,10 +84,10 @@ def weighted_histogram(
     """
     d = (
         with_lag(df, order_by, [weight_col, col], boundary_mode="width")
-        .withColumn("__pw", F.col(f"__lag_{weight_col}"))
-        .withColumn("__pv", F.col(f"__lag_{col}"))
-        .withColumn("__dx", F.col(weight_col) - F.col("__pw"))
-        .withColumn("__dy", (F.col("__pv") + F.col(col)) / 2)
+        .withColumn("__pw", _qc(f"__lag_{weight_col}"))
+        .withColumn("__pv", _qc(f"__lag_{col}"))
+        .withColumn("__dx", _qc(weight_col) - F.col("__pw"))
+        .withColumn("__dy", (F.col("__pv") + _qc(col)) / 2)
         # the reference's weighted-binning (histogram.rkt:53-66) has no
         # dx>0 guard (unlike weighted-statistics): zero/backwards pairs
         # contribute their delta
@@ -103,8 +105,8 @@ def weighted_histogram(
 
 def string_histogram(df: DataFrame, col: str, as_percentage: bool = False) -> DataFrame:
     """String-sample histogram: bucket = the value itself."""
-    d = df.where(F.col(col).isNotNull())
-    out = d.groupBy(F.col(col).alias("bucket")).agg(F.count(F.lit(1)).alias("count"))
+    d = df.where(_qc(col).isNotNull())
+    out = d.groupBy(_qc(col).alias("bucket")).agg(F.count(F.lit(1)).alias("count"))
     if as_percentage:
         total = Window.partitionBy()
         out = out.select(

@@ -21,6 +21,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_frame_spark.operators.colnames import quoted as _qc
+
 
 def asof_join(
     probes: DataFrame,
@@ -54,33 +56,33 @@ def asof_join(
     probe_tag, base_tag = (1, 0) if not strict else (0, 1)
 
     b = base.select(
-        *pcols,
-        F.col(on).alias("__k"),
+        *[_qc(c) if isinstance(c, str) else c for c in pcols],
+        _qc(on).alias("__k"),
         F.lit(base_tag).alias("__tag"),
-        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__row"),
+        F.struct(*[_qc(c).alias(c) for c in value_cols]).alias("__row"),
     )
     p = (
-        probes.withColumn("__k", F.col(on).cast(b.schema["__k"].dataType))
+        probes.withColumn("__k", _qc(on).cast(b.schema["__k"].dataType))
         .withColumn("__tag", F.lit(probe_tag))
         .withColumn("__row", F.lit(None).cast(b.schema["__row"].dataType))
     )
     u = p.unionByName(b, allowMissingColumns=True)
 
     if direction == "backward":
-        w = Window.partitionBy(*pcols).orderBy("__k", "__tag").rowsBetween(
+        w = Window.partitionBy(*[_qc(c) for c in pcols]).orderBy("__k", "__tag").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
     else:
         # key desc + tag asc: at an equal key the base row precedes the
         # probe iff base_tag < probe_tag (non-strict) — mirrors backward.
-        w = Window.partitionBy(*pcols).orderBy(
+        w = Window.partitionBy(*[_qc(c) for c in pcols]).orderBy(
             F.col("__k").desc(), F.col("__tag").asc()
         ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     out = u.withColumn("__row", F.last(F.col("__row"), ignorenulls=True).over(w))
     out = out.where(F.col("__tag") == probe_tag)
-    keep = [c for c in probes.columns] + [
-        F.col(f"__row.{c}").alias(c) for c in value_cols
+    keep = [_qc(c) for c in probes.columns] + [
+        F.col("__row").getField(c).alias(c) for c in value_cols
     ]
     return out.select(*keep)
 
@@ -110,7 +112,7 @@ def interpolated_lookup(
         F.lit(0).alias("__tag"),
         F.struct(
             F.col(on).cast("double").alias("__bk"),
-            *[F.col(c).cast("double").alias(c) for c in value_cols],
+            *[_qc(c).cast("double").alias(c) for c in value_cols],
         ).alias("__row"),
     )
     p = (
@@ -139,7 +141,7 @@ def interpolated_lookup(
     )
 
     t_frac = (F.col("__k") - F.col("__k0")) / (F.col("__k1") - F.col("__k0"))
-    exprs = [F.col(c) for c in probes.columns]
+    exprs = [_qc(c) for c in probes.columns]
     for c in value_cols:
         y0, y1 = F.col(f"__s0.{c}"), F.col(f"__s1.{c}")
         interp = (
@@ -177,7 +179,7 @@ def time_delay_series(
         probes.withColumnRenamed(ts_col, "__orig_ts").withColumnRenamed(
             "__probe_ts", ts_col
         ),
-        df.select(*partition_by, ts_col, F.col(value_col).alias(name)),
+        df.select(*[_qc(c) for c in partition_by], _qc(ts_col).alias(ts_col), _qc(value_col).alias(name)),
         on=ts_col,
         value_cols=[name],
         partition_by=partition_by,

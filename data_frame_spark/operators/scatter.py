@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from data_frame_spark.operators.colnames import quoted as _qc
+
 
 def _round_half_even(col: Column, digits: int) -> Column:
     # the reference uses exact-round (round-half-even on exact
@@ -36,11 +38,11 @@ def group_samples(
     With ``by``, ranks are computed per factor value — the composed
     group-samples/factor semantics (scatter.rkt:102-107: each factor
     value is its own series) in the same single-shuffle aggregate."""
-    x = _round_half_even(F.col(x_col).cast("double"), frac_digits1)
-    y = _round_half_even(F.col(y_col).cast("double"), frac_digits2)
-    keys = ([F.col(by)] if by else []) + [x.alias("x"), y.alias("y")]
+    x = _round_half_even(_qc(x_col).cast("double"), frac_digits1)
+    y = _round_half_even(_qc(y_col).cast("double"), frac_digits2)
+    keys = ([_qc(by)] if by else []) + [x.alias("x"), y.alias("y")]
     return (
-        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        df.where(_qc(x_col).isNotNull() & _qc(y_col).isNotNull())
         .groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("rank"))
     )

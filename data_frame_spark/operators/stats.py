@@ -31,6 +31,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_frame_spark.operators.colnames import quoted as _qc
+
 from data_frame_spark.exact import dsum
 from data_frame_spark.operators.distributed import (
     with_global_rank,
@@ -56,8 +58,8 @@ def weighted_stats(
     """
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(*order_by)
-        d = df.withColumn("__pw", F.lag(F.col(weight_col)).over(w)).withColumn(
-            "__pv", F.lag(F.col(value_col)).over(w)
+        d = df.withColumn("__pw", F.lag(_qc(weight_col)).over(w)).withColumn(
+            "__pv", F.lag(_qc(value_col)).over(w)
         )
     else:
         # no partition keys -> distributed lag (range-bucketed), not a
@@ -66,19 +68,19 @@ def weighted_stats(
             df, order_by, [weight_col, value_col], boundary_mode="width"
         ).select(
             "*",
-            F.col(f"__lag_{weight_col}").alias("__pw"),
-            F.col(f"__lag_{value_col}").alias("__pv"),
+            _qc(f"__lag_{weight_col}").alias("__pw"),
+            _qc(f"__lag_{value_col}").alias("__pv"),
         )
     d = (
-        d.withColumn("__dx", F.col(weight_col) - F.col("__pw"))
-        .withColumn("__dy", (F.col("__pv") + F.col(value_col)) / 2)
+        d.withColumn("__dx", _qc(weight_col) - F.col("__pw"))
+        .withColumn("__dy", (F.col("__pv") + _qc(value_col)) / 2)
         .where(
             F.col("__dx").isNotNull()
             & F.col("__dy").isNotNull()
             & (F.col("__dx") > 0)
         )
     )
-    keys = [F.col(c) for c in partition_by]
+    keys = [_qc(c) for c in partition_by]
     sw = dsum(F.col("__dx"), scale)
     swx = dsum(F.col("__dx") * F.col("__dy"), scale)
     swxx = dsum(F.col("__dx") * F.col("__dy") * F.col("__dy"), scale)
@@ -100,14 +102,14 @@ def unweighted_stats(
 ) -> DataFrame:
     """``df-statistics`` without a weight series: plain moments over
     non-NA values (statistics.rkt:57-61)."""
-    x = F.col(value_col).cast("double")
+    x = _qc(value_col).cast("double")
     d = df.where(x.isNotNull())
     n = F.count(x)
     sx = dsum(x, scale)
     sxx = dsum(x * x, max(scale - 2, 0))
     mean = sx / n
     var = (sxx - sx * sx / n) / (n - F.lit(1))
-    agg = d.groupBy(*[F.col(c) for c in partition_by]) if partition_by else d.groupBy()
+    agg = d.groupBy(*[_qc(c) for c in partition_by]) if partition_by else d.groupBy()
     return agg.agg(
         n.alias("count"),
         F.min(x).alias("min"),
@@ -131,7 +133,7 @@ def quantiles(
     window), then a broadcast join against the tiny probs table.
     """
     spark = df.sparkSession
-    x = F.col(value_col).cast("double")
+    x = _qc(value_col).cast("double")
     d = df.where(x.isNotNull()).select(x.alias("__x"))
     # one fused scan for row count + bucket boundaries
     from data_frame_spark.operators.distributed import (
@@ -194,12 +196,12 @@ def weighted_quantiles(
     # sketch. Boundary placement never affects results (any monotonic
     # bucketing preserves global order), so sketching the raw values
     # instead of the post-filter deltas is free.
-    ocol = F.col(order_by[0]).cast("double")
+    ocol = _qc(order_by[0]).cast("double")
     row = df.agg(
         F.min(ocol).alias("lo"),
         F.max(ocol).alias("hi"),
         F.percentile_approx(
-            sketch_col(F.col(value_col).cast("double")),
+            sketch_col(_qc(value_col).cast("double")),
             [i / nb for i in range(1, nb)],
             _ACCURACY_LIT(),
         ).alias("bs"),
@@ -219,12 +221,12 @@ def weighted_quantiles(
         .withColumn(
             "__w",
             F.when(
-                F.col("__pw").isNotNull(), F.col(weight_col) - F.col("__pw")
-            ).otherwise(F.col(weight_col)),
+                F.col("__pw").isNotNull(), _qc(weight_col) - F.col("__pw")
+            ).otherwise(_qc(weight_col)),
         )
-        .where(F.col(value_col).isNotNull() & (F.col("__w") > 0))
+        .where(_qc(value_col).isNotNull() & (F.col("__w") > 0))
         .select(
-            F.col(value_col).cast("double").alias("__x"),
+            _qc(value_col).cast("double").alias("__x"),
             F.floor(F.col("__w") * F.lit(1e6) + F.lit(0.5)).alias("__wq"),
         )
         .where(F.col("__wq") > 0)
@@ -301,7 +303,7 @@ def quantile_buckets(
             for i, p in enumerate(probs)
         ]
     )
-    v = F.col(value_col).cast("double")
+    v = _qc(value_col).cast("double")
     bucket = F.lit(len(probs) + 1)
     for i in reversed(range(len(probs))):
         bucket = F.when(v <= F.col(f"__t{i}"), F.lit(i + 1)).otherwise(bucket)
@@ -409,10 +411,10 @@ def robust_outlier_stats(
     against, outliers undefined, n_outliers = 0).
     """
     scope = (
-        F.lit("ALL") if group_col is None else F.col(group_col).cast("string")
+        F.lit("ALL") if group_col is None else _qc(group_col).cast("string")
     )
     base = df.select(
-        scope.alias("scope"), F.col(value_col).cast("double").alias("__x")
+        scope.alias("scope"), _qc(value_col).cast("double").alias("__x")
     ).where(F.col("__x").isNotNull())
     # med/mad are aggregate-sized (one row per scope) but their
     # subtrees are multi-pass corpus pipelines: cut lineage once so
@@ -487,7 +489,7 @@ def pairwise_corr(
     if not exact:
         pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
         aggs = [F.count(F.lit(1)).alias("__n")] + [
-            F.corr(F.col(a).cast("double"), F.col(b).cast("double")).alias(
+            F.corr(_qc(a).cast("double"), _qc(b).cast("double")).alias(
                 f"__c_{a}_{b}"
             )
             for a, b in pairs
@@ -512,7 +514,7 @@ def pairwise_corr(
         )
         return out.select("__p.col_x", "__p.col_y", "n", "__p.corr_micro")
     micro = {
-        c: F.floor(F.col(c).cast("double") * 1e6 + F.lit(0.5)).cast("decimal(19,0)")
+        c: F.floor(_qc(c).cast("double") * 1e6 + F.lit(0.5)).cast("decimal(19,0)")
         for c in cols
     }
     aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]

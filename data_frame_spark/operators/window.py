@@ -20,15 +20,20 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from data_frame_spark.operators.colnames import quoted as _qc
+
 
 def ordered_window(
     order_by: Sequence[str | Column],
     partition_by: Sequence[str | Column] = (),
 ) -> WindowSpec:
-    w = Window.orderBy(*order_by)
+    # Window.partitionBy/orderBy PARSE bare strings (dotted names
+    # resolve as struct-field access) — quote literals
+    ob = [_qc(c) if isinstance(c, str) else c for c in order_by]
     if partition_by:
-        w = Window.partitionBy(*partition_by).orderBy(*order_by)
-    return w
+        pb = [_qc(c) if isinstance(c, str) else c for c in partition_by]
+        return Window.partitionBy(*pb).orderBy(*ob)
+    return Window.orderBy(*ob)
 
 
 def with_prev(
@@ -47,7 +52,7 @@ def with_prev(
     w = ordered_window(order_by, partition_by)
     out = df
     for c in cols:
-        out = out.withColumn(prefix + c, F.lag(F.col(c)).over(w))
+        out = out.withColumn(prefix + c, F.lag(_qc(c)).over(w))
     return out
 
 
@@ -62,7 +67,7 @@ def map_with_prev(
     """``df-add-derived!`` of an arity-2 mapfn: ``fn`` receives
     (prev_c1..prev_cn, c1..cn) Columns and returns the new column."""
     tagged = with_prev(df, cols, order_by, partition_by)
-    args = [F.col(f"prev_{c}") for c in cols] + [F.col(c) for c in cols]
+    args = [_qc(f"prev_{c}") for c in cols] + [_qc(c) for c in cols]
     return tagged.withColumn(name, fn(*args)).drop(*[f"prev_{c}" for c in cols])
 
 
@@ -76,7 +81,7 @@ def delta(
     """value - lag(value): the derivative idiom (df-test.rkt uses this
     shape for grade/speed computations)."""
     w = ordered_window(order_by, partition_by)
-    return df.withColumn(name or f"delta_{col}", F.col(col) - F.lag(F.col(col)).over(w))
+    return df.withColumn(name or f"delta_{col}", _qc(col) - F.lag(_qc(col)).over(w))
 
 
 def cumulative(
@@ -92,7 +97,7 @@ def cumulative(
     w = ordered_window(order_by, partition_by).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return df.withColumn(name or f"cum_{col}", F.sum(F.col(col)).over(w))
+    return df.withColumn(name or f"cum_{col}", F.sum(_qc(col)).over(w))
 
 
 def row_range(
@@ -147,7 +152,7 @@ def rolling_stats(
         .orderBy(*order_by)
         .rowsBetween(-(n - 1), Window.currentRow)
     )
-    x = F.col(value_col)
+    x = _qc(value_col)
     micro = F.floor(x * 1e6 + F.lit(0.5)).cast("long")
     return (
         df.withColumn("__rn_cnt", F.count(x).over(w))
@@ -189,9 +194,9 @@ def sessionize(
         raise ValueError("sessionize requires partition_by (scale contract)")
     order = [ts_col, *order_tiebreak]
     w = Window.partitionBy(*partition_by).orderBy(*order)
-    prev = F.lag(F.col(ts_col)).over(w)
+    prev = F.lag(_qc(ts_col)).over(w)
     new_s = F.when(
-        prev.isNull() | ((F.col(ts_col) - prev) > F.lit(gap)), F.lit(1)
+        prev.isNull() | ((_qc(ts_col) - prev) > F.lit(gap)), F.lit(1)
     ).otherwise(F.lit(0))
     run = Window.partitionBy(*partition_by).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -239,13 +244,13 @@ def funnel_steps(
     out = df
     prev_t = None
     for i, step in enumerate(steps, start=1):
-        cond = F.col(type_col) == F.lit(step)
+        cond = _qc(type_col) == F.lit(step)
         if prev_t is not None:
-            cond = cond & F.col(prev_t).isNotNull() & (F.col(ts_col) > F.col(prev_t))
+            cond = cond & _qc(prev_t).isNotNull() & (_qc(ts_col) > _qc(prev_t))
             if within is not None:
-                cond = cond & (F.col(ts_col) <= F.col(prev_t) + F.lit(int(within)))
+                cond = cond & (_qc(ts_col) <= _qc(prev_t) + F.lit(int(within)))
         name = f"{out_prefix}{i}"
-        out = out.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        out = out.withColumn(name, F.min(F.when(cond, _qc(ts_col))).over(w))
         prev_t = name
     return out
 
@@ -284,13 +289,13 @@ def cusum(
         .orderBy(*order_by)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    p = F.sum(F.col(value_micro_col) - F.lit(int(target_micro))).over(w)
+    p = F.sum(_qc(value_micro_col) - F.lit(int(target_micro))).over(w)
     out_df = df.withColumn("__p", p).withColumn(
         out,
         F.col("__p") - F.least(F.min("__p").over(w), F.lit(0).cast("long")),
     ).drop("__p")
     if threshold_micro is not None:
         out_df = out_df.withColumn(
-            "alarm", F.col(out) > F.lit(int(threshold_micro))
+            "alarm", _qc(out) > F.lit(int(threshold_micro))
         )
     return out_df
