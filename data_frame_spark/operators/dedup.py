@@ -368,6 +368,8 @@ def ngram_contamination(
     n: int = 13,
     min_overlap: int = 1,
     broadcast: bool | str = True,
+    corpus_grams: DataFrame | None = None,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Train/test decontamination by n-gram collision (the standard
     public recipe: a training document is contaminated if it shares
@@ -394,12 +396,31 @@ def ngram_contamination(
       past any broadcast cap / executor memory). Both sides
       hash-partition on ``__h``; work stays ∝ collisions.
     * ``'auto'`` — no hint; Catalyst + AQE choose from size stats.
+
+    ``corpus_grams`` / ``bench_grams`` (optimization round 18, guide
+    §2.3 "do fewer passes"): a caller computing several contamination
+    views over the SAME corpus (the decontamination_family row runs
+    this leg AND the bloom leg) may pass a precomputed DISTINCT
+    ``(id, __h)`` hashed n-gram relation — ``corpus_grams`` keyed by
+    ``id_col``, ``bench_grams`` keyed by ``id_col`` restricted to the
+    benchmark documents — so the shingle window + md5 pipeline runs
+    ONCE instead of per leg. The shared relation must be exactly what
+    :func:`_hashed_ngrams` would build (distinct per-document hashed
+    n-grams at this ``n``); results are identical because the
+    per-(doc, bench) count below already counts DISTINCT shared
+    hashes either way.
     """
-    c = shingle_rows(corpus, text_col, id_col, n=n).select(
-        F.col("__id").alias("doc_id"), F.md5(F.col("__shingle")).alias("__h")
-    )
+    if corpus_grams is None:
+        c = shingle_rows(corpus, text_col, id_col, n=n).select(
+            F.col("__id").alias("doc_id"), F.md5(F.col("__shingle")).alias("__h")
+        )
+    else:
+        c = corpus_grams.select(F.col(id_col).alias("doc_id"), "__h")
     b = _bench_join_side(
-        _hashed_ngrams(benchmark, text_col, id_col, n, "bench_id"), broadcast
+        _hashed_ngrams(benchmark, text_col, id_col, n, "bench_id")
+        if bench_grams is None
+        else bench_grams.select(F.col(id_col).alias("bench_id"), "__h"),
+        broadcast,
     )
     return (
         c.join(b, "__h")
@@ -773,6 +794,8 @@ def bloom_contamination(
     id_col: str = "doc_id",
     n: int = 13,
     m_bits: int = 4096,
+    corpus_grams: DataFrame | None = None,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage train/test decontamination: a BLOOM-FILTER gate in
     front of the exact n-gram verify.
@@ -791,21 +814,35 @@ def bloom_contamination(
     filter is deterministic and the FALSE-POSITIVE set itself can be
     verified by a SQL twin. Output per corpus document: (id, n_grams
     [distinct], bloom_candidates, exact_hits, bloom_false_positives).
+
+    ``corpus_grams`` / ``bench_grams`` carry the same precomputed
+    distinct ``(id_col, __h)`` hashed n-gram contract as
+    :func:`ngram_contamination` — the decontamination_family row
+    shares ONE corpus shingle pass between this leg and the exact
+    collision leg instead of re-running the doc-keyed window + md5
+    pipeline per leg (optimization round 18, guide §2.3).
     """
-    cg = (
-        shingle_rows(corpus, text_col, id_col, n=n)
-        .select(F.col("__id").alias(id_col), F.md5(F.col("__shingle")).alias("__h"))
-        .groupBy(id_col, "__h")
-        .agg(F.count(F.lit(1)).alias("__occ"))
-        .drop("__occ")
-    )
+    if corpus_grams is None:
+        cg = (
+            shingle_rows(corpus, text_col, id_col, n=n)
+            .select(F.col("__id").alias(id_col), F.md5(F.col("__shingle")).alias("__h"))
+            .groupBy(id_col, "__h")
+            .agg(F.count(F.lit(1)).alias("__occ"))
+            .drop("__occ")
+        )
+    else:
+        cg = corpus_grams.select(id_col, "__h")
     # the bench pipeline feeds FOUR broadcast builds (k probe joins +
     # the exact verify); materialize its tiny results once instead of
     # re-running the shingle pipeline per build (eager localCheckpoint
     # is ContextCleaner-reclaimed — no session-lifetime cache leak)
     bg = (
-        shingle_rows(benchmark, text_col, id_col, n=n)
-        .select(F.md5(F.col("__shingle")).alias("__h"))
+        (
+            shingle_rows(benchmark, text_col, id_col, n=n)
+            .select(F.md5(F.col("__shingle")).alias("__h"))
+            if bench_grams is None
+            else bench_grams.select("__h")
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -1555,12 +1555,53 @@ def decontamination_family_spark(spark, sf_dir):
     three standalone pipelines (bloom gate, benchmark n-gram
     collision join, cross-split audit), facet-unioned with
     typed-NULL superset columns padded by the SAME owner sets the
-    oracle projects from."""
+    oracle projects from.
+
+    Optimization (round 18, guide §2.3/§2.4 — fewer passes, fewer
+    shuffles): the bloom and ngram legs both consume the corpus's
+    DISTINCT (doc_id, md5(13-gram)) relation, and their benchmark
+    side (every 50th doc) is a pure FILTER of that same relation —
+    so the doc-keyed shingle window + md5 + distinct pipeline is
+    built ONCE, lazily localCheckpoint-ed (materialized by the first
+    leg's first job, reused by every other reference), and passed
+    into both legs via their ``corpus_grams``/``bench_grams``
+    parameters. Before: the family's plan scanned documents and ran
+    the 13-gram pipeline 4× (corpus twice, bench twice). After: once.
+    Results are identical (the legs' own gram construction is the
+    same distinct relation); the standalone ``decontamination_leg``
+    builders — and their per-leg broadcast-contract plan pins — are
+    untouched. The audit leg (5-grams over the split-assigned corpus)
+    shares nothing at n=13 and stays as-is."""
     from pyspark.sql import functions as F
 
+    from data_frame_spark.operators.dedup import (
+        bloom_contamination,
+        ngram_contamination,
+        shingle_rows,
+    )
+    from data_frame_spark.operators.distributed import ensure_parallelism
+    from data_frame_spark.queries import t
+
+    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+    g13 = (
+        shingle_rows(docs, "text", "doc_id", n=13)
+        .select(
+            F.col("__id").alias("doc_id"), F.md5(F.col("__shingle")).alias("__h")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bench_g = g13.where(F.col("doc_id") % 50 == 0)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
     legs = {
-        "bloom": decontamination_leg(spark, sf_dir, "bloom"),
-        "ngram": decontamination_leg(spark, sf_dir, "ngram"),
+        "bloom": bloom_contamination(
+            docs, bench, "text", "doc_id", n=13, m_bits=_DECON_BLOOM_M,
+            corpus_grams=g13, bench_grams=bench_g,
+        ),
+        "ngram": ngram_contamination(
+            docs, bench, "text", "doc_id", n=13,
+            corpus_grams=g13, bench_grams=bench_g,
+        ),
         "audit": decontamination_leg(spark, sf_dir, "audit"),
     }
 
