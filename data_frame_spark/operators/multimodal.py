@@ -271,6 +271,42 @@ WAVEFORM_SCHEMA = T.StructType(
 )
 
 
+def waveform_row(i, payload) -> dict:
+    """Decode ONE 16-bit PCM mono WAV payload into the
+    WAVEFORM_SCHEMA stat dict (quarantine ok=False on anything
+    else) — the per-payload body of :func:`audio_waveform_features`,
+    exposed so a builder that PACKS a payload in the same Python
+    task can decode it without a second Arrow round trip
+    (binary_corpus_family, r18 optimization)."""
+    import io
+    import wave
+
+    row = {
+        "doc_id": _safe_id(i), "n_samples": None, "sample_sum": None,
+        "abs_sum": None, "peak_abs": None,
+        "zero_crossings": None, "ok": False,
+    }
+    try:
+        if payload is not None and bytes(payload[:4]) == b"RIFF":
+            with wave.open(io.BytesIO(bytes(payload))) as w:
+                if w.getsampwidth() == 2 and w.getnchannels() == 1:
+                    raw = w.readframes(w.getnframes())
+                    s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                    row.update(
+                        n_samples=int(s.size),
+                        sample_sum=int(s.sum()),
+                        abs_sum=int(np.abs(s).sum()),
+                        peak_abs=int(np.abs(s).max()) if s.size else 0,
+                        zero_crossings=int(
+                            ((s[:-1] * s[1:]) < 0).sum()
+                        ) if s.size > 1 else 0,
+                        ok=True,
+                    )
+    except Exception:
+        pass  # quarantine row stays ok=False
+    return row
+
+
 def audio_waveform_features(
     df: DataFrame, bin_col: str, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -289,39 +325,12 @@ def audio_waveform_features(
 
     Scale shape: one narrow Arrow-batched ``mapInPandas`` pass —
     payload bytes never shuffle; a few longs per row come out."""
-    import io
-    import wave
-
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for i, payload in zip(pdf[id_col], pdf[bin_col]):
-                row = {
-                    "doc_id": _safe_id(i), "n_samples": None, "sample_sum": None,
-                    "abs_sum": None, "peak_abs": None,
-                    "zero_crossings": None, "ok": False,
-                }
-                try:
-                    if payload is not None and bytes(payload[:4]) == b"RIFF":
-                        with wave.open(io.BytesIO(bytes(payload))) as w:
-                            if w.getsampwidth() == 2 and w.getnchannels() == 1:
-                                raw = w.readframes(w.getnframes())
-                                s = np.frombuffer(raw, dtype="<i2").astype(
-                                    np.int64
-                                )
-                                row.update(
-                                    n_samples=int(s.size),
-                                    sample_sum=int(s.sum()),
-                                    abs_sum=int(np.abs(s).sum()),
-                                    peak_abs=int(np.abs(s).max()) if s.size else 0,
-                                    zero_crossings=int(
-                                        ((s[:-1] * s[1:]) < 0).sum()
-                                    ) if s.size > 1 else 0,
-                                    ok=True,
-                                )
-                except Exception:
-                    pass  # quarantine row stays ok=False
-                out.append(row)
+            out = [
+                waveform_row(i, payload)
+                for i, payload in zip(pdf[id_col], pdf[bin_col])
+            ]
             yield pd.DataFrame(
                 out, columns=[f.name for f in WAVEFORM_SCHEMA.fields]
             )
@@ -367,6 +376,55 @@ def _iter_boxes(data: bytes, start: int, end: int):
         off += size
 
 
+def video_row(i, payload) -> dict:
+    """Walk ONE ISO BMFF payload into the VIDEO_SCHEMA metadata dict
+    (quarantine ok=False on non-BMFF/malformed) — the per-payload
+    body of :func:`video_metadata`, exposed for the same fused
+    pack+decode treatment as :func:`waveform_row`."""
+    row = {
+        "doc_id": _safe_id(i), "format": None, "major_brand": None,
+        "timescale": None, "duration_units": None,
+        "duration_us": None, "n_tracks": None, "ok": False,
+    }
+    try:
+        data = bytes(payload) if payload is not None else b""
+        if len(data) >= 12 and data[4:8] == b"ftyp":
+            brand = data[8:12].decode("ascii", "replace").strip()
+            ts = dur = None
+            n_tracks = 0
+            for typ, ps, pe in _iter_boxes(data, 0, len(data)):
+                if typ != b"moov":
+                    continue
+                for t2, p2, e2 in _iter_boxes(data, ps, pe):
+                    if t2 == b"trak":
+                        n_tracks += 1
+                    elif t2 == b"mvhd" and e2 - p2 >= 4:
+                        ver = data[p2]
+                        if ver == 1 and e2 - p2 >= 32:
+                            ts = int.from_bytes(data[p2 + 20:p2 + 24], "big")
+                            dur = int.from_bytes(data[p2 + 24:p2 + 32], "big")
+                        elif ver == 0 and e2 - p2 >= 24:
+                            ts = int.from_bytes(data[p2 + 12:p2 + 16], "big")
+                            dur = int.from_bytes(data[p2 + 16:p2 + 20], "big")
+            # range-check before update: a corrupt mvhd (e.g. 0xFF..
+            # duration bytes) would pass the try block here but
+            # overflow LongType at Arrow serialization — OUTSIDE the
+            # except — crashing the whole task instead of
+            # quarantining (round-12 review finding)
+            if ts and dur is not None and dur < (1 << 62):
+                dur_us = (dur * 1_000_000) // ts
+                if dur_us < (1 << 63):
+                    row.update(
+                        format="mp4", major_brand=brand,
+                        timescale=ts, duration_units=dur,
+                        duration_us=dur_us,
+                        n_tracks=n_tracks, ok=True,
+                    )
+    except Exception:
+        pass  # quarantine row stays ok=False
+    return row
+
+
 def video_metadata(df: DataFrame, bin_col: str, id_col: str = "doc_id") -> DataFrame:
     """Video container metadata over an opaque binary column — REAL
     (no codec library) for ISO BMFF (mp4/mov) payloads via stdlib
@@ -382,51 +440,10 @@ def video_metadata(df: DataFrame, bin_col: str, id_col: str = "doc_id") -> DataF
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for i, payload in zip(pdf[id_col], pdf[bin_col]):
-                row = {
-                    "doc_id": _safe_id(i), "format": None, "major_brand": None,
-                    "timescale": None, "duration_units": None,
-                    "duration_us": None, "n_tracks": None, "ok": False,
-                }
-                try:
-                    data = bytes(payload) if payload is not None else b""
-                    if len(data) >= 12 and data[4:8] == b"ftyp":
-                        brand = data[8:12].decode("ascii", "replace").strip()
-                        ts = dur = None
-                        n_tracks = 0
-                        for typ, ps, pe in _iter_boxes(data, 0, len(data)):
-                            if typ != b"moov":
-                                continue
-                            for t2, p2, e2 in _iter_boxes(data, ps, pe):
-                                if t2 == b"trak":
-                                    n_tracks += 1
-                                elif t2 == b"mvhd" and e2 - p2 >= 4:
-                                    ver = data[p2]
-                                    if ver == 1 and e2 - p2 >= 32:
-                                        ts = int.from_bytes(data[p2 + 20:p2 + 24], "big")
-                                        dur = int.from_bytes(data[p2 + 24:p2 + 32], "big")
-                                    elif ver == 0 and e2 - p2 >= 24:
-                                        ts = int.from_bytes(data[p2 + 12:p2 + 16], "big")
-                                        dur = int.from_bytes(data[p2 + 16:p2 + 20], "big")
-                        # range-check before update: a corrupt mvhd
-                        # (e.g. 0xFF.. duration bytes) would pass the
-                        # try block here but overflow LongType at
-                        # Arrow serialization — OUTSIDE the except —
-                        # crashing the whole task instead of
-                        # quarantining (round-12 review finding)
-                        if ts and dur is not None and dur < (1 << 62):
-                            dur_us = (dur * 1_000_000) // ts
-                            if dur_us < (1 << 63):
-                                row.update(
-                                    format="mp4", major_brand=brand,
-                                    timescale=ts, duration_units=dur,
-                                    duration_us=dur_us,
-                                    n_tracks=n_tracks, ok=True,
-                                )
-                except Exception:
-                    pass  # quarantine row stays ok=False
-                out.append(row)
+            out = [
+                video_row(i, payload)
+                for i, payload in zip(pdf[id_col], pdf[bin_col])
+            ]
             yield pd.DataFrame(out, columns=[f.name for f in VIDEO_SCHEMA.fields])
 
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(

@@ -172,6 +172,20 @@ def tcx_xml(points, sport: str = "Other", act_id: str = "activity") -> str:
     )
 
 
+def parse_tcx_rows(xml_text: str):
+    """All track rows of every Activity in one TCX document,
+    concatenated in document order — the exact per-document loop
+    :func:`parse_many` runs per batch, exposed so a caller fusing
+    serialize+parse into one Python task (xml_corpus_family, r18
+    optimization) parses with the identical code path."""
+    root = ET.fromstring(xml_text)
+    out = []
+    for act in root.findall(".//t:Activity", _NS):
+        rows, _ = _parse_activity(act)
+        out.extend(rows)
+    return out
+
+
 def parse_many(df, xml_col: str, id_col: str | None = None):
     """Bulk ingest (the distributed ``df-read/tcx/multiple`` path,
     tcx.rkt:249-281): (id, xml_text) rows -> exploded track points
@@ -197,16 +211,13 @@ def parse_many(df, xml_col: str, id_col: str | None = None):
         for pdf in batches:
             out = []
             for sid, xml_text in zip(pdf[id_col], pdf[xml_col]):
-                root = ET.fromstring(xml_text)
-                for act in root.findall(".//t:Activity", _NS):
-                    rows, _ = _parse_activity(act)
-                    for r in rows:
-                        out.append(
-                            {
-                                "source_id": int(sid),
-                                **{f.name: r[f.name] for f in GPX_SCHEMA.fields},
-                            }
-                        )
+                for r in parse_tcx_rows(xml_text):
+                    out.append(
+                        {
+                            "source_id": int(sid),
+                            **{f.name: r[f.name] for f in GPX_SCHEMA.fields},
+                        }
+                    )
             yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(parse, schema=schema)
