@@ -358,6 +358,95 @@ def _argmax_dot_matrix(vq: Column, mat: Column, k: int) -> Column:
     return F.array_sort(scores)[0]["cid"]
 
 
+def _cell_batched(vec: Column, centroids: list[list[float]]) -> Column:
+    """Arrow-batched nearest-centroid assignment — bit-identical to
+    :func:`_argmin_centroid`: the same per-element
+    floor(x·c·1e9 + 0.5) quantized products (identical IEEE double
+    ops), the same int64 sum (< 2^53, so the expression form's
+    double compare ranks identically), and the same smaller-cid
+    tie-break (np.argmax returns the FIRST maximum). The k×dim
+    per-row work moves from interpreted per-element lambdas to one
+    numpy pass per Arrow batch (guide §4.2; r18 optimization — the
+    corpus-side assignment was the IVF family's hottest
+    expression)."""
+    C = np.array(centroids, dtype=np.float64)  # (k, dim)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _assign(xs: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="int32")
+        A = np.stack(xs.to_numpy()).astype(np.float64)  # (n, dim)
+        P = (
+            np.floor(A[:, None, :] * C[None, :, :] * DOT_SCALE + 0.5)
+            .astype(np.int64)
+            .sum(axis=2)
+        )
+        return pd.Series(P.argmax(axis=1).astype("int32"))
+
+    return _assign(vec)
+
+
+def qnorm_batched(a: Column) -> Column:
+    """Arrow-batched Σ floor(x²·1e9 + 0.5) (the quantized
+    self-dot's integer sum) — callers rebuild :func:`norm2` as
+    ``sqrt(qnorm_batched(v).cast("double") / DOT_SCALE)``, which is
+    the identical double. Same kernel/exactness argument as
+    :func:`qdot_batched`, applied to the corpus-side norm
+    projection."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _qn(xs: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype="int64")
+        A = np.stack(xs.to_numpy()).astype(np.float64)
+        P = np.floor(A * A * DOT_SCALE + 0.5).astype(np.int64)
+        return pd.Series(P.sum(axis=1))
+
+    return _qn(a)
+
+
+def _assign_books_batched(books, metric: str):
+    """Arrow-batched (subspace, micro-vector) -> centroid id for the
+    Lloyd refinement loop — bit-identical to the expression forms it
+    replaces (:func:`_argmax_dot_matrix` / :func:`_argmin_l2_matrix`):
+    exact int64 arithmetic (micro ≤ ~2e6 → dot terms ≤ 4e12,
+    64-term sums ≤ 2.6e14; the L2 expansion ‖a‖² − 2a·c + ‖c‖²
+    equals the direct Σ(a−c)² in exact integers), first-occurrence
+    argmax/argmin = the smaller-cid tie-break. Closes over the
+    CURRENT books (the loop rebuilds it per iteration, as the
+    literal matrix was)."""
+    mats = [np.array(bj, dtype=np.int64) for bj in books]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _assign(js: pd.Series, svs: pd.Series) -> pd.Series:
+        if len(js) == 0:
+            return pd.Series([], dtype="int32")
+        j = js.to_numpy()
+        A = np.stack(svs.to_numpy()).astype(np.int64)
+        out = np.empty(len(j), dtype=np.int32)
+        for jj in np.unique(j):
+            msk = j == jj
+            M = mats[jj]
+            X = A[msk]
+            if metric == "dot":
+                out[msk] = (X @ M.T).argmax(axis=1)
+            else:  # squared L2
+                D = (
+                    (X * X).sum(axis=1, keepdims=True)
+                    - 2 * (X @ M.T)
+                    + (M * M).sum(axis=1)[None, :]
+                )
+                out[msk] = D.argmin(axis=1)
+        return pd.Series(out)
+
+    return _assign
+
+
 def quantize_vec(vec: Column) -> Column:
     """array<long> micro-quantization (floor(x*1e6+0.5)) — the shared
     exact-integer vector form for cross-engine-reproducible math."""
@@ -366,13 +455,15 @@ def quantize_vec(vec: Column) -> Column:
     )
 
 
-def _lloyd_iterations(sv: DataFrame, books, iterations: int, sub: int, argmin) -> None:
+def _lloyd_iterations(sv: DataFrame, books, iterations: int, sub: int, argmin: str) -> None:
     """The shared integer-Lloyd refinement contract, single-sourced
     for the IVF coarse quantizer (one codebook over the full vector)
     and the PQ subspace fit (m codebooks over slices): ``sv`` is
     (__j, __sv) rows, ``books`` is list[m][k][sub] micro-int
-    centroids MUTATED in place, ``argmin(vq_col, mat_col, k)`` picks
-    a cid by the caller's metric. Each iteration is ONE distributed
+    centroids MUTATED in place, ``argmin`` names the caller's
+    metric ("dot" = max integer dot, "l2" = min integer squared L2 —
+    Arrow-batched since r18, bit-identical to the former expression
+    forms). Each iteration is ONE distributed
     assignment pass plus ONE map-combinable groupBy((__j, __cid))
     sum; means are floor(sum/n) of exact int64 sums (< 2^53, so the
     division is the same bits as SQL FLOOR(CAST(s AS DOUBLE)/n) on
@@ -382,17 +473,10 @@ def _lloyd_iterations(sv: DataFrame, books, iterations: int, sub: int, argmin) -
 
     m, k = len(books), len(books[0])
     for _ in range(iterations):
-        mat_by_j = F.array(
-            *[
-                F.array(*[F.array(*[F.lit(int(x)) for x in cent]) for cent in books[j]])
-                for j in range(m)
-            ]
-        )
+        assign = _assign_books_batched(books, argmin)
         assigned = sv.select(
             "__j",
-            argmin(
-                F.col("__sv"), F.element_at(mat_by_j, F.col("__j") + 1), k
-            ).alias("__cid"),
+            assign(F.col("__j"), F.col("__sv")).alias("__cid"),
             "__sv",
         )
         rows = (
@@ -456,7 +540,7 @@ def ivf_fit_centroids(
     )
     books = [[list(map(int, r["__vq"])) for r in seed_rows]]
     sv = qdf.select(F.lit(0).alias("__j"), F.col("__vq").alias("__sv"))
-    _lloyd_iterations(sv, books, iterations, dim, _argmax_dot_matrix)
+    _lloyd_iterations(sv, books, iterations, dim, "dot")
     cent = books[0]
     if micro:
         return cent
@@ -490,11 +574,17 @@ def ivf_topk(
     sharing the quantizer across search variants."""
     if centroids is None:
         centroids = ivf_fit_centroids(base, dim, n_cells, iterations, id_col, vec_col)
+    # corpus-side projection batched (r18): one ArrowEvalPython node
+    # computes the cell assignment + quantized self-dot for the whole
+    # batch; values are bit-identical to the former interpreted
+    # _argmin_centroid / norm2 expressions (see _cell_batched).
     b = base.select(
         id_col,
         F.col(vec_col).alias("__bv"),
-        norm2(F.col(vec_col)).alias("__bn"),
-        _argmin_centroid(F.col(vec_col), centroids).alias("__cell"),
+        F.sqrt(
+            qnorm_batched(F.col(vec_col)).cast("double") / F.lit(DOT_SCALE)
+        ).alias("__bn"),
+        _cell_batched(F.col(vec_col), centroids).alias("__cell"),
     )
     # a query probes its n_probe nearest cells
     probes = F.transform(
@@ -653,8 +743,10 @@ def semantic_dedup(
         base.select(
             F.col(id_col),
             v.alias("__v"),
-            norm2(v).alias("__n"),
-            _argmin_centroid(v, centroids).alias("cell"),
+            F.sqrt(
+                qnorm_batched(v).cast("double") / F.lit(DOT_SCALE)
+            ).alias("__n"),
+            _cell_batched(v, centroids).alias("cell"),
         )
     )
     # b feeds THREE consumers (both self-join sides + the final
@@ -734,6 +826,38 @@ def _argmin_l2_micro(vq: Column, cents: list[list[int]]) -> Column:
     distance; ties break toward the smaller index."""
     mat = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in cents])
     return _argmin_l2_matrix(vq, mat, len(cents))
+
+
+def _codes_batched(vq: Column, codebooks) -> Column:
+    """Arrow-batched PQ encode: the m per-subspace nearest-centroid
+    codes as one array<int> column — bit-identical to the m
+    :func:`_argmin_l2_micro` expressions it replaces (exact int64
+    L2 via the ‖a‖² − 2a·c + ‖c‖² expansion, first-occurrence argmin
+    = smaller-code tie-break). One numpy pass per Arrow batch
+    instead of m interpreted k×sub lambdas per row (r18
+    optimization, guide §4.2)."""
+    mats = [np.array(bj, dtype=np.int64) for bj in codebooks]
+    sub = mats[0].shape[1]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def _enc(xs: pd.Series) -> pd.Series:
+        if len(xs) == 0:
+            return pd.Series([], dtype=object)
+        A = np.stack(xs.to_numpy()).astype(np.int64)
+        cols = []
+        for j, M in enumerate(mats):
+            X = A[:, j * sub:(j + 1) * sub]
+            D = (
+                (X * X).sum(axis=1, keepdims=True)
+                - 2 * (X @ M.T)
+                + (M * M).sum(axis=1)[None, :]
+            )
+            cols.append(D.argmin(axis=1).astype("int32"))
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    return _enc(vq)
 
 
 def _require_micro_books(codebooks) -> tuple[int, int, int]:
@@ -822,7 +946,7 @@ def pq_fit(
             )
         ).alias("__e")
     ).select("__e.__j", "__e.__sv")
-    _lloyd_iterations(sv, books, iterations, sub, _argmin_l2_matrix)
+    _lloyd_iterations(sv, books, iterations, sub, "l2")
     if micro:
         return books
     return [[[c / 1e6 for c in cent] for cent in book] for book in books]
@@ -851,13 +975,7 @@ def pq_encode(
             quantize_vec(F.col(vec_col)), m * sub, "pq_encode"
         ).alias("__vq"),
     )
-    codes = F.array(
-        *[
-            _argmin_l2_micro(F.slice("__vq", j * sub + 1, sub), codebooks[j])
-            for j in range(m)
-        ]
-    )
-    return q.select(id_col, codes.alias("codes"))
+    return q.select(id_col, _codes_batched(F.col("__vq"), codebooks).alias("codes"))
 
 
 def _adc_dist(
@@ -972,18 +1090,14 @@ def ivf_pq_topk(
         centroids = ivf_fit_centroids(base, dim, n_cells, iterations, id_col, vec_col)
     bq = base.select(
         F.col(id_col),
-        _argmin_centroid(F.col(vec_col), centroids).alias("__cell"),
+        _cell_batched(F.col(vec_col), centroids).alias("__cell"),
         _require_len(
             quantize_vec(F.col(vec_col)), m * sub, "ivf_pq_topk"
         ).alias("__vq"),
     )
-    code_arr = F.array(
-        *[
-            _argmin_l2_micro(F.slice("__vq", j * sub + 1, sub), codebooks[j])
-            for j in range(m)
-        ]
+    b = bq.select(
+        id_col, "__cell", _codes_batched(F.col("__vq"), codebooks).alias("codes")
     )
-    b = bq.select(id_col, "__cell", code_arr.alias("codes"))
     probes = F.transform(
         F.slice(F.array_sort(_centroid_scores(F.col(vec_col), centroids)), 1, n_probe),
         lambda s: s["cid"],

@@ -1053,3 +1053,62 @@ def test_recommended_planes_scale_discipline():
         recommended_planes(0)
     with pytest.raises(ValueError):
         recommended_planes(100, target_bucket=0)
+
+
+def test_batched_assignment_kernels_match_expression_forms(spark):
+    # r18 optimization pin: the Arrow-batched kernels (_cell_batched,
+    # qnorm_batched, _codes_batched, _assign_books_batched) must be
+    # BIT-identical to the interpreted expression forms they replaced
+    # — same quantized integer products, same smaller-id tie-breaks.
+    import random
+
+    rng = random.Random(99)
+    dim, m, k = 8, 2, 4
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(200)]
+    # force exact dot ties so the tie-break path is exercised too
+    rows += [(200, rows[0][1]), (201, [-x for x in rows[1][1]])]
+    base = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = SIM.ivf_fit_centroids(base, dim, k, 1)
+
+    got = base.select(
+        "vec_id",
+        SIM._cell_batched(F.col("embedding"), cents).alias("cell"),
+        SIM.qnorm_batched(F.col("embedding")).alias("qn"),
+    ).collect()
+    want = base.select(
+        "vec_id",
+        SIM._argmin_centroid(F.col("embedding"), cents).alias("cell"),
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "embedding",
+                lambda x, y: F.floor(
+                    x.cast("double") * y.cast("double") * F.lit(SIM.DOT_SCALE)
+                    + F.lit(0.5)
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("qn"),
+    ).collect()
+    assert {r["vec_id"]: (r["cell"], r["qn"]) for r in got} == {
+        r["vec_id"]: (r["cell"], r["qn"]) for r in want
+    }
+
+    books = SIM.pq_fit(base, dim=dim, m=m, k=k, iterations=1, micro=True)
+    enc = {r["vec_id"]: list(r["codes"]) for r in SIM.pq_encode(base, books).collect()}
+    q = base.select(
+        "vec_id",
+        SIM._require_len(
+            SIM.quantize_vec(F.col("embedding")), dim, "t"
+        ).alias("__vq"),
+    )
+    sub = dim // m
+    ref_codes = F.array(
+        *[
+            SIM._argmin_l2_micro(F.slice("__vq", j * sub + 1, sub), books[j])
+            for j in range(m)
+        ]
+    )
+    ref = {r["vec_id"]: list(r["c"]) for r in q.select("vec_id", ref_codes.alias("c")).collect()}
+    assert enc == ref
