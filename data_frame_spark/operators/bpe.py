@@ -9,7 +9,7 @@ frequency table (bounded cardinality: a natural-language vocabulary),
 and every merge iteration runs on that vocab-sized relation. At
 100 TB the corpus pass is a map-side regex + one groupBy shuffle;
 the n_merges iterations afterwards are jobs over a few-hundred-
-thousand-row table, eagerly ``localCheckpoint``-ed so the iterative
+thousand-row table, lazily ``localCheckpoint``-ed so the iterative
 lineage never re-executes (same stance as pagerank / integer-Lloyd).
 
 All arithmetic is integer counts and string equality — layout-
@@ -109,10 +109,15 @@ def bpe_fit(
     if n_merges < 0:
         raise ValueError("bpe_fit n_merges must be >= 0")
     spark = df.sparkSession
+    # LAZY checkpoints throughout the loop (r18): each iteration's
+    # argmax collect is the job that materializes the previous merge
+    # projection, so fit costs ONE job per merge instead of two
+    # (truncation semantics unchanged; the merge projections are
+    # narrow, so the lazy boundary launches no job of its own).
     words = (
         word_counts(df, text_col)
         .select(_char_split(F.col("word")).alias("syms"), "n")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
@@ -135,7 +140,7 @@ def bpe_fit(
         merges.append((rank, l, r, cnt))
         words = words.select(
             _merge_pair(F.col("syms"), l, r).alias("syms"), "n"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, schema="rank long, left string, right string, pair_n long"
     )
@@ -197,14 +202,16 @@ def bpe_encode(
     vocab = wordsdf.select("word").distinct().select(
         "word", _char_split(F.col("word")).alias("syms")
     )
-    vocab = vocab.localCheckpoint(eager=True)
+    # lazy: the auto-gate count (or the final join) materializes it
+    vocab = vocab.localCheckpoint(eager=False)
     if vocab_broadcast == "auto":
-        # count on the eagerly-materialized checkpoint: no rescan
+        # count on the lazily-checkpointed table: the count IS the
+        # job that materializes it; no rescan either way
         vocab_broadcast = vocab.count() <= broadcast_max_words
     for l, r in mlist:
         vocab = vocab.select(
             "word", _merge_pair(F.col("syms"), l, r).alias("syms")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     if vocab_broadcast:
         joined = wordsdf.join(F.broadcast(vocab), "word")
     else:

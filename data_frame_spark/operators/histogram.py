@@ -134,28 +134,72 @@ def _postprocess(buckets: DataFrame, width, as_percentage, trim_outliers) -> Dat
     # Reference order (histogram.rkt:198-203): percentages are computed
     # over the FULL total first, then trimming drops edge buckets WITHOUT
     # rescaling — a trimmed percentage histogram does not re-sum to 100.
+    #
+    # r18: the totals/bounds ride ONE-ROW scalar aggregates
+    # crossJoin-broadcast back instead of partitionless windows — the
+    # same values from the same rows, but no single-partition Window
+    # funnel anywhere in the operator, and the shape stays provably
+    # bounded to the scale classifier even when a caller materializes
+    # the bucket table behind a checkpoint (histogram_family's shared
+    # aggregate), where window-over-RDD-scan provenance is invisible.
     if as_percentage:
-        total = Window.partitionBy()
-        out = out.select(
+        tot = out.agg(F.sum("count").alias("__tot"))
+        out = out.crossJoin(F.broadcast(tot)).select(
             "bucket",
             "bucket_start",
-            (F.col("count") * 100.0 / F.sum("count").over(total)).alias("count"),
+            (F.col("count") * 100.0 / F.col("__tot")).alias("count"),
         )
     if trim_outliers is not None:
         # keep the span between the first and last bucket whose share is
         # STRICTLY > percent; if none qualifies, the histogram is
         # returned unchanged (histogram.rkt:142-155)
-        w_all = Window.partitionBy()
-        share = F.col("count") / F.sum("count").over(w_all)
-        keep = share > F.lit(trim_outliers)
+        tot2 = out.agg(F.sum("count").alias("__t2"))
+        keep_b = F.when(
+            F.col("count") / F.col("__t2") > F.lit(trim_outliers),
+            F.col("bucket"),
+        )
+        bounds = (
+            out.crossJoin(F.broadcast(tot2))
+            .agg(
+                F.min(keep_b).alias("__klo"),
+                F.max(keep_b).alias("__khi"),
+                F.min("bucket").alias("__blo"),
+                F.max("bucket").alias("__bhi"),
+            )
+        )
         out = (
-            out.withColumn("__keep_b", F.when(keep, F.col("bucket")))
-            .withColumn("__lo", F.coalesce(F.min("__keep_b").over(w_all), F.min("bucket").over(w_all)))
-            .withColumn("__hi", F.coalesce(F.max("__keep_b").over(w_all), F.max("bucket").over(w_all)))
-            .where(F.col("bucket").between(F.col("__lo"), F.col("__hi")))
-            .drop("__keep_b", "__lo", "__hi")
+            out.crossJoin(F.broadcast(bounds))
+            .where(
+                F.col("bucket").between(
+                    F.coalesce(F.col("__klo"), F.col("__blo")),
+                    F.coalesce(F.col("__khi"), F.col("__bhi")),
+                )
+            )
         )
     return out.select("bucket", "bucket_start", "count")
+
+
+def histogram_from_counts(
+    bucket_counts: DataFrame,
+    width: float = 1.0,
+    as_percentage: bool = False,
+    trim_outliers: float | None = None,
+) -> DataFrame:
+    """The tail of :func:`histogram` (gap-fill + bucket_start +
+    percentage/trim postprocessing) over a PRECOMPUTED
+    ``(bucket, count)`` relation — exposed so a caller computing
+    several histogram views over the same bucketed counts
+    (histogram_family runs plain + normalized + trimmed-percentage
+    views, and two include_zeroes=False histograms split by a flag
+    column) shares ONE corpus aggregate instead of re-scanning per
+    view (r18 optimization, guide §2.3/§2.4). Gap-filling is
+    idempotent, so feeding an already gap-filled table is safe."""
+    return _postprocess(
+        _gap_fill(bucket_counts.select("bucket", "count"), F.lit(0)),
+        width,
+        as_percentage,
+        trim_outliers,
+    )
 
 
 def combine_histograms(h1: DataFrame, h2: DataFrame) -> DataFrame:
@@ -176,10 +220,12 @@ def combine_histograms(h1: DataFrame, h2: DataFrame) -> DataFrame:
 
 
 def normalize_histogram(h: DataFrame) -> DataFrame:
-    """Scale counts to fractions summing to 1 (histogram.rkt:302-311)."""
-    total = Window.partitionBy()
-    return h.select(
+    """Scale counts to fractions summing to 1 (histogram.rkt:302-311).
+    The total rides a one-row scalar aggregate crossJoin-broadcast
+    back (r18 — no partitionless window; see _postprocess)."""
+    tot = h.agg(F.sum("count").alias("__tot"))
+    return h.crossJoin(F.broadcast(tot)).select(
         "bucket",
         "bucket_start",
-        (F.col("count") / F.sum("count").over(total)).alias("count"),
+        (F.col("count") / F.col("__tot")).alias("count"),
     )

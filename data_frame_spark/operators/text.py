@@ -9,6 +9,8 @@ oracle.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -342,6 +344,58 @@ def _gram_run_stats(toks: Column, n: int) -> Column:
     return _bind(toks, body)
 
 
+def _gram_masses_batched(
+    toks: Column, top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
+) -> Column:
+    """Arrow-batched array<long> of every Gopher gram mass (top_ns
+    masses first, then dup_ns, in declaration order) — bit-identical
+    to the per-n :func:`_gram_run_stats` expressions it replaces:
+    the same integer char masses (gram length = Σ token lengths +
+    n−1 separator spaces = length of the concat_ws(" ") gram), the
+    same most-frequent tie-break toward the lexicographically
+    smallest gram STRING (ties are compared on the joined string, so
+    tokens sorting differently as tuples vs joined text cannot
+    diverge), and (0, 0) for documents with fewer than n tokens.
+    One Counter pass per (doc, n) in C-level dict ops instead of an
+    interpreted build + array_sort + run-length fold (r18
+    optimization, guide §4.2)."""
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _masses(col: pd.Series) -> pd.Series:
+        out = []
+        for arr in col:
+            tk = None if arr is None else list(arr)
+            row = []
+            for kind, ns in (("top", top_ns), ("dup", dup_ns)):
+                for n in ns:
+                    if tk is None or len(tk) < n:
+                        row.append(0)
+                        continue
+                    grams = Counter(zip(*[tk[i:] for i in range(n)]))
+                    if kind == "dup":
+                        m = 0
+                        for g, c in grams.items():
+                            if c >= 2:
+                                m += c * (sum(map(len, g)) + n - 1)
+                        row.append(m)
+                    else:
+                        best = max(grams.values())
+                        tied = [g for g, c in grams.items() if c == best]
+                        g = (
+                            tied[0]
+                            if len(tied) == 1
+                            else min(tied, key=lambda t: " ".join(t))
+                        )
+                        row.append(best * (sum(map(len, g)) + n - 1))
+            out.append(row)
+        return pd.Series(out)
+
+    return _masses(toks)
+
+
 def gopher_repetition(
     df: DataFrame,
     text_col: str = "text",
@@ -374,13 +428,15 @@ def gopher_repetition(
     # the regex tokenize (the interpreted HOFs sit outside codegen's
     # common-subexpression elimination, so the 5 copies would not
     # otherwise be shared)
-    base = df.withColumn("__gr_toks", tokens(c))
-    toks = F.col("__gr_toks")
-    for n in top_ns:
-        out[f"top_{n}gram_frac"] = frac(_gram_run_stats(toks, n)["top_mass"])
-    for n in dup_ns:
-        out[f"dup_{n}gram_frac"] = frac(_gram_run_stats(toks, n)["dup_mass"])
-    return base.withColumns(out).drop("__gr_toks")
+    base = df.withColumn(
+        "__gr_m", _gram_masses_batched(tokens(c), tuple(top_ns), tuple(dup_ns))
+    )
+    m = F.col("__gr_m")
+    for i, n in enumerate(top_ns):
+        out[f"top_{n}gram_frac"] = frac(m[i])
+    for i, n in enumerate(dup_ns):
+        out[f"dup_{n}gram_frac"] = frac(m[len(top_ns) + i])
+    return base.withColumns(out).drop("__gr_m")
 
 
 def gopher_keep(

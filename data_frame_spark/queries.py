@@ -558,12 +558,20 @@ def histogram_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema; BIGINT counts ride as doubles (exact below 2^53)."""
     _dnull = F.lit(None).cast("double")
     li = t(spark, sf_dir, "lineitem")
-    h = OpHist.histogram(li, "l_quantity", width=5.0)
+    # ONE lineitem bucket aggregate feeds the plain, normalized and
+    # trimmed-percentage views (r18, guide §2.3/§2.4: the three views
+    # each re-ran the scan+aggregate+gap-fill pipeline — and gap-fill
+    # references its input twice, so the plan held SIX lineitem
+    # scans for this facet alone). The lazy checkpoint materializes
+    # the gap-filled table once; histogram_from_counts re-derives the
+    # percentage/trim view from the identical counts (gap-fill is
+    # idempotent), so all values are unchanged.
+    h = OpHist.histogram(li, "l_quantity", width=5.0).localCheckpoint(eager=False)
     nrm = OpHist.normalize_histogram(h).select(
         "bucket", F.col("count").alias("norm_count")
     )
-    tp = OpHist.histogram(
-        li, "l_quantity", width=5.0, as_percentage=True, trim_outliers=0.05
+    tp = OpHist.histogram_from_counts(
+        h, width=5.0, as_percentage=True, trim_outliers=0.05
     ).select("bucket", F.col("count").alias("pct"))
     # histogram frames are aggregate-sized -> broadcast joins
     numeric = (
@@ -605,13 +613,24 @@ def histogram_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dnull.alias("pct"),
         F.lit(None).cast("boolean").alias("in_trim"),
     )
-    h1 = OpHist.histogram(
-        li.where(F.col("l_returnflag") == "R"), "l_quantity", width=5.0,
-        include_zeroes=False,
+    # combined facet: ONE flag-keyed aggregate replaces the two
+    # filtered scans (h1/h2 differ only in the l_returnflag value;
+    # the shared (flag, bucket) counts split by filter — identical
+    # values, half the scans)
+    qx = F.col("l_quantity").cast("double")
+    _b5 = OpHist._trunc_div(qx, 5.0)
+    rf_counts = (
+        li.where(qx.isNotNull() & F.col("l_returnflag").isin("R", "N"))
+        .where(_b5 != 0)
+        .groupBy(F.col("l_returnflag").alias("__rf"), _b5.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .localCheckpoint(eager=False)
     )
-    h2 = OpHist.histogram(
-        li.where(F.col("l_returnflag") == "N"), "l_quantity", width=5.0,
-        include_zeroes=False,
+    h1 = OpHist.histogram_from_counts(
+        rf_counts.where(F.col("__rf") == "R"), width=5.0
+    )
+    h2 = OpHist.histogram_from_counts(
+        rf_counts.where(F.col("__rf") == "N"), width=5.0
     )
     combined = OpHist.combine_histograms(h1, h2).select(
         F.lit("combined").alias("facet"),

@@ -1112,3 +1112,44 @@ def test_batched_assignment_kernels_match_expression_forms(spark):
     )
     ref = {r["vec_id"]: list(r["c"]) for r in q.select("vec_id", ref_codes.alias("c")).collect()}
     assert enc == ref
+
+
+def test_gram_masses_batched_matches_expression_form(spark):
+    # r18 optimization pin: the Arrow-batched Gopher gram-mass kernel
+    # must equal the interpreted _gram_run_stats expressions it
+    # replaced — same integer char masses, same smallest-gram-STRING
+    # tie-break — including repeated-gram, tie, short-doc and
+    # empty-text rows.
+    from data_frame_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b c d c d"),
+            (2, "x y x y x y x y"),
+            (3, "one two"),          # shorter than most n
+            (4, ""),                 # empty text
+            (5, "t t t t t t t t t t t t"),  # single repeated token
+            (6, "b a b a a b"),      # tie-break territory
+        ],
+        ["doc_id", "text"],
+    )
+    toks = TX.tokens(F.col("text"))
+    top_ns, dup_ns = (2, 3), (2, 5)
+    m = TX._gram_masses_batched(toks, top_ns, dup_ns)
+    got = docs.select("doc_id", m.alias("m")).collect()
+    want = docs.select(
+        "doc_id",
+        *[
+            TX._gram_run_stats(toks, n)["top_mass"].alias(f"t{n}")
+            for n in top_ns
+        ],
+        *[
+            TX._gram_run_stats(toks, n)["dup_mass"].alias(f"d{n}")
+            for n in dup_ns
+        ],
+    ).collect()
+    wd = {
+        r["doc_id"]: [r[f"t{n}"] for n in top_ns] + [r[f"d{n}"] for n in dup_ns]
+        for r in want
+    }
+    assert {r["doc_id"]: list(r["m"]) for r in got} == wd
