@@ -247,7 +247,7 @@ def ngram_jaccard(
             "__shingle", "__s"
         ).distinct()
         if persist_shingles:
-            sh = sh.localCheckpoint(eager=True)
+            sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     inter = (
         pairs.join(sh.alias("sa"), F.col("id_a") == F.col("sa.__id"))
@@ -844,7 +844,7 @@ def bloom_contamination(
             else bench_grams.select("__h")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # the bloom content: distinct set-bit positions over all probes
     bits = (
@@ -856,7 +856,7 @@ def bloom_contamination(
             ).alias("__pos")
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # gate: ALL k probe positions present -> bloom-positive. One
     # broadcast join per probe keeps the corpus side shuffle-free.

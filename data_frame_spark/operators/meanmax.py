@@ -258,7 +258,7 @@ def _global_A_table(pts, okeys, slice_scale, boundaries):
         .withColumn("__nrel", F.lead("__rel").over(w))
         .select("__bucket", "__x", *extra, "__rel", "__btot", "__nx0", "__nrel")
     )
-    ck = staged.localCheckpoint(eager=True)
+    ck = staged.localCheckpoint(eager=False)
     tiny = ck.select("__bucket", "__btot").distinct()
     woff = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     offs = tiny.select(

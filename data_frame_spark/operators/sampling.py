@@ -89,7 +89,7 @@ def stratified_sample(
         F.when(F.col("__m") <= F.lit(cushion), F.lit(_KEY_SPACE))
         .otherwise(F.ceil(F.lit(cushion) / F.col("__m") * F.lit(float(_KEY_SPACE))))
         .alias("__t"),
-    ).localCheckpoint(eager=True)  # O(strata) rows; one corpus scan, reused below
+    ).localCheckpoint(eager=False)  # O(strata) rows; one corpus scan, reused below
 
     def survivors(threshold_table: DataFrame) -> DataFrame:
         # broadcast equi-join (null-safe: a NULL stratum is a group,
@@ -225,7 +225,7 @@ def mixture_sample(
             )
             .alias("__t"),
         )
-        .localCheckpoint(eager=True)  # O(strata) rows; one corpus scan
+        .localCheckpoint(eager=False)  # O(strata) rows; one corpus scan
     )
 
     def survivors(threshold_table: DataFrame) -> DataFrame:

@@ -755,7 +755,7 @@ def semantic_dedup(
     # materialize the (id, vec, norm, cell) projection once instead
     # of recomputing it per consumer — the same shared-intermediate
     # treatment as embedding_dedup_family's pair table
-    b = b.localCheckpoint(eager=True)
+    b = b.localCheckpoint(eager=False)
     a, c = b.alias("a"), b.alias("c")
     dup = (
         a.join(

@@ -245,7 +245,7 @@ def weighted_quantiles(
             "__rel", F.sum("__wq").over(vw.rowsBetween(Window.unboundedPreceding, 0))
         )
         .withColumn("__btot", F.sum("__wq").over(Window.partitionBy("__bucket")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tiny = ck.select("__bucket", "__btot").distinct()
     woff = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -421,13 +421,13 @@ def robust_outlier_stats(
     # downstream consumers (deviation pass, scoring pass) read the
     # stored rows instead of re-executing the grid passes — same
     # judgement as the shingle table (dedup.py:221-232)
-    med = _grid_exact_kth(base, bins).localCheckpoint(eager=True)
+    med = _grid_exact_kth(base, bins).localCheckpoint(eager=False)
     dev = base.join(F.broadcast(med), "scope").select(
         "scope", F.abs(F.col("__x") - F.col("__med")).alias("__x")
     )
     mad = _grid_exact_kth(dev, bins).withColumnRenamed(
         "__med", "__mad"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     params = med.join(mad, "scope")
     z = F.lit(0.6745) * F.abs(F.col("__x") - F.col("__med")) / F.col("__mad")
     scored = base.join(F.broadcast(params), "scope")

@@ -792,7 +792,7 @@ def unigram_lm_nll(
     cnt = (
         toks.groupBy("__term")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     tot = cnt.agg(
         F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__dv")
@@ -800,7 +800,7 @@ def unigram_lm_nll(
     vocab = (
         cnt.orderBy(F.col("__c").desc(), F.col("__term"))
         .limit(vocab_size)
-        .localCheckpoint(eager=True)  # <= vocab_size rows
+        .localCheckpoint(eager=False)  # <= vocab_size rows
     )
     vs = vocab.agg(
         F.sum("__c").alias("__vc"), F.count(F.lit(1)).alias("__v")
@@ -871,13 +871,13 @@ def collocations(
             F.split(F.col("bg"), " ")[1].alias("w2"),
             "c_xy",
         )
-        .localCheckpoint(eager=True)  # surviving-pair-sized
+        .localCheckpoint(eager=False)  # surviving-pair-sized
     )
     uni = (
         df.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)  # vocab-sized
+        .localCheckpoint(eager=False)  # vocab-sized
     )
     nb = df.select(F.explode(word_shingles(F.col(text_col), 2)).alias("bg")).where(
         F.size(F.split(F.col("bg"), " ")) == 2
@@ -934,7 +934,7 @@ def bigram_lm_nll(
     vocab = (
         cnt.orderBy(F.col("__c").desc(), F.col("__term"))
         .limit(vocab_size)
-        .localCheckpoint(eager=True)  # <= vocab_size rows
+        .localCheckpoint(eager=False)  # <= vocab_size rows
     )
     pairs = (
         df.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__tk"))
@@ -980,7 +980,7 @@ def bigram_lm_nll(
     bgc = (
         mapped.groupBy("__prev", "__cur")
         .agg(F.count(F.lit(1)).alias("__cb"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     ctx = bgc.groupBy("__prev").agg(F.sum("__cb").alias("__cc"))
     vs = vocab.agg(F.count(F.lit(1)).alias("__v"))

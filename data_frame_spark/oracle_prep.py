@@ -2703,7 +2703,7 @@ def meanmax_curve_family_spark(spark, sf_dir):
     from data_frame_spark.operators import spline as OpSpline
     from data_frame_spark.queries import _SPLINE_KNOTS, _SPLINE_PROBES
 
-    mm = meanmax_curve_ladder(spark, sf_dir).localCheckpoint(eager=True)
+    mm = meanmax_curve_ladder(spark, sf_dir).localCheckpoint(eager=False)
     mm_facet = mm.select(
         F.lit("mm").alias("facet"), "duration", "best_mean", "pos", "inverted",
         F.lit(None).cast("double").alias("interpolated_mean"),

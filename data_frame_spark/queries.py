@@ -1165,7 +1165,7 @@ def ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # minhash+banding pipeline — materialize it once, like the
     # shingle table inside ngram_jaccard (eager localCheckpoint is
     # ContextCleaner-reclaimed, so no session-lifetime cache leak)
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.localCheckpoint(eager=False)
     return OpDedup.ngram_jaccard(
         docs, pairs, "text", "doc_id", persist_shingles=True
     )
@@ -1227,12 +1227,12 @@ def near_dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact Jaccard verify (round-6 latency fix — previously each
     # stage re-ran the shingle pipeline; MIN over the distinct set
     # equals MIN over the multiset, so signatures are unchanged)
-    sh = shingle_rows(docs, "text", "doc_id").distinct().localCheckpoint(eager=True)
+    sh = shingle_rows(docs, "text", "doc_id").distinct().localCheckpoint(eager=False)
     sigs = OpDedup.minhash_signatures(
         docs, "text", "doc_id", num_hashes=_NHASH, shingles=sh
     )
     pairs = OpDedup.lsh_candidate_pairs(sigs, "doc_id", _NHASH, _BANDS)
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = pairs.localCheckpoint(eager=False)
     verified = OpDedup.ngram_jaccard(
         docs, pairs, "text", "doc_id", shingles=sh
     ).where(F.col("jaccard") >= F.lit(0.8))
@@ -1512,7 +1512,7 @@ def curriculum_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = (
         OpText.unigram_lm_nll(docs, "text", "doc_id", vocab_size=10000)
         .select("doc_id", "avg_nll_micro")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     out = OpStatsMod.quantile_buckets(
         lm, "avg_nll_micro", (0.25, 0.5, 0.75), out_col="curriculum_bucket"
@@ -1996,7 +1996,7 @@ def kmv_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = OpSketch.kmv_set_ops(
         ev, "user_id", "event_type", "click", "view", k=64
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
     pair = F.concat_ws("|", "scope_a", "scope_b")
@@ -2893,7 +2893,7 @@ def embedding_dedup_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     pairs = OpSim.embedding_near_dup(
         emb, dim=64, threshold=0.4, num_planes=4, num_probes=3
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     pair_facet = pairs.select(
         F.lit("pair").alias("facet"),
         "id_a",
@@ -3394,7 +3394,7 @@ def mean_max_user_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = OpMM.mean_max(
         ev, "value", "x", durations=[86400, 604800],
         partition_by=["user_id"], slice_scale=6,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     base = mm.select(
         F.lit("base").alias("facet"), "user_id", "duration", "pos",
         F.col("best_mean").alias("metric"),
