@@ -833,9 +833,10 @@ def bloom_contamination(
     else:
         cg = corpus_grams.select(id_col, "__h")
     # the bench pipeline feeds FOUR broadcast builds (k probe joins +
-    # the exact verify); materialize its tiny results once instead of
-    # re-running the shingle pipeline per build (eager localCheckpoint
-    # is ContextCleaner-reclaimed — no session-lifetime cache leak)
+    # the exact verify); checkpoint its tiny results once instead of
+    # re-running the shingle pipeline per build (lazy since r18 — the
+    # first broadcast build materializes it; blocks are
+    # ContextCleaner-reclaimed, no session-lifetime cache leak)
     bg = (
         (
             shingle_rows(benchmark, text_col, id_col, n=n)

@@ -317,7 +317,7 @@ def per_group_top_n(
         keep = F.col("__m").cast("double") * F.lit(1.0 - q) >= cushion
         thr = F.when(keep, F.col("__qs")[i]).otherwise(thr)
     thr_tab = stats.select("__g", "__m", thr.alias("__t")).localCheckpoint(
-        eager=True
+        eager=False
     )  # O(groups) rows; one corpus scan
 
     def survivors(tab: DataFrame) -> DataFrame:

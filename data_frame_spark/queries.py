@@ -1163,7 +1163,8 @@ def ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the candidate-pair table feeds two plan branches (the intersect
     # join and the final pair join) and itself carries the whole
     # minhash+banding pipeline — materialize it once, like the
-    # shingle table inside ngram_jaccard (eager localCheckpoint is
+    # shingle table inside ngram_jaccard (lazy since r18: the first
+    # consumer's job materializes it; localCheckpoint blocks are
     # ContextCleaner-reclaimed, so no session-lifetime cache leak)
     pairs = pairs.localCheckpoint(eager=False)
     return OpDedup.ngram_jaccard(
