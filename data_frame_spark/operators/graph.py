@@ -250,12 +250,13 @@ def pagerank(
     source key, one map-combinable groupBy-sum on the destination,
     and one vertex-keyed nodes⋈contribs left join restoring
     contribution-less nodes — O(iterations) rounds of vertex-keyed
-    exchanges, LAZILY ``localCheckpoint``-ed per round (plan
-    truncation + single computation, same stance as the CC loop) so
-    the iterative lineage never re-expands; since round 18 the
-    rounds chain into the caller's one materializing action instead
-    of paying an eager driver-blocking job each (measured A/B
-    min-of-3 at sf0.1: 7.4 s vs 9.8 s, 24 vs 30 jobs, outputs
+    exchanges. Since round 18 the rounds CHAIN unchecked into the
+    caller's one materializing action (each round references the
+    previous ranks exactly once, so the chained plan grows linearly);
+    lineage is truncated by a lazy ``localCheckpoint`` only every
+    ``_TRUNCATE_EVERY`` rounds — see the module constant for the
+    measured A/B (chain 3.75 s / 21 jobs vs per-round lazy 4.58 s /
+    25 jobs vs per-round eager 9.8 s / 30 jobs; outputs
     bit-identical).
     """
     if iterations < 0:
@@ -482,10 +483,11 @@ def label_propagation(
     Scale shape per round: one labels⋈edges shuffle on the source
     key, one map-combinable (node, label) count, one map-combinable
     per-node MAX(struct(count, -label)) argmax — never a
-    row_number window over a hot label; lazily localCheckpoint-ed
-    per round (the pagerank stance: plan truncation without an eager
-    per-round driver barrier — r18 optimization) so lineage never
-    re-expands.
+    row_number window over a hot label. Rounds chain unchecked into
+    the caller's one materializing action (the pagerank stance —
+    linear plan growth), with lineage truncated by a lazy
+    localCheckpoint only every ``_TRUNCATE_EVERY`` rounds (r18
+    optimization; see the module constant).
 
     ``prepared=True`` skips the canonicalization (cast / null-drop /
     distinct / checkpoint) for callers that already hold a distinct,

@@ -22,6 +22,9 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import io
+import wave
+
 import numpy as np
 import pandas as pd
 
@@ -220,8 +223,6 @@ def audio_metadata(df: DataFrame, bin_col: str, id_col: str = "doc_id") -> DataF
     Scale shape: one narrow Arrow-batched ``mapInPandas`` pass —
     payload bytes never shuffle; emitted metadata is a few longs per
     row."""
-    import io
-    import wave
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -278,9 +279,6 @@ def waveform_row(i, payload) -> dict:
     exposed so a builder that PACKS a payload in the same Python
     task can decode it without a second Arrow round trip
     (binary_corpus_family, r18 optimization)."""
-    import io
-    import wave
-
     row = {
         "doc_id": _safe_id(i), "n_samples": None, "sample_sum": None,
         "abs_sum": None, "peak_abs": None,

@@ -340,7 +340,10 @@ def _argmax_dot_matrix(vq: Column, mat: Column, k: int) -> Column:
     centroid column ``mat`` — exact int64 arithmetic (|v| ≤ ~1 →
     products ≤ 1e12, 64-dim sums ≤ 6.4e13, well inside int64 AND
     double-exact range), so the assignment is bit-identical on any
-    engine and any partitioning. Ties break toward the smaller cid."""
+    engine and any partitioning. Ties break toward the smaller cid.
+    Since r18 the Lloyd loop uses :func:`_assign_books_batched`
+    ("dot"); this expression form is kept as its tested reference
+    twin (tests/test_textops.py pins the equivalence)."""
     idx = F.expr(f"sequence(0, {k - 1})")
     zero = F.lit(0).cast("long")
     scores = F.zip_with(
@@ -368,22 +371,55 @@ def _cell_batched(vec: Column, centroids: list[list[float]]) -> Column:
     per-row work moves from interpreted per-element lambdas to one
     numpy pass per Arrow batch (guide §4.2; r18 optimization — the
     corpus-side assignment was the IVF family's hottest
-    expression)."""
+    expression).
+
+    Malformed rows (NULL vector, ragged length, NULL element) get
+    cell 0, which IS the expression form's answer: every dot goes
+    NULL, the (d, cid) structs tie on the NULL d, and the ascending
+    cid tie-break picks 0 (probed on Spark 4.1.2 — see the kernel
+    pin test). Arrow hands a NULL ELEMENT to pandas as NaN inside a
+    float array, so NaN-containing rows are masked to cell 0 on the
+    fast path; a batch the stack/shape checks reject (NULL vectors,
+    ragged lengths) falls back to a per-row loop with the same
+    contract."""
     C = np.array(centroids, dtype=np.float64)  # (k, dim)
 
     from pyspark.sql.functions import pandas_udf
+
+    def _one(v) -> int:
+        if v is None or len(v) != C.shape[1]:
+            return 0  # cell 0 — the expression-form tie-break
+        x = np.asarray(v, dtype=np.float64)
+        if np.isnan(x).any():
+            return 0  # NULL element -> every dot NULL -> cell 0
+        p = (
+            np.floor(x[None, :] * C * DOT_SCALE + 0.5).astype(np.int64).sum(axis=1)
+        )
+        return int(p.argmax())
 
     @pandas_udf("int")
     def _assign(xs: pd.Series) -> pd.Series:
         if len(xs) == 0:
             return pd.Series([], dtype="int32")
-        A = np.stack(xs.to_numpy()).astype(np.float64)  # (n, dim)
-        P = (
-            np.floor(A[:, None, :] * C[None, :, :] * DOT_SCALE + 0.5)
-            .astype(np.int64)
-            .sum(axis=2)
-        )
-        return pd.Series(P.argmax(axis=1).astype("int32"))
+        arr = xs.to_numpy()
+        try:
+            A = np.stack(arr).astype(np.float64)  # (n, dim)
+            if A.ndim != 2 or A.shape[1] != C.shape[1]:
+                raise ValueError("ragged batch")  # no silent broadcast
+            P = (
+                np.floor(A[:, None, :] * C[None, :, :] * DOT_SCALE + 0.5)
+                .astype(np.int64)
+                .sum(axis=2)
+            )
+            out = P.argmax(axis=1).astype("int32")
+            nulled = np.isnan(A).any(axis=1)
+            if nulled.any():
+                out[nulled] = 0
+            return pd.Series(out)
+        except (ValueError, TypeError, IndexError):
+            return pd.Series(
+                np.fromiter((_one(v) for v in arr), dtype=np.int32, count=len(arr))
+            )
 
     return _assign(vec)
 
@@ -394,16 +430,44 @@ def qnorm_batched(a: Column) -> Column:
     ``sqrt(qnorm_batched(v).cast("double") / DOT_SCALE)``, which is
     the identical double. Same kernel/exactness argument as
     :func:`qdot_batched`, applied to the corpus-side norm
-    projection."""
+    projection.
+
+    Malformed rows match :func:`norm2` exactly: a NULL vector (or a
+    NULL element, which Arrow hands over as NaN) yields a NULL sum;
+    a ragged row is summed over its OWN elements (the self-dot never
+    pads). The numpy fast path masks NaN rows to NULL; a batch the
+    stack rejects (NULL/ragged vectors) falls back per-row."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def _qn(xs: pd.Series) -> pd.Series:
         if len(xs) == 0:
             return pd.Series([], dtype="int64")
-        A = np.stack(xs.to_numpy()).astype(np.float64)
-        P = np.floor(A * A * DOT_SCALE + 0.5).astype(np.int64)
-        return pd.Series(P.sum(axis=1))
+        arr = xs.to_numpy()
+        try:
+            A = np.stack(arr).astype(np.float64)
+            if A.ndim != 2:
+                raise ValueError("null batch")
+            P = np.floor(A * A * DOT_SCALE + 0.5).astype(np.int64)
+            out = pd.Series(P.sum(axis=1), dtype="Int64")
+            nulled = np.isnan(A).any(axis=1)
+            if nulled.any():
+                out[nulled] = None
+            return out
+        except (ValueError, TypeError, IndexError):
+            vals = []
+            for v in arr:
+                if v is None:
+                    vals.append(None)
+                    continue
+                x = np.asarray(v, dtype=np.float64)
+                if np.isnan(x).any():
+                    vals.append(None)  # NULL element -> NULL sum
+                    continue
+                vals.append(
+                    int(np.floor(x * x * DOT_SCALE + 0.5).astype(np.int64).sum())
+                )
+            return pd.Series(vals, dtype="Int64")
 
     return _qn(a)
 

@@ -412,10 +412,14 @@ def gopher_repetition(
       thresholds are calibrated against the same definition).
 
     100 TB shape: a per-document quality filter must not shuffle —
-    every fraction here is a pure Column expression (sorted in-row
-    gram array + one run-length ``F.aggregate`` scan per n), so the
-    whole pass is narrow/map-only at any corpus size, and Catalyst
-    fuses it with whatever scan or filter surrounds it.
+    all five gram masses ride ONE Arrow-batched kernel projection
+    (:func:`_gram_masses_batched`, r18: C-level dict counting
+    replaced the interpreted sort+run-length array lambdas, 3.5 s →
+    1.26 s at sf0.1) plus pure Column fractions, so the whole pass
+    stays narrow/map-only at any corpus size — one ArrowEvalPython
+    node instead of an expression-fusable projection, an accepted
+    trade (the expression form survives as
+    :func:`_gram_run_stats`, the kernel's tested reference twin).
     """
     c = F.col(text_col)
     ltot = F.length(normalize(c)).cast("long")

@@ -1575,21 +1575,18 @@ def decontamination_family_spark(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from data_frame_spark.operators.dedup import (
+        _hashed_ngrams,
         bloom_contamination,
         ngram_contamination,
-        shingle_rows,
     )
     from data_frame_spark.operators.distributed import ensure_parallelism
     from data_frame_spark.queries import t
 
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
-    g13 = (
-        shingle_rows(docs, "text", "doc_id", n=13)
-        .select(
-            F.col("__id").alias("doc_id"), F.md5(F.col("__shingle")).alias("__h")
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
+    # the ONE shared-builder definition (never an inline rebuild —
+    # the legs' contract is "exactly what _hashed_ngrams would build")
+    g13 = _hashed_ngrams(docs, "text", "doc_id", 13, "doc_id").localCheckpoint(
+        eager=False
     )
     bench_g = g13.where(F.col("doc_id") % 50 == 0)
     bench = docs.where(F.col("doc_id") % 50 == 0)

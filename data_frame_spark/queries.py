@@ -4891,7 +4891,8 @@ def graph_suite_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     story stops at pairwise filtering). At 100 TB: triangles bound
     every join key at O(sqrt(m)) via the orientation; LPA/BFS/k-core
     rounds are vertex-keyed shuffles + map-combinable aggregates with
-    eager per-round checkpoints — no windows, no data-sized
+    lazy per-round checkpoints (BFS/k-core) or periodically-truncated
+    chained rounds (LPA) — no windows, no data-sized
     broadcasts (pinned pre-checkpoint on
     _oriented_edges/_lpa_round/_bfs_round/_kcore_round in
     tests/test_plans.py)."""
@@ -5157,8 +5158,10 @@ def sssp_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     No reference twin: net-new graph analytics. At 100 TB each round
     is one vertex-keyed min-plus join + map-combinable MIN aggregate
     over the DISTINCT weighted edge set (bounded by |parts x
-    suppliers| co-occurrence, not lineitem volume), eager per-round
-    checkpoints, fixed round count — bit-identical on any engine or
+    suppliers| co-occurrence, not lineitem volume), lazy per-round
+    checkpoints (min-merge rounds reference the previous state
+    twice, so an unchecked chain would grow exponentially), fixed
+    round count — bit-identical on any engine or
     layout (integer dist, exact MIN)."""
     return _OP.sssp_spark(spark, sf_dir)
 
@@ -5237,8 +5240,8 @@ def ppr_part_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     The seeded-relevance primitive (what's near THESE documents) on
     top of the classic row's machinery. At 100 TB: identical shape
     to pagerank_part_supplier — vertex-keyed contribution shuffles
-    and restore-join, eager per-iteration checkpoints, no windows,
-    no data-sized broadcasts."""
+    and restore-join, chained rounds with periodic lazy lineage
+    truncation, no windows, no data-sized broadcasts."""
     return _OP.ppr_spark(spark, sf_dir)
 
 

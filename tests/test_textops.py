@@ -1060,6 +1060,7 @@ def test_batched_assignment_kernels_match_expression_forms(spark):
     # qnorm_batched, _codes_batched, _assign_books_batched) must be
     # BIT-identical to the interpreted expression forms they replaced
     # — same quantized integer products, same smaller-id tie-breaks.
+    import math
     import random
 
     rng = random.Random(99)
@@ -1095,6 +1096,50 @@ def test_batched_assignment_kernels_match_expression_forms(spark):
         r["vec_id"]: (r["cell"], r["qn"]) for r in want
     }
 
+    # malformed rows must QUARANTINE exactly like the expression forms
+    # (probed on Spark 4.1.2: NULL/ragged vec -> every dot NULL -> the
+    # (d, cid) structs tie -> cell 0; norm2 -> NULL for a NULL vec,
+    # own-element sum for a ragged one) instead of crashing np.stack.
+    bad = spark.createDataFrame(
+        [
+            (0, [0.5] * dim),
+            (1, None),
+            (2, [0.25]),
+            (3, [0.5] * (dim + 3)),
+            (4, [0.5] * (dim - 1) + [None]),  # NULL element (Arrow: NaN)
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    bad_got = {
+        r["vec_id"]: (r["cell"], r["qn"])
+        for r in bad.select(
+            "vec_id",
+            SIM._cell_batched(F.col("embedding"), cents).alias("cell"),
+            SIM.qnorm_batched(F.col("embedding")).alias("qn"),
+        ).collect()
+    }
+    bad_want = {
+        r["vec_id"]: (r["cell"], r["qn"])
+        for r in bad.select(
+            "vec_id",
+            SIM._argmin_centroid(F.col("embedding"), cents).alias("cell"),
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "embedding",
+                    lambda x, y: F.floor(
+                        x.cast("double") * y.cast("double") * F.lit(SIM.DOT_SCALE)
+                        + F.lit(0.5)
+                    ),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("qn"),
+        ).collect()
+    }
+    assert bad_got == bad_want
+    assert bad_got[1][0] == 0 and bad_got[1][1] is None  # NULL vec quarantines
+
     books = SIM.pq_fit(base, dim=dim, m=m, k=k, iterations=1, micro=True)
     enc = {r["vec_id"]: list(r["codes"]) for r in SIM.pq_encode(base, books).collect()}
     q = base.select(
@@ -1112,6 +1157,29 @@ def test_batched_assignment_kernels_match_expression_forms(spark):
     )
     ref = {r["vec_id"]: list(r["c"]) for r in q.select("vec_id", ref_codes.alias("c")).collect()}
     assert enc == ref
+
+    # dot-metric twin: _assign_books_batched("dot") (the Lloyd loop's
+    # kernel) vs _argmax_dot_matrix (the expression form it replaced)
+    book = [[int(math.floor(x * 1e6 + 0.5)) for x in c] for c in cents]
+    sv = base.select(
+        "vec_id", SIM.quantize_vec(F.col("embedding")).alias("__sv")
+    )
+    dot_assign = SIM._assign_books_batched([book], "dot")
+    got_dot = {
+        r["vec_id"]: r["cid"]
+        for r in sv.select(
+            "vec_id", dot_assign(F.lit(0), F.col("__sv")).alias("cid")
+        ).collect()
+    }
+    mat = F.array(*[F.array(*[F.lit(int(x)) for x in c]) for c in book])
+    want_dot = {
+        r["vec_id"]: r["cid"]
+        for r in sv.select(
+            "vec_id",
+            SIM._argmax_dot_matrix(F.col("__sv"), mat, len(book)).alias("cid"),
+        ).collect()
+    }
+    assert got_dot == want_dot
 
 
 def test_gram_masses_batched_matches_expression_form(spark):
