@@ -29,6 +29,18 @@ from data_frame_spark.functions.geo import cumulative_distance
 
 _NS = {"g": "http://www.topografix.com/GPX/1/1"}
 
+#: literal qualified tags for the per-point hot path — comparing
+#: ``el.tag`` against these is bit-identical to
+#: ``pt.find("g:ele", _NS)`` etc. (same namespace, first match wins)
+#: but skips ElementPath's Python-level iterfind, which profiled at
+#: ~57% of the whole bulk-ingest parse (r18 optimization; the TCX
+#: trackpoint parser has used this shape since round 11)
+_Q_ELE = "{http://www.topografix.com/GPX/1/1}ele"
+_Q_TIME = "{http://www.topografix.com/GPX/1/1}time"
+_Q_EXT = "{http://www.topografix.com/GPX/1/1}extensions"
+_Q_TRKPT = "{http://www.topografix.com/GPX/1/1}trkpt"
+_Q_TRKSEG = "{http://www.topografix.com/GPX/1/1}trkseg"
+
 GPX_SCHEMA = T.StructType(
     [
         T.StructField("timestamp", T.DoubleType()),
@@ -70,18 +82,31 @@ def _float(el) -> float | None:
 
 
 def _parse_trkpt(pt) -> dict:
+    lat, lon = pt.get("lat"), pt.get("lon")
     row = {
-        "lat": float(pt.get("lat")) if pt.get("lat") else None,
-        "lon": float(pt.get("lon")) if pt.get("lon") else None,
-        "alt": _float(pt.find("g:ele", _NS)),
+        "lat": float(lat) if lat else None,
+        "lon": float(lon) if lon else None,
+        "alt": None,
         "timestamp": None,
         "hr": None, "cad": None, "pwr": None, "spd": None, "temp": None,
         "dst": None,
     }
-    t_el = pt.find("g:time", _NS)
+    # one direct-child scan, FIRST match per tag (= find() semantics)
+    ele = t_el = ext = None
+    for el in pt:
+        tag = el.tag
+        if tag == _Q_ELE:
+            if ele is None:
+                ele = el
+        elif tag == _Q_TIME:
+            if t_el is None:
+                t_el = el
+        elif tag == _Q_EXT:
+            if ext is None:
+                ext = el
+    row["alt"] = _float(ele)
     if t_el is not None and t_el.text:
         row["timestamp"] = iso_to_seconds(t_el.text)
-    ext = pt.find("g:extensions", _NS)
     if ext is not None:
         for el in ext.iter():
             tag = el.tag.rsplit("}", 1)[-1].lower()
@@ -105,9 +130,14 @@ def parse_gpx_rows(xml_text: str) -> tuple[list[dict], dict]:
     concatenated (gpx.rkt:352-427)."""
     root = ET.fromstring(xml_text)
     rows = []
-    for seg in root.findall(".//g:trkseg", _NS):
-        for pt in seg.findall("g:trkpt", _NS):
-            rows.append(_parse_trkpt(pt))
+    # iter(qualified-tag) is the C-level descendant walk — document
+    # order, same matches as findall(".//g:trkseg", _NS) (the root
+    # <gpx> can never match); the per-seg trkpt scan keeps find()'s
+    # direct-child semantics via the literal qualified tag
+    for seg in root.iter(_Q_TRKSEG):
+        for pt in seg:
+            if pt.tag == _Q_TRKPT:
+                rows.append(_parse_trkpt(pt))
     props: dict = {}
     name = root.find(".//g:trk/g:name", _NS)
     if name is not None and name.text:
@@ -229,15 +259,21 @@ def parse_many(df, xml_col: str, id_col: str | None = None):
         [T.StructField("source_id", T.LongType())] + list(GPX_SCHEMA.fields)
     )
 
+    field_names = [f.name for f in GPX_SCHEMA.fields]
+
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            out = []
+            out, sids = [], []
             for sid, xml_text in zip(pdf[id_col], pdf[xml_col]):
                 rows, _ = parse_gpx_rows(xml_text)
-                for r in rows:
-                    out.append(
-                        {"source_id": int(sid), **{f.name: r[f.name] for f in GPX_SCHEMA.fields}}
-                    )
-            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+                sids.extend([int(sid)] * len(rows))
+                out.extend(rows)
+            # columnar construction — one list comprehension per
+            # field instead of two fresh dicts per row + pandas'
+            # list-of-dicts column extraction (r18 optimization)
+            data = {"source_id": sids}
+            for name in field_names:
+                data[name] = [r[name] for r in out]
+            yield pd.DataFrame(data, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(parse, schema=schema)

@@ -18,6 +18,20 @@ from data_frame_spark.sources.gpx import iso_to_seconds, GPX_SCHEMA
 
 _NS = {"t": "http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2"}
 
+#: literal qualified tags for the bulk-ingest hot path —
+#: ``iter(qname)`` is ElementTree's C-level descendant walk with the
+#: same document-order matches as ``findall(".//t:X", _NS)`` (the
+#: enclosing element can never match its child tag), skipping
+#: ElementPath's Python-level iterfind (r18 optimization, profiled
+#: in sources/gpx.py)
+_Q_TRACKPOINT = (
+    "{http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2}Trackpoint"
+)
+_Q_ACTIVITY = (
+    "{http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2}Activity"
+)
+_Q_LAP = "{http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2}Lap"
+
 
 def _float(el):
     try:
@@ -72,11 +86,13 @@ def _parse_trackpoint(tp) -> dict:
 
 def _parse_activity(act) -> tuple[list[dict], dict]:
     rows, laps = [], []
-    for lap in act.findall("t:Lap", _NS):
+    for lap in act:
+        if lap.tag != _Q_LAP:
+            continue
         st = lap.get("StartTime")
         if st:
             laps.append(iso_to_seconds(st))
-        for tp in lap.findall(".//t:Trackpoint", _NS):
+        for tp in lap.iter(_Q_TRACKPOINT):
             rows.append(_parse_trackpoint(tp))
     props: dict = {"laps": laps}
     if act.get("Sport"):
@@ -102,7 +118,7 @@ def read_tcx_multiple(spark: SparkSession, path_or_text: str) -> list[Frame]:
             text = fh.read()
     root = ET.fromstring(text)
     frames = []
-    for act in root.findall(".//t:Activity", _NS):
+    for act in root.iter(_Q_ACTIVITY):
         rows, props = _parse_activity(act)
         df = spark.createDataFrame(
             [tuple(r[f.name] for f in GPX_SCHEMA.fields) for r in rows], GPX_SCHEMA
@@ -180,7 +196,7 @@ def parse_tcx_rows(xml_text: str):
     optimization) parses with the identical code path."""
     root = ET.fromstring(xml_text)
     out = []
-    for act in root.findall(".//t:Activity", _NS):
+    for act in root.iter(_Q_ACTIVITY):
         rows, _ = _parse_activity(act)
         out.extend(rows)
     return out
@@ -207,17 +223,22 @@ def parse_many(df, xml_col: str, id_col: str | None = None):
         [T.StructField("source_id", T.LongType())] + list(GPX_SCHEMA.fields)
     )
 
+    field_names = [f.name for f in GPX_SCHEMA.fields]
+
     def parse(batches):
         for pdf in batches:
-            out = []
+            out, sids = [], []
             for sid, xml_text in zip(pdf[id_col], pdf[xml_col]):
-                for r in parse_tcx_rows(xml_text):
-                    out.append(
-                        {
-                            "source_id": int(sid),
-                            **{f.name: r[f.name] for f in GPX_SCHEMA.fields},
-                        }
-                    )
-            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+                rows = parse_tcx_rows(xml_text)
+                sids.extend([int(sid)] * len(rows))
+                out.extend(rows)
+            # columnar construction — one list comprehension per
+            # field instead of two fresh dicts per row + pandas'
+            # list-of-dicts column extraction (r18 optimization,
+            # same shape as sources/gpx.py parse_many)
+            data = {"source_id": sids}
+            for name in field_names:
+                data[name] = [r[name] for r in out]
+            yield pd.DataFrame(data, columns=[f.name for f in schema.fields])
 
     return df.mapInPandas(parse, schema=schema)

@@ -616,3 +616,95 @@ def test_binary_dir_glob_filters_at_planning_time(spark, tmp_path):
     df = read_binary_dir(spark, str(d), glob="*.png")
     paths = [r["path"] for r in df.select("path").collect()]
     assert len(paths) == 1 and paths[0].endswith("a.png")
+
+
+def test_xml_fast_traversal_matches_elementpath_reference():
+    # r18 optimization pin: the literal-qualified-tag traversal in
+    # parse_gpx_rows/_parse_trkpt and _parse_activity must match the
+    # ElementPath find()/findall() forms it replaced — first-match
+    # semantics for duplicated tags, nested trkseg handling,
+    # descendant Trackpoint scan — on an adversarial document.
+    import xml.etree.ElementTree as ET
+
+    from data_frame_spark.sources import gpx as G
+    from data_frame_spark.sources import tcx as X
+
+    ns = "http://www.topografix.com/GPX/1/1"
+    gpx_doc = f"""<?xml version="1.0"?>
+<gpx xmlns="{ns}"><trk><name>adv</name><trkseg>
+  <trkpt lat="1.5" lon="2.5"><ele>10.0</ele><ele>99.0</ele>
+    <time>2020-01-01T00:00:00Z</time><time>2021-01-01T00:00:00Z</time>
+    <extensions><hr>100.0</hr><hr>150.0</hr><power>201.0</power></extensions>
+    <extensions><hr>999.0</hr></extensions></trkpt>
+  <trkpt lat="3.5" lon="4.5"/>
+</trkseg><trkseg>
+  <trkpt lat="5.5" lon="6.5"><time>2022-02-02T02:02:02Z</time></trkpt>
+</trkseg></trk></gpx>"""
+
+    rows, props = G.parse_gpx_rows(gpx_doc)
+    # reference: the pre-r18 ElementPath form, run inline
+    NS = {"g": ns}
+    root = ET.fromstring(gpx_doc)
+    ref = []
+    for seg in root.findall(".//g:trkseg", NS):
+        for pt in seg.findall("g:trkpt", NS):
+            r = {
+                "lat": float(pt.get("lat")) if pt.get("lat") else None,
+                "lon": float(pt.get("lon")) if pt.get("lon") else None,
+                "alt": G._float(pt.find("g:ele", NS)),
+                "timestamp": None,
+                "hr": None, "cad": None, "pwr": None, "spd": None,
+                "temp": None, "dst": None,
+            }
+            t_el = pt.find("g:time", NS)
+            if t_el is not None and t_el.text:
+                r["timestamp"] = G.iso_to_seconds(t_el.text)
+            ext = pt.find("g:extensions", NS)
+            if ext is not None:
+                for el in ext.iter():
+                    tag = el.tag.rsplit("}", 1)[-1].lower()
+                    if tag in ("hr", "heartrate"):
+                        r["hr"] = G._float(el)
+                    elif tag in ("power", "pwr"):
+                        r["pwr"] = G._float(el)
+            ref.append(r)
+    assert rows == ref
+    # and pin the load-bearing facts directly: FIRST ele/time/ext
+    # win; within the first extensions the LAST channel value wins
+    assert rows[0]["alt"] == 10.0 and rows[0]["hr"] == 150.0
+    assert rows[0]["pwr"] == 201.0
+    assert rows[0]["timestamp"] == G.iso_to_seconds("2020-01-01T00:00:00Z")
+    assert len(rows) == 3
+
+    tns = "http://www.garmin.com/xmlschemas/TrainingCenterDatabase/v2"
+    tcx_doc = f"""<?xml version="1.0"?>
+<TrainingCenterDatabase xmlns="{tns}"><Activities>
+<Activity Sport="Biking"><Id>a1</Id>
+ <Lap StartTime="2020-01-01T00:00:00Z"><Track>
+   <Trackpoint><Time>2020-01-01T00:00:01Z</Time>
+     <Position><LatitudeDegrees>1.0</LatitudeDegrees>
+       <LongitudeDegrees>2.0</LongitudeDegrees></Position>
+     <AltitudeMeters>7.5</AltitudeMeters></Trackpoint>
+ </Track><Track>
+   <Trackpoint><Time>2020-01-01T00:00:03Z</Time></Trackpoint>
+ </Track></Lap>
+ <Lap StartTime="2020-01-01T01:00:00Z"><Track>
+   <Trackpoint><Time>2020-01-01T01:00:01Z</Time></Trackpoint>
+ </Track></Lap></Activity>
+<Activity Sport="Running"><Id>a2</Id>
+ <Lap StartTime="2020-02-01T00:00:00Z"><Track>
+   <Trackpoint><Time>2020-02-01T00:00:01Z</Time></Trackpoint>
+ </Track></Lap></Activity>
+</Activities></TrainingCenterDatabase>"""
+
+    trows = X.parse_tcx_rows(tcx_doc)
+    troot = ET.fromstring(tcx_doc)
+    TNS = {"t": tns}
+    tref = []
+    for act in troot.findall(".//t:Activity", TNS):
+        for lap in act.findall("t:Lap", TNS):
+            for tp in lap.findall(".//t:Trackpoint", TNS):
+                tref.append(X._parse_trackpoint(tp))
+    assert trows == tref
+    assert len(trows) == 4
+    assert trows[0]["lat"] == 1.0 and trows[0]["alt"] == 7.5
