@@ -354,13 +354,24 @@ def wav_corpus_oracle_sql() -> str:
 
 def wav_docs(spark, sf_dir):
     """One synthetic mono 16-bit 8 kHz WAV per user, built WITHOUT
-    leaving the cluster (per-user applyInPandas group writes the
-    stdlib wave container over samples derived from event integers,
-    ordered by event_id). Disjoint event slice (event_id % 3 = 2)
-    from the gpx/tcx corpus rows. Returns (user_id, payload)."""
+    leaving the cluster: a JVM-side
+    ``array_sort(collect_list(struct(event_id, s)))`` aggregate
+    assembles each user's event-ordered sample vector, and ONE
+    batched mapInPandas pass writes the stdlib wave containers.
+    (Until round 18 this was a per-user applyInPandas group; Spark
+    frames each group as its own Arrow batch + pandas frame, and that
+    per-group machinery alone cost ~2.5 s at sf0.1 with a trivial
+    body — the gpx/tcx corpus builders measured the same shape, see
+    queries.gpx_corpus_read_docs. Payloads are bit-identical: the
+    struct sort orders by event_id exactly as the pandas sort did —
+    event ids are unique within a user, which the oracle twin's
+    ``LAG ... ORDER BY event_id`` already relies on.) Disjoint event
+    slice (event_id % 3 = 2) from the gpx/tcx corpus rows. Returns
+    (user_id, payload)."""
     import io
     import wave
 
+    import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -376,20 +387,32 @@ def wav_docs(spark, sf_dir):
         )
     )
 
-    def build(key, pdf):
-        pdf = pdf.sort_values("event_id")
-        samples = pdf["s"].to_numpy().astype("<i2")
-        buf = io.BytesIO()
-        with wave.open(buf, "wb") as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(8000)
-            w.writeframes(samples.tobytes())
-        return pd.DataFrame({"user_id": [int(key[0])], "payload": [buf.getvalue()]})
-
-    return ev.groupBy("user_id").applyInPandas(
-        build, schema="user_id long, payload binary"
+    grouped = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("event_id", "s"))).alias("p")
+        )
+        .select("user_id", F.col("p.s").alias("ss"))
     )
+
+    def build(batches):
+        for pdf in batches:
+            uids, payloads = [], []
+            for uid, ss in zip(pdf["user_id"], pdf["ss"]):
+                samples = np.asarray(ss, dtype="int64").astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.tobytes())
+                uids.append(int(uid))
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"user_id": pd.Series(uids, dtype="int64"), "payload": payloads}
+            )
+
+    return grouped.mapInPandas(build, schema="user_id long, payload binary")
 
 
 def wav_corpus_spark(spark, sf_dir):

@@ -4441,19 +4441,31 @@ def gpx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     over many files, gpx.rkt:393-446; Spark side: sources/gpx.py
     parse_many — mapInPandas over (id, xml) rows, one parser instance
     per Arrow batch). One synthetic GPX document per user is built
-    WITHOUT leaving the cluster: a per-user applyInPandas group
-    serializes its sorted track through the same track_xml writer the
+    WITHOUT leaving the cluster: a JVM-side
+    ``array_sort(collect_list(struct(...)))`` aggregate assembles each
+    user's time-sorted track, and one batched mapInPandas pass
+    serializes it through the same track_xml writer the
     single-activity sink uses (repr doubles + whole-second ISO-8601
     timestamps = exact by construction), then the whole corpus flows
     back through parse_many and aggregates per user — point count,
     micro-quantized lat/lon/ele sums (order-independent integer
-    sums), and the time span. The oracle computes identical
-    aggregates straight from the events table, so any loss anywhere
-    in serialize -> parse -> explode (attribute formatting, <ele>
-    NULL handling, timestamp parsing, source_id threading) breaks the
-    hash. At 100 TB both stages are one narrow pass each: documents
-    arrive pre-partitioned, nothing but the final users-sized
-    aggregate shuffles."""
+    sums), and the time span. (Until round 18 the serializer was a
+    per-user applyInPandas group; Spark frames each group as its own
+    Arrow batch + pandas frame, and that per-group machinery alone
+    cost 2.46 s at sf0.1 with a TRIVIAL body vs 0.57 s for this
+    batched shape — the aggregate output is bit-identical because the
+    downstream sums are order-independent over the same point
+    multiset, proven by the unchanged oracle hash. array_sort ties on
+    equal timestamps break by the remaining struct fields instead of
+    pandas' stable input order; only the intermediate XML byte order
+    can differ, never the parsed multiset.) The oracle computes
+    identical aggregates straight from the events table, so any loss
+    anywhere in serialize -> parse -> explode (attribute formatting,
+    <ele> NULL handling, timestamp parsing, source_id threading)
+    breaks the hash. At 100 TB both stages are one narrow pass each:
+    documents arrive pre-partitioned, nothing but the final
+    users-sized aggregate shuffles; the collect_list is bounded by
+    the per-user track, the same bound the group carried."""
     from data_frame_spark.sources import gpx as GPXSrc
     import pandas as pd
 
@@ -4467,25 +4479,45 @@ def gpx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("alt"),
     )
 
-    def build(key, pdf):
-        pdf = pdf.sort_values("timestamp")
-        # plain-float coercion on ALL four fields: pandas hands back
-        # numpy scalars, and numpy>=2 repr()s them as 'np.float64(x)'
-        # which track_xml's {v!r} serialization (and the parser's
-        # float()) would choke on — exact no-op under numpy 1.x
-        points = [
-            (float(lat), float(lon), None if pd.isna(alt) else float(alt), float(ts))
-            for lat, lon, alt, ts in zip(
-                pdf["lat"], pdf["lon"], pdf["alt"], pdf["timestamp"]
-            )
-        ]
-        uid = int(key[0])
-        xml = GPXSrc.track_xml(points, f"user-{uid}")
-        return pd.DataFrame({"user_id": [uid], "xml": [xml]})
-
-    docs = pts.groupBy("user_id").applyInPandas(
-        build, schema="user_id long, xml string"
+    grouped = (
+        pts.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("timestamp", "lat", "lon", "alt"))
+            ).alias("p")
+        )
+        .select(
+            "user_id",
+            F.col("p.timestamp").alias("ts"),
+            F.col("p.lat").alias("la"),
+            F.col("p.lon").alias("lo"),
+            F.col("p.alt").alias("al"),
+        )
     )
+
+    def build(batches):
+        for pdf in batches:
+            uids, xmls = [], []
+            for uid, ts, la, lo, al in zip(
+                pdf["user_id"], pdf["ts"], pdf["la"], pdf["lo"], pdf["al"]
+            ):
+                uid = int(uid)
+                # plain-float coercion on ALL four fields: Arrow hands
+                # back numpy scalars (NULL alt as NaN), and numpy>=2
+                # repr()s them as 'np.float64(x)' which track_xml's
+                # repr serialization (and the parser's float()) would
+                # choke on — exact no-op under numpy 1.x
+                points = [
+                    (float(a), float(b), None if pd.isna(c) else float(c), float(d))
+                    for a, b, c, d in zip(la, lo, al, ts)
+                ]
+                uids.append(uid)
+                xmls.append(GPXSrc.track_xml(points, f"user-{uid}"))
+            yield pd.DataFrame(
+                {"user_id": pd.Series(uids, dtype="int64"), "xml": xmls}
+            )
+
+    docs = grouped.mapInPandas(build, schema="user_id long, xml string")
     track = GPXSrc.parse_many(docs.select("user_id", "xml"), "xml")
     m = F.lit(1000000.0)
     return (
@@ -4545,10 +4577,14 @@ def tcx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources/tcx.py parse_many — mapInPandas over (id, xml) rows, one
     parser per Arrow batch). Mirrors gpx_corpus_read_docs on a
     disjoint event slice: one synthetic TCX activity per user is
-    built WITHOUT leaving the cluster (per-user applyInPandas group
-    serializes its sorted track through the shared tcx_xml writer —
-    repr(float) doubles + whole-second ISO-8601 times = exact by
-    construction), then the corpus flows back through parse_many and
+    built WITHOUT leaving the cluster (a JVM-side
+    ``array_sort(collect_list(struct(...)))`` aggregate assembles the
+    sorted track and one batched mapInPandas pass serializes it
+    through the shared tcx_xml writer — repr(float) doubles +
+    whole-second ISO-8601 times = exact by construction; the
+    per-user applyInPandas group it replaces paid Spark's per-group
+    Arrow-batch machinery, see gpx_corpus_read_docs), then the
+    corpus flows back through parse_many and
     aggregates per user over EVERY parsed channel (lat/lon via
     Position, alt, HeartRateBpm/Value, DistanceMeters, Time) as
     order-independent micro-quantized integer sums. The oracle
@@ -4571,29 +4607,54 @@ def tcx_corpus_read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("double").alias("dst"),
     )
 
-    def build(key, pdf):
-        pdf = pdf.sort_values("timestamp")
-        points = [
-            (
-                float(ts),
-                float(lat),
-                float(lon),
-                None if pd.isna(alt) else float(alt),
-                float(hr),
-                float(dst),
-            )
-            for ts, lat, lon, alt, hr, dst in zip(
-                pdf["timestamp"], pdf["lat"], pdf["lon"], pdf["alt"],
-                pdf["hr"], pdf["dst"],
-            )
-        ]
-        uid = int(key[0])
-        xml = TCXSrc.tcx_xml(points, sport="Other", act_id=f"user-{uid}")
-        return pd.DataFrame({"user_id": [uid], "xml": [xml]})
-
-    docs = pts.groupBy("user_id").applyInPandas(
-        build, schema="user_id long, xml string"
+    grouped = (
+        pts.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("timestamp", "lat", "lon", "alt", "hr", "dst")
+                )
+            ).alias("p")
+        )
+        .select(
+            "user_id",
+            F.col("p.timestamp").alias("ts"),
+            F.col("p.lat").alias("la"),
+            F.col("p.lon").alias("lo"),
+            F.col("p.alt").alias("al"),
+            F.col("p.hr").alias("h"),
+            F.col("p.dst").alias("d"),
+        )
     )
+
+    def build(batches):
+        for pdf in batches:
+            uids, xmls = [], []
+            for uid, ts, la, lo, al, h, d in zip(
+                pdf["user_id"], pdf["ts"], pdf["la"], pdf["lo"],
+                pdf["al"], pdf["h"], pdf["d"],
+            ):
+                uid = int(uid)
+                points = [
+                    (
+                        float(t_),
+                        float(a),
+                        float(b),
+                        None if pd.isna(c) else float(c),
+                        float(hh),
+                        float(dd),
+                    )
+                    for t_, a, b, c, hh, dd in zip(ts, la, lo, al, h, d)
+                ]
+                uids.append(uid)
+                xmls.append(
+                    TCXSrc.tcx_xml(points, sport="Other", act_id=f"user-{uid}")
+                )
+            yield pd.DataFrame(
+                {"user_id": pd.Series(uids, dtype="int64"), "xml": xmls}
+            )
+
+    docs = grouped.mapInPandas(build, schema="user_id long, xml string")
     track = TCXSrc.parse_many(docs.select("user_id", "xml"), "xml")
     m = F.lit(1000000.0)
     return (
