@@ -45,6 +45,27 @@ from pyspark.sql import functions as F
 #: without truncation and keep their per-round lazy checkpoints.
 _TRUNCATE_EVERY = 8
 
+#: Branching iterative loops (BFS min-merge, SSSP relaxation — each
+#: round references the previous state exactly TWICE: once through
+#: the edge join, once through the min-merge union) ALSO chain
+#: without per-round checkpoints, truncating only every this-many
+#: rounds. The doubled references do NOT double execution: the two
+#: consumers of round k-1 read the SAME aggregate exchange, and
+#: AQE's exchange/stage reuse materializes it once — measured via
+#: the UI stage store at sf0.1 (4-round SSSP: chain 99 tasks /
+#: 9.7 MB shuffle write vs per-round ckpt 111 tasks / 10.9 MB;
+#: chain min 2.55 s vs 4.44 s; outputs bit-identical; BFS 3-hop:
+#: chain 45 tasks / 0.4 MB vs 38-61 tasks / 0.6-5.9 MB, 1.4-2.4 s
+#: vs 2.2-4.9 s). Plan SIZE still grows ~2^k between truncations, so
+#: the interval is shorter than _TRUNCATE_EVERY: ≤2^4 = 16 leaf
+#: copies keeps analysis/optimization cheap. Rounds that reference
+#: the previous state THREE times (k-core's degree-union + semi-join)
+#: measured WORSE chained even at interval 2 (3^k plan copies put
+#: Catalyst analysis on the critical path: full 4-round chain 9.4-
+#: 13.2 s vs per-round ckpt 1.9-6.8 s warm/cold) — k_core keeps its
+#: per-round lazy checkpoints.
+_TRUNCATE_EVERY_BRANCHING = 4
+
 
 def _star(edges: DataFrame, large: bool) -> DataFrame:
     """One star round over an undirected edge list (u, v).
@@ -581,9 +602,13 @@ def hop_distances(
     Scale shape per round: ONE dists⋈edges equi-join on the source
     key plus a map-combinable MIN groupBy on the destination, then a
     full-outer-style min-merge with the running distance table —
-    vertex-keyed exchanges only, lazily localCheckpoint-ed per round
-    (the pagerank stance; the per-round plan shape is pinned
-    pre-checkpoint on :func:`_bfs_round` in test_plans.py). The
+    vertex-keyed exchanges only. Rounds CHAIN into the caller's one
+    materializing action, truncated only every
+    ``_TRUNCATE_EVERY_BRANCHING`` rounds (r18: the two references to
+    the previous round read ONE reused exchange under AQE — see the
+    module constant for the measured task/shuffle evidence; the
+    per-round plan shape is pinned pre-checkpoint on
+    :func:`_bfs_round` in test_plans.py). The
     frontier is implicit (the whole dist table relaxes each round —
     at a bounded hop count the simplicity beats frontier bookkeeping;
     a diameter-scale traversal would want delta-stepping instead).
@@ -612,8 +637,10 @@ def hop_distances(
         .select("node", F.lit(0).cast("long").alias("hops"))
     )
     dists = dists.localCheckpoint(eager=False)
-    for _ in range(max_hops):
-        dists = _bfs_round(e, dists).localCheckpoint(eager=False)
+    for i in range(max_hops):
+        dists = _bfs_round(e, dists)
+        if (i + 1) % _TRUNCATE_EVERY_BRANCHING == 0 and (i + 1) < max_hops:
+            dists = dists.localCheckpoint(eager=False)
     return dists
 
 
@@ -754,6 +781,7 @@ def shortest_paths(
     Semantics: seeds are distance 0; each round relaxes one edge of
     the min-plus recurrence dist(v) = min(dist(v), min over
     in-neighbors u of dist(u) + w(u, v)). After ``max_rounds`` rounds
+    (chained, truncated every ``_TRUNCATE_EVERY_BRANCHING`` — r18)
     every node holds its cheapest cost over paths of <= max_rounds
     edges (the full shortest path once max_rounds >= the shortest
     path's hop count; Bellman-Ford needs |V|-1 rounds in the worst
@@ -765,9 +793,12 @@ def shortest_paths(
     Scale shape per round: ONE dists⋈edges equi-join on the source
     key + a map-combinable MIN on the destination, then the union
     min-merge — identical exchanges to :func:`hop_distances` (the
-    weight rides the edge row); lazily localCheckpoint-ed per round
-    (the edge table alone stays EAGER so the folded negative-weight
-    raise_error fires inside the constructor's try block);
+    weight rides the edge row); rounds CHAIN into the caller's one
+    materializing action, truncated only every
+    ``_TRUNCATE_EVERY_BRANCHING`` rounds (r18; see the module
+    constant — the edge table alone stays EAGER so the folded
+    negative-weight raise_error fires inside the constructor's try
+    block);
     the per-round plan is pinned pre-checkpoint on
     :func:`_sssp_round` in test_plans.py. ``prepared=True``-style
     canonicalization is NOT skipped here: weights arrive from
@@ -812,8 +843,10 @@ def shortest_paths(
         .select("node", F.lit(0).cast("long").alias("dist"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_rounds):
-        dists = _sssp_round(e, dists).localCheckpoint(eager=False)
+    for i in range(max_rounds):
+        dists = _sssp_round(e, dists)
+        if (i + 1) % _TRUNCATE_EVERY_BRANCHING == 0 and (i + 1) < max_rounds:
+            dists = dists.localCheckpoint(eager=False)
     return dists
 
 

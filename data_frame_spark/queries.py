@@ -4951,9 +4951,12 @@ def graph_suite_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     No reference twin: net-new graph analytics (the reference's dedup
     story stops at pairwise filtering). At 100 TB: triangles bound
     every join key at O(sqrt(m)) via the orientation; LPA/BFS/k-core
-    rounds are vertex-keyed shuffles + map-combinable aggregates with
-    lazy per-round checkpoints (BFS/k-core) or periodically-truncated
-    chained rounds (LPA) — no windows, no data-sized
+    rounds are vertex-keyed shuffles + map-combinable aggregates —
+    LPA and BFS rounds chain into the one materializing action with
+    periodic truncation (r18, _TRUNCATE_EVERY /
+    _TRUNCATE_EVERY_BRANCHING), k-core keeps lazy per-round
+    checkpoints (its 3-reference round measured worse chained) — no
+    windows, no data-sized
     broadcasts (pinned pre-checkpoint on
     _oriented_edges/_lpa_round/_bfs_round/_kcore_round in
     tests/test_plans.py)."""
@@ -5219,10 +5222,12 @@ def sssp_cheapest_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     No reference twin: net-new graph analytics. At 100 TB each round
     is one vertex-keyed min-plus join + map-combinable MIN aggregate
     over the DISTINCT weighted edge set (bounded by |parts x
-    suppliers| co-occurrence, not lineitem volume), lazy per-round
-    checkpoints (min-merge rounds reference the previous state
-    twice, so an unchecked chain would grow exponentially), fixed
-    round count — bit-identical on any engine or
+    suppliers| co-occurrence, not lineitem volume), rounds CHAINED
+    into the one materializing action with truncation every
+    _TRUNCATE_EVERY_BRANCHING (r18: the min-merge's two references
+    to the previous round read ONE AQE-reused exchange — measured
+    fewer tasks AND fewer shuffle bytes than per-round checkpoints),
+    fixed round count — bit-identical on any engine or
     layout (integer dist, exact MIN)."""
     return _OP.sssp_spark(spark, sf_dir)
 

@@ -531,3 +531,49 @@ def test_cooccurrence_graph_raises_on_fractional_item_ids(spark):
         for r in cooccurrence_graph(ok, "grp", "item").collect()
     }
     assert got == {(1, 2): 1}
+
+
+def test_branching_loops_truncation_path_matches_brute_force(spark):
+    # r18 pin: hop_distances/shortest_paths chain rounds and only
+    # localCheckpoint every _TRUNCATE_EVERY_BRANCHING rounds — a
+    # round count ABOVE the interval exercises the mid-loop
+    # truncation + chained tail, which the bounded registry rows
+    # (3-4 rounds, pure chain) never reach.
+    from collections import deque
+
+    from data_frame_spark.operators.graph import (
+        _TRUNCATE_EVERY_BRANCHING,
+        hop_distances,
+        shortest_paths,
+    )
+
+    rounds = _TRUNCATE_EVERY_BRANCHING + 2
+
+    # a path long enough that hops keep growing past the truncation
+    chain = [(i, i + 1) for i in range(rounds + 2)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    sdf = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["hops"]
+        for r in hop_distances(df, sdf, max_hops=rounds).collect()
+    }
+    assert got == {i: i for i in range(rounds + 1)}
+
+    wchain = [(u, v, u + 1) for u, v in chain]
+    wdf = spark.createDataFrame(wchain, "src long, dst long, w long")
+
+    def brute(n):
+        dist = {0: 0}
+        for _ in range(n):
+            nxt = dict(dist)
+            for u, v, w in wchain:
+                if u in dist and dist[u] + w < nxt.get(v, 1 << 60):
+                    nxt[v] = dist[u] + w
+            dist = nxt
+        return dist
+
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths(wdf, sdf, max_rounds=rounds).collect()
+    }
+    assert got == brute(rounds)
