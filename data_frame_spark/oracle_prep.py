@@ -1133,14 +1133,18 @@ def graph_suite_family_spark(spark, sf_dir):
     the triangle facet runs on its own parts-co-ordered graph. All
     three outputs share (node, BIGINT value).
 
-    The three facets are INDEPENDENT subtrees whose cost is dominated
-    by eager per-round checkpoint jobs, so their plan construction is
-    submitted from three driver threads — Spark's standard concurrent
-    job submission; the scheduler interleaves the per-round jobs
-    instead of serializing three job-barrier chains. Determinism is
+    The three facets are INDEPENDENT subtrees built from three driver
+    threads. The original r14 rationale (overlapping eager per-round
+    checkpoint JOBS) is gone since r18 — LPA/BFS rounds now chain
+    into the single materializing action and construction is mostly
+    plan-side — but the threads still overlap the remaining
+    construction-time jobs (the eager edge checkpoint, the lazy-
+    checkpoint materializations inside the triangle facet) and cost
+    nothing when there is nothing to overlap. Determinism is
     untouched: each facet's result is integer-exact under any
     partitioning/ordering, and the threads build disjoint DataFrames
-    (measured at sf0.1: ~11 s sequential -> ~7 s overlapped)."""
+    (r14 measurement: ~11 s sequential -> ~7 s overlapped; r18: the
+    family is LPA-facet-bound, threading neutral)."""
     from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.sql import functions as F

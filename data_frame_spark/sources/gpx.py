@@ -131,10 +131,15 @@ def parse_gpx_rows(xml_text: str) -> tuple[list[dict], dict]:
     root = ET.fromstring(xml_text)
     rows = []
     # iter(qualified-tag) is the C-level descendant walk — document
-    # order, same matches as findall(".//g:trkseg", _NS) (the root
-    # <gpx> can never match); the per-seg trkpt scan keeps find()'s
-    # direct-child semantics via the literal qualified tag
+    # order, same matches as findall(".//g:trkseg", _NS) EXCEPT that
+    # iter() also yields the root element itself when it matches; the
+    # explicit root skip restores findall's descendant-only contract
+    # for fragment inputs whose root IS a <trkseg> (r18 review). The
+    # per-seg trkpt scan keeps find()'s direct-child semantics via
+    # the literal qualified tag.
     for seg in root.iter(_Q_TRKSEG):
+        if seg is root:
+            continue
         for pt in seg:
             if pt.tag == _Q_TRKPT:
                 rows.append(_parse_trkpt(pt))

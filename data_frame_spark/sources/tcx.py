@@ -118,7 +118,12 @@ def read_tcx_multiple(spark: SparkSession, path_or_text: str) -> list[Frame]:
             text = fh.read()
     root = ET.fromstring(text)
     frames = []
+    # root skip: iter() also yields a matching root — restore
+    # findall's descendant-only contract for Activity fragments
+    # (r18 review)
     for act in root.iter(_Q_ACTIVITY):
+        if act is root:
+            continue
         rows, props = _parse_activity(act)
         df = spark.createDataFrame(
             [tuple(r[f.name] for f in GPX_SCHEMA.fields) for r in rows], GPX_SCHEMA
@@ -196,7 +201,12 @@ def parse_tcx_rows(xml_text: str):
     optimization) parses with the identical code path."""
     root = ET.fromstring(xml_text)
     out = []
+    # root skip: iter() also yields a matching root — restore
+    # findall's descendant-only contract for Activity fragments
+    # (r18 review)
     for act in root.iter(_Q_ACTIVITY):
+        if act is root:
+            continue
         rows, _ = _parse_activity(act)
         out.extend(rows)
     return out

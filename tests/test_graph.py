@@ -539,8 +539,6 @@ def test_branching_loops_truncation_path_matches_brute_force(spark):
     # round count ABOVE the interval exercises the mid-loop
     # truncation + chained tail, which the bounded registry rows
     # (3-4 rounds, pure chain) never reach.
-    from collections import deque
-
     from data_frame_spark.operators.graph import (
         _TRUNCATE_EVERY_BRANCHING,
         hop_distances,

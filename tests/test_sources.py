@@ -708,3 +708,24 @@ def test_xml_fast_traversal_matches_elementpath_reference():
     assert trows == tref
     assert len(trows) == 4
     assert trows[0]["lat"] == 1.0 and trows[0]["alt"] == 7.5
+
+
+def test_xml_fast_traversal_skips_matching_root_fragment():
+    # r18 review pin: iter(qname) yields a MATCHING ROOT, which the
+    # replaced findall(".//...") never did — the parsers skip the
+    # root element so fragment inputs keep the pre-r18 semantics
+    # (descendants only).
+    from data_frame_spark.sources import gpx as G
+    from data_frame_spark.sources import tcx as X
+
+    frag = ('<trkseg xmlns="http://www.topografix.com/GPX/1/1">'
+            '<trkpt lat="1" lon="2"/></trkseg>')
+    rows, _ = G.parse_gpx_rows(frag)
+    assert rows == []
+
+    tfrag = ('<Activity xmlns="http://www.garmin.com/xmlschemas/'
+             'TrainingCenterDatabase/v2" Sport="Biking"><Id>a</Id>'
+             '<Lap StartTime="2020-01-01T00:00:00Z"><Track>'
+             '<Trackpoint><Time>2020-01-01T00:00:01Z</Time>'
+             '</Trackpoint></Track></Lap></Activity>')
+    assert X.parse_tcx_rows(tfrag) == []
