@@ -421,6 +421,19 @@ DECLARED_BROADCAST_OK: dict[str, list[tuple[str, str]]] = {
         (r"Scan ExistingRDD\[row#\d+,bucket#\d+L?,cnt#\d+L?\]",
          "CMS sketch = depth×width counter table (constant shape)"),
     ],
+    # the r18 scan-share checkpoints the numeric facet's gap-filled
+    # bucket table ONCE and broadcast-joins the normalized and
+    # trimmed-percentage views derived from it back onto it — the
+    # relation is bucket-domain-bounded (≤ value-range/width + 1 rows
+    # by the gap-fill construction), never corpus-sized; the
+    # checkpoint's ExistingRDD scan just hides that from the
+    # bounded-aggregate walk
+    "histogram_family": [
+        (r"Scan ExistingRDD\[bucket#\d+L?,bucket_start#\d+,count#\d+L?\]",
+         "gap-filled bucket table (≤ range/width + 1 rows)"),
+        (r"Scan ExistingRDD\[bucket#\d+L?,bucket_start#\d+,count#\d+L?\]",
+         "gap-filled bucket table (≤ range/width + 1 rows)"),
+    ],
 }
 
 

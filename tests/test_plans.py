@@ -453,6 +453,9 @@ def test_no_code_forced_data_sized_broadcasts(spark, sf_dir):
         "kmv_family",
         "near_dup_clusters_docs",
         "segment_dedup_docs",
+        # r18 scan-share: the numeric facet broadcasts two views of
+        # the checkpointed bucket table (declared, bucket-bounded)
+        "histogram_family",
     ):
         with C.scale_planner(spark):
             df = QUERIES[name](spark, sf_dir)

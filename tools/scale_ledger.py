@@ -29,6 +29,14 @@ accounting for every registered query at sf0.001. Columns:
 - **shuffles** — data-sized shuffle `Exchange` nodes in the executed
   plan (each is a full data repartition at scale; lower is better,
   and none of these grow with data size beyond the shuffle itself).
+  Since r18 the iterative graph loops CHAIN their rounds instead of
+  hiding them behind per-round checkpoint RDD scans, so their
+  per-round exchanges are now VISIBLE here (pagerank/ppr 0 -> 8,
+  sssp 0 -> 23, graph_suite 15 -> 32): that is an accounting
+  improvement, not new work — identical repeated exchanges are
+  AQE-stage-reused at runtime (measured: the chained forms execute
+  FEWER tasks and fewer shuffle bytes than the checkpointed ones,
+  OPTIMIZATION_r18.md §11).
 - **tiny** — bucket-bounded exchanges: per-`__bucket` aggregates
   (≤ |buckets|+1 rows by construction) and their spine cumulations,
   introduced where the distributed primitives replaced driver
