@@ -36,6 +36,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: off-scale runs persist to latest_sf{sf}.json instead.
 CANONICAL_SF = 0.1
 
+#: ... and the canonical core count (r18 VERDICT #2: the driver's
+#: local[8] scaling run clobbered the 32-core latest.json — the same
+#: clobbering class the SF key fixed for scale). Off-canonical core
+#: counts persist to a latest*_c{cpus}.json sibling; the cpus also
+#: ride the emitted summary so any captured run is self-describing.
+CANONICAL_CPUS = 32
+
 #: FIXED representative subset whose total is comparable
 #: round-over-round (round-9 verdict #5: the full-registry total
 #: inflates with every registry addition, so rounds stopped being
@@ -199,7 +206,13 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    summary = emit_json(timings, sf_val, RUNS, calib=(calib_pre, cpu_calib()))
+    try:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)))
+    except ValueError:
+        cpus = None
+    summary = emit_json(
+        timings, sf_val, RUNS, calib=(calib_pre, cpu_calib()), cpus=cpus
+    )
     write_history(timings, summary)
 
 
@@ -211,16 +224,21 @@ def write_history(timings: dict[str, float], summary: dict) -> None:
     36/100); round-over-round per-query comparisons must not depend
     on the driver capture. The driver's round-close commit picks
     this file up; round-close snapshots are frozen alongside it as
-    docs/BENCH_HISTORY/r{N}.json. Only a run at CANONICAL_SF may
-    touch latest.json — any other scale writes a latest_sf{sf}.json
-    sibling, so an iteration run at sf0.01/sf1 can never clobber the
-    canonical record (r16 ADVICE). Best-effort: a read-only checkout
-    must not fail the bench."""
+    docs/BENCH_HISTORY/r{N}.json. Only a run at CANONICAL_SF AND
+    CANONICAL_CPUS may touch latest.json — any other scale writes a
+    latest_sf{sf}.json sibling and any other core count appends a
+    _c{cpus} suffix, so an iteration run at sf0.01/sf1 or the
+    driver's local[8] scaling pass can never clobber the canonical
+    record (r16 ADVICE; r18 VERDICT #2). Best-effort: a read-only
+    checkout must not fail the bench."""
     fname = (
-        "latest.json"
+        "latest"
         if summary.get("sf") == CANONICAL_SF
-        else f"latest_sf{summary.get('sf')}.json"
+        else f"latest_sf{summary.get('sf')}"
     )
+    if summary.get("cpus") != CANONICAL_CPUS:
+        fname += f"_c{summary.get('cpus')}"
+    fname += ".json"
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "docs", "BENCH_HISTORY",
         fname,
@@ -244,7 +262,7 @@ def write_history(timings: dict[str, float], summary: dict) -> None:
 
 
 def emit_json(
-    timings: dict[str, float], sf_val, runs: int, calib=None
+    timings: dict[str, float], sf_val, runs: int, calib=None, cpus=None
 ) -> dict:
     """Print the machine-readable bench lines (factored out so the
     emission shape is unit-testable without a Spark run).
@@ -258,29 +276,29 @@ def emit_json(
     (each well under 1 KB), then the short final summary line that
     always survives truncation. Reassembly: merge the "queries"
     dicts of every line carrying "per_query_part" (parts are
-    disjoint; "parts" gives the expected count)."""
-    names = list(timings)
+    disjoint; "parts" gives the expected count).
+
+    Two r18-VERDICT hardenings: the summary line is ALSO printed
+    before the part lines (any head-capturing consumer gets it
+    without parsing parts; the final line stays the summary, which
+    is what the driver parses), and the part lines carry the
+    SLOWEST queries LAST — a ~2,000-char tail capture that keeps
+    only the trailing parts then preserves exactly the top cost
+    centers the round-over-round perf comparison needs (r18 lost 4
+    slow queries to head-side truncation and mis-reported them as
+    dropped)."""
+    # ascending by time: the most perf-relevant entries land nearest
+    # the end of the output, where tail captures survive
+    names = sorted(timings, key=lambda n: (timings[n], n))
     CHUNK = 18  # ~30 bytes/entry -> ~600-byte lines
     parts = [names[i:i + CHUNK] for i in range(0, len(names), CHUNK)]
-    for idx, part in enumerate(parts, start=1):
-        print(
-            json.dumps(
-                {
-                    "per_query_part": idx,
-                    "parts": len(parts),
-                    "runs_per_query": runs,
-                    "agg": "min",
-                    "action": "full_row_hash",
-                    "queries": {n: timings[n] for n in part},
-                }
-            )
-        )
     headline = [n for n in HEADLINE if n in timings]
     summary = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": sf_val,
+        "cpus": cpus,
         "n_queries": len(timings),
         # stable round-over-round comparison: the fixed HEADLINE
         # subset's total (the full-registry `value` inflates with
@@ -304,6 +322,23 @@ def emit_json(
             for n in sorted(timings, key=timings.get, reverse=True)[:10]
         },
     }
+    # summary FIRST (survives head captures), then the per-query
+    # parts slowest-last, then the summary again as the final line
+    # the driver parses
+    print(json.dumps(summary))
+    for idx, part in enumerate(parts, start=1):
+        print(
+            json.dumps(
+                {
+                    "per_query_part": idx,
+                    "parts": len(parts),
+                    "runs_per_query": runs,
+                    "agg": "min",
+                    "action": "full_row_hash",
+                    "queries": {n: timings[n] for n in part},
+                }
+            )
+        )
     print(json.dumps(summary))
     # the history file (write_history) persists THIS dict, so the
     # repo-committed numbers can never drift from the emitted summary

@@ -130,7 +130,7 @@ def test_bench_emission_lines_survive_tail_capture(capsys):
     import bench
 
     timings = {f"query_{i:03d}_with_a_long_name": i / 7.0 for i in range(100)}
-    bench.emit_json(timings, 0.1, 2)
+    bench.emit_json(timings, 0.1, 2, cpus=32)
     lines = capsys.readouterr().out.strip().splitlines()
     assert all(len(ln) < 1024 for ln in lines)
     parsed = [json.loads(ln) for ln in lines]
@@ -144,6 +144,37 @@ def test_bench_emission_lines_survive_tail_capture(capsys):
     summary = parsed[-1]
     assert summary["metric"] == "headline_queries_total"
     assert summary["n_queries"] == 100 and len(summary["queries"]) == 10
+    assert summary["cpus"] == 32
+    # r18 VERDICT #1 hardening: the summary ALSO leads the output
+    # (head captures), and the part lines carry the slowest queries
+    # LAST so a tail capture keeps the top cost centers
+    assert parsed[0] == summary
+    part_maxes = [max(p["queries"].values()) for p in parts]
+    assert part_maxes == sorted(part_maxes)
+    assert max(timings.values()) in parts[-1]["queries"].values()
+
+
+def test_bench_history_filename_keyed_by_sf_and_cpus(tmp_path, monkeypatch):
+    # r18 VERDICT #2: the driver's local[8] scaling run overwrote the
+    # canonical 32-core latest.json. Pin: only CANONICAL_SF at
+    # CANONICAL_CPUS writes latest.json; any other (sf, cpus) combo
+    # writes a suffixed sibling.
+    import bench
+
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(tmp_path / "bench.py")
+    )
+    cases = [
+        ({"sf": 0.1, "cpus": 32}, "latest.json"),
+        ({"sf": 0.1, "cpus": 8}, "latest_c8.json"),
+        ({"sf": 0.01, "cpus": 32}, "latest_sf0.01.json"),
+        ({"sf": 1, "cpus": 8}, "latest_sf1_c8.json"),
+    ]
+    for summary, expected in cases:
+        bench.write_history(
+            {"q": 1.0}, {**summary, "value": 1.0, "metric": "m"}
+        )
+        assert (tmp_path / "docs" / "BENCH_HISTORY" / expected).exists(), expected
 
 
 def test_no_row_at_a_time_python_udfs_in_package():

@@ -26,9 +26,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from data_frame_spark.session import get_spark, load_table, TPCH_TABLES
 from data_frame_spark import queries as Q
-from bench import materialize
+from bench import materialize, cpu_calib
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: calib reads above this are a host-contended window (healthy ~1.0-1.4 s
+#: on this box); numbers from such a window MUST NOT feed A/B claims
+#: (r18 VERDICT #10: make the profiler refuse, so a session can't
+#: accidentally chase host noise)
+CALIB_MAX = 1.5
 
 
 def main(argv: list[str]) -> None:
@@ -57,6 +63,7 @@ def main(argv: list[str]) -> None:
 
     sc = spark.sparkContext
     tracker = sc.statusTracker()
+    calib_pre = cpu_calib()
     out = {}
     for name in names:
         fn = Q.QUERIES[name]
@@ -88,6 +95,21 @@ def main(argv: list[str]) -> None:
             )
             with open(os.path.join(plans_dir, f"{name}_{tag}.txt"), "w") as f:
                 f.write(txt)
+    calib_post = cpu_calib()
+    if max(calib_pre, calib_post) > CALIB_MAX:
+        # contended window: the timings above are NOT comparison-grade.
+        # Suppress the machine-readable dict (the thing sessions paste
+        # into A/B tables) and exit nonzero so scripts notice.
+        print(
+            f"# CALIB UNHEALTHY ({calib_pre}/{calib_post} s > {CALIB_MAX}):"
+            " host-contended window — timings suppressed; re-run when the"
+            " anchor reads ~1.0-1.4 s",
+            file=sys.stderr,
+        )
+        print(json.dumps({"calib_sec": [calib_pre, calib_post], "unhealthy": True}))
+        sys.exit(3)
+    print(f"# calib_sec=[{calib_pre}, {calib_post}] (healthy)", file=sys.stderr)
+    out["__calib_sec__"] = [calib_pre, calib_post]
     print(json.dumps(out, indent=1, sort_keys=True))
 
 
