@@ -343,6 +343,25 @@ def _hashed_ngrams(
     )
 
 
+def _require_gram_contract(df: DataFrame, id_col: str, param: str) -> None:
+    """Cheap schema guard on the shared precomputed-gram relations
+    (r18 ADVICE): the ``corpus_grams``/``bench_grams`` contract is a
+    DISTINCT ``(id_col, __h)`` relation built at the same ``n`` and
+    text normalization as :func:`_hashed_ngrams` would build — a
+    frame with the wrong columns silently changes contamination
+    counts, so at least the column set is asserted here (the
+    distinctness/normalization halves of the contract cannot be
+    checked without re-running the pipeline the parameter exists to
+    skip; they stay documented)."""
+    missing = {id_col, "__h"} - set(df.columns)
+    if missing:
+        raise ValueError(
+            f"{param} must carry columns ({id_col!r}, '__h') — the"
+            f" distinct hashed n-gram contract; missing {sorted(missing)}"
+            f" in {df.columns}"
+        )
+
+
 def _bench_join_side(b: DataFrame, broadcast: bool | str) -> DataFrame:
     """The contamination family's tri-state join contract applied to
     the benchmark-side relation: True broadcasts (fixed eval suite),
@@ -415,7 +434,10 @@ def ngram_contamination(
             F.col("__id").alias("doc_id"), F.md5(F.col("__shingle")).alias("__h")
         )
     else:
+        _require_gram_contract(corpus_grams, id_col, "corpus_grams")
         c = corpus_grams.select(F.col(id_col).alias("doc_id"), "__h")
+    if bench_grams is not None:
+        _require_gram_contract(bench_grams, id_col, "bench_grams")
     b = _bench_join_side(
         _hashed_ngrams(benchmark, text_col, id_col, n, "bench_id")
         if bench_grams is None
@@ -432,6 +454,28 @@ def ngram_contamination(
     )
 
 
+def span_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+) -> DataFrame:
+    """The hashed k-token sliding-window relation
+    :func:`duplicate_spans` consumes — ``(__id, __pos, __h)`` rows,
+    one per full k-token window of every document with >= k tokens
+    (md5 over the joined window). Exposed (optimization round 19,
+    guide §2.3) so a caller running SEVERAL span policies over the
+    same corpus — spans_family runs the flag-all AND the keep-first
+    facet — can build the doc-keyed shingle shuffle + md5 pipeline
+    once and pass it to each call via ``wins_rows``."""
+    from data_frame_spark.operators.text import tokens
+
+    eligible = df.where(F.size(tokens(F.col(text_col))) >= k)
+    return shingle_rows(eligible, text_col, id_col, n=k, keep_pos=True).select(
+        "__id", "__pos", F.md5(F.col("__shingle")).alias("__h")
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -439,6 +483,7 @@ def duplicate_spans(
     k: int = 32,
     min_occurrences: int = 2,
     keep_first: bool = False,
+    wins_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact duplicate-SPAN detection — the ExactSubstr dedup recipe
     (Lee et al. 2022, "Deduplicating Training Data Makes Language
@@ -478,13 +523,26 @@ def duplicate_spans(
     duplicated-hash set is corpus-proportional — never broadcast;
     AQE splits a boilerplate hot hash); the island merge runs per
     document. Nothing funnels through one partition.
-    """
-    from data_frame_spark.operators.text import tokens
 
-    eligible = df.where(F.size(tokens(F.col(text_col))) >= k)
-    wins = shingle_rows(eligible, text_col, id_col, n=k, keep_pos=True).select(
-        "__id", "__pos", F.md5(F.col("__shingle")).alias("__h")
-    )
+    ``wins_rows`` (optimization round 19, guide §2.3 — same contract
+    style as ngram_contamination's ``corpus_grams``): a precomputed
+    ``(__id, __pos, __h)`` window relation, exactly what
+    :func:`span_windows` builds at this ``k`` over this corpus, so a
+    caller running several policies (flag-all + keep-first) shares
+    ONE shingle pass instead of rebuilding it per call. Results are
+    identical by construction — both paths consume the same relation.
+    """
+    if wins_rows is None:
+        wins = span_windows(df, text_col, id_col, k)
+    else:
+        missing = {"__id", "__pos", "__h"} - set(wins_rows.columns)
+        if missing:
+            raise ValueError(
+                "wins_rows must carry columns ('__id', '__pos', '__h') —"
+                f" the span_windows contract; missing {sorted(missing)}"
+                f" in {wins_rows.columns}"
+            )
+        wins = wins_rows
     dup_agg = [F.count(F.lit(1)).alias("__c")]
     if keep_first:
         dup_agg.append(F.min(F.struct("__id", "__pos")).alias("__first"))
@@ -748,6 +806,15 @@ def dedup_segments(
         F.col("chunk_text").alias("__seg"),
         F.md5(F.col("chunk_text")).alias("__h"),
     )
+    # share the segment relation between its two consumers (the
+    # winner aggregate and the mark-back probe) — r19 optimization,
+    # guide §2.3: without the checkpoint Catalyst rebuilds the
+    # scan + tokenize + chunk-explode + md5 pipeline per reference
+    # (two full corpus passes). Lazy: the winner aggregate's first
+    # job materializes it; the aggregate stays map-combinable and
+    # the probe join keeps AQE's skew handling (the checkpoint only
+    # shares the common SOURCE, it moves neither exchange).
+    segs = segs.localCheckpoint(eager=False)
     winners = segs.groupBy("__h").agg(
         F.min(F.struct(F.col("__id"), F.col("__seg_no"))).alias("__w")
     )
@@ -820,8 +887,17 @@ def bloom_contamination(
     :func:`ngram_contamination` — the decontamination_family row
     shares ONE corpus shingle pass between this leg and the exact
     collision leg instead of re-running the doc-keyed window + md5
-    pipeline per leg (optimization round 18, guide §2.3).
+    pipeline per leg (optimization round 18, guide §2.3). NOTE
+    (r18 ADVICE): unlike the ngram leg, whose per-pair count
+    re-distincts after the join, this leg's ``n_grams`` column
+    counts the ``corpus_grams`` ROWS per document directly — a
+    non-distinct relation silently inflates it, which is why the
+    contract is distinctness and the column set is asserted.
     """
+    if corpus_grams is not None:
+        _require_gram_contract(corpus_grams, id_col, "corpus_grams")
+    if bench_grams is not None:
+        _require_gram_contract(bench_grams, id_col, "bench_grams")
     if corpus_grams is None:
         cg = (
             shingle_rows(corpus, text_col, id_col, n=n)

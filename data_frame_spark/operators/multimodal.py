@@ -276,9 +276,11 @@ def waveform_row(i, payload) -> dict:
     """Decode ONE 16-bit PCM mono WAV payload into the
     WAVEFORM_SCHEMA stat dict (quarantine ok=False on anything
     else) — the per-payload body of :func:`audio_waveform_features`,
-    exposed so a builder that PACKS a payload in the same Python
-    task can decode it without a second Arrow round trip
-    (binary_corpus_family, r18 optimization)."""
+    factored out during the r18 pack+decode fusion experiment. The
+    fusion itself was MEASURED WORSE and rejected (two pipelined
+    Python stages beat one fused — OPTIMIZATION_r18.md §3), so no
+    external fused caller exists; the helper stays as the shared,
+    separately-testable decode body."""
     row = {
         "doc_id": _safe_id(i), "n_samples": None, "sample_sum": None,
         "abs_sum": None, "peak_abs": None,
@@ -377,8 +379,9 @@ def _iter_boxes(data: bytes, start: int, end: int):
 def video_row(i, payload) -> dict:
     """Walk ONE ISO BMFF payload into the VIDEO_SCHEMA metadata dict
     (quarantine ok=False on non-BMFF/malformed) — the per-payload
-    body of :func:`video_metadata`, exposed for the same fused
-    pack+decode treatment as :func:`waveform_row`."""
+    body of :func:`video_metadata`, factored out like
+    :func:`waveform_row` (the r18 pack+decode fusion was measured
+    worse and rejected; no fused caller exists)."""
     row = {
         "doc_id": _safe_id(i), "format": None, "major_brand": None,
         "timescale": None, "duration_units": None,

@@ -381,7 +381,12 @@ def _cell_batched(vec: Column, centroids: list[list[float]]) -> Column:
     float array, so NaN-containing rows are masked to cell 0 on the
     fast path; a batch the stack/shape checks reject (NULL vectors,
     ragged lengths) falls back to a per-row loop with the same
-    contract."""
+    contract. Known latent divergence (r18 ADVICE): a genuine NaN
+    DATA value is indistinguishable from a NULL element after the
+    Arrow transfer, so it also maps to cell 0, while the expression
+    form evaluates floor(NaN) per term and yields a finite dot —
+    fixture embeddings carry no NaNs; the kernel side is pinned in
+    the test."""
     C = np.array(centroids, dtype=np.float64)  # (k, dim)
 
     from pyspark.sql.functions import pandas_udf
@@ -436,7 +441,12 @@ def qnorm_batched(a: Column) -> Column:
     NULL element, which Arrow hands over as NaN) yields a NULL sum;
     a ragged row is summed over its OWN elements (the self-dot never
     pads). The numpy fast path masks NaN rows to NULL; a batch the
-    stack rejects (NULL/ragged vectors) falls back per-row."""
+    stack rejects (NULL/ragged vectors) falls back per-row. Known
+    latent divergence (r18 ADVICE): a genuine NaN DATA value is
+    indistinguishable from a NULL element after Arrow, so it also
+    yields a NULL sum, while :func:`norm2` would evaluate floor(NaN)
+    per term to a finite value — fixture embeddings carry no NaNs;
+    pinned in the kernel test."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")

@@ -757,8 +757,41 @@ def tfidf_top_terms(
     )
 
 
+def term_counts(df: "DataFrame", text_col: str) -> "DataFrame":
+    """The corpus-wide ``(__term, __c)`` token-count relation both
+    self-trained LMs consume — one map-combinable shuffle over the
+    exploded token stream. Exposed (optimization round 19, guide
+    §2.3) so a caller running BOTH LMs over the same corpus
+    (lm_nll_docs) can build it once and pass it to each via
+    ``term_counts``."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("__term"))
+        .groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+
+
+def _require_term_counts(tc: "DataFrame") -> None:
+    """Cheap schema guard on the shared precomputed count relation
+    (the corpus_grams precedent): the contract is term_counts(df,
+    text_col) — corpus-wide counts at the same tokenization; the
+    column set is what can be asserted without re-running the pass
+    the parameter exists to skip."""
+    missing = {"__term", "__c"} - set(tc.columns)
+    if missing:
+        raise ValueError(
+            "term_counts must carry columns ('__term', '__c') — the"
+            f" term_counts() contract; missing {sorted(missing)} in"
+            f" {tc.columns}"
+        )
+
+
 def unigram_lm_nll(
-    df: "DataFrame", text_col: str, id_col: str, vocab_size: int = 10000
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 10000,
+    term_counts: "DataFrame | None" = None,
 ) -> "DataFrame":
     """Per-document negative log-likelihood under a self-trained
     add-one-smoothed unigram LM — the CCNet-style "perplexity
@@ -785,19 +818,31 @@ def unigram_lm_nll(
     remaining corpus shuffle, keyed by document. A 100 TB corpus
     passes through exactly two data-sized shuffles, both
     map-combinable.
+
+    ``term_counts``: an optional precomputed :func:`term_counts`
+    relation (r19, guide §2.3) — lm_nll_docs trains BOTH LMs on the
+    same corpus, and the corpus-wide count pass is identical in
+    each, so the caller builds it once. Must be materialized (or
+    checkpointed) by the caller if shared; identical results by
+    construction (the count table is the same relation either way).
     """
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(F.col(text_col))).alias("__term"),
     )
-    # materialize the count table ONCE: tot/vocab/vs/lm all read it,
-    # and without the checkpoint Catalyst re-derives the corpus
-    # explode+shuffle per consumer (4 corpus scans instead of 1)
-    cnt = (
-        toks.groupBy("__term")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .localCheckpoint(eager=False)
-    )
+    if term_counts is None:
+        # materialize the count table ONCE: tot/vocab/vs/lm all read
+        # it, and without the checkpoint Catalyst re-derives the
+        # corpus explode+shuffle per consumer (4 corpus scans
+        # instead of 1)
+        cnt = (
+            toks.groupBy("__term")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        _require_term_counts(term_counts)
+        cnt = term_counts.select("__term", "__c")
     tot = cnt.agg(
         F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__dv")
     )
@@ -907,7 +952,11 @@ def collocations(
 
 
 def bigram_lm_nll(
-    df: "DataFrame", text_col: str, id_col: str, vocab_size: int = 10000
+    df: "DataFrame",
+    text_col: str,
+    id_col: str,
+    vocab_size: int = 10000,
+    term_counts: "DataFrame | None" = None,
 ) -> "DataFrame":
     """Per-document NLL under a self-trained add-one-smoothed BIGRAM
     LM — the context-aware upgrade of :func:`unigram_lm_nll`: word
@@ -929,12 +978,21 @@ def bigram_lm_nll(
     broadcast when it fits — and the per-doc sum. Like any
     self-trained LM it is a count pass plus a score pass over the
     corpus; the model tables in between are bounded, not corpus-sized.
+
+    ``term_counts``: optional precomputed :func:`term_counts`
+    relation — same sharing contract as :func:`unigram_lm_nll`
+    (lm_nll_docs builds the corpus count pass once for both LMs);
+    the vocabulary derived from it is identical by construction.
     """
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(tokens(F.col(text_col))).alias("__term"),
-    )
-    cnt = toks.groupBy("__term").agg(F.count(F.lit(1)).alias("__c"))
+    if term_counts is None:
+        cnt = (
+            df.select(F.explode(tokens(F.col(text_col))).alias("__term"))
+            .groupBy("__term")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+    else:
+        _require_term_counts(term_counts)
+        cnt = term_counts.select("__term", "__c")
     vocab = (
         cnt.orderBy(F.col("__c").desc(), F.col("__term"))
         .limit(vocab_size)
@@ -978,6 +1036,12 @@ def bigram_lm_nll(
             .alias("__cur"),
         )
     )
+    # share the mapped pair stream between its two consumers (the
+    # bigram count and the score pass) — r19, guide §2.3: without
+    # the checkpoint the scan + pair-explode + two broadcast joins
+    # run twice. Narrow columns only (id + two tokens), the same
+    # size class as the shingle tables the dedup family checkpoints.
+    mapped = mapped.localCheckpoint(eager=False)
     # bounded model tables: bigram counts (checkpointed once — the
     # score join and the context marginal both read it) and the
     # context totals derived FROM the bigram table, never the corpus

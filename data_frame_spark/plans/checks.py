@@ -378,13 +378,13 @@ DECLARED_BROADCAST_OK: dict[str, list[tuple[str, str]]] = {
         ),
     ],
     # the unigram LM table is TakeOrdered(vocab_size) checkpointed —
-    # ≤ vocab_size rows by construction; both facets' lookup joins and
-    # the shared-params leg each broadcast it once
+    # ≤ vocab_size rows by construction. ONE fingerprint since the
+    # r19 term_counts scan-share: the corpus count pass is built once
+    # and lazily checkpointed, so the facets' vocab lookups resolve
+    # against the same checkpointed relation and the planner emits a
+    # single data-derived broadcast of it (was 3 — one per facet leg
+    # — when each LM rebuilt its own count table)
     "lm_nll_docs": [
-        (r"Scan ExistingRDD\[__term#\d+,__c#\d+L?\]",
-         "LM vocab = top-vocab_size term table (limit-bounded)"),
-        (r"Scan ExistingRDD\[__term#\d+,__c#\d+L?\]",
-         "LM vocab = top-vocab_size term table (limit-bounded)"),
         (r"Scan ExistingRDD\[__term#\d+,__c#\d+L?\]",
          "LM vocab = top-vocab_size term table (limit-bounded)"),
     ],

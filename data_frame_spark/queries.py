@@ -1450,10 +1450,19 @@ def lm_nll_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides arrive already aggregated by doc_id, so the join
     distributes at any corpus size (no broadcast of a corpus-sized
     side). The shared oracle CTE reuses one vocabulary (identical
-    top-k definition in both models)."""
+    top-k definition in both models) — and since r19 the Spark side
+    mirrors that (guide §2.3): the corpus-wide term-count pass is
+    built ONCE (operators/text.term_counts, lazily localCheckpoint'd)
+    and shared by both LMs via their ``term_counts`` parameter, so
+    the explode+count shuffle runs once instead of per model. Both
+    vocabularies derive from the same relation, so nothing changes
+    in either facet's rows."""
     docs = t(spark, sf_dir, "documents")
-    uni = OpText.unigram_lm_nll(docs, "text", "doc_id", vocab_size=10000)
-    bi = OpText.bigram_lm_nll(docs, "text", "doc_id", vocab_size=10000)
+    tc = OpText.term_counts(docs, "text").localCheckpoint(eager=False)
+    uni = OpText.unigram_lm_nll(docs, "text", "doc_id", vocab_size=10000,
+                                term_counts=tc)
+    bi = OpText.bigram_lm_nll(docs, "text", "doc_id", vocab_size=10000,
+                              term_counts=tc)
     return uni.select(
         "doc_id",
         "n_tokens",
@@ -2604,19 +2613,31 @@ def spans_family(spark: SparkSession, sf_dir: str) -> DataFrame:
       keep_first=True; folded in from the standalone
       duplicate_spans_keep_first_docs row in round 13).
 
-    The flag-all span table is built ONCE and eagerly
-    localCheckpoint'd (two facet consumers; pre-checkpoint plan shape
-    pinned at operator level in test_plans.py). The keep_first facet
-    re-derives windows (its dup aggregate carries the extra
-    first-occurrence MIN, so the shuffles differ) — one extra narrow
-    corpus pass, nothing driver-side. The oracle shares the
-    MATERIALIZED wins/spans CTEs across all three legs."""
+    The hashed 5-token window relation is built ONCE
+    (operators/dedup.span_windows, lazily localCheckpoint'd) and
+    shared by BOTH duplicate_spans calls via their ``wins_rows``
+    parameter — r19 optimization, guide §2.3: before, each call
+    rebuilt the doc-keyed shingle shuffle + md5 pipeline per
+    reference (dup aggregate + mark-back probe), i.e. 4 window
+    builds per family run; after, one. The facets' dup aggregates
+    still differ (keep_first carries the extra first-occurrence MIN)
+    so their hash shuffles stay separate — only the window SOURCE is
+    shared, which cannot change either facet's rows. The flag-all
+    span table is still localCheckpoint'd (two facet consumers:
+    'spans' + 'scrub'; pre-checkpoint plan shape pinned at operator
+    level in test_plans.py). The oracle shares the MATERIALIZED
+    wins/spans CTEs across all three legs."""
     docs = t(spark, sf_dir, "documents")
-    spans = OpDedup.duplicate_spans(docs, "text", "doc_id", k=5).localCheckpoint(
-        eager=True
+    wins = OpDedup.span_windows(docs, "text", "doc_id", k=5).localCheckpoint(
+        eager=False
     )
+    spans = OpDedup.duplicate_spans(
+        docs, "text", "doc_id", k=5, wins_rows=wins
+    ).localCheckpoint(eager=True)
     scrub = OpDedup.scrub_spans(docs, spans, "text", "doc_id")
-    keep = OpDedup.duplicate_spans(docs, "text", "doc_id", k=5, keep_first=True)
+    keep = OpDedup.duplicate_spans(
+        docs, "text", "doc_id", k=5, keep_first=True, wins_rows=wins
+    )
     nb = F.lit(None).cast("long")
     ns = F.lit(None).cast("string")
     s_leg = spans.select(

@@ -1140,6 +1140,22 @@ def test_batched_assignment_kernels_match_expression_forms(spark):
     assert bad_got == bad_want
     assert bad_got[1][0] == 0 and bad_got[1][1] is None  # NULL vec quarantines
 
+    # r18 ADVICE pin: a genuine NaN DATA VALUE is indistinguishable
+    # from a NULL element after the Arrow transfer, so the kernels
+    # treat it as one (cell 0 / NULL norm). The expression twins
+    # DIVERGE here (floor(NaN) evaluates per term and yields a finite
+    # dot/norm); fixture embeddings carry no NaNs, so the divergence
+    # is latent by contract — this freezes the kernel side of it.
+    nan_df = spark.createDataFrame(
+        [(0, [float("nan")] + [0.5] * (dim - 1))],
+        "vec_id int, embedding array<double>",
+    )
+    nan_got = nan_df.select(
+        SIM._cell_batched(F.col("embedding"), cents).alias("cell"),
+        SIM.qnorm_batched(F.col("embedding")).alias("qn"),
+    ).collect()[0]
+    assert nan_got["cell"] == 0 and nan_got["qn"] is None
+
     books = SIM.pq_fit(base, dim=dim, m=m, k=k, iterations=1, micro=True)
     enc = {r["vec_id"]: list(r["codes"]) for r in SIM.pq_encode(base, books).collect()}
     q = base.select(
