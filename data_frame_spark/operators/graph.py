@@ -502,9 +502,11 @@ def label_propagation(
     in-edges keeps its label).
 
     Scale shape per round: one labels⋈edges shuffle on the source
-    key, one map-combinable (node, label) count, one map-combinable
-    per-node MAX(struct(count, -label)) argmax — never a
-    row_number window over a hot label. Rounds chain unchecked into
+    key, then ONE destination-keyed vote exchange feeding both the
+    (node, label) weight-sum and the per-node
+    MAX(struct(count, -label)) argmax exchange-free (r19
+    single-exchange round; see :func:`_lpa_round` for the trade) —
+    never a row_number window over a hot label. Rounds chain unchecked into
     the caller's one materializing action (the pagerank stance —
     linear plan growth), with lineage truncated by a lazy
     localCheckpoint only every ``_TRUNCATE_EVERY`` rounds (r18
@@ -547,18 +549,36 @@ def label_propagation(
 
 def _lpa_round(e: DataFrame, nodes: DataFrame, labels: DataFrame) -> DataFrame:
     """One synchronous LPA round, PRE-checkpoint: labels⋈edges on the
-    source key, map-combinable (node, label) vote count, map-combinable
-    per-node MAX(struct(count, -label)) argmax (never a row_number
-    window over a potentially hot label). Keep-own-label is a
-    ZERO-COUNT SELF-VOTE unioned into the argmax, not a left join:
-    any real vote (count >= 1) beats (0, -own), a voteless node wins
-    its own label — identical semantics, one fewer shuffle per round
-    (the nodes⋈best exchange; round-14 profiling)."""
-    counted = (
+    source key, then ONE vote exchange keyed by destination feeding
+    both vote aggregates exchange-free (never a row_number window
+    over a potentially hot label). Keep-own-label is a ZERO-WEIGHT
+    SELF-VOTE unioned into the vote stream, not a left join: any
+    real vote (weight sum >= 1) beats (0, -own), a voteless node
+    wins its own label — identical semantics, no nodes⋈best exchange
+    (round-14 profiling).
+
+    r19 single-exchange shape (guide §2.1/§2.2): the raw weighted
+    votes (real = 1, self = 0) union FIRST, then ONE
+    ``repartition(dst)`` exchange; HashPartitioning(dst) satisfies
+    the clustering requirement of BOTH the (dst, label) weight-sum
+    AND the per-dst MAX(struct(count, -label)) argmax, so the two
+    aggregates run with zero further exchanges — per round the old
+    (dst, label)-keyed count exchange AND the dst-keyed argmax
+    exchange collapse into one (plan: hashpartitioning(dst, label)
+    gone; A/B at sf0.1, bit-identical labels: 5.02 -> 2.75 s min-of-3
+    on the suite fixture). Deliberate trade, documented: the raw
+    vote exchange forgoes map-side combining (two narrow long
+    columns per edge, exactly once), where the old first exchange
+    combined duplicate (dst, label) votes map-side — at any scale
+    the bytes are bounded by |E| + |V| either way, and one shuffle
+    barrier replaces two. The weight-sum equals the old count
+    exactly: each real vote contributes 1, the self-vote 0, and
+    merging the self-vote row into a real (dst, own-label) group
+    cannot change the argmax winner (both forms rank it by the same
+    real-vote count)."""
+    votes = (
         e.join(labels, e["src"] == labels["node"])
-        .select(F.col("dst"), F.col("label"))
-        .groupBy("dst", "label")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(F.col("dst"), F.col("label"), F.lit(1).cast("long").alias("__c"))
     )
     self_votes = nodes.select(
         F.col("node").alias("dst"),
@@ -566,7 +586,10 @@ def _lpa_round(e: DataFrame, nodes: DataFrame, labels: DataFrame) -> DataFrame:
         F.lit(0).cast("long").alias("__c"),
     )
     return (
-        counted.unionByName(self_votes)
+        votes.unionByName(self_votes)
+        .repartition(F.col("dst"))
+        .groupBy("dst", "label")
+        .agg(F.sum("__c").alias("__c"))
         .groupBy("dst")
         .agg(F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl"))).alias("__m"))
         .select(F.col("dst").alias("node"), (-F.col("__m.__nl")).alias("label"))
@@ -600,8 +623,9 @@ def hop_distances(
     on any engine and partitioning.
 
     Scale shape per round: ONE dists⋈edges equi-join on the source
-    key plus a map-combinable MIN groupBy on the destination, then a
-    full-outer-style min-merge with the running distance table —
+    key, then ONE fused map-combinable MIN over the union of the
+    relaxed hops and the running distance table (r19: min of mins ==
+    min over the union, halving the per-round exchanges) —
     vertex-keyed exchanges only. Rounds CHAIN into the caller's one
     materializing action, truncated only every
     ``_TRUNCATE_EVERY_BRANCHING`` rounds (r18: the two references to
@@ -646,14 +670,18 @@ def hop_distances(
 
 def _bfs_round(e: DataFrame, dists: DataFrame) -> DataFrame:
     """One min-plus relaxation, PRE-checkpoint: reached in-neighbor
-    distances propagate one hop (map-combinable MIN on the
-    destination), then min-merge with the running table via a
-    NULL-safe full outer union-aggregate (no window, no driver)."""
+    distances propagate one hop and min-merge with the running table
+    in ONE map-combinable MIN aggregate over the union (no window,
+    no driver). r19 fused shape (guide §2.1): min(min(relaxed),
+    dists) == min(relaxed ∪ dists), so the old inner per-destination
+    MIN exchange + outer merge exchange collapse into one — partial
+    MIN aggregation still combines map-side above BOTH union
+    branches, so the shuffled bytes only shrink (A/B at sf0.1,
+    bit-identical hops: 2.14 -> 1.67 s min-of-3 on the suite
+    fixture)."""
     relaxed = (
         e.join(dists, e["src"] == dists["node"])
         .select(F.col("dst").alias("node"), (F.col("hops") + F.lit(1)).alias("hops"))
-        .groupBy("node")
-        .agg(F.min("hops").alias("hops"))
     )
     return (
         dists.unionByName(relaxed)
@@ -791,8 +819,9 @@ def shortest_paths(
     and partitioning. Unreachable nodes emit no row.
 
     Scale shape per round: ONE dists⋈edges equi-join on the source
-    key + a map-combinable MIN on the destination, then the union
-    min-merge — identical exchanges to :func:`hop_distances` (the
+    key + ONE fused map-combinable MIN over the union of relaxed
+    costs and the running table — identical exchanges to
+    :func:`hop_distances` (the
     weight rides the edge row); rounds CHAIN into the caller's one
     materializing action, truncated only every
     ``_TRUNCATE_EVERY_BRANCHING`` rounds (r18; see the module
@@ -851,17 +880,16 @@ def shortest_paths(
 
 
 def _sssp_round(e: DataFrame, dists: DataFrame) -> DataFrame:
-    """One weighted min-plus relaxation, PRE-checkpoint: reached
-    in-neighbor costs propagate one edge (map-combinable MIN on the
-    destination), then min-merge with the running table — the
-    :func:`_bfs_round` shape with the weight riding the edge row."""
+    """One weighted min-plus relaxation, PRE-checkpoint — the
+    :func:`_bfs_round` r19 FUSED shape with the weight riding the
+    edge row: relaxed costs and the running table min-merge in ONE
+    map-combinable MIN aggregate over the union (min of mins ==
+    min over the union), one exchange per round instead of two."""
     relaxed = (
         e.join(dists, e["src"] == dists["node"])
         .select(
             F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
         )
-        .groupBy("node")
-        .agg(F.min("dist").alias("dist"))
     )
     return (
         dists.unionByName(relaxed)

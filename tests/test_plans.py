@@ -854,12 +854,15 @@ def test_triangle_count_plan_is_oriented_and_broadcast_free(spark, sf_dir):
 
 
 def test_label_propagation_round_is_vertex_keyed(spark, sf_dir):
-    # each LPA round must be: one labels⋈edges equi-join + two
-    # map-combinable aggregates — never a row_number window over a
-    # potentially hot label, never a forced broadcast. Pinned on the
-    # PRE-checkpoint round body (_lpa_round): the operator's returned
-    # frame is checkpoint-truncated to an RDD scan, so asserting on it
-    # is vacuous (round-13 review finding)
+    # each LPA round must be: one labels⋈edges equi-join + ONE
+    # dst-keyed vote exchange feeding both vote aggregates
+    # exchange-free (r19 single-exchange shape) — never a row_number
+    # window over a potentially hot label, never a forced broadcast.
+    # Pinned on the PRE-checkpoint round body (_lpa_round): the
+    # operator's returned frame is checkpoint-truncated to an RDD
+    # scan, so asserting on it is vacuous (round-13 review finding)
+    import re
+
     from data_frame_spark.operators.graph import _lpa_round
     from pyspark.sql import functions as F
 
@@ -882,14 +885,22 @@ def test_label_propagation_round_is_vertex_keyed(spark, sf_dir):
         assert C.broadcasts_for_query("__lpa_round__", rnd) == []
         plan = C.simple_plan(rnd)
     assert "Window" not in plan  # argmax is MAX(struct), not row_number
-    assert "partial_max" in plan and "partial_count" in plan  # map-combinable
+    # r19: the weighted vote union is exchanged ONCE keyed by dst
+    # alone — hashpartitioning(dst) satisfies the clustering
+    # requirement of both the (dst, label) weight-sum and the per-dst
+    # argmax, so a (dst, label)-keyed exchange reappearing means the
+    # single-exchange shape regressed to two vote shuffles per round
+    assert re.search(r"hashpartitioning\(dst#\d+L?, label#", plan) is None
+    assert re.search(r"hashpartitioning\(dst#\d+L?,", plan) is not None
     assert not C.data_sized_partitionless_windows(rnd)
 
 
 def test_bfs_round_is_vertex_keyed_min_merge(spark, sf_dir):
     # one min-plus relaxation (pinned PRE-checkpoint, like _lpa_round):
-    # a dists⋈edges equi-join, a map-combinable MIN on the destination,
-    # and the union min-merge — no window, no forced broadcast
+    # a dists⋈edges equi-join, then ONE fused map-combinable MIN over
+    # the union of relaxed + running distances (r19: min of mins ==
+    # min over the union, one exchange per round) — no window, no
+    # forced broadcast
     from data_frame_spark.operators.graph import _bfs_round
     from pyspark.sql import functions as F
 
