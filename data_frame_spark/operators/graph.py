@@ -368,6 +368,7 @@ def triangle_count(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    prepared: bool = False,
 ) -> DataFrame:
     """Per-vertex triangle counts over an undirected edge list — the
     standard local-clustering signal (how interconnected a node's
@@ -394,13 +395,24 @@ def triangle_count(
     map-combinable or AQE-splittable; no window, no collect, nothing
     driver-side. Output: (node, triangles) for every vertex of the
     input (vertices in no triangle report 0).
+
+    ``prepared=True`` skips the undirected canonicalization
+    (least/greatest fold, null/self-loop drop, distinct) for callers
+    that already hold a distinct, non-null, long-typed ``(u, v)``
+    edge list with ``u < v`` — the :func:`label_propagation`
+    contract, added r19 so graph_suite's triangle and k-core facets
+    share ONE canonicalized co-occurrence relation instead of each
+    re-running the scan + self-join + distinct (guide §2.3).
     """
-    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
-    und = (
-        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-        .where(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
-        .distinct()
-    )
+    if prepared:
+        und = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    else:
+        a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+        und = (
+            edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+            .where(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
+            .distinct()
+        )
     oriented, _nodes = _oriented_edges(und)
     # checkpoint AFTER orientation: the degree-attach/orientation plan
     # shape itself is pinned on _oriented_edges in test_plans.py (the
@@ -696,6 +708,7 @@ def k_core(
     rounds: int | None = 4,
     src_col: str = "src",
     dst_col: str = "dst",
+    prepared: bool = False,
 ) -> DataFrame:
     """Bounded k-core peeling over an undirected edge list — the
     density-tier primitive (which nodes survive k rounds of "drop
@@ -733,13 +746,21 @@ def k_core(
         raise ValueError("k_core k must be >= 0")
     if rounds is not None and rounds < 0:
         raise ValueError("k_core rounds must be >= 0 (or None for to-convergence)")
-    a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
-    und = (
-        edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
-        .where(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if prepared:
+        # the triangle_count/label_propagation contract (r19): the
+        # caller holds a distinct, non-null, long-typed u < v edge
+        # list, already checkpointed — graph_suite shares ONE
+        # canonicalized co-occurrence relation across its triangle
+        # and k-core facets (guide §2.3)
+        und = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    else:
+        a, b = F.col(src_col).cast("long"), F.col(dst_col).cast("long")
+        und = (
+            edges.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+            .where(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     if rounds is not None:
         for _ in range(rounds):
             und = _kcore_round(und, k).localCheckpoint(eager=False)

@@ -720,13 +720,19 @@ def triangle_oracle_sql() -> str:
     """
 
 
-def triangle_spark(spark, sf_dir):
+def triangle_spark(spark, sf_dir, cooccur_und=None):
     """The Spark side the future registry row will use verbatim:
     build the parts-co-ordered edge list (one orderkey-keyed
     self-join, pair blowup bounded by order size) and run the
-    degree-ordered triangle counter."""
+    degree-ordered triangle counter. ``cooccur_und``: an optional
+    pre-canonicalized :func:`_part_cooccur_und` relation (r19) — the
+    graph_suite family shares ONE across its triangle and k-core
+    facets instead of each re-running the scan + self-join +
+    distinct."""
     from data_frame_spark.operators.graph import triangle_count
 
+    if cooccur_und is not None:
+        return triangle_count(cooccur_und, "u", "v", prepared=True)
     return triangle_count(_part_cooccur_pairs(spark, sf_dir))
 
 
@@ -748,6 +754,30 @@ def _part_cooccur_pairs(spark, sf_dir):
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.p") < F.col("b.p")),
     ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+
+
+def _part_cooccur_und(spark, sf_dir):
+    """The CANONICALIZED undirected form of
+    :func:`_part_cooccur_pairs` — exactly the least/greatest +
+    null/self-loop drop + distinct that triangle_count and k_core
+    each applied internally (their ``prepared=False`` path), hoisted
+    (r19, guide §2.3) so the graph_suite family builds the
+    scan + self-join + distinct pipeline ONCE, lazily checkpointed,
+    for both facets. The pairs here already satisfy src < dst and
+    non-null by construction, so the fold is a no-op in VALUES — it
+    is kept verbatim so this relation is bit-identical to what each
+    operator would have built internally (equivalence by
+    construction, oracle-gated regardless)."""
+    from pyspark.sql import functions as F
+
+    pairs = _part_cooccur_pairs(spark, sf_dir)
+    a, b = F.col("src").cast("long"), F.col("dst").cast("long")
+    return (
+        pairs.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .where(F.col("u").isNotNull() & (F.col("u") != F.col("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
 
 def _kcore_ctes(k: int, rounds: int) -> str:
@@ -795,11 +825,16 @@ def kcore_oracle_sql(k: int = 5, rounds: int = 4) -> str:
     """
 
 
-def kcore_spark(spark, sf_dir):
+def kcore_spark(spark, sf_dir, cooccur_und=None):
     """The Spark side the registry row uses verbatim — the SHARED
-    parts-co-ordered edge list through operators/graph.py:k_core."""
+    parts-co-ordered edge list through operators/graph.py:k_core.
+    ``cooccur_und``: same r19 sharing contract as
+    :func:`triangle_spark`."""
     from data_frame_spark.operators.graph import k_core
 
+    if cooccur_und is not None:
+        return k_core(cooccur_und, k=5, rounds=4, src_col="u", dst_col="v",
+                      prepared=True)
     return k_core(_part_cooccur_pairs(spark, sf_dir), k=5, rounds=4)
 
 
@@ -1125,7 +1160,7 @@ def graph_suite_family_oracle_sql(iterations: int = 3, max_hops: int = 3) -> str
     """
 
 
-def graph_suite_family_spark(spark, sf_dir):
+def graph_suite_family_spark(spark, sf_dir, cooccur_und=None):
     """Spark side of the r14 graph_suite_family candidate: the
     part<->supplier edge list is MATERIALIZED once (eager checkpoint
     here; the LPA/BFS facets take it with prepared=True — distinct by
@@ -1159,7 +1194,7 @@ def graph_suite_family_spark(spark, sf_dir):
     # already demonstrate multi-hop propagation — a ~20% row-cost trim
     # measured at sf0.1
     def tri_facet():
-        return triangle_spark(spark, sf_dir).select(
+        return triangle_spark(spark, sf_dir, cooccur_und=cooccur_und).select(
             F.lit("triangles").alias("facet"), "node",
             F.col("triangles").alias("value"),
         )
@@ -2242,11 +2277,16 @@ def graph_suite_v2_spark(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
+    # ONE canonicalized co-occurrence relation for the triangle and
+    # k-core facets (r19, guide §2.3): before, each facet re-ran the
+    # lineitem scan + orderkey self-join + distinct internally
+    und = _part_cooccur_und(spark, sf_dir)
+
     def suite_facets():
-        return graph_suite_family_spark(spark, sf_dir)
+        return graph_suite_family_spark(spark, sf_dir, cooccur_und=und)
 
     def kcore_facet():
-        return kcore_spark(spark, sf_dir).select(
+        return kcore_spark(spark, sf_dir, cooccur_und=und).select(
             F.lit("kcore_degree").alias("facet"), "node",
             F.col("degree").alias("value"),
         )

@@ -3507,7 +3507,16 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_frame_spark.operators import sketch as OpSketch2
 
     docs = t(spark, sf_dir, "documents")
-    tok = docs.select(F.explode(OpText.tokens(F.col("text"))).alias("token"))
+    # ONE tokenize+explode pass shared by the sketch build and the
+    # gated exact count (r19, guide §2.3): before, each consumer
+    # re-ran the scan+tokenize+explode. Same decontamination-grams
+    # trade, stated honestly: the checkpointed stream is
+    # corpus-proportional (MEMORY_AND_DISK, spills), bought back by
+    # skipping the second scan+tokenize; the sketch aggregate and
+    # the gate stay map-side, so no exchange grows.
+    tok = docs.select(
+        F.explode(OpText.tokens(F.col("text"))).alias("token")
+    ).localCheckpoint(eager=False)
     # ONE full-corpus sketch aggregation: its collected rows feed
     # both the heavy-hitter gate (as literal probe arrays) and the
     # point-estimate join (as a 48-row literal counter frame)
