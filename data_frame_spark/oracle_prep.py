@@ -3227,123 +3227,3 @@ def ppr_spark(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------------------
-# round-18 pre-proof: bloom_prune_orders (r20 registry candidate) —
-# deterministic bloom-filter join pruning (operators/bloomfilter.py),
-# the runtime-filter discipline made oracle-checkable. Funding merge
-# TBD at r19 close (docs/PLANS.md §"Round-19/20 slot funding").
-# ---------------------------------------------------------------------------
-
-#: fixture contract: bitmap sized for a chunky-but-nonvacuous FP rate
-#: AT THE DRIVER'S GATE SCALE (m=1008 bits, k=3; sf0.01's ~300
-#: BUILDING keys -> ~20% FP — the false_pass column is the point of
-#: the fixture, so it must be visibly non-zero and exactly
-#: reproducible at sf0.01). At sf0.1/sf1 the fixed fixture bitmap
-#: saturates (FP -> ~1) — deterministic and parity-exact either way;
-#: real use sizes the bitmap to the keyset via bloomfilter.bits_for.
-BLOOM_NUM_BITS = 63 * 16
-BLOOM_K = 3
-
-
-def bloom_prune_spark(spark, sf_dir):
-    """The Spark side a future bloom_prune_orders row would use
-    verbatim: build the bitmap from the BUILDING-segment customer
-    keys (ONE map-combinable bit_or aggregate, output fixed at
-    num_bits/63 words however large the dim side), prune orders with
-    the pure-filter probe (no join, no shuffle on the fact path),
-    and report per-status counts against the exact semi-join — the
-    false-positive accounting that makes the trade measurable."""
-    from pyspark.sql import functions as F
-
-    from data_frame_spark.operators import bloomfilter as BF
-    from data_frame_spark.queries import t
-
-    cust = t(spark, sf_dir, "customer").where(
-        F.col("c_mktsegment") == "BUILDING"
-    )
-    words = BF.bloom_build(cust, "c_custkey", BLOOM_NUM_BITS, BLOOM_K)
-    orders = t(spark, sf_dir, "orders")
-    bloom = (
-        BF.bloom_prune(orders, "o_custkey", words, BLOOM_NUM_BITS, BLOOM_K)
-        .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_bloom_pass"))
-    )
-    exact = (
-        orders.join(
-            cust.select("c_custkey").distinct(),
-            orders["o_custkey"] == F.col("c_custkey"),
-            "left_semi",
-        )
-        .groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_pass"))
-    )
-    tot = orders.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).cast("long").alias("n_fact")
-    )
-    out = (
-        tot.join(bloom, "o_orderstatus", "left")
-        .join(exact, "o_orderstatus", "left")
-        .select(
-            "o_orderstatus",
-            "n_fact",
-            F.coalesce("n_bloom_pass", F.lit(0)).cast("long").alias("n_bloom_pass"),
-            F.coalesce("n_exact_pass", F.lit(0)).cast("long").alias("n_exact_pass"),
-            (
-                F.coalesce("n_bloom_pass", F.lit(0))
-                - F.coalesce("n_exact_pass", F.lit(0))
-            ).cast("long").alias("n_false_pass"),
-        )
-    )
-    return out
-
-
-def bloom_prune_oracle_sql(num_bits: int = BLOOM_NUM_BITS) -> str:
-    """DuckDB twin: identical md5-derived positions, identical 63-bit
-    words via bit_or, identical probe (word & (1<<off)) — then the
-    same per-status counts. CTE names (blo*/blw/blp) disjoint from
-    every other chain."""
-    from data_frame_spark.functions.texthash import sql_hash60
-
-    legs = " UNION ALL ".join(
-        f"SELECT ({sql_hash60('c_custkey', seed=j)}) % {num_bits} AS pos "
-        "FROM blokeys"
-        for j in range(BLOOM_K)
-    )
-    probe_legs = " UNION ALL ".join(
-        "SELECT o_orderkey, o_orderstatus, "
-        f"({sql_hash60('o_custkey', seed=j)}) % {num_bits} AS pos "
-        "FROM orders"
-        for j in range(BLOOM_K)
-    )
-    return f"""
-    WITH blokeys AS (SELECT DISTINCT c_custkey FROM customer
-                     WHERE c_mktsegment = 'BUILDING'),
-    blp AS ({legs}),
-    blw AS (SELECT pos // 63 AS w,
-                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word
-            FROM blp GROUP BY 1),
-    blq AS ({probe_legs}),
-    blhit AS (SELECT q.o_orderkey, q.o_orderstatus,
-                     COUNT(*) FILTER (
-                       (w.word & (CAST(1 AS BIGINT) << CAST(q.pos % 63 AS INT))) <> 0
-                     ) AS nbits
-              FROM blq q LEFT JOIN blw w ON w.w = q.pos // 63
-              GROUP BY 1, 2),
-    blbloom AS (SELECT o_orderstatus,
-                       CAST(COUNT(*) FILTER (nbits = {BLOOM_K}) AS BIGINT)
-                         AS n_bloom_pass
-                FROM blhit GROUP BY 1),
-    blexact AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_exact_pass
-                FROM orders WHERE o_custkey IN (SELECT c_custkey FROM blokeys)
-                GROUP BY 1),
-    bltot AS (SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_fact
-              FROM orders GROUP BY 1)
-    SELECT t.o_orderstatus, t.n_fact,
-           CAST(COALESCE(b.n_bloom_pass, 0) AS BIGINT) AS n_bloom_pass,
-           CAST(COALESCE(e.n_exact_pass, 0) AS BIGINT) AS n_exact_pass,
-           CAST(COALESCE(b.n_bloom_pass, 0) - COALESCE(e.n_exact_pass, 0)
-                AS BIGINT) AS n_false_pass
-    FROM bltot t
-    LEFT JOIN blbloom b ON t.o_orderstatus = b.o_orderstatus
-    LEFT JOIN blexact e ON t.o_orderstatus = e.o_orderstatus
-    """

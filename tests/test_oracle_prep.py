@@ -656,24 +656,3 @@ def test_psi_drift_oracle_matches_spark(spark, sf_dir, con):
     assert all(0 < r[-1] < 500_000 for r in got)
     assert got == want
 
-
-def test_bloom_prune_oracle_matches_spark(spark, sf_dir, con):
-    # r20 registry candidate (pre-proven r18): deterministic bloom
-    # join pruning with per-status false-positive accounting
-    out = OP.bloom_prune_spark(spark, sf_dir)
-    cols = [f.name for f in out.schema.fields]
-    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
-    want = sorted(
-        tuple(row) for row in con.execute(OP.bloom_prune_oracle_sql()).fetchall()
-    )
-    assert got == want
-    # the bloom contract: never below the exact semi-join (no false
-    # negatives). The FP non-vacuity claim is GATE-scale (sf0.01's
-    # ~300 keys -> ~20% FP, verified in-session r18 and re-verified
-    # by the registration row's oracle once it lands): the suite runs
-    # at sf0.001 where ~30 keys in 1008 bits round FP to zero, so
-    # assert it only when the fixture is big enough to show it.
-    assert all(row[2] >= row[3] for row in got)
-    n_exact = sum(row[3] for row in got)
-    if n_exact >= 500:
-        assert any(row[4] > 0 for row in got)

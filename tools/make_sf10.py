@@ -1,8 +1,10 @@
-"""Generate a 100x scale-up (sf10) of the TWO tables the expensive
-probe families read — lineitem (graph_suite_family) and embeddings
-(ivf_family / embedding_dedup_family) — under .scratch/sf10, for the
-r16-verdict-#4 / r17-verdict-#4 second-decade scaling probe (timing
-slope + row-count sanity only; no oracle at this scale).
+"""Generate a 100x scale-up (sf10) of the tables the expensive probe
+families read — lineitem (graph_suite_family, quantiles), embeddings
+(ivf_family / embedding_dedup_family), and since r19 (VERDICT #6:
+every family with a data-sized shuffle gets a probe row) documents
+(spans / segment_dedup / near_dup / decontamination) and events
+(meanmax) — under .scratch/sf10, for the second-decade scaling probe
+(timing slope + row-count sanity only; no oracle at this scale).
 
 Built as 10 replicas of .scratch/sf1 (itself 10x sf0.1):
 
@@ -79,3 +81,60 @@ for p in parts[1:]:
     big = big.unionByName(p)
 big.repartition(64).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
 print("embeddings:", spark.read.parquet(f"{DST}/embeddings.parquet").count())
+
+# documents (r19): 10 replicas of sf1's documents. sf1's replicas are
+# cyclic ROTATIONS of the 10-letter alphabet — composing another
+# rotation would collide (rot_i . rot_j = rot_{i+j mod 10}: outer
+# replicas would contain byte-identical texts under different
+# doc_ids, the exact artificial-duplicate failure make_sf1's
+# docstring documents). Each outer replica therefore applies an
+# md5-derived PERMUTATION of the same alphabet (length-preserving,
+# so per-replica token/char statistics still match): two permutations
+# differing by exactly a rotation has probability ~10/10! per pair —
+# negligible across 10 draws. Shingles/segments/13-grams decorrelate,
+# so dedup-family work scales with corpus size, not duplicate count.
+alpha = "etaoinshrd"
+docs = spark.read.parquet(f"{SRC}/documents.parquet")
+parts = []
+for i in range(R):
+    if i == 0:
+        parts.append(docs)
+    else:
+        perm = sorted(
+            alpha,
+            key=lambda ch: hashlib.md5(f"d{i}:{ch}".encode()).hexdigest(),
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * 100_000_000)).alias("doc_id"),
+                F.translate("text", alpha, "".join(perm)).alias("text"),
+                "lang", "source", "n_chars",
+            )
+        )
+big = parts[0]
+for p in parts[1:]:
+    big = big.unionByName(p)
+big.repartition(64).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+print("documents:", spark.read.parquet(f"{DST}/documents.parquet").count())
+
+# events (r19): id/user offsets above sf1's ranges (sf1 used
+# i*1e8 / i*1e9; the outer replica steps by 1e9 / 1e10)
+ev = spark.read.parquet(f"{SRC}/events.parquet")
+parts = []
+for i in range(R):
+    if i == 0:
+        parts.append(ev)
+    else:
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(i * 1_000_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(i * 10_000_000_000)).alias("user_id"),
+                "event_type", "value", "props",
+            )
+        )
+big = parts[0]
+for p in parts[1:]:
+    big = big.unionByName(p)
+big.repartition(64).write.mode("overwrite").parquet(f"{DST}/events.parquet")
+print("events:", spark.read.parquet(f"{DST}/events.parquet").count())
