@@ -1157,19 +1157,27 @@ _BAND_UNION = " UNION ALL ".join(
 def ngram_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard verification of the LSH candidates —
     the verify stage of near-dedup (runs only on candidate pairs)."""
+    from data_frame_spark.operators.text import shingle_rows
+
     docs = t(spark, sf_dir, "documents")
-    sigs = OpDedup.minhash_signatures(docs, "text", "doc_id", num_hashes=_NHASH)
+    # ONE tokenize+md5 pass over the corpus (r19, guide §2.3 — the
+    # near_dup_clusters_docs shape): the checkpointed distinct shingle
+    # table feeds both the minhash signatures and the exact Jaccard
+    # verify; MIN over the distinct set equals MIN over the multiset,
+    # so signatures are unchanged
+    sh = shingle_rows(docs, "text", "doc_id").distinct().localCheckpoint(eager=False)
+    sigs = OpDedup.minhash_signatures(
+        docs, "text", "doc_id", num_hashes=_NHASH, shingles=sh
+    )
     pairs = OpDedup.lsh_candidate_pairs(sigs, "doc_id", _NHASH, _BANDS)
     # the candidate-pair table feeds two plan branches (the intersect
     # join and the final pair join) and itself carries the whole
     # minhash+banding pipeline — materialize it once, like the
-    # shingle table inside ngram_jaccard (lazy since r18: the first
-    # consumer's job materializes it; localCheckpoint blocks are
+    # shingle table (lazy since r18: the first consumer's job
+    # materializes it; localCheckpoint blocks are
     # ContextCleaner-reclaimed, so no session-lifetime cache leak)
     pairs = pairs.localCheckpoint(eager=False)
-    return OpDedup.ngram_jaccard(
-        docs, pairs, "text", "doc_id", persist_shingles=True
-    )
+    return OpDedup.ngram_jaccard(docs, pairs, "text", "doc_id", shingles=sh)
 
 
 # the Jaccard chain as a reusable CTE tail (same SQL as the verified
