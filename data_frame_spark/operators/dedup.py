@@ -206,8 +206,18 @@ def lsh_candidate_pairs(
         exploded = exploded.join(sizes.select("band", "key"), ["band", "key"])
     a = exploded.alias("a")
     b = exploded.alias("b")
+    # shuffle_hash (guide §3.1): BOTH sides of the bucket self-join
+    # are the corpus-sized band table; when the signatures ride a
+    # checkpointed shingle relation the preserved pre-checkpoint
+    # estimate reads tiny and the planner broadcast-elects one side —
+    # the r19 sf10 probe demonstrated that election class killing the
+    # driver at 100× corpus. The hint keys the join on (band, key)
+    # hash partitions, where AQE's skew handling stays available.
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
         .where(F.col("a.__id") < F.col("b.__id"))
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
@@ -239,7 +249,28 @@ def ngram_jaccard(
 
     ``shingles`` accepts a precomputed DISTINCT (__id, __shingle)
     table (shared with :func:`minhash_signatures` upstream) so the
-    tokenize+md5 pipeline runs once per corpus, not once per stage."""
+    tokenize+md5 pipeline runs once per corpus, not once per stage.
+
+    Join strategy is pinned (guide §3.1): EVERY relation in this
+    chain — the shingle table, the per-doc sizes, the candidate
+    pairs, the intersection counts — is corpus-proportional, so none
+    may ever be broadcast. Left to size estimates the planner DOES
+    broadcast them: a ``localCheckpoint`` boundary preserves the
+    PRE-checkpoint estimate (LogicalRDD carries the original plan's
+    stats), and the post-distinct estimate of the shingle table reads
+    far under the broadcast threshold — the r19 sf10 probe (100×
+    corpus) demonstrated the planner electing a ~1.7 GB broadcast of
+    the shingle relation and killing the driver ("Not enough memory
+    to build and broadcast"). SHUFFLE_HASH hints force hash-
+    partitioned joins with the hinted side as the per-partition
+    build: bounded by partition sizing, AQE skew-split capable, and
+    the A/B at sf0.1 measured them neutral-to-better than the
+    broadcasts they replace. The one exception is the second
+    intersection join, where BOTH sides are shingle-scale (the pair
+    fan-out × the full shingle table): a forced hash build of either
+    side is the guide's documented SHJ OOM risk — the r19 sf10 probe
+    hit exactly that ("not enough memory to build hash map") — so
+    that join pins MERGE, the always-works spill-graceful strategy."""
     if shingles is not None:
         sh = shingles.withColumnRenamed("__shingle", "__s")
     else:
@@ -250,18 +281,25 @@ def ngram_jaccard(
             sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     inter = (
-        pairs.join(sh.alias("sa"), F.col("id_a") == F.col("sa.__id"))
+        pairs.hint("shuffle_hash")
+        .join(sh.alias("sa"), F.col("id_a") == F.col("sa.__id"))
         .join(
-            sh.alias("sb"),
+            sh.alias("sb").hint("merge"),
             (F.col("id_b") == F.col("sb.__id")) & (F.col("sa.__s") == F.col("sb.__s")),
         )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
     return (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(sizes.alias("na"), F.col("id_a") == F.col("na.__id"))
-        .join(sizes.alias("nb"), F.col("id_b") == F.col("nb.__id"))
+        pairs.join(inter.hint("shuffle_hash"), ["id_a", "id_b"], "left")
+        .join(
+            sizes.alias("na").hint("shuffle_hash"),
+            F.col("id_a") == F.col("na.__id"),
+        )
+        .join(
+            sizes.alias("nb").hint("shuffle_hash"),
+            F.col("id_b") == F.col("nb.__id"),
+        )
         .select(
             "id_a",
             "id_b",
@@ -625,7 +663,11 @@ def scrub_spans(
         F.col(id_col).alias("__id"),
         F.posexplode(tokens(F.col(text_col))).alias("__pos", "__tok"),
     )
-    kept = tok.join(kill, ["__id", "__pos"], "left_anti")
+    # shuffle_hash (guide §3.1): the kill list is dup-rate ×
+    # corpus-sized — at 100 TB a size-estimate broadcast election of
+    # it dies on the driver (the r19 sf10 probe demonstrated the
+    # class; the estimate reads tiny through the upstream aggregates)
+    kept = tok.join(kill.hint("shuffle_hash"), ["__id", "__pos"], "left_anti")
     reassembled = kept.groupBy("__id").agg(
         F.count(F.lit(1)).alias("__nk"),
         F.array_join(
@@ -640,7 +682,11 @@ def scrub_spans(
         F.col(id_col).alias("__id"),
         F.size(tokens(F.col(text_col))).alias("n_tokens"),
     )
-    return base.join(reassembled, "__id", "left").select(
+    # shuffle_hash: reassembled carries the scrubbed TEXT of every
+    # surviving document — broadcast-electing it ships the corpus to
+    # every executor (the r19 sf10 audit caught the planner choosing
+    # exactly that from the post-aggregate estimate)
+    return base.join(reassembled.hint("shuffle_hash"), "__id", "left").select(
         F.col("__id").alias(id_col),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.coalesce(F.col("__nk"), F.lit(0)).cast("long").alias("n_kept"),
@@ -753,9 +799,14 @@ def split_contamination_audit(
         return hits
     # ngram_contamination names its output ids doc_id/bench_id
     # regardless of id_col — join and count on those names so any
-    # caller id column works (round-7 review fix)
+    # caller id column works (round-7 review fix). shuffle_hash
+    # (guide §3.1): the roll-up attaches the TRAIN SPLIT's
+    # (doc_id, rollup) projection — 90% of the corpus — which the
+    # planner otherwise broadcast-elects from its underestimate (the
+    # r19 sf10 audit caught exactly that); the hint builds the
+    # leak-bounded hits side per hash partition instead.
     return (
-        hits.join(
+        hits.hint("shuffle_hash").join(
             train_df.select(F.col(id_col).alias("doc_id"), rollup_col), "doc_id"
         )
         .groupBy(rollup_col)
@@ -818,7 +869,13 @@ def dedup_segments(
     winners = segs.groupBy("__h").agg(
         F.min(F.struct(F.col("__id"), F.col("__seg_no"))).alias("__w")
     )
-    marked = segs.join(winners, "__h").withColumn(
+    # shuffle_hash (guide §3.1): winners has one row per DISTINCT
+    # segment — corpus-proportional — yet its post-aggregate estimate
+    # (further shrunk by the checkpoint's preserved stats) reads under
+    # the broadcast threshold at ANY scale; the r19 sf10 audit caught
+    # the planner broadcast-electing it. The hash join keeps the
+    # probe's AQE skew handling the docstring promises.
+    marked = segs.join(winners.hint("shuffle_hash"), "__h").withColumn(
         "__kept",
         (F.col("__id") == F.col("__w.__id"))
         & (F.col("__seg_no") == F.col("__w.__seg_no")),

@@ -80,6 +80,16 @@ def _star(edges: DataFrame, large: bool) -> DataFrame:
     array is the skew that kills web-scale dedup graphs. m(n) is a
     map-combinable MIN aggregate; members then pick up m via an
     equi-join on n (AQE splits any hot vertex).
+
+    The pickup join pins SHUFFLE_HASH on the mins side (guide §3.1):
+    mins is VERTEX-sized — data-sized at corpus scale — yet the
+    per-round checkpoint boundary preserves the upstream (pair
+    estimate) stats, so the planner broadcast-elects it (the r19
+    sf10 probe demonstrated the class on the sibling shingle
+    relation: a ~GB broadcast election that kills the driver). The
+    hint also makes the documented "AQE splits any hot vertex" claim
+    true by construction — skew-split applies to shuffled joins
+    only, never to a broadcast.
     """
     both = edges.select(
         F.col("u").alias("n"), F.col("v").alias("w")
@@ -89,7 +99,7 @@ def _star(edges: DataFrame, large: bool) -> DataFrame:
         .agg(F.min("w").alias("mn"))
         .select("n", F.least(F.col("mn"), F.col("n")).alias("m"))
     )
-    j = both.join(mins, "n")
+    j = both.join(mins.hint("shuffle_hash"), "n")
     if large:
         out = j.where(F.col("w") > F.col("n")).select(
             F.col("w").alias("u"), F.col("m").alias("v")
@@ -193,7 +203,12 @@ def connected_components(
         sig_new = _sig(stepped)
         unchanged = (
             sig_old == sig_new
-            and stepped.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
+            # shuffle_hash: both sides are edge-set-sized (data-sized
+            # at scale); never let the planner broadcast-elect one
+            # from checkpoint-preserved estimates (guide §3.1)
+            and stepped.join(
+                edges.hint("shuffle_hash"), ["u", "v"], "left_anti"
+            ).limit(1).count() == 0
         )
         # drop per-round state no longer referenced: without this the
         # persisted edge sets of every round pile up in executor
@@ -229,7 +244,10 @@ def cluster_documents(
     rest (cluster_size - 1 removals per cluster)."""
     cc = connected_components(pairs, src, dst)
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return cc.join(sizes, "component").select(
+    # shuffle_hash: sizes is component-sized (data-sized at corpus
+    # scale) and cc rides a checkpoint whose preserved estimate reads
+    # tiny — never broadcast-elect either side (guide §3.1)
+    return cc.join(sizes.hint("shuffle_hash"), "component").select(
         F.col("id"), F.col("component").alias("cluster_id"), "cluster_size"
     )
 

@@ -92,8 +92,40 @@ def test_jaccard_verify_shuffle_budget(spark, sf_dir):
     # materialized once (localCheckpoint); without that the plan
     # rebuilds the tokenize+md5 pipeline per branch (17 Exchanges in
     # round 2). Budget pinned so a refactor can't silently regress.
+    # r19: the budget rose 8 -> 10 by DESIGN — ngram_jaccard's
+    # verify/sizes joins pin SHUFFLE_HASH/MERGE on their
+    # corpus-proportional sides (the r19 sf10 probe demonstrated the
+    # planner broadcast-electing the ~GB shingle relation through the
+    # checkpoint's preserved estimate and killing the driver), and
+    # two of the exchanges replace exactly those broadcasts.
     df = QUERIES["ngram_jaccard_verified"](spark, sf_dir)
-    assert C.count_shuffles(df) <= 8
+    assert C.count_shuffles(df) <= 10
+
+
+def test_dedup_corpus_joins_never_broadcast(spark, sf_dir):
+    # r19 sf10 probe finding (guide §3.1): explode-derived relations
+    # (shingles, n-grams, segments, windows) UNDERESTIMATE their size
+    # — Generate stats don't model the fan-out — and a localCheckpoint
+    # boundary PRESERVES that estimate, so at 100× corpus the planner
+    # still broadcast-elected the ~GB distinct shingle table, the
+    # segment winner table, the scrub kill/reassembly tables and the
+    # CC mins table, and died building them ("Not enough memory to
+    # build and broadcast"). Every such join now pins
+    # SHUFFLE_HASH/MERGE in the operators; no broadcast join may
+    # appear ANYWHERE in these queries' final plans (the bounded
+    # query-batch/eval-suite broadcasts live in OTHER queries).
+    for name in (
+        "ngram_jaccard_verified",
+        "segment_dedup_docs",
+        "spans_family",
+        "near_dup_clusters_docs",
+        "embedding_dedup_family",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        plan = C.simple_plan(df)
+        assert "BroadcastHashJoin" not in plan, name
+        assert "BroadcastNestedLoop" not in plan, name
+        assert "ShuffledHashJoin" in plan, name
 
 
 def test_partitioned_meanmax_has_no_global_sort(spark, sf_dir):
@@ -424,7 +456,9 @@ def test_contamination_audit_is_broadcast_free_at_scale(spark, sf_dir):
     # 5% of the corpus — terabytes of 5-gram hashes at 100 TB), so
     # the audit must NOT broadcast anything: the n-gram tables meet
     # in a pinned ShuffledHashJoin on the hash, and the source
-    # roll-up join is left size-elected (shuffles at scale)
+    # roll-up join pins SHUFFLE_HASH too (r19 — the sf10 probe caught
+    # the planner broadcast-electing the train split's (doc_id,
+    # source) projection at 100×, so "left size-elected" was not safe)
     from data_frame_spark.oracle_prep import decontamination_leg
 
     with C.scale_planner(spark):

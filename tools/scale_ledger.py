@@ -60,7 +60,17 @@ accounting for every registered query at sf0.001. Columns:
   CORPUS-SIZED side at 100 TB. Measured under
   `plans.checks.scale_planner` (autoBroadcastJoinThreshold=-1: the
   100 TB planner simulation — size-elected broadcasts vanish at
-  scale on their own; only CODE-FORCED hints persist) and classified
+  scale on their own; only CODE-FORCED hints persist). r19 caveat
+  discovered by the sf10 probe: that premise FAILS for
+  explode-derived relations (shingles, n-grams, segments, windows) —
+  Generate stats don't model the fan-out, a localCheckpoint boundary
+  PRESERVES the resulting underestimate, and at 100× corpus the
+  default-threshold planner still broadcast-elected the ~GB shingle
+  relation and killed the driver. Every such join now pins
+  SHUFFLE_HASH/MERGE in the operators (dedup/graph), pinned by
+  `test_dedup_corpus_joins_never_broadcast`; this column's planner
+  simulation stays as the second, independent line of defence,
+  classified
   by `plans.checks.broadcasts_for_query` (the broadcast input
   subtree must bottom out in a bounded node — no-key/`__bucket`
   aggregate, k-limit, literal relation, or the attribute-domain
