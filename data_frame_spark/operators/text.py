@@ -722,12 +722,15 @@ def tfidf_top_terms(
     tfidf DOUBLE, rank).
 
     Shuffle profile: one (id, term) count aggregate (map-side
-    combined), one vocabulary-sized df aggregate, a term-keyed join
-    of the two (the df table is vocabulary-sized — tiny next to the
-    corpus' token stream and broadcastable for natural-language
-    vocabularies), and a per-document window for the top-k (bounded
-    per-doc partitions; WindowGroupLimit prunes to k before the
-    shuffle). The corpus itself is scanned once.
+    combined), one vocabulary-sized df aggregate, a term-keyed
+    SHUFFLE_HASH join of the two (r19, guide §3.1: the sf10 audit
+    caught the planner broadcast-electing the CORPUS-sized per-doc
+    tf table — the explode-underestimate made the wrong side look
+    small — and a raw vocabulary is itself not limit-bounded at
+    100 TB, so neither side may broadcast), and a per-document
+    window for the top-k (bounded per-doc partitions;
+    WindowGroupLimit prunes to k before the shuffle). The corpus
+    itself is scanned once.
     """
     from pyspark.sql import Window
 
@@ -744,7 +747,7 @@ def tfidf_top_terms(
         .crossJoin(F.broadcast(n_docs))
         .select("term", "df", F.log(F.col("__nd") / F.col("df")).alias("idf"))
     )
-    scored = tf.join(dfreq, "term").withColumn(
+    scored = tf.join(dfreq.hint("shuffle_hash"), "term").withColumn(
         "tfidf", F.col("tf") * F.col("idf")
     )
     w = Window.partitionBy("__id").orderBy(
@@ -904,9 +907,14 @@ def collocations(
 
     Scale: bigram and unigram counts are each ONE map-combinable
     corpus shuffle (narrow shingle explode feeding both); the count
-    tables are vocab-sized and checkpointed once; the PMI joins run
-    over those aggregate tables (AQE broadcasts them when small),
-    and the final top-k is a TakeOrderedAndProject.
+    tables are vocab-sized and checkpointed once; the PMI joins pin
+    SHUFFLE_HASH on the unigram side (r19, guide §3.1 — a raw
+    vocabulary is NOT limit-bounded: junk tokens push a 100 TB
+    corpus's distinct-term table past the broadcast cap, and the
+    checkpoint-preserved explode-underestimate means the planner's
+    size election never corrects itself — the sf10 audit showed both
+    unigram tables broadcast-elected), and the final top-k is a
+    TakeOrderedAndProject.
     """
     toks = tokens(F.col(text_col))
     big = (
@@ -935,8 +943,18 @@ def collocations(
 
     d = "double"
     joined = (
-        big.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")), "w1")
-        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")), "w2")
+        big.join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("c_x")).hint(
+                "shuffle_hash"
+            ),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("c_y")).hint(
+                "shuffle_hash"
+            ),
+            "w2",
+        )
         .crossJoin(F.broadcast(nb))
         .crossJoin(F.broadcast(nu))
     )
