@@ -438,15 +438,34 @@ def quantiles_price_and_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions) next to the weighted variant over event values, with
     weights = deltas of cumulative elapsed time (first row keeps its
     raw weight). Both run the range-bucketed distributed-exact
-    quantile primitives — no global sort or partitionless window."""
-    li = t(spark, sf_dir, "lineitem")
-    uq = OpStats.quantiles(li, "l_extendedprice")
-    ev = t(spark, sf_dir, "events").withColumn(
-        "w", F.col("ts_us") / F.lit(1000000.0)
-    )
-    wq = OpStats.weighted_quantiles(
-        ev, "value", "w", order_by=["ts_ns", "event_id"]
-    )
+    quantile primitives — no global sort or partitionless window.
+
+    The two facet BUILDERS run from two driver threads (r19, guide
+    §2.6 — the meanmax/graph-suite family pattern): each performs
+    its own driver-side jobs (boundary-sketch collects, the weighted
+    facet's lag-pipeline checkpoint), over DIFFERENT tables, and
+    serializing them left the cluster idle during each other's
+    driver round-trips. The facets are independent subtrees with
+    integer-exact results, so construction order cannot affect the
+    output."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def uq_facet():
+        li = t(spark, sf_dir, "lineitem")
+        return OpStats.quantiles(li, "l_extendedprice")
+
+    def wq_facet():
+        ev = t(spark, sf_dir, "events").withColumn(
+            "w", F.col("ts_us") / F.lit(1000000.0)
+        )
+        return OpStats.weighted_quantiles(
+            ev, "value", "w", order_by=["ts_ns", "event_id"]
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        uq, wq = (
+            f.result() for f in [pool.submit(fn) for fn in (uq_facet, wq_facet)]
+        )
     return uq.withColumn("weighted", F.lit(False)).unionByName(
         wq.withColumn("weighted", F.lit(True))
     )
