@@ -574,7 +574,19 @@ def histogram_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket set, zero-filled.
 
     Numeric buckets ride as strings so all four facets share one
-    schema; BIGINT counts ride as doubles (exact below 2^53)."""
+    schema; BIGINT counts ride as doubles (exact below 2^53).
+
+    The four facet BUILDERS run from driver threads (r19, guide
+    §2.6 — the quantiles/meanmax pattern): the numeric and combined
+    facets each synchronously materialize a lazy checkpoint (the
+    gap-filled bucket table / the flag-keyed counts) and the
+    weighted facet performs its boundary-collect driver jobs, over
+    disjoint relations — serializing them left the cluster idle
+    during each other's driver round-trips. The facets are
+    independent subtrees with exact integer counts, so construction
+    order cannot affect the output."""
+    from concurrent.futures import ThreadPoolExecutor
+
     _dnull = F.lit(None).cast("double")
     li = t(spark, sf_dir, "lineitem")
     # ONE lineitem bucket aggregate feeds the plain, normalized and
@@ -585,82 +597,103 @@ def histogram_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the gap-filled table once; histogram_from_counts re-derives the
     # percentage/trim view from the identical counts (gap-fill is
     # idempotent), so all values are unchanged.
-    h = OpHist.histogram(li, "l_quantity", width=5.0).localCheckpoint(eager=False)
-    nrm = OpHist.normalize_histogram(h).select(
-        "bucket", F.col("count").alias("norm_count")
-    )
-    tp = OpHist.histogram_from_counts(
-        h, width=5.0, as_percentage=True, trim_outliers=0.05
-    ).select("bucket", F.col("count").alias("pct"))
-    # histogram frames are aggregate-sized -> broadcast joins
-    numeric = (
-        h.join(F.broadcast(nrm), "bucket")
-        .join(F.broadcast(tp), "bucket", "left")
-        .select(
-            F.lit("numeric").alias("facet"),
+    def numeric_facet():
+        h = OpHist.histogram(li, "l_quantity", width=5.0).localCheckpoint(
+            eager=False
+        )
+        nrm = OpHist.normalize_histogram(h).select(
+            "bucket", F.col("count").alias("norm_count")
+        )
+        tp = OpHist.histogram_from_counts(
+            h, width=5.0, as_percentage=True, trim_outliers=0.05
+        ).select("bucket", F.col("count").alias("pct"))
+        # histogram frames are aggregate-sized -> broadcast joins
+        return (
+            h.join(F.broadcast(nrm), "bucket")
+            .join(F.broadcast(tp), "bucket", "left")
+            .select(
+                F.lit("numeric").alias("facet"),
+                F.col("bucket").cast("string").alias("bucket"),
+                "bucket_start",
+                F.col("count").cast("double").alias("count"),
+                _dnull.alias("count_2"),
+                "norm_count",
+                "pct",
+                F.col("pct").isNotNull().alias("in_trim"),
+            )
+        )
+
+    def weighted_facet():
+        ev = t(spark, sf_dir, "events").withColumn(
+            "w", F.col("ts_us") / F.lit(1000000.0)
+        )
+        return OpHist.weighted_histogram(
+            ev, "value", "w", order_by=["ts_ns", "event_id"], width=10.0
+        ).select(
+            F.lit("weighted").alias("facet"),
             F.col("bucket").cast("string").alias("bucket"),
             "bucket_start",
             F.col("count").cast("double").alias("count"),
             _dnull.alias("count_2"),
-            "norm_count",
-            "pct",
-            F.col("pct").isNotNull().alias("in_trim"),
+            _dnull.alias("norm_count"),
+            _dnull.alias("pct"),
+            F.lit(None).cast("boolean").alias("in_trim"),
         )
-    )
-    ev = t(spark, sf_dir, "events").withColumn(
-        "w", F.col("ts_us") / F.lit(1000000.0)
-    )
-    weighted = OpHist.weighted_histogram(
-        ev, "value", "w", order_by=["ts_ns", "event_id"], width=10.0
-    ).select(
-        F.lit("weighted").alias("facet"),
-        F.col("bucket").cast("string").alias("bucket"),
-        "bucket_start",
-        F.col("count").cast("double").alias("count"),
-        _dnull.alias("count_2"),
-        _dnull.alias("norm_count"),
-        _dnull.alias("pct"),
-        F.lit(None).cast("boolean").alias("in_trim"),
-    )
-    strings = OpHist.string_histogram(ev, "event_type").select(
-        F.lit("string").alias("facet"),
-        "bucket",
-        _dnull.alias("bucket_start"),
-        F.col("count").cast("double").alias("count"),
-        _dnull.alias("count_2"),
-        _dnull.alias("norm_count"),
-        _dnull.alias("pct"),
-        F.lit(None).cast("boolean").alias("in_trim"),
-    )
-    # combined facet: ONE flag-keyed aggregate replaces the two
-    # filtered scans (h1/h2 differ only in the l_returnflag value;
-    # the shared (flag, bucket) counts split by filter — identical
-    # values, half the scans)
-    qx = F.col("l_quantity").cast("double")
-    _b5 = OpHist._trunc_div(qx, 5.0)
-    rf_counts = (
-        li.where(qx.isNotNull() & F.col("l_returnflag").isin("R", "N"))
-        .where(_b5 != 0)
-        .groupBy(F.col("l_returnflag").alias("__rf"), _b5.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("count"))
-        .localCheckpoint(eager=False)
-    )
-    h1 = OpHist.histogram_from_counts(
-        rf_counts.where(F.col("__rf") == "R"), width=5.0
-    )
-    h2 = OpHist.histogram_from_counts(
-        rf_counts.where(F.col("__rf") == "N"), width=5.0
-    )
-    combined = OpHist.combine_histograms(h1, h2).select(
-        F.lit("combined").alias("facet"),
-        F.col("bucket").cast("string").alias("bucket"),
-        "bucket_start",
-        F.col("count_1").cast("double").alias("count"),
-        F.col("count_2").cast("double").alias("count_2"),
-        _dnull.alias("norm_count"),
-        _dnull.alias("pct"),
-        F.lit(None).cast("boolean").alias("in_trim"),
-    )
+
+    def strings_facet():
+        ev = t(spark, sf_dir, "events")
+        return OpHist.string_histogram(ev, "event_type").select(
+            F.lit("string").alias("facet"),
+            "bucket",
+            _dnull.alias("bucket_start"),
+            F.col("count").cast("double").alias("count"),
+            _dnull.alias("count_2"),
+            _dnull.alias("norm_count"),
+            _dnull.alias("pct"),
+            F.lit(None).cast("boolean").alias("in_trim"),
+        )
+
+    def combined_facet():
+        # combined facet: ONE flag-keyed aggregate replaces the two
+        # filtered scans (h1/h2 differ only in the l_returnflag
+        # value; the shared (flag, bucket) counts split by filter —
+        # identical values, half the scans)
+        qx = F.col("l_quantity").cast("double")
+        _b5 = OpHist._trunc_div(qx, 5.0)
+        rf_counts = (
+            li.where(qx.isNotNull() & F.col("l_returnflag").isin("R", "N"))
+            .where(_b5 != 0)
+            .groupBy(F.col("l_returnflag").alias("__rf"), _b5.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("count"))
+            .localCheckpoint(eager=False)
+        )
+        h1 = OpHist.histogram_from_counts(
+            rf_counts.where(F.col("__rf") == "R"), width=5.0
+        )
+        h2 = OpHist.histogram_from_counts(
+            rf_counts.where(F.col("__rf") == "N"), width=5.0
+        )
+        return OpHist.combine_histograms(h1, h2).select(
+            F.lit("combined").alias("facet"),
+            F.col("bucket").cast("string").alias("bucket"),
+            "bucket_start",
+            F.col("count_1").cast("double").alias("count"),
+            F.col("count_2").cast("double").alias("count_2"),
+            _dnull.alias("norm_count"),
+            _dnull.alias("pct"),
+            F.lit(None).cast("boolean").alias("in_trim"),
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        numeric, weighted, strings, combined = (
+            f.result()
+            for f in [
+                pool.submit(fn)
+                for fn in (
+                    numeric_facet, weighted_facet, strings_facet, combined_facet
+                )
+            ]
+        )
     return (
         numeric.unionByName(weighted).unionByName(strings).unionByName(combined)
     )
