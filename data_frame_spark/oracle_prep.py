@@ -2130,8 +2130,16 @@ def fits_family_v2_spark(spark, sf_dir):
     (min-of-3, sf0.1, outputs asserted bit-identical): shared 3.21 s
     vs composition 3.95 s — the winner is locked in here so the
     parity test exercises the FINAL r18 registration form every suite
-    run (docs/PLANS.md §"Round-18 slot funding")."""
+    run (docs/PLANS.md §"Round-18 slot funding").
+
+    r19 (guide §2.6): the EVENTS exp-fit collect is independent of
+    the lineitem moment chain (the residual aggregate depends on the
+    moments, so it stays sequential after them), and the two
+    driver-side aggregates serialized; a second driver thread runs
+    the exp fit concurrently. Both are exact quantized aggregates —
+    scheduling cannot affect any value."""
     import math
+    from concurrent.futures import ThreadPoolExecutor
 
     from pyspark.sql import functions as F
 
@@ -2164,6 +2172,19 @@ def fits_family_v2_spark(spark, sf_dir):
         "slxly": dsum(F.log(X) * F.log(Y), 4),
         "slny": dsum(F.log(Y), 4),
     }
+    # the events exp fit shares nothing with the lineitem moments —
+    # run its collect on a second driver thread while this one does
+    # the moment + residual chain
+    def exp_fit():
+        ev = t(spark, sf_dir, "events").select(
+            (F.col("ts_us") / F.lit(1000000.0) / F.lit(86400.0)).alias("x"),
+            F.col("value").alias("y"),
+        )
+        return OpFit.least_squares_fit(ev, "x", "y", mode="exp")
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    efit_future = pool.submit(exp_fit)
+
     m = d.agg(*[e.alias(k) for k, e in sparkexpr.items()]).collect()[0].asDict()
     mv = [m["n"]] + [m[f"sx{k}"] for k in range(1, 7)]
     rhs = [m["sy"], m["sxy1"], m["sxy2"], m["sxy3"]]
@@ -2193,11 +2214,8 @@ def fits_family_v2_spark(spark, sf_dir):
         ("power", _round6(pwr_a), _round6(pwr_b), None, None, None),
         ("slr", slr_a, slr_b, None, None, slr_r),
     ]
-    ev = t(spark, sf_dir, "events").select(
-        (F.col("ts_us") / F.lit(1000000.0) / F.lit(86400.0)).alias("x"),
-        F.col("value").alias("y"),
-    )
-    efit = OpFit.least_squares_fit(ev, "x", "y", mode="exp")
+    efit = efit_future.result()
+    pool.shutdown()
     ea, eb, ec = efit.coefficients
     rows.append(
         ("exp", _round6(ea), _round6(eb), _round6(float(ec)), None, None)
