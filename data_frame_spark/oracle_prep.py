@@ -1633,7 +1633,13 @@ def decontamination_family_spark(spark, sf_dir):
     same distinct relation); the standalone ``decontamination_leg``
     builders — and their per-leg broadcast-contract plan pins — are
     untouched. The audit leg (5-grams over the split-assigned corpus)
-    shares nothing at n=13 and stays as-is."""
+    shares nothing at n=13 and stays as-is; since r19 it BUILDS on a
+    second driver thread (guide §2.6) so its plan construction
+    overlaps the g13 checkpoint's synchronous stage materialization
+    instead of waiting behind it — disjoint subtrees, identical
+    output."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.sql import functions as F
 
     from data_frame_spark.operators.dedup import (
@@ -1643,6 +1649,9 @@ def decontamination_family_spark(spark, sf_dir):
     )
     from data_frame_spark.operators.distributed import ensure_parallelism
     from data_frame_spark.queries import t
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    audit_future = pool.submit(decontamination_leg, spark, sf_dir, "audit")
 
     docs = ensure_parallelism(t(spark, sf_dir, "documents"))
     # the ONE shared-builder definition (never an inline rebuild —
@@ -1661,8 +1670,9 @@ def decontamination_family_spark(spark, sf_dir):
             docs, bench, "text", "doc_id", n=13,
             corpus_grams=g13, bench_grams=bench_g,
         ),
-        "audit": decontamination_leg(spark, sf_dir, "audit"),
+        "audit": audit_future.result(),
     }
+    pool.shutdown()
 
     def pad(leg: str):
         return legs[leg].select(
