@@ -1651,28 +1651,30 @@ def decontamination_family_spark(spark, sf_dir):
     from data_frame_spark.queries import t
 
     pool = ThreadPoolExecutor(max_workers=1)
-    audit_future = pool.submit(decontamination_leg, spark, sf_dir, "audit")
+    try:
+        audit_future = pool.submit(decontamination_leg, spark, sf_dir, "audit")
 
-    docs = ensure_parallelism(t(spark, sf_dir, "documents"))
-    # the ONE shared-builder definition (never an inline rebuild —
-    # the legs' contract is "exactly what _hashed_ngrams would build")
-    g13 = _hashed_ngrams(docs, "text", "doc_id", 13, "doc_id").localCheckpoint(
-        eager=False
-    )
-    bench_g = g13.where(F.col("doc_id") % 50 == 0)
-    bench = docs.where(F.col("doc_id") % 50 == 0)
-    legs = {
-        "bloom": bloom_contamination(
-            docs, bench, "text", "doc_id", n=13, m_bits=_DECON_BLOOM_M,
-            corpus_grams=g13, bench_grams=bench_g,
-        ),
-        "ngram": ngram_contamination(
-            docs, bench, "text", "doc_id", n=13,
-            corpus_grams=g13, bench_grams=bench_g,
-        ),
-        "audit": audit_future.result(),
-    }
-    pool.shutdown()
+        docs = ensure_parallelism(t(spark, sf_dir, "documents"))
+        # the ONE shared-builder definition (never an inline rebuild —
+        # the legs' contract is "exactly what _hashed_ngrams would build")
+        g13 = _hashed_ngrams(docs, "text", "doc_id", 13, "doc_id").localCheckpoint(
+            eager=False
+        )
+        bench_g = g13.where(F.col("doc_id") % 50 == 0)
+        bench = docs.where(F.col("doc_id") % 50 == 0)
+        legs = {
+            "bloom": bloom_contamination(
+                docs, bench, "text", "doc_id", n=13, m_bits=_DECON_BLOOM_M,
+                corpus_grams=g13, bench_grams=bench_g,
+            ),
+            "ngram": ngram_contamination(
+                docs, bench, "text", "doc_id", n=13,
+                corpus_grams=g13, bench_grams=bench_g,
+            ),
+            "audit": audit_future.result(),
+        }
+    finally:
+        pool.shutdown()
 
     def pad(leg: str):
         return legs[leg].select(
@@ -2193,9 +2195,13 @@ def fits_family_v2_spark(spark, sf_dir):
         return OpFit.least_squares_fit(ev, "x", "y", mode="exp")
 
     pool = ThreadPoolExecutor(max_workers=1)
-    efit_future = pool.submit(exp_fit)
+    try:
+        efit_future = pool.submit(exp_fit)
 
-    m = d.agg(*[e.alias(k) for k, e in sparkexpr.items()]).collect()[0].asDict()
+        m = d.agg(*[e.alias(k) for k, e in sparkexpr.items()]).collect()[0].asDict()
+        efit = efit_future.result()
+    finally:
+        pool.shutdown()
     mv = [m["n"]] + [m[f"sx{k}"] for k in range(1, 7)]
     rhs = [m["sy"], m["sxy1"], m["sxy2"], m["sxy3"]]
     lin = [num / den for num, den in _cramer(mv[:3], rhs[:2], 1)]
@@ -2224,8 +2230,6 @@ def fits_family_v2_spark(spark, sf_dir):
         ("power", _round6(pwr_a), _round6(pwr_b), None, None, None),
         ("slr", slr_a, slr_b, None, None, slr_r),
     ]
-    efit = efit_future.result()
-    pool.shutdown()
     ea, eb, ec = efit.coefficients
     rows.append(
         ("exp", _round6(ea), _round6(eb), _round6(float(ec)), None, None)
